@@ -1,0 +1,97 @@
+"""The incremental ingestion pipeline.
+
+Parity: reference ``ingestion_step`` (ingestion.py:16-103):
+read source → not-null filter → per-system prep (watermark filter,
+derived columns) → partitioned append write → advance watermark.
+
+Spark-first differences (SURVEY §4):
+- O-GAP1: the watermark predicate is applied *before* any opaque
+  operation and is UDF-free, so it reaches the source scan (JDBC WHERE /
+  parquet row-group pruning) — the source only ships new rows.
+- O-GAP5: the reference ran 4 actions per batch (isEmpty, count, write,
+  max-collect) on a persisted DataFrame. Here a single write job carries
+  an ``Observation`` computing row-count and max(ref) as side metrics —
+  one pass over the data, no persist.
+- O-GAP6: default mode is ``append`` (reference parity — multiple
+  batches can land in one YEAR/MONTH partition, so overwriting a
+  partition would drop earlier batches). When batch boundaries align
+  with partition boundaries (e.g. daily partitions, daily batches),
+  pass ``mode="overwrite"`` — dynamic partition overwrite then makes
+  retries idempotent: a crash between data write and watermark write
+  rewrites the same partitions instead of duplicating rows.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, Observation
+from pyspark.sql import functions as F
+
+from pyspark_ingestion_spark.ingestion.prep import TableSettings, prepare
+from pyspark_ingestion_spark.ingestion.watermark import (
+    Watermark,
+    format_watermark,
+    read_watermark,
+    write_watermark,
+)
+from pyspark_ingestion_spark.sources.writers import write_partitioned
+
+
+@dataclass
+class IngestResult:
+    moved_something: bool
+    n_rows: int
+    watermark: Watermark
+
+
+def ingest_table(
+    df: DataFrame,
+    system: str,
+    table_name: str,
+    table_path: str,
+    settings: TableSettings,
+    file_format: str = "parquet",
+    compression: str = "snappy",
+    mode: str = "append",
+) -> IngestResult:
+    """Run one incremental batch of ``df`` into the lake at ``table_path``.
+
+    Returns whether any rows moved (reference's ``moving_something``,
+    ingestion.py:102-103), the batch row count, and the (possibly
+    advanced) watermark.
+    """
+    wm = read_watermark(
+        table_path, system, table_name, settings.ref_column, settings.ref_first_value
+    )
+
+    elab, partition_cols = prepare(system, df, settings, wm)
+
+    # emptiness gate (reference A3, ingestion.py:73) — native df.isEmpty
+    # short-circuits on the first row; also guards Observation.get, which
+    # has no metrics row when a write job runs zero tasks
+    if elab.isEmpty():
+        write_watermark(wm, table_path)
+        return IngestResult(moved_something=False, n_rows=0, watermark=wm)
+
+    obs = Observation(f"ingest_{system}_{table_name}")
+    ref = settings.ref_column
+    observed = elab.observe(
+        obs, F.count(F.lit(1)).alias("n_rows"), F.max(F.col(ref)).alias("max_ref")
+    )
+
+    write_partitioned(
+        observed,
+        table_path,
+        partition_columns=partition_cols,
+        mode=mode,
+        compression=compression,
+        file_format=file_format,
+    )
+
+    metrics = obs.get
+    n_rows = metrics["n_rows"]
+    if n_rows > 0 and metrics["max_ref"] is not None:
+        wm = Watermark(system, table_name, ref, format_watermark(metrics["max_ref"]))
+    write_watermark(wm, table_path)
+    return IngestResult(moved_something=n_rows > 0, n_rows=n_rows, watermark=wm)

@@ -1,0 +1,200 @@
+"""Incremental-ingestion loop tests (FIXTURES.md §B semantics).
+
+Property under test (reference ingestion.py:16-103): first run moves all
+rows above the initial watermark and advances it to max(ref); an
+immediate second run moves nothing; rows at-or-below the watermark are
+never ingested.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+import json
+import os
+
+import pytest
+from pyspark.sql import types as T
+
+from pyspark_ingestion_spark.ingestion import (
+    TableSettings,
+    ingest_table,
+    read_watermark,
+)
+
+
+def _sap_df(spark):
+    rows = [
+        (1, "20190301", "120000", 10.0, "P01"),
+        (2, "20190415", "010203", 20.0, "P02"),
+        (3, "20200229", "235959", 30.0, "P01"),  # leap day
+        (4, "20181231", "000000", 40.0, "P03"),  # below first watermark
+        (5, "20201115", "081500", 50.0, "P05"),
+    ]
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("ERDAT", T.StringType()),
+            T.StructField("ERZET", T.StringType()),
+            T.StructField("amount", T.DoubleType()),
+            T.StructField("plant", T.StringType()),
+        ]
+    )
+    return spark.createDataFrame(rows, schema)
+
+
+def test_sap_ingest_twice(spark, tmp_path):
+    table_path = str(tmp_path / "sap" / "docs")
+    settings = TableSettings(
+        ref_column="TS_REF",
+        ref_first_value="2019-01-01T00:00:00.000000Z",
+        date_column="ERDAT",
+        time_column="ERZET",
+    )
+
+    r1 = ingest_table(_sap_df(spark), "sap", "docs", table_path, settings)
+    assert r1.moved_something and r1.n_rows == 4  # doc 4 below watermark
+    assert r1.watermark.ref_last_value == "2020-11-15T08:15:00.000000Z"
+
+    # lake layout: Hive-style YEAR=/MONTH= dirs, non-zero-padded
+    assert os.path.isdir(os.path.join(table_path, "YEAR=2019", "MONTH=3"))
+    assert os.path.isdir(os.path.join(table_path, "YEAR=2020", "MONTH=2"))
+
+    out = spark.read.parquet(table_path)
+    assert out.count() == 4
+    assert {r["doc_id"] for r in out.collect()} == {1, 2, 3, 5}
+    # partition columns are strings (pinned semantics)
+    assert dict(out.dtypes)["YEAR"] == "string"
+    # composite parse: 20200229 235959 → leap-day timestamp
+    leap = out.filter("doc_id = 3").collect()[0]["TS_REF"]
+    assert leap == dt.datetime(2020, 2, 29, 23, 59, 59)
+
+    # second run: nothing new
+    r2 = ingest_table(_sap_df(spark), "sap", "docs", table_path, settings)
+    assert not r2.moved_something and r2.n_rows == 0
+    assert r2.watermark.ref_last_value == r1.watermark.ref_last_value
+    assert spark.read.parquet(table_path).count() == 4
+
+
+def test_sap_late_rows_ingested_next_run(spark, tmp_path):
+    """Rows arriving with ref above the advanced watermark flow in run 2."""
+    table_path = str(tmp_path / "sap" / "docs2")
+    settings = TableSettings(
+        ref_column="TS_REF",
+        ref_first_value="2019-01-01T00:00:00.000000Z",
+        date_column="ERDAT",
+        time_column="ERZET",
+    )
+    ingest_table(_sap_df(spark), "sap", "docs2", table_path, settings)
+
+    newer = _sap_df(spark).unionByName(
+        _sap_df(spark)
+        .limit(1)
+        .selectExpr(
+            "CAST(6 AS LONG) AS doc_id",
+            "'20210101' AS ERDAT",
+            "'000001' AS ERZET",
+            "CAST(60.0 AS DOUBLE) AS amount",
+            "'P01' AS plant",
+        )
+    )
+    r2 = ingest_table(newer, "sap", "docs2", table_path, settings)
+    assert r2.n_rows == 1
+    assert r2.watermark.ref_last_value == "2021-01-01T00:00:01.000000Z"
+    assert spark.read.parquet(table_path).count() == 5
+
+
+def test_lims_null_refs_dropped(spark, tmp_path):
+    table_path = str(tmp_path / "lims" / "samples")
+    rows = [
+        (1, dt.datetime(2020, 5, 1, 10), 1.5, "OK"),
+        (2, None, 2.5, "KO"),  # NULL ref → dropped (P1)
+        (3, dt.datetime(2020, 6, 2, 11), 3.5, "PENDING"),
+    ]
+    schema = T.StructType(
+        [
+            T.StructField("sample_id", T.LongType()),
+            T.StructField("MODIFIED_ON", T.TimestampType()),
+            T.StructField("result", T.DoubleType()),
+            T.StructField("status", T.StringType()),
+        ]
+    )
+    df = spark.createDataFrame(rows, schema)
+    settings = TableSettings(
+        ref_column="MODIFIED_ON", ref_first_value="2020-01-01T00:00:00.000000Z"
+    )
+    r = ingest_table(df, "lims", "samples", table_path, settings)
+    assert r.n_rows == 2
+    out = spark.read.parquet(table_path)
+    assert {x["sample_id"] for x in out.collect()} == {1, 3}
+
+
+def test_c1_projection_pii_and_week_partitions(spark, tmp_path):
+    table_path = str(tmp_path / "c1" / "contacts")
+    rows = [
+        # ISO week pinning: 2019-12-30 is ISO week 1 of 2020 (but YEAR from ts = 2019)
+        (1, "a@example.com", True, dt.datetime(2019, 12, 30, 12), "drop-me"),
+        (2, None, False, dt.datetime(2020, 6, 15, 9), "drop-me"),
+    ]
+    schema = T.StructType(
+        [
+            T.StructField("contact_id", T.LongType()),
+            T.StructField("EMAIL__C", T.StringType()),
+            T.StructField("IS_PRO__C", T.BooleanType()),
+            T.StructField("LASTMODIFIEDDATE", T.TimestampType()),
+            T.StructField("extra_col", T.StringType()),
+        ]
+    )
+    df = spark.createDataFrame(rows, schema)
+    settings = TableSettings(
+        ref_column="LASTMODIFIEDDATE",
+        ref_first_value="2019-01-01T00:00:00.000000Z",
+        columns_to_import=["contact_id", "EMAIL__C", "IS_PRO__C", "LASTMODIFIEDDATE"],
+        pii_sha256_columns=["EMAIL__C"],
+        stringify_columns=["IS_PRO__C"],
+    )
+    r = ingest_table(df, "c1", "contacts", table_path, settings)
+    assert r.n_rows == 2
+
+    out = spark.read.parquet(table_path)
+    assert "extra_col" not in out.columns  # P3 projection
+    got = {x["contact_id"]: x for x in out.collect()}
+    # F5: sha256, 64 hex chars; NULL stays NULL
+    assert len(got[1]["EMAIL__C"]) == 64 and got[2]["EMAIL__C"] is None
+    # F6: Spark-style lowercase boolean strings (pinned)
+    assert got[1]["IS_PRO__C"] == "true" and got[2]["IS_PRO__C"] == "false"
+    # F4: ISO week — 2019-12-30 → week 1
+    assert got[1]["WEEK"] == "1" and got[1]["YEAR"] == "2019"
+    assert os.path.isdir(os.path.join(table_path, "YEAR=2019", "WEEK=1"))
+
+
+def test_watermark_file_shape(spark, tmp_path):
+    """sync.json keeps the exact reference shape (ingestion.py:149-156)."""
+    table_path = str(tmp_path / "lims" / "shape")
+    rows = [(1, dt.datetime(2020, 5, 1, 10, 30, 15, 123456), 1.0, "OK")]
+    schema = "sample_id long, MODIFIED_ON timestamp, result double, status string"
+    df = spark.createDataFrame(rows, schema)
+    settings = TableSettings(
+        ref_column="MODIFIED_ON", ref_first_value="2020-01-01T00:00:00.000000Z"
+    )
+    ingest_table(df, "lims", "shape", table_path, settings)
+
+    with open(os.path.join(table_path, "sync.json")) as f:
+        doc = json.load(f)
+    assert doc == {
+        "sync": {
+            "system": "lims",
+            "table_name": "shape",
+            "ref_column": "MODIFIED_ON",
+            "ref_last_value": "2020-05-01T10:30:15.123456Z",
+        }
+    }
+
+    wm = read_watermark(table_path, "lims", "shape", "MODIFIED_ON", "x")
+    assert wm.ref_last_value == "2020-05-01T10:30:15.123456Z"
+
+
+def test_unknown_system_raises(spark):
+    with pytest.raises(ValueError, match="unknown system"):
+        from pyspark_ingestion_spark.ingestion.prep import prepare
+
+        prepare("nope", None, None, None)
