@@ -1,0 +1,131 @@
+"""Text-analysis scalar functions for training-data pipelines.
+
+All native Column expressions (split/regexp/md5/length — codegen'd,
+pushdown-transparent). Hashes use MD5 rather than Spark's ``hash`` so
+every value is reproducible in any engine (Spark's Murmur3 seeds are
+engine-specific; MD5 is MD5 everywhere) — this is what lets the dedup
+and fingerprint pipelines be oracle-checked bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+#: whitespace tokenizer pattern (kept trivial: identical semantics in Java/RE2/PCRE)
+WS = r"\s+"
+
+#: BPE-ish token pattern: letter runs, digit runs, or single non-space symbol
+TOKEN_PATTERN = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+#: small deterministic stopword lists for the language-ID heuristic
+LANG_MARKERS: dict[str, list[str]] = {
+    "en": ["the", "a", "of", "and", "to"],
+    "es": ["el", "la", "de", "que", "los"],
+    "fr": ["le", "la", "et", "les", "des"],
+}
+
+
+def _c(c: Column | str) -> Column:
+    return F.col(c) if isinstance(c, str) else c
+
+
+def words(text: Column | str) -> Column:
+    """Whitespace-split word array (empty array for blank text)."""
+    t = F.trim(_c(text))
+    return F.when(F.length(t) == 0, F.array().cast("array<string>")).otherwise(
+        F.split(t, WS)
+    )
+
+
+def word_count(text: Column | str) -> Column:
+    return F.size(words(text)).cast("long")
+
+
+def token_count(text: Column | str) -> Column:
+    """BPE-ish token count: letter runs + digit runs + individual symbols."""
+    return F.regexp_count(_c(text), F.lit(TOKEN_PATTERN)).cast("long")
+
+
+def char_stats(text: Column | str) -> list[Column]:
+    """n_chars / n_letters / n_digits / n_spaces — building blocks for quality scores."""
+    t = _c(text)
+    return [
+        F.length(t).cast("long").alias("n_chars"),
+        F.regexp_count(t, F.lit(r"[A-Za-z]")).cast("long").alias("n_letters"),
+        F.regexp_count(t, F.lit(r"[0-9]")).cast("long").alias("n_digits"),
+        F.regexp_count(t, F.lit(r"\s")).cast("long").alias("n_spaces"),
+    ]
+
+
+def quality_score(text: Column | str) -> Column:
+    """Heuristic quality in [0,1]: letter density × length factor.
+
+    score = (letters/chars) * least(1, words/20). Deterministic
+    arithmetic only, so it's portable to any SQL oracle.
+    """
+    t = _c(text)
+    chars = F.length(t).cast("double")
+    letters = F.regexp_count(t, F.lit(r"[A-Za-z]")).cast("double")
+    wc = word_count(t).cast("double")
+    return F.when(chars == 0, F.lit(0.0)).otherwise(
+        F.round((letters / chars) * F.least(F.lit(1.0), wc / F.lit(20.0)), 6)
+    )
+
+
+def lang_scores(text: Column | str) -> dict[str, Column]:
+    """Marker-word hit counts per language (word-boundary regex)."""
+    t = _c(text)
+    return {
+        lang: sum(
+            (F.regexp_count(t, F.lit(rf"\b{w}\b")) for w in markers), F.lit(0)
+        ).cast("long")
+        for lang, markers in LANG_MARKERS.items()
+    }
+
+
+def lang_id(text: Column | str) -> Column:
+    """Pick the language with the most marker hits; ties/zero → 'und'.
+
+    A deliberately simple n-gram-free heuristic (real models would be a
+    pandas_udf over a fastText-style model; the *pipeline shape* — pure
+    column expression, no shuffle — is the part that matters at scale).
+    Tie-break: lexicographic language code, so results are deterministic.
+    """
+    scores = lang_scores(text)
+    pairs = [F.struct(v.alias("score"), F.lit(k).alias("lang")) for k, v in sorted(scores.items())]
+    # array_max picks highest score; for equal scores the LATER lang code wins,
+    # so negate: sort pairs by (score, reversed lang) — use greatest over structs
+    best = F.greatest(*pairs) if len(pairs) > 1 else pairs[0]
+    return F.when(best["score"] > 0, best["lang"]).otherwise(F.lit("und"))
+
+
+def fingerprint(text: Column | str) -> Column:
+    """Document fingerprint: MD5 of whitespace-normalized lowercase text.
+
+    MD5 (not xxhash/murmur) so fingerprints match across engines and
+    survive re-platforming — they end up in catalogs and dedup ledgers.
+    """
+    return F.md5(F.regexp_replace(F.lower(F.trim(_c(text))), WS, " "))
+
+
+def prefix_fingerprint(text: Column | str, n_words: int = 8) -> Column:
+    """MD5 over the first ``n_words`` normalized words — a cheap near-dup
+    blocking key (documents sharing a long prefix hash together)."""
+    w = words(F.lower(_c(text)))
+    return F.md5(F.array_join(F.slice(w, 1, n_words), " "))
+
+
+def word_shingles(text: Column | str, n: int = 3) -> Column:
+    """Distinct n-word shingles as an array<string> (for Jaccard/MinHash).
+
+    Built with native transform+slice over the word array; documents
+    shorter than ``n`` words get their whole text as a single shingle.
+    """
+    w = words(F.lower(_c(text)))
+    k = F.size(w)
+    shingled = F.transform(
+        F.sequence(F.lit(1), F.greatest(k - n + 1, F.lit(1))),
+        lambda i: F.array_join(F.slice(w, i, n), " "),
+    )
+    return F.array_distinct(shingled)

@@ -1,0 +1,226 @@
+"""Deduplication operators for training-data pipelines.
+
+Four tiers, all shuffle-on-key (never cross-join the corpus):
+
+- exact        — hash-groupBy on a normalized fingerprint
+- n-gram Jaccard — shingle-join: pairs share work only where they share
+                  shingles; integer-arithmetic threshold test
+- MinHash+LSH  — signature → bands → bucket-join candidates, then exact
+                  verify on candidates only
+- SimHash      — bitwise majority over token hashes; near-dups share the
+                  64→16-bit signature (hamming-adjacent buckets)
+
+Hashing is MD5 (portable across engines) — see functions/text.py. At
+100 TB the shingle/band joins shuffle `O(corpus × shingles)` small rows
+on string keys, which AQE handles; the quadratic pair-space is never
+materialized because candidates must collide on a key first.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from pyspark_ingestion_spark.functions.text import fingerprint, word_shingles, words
+
+
+def exact_dedup_groups(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Group exact duplicates by normalized-text fingerprint.
+
+    Returns one row per distinct content: (fingerprint, keeper_id = min id,
+    n_copies). Deterministic keeper choice (min id), unlike
+    ``dropDuplicates`` which keeps an arbitrary row.
+    """
+    return (
+        df.select(F.col(id_col), fingerprint(text_col).alias("fingerprint"))
+        .groupBy("fingerprint")
+        .agg(
+            F.min(id_col).alias("keeper_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+    )
+
+
+def _shingle_table(df: DataFrame, id_col: str, text_col: str, n: int) -> DataFrame:
+    """(id, shingle) exploded pairs — distinct shingles per doc."""
+    return df.select(
+        F.col(id_col).alias("doc"), F.explode(word_shingles(text_col, n)).alias("shingle")
+    )
+
+
+def jaccard_similar_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    threshold_num: int = 1,
+    threshold_den: int = 2,
+) -> DataFrame:
+    """Pairs with n-gram-shingle Jaccard ≥ threshold_num/threshold_den.
+
+    Self-join on the shingle key (docs that share nothing never meet),
+    then the threshold test in *integer arithmetic*:
+        inter / (|A| + |B| - inter) ≥ p/q  ⟺  q·inter ≥ p·(|A|+|B|-inter)
+    so no float-boundary flakiness. Returns (doc_a, doc_b, intersection,
+    size_a, size_b, jaccard) with doc_a < doc_b.
+    """
+    sh = _shingle_table(df, id_col, text_col, n)
+    sizes = sh.groupBy("doc").agg(F.count(F.lit(1)).alias("sz"))
+
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc") < F.col("b.doc")))
+        .groupBy(F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("intersection"))
+    )
+    sa = sizes.select(F.col("doc").alias("doc_a"), F.col("sz").alias("size_a"))
+    sb = sizes.select(F.col("doc").alias("doc_b"), F.col("sz").alias("size_b"))
+    union_sz = F.col("size_a") + F.col("size_b") - F.col("intersection")
+    return (
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .filter(
+            F.lit(threshold_den) * F.col("intersection") >= F.lit(threshold_num) * union_sz
+        )
+        .select(
+            "doc_a",
+            "doc_b",
+            "intersection",
+            "size_a",
+            "size_b",
+            F.round(F.col("intersection") / union_sz, 6).alias("jaccard"),
+        )
+    )
+
+
+def minhash_signatures(
+    df: DataFrame, id_col: str, text_col: str, n: int = 3, num_hashes: int = 8
+) -> DataFrame:
+    """MinHash signatures: sig_i = min over shingles of md5(i || shingle).
+
+    String-min over MD5 hex is a valid uniform min-hash and — unlike
+    murmur/xxhash — reproducible in any engine, so signatures written to
+    a dedup ledger stay comparable. Returns (doc, seed, sig).
+    """
+    sh = _shingle_table(df, id_col, text_col, n)
+    seeds = F.explode(F.sequence(F.lit(0), F.lit(num_hashes - 1))).alias("seed")
+    return (
+        sh.select("doc", "shingle", seeds)
+        .select(
+            "doc",
+            "seed",
+            F.md5(F.concat_ws("|", F.col("seed").cast("string"), F.col("shingle"))).alias("h"),
+        )
+        .groupBy("doc", "seed")
+        .agg(F.min("h").alias("sig"))
+    )
+
+
+def lsh_candidate_pairs(
+    signatures: DataFrame, num_hashes: int = 8, band_size: int = 2
+) -> DataFrame:
+    """LSH banding: docs agreeing on ALL hashes within any band are candidates.
+
+    band_key = md5(concat of the band's signature values) → tiny string
+    key; the candidate join is an equi-join on (band, band_key). Returns
+    distinct (doc_a, doc_b), doc_a < doc_b.
+    """
+    bands = (
+        signatures.withColumn("band", (F.col("seed") / band_size).cast("int"))
+        .groupBy("doc", "band")
+        .agg(F.md5(F.concat_ws("|", F.array_sort(F.collect_list(
+            F.concat_ws(":", F.col("seed").cast("string"), F.col("sig"))
+        )))).alias("band_key"))
+    )
+    a = bands.alias("a")
+    b = bands.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.doc") < F.col("b.doc")),
+        )
+        .select(F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b"))
+        .distinct()
+    )
+
+
+def minhash_lsh_dedup_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    num_hashes: int = 8,
+    band_size: int = 2,
+    threshold_num: int = 1,
+    threshold_den: int = 2,
+) -> DataFrame:
+    """Full MinHash-LSH near-dup pipeline: candidates via banding, then
+    exact Jaccard verification on the candidate pairs only.
+
+    The verify join re-scans shingles only for docs that produced a
+    candidate — the classic two-phase structure that keeps 100 TB dedup
+    sub-quadratic. Returns (doc_a, doc_b, jaccard) for verified pairs.
+    """
+    sigs = minhash_signatures(df, id_col, text_col, n, num_hashes)
+    cands = lsh_candidate_pairs(sigs, num_hashes, band_size)
+
+    sh = _shingle_table(df, id_col, text_col, n)
+    sizes = sh.groupBy("doc").agg(F.count(F.lit(1)).alias("sz"))
+
+    a = sh.select(F.col("doc").alias("doc_a"), "shingle")
+    b = sh.select(F.col("doc").alias("doc_b"), "shingle")
+    inter = (
+        cands.join(a, "doc_a")
+        .join(b, ["doc_b", "shingle"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("intersection"))
+    )
+    sa = sizes.select(F.col("doc").alias("doc_a"), F.col("sz").alias("size_a"))
+    sb = sizes.select(F.col("doc").alias("doc_b"), F.col("sz").alias("size_b"))
+    union_sz = F.col("size_a") + F.col("size_b") - F.col("intersection")
+    return (
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .filter(
+            F.lit(threshold_den) * F.col("intersection") >= F.lit(threshold_num) * union_sz
+        )
+        .select("doc_a", "doc_b", F.round(F.col("intersection") / union_sz, 6).alias("jaccard"))
+    )
+
+
+def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = 16) -> DataFrame:
+    """SimHash signature per document over word unigrams.
+
+    Each word contributes ±1 to each bit position according to its MD5;
+    the signature is the sign-majority per bit. Near-identical documents
+    differ in few bits (hamming distance), so bucketing on the signature
+    (or signature bands) finds near-dups without pairwise comparison.
+
+    Bit b of a word = bit (b % 4) of hex digit (b // 4) of md5(word) —
+    pure string/bit arithmetic, portable to SQL oracles. Returns
+    (doc, simhash) with ``bits``-wide signatures.
+    """
+    tok = df.select(
+        F.col(id_col).alias("doc"),
+        F.explode(words(F.lower(F.col(text_col)))).alias("w"),
+    ).withColumn("h", F.md5(F.col("w")))
+
+    bit_cols = []
+    for b in range(bits):
+        digit = F.substring(F.col("h"), b // 4 + 1, 1)
+        val = F.conv(digit, 16, 10).cast("int")
+        bit = F.shiftright(val, b % 4) % 2
+        bit_cols.append(F.when(bit == 1, 1).otherwise(-1).alias(f"b{b}"))
+
+    contrib = tok.select("doc", *bit_cols)
+    agg = contrib.groupBy("doc").agg(
+        *[F.sum(f"b{b}").alias(f"s{b}") for b in range(bits)]
+    )
+    sig = None
+    for b in range(bits):
+        term = F.when(F.col(f"s{b}") > 0, F.lit(2**b)).otherwise(F.lit(0))
+        sig = term if sig is None else sig + term
+    return agg.select("doc", sig.cast("long").alias("simhash"))

@@ -1,0 +1,141 @@
+"""Relational operators the reference lacked (SURVEY §2.5 gap table).
+
+The reference has no joins, grouped aggregation, windows, or set ops —
+these are the Spark-native building blocks a user of a complete engine
+needs. Everything here is a pure ``DataFrame → DataFrame`` composition
+of Catalyst-optimizable primitives; none of it drops to RDDs or Python
+UDFs.
+
+Scale notes are per-function; the common theme: express the operator so
+the only shuffles are on declared keys (AQE handles sizing/skew), and
+never turn an as-of/range semantics into an exploded cross join.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def topk_per_group(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    order_cols: Sequence[Column | str],
+    k: int,
+    rank_col: str = "rn",
+    keep_rank: bool = False,
+) -> DataFrame:
+    """Top-k rows per group via ``row_number`` over a window.
+
+    One shuffle on ``group_cols``; no global sort. At scale this beats
+    ``orderBy().limit()`` per group because each group ranks locally
+    after the hash partition.
+    """
+    w = Window.partitionBy(*group_cols).orderBy(*order_cols)
+    out = df.withColumn(rank_col, F.row_number().over(w)).filter(F.col(rank_col) <= k)
+    return out if keep_rank else out.drop(rank_col)
+
+
+def dedupe_latest(
+    df: DataFrame, key_cols: Sequence[str], order_cols: Sequence[Column | str]
+) -> DataFrame:
+    """Keep exactly one row per key — the first under ``order_cols`` ordering.
+
+    The deterministic version of ``dropDuplicates`` (which keeps an
+    arbitrary row); use e.g. ``[F.desc("updated_at")]`` for latest-wins
+    CDC compaction.
+    """
+    return topk_per_group(df, key_cols, order_cols, k=1)
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    by: Sequence[str],
+    left_ts: str,
+    right_ts: str,
+    right_cols: Sequence[str] | None = None,
+    prefix: str = "asof_",
+) -> DataFrame:
+    """As-of join: for each left row, the latest right row with
+    ``right_ts <= left_ts`` within the same ``by`` keys (backward,
+    inclusive — DuckDB/pandas ``merge_asof`` semantics). Left rows with
+    no prior right row get NULLs.
+
+    Implementation is the union+window pattern, NOT a join: tag both
+    sides, union, sort within each key by (ts, side) so right rows at an
+    equal timestamp precede left rows, then carry the last non-null
+    right payload forward with ``last(..., ignorenulls)``. Cost is one
+    shuffle on ``by`` and a per-key sort — no range-explosion, no skew
+    amplification, which is what makes it usable on billions of rows
+    where an inequality join would cross-product hot keys.
+    """
+    by = list(by)
+    right_cols = list(right_cols if right_cols is not None else
+                      [c for c in right.columns if c not in by and c != right_ts])
+
+    payload = F.struct(F.col(right_ts).alias(right_ts), *[F.col(c) for c in right_cols])
+    r = right.select(
+        *by,
+        F.col(right_ts).alias("__ts"),
+        F.lit(0).alias("__side"),
+        payload.alias("__payload"),
+    )
+    l = left.select(
+        "*",
+        F.col(left_ts).alias("__ts"),
+        F.lit(1).alias("__side"),
+        F.lit(None).cast(r.schema["__payload"].dataType).alias("__payload"),
+    )
+    # align schemas: right side gets left's non-key columns as nulls
+    left_extra = [c for c in left.columns if c not in by]
+    r_aligned = r.select(
+        *by,
+        "__ts",
+        "__side",
+        "__payload",
+        *[F.lit(None).cast(dict(left.dtypes)[c]).alias(c) for c in left_extra],
+    )
+    l_aligned = l.select(*by, "__ts", "__side", "__payload", *left_extra)
+
+    w = (
+        Window.partitionBy(*by)
+        .orderBy(F.col("__ts").asc(), F.col("__side").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    matched = (
+        r_aligned.unionByName(l_aligned)
+        .withColumn("__match", F.last("__payload", ignorenulls=True).over(w))
+        .filter(F.col("__side") == 1)
+    )
+    out_cols = [*by, *left_extra]
+    result = matched.select(
+        *out_cols,
+        F.col(f"__match.{right_ts}").alias(f"{prefix}{right_ts}"),
+        *[F.col(f"__match.{c}").alias(f"{prefix}{c}") for c in right_cols],
+    )
+    return result
+
+
+def range_join(
+    left: DataFrame,
+    right: DataFrame,
+    equi: Sequence[tuple[str, str]],
+    range_cond: Column,
+    how: str = "inner",
+) -> DataFrame:
+    """Join on equality keys plus a range predicate.
+
+    With at least one equi key, Catalyst executes this as a hash/sort-merge
+    join on the keys with the range condition as a post-join filter — no
+    cartesian product. A pure range join (no equi key) would broadcast-
+    nested-loop; callers should bucket/bin first in that case.
+    """
+    cond = None
+    for lc, rc in equi:
+        c = left[lc] == right[rc]
+        cond = c if cond is None else cond & c
+    cond = range_cond if cond is None else cond & range_cond
+    return left.join(right, cond, how)

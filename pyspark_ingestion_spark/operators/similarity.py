@@ -1,0 +1,92 @@
+"""Similarity search over embedding columns.
+
+Two tiers:
+- brute-force top-k — exact; the query set is broadcast so the big
+  corpus never shuffles. Baseline and re-rank stage.
+- sign-bucketed top-k — deterministic fixed-hyperplane LSH (sign
+  pattern of leading dimensions) prunes candidates to same-bucket
+  vectors before scoring. The scale path: the corpus is hash-partitioned
+  by bucket, each query probes one bucket.
+
+Scoring is the native zip_with/aggregate cosine (functions/vectors.py)
+— JVM codegen, no Python. For 1000-executor deployments the same shape
+holds: broadcast queries, mapPartitions-free column math, topk via
+row_number window on (query, -sim).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from pyspark_ingestion_spark.functions.vectors import cosine_similarity, sign_bucket
+from pyspark_ingestion_spark.operators.relational import topk_per_group
+
+
+def brute_force_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 10,
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Exact top-k cosine neighbors for each query vector.
+
+    ``queries`` must have (query_id_col, vec_col). Returns
+    (query_id, neighbor_id, sim, rank). Self-matches (same id) are not
+    excluded — filter upstream if undesired.
+    """
+    q = queries.select(
+        F.col(query_id_col), F.col(vec_col).alias("__qvec")
+    )
+    scored = corpus.crossJoin(F.broadcast(q)).select(
+        F.col(query_id_col),
+        F.col(id_col).alias("neighbor_id"),
+        F.round(cosine_similarity(vec_col, "__qvec"), 6).alias("sim"),
+    )
+    return topk_per_group(
+        scored,
+        group_cols=[query_id_col],
+        order_cols=[F.desc("sim"), F.asc("neighbor_id")],
+        k=k,
+        keep_rank=True,
+        rank_col="rank",
+    )
+
+
+def sign_bucket_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    n_dims: int = 8,
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Approximate top-k: only candidates in the query's sign-bucket are scored.
+
+    The bucket join replaces the cross join — at scale the corpus is
+    partitioned by bucket once and each query touches one partition.
+    Recall is traded for the prune; verify/re-rank with brute_force_topk
+    on the shortlist if exactness on the shortlist matters.
+    """
+    c = corpus.withColumn("__bucket", sign_bucket(vec_col, n_dims))
+    q = queries.select(
+        F.col(query_id_col),
+        F.col(vec_col).alias("__qvec"),
+        sign_bucket(vec_col, n_dims).alias("__bucket"),
+    )
+    scored = c.join(F.broadcast(q), "__bucket").select(
+        F.col(query_id_col),
+        F.col(id_col).alias("neighbor_id"),
+        F.round(cosine_similarity(vec_col, "__qvec"), 6).alias("sim"),
+    )
+    return topk_per_group(
+        scored,
+        group_cols=[query_id_col],
+        order_cols=[F.desc("sim"), F.asc("neighbor_id")],
+        k=k,
+        keep_rank=True,
+        rank_col="rank",
+    )

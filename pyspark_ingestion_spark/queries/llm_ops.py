@@ -1,1 +1,385 @@
-"""Placeholder — populated in later milestones."""
+"""LLM-training-data pipeline queries: text analysis, dedup, similarity.
+
+Every pipeline here is engine-portable by construction (MD5-based
+hashing, integer-arithmetic thresholds, deterministic tie-breaks), so
+even MinHash-LSH and SimHash — usually treated as "approximate, can't
+oracle" — get exact DuckDB oracles.
+
+Shared SQL fragments are built programmatically below; both sides
+implement the identical algorithm, not a SQL translation of Spark
+internals.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from pyspark_ingestion_spark.functions.text import (
+    TOKEN_PATTERN,
+    fingerprint,
+    lang_id,
+    lang_scores,
+    prefix_fingerprint,
+    quality_score,
+    token_count,
+    word_count,
+)
+from pyspark_ingestion_spark.operators.dedup import (
+    exact_dedup_groups,
+    jaccard_similar_pairs,
+    minhash_lsh_dedup_pairs,
+    simhash,
+)
+from pyspark_ingestion_spark.operators.similarity import brute_force_topk, sign_bucket_topk
+from pyspark_ingestion_spark.queries import query
+from pyspark_ingestion_spark.sources.readers import load_table
+
+# ------------------------------------------------------------ text ops
+
+@query(
+    "text_stats",
+    oracle=r"""
+    SELECT
+        doc_id,
+        length(text) AS chars,
+        CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_words,
+        CAST(len(regexp_extract_all(text, '[A-Za-z]')) AS BIGINT)  AS n_letters,
+        CAST(len(regexp_extract_all(text, '[0-9]')) AS BIGINT)     AS n_digits,
+        ROUND(length(text) / len(string_split_regex(trim(text), '\s+')), 4) AS chars_per_word
+    FROM documents
+    """,
+)
+def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Basic text statistics: chars, words, letter/digit counts."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.length("text").cast("long").alias("chars"),
+        word_count("text").alias("n_words"),
+        F.regexp_count("text", F.lit(r"[A-Za-z]")).cast("long").alias("n_letters"),
+        F.regexp_count("text", F.lit(r"[0-9]")).cast("long").alias("n_digits"),
+        F.round(F.length("text") / word_count("text"), 4).alias("chars_per_word"),
+    )
+
+
+@query(
+    "token_count_bpe",
+    oracle=r"""
+    SELECT doc_id,
+           CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS ws_tokens,
+           CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS BIGINT)
+               AS bpe_ish_tokens
+    FROM documents
+    """,
+)
+def token_count_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting: whitespace tokens + a BPE-ish regex token count."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        word_count("text").alias("ws_tokens"),
+        token_count("text").alias("bpe_ish_tokens"),
+    )
+
+
+@query(
+    "lang_id_heuristic",
+    oracle=r"""
+    WITH scored AS (
+        SELECT doc_id, lang,
+            CAST(len(regexp_extract_all(text, '\bthe\b')) + len(regexp_extract_all(text, '\ba\b'))
+               + len(regexp_extract_all(text, '\bof\b'))  + len(regexp_extract_all(text, '\band\b'))
+               + len(regexp_extract_all(text, '\bto\b')) AS BIGINT) AS en_score,
+            CAST(len(regexp_extract_all(text, '\bel\b'))  + len(regexp_extract_all(text, '\bla\b'))
+               + len(regexp_extract_all(text, '\bde\b'))  + len(regexp_extract_all(text, '\bque\b'))
+               + len(regexp_extract_all(text, '\blos\b')) AS BIGINT) AS es_score,
+            CAST(len(regexp_extract_all(text, '\ble\b'))  + len(regexp_extract_all(text, '\bla\b'))
+               + len(regexp_extract_all(text, '\bet\b'))  + len(regexp_extract_all(text, '\bles\b'))
+               + len(regexp_extract_all(text, '\bdes\b')) AS BIGINT) AS fr_score
+        FROM documents
+    )
+    SELECT doc_id, lang AS labeled_lang, en_score, es_score, fr_score,
+           CASE WHEN en_score = 0 AND es_score = 0 AND fr_score = 0 THEN 'und'
+                WHEN fr_score >= es_score AND fr_score >= en_score THEN 'fr'
+                WHEN es_score >= en_score THEN 'es'
+                ELSE 'en' END AS detected_lang
+    FROM scored
+    """,
+)
+def lang_id_heuristic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marker-word language ID (deterministic tie-break: greater lang code wins)."""
+    d = load_table(spark, sf_dir, "documents")
+    scores = lang_scores("text")
+    return d.select(
+        "doc_id",
+        F.col("lang").alias("labeled_lang"),
+        scores["en"].alias("en_score"),
+        scores["es"].alias("es_score"),
+        scores["fr"].alias("fr_score"),
+        lang_id("text").alias("detected_lang"),
+    )
+
+
+@query(
+    "quality_scores",
+    oracle=r"""
+    SELECT doc_id,
+           CASE WHEN length(text) = 0 THEN 0.0
+                ELSE ROUND((len(regexp_extract_all(text, '[A-Za-z]')) / length(text))
+                           * least(1.0, len(string_split_regex(trim(text), '\s+')) / 20.0), 6)
+           END AS quality
+    FROM documents
+    """,
+)
+def quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic quality score: letter density × length factor."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.select("doc_id", quality_score("text").alias("quality"))
+
+
+@query(
+    "doc_fingerprints",
+    oracle=r"""
+    SELECT doc_id,
+           md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp,
+           md5(array_to_string((string_split_regex(lower(trim(text)), '\s+'))[1:8], ' ')) AS prefix_fp
+    FROM documents
+    """,
+)
+def doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full + 8-word-prefix MD5 fingerprints (engine-portable dedup keys)."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        fingerprint("text").alias("fp"),
+        prefix_fingerprint("text", 8).alias("prefix_fp"),
+    )
+
+
+# -------------------------------------------------------------- dedup
+
+#: shared oracle CTE: distinct 3-word shingles per doc
+_SHINGLES_CTE = r"""
+    w AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS ws FROM documents),
+    sh AS (SELECT DISTINCT doc_id AS doc, array_to_string(ws[i:i+2], ' ') AS shingle
+           FROM w, LATERAL (SELECT unnest(range(1, greatest(len(ws)-2, 1) + 1)) AS i)),
+    sizes AS (SELECT doc, count(*) AS sz FROM sh GROUP BY doc)
+"""
+
+
+@query(
+    "dedup_exact",
+    oracle=r"""
+    SELECT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fingerprint,
+           min(doc_id) AS keeper_id,
+           count(*)    AS n_copies
+    FROM documents
+    GROUP BY 1
+    """,
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup groups: fingerprint → deterministic keeper + copy count."""
+    d = load_table(spark, sf_dir, "documents")
+    return exact_dedup_groups(d, "doc_id", "text")
+
+
+@query(
+    "dedup_ngram_jaccard",
+    oracle=f"""
+    WITH {_SHINGLES_CTE},
+    inter AS (SELECT a.doc AS doc_a, b.doc AS doc_b, count(*) AS intersection
+              FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc < b.doc
+              GROUP BY 1, 2)
+    SELECT doc_a, doc_b, intersection, sa.sz AS size_a, sb.sz AS size_b,
+           ROUND(intersection / (sa.sz + sb.sz - intersection), 6) AS jaccard
+    FROM inter
+    JOIN sizes sa ON sa.doc = doc_a
+    JOIN sizes sb ON sb.doc = doc_b
+    WHERE 2 * intersection >= 1 * (sa.sz + sb.sz - intersection)
+    """,
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs with 3-gram-shingle Jaccard ≥ 1/2 (integer threshold test).
+
+    Shingle self-join — never a corpus cross-join; finds the testdata's
+    planted near-duplicate pairs.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    return jaccard_similar_pairs(
+        d, "doc_id", "text", n=3, threshold_num=1, threshold_den=2
+    )
+
+
+@query(
+    "dedup_minhash_lsh",
+    oracle=f"""
+    WITH {_SHINGLES_CTE},
+    seeds AS (SELECT unnest(range(8)) AS seed),
+    sigs AS (SELECT doc, seed, min(md5(CAST(seed AS VARCHAR) || '|' || shingle)) AS sig
+             FROM sh CROSS JOIN seeds GROUP BY doc, seed),
+    bands AS (SELECT doc, CAST(seed // 2 AS INT) AS band,
+                     md5(string_agg(CAST(seed AS VARCHAR) || ':' || sig, '|'
+                                    ORDER BY CAST(seed AS VARCHAR) || ':' || sig)) AS band_key
+              FROM sigs GROUP BY doc, CAST(seed // 2 AS INT)),
+    cands AS (SELECT DISTINCT a.doc AS doc_a, b.doc AS doc_b
+              FROM bands a JOIN bands b
+                ON a.band = b.band AND a.band_key = b.band_key AND a.doc < b.doc),
+    inter AS (SELECT c.doc_a, c.doc_b, count(*) AS intersection
+              FROM cands c
+              JOIN sh a ON a.doc = c.doc_a
+              JOIN sh b ON b.doc = c.doc_b AND b.shingle = a.shingle
+              GROUP BY 1, 2)
+    SELECT i.doc_a, i.doc_b,
+           ROUND(intersection / (sa.sz + sb.sz - intersection), 6) AS jaccard
+    FROM inter i
+    JOIN sizes sa ON sa.doc = i.doc_a
+    JOIN sizes sb ON sb.doc = i.doc_b
+    WHERE 2 * intersection >= 1 * (sa.sz + sb.sz - intersection)
+    """,
+)
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash(8)+LSH(4 bands×2) candidates, exact-Jaccard-verified ≥ 1/2.
+
+    Fully deterministic (MD5 min-hash, string-sorted band keys) so even
+    this "approximate" pipeline is oracle-checked exactly. The verify
+    stage touches candidates only — the sub-quadratic structure that
+    scales to 100 TB corpora.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    return minhash_lsh_dedup_pairs(
+        d, "doc_id", "text", n=3, num_hashes=8, band_size=2,
+        threshold_num=1, threshold_den=2,
+    )
+
+
+def _simhash_oracle(bits: int = 16) -> str:
+    """Build the SimHash oracle SQL (same bit algorithm as operators/dedup.simhash)."""
+    contribs = []
+    sums = []
+    sig_terms = []
+    for b in range(bits):
+        digit = f"substr(h, {b // 4 + 1}, 1)"
+        val = f"(strpos('0123456789abcdef', {digit}) - 1)"
+        contribs.append(
+            f"CASE WHEN ({val} >> {b % 4}) & 1 = 1 THEN 1 ELSE -1 END AS b{b}"
+        )
+        sums.append(f"SUM(b{b}) AS s{b}")
+        sig_terms.append(f"CASE WHEN s{b} > 0 THEN {2**b} ELSE 0 END")
+    return f"""
+    WITH tok AS (SELECT doc_id AS doc,
+                        unnest(string_split_regex(trim(lower(text)), '\\s+')) AS w
+                 FROM documents),
+    h AS (SELECT doc, md5(w) AS h FROM tok),
+    contrib AS (SELECT doc, {', '.join(contribs)} FROM h),
+    agg AS (SELECT doc, {', '.join(sums)} FROM contrib GROUP BY doc)
+    SELECT doc, CAST({' + '.join(sig_terms)} AS BIGINT) AS simhash FROM agg
+    """
+
+
+@query("dedup_simhash", oracle=_simhash_oracle(16))
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """16-bit SimHash signatures (bitwise majority of MD5 word hashes)."""
+    d = load_table(spark, sf_dir, "documents")
+    return simhash(d, "doc_id", "text", bits=16)
+
+
+# -------------------------------------------------- similarity search
+
+_COSINE = (
+    "list_dot_product(e.embedding::DOUBLE[], q.qv) / "
+    "(sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[])) * "
+    "sqrt(list_dot_product(q.qv, q.qv)))"
+)
+
+
+@query(
+    "ann_bruteforce_topk",
+    oracle=f"""
+    WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+               FROM embeddings WHERE vec_id < 5),
+    scored AS (SELECT q.query_id, e.vec_id AS neighbor_id, ROUND({_COSINE}, 6) AS sim
+               FROM embeddings e CROSS JOIN q)
+    SELECT query_id, neighbor_id, sim, CAST(rank AS INT) AS rank FROM (
+        SELECT *, row_number() OVER (PARTITION BY query_id
+                                     ORDER BY sim DESC, neighbor_id) AS rank
+        FROM scored)
+    WHERE rank <= 10
+    """,
+)
+def ann_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact top-10 cosine neighbors for 5 query vectors (broadcast queries).
+
+    Ranking happens on the *rounded* similarity with id tie-break, so
+    order is deterministic across engines.
+    """
+    e = load_table(spark, sf_dir, "embeddings")
+    queries = e.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return brute_force_topk(e, queries, k=10)
+
+
+@query(
+    "ann_sign_bucket_topk",
+    oracle=f"""
+    WITH b AS (SELECT vec_id, embedding,
+                      CAST((CASE WHEN embedding[1] >= 0 THEN 1 ELSE 0 END)
+                         + (CASE WHEN embedding[2] >= 0 THEN 2 ELSE 0 END)
+                         + (CASE WHEN embedding[3] >= 0 THEN 4 ELSE 0 END)
+                         + (CASE WHEN embedding[4] >= 0 THEN 8 ELSE 0 END)
+                         + (CASE WHEN embedding[5] >= 0 THEN 16 ELSE 0 END)
+                         + (CASE WHEN embedding[6] >= 0 THEN 32 ELSE 0 END)
+                         + (CASE WHEN embedding[7] >= 0 THEN 64 ELSE 0 END)
+                         + (CASE WHEN embedding[8] >= 0 THEN 128 ELSE 0 END) AS INT) AS bucket
+               FROM embeddings),
+    q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv, bucket
+          FROM b WHERE vec_id < 20),
+    scored AS (SELECT q.query_id, e.vec_id AS neighbor_id, ROUND({_COSINE}, 6) AS sim
+               FROM b e JOIN q ON e.bucket = q.bucket)
+    SELECT query_id, neighbor_id, sim, CAST(rank AS INT) AS rank FROM (
+        SELECT *, row_number() OVER (PARTITION BY query_id
+                                     ORDER BY sim DESC, neighbor_id) AS rank
+        FROM scored)
+    WHERE rank <= 5
+    """,
+)
+def ann_sign_bucket_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucketed ANN: candidates pruned to the query's sign-bucket before scoring.
+
+    Deterministic fixed-hyperplane LSH (sign pattern of first 8 dims) —
+    the scale path where brute force is the baseline.
+    """
+    e = load_table(spark, sf_dir, "embeddings")
+    queries = e.filter(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return sign_bucket_topk(e, queries, k=5, n_dims=8)
+
+
+@query(
+    "vector_ops",
+    oracle="""
+    SELECT vec_id,
+           CAST(len(embedding) AS INT) AS dim,
+           ROUND(sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])), 6) AS l2,
+           ROUND(list_aggregate(embedding::DOUBLE[], 'sum') / len(embedding), 6) AS mean_val,
+           label
+    FROM embeddings
+    """,
+)
+def vector_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native array math on embeddings: dim, L2 norm, component mean."""
+    from pyspark_ingestion_spark.functions.vectors import l2_norm
+
+    e = load_table(spark, sf_dir, "embeddings")
+    arr = F.col("embedding").cast("array<double>")
+    return e.select(
+        "vec_id",
+        F.size("embedding").alias("dim"),
+        F.round(l2_norm("embedding"), 6).alias("l2"),
+        F.round(
+            F.aggregate(arr, F.lit(0.0), lambda a, v: a + v) / F.size("embedding"), 6
+        ).alias("mean_val"),
+        "label",
+    )

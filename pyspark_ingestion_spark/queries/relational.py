@@ -1,1 +1,593 @@
-"""Placeholder — populated in later milestones."""
+"""Relational-completeness queries (SURVEY §2.5 gap categories).
+
+Joins of every kind, grouped aggregation incl. cube/rollup/grouping
+sets, window functions, set operations, distinct, sort/limit, and the
+string/date/JSON scalar-function surface — each with a DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from pyspark_ingestion_spark.operators.relational import (
+    asof_join,
+    range_join,
+    topk_per_group,
+)
+from pyspark_ingestion_spark.queries import query
+from pyspark_ingestion_spark.sources.readers import load_table
+
+
+# ---------------------------------------------------------------- joins
+
+@query(
+    "join_left_outer",
+    oracle="""
+    SELECT c_custkey, c_name, o_orderkey, o_totalprice
+    FROM customer
+    LEFT JOIN orders ON c_custkey = o_custkey AND o_totalprice > 400000
+    """,
+)
+def join_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left outer join with a pushed-down join-side filter."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    return c.join(
+        o, (c.c_custkey == o.o_custkey) & (o.o_totalprice > 400000), "left"
+    ).select("c_custkey", "c_name", "o_orderkey", "o_totalprice")
+
+
+@query(
+    "join_semi",
+    oracle="""
+    SELECT c_custkey, c_name FROM customer
+    WHERE EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey AND o_orderstatus = 'F')
+    """,
+)
+def join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-semi join — EXISTS semantics, no right-side columns, no row duplication."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_semi").select("c_custkey", "c_name")
+
+
+@query(
+    "join_anti",
+    oracle="""
+    SELECT c_custkey, c_name FROM customer
+    WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    """,
+)
+def join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-anti join — customers with no orders at all."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select("c_custkey", "c_name")
+
+
+@query(
+    "join_full_outer",
+    oracle="""
+    SELECT n_nationkey, n_name, s_suppkey, s_name
+    FROM nation
+    FULL OUTER JOIN supplier ON n_nationkey = s_nationkey
+    """,
+)
+def join_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    n = load_table(spark, sf_dir, "nation")
+    s = load_table(spark, sf_dir, "supplier")
+    return n.join(s, n.n_nationkey == s.s_nationkey, "full_outer").select(
+        "n_nationkey", "n_name", "s_suppkey", "s_name"
+    )
+
+
+@query(
+    "join_range",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, l_shipdate, o_orderdate
+    FROM lineitem
+    JOIN orders ON l_orderkey = o_orderkey
+              AND l_shipdate >= o_orderdate
+              AND l_shipdate < o_orderdate + INTERVAL 30 DAY
+    """,
+)
+def join_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi + range predicate join: hash join on the key, range as post-filter.
+
+    The equi key prevents the cartesian blowup a pure interval join
+    would cause at scale (operators/relational.range_join).
+    """
+    l = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    out = range_join(
+        l,
+        o,
+        equi=[("l_orderkey", "o_orderkey")],
+        range_cond=(l.l_shipdate >= o.o_orderdate)
+        & (l.l_shipdate < F.date_add(o.o_orderdate, 30)),
+    )
+    return out.select("l_orderkey", "l_linenumber", "l_shipdate", "o_orderdate")
+
+
+@query(
+    "join_asof",
+    oracle="""
+    SELECT p.event_id, p.user_id, p.ts, c.ts AS asof_ts, c.event_id AS asof_event_id
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+    ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+      ON p.user_id = c.user_id AND p.ts >= c.ts
+    """,
+)
+def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: each purchase matched to the user's latest click at-or-before it.
+
+    Spark has no native as-of join; this uses the union+window operator
+    (one shuffle on user_id, no range explosion — scalable where an
+    inequality join is not). Oracle: DuckDB's native ASOF JOIN.
+    """
+    e = load_table(spark, sf_dir, "events")
+    purchases = e.filter(F.col("event_type") == "purchase").select("event_id", "user_id", "ts")
+    clicks = e.filter(F.col("event_type") == "click").select("event_id", "user_id", "ts")
+    return asof_join(
+        purchases,
+        clicks,
+        by=["user_id"],
+        left_ts="ts",
+        right_ts="ts",
+        right_cols=["event_id"],
+        prefix="asof_",
+    ).select("event_id", "user_id", "ts", "asof_ts", "asof_event_id")
+
+
+@query(
+    "join_broadcast_dims",
+    oracle="""
+    SELECT r_name, n_name, count(*) AS n_suppliers,
+           ROUND(SUM(s_acctbal), 2) AS total_acctbal
+    FROM supplier
+    JOIN nation ON s_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    GROUP BY r_name, n_name
+    ORDER BY r_name, n_name
+    """,
+)
+def join_broadcast_dims(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit broadcast-hash joins for small dims — zero shuffle for the joins."""
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    return (
+        s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name", "n_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_suppliers"),
+            F.round(F.sum("s_acctbal"), 2).alias("total_acctbal"),
+        )
+        .orderBy("r_name", "n_name")
+    )
+
+
+# ------------------------------------------------- grouped aggregation
+
+@query(
+    "agg_rollup",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+           ROUND(SUM(o_totalprice), 2) AS total
+    FROM orders
+    GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+    """,
+)
+def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    return o.rollup("o_orderstatus", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n"), F.round(F.sum("o_totalprice"), 2).alias("total")
+    )
+
+
+@query(
+    "agg_cube",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority, count(*) AS n
+    FROM orders
+    GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    """,
+)
+def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    return o.cube("o_orderstatus", "o_orderpriority").agg(F.count(F.lit(1)).alias("n"))
+
+
+@query(
+    "agg_grouping_sets",
+    oracle="""
+    SELECT l_returnflag, l_linestatus, ROUND(SUM(l_quantity), 2) AS sum_qty
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))
+    """,
+)
+def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUPING SETS via SQL on a registered view (DataFrame API has no direct form)."""
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
+    return spark.sql(
+        """
+        SELECT l_returnflag, l_linestatus, ROUND(SUM(l_quantity), 2) AS sum_qty
+        FROM lineitem
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))
+        """
+    )
+
+
+@query(
+    "agg_distinct_count",
+    oracle="""
+    SELECT count(DISTINCT o_custkey) AS n_customers,
+           count(DISTINCT o_orderpriority) AS n_priorities,
+           count(*) AS n_orders
+    FROM orders
+    """,
+)
+def agg_distinct_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    return o.agg(
+        F.countDistinct("o_custkey").alias("n_customers"),
+        F.countDistinct("o_orderpriority").alias("n_priorities"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+
+
+@query("agg_approx_distinct", oracle=None)  # approximate → rows-only check
+def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog++ distinct estimate — the scalable form of COUNT(DISTINCT).
+
+    At 100 TB an exact distinct is a full shuffle of the key; HLL is a
+    mergeable fixed-size sketch (no row shuffle). No oracle: estimate,
+    not exact (rsd=0.01).
+    """
+    o = load_table(spark, sf_dir, "orders")
+    return o.agg(F.approx_count_distinct("o_custkey", rsd=0.01).alias("approx_customers"))
+
+
+@query(
+    "agg_stats",
+    oracle="""
+    SELECT
+        l_returnflag,
+        ROUND(MIN(l_extendedprice), 2) AS min_price,
+        ROUND(MAX(l_extendedprice), 2) AS max_price,
+        ROUND(STDDEV_SAMP(l_extendedprice), 2) AS std_price,
+        ROUND(VAR_SAMP(l_extendedprice), 1) AS var_price,
+        ROUND(quantile_cont(l_extendedprice, 0.5), 1) AS median_price
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical aggregates incl. exact percentile (Spark percentile ≡ DuckDB quantile_cont)."""
+    l = load_table(spark, sf_dir, "lineitem")
+    return l.groupBy("l_returnflag").agg(
+        F.round(F.min("l_extendedprice"), 2).alias("min_price"),
+        F.round(F.max("l_extendedprice"), 2).alias("max_price"),
+        F.round(F.stddev_samp("l_extendedprice"), 2).alias("std_price"),
+        F.round(F.var_samp("l_extendedprice"), 1).alias("var_price"),
+        F.round(F.percentile("l_extendedprice", F.lit(0.5)), 1).alias("median_price"),
+    )
+
+
+@query(
+    "agg_pivot",
+    oracle="""
+    SELECT o_orderpriority,
+           ROUND(COALESCE(SUM(o_totalprice) FILTER (o_orderstatus = 'F'), 0), 2) AS F,
+           ROUND(COALESCE(SUM(o_totalprice) FILTER (o_orderstatus = 'O'), 0), 2) AS O,
+           ROUND(COALESCE(SUM(o_totalprice) FILTER (o_orderstatus = 'P'), 0), 2) AS P
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+)
+def agg_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot with an explicit value list (explicit list = one pass, no distinct-scan job)."""
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .agg(F.round(F.coalesce(F.sum("o_totalprice"), F.lit(0.0)), 2))
+    )
+
+
+# ------------------------------------------------------------- windows
+
+@query(
+    "window_topk_per_group",
+    oracle="""
+    SELECT c_mktsegment, c_custkey, c_acctbal FROM (
+        SELECT c_mktsegment, c_custkey, c_acctbal,
+               row_number() OVER (PARTITION BY c_mktsegment
+                                  ORDER BY c_acctbal DESC, c_custkey) AS rn
+        FROM customer
+    ) WHERE rn <= 3
+    """,
+)
+def window_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 customers by balance per segment — one shuffle, no global sort."""
+    c = load_table(spark, sf_dir, "customer")
+    return topk_per_group(
+        c.select("c_mktsegment", "c_custkey", "c_acctbal"),
+        group_cols=["c_mktsegment"],
+        order_cols=[F.desc("c_acctbal"), F.asc("c_custkey")],
+        k=3,
+    )
+
+
+@query(
+    "window_running_sum",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           ROUND(SUM(l_extendedprice) OVER (
+               PARTITION BY l_orderkey ORDER BY l_linenumber, l_extendedprice
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_total
+    FROM lineitem
+    """,
+)
+def window_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = load_table(spark, sf_dir, "lineitem")
+    # (l_orderkey, l_linenumber) is not unique in the testdata; the price
+    # tiebreak makes the prefix-sum order (hence the result set) deterministic
+    w = (
+        Window.partitionBy("l_orderkey")
+        .orderBy("l_linenumber", "l_extendedprice")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return l.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.round(F.sum("l_extendedprice").over(w), 2).alias("running_total"),
+    )
+
+
+@query(
+    "window_lag_lead",
+    oracle="""
+    SELECT o_custkey, o_orderkey, o_orderdate,
+           lag(o_orderdate)  OVER w AS prev_orderdate,
+           lead(o_orderdate) OVER w AS next_orderdate,
+           rank()       OVER w AS rnk,
+           dense_rank() OVER w AS drnk
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+    """,
+)
+def window_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        "o_orderdate",
+        F.lag("o_orderdate").over(w).alias("prev_orderdate"),
+        F.lead("o_orderdate").over(w).alias("next_orderdate"),
+        F.rank().over(w).alias("rnk"),
+        F.dense_rank().over(w).alias("drnk"),
+    )
+
+
+# ------------------------------------------------------------- set ops
+
+@query(
+    "set_union_intersect_except",
+    oracle="""
+    WITH building AS (SELECT c_nationkey FROM customer WHERE c_mktsegment = 'BUILDING'),
+         auto     AS (SELECT c_nationkey FROM customer WHERE c_mktsegment = 'AUTOMOBILE')
+    SELECT 'union' AS op, count(*) AS n FROM (SELECT DISTINCT c_nationkey FROM (SELECT * FROM building UNION SELECT * FROM auto))
+    UNION ALL
+    SELECT 'intersect', count(*) FROM (SELECT DISTINCT c_nationkey FROM building INTERSECT SELECT DISTINCT c_nationkey FROM auto)
+    UNION ALL
+    SELECT 'except', count(*) FROM (SELECT DISTINCT c_nationkey FROM building EXCEPT SELECT DISTINCT c_nationkey FROM auto)
+    """,
+)
+def set_union_intersect_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """union/intersect/except — counted so one query pins all three."""
+    c = load_table(spark, sf_dir, "customer")
+    building = c.filter(F.col("c_mktsegment") == "BUILDING").select("c_nationkey")
+    auto = c.filter(F.col("c_mktsegment") == "AUTOMOBILE").select("c_nationkey")
+    u = building.union(auto).distinct().agg(F.count(F.lit(1)).alias("n")).select(
+        F.lit("union").alias("op"), "n"
+    )
+    i = building.distinct().intersect(auto.distinct()).agg(
+        F.count(F.lit(1)).alias("n")
+    ).select(F.lit("intersect").alias("op"), "n")
+    e = building.distinct().exceptAll(auto.distinct()).agg(
+        F.count(F.lit(1)).alias("n")
+    ).select(F.lit("except").alias("op"), "n")
+    return u.unionByName(i).unionByName(e)
+
+
+@query(
+    "distinct_rows",
+    oracle="SELECT DISTINCT c_mktsegment, c_nationkey FROM customer",
+)
+def distinct_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    return c.select("c_mktsegment", "c_nationkey").distinct()
+
+
+# ----------------------------------------------- scalar function surface
+
+@query(
+    "string_functions",
+    oracle="""
+    SELECT
+        p_partkey,
+        upper(p_brand)                          AS brand_upper,
+        lower(p_type)                           AS type_lower,
+        length(p_name)                          AS name_len,
+        substr(p_name, 1, 5)                    AS name_prefix,
+        replace(p_type, ' ', '_')               AS type_snake,
+        concat(p_brand, ':', CAST(p_size AS VARCHAR)) AS brand_size,
+        regexp_extract(p_brand, '([0-9]+)', 1)  AS brand_num,
+        trim('  pad  ')                         AS trimmed,
+        lpad(CAST(p_size AS VARCHAR), 4, '0')   AS size_padded,
+        starts_with(p_type, 'a')                AS starts_a,
+        contains(p_name, 'red')                 AS has_red
+    FROM part
+    """,
+)
+def string_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The string scalar surface: case, slice, pad, regex, predicates."""
+    p = load_table(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.upper("p_brand").alias("brand_upper"),
+        F.lower("p_type").alias("type_lower"),
+        F.length("p_name").cast("long").alias("name_len"),
+        F.substring("p_name", 1, 5).alias("name_prefix"),
+        F.replace(F.col("p_type"), F.lit(" "), F.lit("_")).alias("type_snake"),
+        F.concat(F.col("p_brand"), F.lit(":"), F.col("p_size").cast("string")).alias(
+            "brand_size"
+        ),
+        F.regexp_extract("p_brand", r"([0-9]+)", 1).alias("brand_num"),
+        F.trim(F.lit("  pad  ")).alias("trimmed"),
+        F.lpad(F.col("p_size").cast("string"), 4, "0").alias("size_padded"),
+        F.startswith(F.col("p_type"), F.lit("a")).alias("starts_a"),
+        F.contains(F.col("p_name"), F.lit("red")).alias("has_red"),
+    )
+
+
+@query(
+    "date_functions",
+    oracle="""
+    SELECT
+        o_orderkey,
+        CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month_start,
+        CAST(year(o_orderdate) AS INT)       AS yr,
+        CAST(quarter(o_orderdate) AS INT)    AS qtr,
+        CAST(dayofmonth(o_orderdate) AS INT) AS dom,
+        CAST(o_orderdate + INTERVAL 90 DAY AS DATE) AS due_date,
+        date_diff('day', o_orderdate, TIMESTAMP '2002-01-01 00:00:00') AS days_to_2002,
+        CAST(last_day(o_orderdate) AS DATE)  AS month_end,
+        CAST(epoch(o_orderdate) AS BIGINT)   AS epoch_sec
+    FROM orders
+    """,
+)
+def date_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The date/time scalar surface: trunc, extract, arithmetic, epoch."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.date_trunc("month", "o_orderdate").alias("month_start"),
+        F.year("o_orderdate").alias("yr"),
+        F.quarter("o_orderdate").alias("qtr"),
+        F.dayofmonth("o_orderdate").alias("dom"),
+        F.date_add(F.col("o_orderdate").cast("date"), 90).alias("due_date"),
+        F.datediff(F.lit("2002-01-01").cast("date"), F.col("o_orderdate").cast("date"))
+        .cast("long")
+        .alias("days_to_2002"),
+        F.last_day("o_orderdate").alias("month_end"),
+        F.unix_timestamp("o_orderdate").alias("epoch_sec"),
+    )
+
+
+@query(
+    "json_functions",
+    oracle="""
+    SELECT
+        event_id,
+        CAST(json_extract_string(props, '$.k') AS INT) AS k_val,
+        json_valid(props) AS is_valid
+    FROM events
+    """,
+)
+def json_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON extraction on the events.props payload (get_json_object ≡ json_extract)."""
+    e = load_table(spark, sf_dir, "events")
+    return e.select(
+        "event_id",
+        F.get_json_object("props", "$.k").cast("int").alias("k_val"),
+        F.get_json_object("props", "$").isNotNull().alias("is_valid"),
+    )
+
+
+@query(
+    "math_functions",
+    oracle="""
+    SELECT
+        l_orderkey, l_linenumber,
+        ROUND(abs(l_extendedprice - 30000), 2)     AS abs_diff,
+        CAST(ceil(l_quantity) AS BIGINT)           AS qty_ceil,
+        CAST(floor(l_discount * 100) AS BIGINT)    AS disc_pct,
+        ROUND(sqrt(l_extendedprice), 4)            AS price_sqrt,
+        ROUND(ln(l_extendedprice + 1), 6)          AS price_ln,
+        ROUND(pow(1 + l_tax, 2), 6)                AS tax_compound,
+        CAST(l_partkey % 16 AS BIGINT)             AS part_bucket,
+        greatest(l_quantity, 25.0)                 AS qty_floor25,
+        least(l_discount, 0.05)                    AS disc_cap
+    FROM lineitem
+    """,
+)
+def math_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The math scalar surface: abs/ceil/floor/sqrt/ln/pow/mod/greatest/least."""
+    l = load_table(spark, sf_dir, "lineitem")
+    return l.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.round(F.abs(F.col("l_extendedprice") - 30000), 2).alias("abs_diff"),
+        F.ceil("l_quantity").alias("qty_ceil"),
+        F.floor(F.col("l_discount") * 100).alias("disc_pct"),
+        F.round(F.sqrt("l_extendedprice"), 4).alias("price_sqrt"),
+        F.round(F.log(F.col("l_extendedprice") + 1), 6).alias("price_ln"),
+        F.round(F.pow(1 + F.col("l_tax"), 2), 6).alias("tax_compound"),
+        (F.col("l_partkey") % 16).alias("part_bucket"),
+        F.greatest("l_quantity", F.lit(25.0)).alias("qty_floor25"),
+        F.least("l_discount", F.lit(0.05)).alias("disc_cap"),
+    )
+
+
+@query(
+    "conditional_functions",
+    oracle="""
+    SELECT
+        o_orderkey,
+        CASE WHEN o_totalprice > 300000 THEN 'high'
+             WHEN o_totalprice > 100000 THEN 'mid'
+             ELSE 'low' END AS price_band,
+        COALESCE(NULLIF(o_orderstatus, 'O'), 'OPEN') AS status_label,
+        IF(o_orderpriority LIKE '1%', 1, 0) AS is_urgent
+    FROM orders
+    """,
+)
+def conditional_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CASE/COALESCE/NULLIF/IF/LIKE conditional surface."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.when(F.col("o_totalprice") > 300000, "high")
+        .when(F.col("o_totalprice") > 100000, "mid")
+        .otherwise("low")
+        .alias("price_band"),
+        F.coalesce(F.nullif(F.col("o_orderstatus"), F.lit("O")), F.lit("OPEN")).alias(
+            "status_label"
+        ),
+        F.when(F.col("o_orderpriority").like("1%"), 1).otherwise(0).alias("is_urgent"),
+    )
+
+
+@query(
+    "sort_multi_key_limit",
+    oracle="""
+    SELECT o_orderkey, o_totalprice, o_orderdate
+    FROM orders
+    ORDER BY o_totalprice DESC, o_orderdate ASC, o_orderkey ASC
+    LIMIT 50
+    """,
+)
+def sort_multi_key_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global top-k: Spark runs TakeOrderedAndProject, not a full sort."""
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.select("o_orderkey", "o_totalprice", "o_orderdate")
+        .orderBy(F.desc("o_totalprice"), F.asc("o_orderdate"), F.asc("o_orderkey"))
+        .limit(50)
+    )

@@ -1,1 +1,125 @@
-"""Placeholder — populated in later milestones."""
+"""Windowed/event-time queries (batch + real Structured Streaming).
+
+Tumbling and sliding windows run as batch expressions; the
+``streaming_*`` entries run genuine ``readStream`` pipelines to
+completion (AvailableNow → memory sink) and still oracle-check against
+plain SQL — streaming and batch must agree on static input.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from pyspark_ingestion_spark.queries import query
+from pyspark_ingestion_spark.sources.readers import load_table
+from pyspark_ingestion_spark.streaming.pipeline import (
+    read_stream_table,
+    run_stream_to_memory,
+    sessionized,
+    tumbling_counts,
+)
+
+_TUMBLING_ORACLE = """
+    SELECT time_bucket(INTERVAL 1 HOUR, ts) AS window_start,
+           time_bucket(INTERVAL 1 HOUR, ts) + INTERVAL 1 HOUR AS window_end,
+           event_type,
+           count(*) AS n
+    FROM events
+    GROUP BY 1, 2, 3
+    """
+
+
+@query("window_tumbling", oracle=_TUMBLING_ORACLE)
+def window_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1-hour tumbling window counts per event type (batch)."""
+    e = load_table(spark, sf_dir, "events")
+    return tumbling_counts(e, "1 hour")
+
+
+@query(
+    "window_sliding",
+    oracle="""
+    WITH offsets AS (SELECT unnest([0, 30]) AS off_min)
+    SELECT time_bucket(INTERVAL 30 MINUTE, ts) - to_minutes(off_min) AS window_start,
+           time_bucket(INTERVAL 30 MINUTE, ts) - to_minutes(off_min) + INTERVAL 1 HOUR
+               AS window_end,
+           event_type,
+           count(*) AS n
+    FROM events CROSS JOIN offsets
+    GROUP BY 1, 2, 3
+    """,
+)
+def window_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1-hour windows sliding every 30 minutes — each event lands in 2 windows."""
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.window("ts", "1 hour", "30 minutes"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            F.col("window.start").alias("window_start"),
+            F.col("window.end").alias("window_end"),
+            "event_type",
+            "n",
+        )
+    )
+
+
+@query(
+    "window_session",
+    oracle="""
+    WITH flagged AS (
+        SELECT user_id, ts,
+               CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                         <= INTERVAL 5 MINUTE THEN 0 ELSE 1 END AS new_session
+        FROM events
+    ),
+    numbered AS (
+        SELECT user_id, ts,
+               SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                      ROWS UNBOUNDED PRECEDING) AS session_id
+        FROM flagged
+    )
+    SELECT min(ts) AS session_start,
+           max(ts) + INTERVAL 5 MINUTE AS session_end,
+           user_id,
+           count(*) AS n_events
+    FROM numbered
+    GROUP BY user_id, session_id
+    """,
+)
+def window_session(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based session windows (5-min inactivity) per user.
+
+    Spark native ``session_window``; oracle is the classic
+    gaps-and-islands construction — window end = last event + gap.
+    """
+    e = load_table(spark, sf_dir, "events")
+    return sessionized(e, "5 minutes")
+
+
+@query("streaming_tumbling", oracle=_TUMBLING_ORACLE)
+def streaming_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL Structured Streaming: readStream → windowed agg → memory sink.
+
+    AvailableNow processes the whole static source then stops; the
+    result must equal the batch tumbling query — checked against the
+    same SQL oracle.
+    """
+    stream = read_stream_table(spark, sf_dir, "events")
+    agg = tumbling_counts(stream, "1 hour")
+    return run_stream_to_memory(agg, output_mode="complete")
+
+
+@query("streaming_late_data_watermark", oracle=None)  # stateful policy → rows-only
+def streaming_late_data_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked streaming agg (10-min lateness bound) in append mode.
+
+    With AvailableNow over a static source the watermark finalizes all
+    but the trailing window(s); emitted rows are a subset of the batch
+    result decided by Spark's watermark advancement — a policy, not a
+    SQL-expressible value, hence rows-only.
+    """
+    stream = read_stream_table(spark, sf_dir, "events")
+    agg = tumbling_counts(stream.withWatermark("ts", "10 minutes"), "1 hour")
+    return run_stream_to_memory(agg, output_mode="append")

@@ -1,0 +1,132 @@
+"""Structured Streaming pipelines — the principled replacement for the
+reference's "incremental batch + sync.json" pattern (SURVEY §2.5).
+
+The reference polled a JDBC source and tracked a high watermark by hand
+(reference ingestion.py:143-164). Structured Streaming gives the same
+semantics natively: source offsets in a checkpoint, event-time
+watermarks for late data, and exactly-once file sinks. These helpers
+run real ``readStream`` pipelines; tests drive them with
+``Trigger.AvailableNow`` so they terminate deterministically on the
+static testdata.
+"""
+
+from __future__ import annotations
+
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def read_stream_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """File-source stream over one testdata parquet table.
+
+    Schema comes from a batch footer read (streaming file sources require
+    an explicit schema). TIMESTAMP(NANOS) columns arrive as int64 via the
+    legacy conf and are converted executor-side, mirroring
+    ``sources.readers.load_table``.
+    """
+    from pyspark_ingestion_spark.sources.readers import _nanos_timestamp_cols
+
+    path = f"{sf_dir}/{name}.parquet"
+    nanos_cols = _nanos_timestamp_cols(path)
+    if nanos_cols:
+        # microbatches re-read this conf at execution time, so it must stay
+        # set for the life of the streaming query (batch reads bake it at
+        # planning; see sources.readers.load_table which can reset it)
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    schema = spark.read.parquet(path).schema
+    # the file streaming source wants a directory; glob-filter to one table
+    stream = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", f"{name}.parquet")
+        .parquet(sf_dir)
+    )
+    for c in nanos_cols:
+        stream = stream.withColumn(c, F.expr(f"timestamp_micros(`{c}` div 1000)"))
+    return stream
+
+
+def tumbling_counts(
+    events: DataFrame,
+    window_size: str = "1 hour",
+    ts_col: str = "ts",
+    key_col: str = "event_type",
+) -> DataFrame:
+    """Tumbling-window counts per key (works on both stream and batch frames)."""
+    return (
+        events.groupBy(F.window(F.col(ts_col), window_size), F.col(key_col))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            F.col("window.start").alias("window_start"),
+            F.col("window.end").alias("window_end"),
+            key_col,
+            "n",
+        )
+    )
+
+
+def sessionized(
+    events: DataFrame,
+    gap: str = "5 minutes",
+    ts_col: str = "ts",
+    key_col: str = "user_id",
+) -> DataFrame:
+    """Session windows (gap-based) per key — native ``session_window``."""
+    return (
+        events.groupBy(F.session_window(F.col(ts_col), gap), F.col(key_col))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.col("session_window.start").alias("session_start"),
+            F.col("session_window.end").alias("session_end"),
+            key_col,
+            "n_events",
+        )
+    )
+
+
+def run_stream_to_memory(
+    stream_df: DataFrame,
+    output_mode: str = "complete",
+    name: str | None = None,
+) -> DataFrame:
+    """Run a streaming aggregation to completion (AvailableNow) into a
+    memory sink and return the result as a batch DataFrame.
+
+    AvailableNow processes everything currently in the source then stops
+    — the streaming analog of one incremental batch. ``complete`` mode
+    emits every window, so no watermark-withheld tail.
+    """
+    name = name or f"mem_{uuid.uuid4().hex[:12]}"
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return stream_df.sparkSession.table(name)
+
+
+def stream_ingest_partitioned(
+    stream_df: DataFrame,
+    path: str,
+    checkpoint: str,
+    partition_columns: list[str] | None = None,
+) -> None:
+    """Streaming file-sink ingest with checkpointed exactly-once semantics —
+    the Structured-Streaming version of ``ingest_table``: the checkpoint
+    replaces sync.json, the commit log replaces the append/rename dance.
+    Runs one AvailableNow increment and returns."""
+    writer = (
+        stream_df.writeStream.format("parquet")
+        .option("path", path)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("append")
+        .trigger(availableNow=True)
+    )
+    if partition_columns:
+        writer = writer.partitionBy(*partition_columns)
+    q = writer.start()
+    q.awaitTermination()
