@@ -1,0 +1,104 @@
+"""Multimodal column handling: opaque binary payloads + typed metadata.
+
+Images/audio/video travel as ``binary`` columns with a metadata struct;
+decode/feature-extraction runs as Arrow-batched ``mapInPandas`` — the
+only place in the engine where Python touches row data, because media
+codecs don't exist as Spark expressions. The batch shape matters at
+scale: one Python worker invocation per Arrow batch (not per row), and
+the binary column is projected only into the decode stage.
+
+The container has no image/audio libraries, so the real decoders are
+stubbed behind ``NotImplementedError`` (clearly marked); the
+deterministic fake path exercises the exact same schema, partitioning,
+UDF signature and batch shape, so the Spark-side plumbing is fully
+tested and the codec swap is a one-function change.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+#: schema of the decoded-media metadata rows produced by decode_media
+DECODED_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("n_bytes", T.LongType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("n_frames", T.IntegerType()),
+    ]
+)
+
+
+def attach_binary_payload(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Simulate a media table: (id, payload binary, media_type, n_bytes).
+
+    In production the payload column comes from the source (e.g. image
+    bytes in parquet); here it's the UTF-8 encoding of the text column so
+    everything stays deterministic.
+    """
+    return df.select(
+        F.col(id_col).alias("doc_id"),
+        F.encode(F.col(text_col), "UTF-8").alias("payload"),
+        F.lit("application/octet-stream").alias("media_type"),
+        F.octet_length(F.encode(F.col(text_col), "UTF-8")).cast("long").alias("n_bytes"),
+    )
+
+
+def _decode_real(payload: bytes) -> tuple[int, int, int]:
+    """Real media decode — requires codec libraries not present here.
+
+    STUB: swap in PIL/ffmpeg/soundfile in a real deployment.
+    """
+    raise NotImplementedError(
+        "media codecs (PIL/ffmpeg) are not available in this environment; "
+        "use fake=True for the deterministic test path"
+    )
+
+
+def _decode_fake(payload: bytes) -> tuple[int, int, int]:
+    """Deterministic fake decode: metadata derived from payload length only."""
+    n = len(payload)
+    return (n % 640, n % 480, n % 30)
+
+
+def decode_media(media: DataFrame, fake: bool = True) -> DataFrame:
+    """Decode payloads to (doc_id, n_bytes, width, height, n_frames).
+
+    ``mapInPandas`` so each Arrow batch crosses to Python once; only
+    ``doc_id`` and ``payload`` are shipped (column pruning keeps the
+    binary column out of every other stage).
+    """
+    decode = _decode_fake if fake else _decode_real
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            decoded = [decode(p) for p in pdf["payload"]]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "n_bytes": pdf["payload"].map(len).astype("int64"),
+                    "width": [d[0] for d in decoded],
+                    "height": [d[1] for d in decoded],
+                    "n_frames": [d[2] for d in decoded],
+                }
+            )
+
+    return media.select("doc_id", "payload").mapInPandas(batches, DECODED_SCHEMA)
+
+
+def frame_sample(decoded: DataFrame, every_k: int = 5) -> DataFrame:
+    """Explode sampled frame indices per media item (0, k, 2k, …) —
+    the fan-out stage before per-frame feature extraction. Native
+    ``sequence``+``explode``; no Python."""
+    return decoded.select(
+        "doc_id",
+        F.explode(
+            F.sequence(F.lit(0), F.greatest(F.col("n_frames") - 1, F.lit(0)), F.lit(every_k))
+        ).alias("frame_idx"),
+    )

@@ -41,6 +41,7 @@ def query(name: str, oracle: str | None = None):
 def all_queries() -> dict[str, QuerySpec]:
     """Import all query modules (side effect: registration) and return the registry."""
     from pyspark_ingestion_spark.queries import (  # noqa: F401
+        catalog_multimodal,
         llm_ops,
         reference_parity,
         relational,

@@ -1,0 +1,167 @@
+"""DDL/catalog and multimodal-column queries.
+
+The DDL entries run real CREATE TABLE / VIEW / MSCK statements against
+the session catalog and then validate the *data* coming back out against
+a plain-SQL oracle — DDL round-trips checked by value, not by "did not
+throw". The multimodal entries exercise the Arrow-batched mapInPandas
+decode path with the deterministic fake codec.
+"""
+
+from __future__ import annotations
+
+import tempfile
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from pyspark_ingestion_spark.operators.multimodal import (
+    attach_binary_payload,
+    decode_media,
+    frame_sample,
+)
+from pyspark_ingestion_spark.queries import query
+from pyspark_ingestion_spark.sources.catalog import (
+    ctas,
+    cvas_partition_date,
+    drop_table,
+    register_lake_table,
+)
+from pyspark_ingestion_spark.sources.readers import load_table
+from pyspark_ingestion_spark.sources.writers import write_partitioned
+
+
+@query(
+    "ddl_ctas_roundtrip",
+    oracle="""
+    SELECT o_orderstatus, count(*) AS n, ROUND(SUM(o_totalprice), 2) AS total
+    FROM orders
+    WHERE o_totalprice > 200000
+    GROUP BY o_orderstatus
+    """,
+)
+def ddl_ctas_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CTAS (reference athena.py K5) → read the created table back → aggregate.
+
+    The value parity proves the whole catalog round-trip, not just DDL
+    acceptance.
+    """
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders_src")
+    table = f"ctas_{uuid.uuid4().hex[:10]}"
+    location = f"{tempfile.mkdtemp()}/{table}"
+    ctas(
+        spark,
+        table,
+        "SELECT * FROM orders_src WHERE o_totalprice > 200000",
+        location=location,
+        compression="snappy",
+    )
+    out = (
+        spark.table(table)
+        .groupBy("o_orderstatus")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("o_totalprice"), 2).alias("total"))
+    )
+    rows = out.collect()  # materialize before dropping the table
+    drop_table(spark, table)
+    return spark.createDataFrame(rows, out.schema)
+
+
+@query(
+    "ddl_partitioned_lake_msck",
+    oracle="""
+    SELECT CAST(year(o_orderdate) AS VARCHAR) AS YEAR, count(*) AS n
+    FROM orders
+    GROUP BY 1
+    """,
+)
+def ddl_partitioned_lake_msck(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Write a partitioned lake dir, register it external, MSCK-discover
+    partitions (reference athena.py K7), query per-partition counts."""
+    o = load_table(spark, sf_dir, "orders").withColumn(
+        "YEAR", F.year("o_orderdate").cast("string")
+    )
+    table = f"lake_{uuid.uuid4().hex[:10]}"
+    location = f"{tempfile.mkdtemp()}/{table}"
+    write_partitioned(o, location, partition_columns=["YEAR"], mode="overwrite",
+                      compression="snappy")
+    df = register_lake_table(spark, table, location)
+    # partition-dir values come back type-inferred (int) — restore the
+    # string contract the lake layout declares
+    out = (
+        df.groupBy(F.col("YEAR").cast("string").alias("YEAR"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    rows = out.collect()
+    drop_table(spark, table)
+    return spark.createDataFrame(rows, out.schema)
+
+
+@query(
+    "ddl_cvas_partition_date",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           CAST(strptime(lpad(CAST(year(l_shipdate) AS VARCHAR), 4, '0')
+                      || lpad(CAST(month(l_shipdate) AS VARCHAR), 2, '0')
+                      || lpad(CAST(day(l_shipdate) AS VARCHAR), 2, '0'), '%Y%m%d') AS DATE)
+               AS partition_date
+    FROM lineitem
+    """,
+)
+def ddl_cvas_partition_date(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CVAS view (reference athena.py K6) over string partition columns."""
+    l = load_table(spark, sf_dir, "lineitem")
+    shaped = l.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.year("l_shipdate").cast("string").alias("year"),
+        F.month("l_shipdate").cast("string").alias("month"),
+        F.dayofmonth("l_shipdate").cast("string").alias("day"),
+    )
+    src = f"lake_shaped_{uuid.uuid4().hex[:10]}"
+    view = f"v_{src}"
+    shaped.createOrReplaceTempView(src)
+    cvas_partition_date(spark, src, view)
+    return spark.table(view).select("l_orderkey", "l_linenumber", "partition_date")
+
+
+# ---------------------------------------------------------- multimodal
+
+@query(
+    "multimodal_decode",
+    oracle="""
+    SELECT doc_id,
+           CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+           CAST(octet_length(encode(text)) % 640 AS INT) AS width,
+           CAST(octet_length(encode(text)) % 480 AS INT) AS height,
+           CAST(octet_length(encode(text)) % 30 AS INT)  AS n_frames
+    FROM documents
+    """,
+)
+def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary payload → Arrow-batched mapInPandas decode (deterministic fake codec).
+
+    Validates the full multimodal plumbing — binary column, batch
+    signature, output schema — by value against length arithmetic.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    media = attach_binary_payload(d, "doc_id", "text")
+    return decode_media(media, fake=True)
+
+
+@query(
+    "multimodal_frame_sample",
+    oracle="""
+    WITH decoded AS (
+        SELECT doc_id, CAST(octet_length(encode(text)) % 30 AS INT) AS n_frames
+        FROM documents
+    )
+    SELECT doc_id, CAST(unnest(range(0, greatest(n_frames - 1, 0) + 1, 5)) AS INT)
+               AS frame_idx
+    FROM decoded
+    """,
+)
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame-index fan-out (every 5th frame) after decode — native sequence+explode."""
+    d = load_table(spark, sf_dir, "documents")
+    media = attach_binary_payload(d, "doc_id", "text")
+    return frame_sample(decode_media(media, fake=True), every_k=5)
