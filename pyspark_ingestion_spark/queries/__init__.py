@@ -47,6 +47,7 @@ def all_queries() -> dict[str, QuerySpec]:
         relational,
         streaming_batch,
         tpch,
+        tpch_deep,
     )
 
     return dict(_REGISTRY)
