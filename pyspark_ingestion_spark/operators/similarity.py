@@ -55,6 +55,47 @@ def brute_force_topk(
     )
 
 
+def embedding_near_dup_pairs(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.3,
+    n_dims: int = 4,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs, blocked by sign-bucket.
+
+    The dedup flavor of similarity search: self-join the corpus on the
+    sign-bucket key (pairs meet only inside a bucket — never a full
+    cross join), score candidates with the native cosine, keep pairs at
+    or above ``threshold``. Returns (id_a, id_b, sim) with id_a < id_b.
+
+    At 100 TB the corpus is hash-partitioned by bucket once; each
+    bucket's pair space is quadratic only in the bucket population, and
+    widening ``n_dims`` shrinks buckets geometrically. Recall is the
+    LSH trade: raise n_dims for speed, lower it (or union multiple
+    rotated bucketings) for recall.
+    """
+    b = corpus.select(
+        F.col(id_col).alias("__id"),
+        F.col(vec_col).alias("__vec"),
+        sign_bucket(vec_col, n_dims).alias("__bucket"),
+    )
+    a, c = b.alias("a"), b.alias("b")
+    return (
+        a.join(
+            c,
+            (F.col("a.__bucket") == F.col("b.__bucket"))
+            & (F.col("a.__id") < F.col("b.__id")),
+        )
+        .select(
+            F.col("a.__id").alias("id_a"),
+            F.col("b.__id").alias("id_b"),
+            F.round(cosine_similarity(F.col("a.__vec"), F.col("b.__vec")), 6).alias("sim"),
+        )
+        .filter(F.col("sim") >= threshold)
+    )
+
+
 def sign_bucket_topk(
     corpus: DataFrame,
     queries: DataFrame,

@@ -383,3 +383,38 @@ def vector_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("mean_val"),
         "label",
     )
+
+
+_BUCKET4 = " + ".join(
+    f"(CASE WHEN embedding[{i + 1}] >= 0 THEN {2 ** i} ELSE 0 END)" for i in range(4)
+)
+
+_PAIR_COSINE = (
+    "list_dot_product(a.v, b.v) / "
+    "(sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v)))"
+)
+
+
+@query(
+    "dedup_embedding_cosine",
+    oracle=f"""
+    WITH b AS (SELECT vec_id, embedding::DOUBLE[] AS v,
+                      CAST({_BUCKET4} AS INT) AS bucket
+               FROM embeddings)
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b, ROUND({_PAIR_COSINE}, 6) AS sim
+    FROM b a JOIN b b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+    WHERE ROUND({_PAIR_COSINE}, 6) >= 0.3
+    """,
+)
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs: sign-bucket blocking + native cosine.
+
+    Completes the dedup family (exact / Jaccard / MinHash-LSH / SimHash /
+    embedding-cosine). The bucket self-join keeps the pair space
+    sub-quadratic; the oracle implements the identical blocking, so the
+    check is exact.
+    """
+    from pyspark_ingestion_spark.operators.similarity import embedding_near_dup_pairs
+
+    e = load_table(spark, sf_dir, "embeddings")
+    return embedding_near_dup_pairs(e, threshold=0.3, n_dims=4)

@@ -123,3 +123,74 @@ def streaming_late_data_watermark(spark: SparkSession, sf_dir: str) -> DataFrame
     stream = read_stream_table(spark, sf_dir, "events")
     agg = tumbling_counts(stream.withWatermark("ts", "10 minutes"), "1 hour")
     return run_stream_to_memory(agg, output_mode="append")
+
+
+@query(
+    "streaming_session",
+    oracle="""
+    WITH flagged AS (
+        SELECT user_id, ts,
+               CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                         <= INTERVAL 5 MINUTE THEN 0 ELSE 1 END AS new_session
+        FROM events
+    ),
+    numbered AS (
+        SELECT user_id, ts,
+               SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                      ROWS UNBOUNDED PRECEDING) AS session_id
+        FROM flagged
+    )
+    SELECT min(ts) AS session_start,
+           max(ts) + INTERVAL 5 MINUTE AS session_end,
+           user_id,
+           count(*) AS n_events
+    FROM numbered
+    GROUP BY user_id, session_id
+    """,
+)
+def streaming_session(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL streaming session windows: readStream → session_window agg →
+    memory sink; must equal the batch gaps-and-islands oracle."""
+    stream = read_stream_table(spark, sf_dir, "events")
+    return run_stream_to_memory(sessionized(stream, "5 minutes"), output_mode="complete")
+
+
+@query(
+    "streaming_dedup_watermark",
+    oracle="SELECT DISTINCT user_id, event_type FROM events",
+)
+def streaming_dedup_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming exact dedup: ``dropDuplicatesWithinWatermark`` on the key.
+
+    Only the key columns are emitted (which duplicate of a key survives
+    depends on arrival order — the key set is the deterministic part, and
+    equals batch DISTINCT).
+    """
+    stream = read_stream_table(spark, sf_dir, "events")
+    deduped = (
+        stream.withWatermark("ts", "1 hour")
+        .dropDuplicatesWithinWatermark(["user_id", "event_type"])
+        .select("user_id", "event_type")
+    )
+    return run_stream_to_memory(deduped, output_mode="append")
+
+
+@query(
+    "streaming_stateful_user_totals",
+    oracle="""
+    SELECT user_id, count(*) AS n_events, ROUND(SUM(value), 2) AS total_value
+    FROM events
+    GROUP BY user_id
+    """,
+)
+def streaming_stateful_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful operator: applyInPandasWithState running totals.
+
+    State-store-backed per-user accumulators (see streaming/stateful.py);
+    one AvailableNow pass over the static source makes the running totals
+    equal the batch aggregate, giving the stateful path an exact oracle.
+    """
+    from pyspark_ingestion_spark.streaming.stateful import running_user_totals
+
+    stream = read_stream_table(spark, sf_dir, "events")
+    return run_stream_to_memory(running_user_totals(stream), output_mode="update")
