@@ -139,3 +139,34 @@ def range_join(
         cond = c if cond is None else cond & c
     cond = range_cond if cond is None else cond & range_cond
     return left.join(right, cond, how)
+
+
+def salted_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    n_salts: int = 8,
+    how: str = "inner",
+) -> DataFrame:
+    """Equi-join with key salting — the skew-mitigation pattern.
+
+    A hot key concentrates its whole pair-space in one task under a
+    plain shuffle join; salting splits each key into ``n_salts``
+    sub-partitions: the (big, skewed) left side gets a deterministic
+    salt from hashing its full row, the (smaller) right side is
+    replicated once per salt via a sequence+explode. Join on
+    (key, salt) → the hot key's work spreads over ``n_salts`` tasks.
+
+    AQE's skew-join handles most cases automatically (session factory
+    enables it); explicit salting remains for the pathological keys AQE
+    can't split — e.g. a single key too large for any one task's memory
+    in a sort-merge join, or skewed aggregations.
+
+    Result equals ``left.join(right, on, how)`` for inner/left joins.
+    """
+    salt = F.pmod(F.hash(*[F.col(c) for c in left.columns]), F.lit(n_salts))
+    l_salted = left.withColumn("__salt", salt)
+    r_salted = right.withColumn(
+        "__salt", F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1)))
+    )
+    return l_salted.join(r_salted, [on, "__salt"], how).drop("__salt")

@@ -79,3 +79,28 @@ def overwrite_partitions(
         file_format=file_format,
         **options,
     )
+
+
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    bucket_columns: list[str],
+    num_buckets: int = 32,
+    sort_columns: list[str] | None = None,
+    file_format: str = "parquet",
+    mode: str = "overwrite",
+) -> None:
+    """Write a bucketed (and optionally sorted) catalog table.
+
+    Bucketing pre-shuffles the data ONCE at write time: two tables
+    bucketed on the same key with the same bucket count join with zero
+    Exchange nodes — at 100 TB that turns every repeated fact⋈fact join
+    on the bucket key from a full shuffle into a local zip of bucket
+    files. Requires saveAsTable (bucket metadata lives in the catalog).
+    """
+    writer = df.write.format(file_format).mode(mode).bucketBy(
+        num_buckets, *bucket_columns
+    )
+    if sort_columns:
+        writer = writer.sortBy(*sort_columns)
+    writer.saveAsTable(table)

@@ -198,3 +198,55 @@ def test_unknown_system_raises(spark):
         from pyspark_ingestion_spark.ingestion.prep import prepare
 
         prepare("nope", None, None, None)
+
+
+# ----------------------------------------------------- settings catalog
+
+def test_parse_data_dictionary_groups_and_refs():
+    from pyspark_ingestion_spark.sources.settings import parse_data_dictionary
+
+    rows = [
+        {"TABLE_SCHEMA": "S", "TABLE_NAME": "T1", "COLUMN_NAME": "A",
+         "INCREMENTAL_REFERENCE": None},
+        {"TABLE_SCHEMA": "S", "TABLE_NAME": "T1", "COLUMN_NAME": "B",
+         "INCREMENTAL_REFERENCE": "B"},
+        {"TABLE_SCHEMA": "S", "TABLE_NAME": "T1", "COLUMN_NAME": "A",
+         "INCREMENTAL_REFERENCE": None},  # duplicate column collapses
+        {"TABLE_SCHEMA": "S", "TABLE_NAME": "T2", "COLUMN_NAME": "X",
+         "INCREMENTAL_REFERENCE": None},  # no ref anywhere → skipped
+    ]
+    settings = parse_data_dictionary(rows)
+    assert set(settings) == {"S.T1"}
+    assert settings["S.T1"].ref_column == "B"
+    assert settings["S.T1"].columns_to_import == ["A", "B"]
+
+
+def test_load_settings_roundtrip(tmp_path, monkeypatch):
+    import json
+
+    from pyspark_ingestion_spark.sources.settings import load_settings
+
+    doc = {
+        "connection": {
+            "sap": {
+                "dbms": "oracle",
+                "host": "db.example",
+                "port": 1521,
+                "service": "ORCL",
+                "user_env": "SAP_USER",
+                "password_env": "SAP_PASSWORD",
+                "table-settings": {
+                    "S.T1": {"ref_column": "UPDATED_AT", "fetchsize": 5000}
+                },
+            }
+        }
+    }
+    p = tmp_path / "settings.json"
+    p.write_text(json.dumps(doc))
+    monkeypatch.setenv("SAP_USER", "alice")
+    systems = load_settings(str(p))
+    assert systems["sap"].dbms == "oracle"
+    assert systems["sap"].user == "alice"
+    assert systems["sap"].password is None  # env var not set
+    assert systems["sap"].tables["S.T1"].ref_column == "UPDATED_AT"
+    assert systems["sap"].tables["S.T1"].fetchsize == 5000

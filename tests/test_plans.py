@@ -78,3 +78,46 @@ def test_real_decoder_is_explicit_stub(spark, sf_dir):
 
     with pytest.raises(NotImplementedError):
         _decode_real(b"bytes")
+
+
+def test_salted_join_matches_plain_join(spark, sf_dir):
+    """Salting changes the physical distribution, never the result."""
+    from pyspark_ingestion_spark.operators.relational import salted_join
+    from pyspark_ingestion_spark.sources.readers import load_table
+
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    plain = o.join(c.withColumnRenamed("c_custkey", "o_custkey"), "o_custkey")
+    salted = salted_join(
+        o, c.withColumnRenamed("c_custkey", "o_custkey"), on="o_custkey", n_salts=4
+    )
+    assert salted.count() == plain.count()
+    assert salted.exceptAll(plain).isEmpty() and plain.exceptAll(salted).isEmpty()
+
+
+def test_bucketed_join_is_shuffle_free(spark, sf_dir):
+    """Two tables bucketed on the join key join with zero Exchange nodes."""
+    from pyspark_ingestion_spark.sources.readers import load_table
+    from pyspark_ingestion_spark.sources.writers import write_bucketed
+
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    l = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    write_bucketed(o, "b_orders", ["o_orderkey"], num_buckets=4)
+    write_bucketed(
+        l.withColumnRenamed("l_orderkey", "o_orderkey"), "b_lineitem",
+        ["o_orderkey"], num_buckets=4,
+    )
+    try:
+        # force a non-broadcast join so the bucket metadata is what
+        # eliminates the shuffle, not a broadcast
+        prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            joined = spark.table("b_orders").join(spark.table("b_lineitem"), "o_orderkey")
+            assert shuffle_count(joined) == 0, formatted_plan(joined)
+            assert joined.count() > 0
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    finally:
+        spark.sql("DROP TABLE IF EXISTS b_orders")
+        spark.sql("DROP TABLE IF EXISTS b_lineitem")
