@@ -129,3 +129,49 @@ def word_shingles(text: Column | str, n: int = 3) -> Column:
         lambda i: F.array_join(F.slice(w, i, n), " "),
     )
     return F.array_distinct(shingled)
+
+
+#: deterministic English stopword set for quality signals
+STOPWORDS = ("the", "a", "of", "and", "to", "in", "is", "it", "that", "for")
+
+#: rolling-hash parameters (Rabin-Karp): base and a large prime modulus
+ROLLING_BASE = 31
+ROLLING_MOD = 1_000_000_007
+
+
+def stopword_ratio(text: Column | str) -> Column:
+    """Fraction of (lowercased) words that are stopwords; 0.0 for blank text."""
+    ws = words(F.lower(_c(text)))
+    hits = F.size(F.filter(ws, lambda w: w.isin(*STOPWORDS)))
+    return F.when(F.size(ws) == 0, F.lit(0.0)).otherwise(
+        F.round(hits.cast("double") / F.size(ws), 6)
+    )
+
+
+def punct_ratio(text: Column | str) -> Column:
+    """Fraction of characters that are punctuation/symbols; 0.0 for empty text."""
+    t = _c(text)
+    punct = F.regexp_count(t, F.lit(r"[^A-Za-z0-9\s]")).cast("double")
+    return F.when(F.length(t) == 0, F.lit(0.0)).otherwise(
+        F.round(punct / F.length(t), 6)
+    )
+
+
+def rolling_hash(text: Column | str) -> Column:
+    """Order-sensitive Rabin-Karp document fingerprint over words.
+
+    acc ← (acc·31 + code(word)) mod 1e9+7, where code(word) is the first
+    8 hex digits of md5(word) — word order matters (unlike a bag-of-words
+    hash), and every step is engine-portable integer arithmetic, so the
+    same text hashes identically in any engine. Pure ``aggregate`` over
+    the split array: codegen'd, no shuffle, no Python.
+    """
+    ws = words(_c(text))
+    codes = F.transform(
+        ws, lambda w: F.conv(F.substring(F.md5(w), 1, 8), 16, 10).cast("long")
+    )
+    return F.aggregate(
+        codes,
+        F.lit(0).cast("long"),
+        lambda acc, c: (acc * ROLLING_BASE + c) % ROLLING_MOD,
+    )

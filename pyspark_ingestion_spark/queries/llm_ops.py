@@ -418,3 +418,58 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     e = load_table(spark, sf_dir, "embeddings")
     return embedding_near_dup_pairs(e, threshold=0.3, n_dims=4)
+
+
+@query(
+    "quality_signals",
+    oracle=r"""
+    WITH w AS (SELECT doc_id, text,
+                      string_split_regex(trim(lower(text)), '\s+') AS ws
+               FROM documents)
+    SELECT doc_id,
+           CASE WHEN len(ws) = 0 OR trim(text) = '' THEN 0.0
+                ELSE ROUND(len(list_filter(ws, x -> x IN
+                     ('the','a','of','and','to','in','is','it','that','for')))
+                     / CAST(len(ws) AS DOUBLE), 6)
+           END AS stop_ratio,
+           CASE WHEN length(text) = 0 THEN 0.0
+                ELSE ROUND(len(regexp_extract_all(text, '[^A-Za-z0-9\s]'))
+                     / CAST(length(text) AS DOUBLE), 6)
+           END AS punct_ratio
+    FROM w
+    """,
+)
+def quality_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword + punctuation ratios — the filter signals a training-data
+    quality pipeline thresholds on (alongside quality_scores' density)."""
+    from pyspark_ingestion_spark.functions.text import punct_ratio, stopword_ratio
+
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        stopword_ratio("text").alias("stop_ratio"),
+        punct_ratio("text").alias("punct_ratio"),
+    )
+
+
+@query(
+    "doc_rolling_hash",
+    oracle=r"""
+    WITH w AS (SELECT doc_id,
+                      string_split_regex(trim(text), '\s+') AS ws
+               FROM documents)
+    SELECT doc_id,
+           list_reduce(
+               [CAST(0 AS BIGINT)] ||
+               list_transform(ws, x -> ('0x' || substr(md5(x), 1, 8))::BIGINT),
+               (a, b) -> (a * 31 + b) % 1000000007
+           ) AS rhash
+    FROM w
+    """,
+)
+def doc_rolling_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-sensitive Rabin-Karp rolling-hash fingerprint per document."""
+    from pyspark_ingestion_spark.functions.text import rolling_hash
+
+    d = load_table(spark, sf_dir, "documents")
+    return d.select("doc_id", rolling_hash("text").alias("rhash"))
