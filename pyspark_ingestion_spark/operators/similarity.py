@@ -55,6 +55,73 @@ def brute_force_topk(
     )
 
 
+def assign_ivf_cells(
+    df: DataFrame,
+    centroids: DataFrame,
+    id_col: str,
+    vec_col: str,
+) -> DataFrame:
+    """Assign each vector to its nearest centroid (an IVF cell).
+
+    ``centroids`` is (centroid_id, cvec) and is broadcast — the corpus
+    streams past K centroids without shuffling. Nearest = max cosine,
+    ties broken toward the lowest centroid id (deterministic: the max is
+    taken over (rounded sim, -centroid_id) pairs). Adds a ``cell``
+    column.
+    """
+    scored = df.crossJoin(F.broadcast(centroids)).select(
+        F.col(id_col),
+        F.struct(
+            F.round(cosine_similarity(vec_col, "cvec"), 6).alias("s"),
+            (-F.col("centroid_id")).alias("n"),
+        ).alias("__sc"),
+    )
+    best = scored.groupBy(id_col).agg((-F.max("__sc")["n"]).alias("cell"))
+    return df.join(best, id_col)
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    n_centroids: int = 8,
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """IVF-style ANN: coarse-quantize the corpus into centroid cells, then
+    score each query only against its own cell (nprobe=1).
+
+    The centroid set here is the first ``n_centroids`` corpus vectors by
+    id — a deterministic training stub; at scale you'd sample and run
+    k-means (MLlib) once, persist the centroids, and keep this exact
+    assignment/probe shape. Corpus cell assignment is a one-off
+    broadcast pass; per-query work is |cell|, not |corpus|. Raising
+    nprobe (probing several nearest cells) trades compute for recall —
+    the same join, a small explode wider.
+    """
+    centroids = corpus.filter(F.col(id_col) < n_centroids).select(
+        F.col(id_col).alias("centroid_id"), F.col(vec_col).alias("cvec")
+    )
+    c = assign_ivf_cells(corpus, centroids, id_col, vec_col)
+    q = assign_ivf_cells(queries, centroids, query_id_col, vec_col).select(
+        query_id_col, F.col(vec_col).alias("__qvec"), "cell"
+    )
+    scored = c.join(F.broadcast(q), "cell").select(
+        F.col(query_id_col),
+        F.col(id_col).alias("neighbor_id"),
+        F.round(cosine_similarity(vec_col, "__qvec"), 6).alias("sim"),
+    )
+    return topk_per_group(
+        scored,
+        group_cols=[query_id_col],
+        order_cols=[F.desc("sim"), F.asc("neighbor_id")],
+        k=k,
+        keep_rank=True,
+        rank_col="rank",
+    )
+
+
 def embedding_near_dup_pairs(
     corpus: DataFrame,
     id_col: str = "vec_id",

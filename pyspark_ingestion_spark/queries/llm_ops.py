@@ -473,3 +473,56 @@ def doc_rolling_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = load_table(spark, sf_dir, "documents")
     return d.select("doc_id", rolling_hash("text").alias("rhash"))
+
+
+_IVF_ASSIGN = """
+    c AS (SELECT vec_id AS cid, embedding::DOUBLE[] AS cv
+          FROM embeddings WHERE vec_id < 8),
+    assigned AS (
+        SELECT vec_id, v, cell FROM (
+            SELECT e.vec_id, e.v, c.cid AS cell,
+                   row_number() OVER (
+                       PARTITION BY e.vec_id
+                       ORDER BY ROUND(list_dot_product(e.v, c.cv)
+                                / (sqrt(list_dot_product(e.v, e.v))
+                                 * sqrt(list_dot_product(c.cv, c.cv))), 6) DESC,
+                                c.cid ASC) AS rn
+            FROM (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings) e
+            CROSS JOIN c)
+        WHERE rn = 1)
+"""
+
+
+@query(
+    "ann_ivf_topk",
+    oracle=f"""
+    WITH {_IVF_ASSIGN},
+    q AS (SELECT vec_id AS query_id, v AS qv, cell FROM assigned WHERE vec_id < 20),
+    scored AS (
+        SELECT q.query_id, a.vec_id AS neighbor_id,
+               ROUND(list_dot_product(a.v, q.qv)
+                     / (sqrt(list_dot_product(a.v, a.v))
+                      * sqrt(list_dot_product(q.qv, q.qv))), 6) AS sim
+        FROM assigned a JOIN q ON a.cell = q.cell)
+    SELECT query_id, neighbor_id, sim, CAST(rank AS INT) AS rank FROM (
+        SELECT *, row_number() OVER (PARTITION BY query_id
+                                     ORDER BY sim DESC, neighbor_id) AS rank
+        FROM scored)
+    WHERE rank <= 5
+    """,
+)
+def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN: nearest-centroid cells (8 deterministic centroids), nprobe=1.
+
+    The second scale path next to sign-bucket LSH: cells adapt to the
+    data distribution (centroids) instead of fixed hyperplanes. Oracle
+    reproduces the identical assignment (rounded cosine, lowest-id
+    tie-break), so the check is exact.
+    """
+    from pyspark_ingestion_spark.operators.similarity import ivf_topk
+
+    e = load_table(spark, sf_dir, "embeddings")
+    queries = e.filter(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return ivf_topk(e, queries, k=5, n_centroids=8)
