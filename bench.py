@@ -18,11 +18,20 @@ if REPO_ROOT not in sys.path:
     sys.path.insert(0, REPO_ROOT)
 
 HEADLINE = [
+    # TPC-H-style relational core
     "q1_pricing_summary",
     "q3_shipping_priority",
     "q5_local_supplier_volume",
     "q6_forecast_revenue",
+    "q9_product_profit",
     "q10_returned_items",
+    # LLM-data pipeline ops
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "ann_sign_bucket_topk",
+    "corpus_clean_pipeline",
+    # event-time analytics
+    "window_session",
 ]
 
 

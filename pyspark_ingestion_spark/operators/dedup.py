@@ -42,10 +42,26 @@ def exact_dedup_groups(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
 
 
 def _shingle_table(df: DataFrame, id_col: str, text_col: str, n: int) -> DataFrame:
-    """(id, shingle) exploded pairs — distinct shingles per doc."""
-    return df.select(
-        F.col(id_col).alias("doc"), F.explode(word_shingles(text_col, n)).alias("shingle")
+    """(id, shingle) exploded pairs — distinct shingles per doc.
+
+    The word array is materialized behind a projection boundary BEFORE
+    the per-position transform: a lambda that references the raw
+    ``split(...)`` expression re-evaluates the split at every shingle
+    position (Catalyst doesn't hoist common subexpressions out of
+    higher-order-function lambdas), turning shingling O(words²) per doc
+    — measured 8× slower at sf0.1. ``F.get`` (0-based, null out of
+    bounds regardless of ANSI mode) + null-skipping ``concat_ws``
+    reproduce the slice+join semantics for docs shorter than ``n``.
+    """
+    w = df.select(
+        F.col(id_col).alias("doc"), words(F.lower(F.col(text_col))).alias("__w")
     )
+    arr = F.col("__w")
+    shingled = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.size(arr) - n + 1, F.lit(1))),
+        lambda i: F.concat_ws(" ", *[F.get(arr, i + j - 1) for j in range(n)]),
+    )
+    return w.select("doc", F.explode(F.array_distinct(shingled)).alias("shingle"))
 
 
 def jaccard_similar_pairs(
@@ -64,7 +80,9 @@ def jaccard_similar_pairs(
     so no float-boundary flakiness. Returns (doc_a, doc_b, intersection,
     size_a, size_b, jaccard) with doc_a < doc_b.
     """
-    sh = _shingle_table(df, id_col, text_col, n)
+    # the shingle table feeds three consumers (both join sides + sizes);
+    # persist so shingling runs once, not per consumer
+    sh = _shingle_table(df, id_col, text_col, n).persist()
     sizes = sh.groupBy("doc").agg(F.count(F.lit(1)).alias("sz"))
 
     a = sh.alias("a")
@@ -94,26 +112,58 @@ def jaccard_similar_pairs(
     )
 
 
+#: MinHash universal-hash modulus (Mersenne prime 2^31−1)
+MINHASH_P = 2_147_483_647
+
+
+def minhash_seed_coeffs(seed: int) -> tuple[int, int]:
+    """Deterministic (a, b) coefficients for seed's universal hash g = (a·h+b) mod P."""
+    return (
+        (2_654_435_761 * (seed + 1)) % MINHASH_P,
+        (40_503 * (seed + 7)) % MINHASH_P,
+    )
+
+
 def minhash_signatures(
     df: DataFrame, id_col: str, text_col: str, n: int = 3, num_hashes: int = 8
 ) -> DataFrame:
-    """MinHash signatures: sig_i = min over shingles of md5(i || shingle).
+    """MinHash signatures: one md5 per shingle + universal-hash seed mixing.
 
-    String-min over MD5 hex is a valid uniform min-hash and — unlike
-    murmur/xxhash — reproducible in any engine, so signatures written to
-    a dedup ledger stay comparable. Returns (doc, seed, sig).
+    h(shingle) = first 7 hex digits of md5(shingle) as a 28-bit int;
+    per seed i, gᵢ = (aᵢ·h + bᵢ) mod (2³¹−1); sigᵢ = min over shingles.
+    One cryptographic hash per shingle instead of one per seed×shingle
+    (the classic formulation's cost), integer min-agg instead of string
+    min — and every step is plain arithmetic on an md5 prefix, so
+    signatures stay bit-reproducible in any engine and written dedup
+    ledgers stay comparable. Returns (doc, seed, sig).
     """
-    sh = _shingle_table(df, id_col, text_col, n)
-    seeds = F.explode(F.sequence(F.lit(0), F.lit(num_hashes - 1))).alias("seed")
+    return _signatures_from_shingles(_shingle_table(df, id_col, text_col, n), num_hashes)
+
+
+def _signatures_from_shingles(sh: DataFrame, num_hashes: int = 8) -> DataFrame:
+    """MinHash core over an existing (doc, shingle) table."""
+    h = F.conv(F.substring(F.md5("shingle"), 1, 7), 16, 10).cast("long")
+    seed_structs = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(i).alias("seed"),
+                    F.lit(a).alias("a"),
+                    F.lit(b).alias("b"),
+                )
+                for i, (a, b) in ((i, minhash_seed_coeffs(i)) for i in range(num_hashes))
+            ]
+        )
+    ).alias("s")
     return (
-        sh.select("doc", "shingle", seeds)
+        sh.select("doc", h.alias("h"), seed_structs)
         .select(
             "doc",
-            "seed",
-            F.md5(F.concat_ws("|", F.col("seed").cast("string"), F.col("shingle"))).alias("h"),
+            F.col("s.seed").alias("seed"),
+            ((F.col("s.a") * F.col("h") + F.col("s.b")) % MINHASH_P).alias("g"),
         )
         .groupBy("doc", "seed")
-        .agg(F.min("h").alias("sig"))
+        .agg(F.min("g").alias("sig"))
     )
 
 
@@ -164,10 +214,12 @@ def minhash_lsh_dedup_pairs(
     candidate — the classic two-phase structure that keeps 100 TB dedup
     sub-quadratic. Returns (doc_a, doc_b, jaccard) for verified pairs.
     """
-    sigs = minhash_signatures(df, id_col, text_col, n, num_hashes)
+    # one persisted shingle table feeds signatures, both verify sides,
+    # and sizes — shingling runs once instead of four times
+    sh = _shingle_table(df, id_col, text_col, n).persist()
+    sigs = _signatures_from_shingles(sh, num_hashes)
     cands = lsh_candidate_pairs(sigs, num_hashes, band_size)
 
-    sh = _shingle_table(df, id_col, text_col, n)
     sizes = sh.groupBy("doc").agg(F.count(F.lit(1)).alias("sz"))
 
     a = sh.select(F.col("doc").alias("doc_a"), "shingle")

@@ -216,11 +216,15 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     WITH {_SHINGLES_CTE},
     seeds AS (SELECT unnest(range(8)) AS seed),
-    sigs AS (SELECT doc, seed, min(md5(CAST(seed AS VARCHAR) || '|' || shingle)) AS sig
-             FROM sh CROSS JOIN seeds GROUP BY doc, seed),
+    hs AS (SELECT doc, ('0x' || substr(md5(shingle), 1, 7))::BIGINT AS h FROM sh),
+    sigs AS (SELECT doc, seed,
+                    min((((2654435761 * (seed + 1)) % 2147483647) * h
+                         + ((40503 * (seed + 7)) % 2147483647)) % 2147483647) AS sig
+             FROM hs CROSS JOIN seeds GROUP BY doc, seed),
     bands AS (SELECT doc, CAST(seed // 2 AS INT) AS band,
-                     md5(string_agg(CAST(seed AS VARCHAR) || ':' || sig, '|'
-                                    ORDER BY CAST(seed AS VARCHAR) || ':' || sig)) AS band_key
+                     md5(string_agg(CAST(seed AS VARCHAR) || ':' || CAST(sig AS VARCHAR), '|'
+                                    ORDER BY CAST(seed AS VARCHAR) || ':' || CAST(sig AS VARCHAR)))
+                         AS band_key
               FROM sigs GROUP BY doc, CAST(seed // 2 AS INT)),
     cands AS (SELECT DISTINCT a.doc AS doc_a, b.doc AS doc_b
               FROM bands a JOIN bands b
@@ -526,3 +530,52 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("query_id"), "embedding"
     )
     return ivf_topk(e, queries, k=5, n_centroids=8)
+
+
+@query(
+    "corpus_clean_pipeline",
+    oracle=r"""
+    WITH scored AS (
+        SELECT doc_id, lang,
+               md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp,
+               CASE WHEN length(text) = 0 THEN 0.0
+                    ELSE ROUND((len(regexp_extract_all(text, '[A-Za-z]')) / length(text))
+                         * least(1.0, len(string_split_regex(trim(text), '\s+')) / 20.0), 6)
+               END AS quality
+        FROM documents
+    )
+    SELECT min(doc_id) AS doc_id, fp, ROUND(max(quality), 6) AS quality,
+           count(*) AS n_copies
+    FROM scored
+    WHERE lang = 'en' AND quality >= 0.7
+    GROUP BY fp
+    """,
+)
+def corpus_clean_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end training-corpus cleaning: quality gate → language filter
+    → exact dedup with deterministic keeper.
+
+    The composed pipeline a 100 TB pretraining-data run actually
+    executes: all three stages are native expressions feeding one
+    hash-aggregation — Catalyst fuses the filters into the scan and the
+    whole thing is a single shuffle on the fingerprint key. Near-dup
+    removal (MinHash-LSH on the survivors) composes the same way via
+    ``minhash_lsh_dedup_pairs``.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    scored = d.select(
+        "doc_id",
+        "lang",
+        fingerprint("text").alias("fp"),
+        quality_score("text").alias("quality"),
+    )
+    return (
+        scored.filter((F.col("lang") == "en") & (F.col("quality") >= 0.7))
+        .groupBy("fp")
+        .agg(
+            F.min("doc_id").alias("doc_id"),
+            F.round(F.max("quality"), 6).alias("quality"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+        .select("doc_id", "fp", "quality", "n_copies")
+    )

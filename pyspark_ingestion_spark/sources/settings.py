@@ -123,3 +123,24 @@ def parse_data_dictionary_csv(path: str, **kwargs) -> dict[str, TableSettings]:
 
     with open(path, newline="") as f:
         return parse_data_dictionary(list(csv.DictReader(f)), **kwargs)
+
+
+def parse_data_dictionary_excel(path: str, **kwargs) -> dict[str, TableSettings]:
+    """Excel workbook → per-table settings (reference
+    parse-data-dictionary.py:21-54: read all sheets, concat, group).
+
+    Requires pandas plus an Excel engine (openpyxl) — not present in
+    every deployment, so this is import-gated; convert the workbook to
+    CSV and use :func:`parse_data_dictionary_csv` where it isn't.
+    """
+    try:
+        import pandas as pd
+
+        sheets = pd.read_excel(path, sheet_name=None)
+    except ImportError as e:
+        raise NotImplementedError(
+            "Excel parsing needs pandas + openpyxl; export the workbook to "
+            "CSV and use parse_data_dictionary_csv instead"
+        ) from e
+    rows = pd.concat(sheets.values()).to_dict("records")
+    return parse_data_dictionary(rows, **kwargs)
