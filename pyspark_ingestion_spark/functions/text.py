@@ -121,6 +121,12 @@ def word_shingles(text: Column | str, n: int = 3) -> Column:
 
     Built with native transform+slice over the word array; documents
     shorter than ``n`` words get their whole text as a single shingle.
+
+    PERFORMANCE: Catalyst does not hoist common subexpressions out of
+    higher-order-function lambdas, so the embedded ``split`` re-evaluates
+    at every shingle position (O(words²) per doc). In hot paths,
+    materialize the word array behind a projection first and shingle
+    from the column — see ``operators.dedup._shingle_table``.
     """
     w = words(F.lower(_c(text)))
     k = F.size(w)

@@ -194,3 +194,33 @@ def streaming_stateful_user_totals(spark: SparkSession, sf_dir: str) -> DataFram
 
     stream = read_stream_table(spark, sf_dir, "events")
     return run_stream_to_memory(running_user_totals(stream), output_mode="update")
+
+
+@query(
+    "streaming_static_join",
+    oracle="""
+    WITH dim AS (SELECT user_id, min(event_type) AS first_type
+                 FROM events GROUP BY user_id)
+    SELECT e.event_id, e.user_id, d.first_type
+    FROM events e JOIN dim d ON e.user_id = d.user_id
+    WHERE e.event_type = 'purchase'
+    """,
+)
+def streaming_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static join: streaming events enriched against a static
+    dimension (computed batch-side). The static side is re-read per
+    micro-batch by Spark; no state store involved — the streaming
+    analog of a broadcast dim join, exact against the batch oracle.
+    """
+    static_dim = (
+        load_table(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(F.min("event_type").alias("first_type"))
+    )
+    stream = read_stream_table(spark, sf_dir, "events").filter(
+        F.col("event_type") == "purchase"
+    )
+    joined = stream.join(static_dim, "user_id").select(
+        "event_id", "user_id", "first_type"
+    )
+    return run_stream_to_memory(joined, output_mode="append")

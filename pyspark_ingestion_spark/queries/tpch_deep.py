@@ -488,3 +488,143 @@ def q22_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cntrycode")
     )
+
+
+@query(
+    "q11_important_parts",
+    oracle="""
+    WITH pv AS (
+        SELECT l_partkey, ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS value
+        FROM lineitem GROUP BY l_partkey
+    )
+    SELECT l_partkey, value
+    FROM pv
+    WHERE value > (SELECT 1.2 * AVG(value) FROM pv)
+    ORDER BY value DESC, l_partkey
+    """,
+)
+def q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parts whose revenue exceeds 1.2x the mean part revenue —
+    uncorrelated scalar subquery over the same aggregate, expressed as an
+    empty-frame window so the aggregate is computed once and never
+    collected to the driver. Adapted from canonical q11 (no partsupp:
+    revenue instead of stock value; mean-relative threshold so the
+    selectivity is scale-factor-independent).
+    """
+    l = load_table(spark, sf_dir, "lineitem")
+    pv = l.groupBy("l_partkey").agg(
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("value")
+    )
+    total = F.sum("value").over(Window.partitionBy())
+    return (
+        pv.withColumn("__threshold", 1.2 * total / F.count(F.lit(1)).over(Window.partitionBy()))
+        .filter(F.col("value") > F.col("__threshold"))
+        .select("l_partkey", "value")
+        .orderBy(F.desc("value"), F.asc("l_partkey"))
+    )
+
+
+@query(
+    "q16_parts_suppliers",
+    oracle="""
+    SELECT p_brand, p_type, count(DISTINCT l_suppkey) AS supplier_cnt
+    FROM part JOIN lineitem ON p_partkey = l_partkey
+    WHERE p_brand <> 'Brand#1'
+    GROUP BY p_brand, p_type
+    ORDER BY supplier_cnt DESC, p_brand, p_type
+    """,
+)
+def q16_parts_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct-count aggregation over a broadcast join (canonical q16
+    shape, supplier relationships derived from lineitem — no partsupp)."""
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_brand") != "Brand#1")
+    l = load_table(spark, sf_dir, "lineitem")
+    return (
+        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .groupBy("p_brand", "p_type")
+        .agg(F.count_distinct("l_suppkey").alias("supplier_cnt"))
+        .orderBy(F.desc("supplier_cnt"), F.asc("p_brand"), F.asc("p_type"))
+    )
+
+
+@query(
+    "q20_excess_supply",
+    oracle="""
+    SELECT s_suppkey, s_name, n_name
+    FROM supplier JOIN nation ON s_nationkey = n_nationkey
+    WHERE s_suppkey IN (
+        SELECT l_suppkey
+        FROM lineitem JOIN part ON p_partkey = l_partkey
+        WHERE p_name LIKE '%red%'
+          AND l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+          AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+        GROUP BY l_suppkey
+        HAVING SUM(l_quantity) > 300
+    )
+    ORDER BY s_suppkey
+    """,
+)
+def q20_excess_supply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nested aggregate-gated semi join: suppliers who shipped > 300 units
+    of red parts in 1997 (canonical q20 shape without partsupp)."""
+    l = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= _ts("1997-01-01 00:00:00"))
+        & (F.col("l_shipdate") < _ts("1998-01-01 00:00:00"))
+    )
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_name").like("%red%"))
+    heavy = (
+        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .groupBy("l_suppkey")
+        .agg(F.sum("l_quantity").alias("__q"))
+        .filter(F.col("__q") > 300)
+        .select(F.col("l_suppkey").alias("s_suppkey"))
+    )
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    return (
+        s.join(heavy, "s_suppkey", "left_semi")
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .select("s_suppkey", "s_name", "n_name")
+        .orderBy("s_suppkey")
+    )
+
+
+@query(
+    "q21_waiting_suppliers",
+    oracle="""
+    WITH multi AS (
+        SELECT l_orderkey FROM lineitem
+        GROUP BY l_orderkey HAVING count(DISTINCT l_suppkey) > 1
+    )
+    SELECT s_name, count(*) AS numwait
+    FROM lineitem
+    JOIN supplier ON s_suppkey = l_suppkey
+    JOIN multi ON multi.l_orderkey = lineitem.l_orderkey
+    WHERE l_returnflag = 'R'
+    GROUP BY s_name
+    ORDER BY numwait DESC, s_name
+    LIMIT 20
+    """,
+)
+def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Suppliers with the most returned lines on multi-supplier orders —
+    canonical q21's spirit (the blame-assignment query) with the
+    commit/receipt-date EXISTS pair replaced by a distinct-supplier
+    HAVING gate (those columns don't exist in this schema)."""
+    l = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    multi = (
+        l.groupBy("l_orderkey")
+        .agg(F.count_distinct("l_suppkey").alias("__ns"))
+        .filter(F.col("__ns") > 1)
+        .select("l_orderkey")
+    )
+    return (
+        l.filter(F.col("l_returnflag") == "R")
+        .join(multi, "l_orderkey", "left_semi")
+        .join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.desc("numwait"), F.asc("s_name"))
+        .limit(20)
+    )

@@ -28,7 +28,7 @@ _PANDAS_OK = {"multimodal_decode", "multimodal_frame_sample"}
 _SKIP = {"ddl_ctas_roundtrip", "ddl_partitioned_lake_msck",
          "streaming_tumbling", "streaming_late_data_watermark",
          "streaming_session", "streaming_dedup_watermark",
-         "streaming_stateful_user_totals"}
+         "streaming_stateful_user_totals", "streaming_static_join"}
 
 
 def test_q1_filter_pushed_and_columns_pruned(spark, sf_dir):
