@@ -591,3 +591,60 @@ def sort_multi_key_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("o_totalprice"), F.asc("o_orderdate"), F.asc("o_orderkey"))
         .limit(50)
     )
+
+
+@query(
+    "array_functions",
+    oracle="""
+    SELECT vec_id,
+           CAST(len(embedding) AS INT) AS dim,
+           ROUND(list_aggregate(list_transform(embedding::DOUBLE[], x -> x * x),
+                                'sum'), 6) AS sum_sq,
+           CAST(len(list_filter(embedding::DOUBLE[], x -> x > 0)) AS INT) AS n_pos,
+           ROUND(list_aggregate(embedding::DOUBLE[], 'min'), 6) AS min_val,
+           ROUND(list_aggregate(embedding::DOUBLE[], 'max'), 6) AS max_val,
+           ROUND(list_aggregate(embedding[1:3]::DOUBLE[], 'sum'), 6) AS head3_sum
+    FROM embeddings
+    """,
+)
+def array_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Higher-order array surface: transform / aggregate / filter / slice /
+    array_min / array_max — all codegen'd JVM lambdas, no Python."""
+    e = load_table(spark, sf_dir, "embeddings")
+    arr = F.col("embedding").cast("array<double>")
+    return e.select(
+        "vec_id",
+        F.size("embedding").alias("dim"),
+        F.round(
+            F.aggregate(F.transform(arr, lambda x: x * x), F.lit(0.0), lambda a, x: a + x), 6
+        ).alias("sum_sq"),
+        F.size(F.filter(arr, lambda x: x > 0)).alias("n_pos"),
+        F.round(F.array_min(arr), 6).alias("min_val"),
+        F.round(F.array_max(arr), 6).alias("max_val"),
+        F.round(
+            F.aggregate(F.slice(arr, 1, 3), F.lit(0.0), lambda a, x: a + x), 6
+        ).alias("head3_sum"),
+    )
+
+
+@query(
+    "map_functions",
+    oracle="""
+    SELECT event_id,
+           array_to_string(json_keys(props), ',') AS prop_keys,
+           CAST(json_extract(props, '$.k') AS INT) AS k_val,
+           CAST(len(json_keys(props)) AS INT) AS n_keys
+    FROM events
+    """,
+)
+def map_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map-typed column surface: from_json → map<string,int>, map_keys,
+    null-safe element access (try_element_at — ANSI-mode safe)."""
+    e = load_table(spark, sf_dir, "events")
+    m = F.from_json("props", "map<string,int>")
+    return e.select(
+        "event_id",
+        F.array_join(F.map_keys(m), ",").alias("prop_keys"),
+        F.try_element_at(m, F.lit("k")).alias("k_val"),
+        F.size(F.map_keys(m)).alias("n_keys"),
+    )
