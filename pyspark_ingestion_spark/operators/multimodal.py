@@ -102,3 +102,87 @@ def frame_sample(decoded: DataFrame, every_k: int = 5) -> DataFrame:
             F.sequence(F.lit(0), F.greatest(F.col("n_frames") - 1, F.lit(0)), F.lit(every_k))
         ).alias("frame_idx"),
     )
+
+
+#: schema of extracted per-item feature vectors
+FEATURES_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("features", T.ArrayType(T.FloatType())),
+    ]
+)
+
+#: schema of resized-media metadata
+RESIZED_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("scale_num", T.IntegerType()),
+        T.StructField("scale_den", T.IntegerType()),
+    ]
+)
+
+
+def _features_real(payload: bytes, dim: int) -> list[float]:
+    """Real feature extraction — needs a vision/audio model runtime.
+
+    STUB: swap in an ONNX/torch encoder in a real deployment.
+    """
+    raise NotImplementedError(
+        "feature-extraction models are not available in this environment; "
+        "use fake=True for the deterministic test path"
+    )
+
+
+def extract_features(media: DataFrame, dim: int = 8, fake: bool = True) -> DataFrame:
+    """Binary payload → fixed-dim feature vector, Arrow-batched.
+
+    The deterministic fake derives component i as
+    ``(n_bytes mod (7 + i)) / (7 + i)`` — enough to validate the
+    binary→ARRAY<FLOAT> plumbing end-to-end (batch signature, array
+    column shape, downstream joinability with the ANN operators). The
+    output feeds ``operators.similarity`` directly: decode → features →
+    near-dup / ANN is the full multimodal dedup path.
+    """
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            if fake:
+                feats = [
+                    [float(len(p) % (7 + i)) / (7 + i) for i in range(dim)]
+                    for p in pdf["payload"]
+                ]
+            else:
+                feats = [_features_real(p, dim) for p in pdf["payload"]]
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "features": feats})
+
+    return media.select("doc_id", "payload").mapInPandas(batches, FEATURES_SCHEMA)
+
+
+def resize_media(decoded: DataFrame, max_width: int = 64) -> DataFrame:
+    """Resize metadata: scale every item down to ``max_width`` preserving
+    aspect ratio — pure native arithmetic on the decoded dimensions (the
+    pixel resample itself belongs in the decode stage's codec; what the
+    engine owns is the dimension/scale bookkeeping every pipeline stage
+    after resize depends on). Zero-width items pass through unscaled.
+    """
+    needs = (F.col("width") > max_width).cast("int")
+    scale_num = F.when(F.col("width") > max_width, F.lit(max_width)).otherwise(
+        F.col("width")
+    )
+    scale_den = F.when(F.col("width") > max_width, F.col("width")).otherwise(
+        F.greatest(F.col("width"), F.lit(1))
+    )
+    return decoded.select(
+        "doc_id",
+        F.when(needs == 1, F.lit(max_width)).otherwise(F.col("width")).alias("width"),
+        F.when(
+            needs == 1,
+            F.floor(F.col("height") * max_width / F.col("width")).cast("int"),
+        )
+        .otherwise(F.col("height"))
+        .alias("height"),
+        scale_num.cast("int").alias("scale_num"),
+        scale_den.cast("int").alias("scale_den"),
+    )

@@ -165,3 +165,62 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     media = attach_binary_payload(d, "doc_id", "text")
     return frame_sample(decode_media(media, fake=True), every_k=5)
+
+
+@query(
+    "multimodal_features",
+    oracle="""
+    WITH n AS (SELECT doc_id, octet_length(encode(text)) AS nb FROM documents)
+    SELECT doc_id,
+           [ROUND((nb % 7) / 7.0, 6), ROUND((nb % 8) / 8.0, 6),
+            ROUND((nb % 9) / 9.0, 6), ROUND((nb % 10) / 10.0, 6),
+            ROUND((nb % 11) / 11.0, 6), ROUND((nb % 12) / 12.0, 6),
+            ROUND((nb % 13) / 13.0, 6), ROUND((nb % 14) / 14.0, 6)] AS features
+    FROM n
+    """,
+)
+def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary → feature-vector extraction (Arrow-batched, deterministic fake).
+
+    Output is ARRAY<FLOAT>, directly joinable into the ANN/near-dup
+    operators — the full multimodal dedup path. Floats rounded for
+    cross-engine hashing.
+    """
+    from pyspark_ingestion_spark.operators.multimodal import extract_features
+
+    d = load_table(spark, sf_dir, "documents")
+    media = attach_binary_payload(d, "doc_id", "text")
+    feats = extract_features(media, dim=8, fake=True)
+    return feats.select(
+        "doc_id",
+        F.transform(F.col("features").cast("array<double>"),
+                    lambda x: F.round(x, 6)).alias("features"),
+    )
+
+
+@query(
+    "multimodal_resize",
+    oracle="""
+    WITH decoded AS (
+        SELECT doc_id,
+               CAST(octet_length(encode(text)) % 640 AS INT) AS width,
+               CAST(octet_length(encode(text)) % 480 AS INT) AS height
+        FROM documents
+    )
+    SELECT doc_id,
+           CAST(CASE WHEN width > 64 THEN 64 ELSE width END AS INT) AS width,
+           CAST(CASE WHEN width > 64 THEN floor(height * 64 / width)
+                     ELSE height END AS INT) AS height,
+           CAST(CASE WHEN width > 64 THEN 64 ELSE width END AS INT) AS scale_num,
+           CAST(CASE WHEN width > 64 THEN width
+                     ELSE greatest(width, 1) END AS INT) AS scale_den
+    FROM decoded
+    """,
+)
+def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aspect-preserving resize bookkeeping after decode (native arithmetic)."""
+    from pyspark_ingestion_spark.operators.multimodal import decode_media, resize_media
+
+    d = load_table(spark, sf_dir, "documents")
+    media = attach_binary_payload(d, "doc_id", "text")
+    return resize_media(decode_media(media, fake=True), max_width=64)

@@ -22,7 +22,8 @@ from pyspark_ingestion_spark.queries import all_queries
 _REGISTRY = all_queries()
 
 #: queries that intentionally cross into Python (Arrow-batched decode)
-_PANDAS_OK = {"multimodal_decode", "multimodal_frame_sample"}
+_PANDAS_OK = {"multimodal_decode", "multimodal_frame_sample",
+              "multimodal_features", "multimodal_resize"}
 
 #: queries that run/collect eagerly or stream — plan introspection n/a
 _SKIP = {"ddl_ctas_roundtrip", "ddl_partitioned_lake_msck",

@@ -1,0 +1,97 @@
+"""Property-based tests (hypothesis) — invariants golden frames can't pin.
+
+Spark jobs are slow per-example, so each property runs a small number of
+generated cases but over *structured* random input (duplicates, unicode,
+empty strings, skewed keys) that fixture data never covers.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+from hypothesis import given, settings, strategies as st
+from pyspark.sql import functions as F
+
+_TEXT = st.text(
+    alphabet=st.characters(whitelist_categories=("Ll", "Lu", "Nd", "Zs")),
+    max_size=80,
+)
+
+
+def _rolling_hash_py(text: str) -> int:
+    """Independent Python model of functions.text.rolling_hash.
+
+    Mirrors the engine's tokenizer EXACTLY (hypothesis found the
+    boundaries): Spark's trim strips ASCII space only, and Java/RE2
+    ``\\s`` is ASCII-only — a non-breaking space is a word character
+    there, while Python's ``str.split()`` is Unicode-aware. Both the
+    engine and the DuckDB oracle live in ASCII-``\\s`` world, so the
+    model must too (re.ASCII), keeping leading/trailing empty tokens
+    exactly like ``split(..., limit=-1)``.
+    """
+    import re
+
+    t = text.strip(" ")
+    ws = [] if t == "" else re.split(r"\s+", t, flags=re.ASCII)
+    acc = 0
+    for w in ws:
+        code = int(hashlib.md5(w.encode()).hexdigest()[:8], 16)
+        acc = (acc * 31 + code) % 1_000_000_007
+    return acc
+
+
+@settings(max_examples=5, deadline=None)
+@given(st.lists(_TEXT, min_size=1, max_size=8))
+def test_rolling_hash_matches_python_model(spark, texts):
+    from pyspark_ingestion_spark.functions.text import rolling_hash
+
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)], "id INT, t STRING")
+    got = {r["id"]: r["h"] for r in df.select("id", rolling_hash("t").alias("h")).collect()}
+    # Spark's split collapses any whitespace run like str.split; both sides
+    # see the same word sequence, so the fold must agree exactly
+    want = {i: _rolling_hash_py(t) for i, t in enumerate(texts)}
+    assert got == want
+
+
+@settings(max_examples=3, deadline=None)
+@given(
+    st.lists(st.tuples(st.integers(0, 5), st.integers(0, 100)), min_size=1, max_size=40),
+    st.lists(st.tuples(st.integers(0, 5), st.text(max_size=5)), min_size=1, max_size=8),
+)
+def test_salted_join_equals_plain_join(spark, left_rows, right_rows):
+    """Salting is a pure physical rewrite — any key distribution, any
+    duplication factor, inner-join results must match exactly."""
+    from pyspark_ingestion_spark.operators.relational import salted_join
+
+    left = spark.createDataFrame(left_rows, "k INT, v INT")
+    right = spark.createDataFrame(right_rows, "k INT, w STRING")
+    plain = sorted(map(tuple, left.join(right, "k").collect()))
+    salted = sorted(map(tuple, salted_join(left, right, on="k", n_salts=3).collect()))
+    assert salted == plain
+
+
+@settings(max_examples=3, deadline=None)
+@given(st.lists(st.text(max_size=30), min_size=1, max_size=25))
+def test_exact_dedup_partitions_the_input(spark, texts):
+    """Dedup groups form a partition: copy counts sum to the input size and
+    every keeper id is a real input id."""
+    from pyspark_ingestion_spark.operators.dedup import exact_dedup_groups
+
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)], "id INT, t STRING")
+    groups = exact_dedup_groups(df, "id", "t").collect()
+    assert sum(g["n_copies"] for g in groups) == len(texts)
+    ids = set(range(len(texts)))
+    assert all(g["keeper_id"] in ids for g in groups)
+
+
+@settings(max_examples=3, deadline=None)
+@given(st.lists(st.floats(-1e3, 1e3, allow_nan=False), min_size=2, max_size=16))
+def test_cosine_similarity_bounds_and_self_identity(spark, vec):
+    from pyspark_ingestion_spark.functions.vectors import cosine_similarity
+
+    df = spark.createDataFrame([(vec,)], "v ARRAY<DOUBLE>")
+    row = df.select(cosine_similarity("v", "v").alias("c")).first()
+    if all(x == 0 for x in vec):
+        assert row["c"] is None  # zero norm → NULL, never division blowup
+    else:
+        assert abs(row["c"] - 1.0) < 1e-9
