@@ -648,3 +648,27 @@ def map_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.try_element_at(m, F.lit("k")).alias("k_val"),
         F.size(F.map_keys(m)).alias("n_keys"),
     )
+
+
+@query(
+    "dedup_latest_by_key",
+    oracle="""
+    SELECT user_id, event_type, event_id, ts FROM (
+        SELECT user_id, event_type, event_id, ts,
+               row_number() OVER (PARTITION BY user_id, event_type
+                                  ORDER BY ts DESC, event_id) AS rn
+        FROM events)
+    WHERE rn = 1
+    """,
+)
+def dedup_latest_by_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Latest-wins CDC compaction: one deterministic survivor per key
+    (``dedupe_latest`` — dropDuplicates with a defined winner)."""
+    from pyspark_ingestion_spark.operators.relational import dedupe_latest
+
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", "event_id", "ts"
+    )
+    return dedupe_latest(
+        e, ["user_id", "event_type"], [F.desc("ts"), F.asc("event_id")]
+    )

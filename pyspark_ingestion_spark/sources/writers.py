@@ -104,3 +104,37 @@ def write_bucketed(
     if sort_columns:
         writer = writer.sortBy(*sort_columns)
     writer.saveAsTable(table)
+
+
+def compact_partitions(
+    spark,
+    path: str,
+    partition_columns: list[str],
+    file_format: str = "parquet",
+    compression: str | None = "snappy",
+    max_records_per_file: int | None = None,
+) -> None:
+    """Rewrite a partitioned lake directory to heal small-file buildup.
+
+    Incremental appends leave one file per batch per partition; after N
+    batches a partition holds N small files and scan task scheduling
+    degrades. This re-reads the layout and rewrites each partition as
+    one (or ``max_records_per_file``-bounded) file via dynamic partition
+    overwrite.
+
+    The read is detached from the target path with ``localCheckpoint``
+    (Spark refuses to overwrite a path its plan still reads from), which
+    materializes the data on executors — right-size the compaction batch
+    (compact partition subsets at very large scale, or use a
+    transactional table format where swaps are metadata-only).
+    """
+    df = spark.read.format(file_format).load(path).localCheckpoint(eager=True)
+    write_partitioned(
+        df,
+        path,
+        partition_columns=partition_columns,
+        mode="overwrite",
+        compression=compression,
+        file_format=file_format,
+        max_records_per_file=max_records_per_file,
+    )

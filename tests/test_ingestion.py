@@ -302,3 +302,31 @@ def test_unsupported_format_raises(spark, sf_dir):
 
     with pytest.raises(ValueError, match="unsupported format"):
         write_partitioned(load_table(spark, sf_dir, "region"), "/tmp/x", file_format="xml")
+
+
+def test_compact_partitions_merges_small_files(spark, sf_dir, tmp_path):
+    """Three appends → many files per partition; compaction → 1 per partition,
+    same rows."""
+    import glob
+
+    from pyspark.sql import functions as F
+
+    from pyspark_ingestion_spark.sources.readers import load_table
+    from pyspark_ingestion_spark.sources.writers import compact_partitions, write_partitioned
+
+    out = str(tmp_path / "lake")
+    src = load_table(spark, sf_dir, "orders").withColumn(
+        "YEAR", F.year("o_orderdate").cast("string")
+    )
+    for chunk in range(3):
+        write_partitioned(
+            src.filter(F.col("o_orderkey") % 3 == chunk).repartition(4),
+            out, partition_columns=["YEAR"], mode="append", compression="snappy",
+        )
+    n_before = src.count()
+    files_before = len(glob.glob(f"{out}/YEAR=*/part-*"))
+    compact_partitions(spark, out, ["YEAR"])
+    files_after = len(glob.glob(f"{out}/YEAR=*/part-*"))
+    n_parts = len(glob.glob(f"{out}/YEAR=*"))
+    assert spark.read.parquet(out).count() == n_before
+    assert files_after == n_parts < files_before
