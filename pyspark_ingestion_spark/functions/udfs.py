@@ -1,0 +1,80 @@
+"""The UDF escape hatch — Python surfaces for logic with no native expression.
+
+Engine policy (SURVEY §4 O-GAP2): native Column expressions first,
+always. The reference implemented its ENTIRE scalar surface as
+row-at-a-time Python UDFs (reference config.py:32-90 — `BatchEvalPython`,
+rows pickled one by one); this module shows the two surfaces that remain
+legitimate in the new engine and how to use them without giving up
+Arrow batching:
+
+- ``pandas_udf`` — vectorized scalar functions (Arrow column batches,
+  10-100× faster than row UDFs) for model scoring / library calls.
+- ``udtf`` — user-defined TABLE functions (one row in → many rows out)
+  for custom flattening/generation the built-in generators can't do.
+
+Both demos reimplement logic the engine also has natively, so the
+driver's oracle can verify the Python path BIT-EXACTLY against SQL —
+proving the escape hatch preserves semantics, not just shape. The
+tokenizer mirrors the engine's ASCII-``\\s`` split semantics (Java/RE2
+regex, NOT Python's Unicode ``str.split``).
+
+NOTE the decorator placement: ``pandas_udf``/``udtf`` are applied at
+CALL time, not import time — executors re-import this module when
+unpickling, and the decorators need the JVM, which Python workers
+don't have.
+"""
+
+from __future__ import annotations
+
+import re
+
+import pandas as pd
+
+
+def _ascii_words(text: str | None) -> list[str]:
+    """words() semantics: trim ASCII spaces, split on ASCII whitespace runs."""
+    if text is None:
+        return []
+    t = text.strip(" ")
+    return [] if t == "" else re.split(r"\s+", t, flags=re.ASCII)
+
+
+def _quality_batch(text: pd.Series) -> pd.Series:
+    """Vectorized quality score: (letters/chars) × min(1, words/20)."""
+    chars = text.str.len().astype("float64")
+    letters = text.str.count(r"[A-Za-z]").astype("float64")
+    words = text.map(lambda t: float(len(_ascii_words(t))))
+    import numpy as np
+
+    score = (letters / chars) * (words / 20.0).clip(upper=1.0)
+    # half-UP to 6 dp: SQL ROUND (Spark/DuckDB) rounds .5 away from zero,
+    # pandas .round is banker's half-even — they differ on exact boundaries
+    return np.floor(score.where(chars > 0, 0.0) * 1e6 + 0.5) / 1e6
+
+
+def quality_score_pandas():
+    """Arrow-vectorized scalar UDF reimplementing functions.text.quality_score."""
+    from pyspark.sql.functions import pandas_udf
+
+    return pandas_udf(_quality_batch, "double")
+
+
+class SplitWordsUDTF:
+    """Table function: text → one row per (word, 0-based position).
+
+    The generator shape ``explode``/``posexplode`` already covers for
+    arrays; a UDTF earns its keep when the expansion needs real Python
+    (custom tokenizers, parsers, model-driven span extraction). Pure and
+    deterministic here, so Catalyst may evaluate it freely.
+    """
+
+    def eval(self, text: str | None):
+        for i, w in enumerate(_ascii_words(text)):
+            yield w, i
+
+
+def split_words_udtf():
+    """The registered form of SplitWordsUDTF (returnType bound at call time)."""
+    from pyspark.sql.functions import udtf
+
+    return udtf(SplitWordsUDTF, returnType="word string, pos int")

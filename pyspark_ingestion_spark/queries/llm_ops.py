@@ -579,3 +579,46 @@ def corpus_clean_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("doc_id", "fp", "quality", "n_copies")
     )
+
+
+@query(
+    "udf_pandas_quality",
+    oracle=r"""
+    SELECT doc_id,
+           CASE WHEN length(text) = 0 THEN 0.0
+                ELSE ROUND((len(regexp_extract_all(text, '[A-Za-z]')) / length(text))
+                           * least(1.0, len(string_split_regex(trim(text), '\s+')) / 20.0), 6)
+           END AS quality
+    FROM documents
+    """,
+)
+def udf_pandas_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-vectorized pandas_udf path, bit-exact against the SQL oracle —
+    the sanctioned escape hatch (vs the reference's row-pickled UDFs)."""
+    from pyspark_ingestion_spark.functions.udfs import quality_score_pandas
+
+    d = load_table(spark, sf_dir, "documents")
+    return d.select("doc_id", quality_score_pandas()("text").alias("quality"))
+
+
+@query(
+    "udtf_split_words",
+    oracle=r"""
+    WITH w AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS ws
+               FROM documents)
+    SELECT doc_id, ws[pos + 1] AS word, CAST(pos AS INT) AS pos
+    FROM w, LATERAL (SELECT unnest(range(len(ws))) AS pos) p
+    """,
+)
+def udtf_split_words(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """User-defined table function (lateral join): text → (word, pos) rows."""
+    from pyspark_ingestion_spark.functions.udfs import split_words_udtf
+
+    spark.udtf.register("split_words_udtf", split_words_udtf())
+    load_table(spark, sf_dir, "documents").createOrReplaceTempView("docs_udtf_src")
+    return spark.sql(
+        """
+        SELECT d.doc_id, s.word, s.pos
+        FROM docs_udtf_src d, LATERAL split_words_udtf(d.text) s
+        """
+    )

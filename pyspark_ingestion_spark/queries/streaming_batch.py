@@ -224,3 +224,52 @@ def streaming_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id", "user_id", "first_type"
     )
     return run_stream_to_memory(joined, output_mode="append")
+
+
+@query(
+    "streaming_stream_stream_join",
+    oracle="""
+    SELECT a.event_id AS purchase_id, b.event_id AS click_id,
+           a.user_id, a.ts AS purchase_ts, b.ts AS click_ts
+    FROM events a JOIN events b
+      ON a.user_id = b.user_id
+     AND a.event_type = 'purchase' AND b.event_type = 'click'
+     AND b.ts >= a.ts - INTERVAL 1 HOUR AND b.ts <= a.ts
+    """,
+)
+def streaming_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream inner join: purchases matched to same-user clicks in
+    the preceding hour.
+
+    Both sides carry event-time watermarks so the state store can evict
+    rows outside the join window — the bounded-state construction that
+    lets this run forever on unbounded streams. On the static source one
+    AvailableNow pass yields exactly the batch interval-join result.
+    """
+    purchases = (
+        read_stream_table(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            "user_id",
+            F.col("ts").alias("purchase_ts"),
+        )
+        .withWatermark("purchase_ts", "2 hours")
+    )
+    clicks = (
+        read_stream_table(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id").alias("click_user"),
+            F.col("ts").alias("click_ts"),
+        )
+        .withWatermark("click_ts", "2 hours")
+    )
+    joined = purchases.join(
+        clicks,
+        (F.col("user_id") == F.col("click_user"))
+        & (F.col("click_ts") >= F.col("purchase_ts") - F.expr("INTERVAL 1 HOUR"))
+        & (F.col("click_ts") <= F.col("purchase_ts")),
+    ).select("purchase_id", "click_id", "user_id", "purchase_ts", "click_ts")
+    return run_stream_to_memory(joined, output_mode="append")

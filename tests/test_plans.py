@@ -23,7 +23,8 @@ _REGISTRY = all_queries()
 
 #: queries that intentionally cross into Python (Arrow-batched decode)
 _PANDAS_OK = {"multimodal_decode", "multimodal_frame_sample",
-              "multimodal_features", "multimodal_resize"}
+              "multimodal_features", "multimodal_resize",
+              "udf_pandas_quality", "udtf_split_words"}
 
 #: queries that run/collect eagerly or stream — plan introspection n/a
 _SKIP = {"ddl_ctas_roundtrip", "ddl_partitioned_lake_msck",
