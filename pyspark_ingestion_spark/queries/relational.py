@@ -672,3 +672,29 @@ def dedup_latest_by_key(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedupe_latest(
         e, ["user_id", "event_type"], [F.desc("ts"), F.asc("event_id")]
     )
+
+
+@query(
+    "agg_percentiles",
+    oracle="""
+    SELECT l_returnflag,
+           ROUND(quantile_cont(l_extendedprice, 0.25), 4) AS p25,
+           ROUND(quantile_cont(l_extendedprice, 0.5), 4)  AS p50,
+           ROUND(quantile_cont(l_extendedprice, 0.75), 4) AS p75,
+           ROUND(median(l_discount), 4) AS median_disc
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def agg_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact percentiles (linear interpolation) per group — Spark
+    ``percentile`` ≡ DuckDB ``quantile_cont``. The exact form is the
+    oracle-checkable complement to ``approx_percentile`` (which, like
+    HLL, is engine-specific and only rows-only checkable)."""
+    l = load_table(spark, sf_dir, "lineitem")
+    return l.groupBy("l_returnflag").agg(
+        F.round(F.percentile("l_extendedprice", F.lit(0.25)), 4).alias("p25"),
+        F.round(F.percentile("l_extendedprice", F.lit(0.5)), 4).alias("p50"),
+        F.round(F.percentile("l_extendedprice", F.lit(0.75)), 4).alias("p75"),
+        F.round(F.median("l_discount"), 4).alias("median_disc"),
+    )
