@@ -330,3 +330,78 @@ def test_compact_partitions_merges_small_files(spark, sf_dir, tmp_path):
     n_parts = len(glob.glob(f"{out}/YEAR=*"))
     assert spark.read.parquet(out).count() == n_before
     assert files_after == n_parts < files_before
+
+
+def test_overwrite_mode_retry_is_idempotent(spark, tmp_path):
+    """The documented exactly-once contract (SURVEY §4 O-GAP6): with
+    mode='overwrite' (dynamic partition overwrite), re-running a batch
+    after a crash-between-data-and-watermark rewrites the same partitions
+    instead of duplicating rows."""
+    table_path = str(tmp_path / "lims" / "retry")
+    rows = [
+        (1, dt.datetime(2020, 5, 1, 10), 1.0, "OK"),
+        (2, dt.datetime(2020, 5, 2, 11), 2.0, "OK"),
+    ]
+    schema = "sample_id long, MODIFIED_ON timestamp, result double, status string"
+    df = spark.createDataFrame(rows, schema)
+    settings = TableSettings(
+        ref_column="MODIFIED_ON", ref_first_value="2020-01-01T00:00:00.000000Z"
+    )
+    r1 = ingest_table(df, "lims", "retry", table_path, settings, mode="overwrite")
+    assert r1.n_rows == 2
+
+    # simulate crash after data write but before watermark commit:
+    # reset sync.json to the initial state and re-run the same batch
+    os.remove(os.path.join(table_path, "sync.json"))
+    r2 = ingest_table(df, "lims", "retry", table_path, settings, mode="overwrite")
+    assert r2.n_rows == 2
+    # dynamic overwrite replaced the partitions — no duplicates
+    assert spark.read.parquet(table_path).count() == 2
+
+
+# ------------------------------------------------------------- CLI
+
+def test_cli_parse_dd_and_file_ingest(spark, tmp_path):
+    """End-to-end CLI: data-dictionary CSV → settings JSON → file-source
+    ingest of one table (reference bin/ flow without JDBC/3DES)."""
+    from pyspark_ingestion_spark.cli import main
+
+    # data dictionary → table settings
+    dd = tmp_path / "dd.csv"
+    dd.write_text(
+        "TABLE_SCHEMA,TABLE_NAME,COLUMN_NAME,INCREMENTAL_REFERENCE\n"
+        "S,T1,sample_id,\n"
+        "S,T1,MODIFIED_ON,MODIFIED_ON\n"
+        "S,T1,result,\n"
+    )
+    out_json = tmp_path / "table-settings.json"
+    assert main(["parse-dd", "--csv", str(dd), "--out", str(out_json)]) == 0
+    table_settings = json.loads(out_json.read_text())
+    assert table_settings["S.T1"]["ref_column"] == "MODIFIED_ON"
+
+    # staged source parquet
+    src = tmp_path / "staged.parquet"
+    rows = [(1, dt.datetime(2020, 5, 1, 10), 1.0), (2, dt.datetime(2020, 6, 1, 11), 2.0)]
+    spark.createDataFrame(rows, "sample_id long, MODIFIED_ON timestamp, result double")\
+        .write.parquet(str(src))
+
+    # settings catalog wiring the parsed table under system 'lims'
+    settings_doc = {
+        "connection": {
+            "lims": {"dbms": "oracle", "table-settings": {
+                "S.T1": {k: v for k, v in table_settings["S.T1"].items()
+                         if k in ("ref_column", "ref_first_value", "columns_to_import")}
+            }}
+        }
+    }
+    settings_path = tmp_path / "settings.json"
+    settings_path.write_text(json.dumps(settings_doc))
+
+    lake = tmp_path / "lake"
+    assert main([
+        "ingest", "--settings", str(settings_path), "--system", "lims",
+        "--table", "S.T1", "--base-path", str(lake), "--source-path", str(src),
+    ]) == 0
+    out = spark.read.parquet(str(lake / "lims" / "S.T1"))
+    assert out.count() == 2
+    assert os.path.exists(str(lake / "lims" / "S.T1" / "sync.json"))

@@ -123,3 +123,33 @@ def test_bucketed_join_is_shuffle_free(spark, sf_dir):
     finally:
         spark.sql("DROP TABLE IF EXISTS b_orders")
         spark.sql("DROP TABLE IF EXISTS b_lineitem")
+
+
+def test_lake_partition_pruning(spark, sf_dir, tmp_path):
+    """Static partition pruning: a YEAR= filter on the lake layout must
+    scan only the matching directory (PartitionFilters, not a full scan)."""
+    from pyspark.sql import functions as F
+
+    from pyspark_ingestion_spark.sources.readers import load_table
+    from pyspark_ingestion_spark.sources.writers import write_partitioned
+
+    out = str(tmp_path / "pruned")
+    src = load_table(spark, sf_dir, "orders").withColumn(
+        "YEAR", F.year("o_orderdate").cast("string")
+    )
+    write_partitioned(src, out, partition_columns=["YEAR"], mode="overwrite",
+                      compression="snappy")
+    df = spark.read.parquet(out).filter(F.col("YEAR") == "1997")
+    plan = formatted_plan(df)
+    assert "PartitionFilters" in plan and "1997" in plan, plan
+    expected = src.filter(F.col("YEAR") == "1997").count()
+    assert df.count() == expected
+
+
+def test_semi_and_anti_join_shapes(spark, sf_dir):
+    """q4 must plan as a LeftSemi and q22 as a LeftAnti — the EXISTS /
+    NOT EXISTS semantics never degenerate into inner joins + distinct."""
+    q4 = formatted_plan(_REGISTRY["q4_order_priority"].fn(spark, sf_dir))
+    assert "LeftSemi" in q4, q4
+    q22 = formatted_plan(_REGISTRY["q22_sales_opportunity"].fn(spark, sf_dir))
+    assert "LeftAnti" in q22, q22
