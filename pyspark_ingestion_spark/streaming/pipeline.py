@@ -130,3 +130,34 @@ def stream_ingest_partitioned(
         writer = writer.partitionBy(*partition_columns)
     q = writer.start()
     q.awaitTermination()
+
+
+def stream_foreach_batch_overwrite(
+    stream_df: DataFrame,
+    path: str,
+    checkpoint: str,
+    partition_columns: list[str],
+) -> None:
+    """Streaming sink via ``foreachBatch`` + dynamic partition overwrite.
+
+    The escape hatch for sinks Structured Streaming lacks natively (JDBC
+    upserts, REST, multi-table fan-out): each micro-batch arrives as a
+    BATCH DataFrame, so the whole batch writer/connector surface applies.
+    Combined with dynamic partition overwrite, a replayed micro-batch
+    (restart between sink write and checkpoint commit) rewrites its
+    partitions instead of duplicating — idempotence without sink-side
+    transactions. The modern form of the reference's per-batch
+    write-then-advance-sync loop (reference ingestion.py:80-96).
+    """
+    from pyspark_ingestion_spark.sources.writers import overwrite_partitions
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        overwrite_partitions(batch_df, path, partition_columns)
+
+    q = (
+        stream_df.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

@@ -153,3 +153,19 @@ def test_semi_and_anti_join_shapes(spark, sf_dir):
     assert "LeftSemi" in q4, q4
     q22 = formatted_plan(_REGISTRY["q22_sales_opportunity"].fn(spark, sf_dir))
     assert "LeftAnti" in q22, q22
+
+
+def test_aqe_coalesces_shuffle_partitions(spark, sf_dir):
+    """AQE is not just enabled — it acts: after execution the final plan
+    shows AQEShuffleRead coalescing the configured shuffle partitions
+    down to what the data volume warrants."""
+    from pyspark_ingestion_spark.sources.readers import load_table
+
+    df = (
+        load_table(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .count()
+    )
+    df.collect()  # materialize so AdaptiveSparkPlan finalizes
+    plan = formatted_plan(df)
+    assert "AQEShuffleRead" in plan, plan

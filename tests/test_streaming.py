@@ -76,3 +76,26 @@ def test_tumbling_counts_total_preserved(spark, sf_dir):
     e = load_table(spark, sf_dir, "events")
     agg = tumbling_counts(e, "1 hour")
     assert agg.agg(F.sum("n")).first()[0] == e.count()
+
+
+def test_foreach_batch_overwrite_sink(spark, sf_dir, tmp_path):
+    """foreachBatch + dynamic partition overwrite: replaying the stream
+    with a FRESH checkpoint (simulated replay) rewrites partitions
+    instead of duplicating rows."""
+    out = str(tmp_path / "fb_lake")
+    stream = read_stream_table(spark, sf_dir, "events").withColumn(
+        "YEAR", F.year("ts").cast("string")
+    )
+    from pyspark_ingestion_spark.streaming.pipeline import stream_foreach_batch_overwrite
+
+    stream_foreach_batch_overwrite(stream, out, str(tmp_path / "ck1"), ["YEAR"])
+    n = spark.read.parquet(out).count()
+    assert n == spark.read.parquet(f"{sf_dir}/events.parquet").count()
+
+    # replay everything (new checkpoint → batch re-delivered) — overwrite
+    # keeps the sink idempotent where plain append would double it
+    stream2 = read_stream_table(spark, sf_dir, "events").withColumn(
+        "YEAR", F.year("ts").cast("string")
+    )
+    stream_foreach_batch_overwrite(stream2, out, str(tmp_path / "ck2"), ["YEAR"])
+    assert spark.read.parquet(out).count() == n
