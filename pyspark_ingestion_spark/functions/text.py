@@ -94,8 +94,9 @@ def lang_id(text: Column | str) -> Column:
     """
     scores = lang_scores(text)
     pairs = [F.struct(v.alias("score"), F.lit(k).alias("lang")) for k, v in sorted(scores.items())]
-    # array_max picks highest score; for equal scores the LATER lang code wins,
-    # so negate: sort pairs by (score, reversed lang) — use greatest over structs
+    # greatest over (score, lang) structs: highest score wins; on equal
+    # scores the lexicographically GREATEST lang code wins ('fr' > 'es' >
+    # 'en') — the rule the oracle pins, do not "fix" to lowest-wins
     best = F.greatest(*pairs) if len(pairs) > 1 else pairs[0]
     return F.when(best["score"] > 0, best["lang"]).otherwise(F.lit("und"))
 

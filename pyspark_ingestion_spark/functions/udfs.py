@@ -40,16 +40,22 @@ def _ascii_words(text: str | None) -> list[str]:
 
 
 def _quality_batch(text: pd.Series) -> pd.Series:
-    """Vectorized quality score: (letters/chars) × min(1, words/20)."""
-    chars = text.str.len().astype("float64")
-    letters = text.str.count(r"[A-Za-z]").astype("float64")
-    words = text.map(lambda t: float(len(_ascii_words(t))))
+    """Vectorized quality score: (letters/chars) × min(1, words/20).
+
+    NULL in → NULL out (nullable Float64 + pd.NA → Arrow null), matching
+    the native expression and the SQL oracle — float NaN would NOT do
+    this (Spark keeps NaN distinct from NULL).
+    """
     import numpy as np
 
+    chars = text.str.len().astype("float64")
+    letters = text.str.count(r"[A-Za-z]").astype("float64")
+    words = text.map(lambda t: float(len(_ascii_words(t))), na_action="ignore")
     score = (letters / chars) * (words / 20.0).clip(upper=1.0)
     # half-UP to 6 dp: SQL ROUND (Spark/DuckDB) rounds .5 away from zero,
     # pandas .round is banker's half-even — they differ on exact boundaries
-    return np.floor(score.where(chars > 0, 0.0) * 1e6 + 0.5) / 1e6
+    rounded = np.floor(score.where(chars > 0, 0.0) * 1e6 + 0.5) / 1e6
+    return pd.Series(rounded, dtype="Float64").mask(text.isna(), pd.NA)
 
 
 def quality_score_pandas():

@@ -54,6 +54,25 @@ def format_watermark(ts: dt.datetime) -> str:
     return ts.strftime(SYNC_DATETIME_FORMAT)
 
 
+def _require_local_path(table_path: str) -> None:
+    """The JSON watermark store is local-filesystem only — fail loud on URIs.
+
+    ``os.path`` silently treats ``gs://...`` as a relative local path: the
+    watermark would 'reset' every run (duplicating every batch) while
+    writes landed in a bogus local ``gs:/`` directory. Object-store
+    deployments should keep the lake remote but the sync state on a
+    driver-local/shared-posix path, or swap this module for a
+    metadata-table backend (the pipeline only touches it through
+    read_watermark/write_watermark).
+    """
+    if "://" in table_path:
+        raise NotImplementedError(
+            f"JSON watermark store requires a local filesystem path, got "
+            f"{table_path!r}; point the sync store at a local/posix path or "
+            "use a metadata-table backend"
+        )
+
+
 def read_watermark(
     table_path: str,
     system: str,
@@ -65,6 +84,7 @@ def read_watermark(
 
     Parity: reference ``read_sync_file`` (ingestion.py:143-158).
     """
+    _require_local_path(table_path)
     path = os.path.join(table_path, SYNC_FILENAME)
     if os.path.exists(path):
         with open(path) as f:
@@ -80,6 +100,7 @@ def write_watermark(wm: Watermark, table_path: str) -> None:
     the last batch, which the dynamic-partition-overwrite writer makes
     idempotent (SURVEY §4 O-GAP6).
     """
+    _require_local_path(table_path)
     os.makedirs(table_path, exist_ok=True)
     path = os.path.join(table_path, SYNC_FILENAME)
     tmp = path + ".tmp"

@@ -81,7 +81,10 @@ def jaccard_similar_pairs(
     size_a, size_b, jaccard) with doc_a < doc_b.
     """
     # the shingle table feeds three consumers (both join sides + sizes);
-    # persist so shingling runs once, not per consumer
+    # persist so shingling runs once, not per consumer. The cache is
+    # session-lived (the lazy result can't be unpersisted here); blocks
+    # are LRU-evictable, but sessions running dedup over MANY corpora
+    # should spark.catalog.clearCache() between runs
     sh = _shingle_table(df, id_col, text_col, n).persist()
     sizes = sh.groupBy("doc").agg(F.count(F.lit(1)).alias("sz"))
 

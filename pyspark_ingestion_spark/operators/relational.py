@@ -163,7 +163,15 @@ def salted_join(
     in a sort-merge join, or skewed aggregations.
 
     Result equals ``left.join(right, on, how)`` for inner/left joins.
+    Right/full-outer are rejected: the replicated right side would emit
+    unmatched right rows once per salt copy (silently wrong results).
     """
+    if how.replace("outer", "").strip("_") not in ("inner", "left", "leftouter"):
+        raise ValueError(
+            f"salted_join supports inner/left joins only, got how={how!r}: "
+            "the right side is replicated per salt, so right/full outer "
+            "would duplicate unmatched right rows"
+        )
     salt = F.pmod(F.hash(*[F.col(c) for c in left.columns]), F.lit(n_salts))
     l_salted = left.withColumn("__salt", salt)
     r_salted = right.withColumn(

@@ -88,6 +88,10 @@ def register_lake_table(
     )
     try:
         spark.sql(f"MSCK REPAIR TABLE {table}")
-    except Exception:
-        pass  # unpartitioned tables have nothing to repair
+    except Exception as e:
+        # only the "table isn't partitioned" case is benign; metastore or
+        # permission failures must surface, not masquerade as an empty table
+        msg = str(e).upper()
+        if "PARTITION" not in msg:
+            raise
     return spark.table(table)

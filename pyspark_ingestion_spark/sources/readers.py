@@ -51,11 +51,17 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     nanos_cols = _nanos_timestamp_cols(path)
     if not nanos_cols:
         return spark.read.parquet(path)
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # restore the PRIOR value, never hard-reset to false: a live streaming
+    # query over a nanos table (read_stream_table) needs the conf to stay
+    # true across its micro-batches, while this batch read bakes the conf
+    # at DataFrame creation and doesn't need it afterwards
+    key = "spark.sql.legacy.parquet.nanosAsLong"
+    prev = spark.conf.get(key, "false")
+    spark.conf.set(key, "true")
     try:
         df = spark.read.parquet(path)
     finally:
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "false")
+        spark.conf.set(key, prev)
     for c in nanos_cols:
         # integer div, not float div: ns values overflow double's 53-bit mantissa
         df = df.withColumn(c, F.expr(f"timestamp_micros(`{c}` div 1000)"))
@@ -138,12 +144,17 @@ def read_jdbc(
     for k, v in options.items():
         reader = reader.option(k, str(v))
     if predicates:
-        # push each predicate as one remote-side partition query
-        return spark.read.jdbc(jdbc_url, table, predicates=predicates, properties={
+        # push each predicate as one remote-side partition query; ALL
+        # options ride along as connection properties (dropping e.g.
+        # sessionInitStatement/queryTimeout here would silently detune
+        # exactly the incremental-ingest hot path)
+        props = {
             k: str(v)
-            for k, v in {"driver": driver, "fetchsize": fetchsize, "user": user, "password": password}.items()
+            for k, v in {"driver": driver, "fetchsize": fetchsize,
+                         "user": user, "password": password, **options}.items()
             if v is not None
-        })
+        }
+        return spark.read.jdbc(jdbc_url, table, predicates=predicates, properties=props)
     return reader.load()
 
 

@@ -113,6 +113,7 @@ def compact_partitions(
     file_format: str = "parquet",
     compression: str | None = "snappy",
     max_records_per_file: int | None = None,
+    checkpoint_dir: str | None = None,
 ) -> None:
     """Rewrite a partitioned lake directory to heal small-file buildup.
 
@@ -122,13 +123,22 @@ def compact_partitions(
     one (or ``max_records_per_file``-bounded) file via dynamic partition
     overwrite.
 
-    The read is detached from the target path with ``localCheckpoint``
-    (Spark refuses to overwrite a path its plan still reads from), which
-    materializes the data on executors — right-size the compaction batch
-    (compact partition subsets at very large scale, or use a
-    transactional table format where swaps are metadata-only).
+    The read must be detached from the target path (Spark refuses to
+    overwrite a path its plan still reads from). Default is
+    ``localCheckpoint`` — executor-memory blocks with NO lineage
+    fallback: losing an executor mid-compaction after the overwrite
+    started is unrecoverable. Pass ``checkpoint_dir`` to use a reliable
+    checkpoint (HDFS/object store) instead for production compaction, or
+    use a transactional table format where swaps are metadata-only.
+    Either way, right-size the batch: compact partition subsets at very
+    large scale.
     """
-    df = spark.read.format(file_format).load(path).localCheckpoint(eager=True)
+    df = spark.read.format(file_format).load(path)
+    if checkpoint_dir:
+        spark.sparkContext.setCheckpointDir(checkpoint_dir)
+        df = df.checkpoint(eager=True)
+    else:
+        df = df.localCheckpoint(eager=True)
     write_partitioned(
         df,
         path,

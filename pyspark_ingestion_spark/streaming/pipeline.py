@@ -151,7 +151,27 @@ def stream_foreach_batch_overwrite(
     """
     from pyspark_ingestion_spark.sources.writers import overwrite_partitions
 
+    # REQUIREMENT: partition_columns must be batch-aligned (each partition
+    # value appears in at most one micro-batch — e.g. an ingest-date or
+    # source-file column). If two batches carried rows of the same
+    # partition, the second overwrite would DELETE the first batch's rows.
+    # The guard below fails the query instead of losing data silently.
+    seen_partitions: set[tuple] = set()
+
     def sink(batch_df: DataFrame, batch_id: int) -> None:
+        parts = {
+            tuple(r[c] for c in partition_columns)
+            for r in batch_df.select(*partition_columns).distinct().collect()
+        }
+        clash = parts & seen_partitions
+        if clash:
+            raise ValueError(
+                f"batch {batch_id} touches partitions already written by an "
+                f"earlier micro-batch ({sorted(clash)[:3]}...): overwrite would "
+                "drop their rows. Use batch-aligned partition columns (e.g. "
+                "ingest date) or an append sink with downstream dedup."
+            )
+        seen_partitions.update(parts)
         overwrite_partitions(batch_df, path, partition_columns)
 
     q = (

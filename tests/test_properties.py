@@ -95,3 +95,45 @@ def test_cosine_similarity_bounds_and_self_identity(spark, vec):
         assert row["c"] is None  # zero norm → NULL, never division blowup
     else:
         assert abs(row["c"] - 1.0) < 1e-9
+
+
+def test_pandas_quality_udf_null_matches_native(spark):
+    """NULL text → NULL from BOTH the native expression and the pandas UDF
+    (not 0.0, not NaN) — the escape hatch keeps null semantics."""
+    from pyspark.sql import functions as F
+
+    from pyspark_ingestion_spark.functions.text import quality_score
+    from pyspark_ingestion_spark.functions.udfs import quality_score_pandas
+
+    df = spark.createDataFrame([(1, None), (2, "hello world")], "id INT, t STRING")
+    rows = df.select(
+        quality_score("t").alias("native"), quality_score_pandas()("t").alias("pandas")
+    ).collect()
+    by_id = {i: r for i, r in enumerate(rows)}
+    assert by_id[0]["native"] is None and by_id[0]["pandas"] is None
+    assert by_id[1]["native"] == by_id[1]["pandas"] is not None
+
+
+def test_salted_join_rejects_right_outer(spark):
+    import pytest
+
+    from pyspark_ingestion_spark.operators.relational import salted_join
+
+    df = spark.createDataFrame([(1, 2)], "k INT, v INT")
+    with pytest.raises(ValueError, match="inner/left"):
+        salted_join(df, df, on="k", how="full_outer")
+
+
+def test_watermark_rejects_object_store_paths(tmp_path):
+    import pytest
+
+    from pyspark_ingestion_spark.ingestion.watermark import (
+        Watermark,
+        read_watermark,
+        write_watermark,
+    )
+
+    with pytest.raises(NotImplementedError, match="local filesystem"):
+        read_watermark("gs://bucket/lake/t", "s", "t", "c", "x")
+    with pytest.raises(NotImplementedError, match="local filesystem"):
+        write_watermark(Watermark("s", "t", "c", "x"), "s3://bucket/lake/t")
