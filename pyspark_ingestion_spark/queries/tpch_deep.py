@@ -628,3 +628,82 @@ def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("numwait"), F.asc("s_name"))
         .limit(20)
     )
+
+
+@query(
+    "q2_min_cost_supplier",
+    oracle="""
+    WITH unit AS (
+        SELECT l_partkey, l_suppkey,
+               ROUND(AVG(l_extendedprice / l_quantity), 4) AS unit_price
+        FROM lineitem WHERE l_quantity > 0
+        GROUP BY l_partkey, l_suppkey
+    ),
+    best AS (
+        SELECT l_partkey, l_suppkey, unit_price,
+               min(unit_price) OVER (PARTITION BY l_partkey) AS min_price
+        FROM unit
+    )
+    SELECT p_partkey, p_type, s_suppkey, s_name, unit_price
+    FROM best
+    JOIN part ON p_partkey = l_partkey
+    JOIN supplier ON s_suppkey = l_suppkey
+    WHERE unit_price = min_price AND p_size <= 5
+    ORDER BY p_partkey, s_suppkey
+    """,
+)
+def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cheapest supplier per small part — canonical q2's correlated-min
+    subquery decorrelated into a per-part window minimum (no partsupp:
+    observed unit price from lineitem stands in for ps_supplycost)."""
+    l = load_table(spark, sf_dir, "lineitem").filter(F.col("l_quantity") > 0)
+    unit = l.groupBy("l_partkey", "l_suppkey").agg(
+        F.round(F.avg(F.col("l_extendedprice") / F.col("l_quantity")), 4).alias("unit_price")
+    )
+    best = unit.withColumn(
+        "__min", F.min("unit_price").over(Window.partitionBy("l_partkey"))
+    ).filter(F.col("unit_price") == F.col("__min"))
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_size") <= 5)
+    s = load_table(spark, sf_dir, "supplier")
+    return (
+        best.join(F.broadcast(p), best.l_partkey == p.p_partkey)
+        .join(F.broadcast(s), best.l_suppkey == s.s_suppkey)
+        .select("p_partkey", "p_type", "s_suppkey", "s_name", "unit_price")
+        .orderBy("p_partkey", "s_suppkey")
+    )
+
+
+@query(
+    "q12_priority_classes",
+    oracle="""
+    SELECT l_returnflag,
+           SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS high_line_count,
+           SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS low_line_count
+    FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+      AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+)
+def q12_priority_classes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Priority-class line counts per return flag — canonical q12's
+    IN-list CASE bucketing (no shipmode column: returnflag groups,
+    shipdate year stands in for the commit/receipt window)."""
+    l = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= _ts("1997-01-01 00:00:00"))
+        & (F.col("l_shipdate") < _ts("1998-01-01 00:00:00"))
+    )
+    o = load_table(spark, sf_dir, "orders")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(~high, 1).otherwise(0)).alias("low_line_count"),
+        )
+        .orderBy("l_returnflag")
+    )
