@@ -405,3 +405,25 @@ def test_cli_parse_dd_and_file_ingest(spark, tmp_path):
     out = spark.read.parquet(str(lake / "lims" / "S.T1"))
     assert out.count() == 2
     assert os.path.exists(str(lake / "lims" / "S.T1" / "sync.json"))
+
+
+def test_lake_schema_evolution_merge_schema(spark, tmp_path):
+    """A later batch adding a column must not break the lake: mergeSchema
+    read surfaces the union schema with NULLs for early batches."""
+    from pyspark_ingestion_spark.sources.readers import read_file
+    from pyspark_ingestion_spark.sources.writers import write_partitioned
+
+    out = str(tmp_path / "evolving")
+    v1 = spark.createDataFrame([(1, "a", "2020")], "id long, val string, YEAR string")
+    write_partitioned(v1, out, partition_columns=["YEAR"], mode="append",
+                      compression="snappy")
+    v2 = spark.createDataFrame(
+        [(2, "b", 9.5, "2021")], "id long, val string, score double, YEAR string"
+    )
+    write_partitioned(v2, out, partition_columns=["YEAR"], mode="append",
+                      compression="snappy")
+
+    back = read_file(spark, out, mergeSchema=True)
+    assert set(back.columns) == {"id", "val", "score", "YEAR"}
+    rows = {r["id"]: r for r in back.collect()}
+    assert rows[1]["score"] is None and rows[2]["score"] == 9.5

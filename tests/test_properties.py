@@ -137,3 +137,46 @@ def test_watermark_rejects_object_store_paths(tmp_path):
         read_watermark("gs://bucket/lake/t", "s", "t", "c", "x")
     with pytest.raises(NotImplementedError, match="local filesystem"):
         write_watermark(Watermark("s", "t", "c", "x"), "s3://bucket/lake/t")
+
+
+@settings(max_examples=4, deadline=None)
+@given(
+    st.lists(st.tuples(st.integers(0, 2), st.integers(0, 50)), min_size=1, max_size=20),
+    st.lists(st.tuples(st.integers(0, 2), st.integers(0, 50), st.integers(0, 99)),
+             min_size=1, max_size=20),
+)
+def test_asof_join_matches_pandas_merge_asof(spark, left_rows, right_rows):
+    """asof_join (union+window construction) must agree with pandas
+    merge_asof (backward, inclusive, by-key) — an independent model of
+    the same semantics, over arbitrary key/timestamp collisions."""
+    import pandas as pd
+
+    from pyspark_ingestion_spark.operators.relational import asof_join
+
+    # dedupe right on (key, ts): with duplicate timestamps merge_asof picks
+    # the LAST input row while the window construction picks a
+    # deterministic one — both valid as-of semantics; pin the comparison
+    # on unambiguous inputs by keeping one payload per (key, ts)
+    right_map = {}
+    for k, ts, payload in right_rows:
+        right_map[(k, ts)] = payload
+    right_rows = [(k, ts, p) for (k, ts), p in right_map.items()]
+
+    left = spark.createDataFrame(left_rows, "k INT, lts INT")
+    right = spark.createDataFrame(right_rows, "k INT, rts INT, payload INT")
+    got = {
+        (r["k"], r["lts"]): (r["asof_rts"], r["asof_payload"])
+        for r in asof_join(left, right, by=["k"], left_ts="lts", right_ts="rts").collect()
+    }
+
+    lp = pd.DataFrame(left_rows, columns=["k", "lts"]).sort_values("lts").reset_index(drop=True)
+    rp = pd.DataFrame(right_rows, columns=["k", "rts", "payload"]).sort_values("rts").reset_index(drop=True)
+    want_df = pd.merge_asof(
+        lp, rp, left_on="lts", right_on="rts", by="k", direction="backward"
+    )
+    want = {}
+    for _, row in want_df.iterrows():
+        rts = None if pd.isna(row["rts"]) else int(row["rts"])
+        payload = None if pd.isna(row["payload"]) else int(row["payload"])
+        want[(int(row["k"]), int(row["lts"]))] = (rts, payload)
+    assert got == want
