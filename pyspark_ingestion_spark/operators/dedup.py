@@ -143,31 +143,54 @@ def minhash_signatures(
     return _signatures_from_shingles(_shingle_table(df, id_col, text_col, n), num_hashes)
 
 
-def _signatures_from_shingles(sh: DataFrame, num_hashes: int = 8) -> DataFrame:
-    """MinHash core over an existing (doc, shingle) table."""
+def _wide_signatures(sh: DataFrame, num_hashes: int) -> DataFrame:
+    """One row per doc with ``sig0..sig{k-1}`` columns.
+
+    All k seed-mins are computed as k aggregates of ONE groupBy("doc") —
+    no seed-explode (which multiplies the shuffled shingle rows ×k) and
+    no second shuffle to reassemble the signature vector. Map-side
+    partial aggregation reduces each partition to one row per local doc
+    before the exchange, so the shuffle carries O(docs × k × 8B).
+    """
     h = F.conv(F.substring(F.md5("shingle"), 1, 7), 16, 10).cast("long")
-    seed_structs = F.explode(
-        F.array(
-            *[
-                F.struct(
-                    F.lit(i).alias("seed"),
-                    F.lit(a).alias("a"),
-                    F.lit(b).alias("b"),
-                )
-                for i, (a, b) in ((i, minhash_seed_coeffs(i)) for i in range(num_hashes))
-            ]
+    aggs = []
+    for i in range(num_hashes):
+        a, b = minhash_seed_coeffs(i)
+        aggs.append(
+            F.min((F.lit(a) * F.col("h") + F.lit(b)) % MINHASH_P).alias(f"sig{i}")
         )
-    ).alias("s")
-    return (
-        sh.select("doc", h.alias("h"), seed_structs)
-        .select(
-            "doc",
-            F.col("s.seed").alias("seed"),
-            ((F.col("s.a") * F.col("h") + F.col("s.b")) % MINHASH_P).alias("g"),
-        )
-        .groupBy("doc", "seed")
-        .agg(F.min("g").alias("sig"))
+    return sh.select("doc", h.alias("h")).groupBy("doc").agg(*aggs)
+
+
+def _signatures_from_shingles(sh: DataFrame, num_hashes: int = 8) -> DataFrame:
+    """MinHash core over an existing (doc, shingle) table → (doc, seed, sig).
+
+    Long format derived from the wide aggregate by an unpivot (stack) —
+    a per-row transform, not a shuffle.
+    """
+    stack_args = ", ".join(f"{i}, sig{i}" for i in range(num_hashes))
+    return _wide_signatures(sh, num_hashes).select(
+        "doc",
+        F.expr(f"stack({num_hashes}, {stack_args}) AS (seed, sig)"),
     )
+
+
+def _bands_from_wide(wide: DataFrame, num_hashes: int, band_size: int) -> DataFrame:
+    """(doc, band, band_key) from a wide signature row — no shuffle.
+
+    band_key = md5 over the band's signature values in seed order; two
+    docs share a band_key iff every signature in the band matches, which
+    is the only property banding needs (the encoding itself is internal).
+    """
+    n_bands = (num_hashes + band_size - 1) // band_size
+    structs = []
+    for bi in range(n_bands):
+        seeds = range(bi * band_size, min((bi + 1) * band_size, num_hashes))
+        key = F.md5(F.concat_ws("|", *[F.col(f"sig{s}").cast("string") for s in seeds]))
+        structs.append(F.struct(F.lit(bi).alias("band"), key.alias("band_key")))
+    return wide.select(
+        "doc", F.explode(F.array(*structs)).alias("b")
+    ).select("doc", F.col("b.band").alias("band"), F.col("b.band_key").alias("band_key"))
 
 
 def lsh_candidate_pairs(
@@ -175,17 +198,19 @@ def lsh_candidate_pairs(
 ) -> DataFrame:
     """LSH banding: docs agreeing on ALL hashes within any band are candidates.
 
-    band_key = md5(concat of the band's signature values) → tiny string
-    key; the candidate join is an equi-join on (band, band_key). Returns
-    distinct (doc_a, doc_b), doc_a < doc_b.
+    Accepts long-format ``(doc, seed, sig)`` signatures (the public
+    shape); pivots to wide rows, derives per-band keys row-locally, and
+    equi-joins on (band, band_key). Returns distinct (doc_a, doc_b),
+    doc_a < doc_b.
     """
-    bands = (
-        signatures.withColumn("band", (F.col("seed") / band_size).cast("int"))
-        .groupBy("doc", "band")
-        .agg(F.md5(F.concat_ws("|", F.array_sort(F.collect_list(
-            F.concat_ws(":", F.col("seed").cast("string"), F.col("sig"))
-        )))).alias("band_key"))
+    wide = signatures.groupBy("doc").pivot("seed", list(range(num_hashes))).min("sig")
+    wide = wide.select(
+        "doc", *[F.col(str(i)).alias(f"sig{i}") for i in range(num_hashes)]
     )
+    return _candidates_from_bands(_bands_from_wide(wide, num_hashes, band_size))
+
+
+def _candidates_from_bands(bands: DataFrame) -> DataFrame:
     a = bands.alias("a")
     b = bands.alias("b")
     return (
@@ -220,8 +245,8 @@ def minhash_lsh_dedup_pairs(
     # one persisted shingle table feeds signatures, both verify sides,
     # and sizes — shingling runs once instead of four times
     sh = _shingle_table(df, id_col, text_col, n).persist()
-    sigs = _signatures_from_shingles(sh, num_hashes)
-    cands = lsh_candidate_pairs(sigs, num_hashes, band_size)
+    wide = _wide_signatures(sh, num_hashes)
+    cands = _candidates_from_bands(_bands_from_wide(wide, num_hashes, band_size))
 
     sizes = sh.groupBy("doc").agg(F.count(F.lit(1)).alias("sz"))
 
