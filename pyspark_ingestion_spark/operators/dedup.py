@@ -271,6 +271,62 @@ def minhash_lsh_dedup_pairs(
     )
 
 
+def connected_components(
+    edges: DataFrame, src: str = "doc_a", dst: str = "doc_b", max_iter: int = 20
+) -> DataFrame:
+    """Connected components over an undirected edge list → (node, component).
+
+    Near-dup *pairs* aren't directly actionable — keeping one doc per
+    duplicate *cluster* needs the transitive closure (A~B, B~C ⇒ keep
+    one of {A,B,C}). Min-label propagation: every node starts labelled
+    with itself; each round joins labels across edges and takes the
+    per-node min; stop when a round changes nothing. Converges in
+    O(graph diameter) rounds — near-dup graphs are overwhelmingly tiny
+    star/chain components, so 2-4 rounds in practice. Each round is one
+    shuffle (join + partial min-agg); the convergence check collects a
+    single scalar, the only driver-side value. ``component`` is the min
+    node id of the component — a deterministic cluster id and keeper.
+
+    Nodes that appear in no edge are absent (singleton docs are their
+    own cluster by definition; callers can left-join if they need them).
+    """
+    sym = (
+        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+        .union(edges.select(F.col(dst).alias("u"), F.col(src).alias("v")))
+        .distinct()
+        .persist()
+    )
+    labels = (
+        sym.select(F.col("u").alias("node"))
+        .distinct()
+        .withColumn("label", F.col("node"))
+        .persist()
+    )
+    for _ in range(max_iter):
+        neigh = sym.join(labels, sym["u"] == labels["node"]).select(
+            F.col("v").alias("node"), F.col("label")
+        )
+        new_labels = (
+            labels.union(neigh)
+            .groupBy("node")
+            .agg(F.min("label").alias("label"))
+            .persist()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .limit(1)
+            .count()
+        )
+        labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            break
+    sym.unpersist()
+    return labels.select("node", F.col("label").alias("component"))
+
+
 def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = 16) -> DataFrame:
     """SimHash signature per document over word unigrams.
 

@@ -1,0 +1,67 @@
+"""Deterministic, engine-portable sampling and dataset splitting.
+
+Training-data pipelines need samples and train/val/test splits that are
+(a) reproducible across runs and engines — no RNG seed drift, no
+dependence on partition layout — and (b) stable under corpus growth: a
+doc's bucket never changes when other docs are added or removed, so a
+10 % sample of yesterday's corpus is a strict subset of today's.
+
+Spark's ``df.sample``/``sampleBy`` give neither (seeded per-partition
+RNG). Content-hash bucketing gives both: bucket(id) = md5(id) mod B is
+a pure function of the row's own key. The filter is a plain predicate,
+so Catalyst pushes it into the scan and no shuffle is introduced —
+at 100 TB a 1 % sample reads ~1 % of row groups' worth of work with
+zero coordination.
+
+The md5-prefix construction matches the MinHash hashing in
+operators/dedup.py (first 7 hex digits → 28-bit int), keeping the whole
+engine's hashing story uniform and DuckDB-oracle-checkable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def hash_bucket(id_col: str, buckets: int = 100) -> Column:
+    """Deterministic bucket in [0, buckets) from md5 of the key's string form."""
+    h = F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 7), 16, 10)
+    return (h.cast("long") % buckets).alias("bucket")
+
+
+def deterministic_sample(
+    df: DataFrame, id_col: str, keep: int = 10, buckets: int = 100
+) -> DataFrame:
+    """Keep rows whose hash bucket < ``keep`` — a keep/buckets fraction.
+
+    Appends the ``bucket`` column (useful for stratified downstream
+    splits of the same sample).
+    """
+    return df.withColumn("bucket", hash_bucket(id_col, buckets)).filter(
+        F.col("bucket") < keep
+    )
+
+
+def train_val_test_split(
+    df: DataFrame,
+    id_col: str,
+    train: int = 80,
+    val: int = 10,
+    buckets: int = 100,
+) -> DataFrame:
+    """Assign each row a stable ``split`` label by hash bucket.
+
+    buckets [0, train) → 'train', [train, train+val) → 'val', rest →
+    'test'. Because the bucket is a pure function of the row key, the
+    assignment is identical on every run, engine, and corpus snapshot —
+    no leakage of val/test docs into train when the corpus is re-split
+    after growth.
+    """
+    b = hash_bucket(id_col, buckets)
+    return df.withColumn("bucket", b).withColumn(
+        "split",
+        F.when(F.col("bucket") < train, F.lit("train"))
+        .when(F.col("bucket") < train + val, F.lit("val"))
+        .otherwise(F.lit("test")),
+    )

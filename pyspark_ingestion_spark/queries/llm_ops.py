@@ -26,10 +26,15 @@ from pyspark_ingestion_spark.functions.text import (
     word_count,
 )
 from pyspark_ingestion_spark.operators.dedup import (
+    connected_components,
     exact_dedup_groups,
     jaccard_similar_pairs,
     minhash_lsh_dedup_pairs,
     simhash,
+)
+from pyspark_ingestion_spark.operators.sampling import (
+    deterministic_sample,
+    train_val_test_split,
 )
 from pyspark_ingestion_spark.operators.similarity import brute_force_topk, sign_bucket_topk
 from pyspark_ingestion_spark.queries import query
@@ -245,7 +250,7 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash(8)+LSH(4 bands×2) candidates, exact-Jaccard-verified ≥ 1/2.
 
-    Fully deterministic (MD5 min-hash, string-sorted band keys) so even
+    Fully deterministic (MD5 min-hash, seed-ordered band keys) so even
     this "approximate" pipeline is oracle-checked exactly. The verify
     stage touches candidates only — the sub-quadratic structure that
     scales to 100 TB corpora.
@@ -286,6 +291,91 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """16-bit SimHash signatures (bitwise majority of MD5 word hashes)."""
     d = load_table(spark, sf_dir, "documents")
     return simhash(d, "doc_id", "text", bits=16)
+
+
+@query(
+    "dedup_clusters",
+    oracle=f"""
+    WITH RECURSIVE {_SHINGLES_CTE},
+    inter AS (SELECT a.doc AS doc_a, b.doc AS doc_b, count(*) AS intersection
+              FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc < b.doc
+              GROUP BY 1, 2),
+    pairs AS (SELECT doc_a, doc_b FROM inter
+              JOIN sizes sa ON sa.doc = doc_a
+              JOIN sizes sb ON sb.doc = doc_b
+              WHERE 2 * intersection >= 1 * (sa.sz + sb.sz - intersection)),
+    sym AS (SELECT doc_a AS u, doc_b AS v FROM pairs
+            UNION SELECT doc_b, doc_a FROM pairs),
+    reach(u, v) AS (SELECT u, v FROM sym
+                    UNION SELECT r.u, s.v FROM reach r JOIN sym s ON r.v = s.u)
+    SELECT u AS node, least(u, min(v)) AS component FROM reach GROUP BY u
+    """,
+)
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate *clusters*: connected components over verified near-dup pairs.
+
+    Pairs alone aren't actionable (A~B, B~C must keep ONE of {A,B,C});
+    min-label propagation closes the transitive hull in O(diameter)
+    rounds, each one shuffle. The oracle computes the same closure with
+    a recursive CTE — feasible at oracle scale, while the Spark side's
+    label propagation is the 100 TB path (closure materializes O(n·m)
+    pairs; propagation carries one label per node per round).
+    """
+    d = load_table(spark, sf_dir, "documents")
+    pairs = jaccard_similar_pairs(
+        d, "doc_id", "text", n=3, threshold_num=1, threshold_den=2
+    ).select("doc_a", "doc_b")
+    return connected_components(pairs)
+
+
+@query(
+    "sample_hash_mod",
+    oracle="""
+    SELECT doc_id, bucket FROM (
+        SELECT doc_id,
+               ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 7))::BIGINT % 100
+                   AS bucket
+        FROM documents)
+    WHERE bucket < 10
+    """,
+)
+def sample_hash_mod(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 10 % sample by content-hash bucket (not seeded RNG).
+
+    Reproducible across runs/engines and stable under corpus growth —
+    a doc's bucket depends only on its own key. The predicate pushes
+    into the scan; no shuffle, no coordination at 100 TB.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    return deterministic_sample(d, "doc_id", keep=10, buckets=100).select(
+        "doc_id", "bucket"
+    )
+
+
+@query(
+    "split_train_val_test",
+    oracle="""
+    SELECT doc_id, bucket,
+           CASE WHEN bucket < 80 THEN 'train'
+                WHEN bucket < 90 THEN 'val'
+                ELSE 'test' END AS split
+    FROM (SELECT doc_id,
+                 ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 7))::BIGINT % 100
+                     AS bucket
+          FROM documents)
+    """,
+)
+def split_train_val_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stable 80/10/10 train/val/test assignment by hash bucket.
+
+    Re-splitting after the corpus grows never moves an existing doc
+    between splits — the property that prevents val/test leakage into
+    train across dataset versions.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    return train_val_test_split(d, "doc_id", train=80, val=10).select(
+        "doc_id", "bucket", "split"
+    )
 
 
 # -------------------------------------------------- similarity search

@@ -180,3 +180,61 @@ def test_asof_join_matches_pandas_merge_asof(spark, left_rows, right_rows):
         payload = None if pd.isna(row["payload"]) else int(row["payload"])
         want[(int(row["k"]), int(row["lts"]))] = (rts, payload)
     assert got == want
+
+
+def test_connected_components_known_graph(spark):
+    """Chain, triangle, isolated pair — min-label propagation must close
+    the transitive hull and pick the min node id as component."""
+    from pyspark_ingestion_spark.operators.dedup import connected_components
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (4, 5), (5, 6), (4, 6), (7, 8)],
+        "doc_a long, doc_b long",
+    )
+    got = {r["node"]: r["component"] for r in connected_components(edges).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 4, 5: 4, 6: 4, 7: 7, 8: 7}
+
+
+@settings(max_examples=4, deadline=None)
+@given(st.lists(st.tuples(st.integers(0, 15), st.integers(0, 15)), min_size=1, max_size=25))
+def test_connected_components_matches_union_find(spark, edge_list):
+    """Label propagation must agree with a driver-side union-find model
+    over arbitrary small graphs (self-loops, multi-edges, long chains)."""
+    from pyspark_ingestion_spark.operators.dedup import connected_components
+
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edge_list:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    want = {n: find(n) for n in parent}
+
+    edges = spark.createDataFrame(edge_list, "doc_a long, doc_b long")
+    got = {r["node"]: r["component"] for r in connected_components(edges).collect()}
+    assert got == want
+
+
+def test_split_assignment_stable_under_corpus_growth(spark):
+    """A doc's split never changes when the corpus grows — the no-leakage
+    property hash bucketing exists for (seeded df.sample lacks it)."""
+    from pyspark_ingestion_spark.operators.sampling import train_val_test_split
+
+    small = spark.range(0, 200).withColumnRenamed("id", "doc_id")
+    big = spark.range(0, 400).withColumnRenamed("id", "doc_id")
+    s1 = {r["doc_id"]: (r["bucket"], r["split"])
+          for r in train_val_test_split(small, "doc_id").collect()}
+    s2 = {r["doc_id"]: (r["bucket"], r["split"])
+          for r in train_val_test_split(big, "doc_id").collect()}
+    assert all(s2[k] == v for k, v in s1.items())
+    assert {v[1] for v in s2.values()} == {"train", "val", "test"}
+    assert all(0 <= v[0] < 100 for v in s2.values())
+    for b, s in s2.values():
+        assert s == ("train" if b < 80 else "val" if b < 90 else "test")
