@@ -329,6 +329,49 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "corpus_dedup_keep_one",
+    oracle=f"""
+    WITH RECURSIVE {_SHINGLES_CTE},
+    inter AS (SELECT a.doc AS doc_a, b.doc AS doc_b, count(*) AS intersection
+              FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc < b.doc
+              GROUP BY 1, 2),
+    pairs AS (SELECT doc_a, doc_b FROM inter
+              JOIN sizes sa ON sa.doc = doc_a
+              JOIN sizes sb ON sb.doc = doc_b
+              WHERE 2 * intersection >= 1 * (sa.sz + sb.sz - intersection)),
+    sym AS (SELECT doc_a AS u, doc_b AS v FROM pairs
+            UNION SELECT doc_b, doc_a FROM pairs),
+    reach(u, v) AS (SELECT u, v FROM sym
+                    UNION SELECT r.u, s.v FROM reach r JOIN sym s ON r.v = s.u),
+    labels AS (SELECT u AS node, least(u, min(v)) AS component
+               FROM reach GROUP BY u),
+    dropped AS (SELECT node FROM labels WHERE node != component)
+    SELECT d.doc_id FROM documents d
+    LEFT JOIN dropped ON d.doc_id = dropped.node
+    WHERE dropped.node IS NULL
+    """,
+)
+def corpus_dedup_keep_one(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The shippable dedup output: corpus minus all non-keeper cluster members.
+
+    Composition of jaccard pairs → connected components → anti-join; the
+    anti-join's build side is (cluster members − keepers), a tiny
+    fraction of the corpus, so it broadcasts and the corpus itself never
+    shuffles. Singletons pass through untouched (they join nothing).
+    """
+    d = load_table(spark, sf_dir, "documents")
+    pairs = jaccard_similar_pairs(
+        d, "doc_id", "text", n=3, threshold_num=1, threshold_den=2
+    ).select("doc_a", "doc_b")
+    dropped = (
+        connected_components(pairs)
+        .filter(F.col("node") != F.col("component"))
+        .select(F.col("node").alias("doc_id"))
+    )
+    return d.join(F.broadcast(dropped), "doc_id", "left_anti").select("doc_id")
+
+
+@query(
     "sample_hash_mod",
     oracle="""
     SELECT doc_id, bucket FROM (
