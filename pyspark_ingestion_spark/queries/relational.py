@@ -698,3 +698,76 @@ def agg_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.percentile("l_extendedprice", F.lit(0.75)), 4).alias("p75"),
         F.round(F.median("l_discount"), 4).alias("median_disc"),
     )
+
+
+# ----------------------------------------------------------- profiling
+
+@query(
+    "profile_table",
+    oracle="""
+    SELECT 'l_orderkey' AS column_name, count(*) AS n_rows,
+           count(l_orderkey) AS n_nonnull,
+           count(DISTINCT l_orderkey) AS n_distinct,
+           CAST(min(l_orderkey) AS VARCHAR) AS min_value,
+           CAST(max(l_orderkey) AS VARCHAR) AS max_value
+    FROM lineitem
+    UNION ALL
+    SELECT 'l_linenumber', count(*), count(l_linenumber),
+           count(DISTINCT l_linenumber),
+           CAST(min(l_linenumber) AS VARCHAR), CAST(max(l_linenumber) AS VARCHAR)
+    FROM lineitem
+    UNION ALL
+    SELECT 'l_returnflag', count(*), count(l_returnflag),
+           count(DISTINCT l_returnflag),
+           min(l_returnflag), max(l_returnflag)
+    FROM lineitem
+    UNION ALL
+    SELECT 'ship_date', count(*), count(l_shipdate),
+           count(DISTINCT CAST(l_shipdate AS DATE)),
+           CAST(min(CAST(l_shipdate AS DATE)) AS VARCHAR),
+           CAST(max(CAST(l_shipdate AS DATE)) AS VARCHAR)
+    FROM lineitem
+    """,
+)
+def profile_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANALYZE-style column statistics in one aggregation pass.
+
+    Row/null/distinct counts and string-cast min/max per column — the
+    min/max of the reference column IS the incremental watermark the
+    reference computes post-load (reference ingestion.py:62-78). Spark
+    plans the multi-distinct via one Expand + aggregate, so the table is
+    scanned once no matter how many columns are profiled.
+    """
+    from pyspark_ingestion_spark.operators.profiling import profile_columns
+
+    li = load_table(spark, sf_dir, "lineitem").withColumn(
+        "ship_date", F.col("l_shipdate").cast("date")
+    )
+    return profile_columns(
+        li, ["l_orderkey", "l_linenumber", "l_returnflag", "ship_date"]
+    )
+
+
+@query(
+    "stratified_sample_by_source",
+    oracle="""
+    SELECT doc_id, source, CAST(rn AS INT) AS rn FROM (
+        SELECT doc_id, source,
+               row_number() OVER (PARTITION BY source
+                                  ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+        FROM documents)
+    WHERE rn <= 5
+    """,
+)
+def stratified_sample_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 5-per-stratum sample of documents by source.
+
+    Hash-ordered row_number per stratum — reproducible across engines
+    and runs, no RNG seed drift. One shuffle on the stratum key.
+    """
+    from pyspark_ingestion_spark.operators.sampling import stratified_sample
+
+    d = load_table(spark, sf_dir, "documents")
+    return stratified_sample(d, "doc_id", "source", k=5).select(
+        "doc_id", "source", "rn"
+    )
