@@ -8,10 +8,11 @@ doc's bucket never changes when other docs are added or removed, so a
 
 Spark's ``df.sample``/``sampleBy`` give neither (seeded per-partition
 RNG). Content-hash bucketing gives both: bucket(id) = md5(id) mod B is
-a pure function of the row's own key. The filter is a plain predicate,
-so Catalyst pushes it into the scan and no shuffle is introduced —
-at 100 TB a 1 % sample reads ~1 % of row groups' worth of work with
-zero coordination.
+a pure function of the row's own key. The filter is a per-row predicate
+evaluated inside the scan stage (md5 isn't a parquet row-group filter,
+so all rows are read — but nothing shuffles and nothing coordinates;
+the sample falls out of the single scan pass every downstream op was
+going to pay anyway).
 
 The md5-prefix construction matches the MinHash hashing in
 operators/dedup.py (first 7 hex digits → 28-bit int), keeping the whole

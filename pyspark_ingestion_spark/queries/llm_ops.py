@@ -386,8 +386,8 @@ def sample_hash_mod(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic 10 % sample by content-hash bucket (not seeded RNG).
 
     Reproducible across runs/engines and stable under corpus growth —
-    a doc's bucket depends only on its own key. The predicate pushes
-    into the scan; no shuffle, no coordination at 100 TB.
+    a doc's bucket depends only on its own key. The predicate runs
+    scan-side; no shuffle, no coordination at 100 TB.
     """
     d = load_table(spark, sf_dir, "documents")
     return deterministic_sample(d, "doc_id", keep=10, buckets=100).select(

@@ -771,3 +771,40 @@ def stratified_sample_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     return stratified_sample(d, "doc_id", "source", k=5).select(
         "doc_id", "source", "rn"
     )
+
+
+@query(
+    "agg_histogram",
+    oracle="""
+    SELECT CASE WHEN l_extendedprice < 0 THEN 0
+                WHEN l_extendedprice >= 60000 THEN 13
+                ELSE CAST(floor(l_extendedprice / 5000.0) AS INT) + 1 END AS bucket,
+           count(*) AS n,
+           ROUND(min(l_extendedprice), 2) AS lo,
+           ROUND(max(l_extendedprice), 2) AS hi
+    FROM lineitem
+    GROUP BY 1
+    """,
+)
+def agg_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-width histogram of a numeric column (profiling companion).
+
+    Spark-side uses the native width_bucket; DuckDB lacks it, so the
+    oracle spells out the identical arithmetic (floor((v-min)/w)+1 with
+    w = (max-min)/n exact in binary here, overflow buckets 0 and n+1).
+    One shuffle on the bucket id with map-side partial aggregation —
+    distribution profiling at 100 TB is a single pass.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy(
+            F.width_bucket(
+                F.col("l_extendedprice"), F.lit(0), F.lit(60000), F.lit(12)
+            ).cast("int").alias("bucket")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.min("l_extendedprice"), 2).alias("lo"),
+            F.round(F.max("l_extendedprice"), 2).alias("hi"),
+        )
+    )

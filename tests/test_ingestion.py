@@ -427,3 +427,22 @@ def test_lake_schema_evolution_merge_schema(spark, tmp_path):
     assert set(back.columns) == {"id", "val", "score", "YEAR"}
     rows = {r["id"]: r for r in back.collect()}
     assert rows[1]["score"] is None and rows[2]["score"] == 9.5
+
+
+def test_profile_columns_counts_nulls_and_distinct(spark):
+    """profile_columns must count nulls/distinct per column correctly and
+    surface min/max as strings — including the all-null column edge."""
+    from pyspark_ingestion_spark.operators.profiling import profile_columns
+
+    df = spark.createDataFrame(
+        [(1, "a", None), (2, None, None), (3, "a", None), (None, "b", None)],
+        "id long, v string, empty string",
+    )
+    got = {r["column_name"]: r for r in profile_columns(df, ["id", "v", "empty"]).collect()}
+    assert got["id"]["n_rows"] == 4
+    assert got["id"]["n_nonnull"] == 3
+    assert got["id"]["n_distinct"] == 3
+    assert got["id"]["min_value"] == "1" and got["id"]["max_value"] == "3"
+    assert got["v"]["n_nonnull"] == 3 and got["v"]["n_distinct"] == 2
+    assert got["empty"]["n_nonnull"] == 0 and got["empty"]["n_distinct"] == 0
+    assert got["empty"]["min_value"] is None and got["empty"]["max_value"] is None
