@@ -1,6 +1,6 @@
 """Deduplication operators for training-data pipelines.
 
-Four tiers, all shuffle-on-key (never cross-join the corpus):
+Four detection tiers, all shuffle-on-key (never cross-join the corpus):
 
 - exact        — hash-groupBy on a normalized fingerprint
 - n-gram Jaccard — shingle-join: pairs share work only where they share
@@ -9,6 +9,10 @@ Four tiers, all shuffle-on-key (never cross-join the corpus):
                   verify on candidates only
 - SimHash      — bitwise majority over token hashes; near-dups share the
                   64→16-bit signature (hamming-adjacent buckets)
+
+plus cluster formation: ``connected_components`` closes detected pairs
+into duplicate clusters (min-label propagation) so a pipeline can keep
+exactly one doc per cluster.
 
 Hashing is MD5 (portable across engines) — see functions/text.py. At
 100 TB the shingle/band joins shuffle `O(corpus × shingles)` small rows

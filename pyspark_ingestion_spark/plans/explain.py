@@ -34,7 +34,11 @@ def read_schema_columns(df: DataFrame) -> set[str]:
     cols: set[str] = set()
     for line in formatted_plan(df).splitlines():
         if "ReadSchema" in line:
-            cols.update(re.findall(r"(\w+):", line))
+            # parse field names inside struct<...> only — the bare
+            # r"(\w+):" would also swallow the "ReadSchema:" label
+            m = re.search(r"struct<(.*)>", line)
+            if m:
+                cols.update(re.findall(r"(\w+):", m.group(1)))
     return cols
 
 

@@ -169,3 +169,24 @@ def test_aqe_coalesces_shuffle_partitions(spark, sf_dir):
     df.collect()  # materialize so AdaptiveSparkPlan finalizes
     plan = formatted_plan(df)
     assert "AQEShuffleRead" in plan, plan
+
+
+def test_minhash_reads_only_id_and_text(spark, sf_dir):
+    """The whole MinHash-LSH DAG must hang off ONE narrow scan of
+    documents (doc_id, text) — no re-read per consumer, no extra
+    columns dragged through the shingle explode."""
+    from pyspark_ingestion_spark.plans.explain import read_schema_columns
+    from pyspark_ingestion_spark.queries import all_queries
+
+    df = all_queries()["dedup_minhash_lsh"].fn(spark, sf_dir)
+    assert read_schema_columns(df) <= {"doc_id", "text"}
+
+
+def test_keep_one_anti_join_broadcasts(spark, sf_dir):
+    """corpus_dedup_keep_one's anti-join build side (non-keeper ids) must
+    broadcast so the corpus side never shuffles for the removal."""
+    from pyspark_ingestion_spark.plans.explain import uses_broadcast_join
+    from pyspark_ingestion_spark.queries import all_queries
+
+    df = all_queries()["corpus_dedup_keep_one"].fn(spark, sf_dir)
+    assert uses_broadcast_join(df)
