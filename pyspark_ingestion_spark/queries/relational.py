@@ -808,3 +808,69 @@ def agg_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.max("l_extendedprice"), 2).alias("hi"),
         )
     )
+
+
+@query(
+    "agg_corr",
+    oracle="""
+    SELECT l_returnflag,
+           ROUND(corr(l_quantity, l_extendedprice), 6) AS corr_qty_price,
+           ROUND(covar_samp(l_quantity, l_extendedprice), 4) AS covar_qty_price,
+           ROUND(regr_slope(l_extendedprice, l_quantity), 4) AS slope_price_per_qty
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def agg_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bivariate statistics per group: correlation, covariance, regression slope.
+
+    corr/covar_samp/regr_slope share one definition across engines
+    (unlike skewness/kurtosis, where Spark reports population moments
+    and DuckDB bias-corrected sample moments — deliberately excluded).
+    Single shuffle; the moment sums combine map-side.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias("corr_qty_price"),
+        F.round(F.covar_samp("l_quantity", "l_extendedprice"), 4).alias("covar_qty_price"),
+        F.round(F.regr_slope("l_extendedprice", "l_quantity"), 4).alias("slope_price_per_qty"),
+    )
+
+
+@query(
+    "funnel_view_to_purchase",
+    oracle="""
+    SELECT v.user_id, count(*) AS n_pairs,
+           min(epoch_ms(p.ts) - epoch_ms(v.ts)) AS min_latency_ms
+    FROM (SELECT user_id, ts FROM events WHERE event_type = 'view') v
+    JOIN (SELECT user_id, ts FROM events WHERE event_type = 'purchase') p
+      ON v.user_id = p.user_id
+     AND p.ts >= v.ts AND p.ts <= v.ts + INTERVAL 1 HOUR
+    GROUP BY 1
+    """,
+)
+def funnel_view_to_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-step funnel: views converting to a purchase within one hour.
+
+    Equi-join on user plus an interval band — the user key prevents the
+    cartesian blowup a pure time-range join would have (same shape as
+    join_range). Per-user output: qualifying (view, purchase) pair count
+    and the fastest conversion latency in ms.
+    """
+    e = load_table(spark, sf_dir, "events")
+    v = e.filter(F.col("event_type") == "view").select("user_id", F.col("ts").alias("v_ts"))
+    p = e.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"), F.col("ts").alias("p_ts")
+    )
+    pairs = v.join(
+        p,
+        (v["user_id"] == p["p_user"])
+        & (p["p_ts"] >= v["v_ts"])
+        & (p["p_ts"] <= v["v_ts"] + F.expr("INTERVAL 1 HOUR")),
+    )
+    return pairs.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.min(F.unix_millis(F.col("p_ts")) - F.unix_millis(F.col("v_ts"))).alias(
+            "min_latency_ms"
+        ),
+    )
