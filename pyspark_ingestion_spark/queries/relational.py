@@ -874,3 +874,63 @@ def funnel_view_to_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
             "min_latency_ms"
         ),
     )
+
+
+@query(
+    "events_daily_gapfill",
+    oracle="""
+    WITH daily AS (SELECT CAST(ts AS DATE) AS day, count(*) AS n
+                   FROM events GROUP BY 1),
+    bounds AS (SELECT min(CAST(ts AS DATE)) AS lo, max(CAST(ts AS DATE)) AS hi
+               FROM events),
+    cal AS (SELECT CAST(unnest(generate_series(lo, hi, INTERVAL 1 DAY)) AS DATE) AS day
+            FROM bounds)
+    SELECT cal.day, COALESCE(n, 0) AS n
+    FROM cal LEFT JOIN daily ON cal.day = daily.day
+    """,
+)
+def events_daily_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily event counts with zero-filled calendar gaps.
+
+    The calendar derives from a one-row min/max aggregate exploded into
+    a date sequence — no driver-side collect, no hardcoded range. The
+    left join against the daily rollup broadcasts (a calendar is tiny at
+    any data scale), so gap-filling adds no shuffle beyond the rollup's.
+    """
+    e = load_table(spark, sf_dir, "events")
+    daily = e.groupBy(F.to_date("ts").alias("day")).agg(F.count(F.lit(1)).alias("n"))
+    bounds = e.agg(
+        F.min(F.to_date("ts")).alias("lo"), F.max(F.to_date("ts")).alias("hi")
+    )
+    cal = bounds.select(F.explode(F.sequence("lo", "hi")).alias("day"))
+    return cal.join(daily, "day", "left").select(
+        "day", F.coalesce("n", F.lit(0)).alias("n")
+    )
+
+
+@query(
+    "anomaly_zscore",
+    oracle="""
+    SELECT event_id, event_type, ROUND(z, 4) AS z FROM (
+        SELECT event_id, event_type,
+               (value - avg(value) OVER (PARTITION BY event_type))
+                   / stddev_samp(value) OVER (PARTITION BY event_type) AS z
+        FROM events)
+    WHERE abs(z) > 2
+    """,
+)
+def anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group z-score outliers: |value − group mean| > 2 group stddevs.
+
+    Window aggregates over the group key — one shuffle; flagging is a
+    post-window filter. The unrounded z feeds the comparison so the
+    threshold is exact; only the reported z is rounded.
+    """
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type")
+    z = (F.col("value") - F.avg("value").over(w)) / F.stddev_samp("value").over(w)
+    return (
+        e.select("event_id", "event_type", z.alias("z"))
+        .filter(F.abs(F.col("z")) > 2)
+        .select("event_id", "event_type", F.round("z", 4).alias("z"))
+    )
