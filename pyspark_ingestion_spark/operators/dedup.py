@@ -275,6 +275,53 @@ def minhash_lsh_dedup_pairs(
     )
 
 
+def containment_pairs(
+    corpus: DataFrame,
+    bench: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    threshold_num: int = 1,
+    threshold_den: int = 2,
+) -> DataFrame:
+    """Cross-corpus contamination: benchmark docs whose n-grams appear in
+    the training corpus.
+
+    Directional containment |shingles(b) ∩ shingles(c)| / |shingles(b)|
+    — the right metric for eval-set contamination, where the benchmark
+    doc may be small and embedded inside a much larger training doc
+    (symmetric Jaccard would dilute exactly the hits that matter). Same
+    shingle-equi-join shape as Jaccard dedup: candidate pairs exist only
+    where shingles collide, never a corpus × benchmark cross join; the
+    benchmark shingle side is typically tiny and broadcasts. Integer
+    threshold test; returns (bench_id, corpus_id, overlap, bench_size,
+    containment).
+    """
+    sb = _shingle_table(bench, id_col, text_col, n).persist()
+    sc = _shingle_table(corpus, id_col, text_col, n)
+    bsz = sb.groupBy("doc").agg(F.count(F.lit(1)).alias("bench_size"))
+    inter = (
+        sb.select(F.col("doc").alias("bench_id"), "shingle")
+        .join(sc.select(F.col("doc").alias("corpus_id"), "shingle"), "shingle")
+        .groupBy("bench_id", "corpus_id")
+        .agg(F.count(F.lit(1)).alias("overlap"))
+    )
+    return (
+        inter.join(bsz.select(F.col("doc").alias("bench_id"), "bench_size"), "bench_id")
+        .filter(
+            F.lit(threshold_den) * F.col("overlap")
+            >= F.lit(threshold_num) * F.col("bench_size")
+        )
+        .select(
+            "bench_id",
+            "corpus_id",
+            "overlap",
+            "bench_size",
+            F.round(F.col("overlap") / F.col("bench_size"), 6).alias("containment"),
+        )
+    )
+
+
 def connected_components(
     edges: DataFrame, src: str = "doc_a", dst: str = "doc_b", max_iter: int = 20
 ) -> DataFrame:

@@ -27,6 +27,7 @@ from pyspark_ingestion_spark.functions.text import (
 )
 from pyspark_ingestion_spark.operators.dedup import (
     connected_components,
+    containment_pairs,
     exact_dedup_groups,
     jaccard_similar_pairs,
     minhash_lsh_dedup_pairs,
@@ -326,6 +327,42 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         d, "doc_id", "text", n=3, threshold_num=1, threshold_den=2
     ).select("doc_a", "doc_b")
     return connected_components(pairs)
+
+
+@query(
+    "contamination_check",
+    oracle=r"""
+    WITH wb AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS ws
+                FROM documents WHERE source = 'src0'),
+    shb AS (SELECT DISTINCT doc_id AS bench_id, array_to_string(ws[i:i+2], ' ') AS shingle
+            FROM wb, LATERAL (SELECT unnest(range(1, greatest(len(ws)-2, 1) + 1)) AS i)),
+    wc AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS ws
+           FROM documents WHERE source != 'src0'),
+    shc AS (SELECT DISTINCT doc_id AS corpus_id, array_to_string(ws[i:i+2], ' ') AS shingle
+            FROM wc, LATERAL (SELECT unnest(range(1, greatest(len(ws)-2, 1) + 1)) AS i)),
+    bsz AS (SELECT bench_id, count(*) AS bench_size FROM shb GROUP BY 1),
+    inter AS (SELECT b.bench_id, c.corpus_id, count(*) AS overlap
+              FROM shb b JOIN shc c ON b.shingle = c.shingle GROUP BY 1, 2)
+    SELECT i.bench_id, i.corpus_id, i.overlap, s.bench_size,
+           ROUND(i.overlap / s.bench_size, 6) AS containment
+    FROM inter i JOIN bsz s ON i.bench_id = s.bench_id
+    WHERE 2 * i.overlap >= s.bench_size
+    """,
+)
+def contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Eval-set contamination: benchmark docs ≥50 % shingle-contained in corpus docs.
+
+    Treats source 'src0' as the benchmark set and everything else as the
+    training corpus. Directional containment (not symmetric Jaccard)
+    catches a small benchmark doc embedded in a large training doc — the
+    case contamination audits exist for.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    bench = d.filter(F.col("source") == "src0")
+    corpus = d.filter(F.col("source") != "src0")
+    return containment_pairs(
+        corpus, bench, "doc_id", "text", n=3, threshold_num=1, threshold_den=2
+    )
 
 
 @query(
