@@ -934,3 +934,44 @@ def anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.abs(F.col("z")) > 2)
         .select("event_id", "event_type", F.round("z", 4).alias("z"))
     )
+
+
+@query(
+    "retention_cohorts",
+    oracle="""
+    WITH firsts AS (SELECT user_id, CAST(date_trunc('week', min(ts)) AS DATE) AS cohort_week
+                    FROM events GROUP BY 1),
+    activity AS (SELECT DISTINCT user_id, CAST(date_trunc('week', ts) AS DATE) AS week
+                 FROM events)
+    SELECT f.cohort_week,
+           CAST(date_diff('day', f.cohort_week, a.week) // 7 AS INT) AS week_offset,
+           count(DISTINCT a.user_id) AS n_users
+    FROM activity a JOIN firsts f ON a.user_id = f.user_id
+    GROUP BY 1, 2
+    """,
+)
+def retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly retention matrix: users active N weeks after their first week.
+
+    Cohort = ISO week (Monday-truncated in both engines) of the user's
+    first event. Two shuffles on user_id (first-event agg, activity
+    distinct) that co-partition for the join, then one on the cohort
+    cell. The classic growth-analytics rollup, kept fully relational.
+    """
+    e = load_table(spark, sf_dir, "events")
+    firsts = e.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).cast("date").alias("cohort_week")
+    )
+    activity = e.select(
+        "user_id", F.date_trunc("week", F.col("ts")).cast("date").alias("week")
+    ).distinct()
+    return (
+        activity.join(firsts, "user_id")
+        .groupBy(
+            "cohort_week",
+            (F.datediff(F.col("week"), F.col("cohort_week")) / 7)
+            .cast("int")
+            .alias("week_offset"),
+        )
+        .agg(F.count_distinct("user_id").alias("n_users"))
+    )

@@ -238,3 +238,24 @@ def test_split_assignment_stable_under_corpus_growth(spark):
     assert all(0 <= v[0] < 100 for v in s2.values())
     for b, s in s2.values():
         assert s == ("train" if b < 80 else "val" if b < 90 else "test")
+
+
+def test_containment_catches_embedded_benchmark_doc(spark):
+    """A benchmark doc fully embedded in a much larger corpus doc must
+    score containment 1.0 even though symmetric Jaccard would be low."""
+    from pyspark_ingestion_spark.operators.dedup import containment_pairs
+
+    bench = spark.createDataFrame(
+        [(1, "the quick brown fox jumps")], "doc_id long, text string"
+    )
+    filler = " ".join(f"word{i}" for i in range(60))
+    corpus = spark.createDataFrame(
+        [(100, f"{filler} the quick brown fox jumps {filler}"),
+         (101, "entirely unrelated content here")],
+        "doc_id long, text string",
+    )
+    got = containment_pairs(corpus, bench, "doc_id", "text", n=3).collect()
+    assert len(got) == 1
+    row = got[0]
+    assert (row["bench_id"], row["corpus_id"]) == (1, 100)
+    assert row["containment"] == 1.0
