@@ -259,3 +259,25 @@ def test_containment_catches_embedded_benchmark_doc(spark):
     row = got[0]
     assert (row["bench_id"], row["corpus_id"]) == (1, 100)
     assert row["containment"] == 1.0
+
+
+@settings(max_examples=3, deadline=None)
+@given(st.lists(st.tuples(st.integers(0, 500), st.integers(0, 3)), min_size=1, max_size=40))
+def test_stratified_sample_bounded_and_deterministic(spark, rows):
+    """Per-stratum cap holds, ids are unique, and two runs over the same
+    input pick IDENTICAL rows (the whole point vs seeded df.sample)."""
+    from pyspark_ingestion_spark.operators.sampling import stratified_sample
+
+    rows = list({r[0]: r for r in rows}.values())  # unique ids
+    df = spark.createDataFrame(rows, "doc_id long, grp int")
+    a = {(r["doc_id"], r["grp"], r["rn"])
+         for r in stratified_sample(df, "doc_id", "grp", k=3).collect()}
+    b = {(r["doc_id"], r["grp"], r["rn"])
+         for r in stratified_sample(df, "doc_id", "grp", k=3).collect()}
+    assert a == b
+    per_grp = {}
+    for _, g, rn in a:
+        per_grp.setdefault(g, []).append(rn)
+    for g, rns in per_grp.items():
+        assert sorted(rns) == list(range(1, len(rns) + 1))
+        assert len(rns) <= 3
