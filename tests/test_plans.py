@@ -190,3 +190,30 @@ def test_keep_one_anti_join_broadcasts(spark, sf_dir):
 
     df = all_queries()["corpus_dedup_keep_one"].fn(spark, sf_dir)
     assert uses_broadcast_join(df)
+
+
+def test_headline_shuffle_budgets(spark, sf_dir):
+    """Exchange-count budgets for the bench headline set — the
+    scale-governing quantity. A regression here (a lost broadcast, a
+    redundant repartition) shows up as an extra Exchange long before it
+    shows up in local timings."""
+    from pyspark_ingestion_spark.plans.explain import shuffle_count
+    from pyspark_ingestion_spark.queries import all_queries
+
+    budgets = {
+        "q1_pricing_summary": 2,   # partial->final agg + sort
+        "q6_forecast_revenue": 1,  # global agg
+        "q3_shipping_priority": 1, # dims broadcast; one agg exchange
+        "q5_local_supplier_volume": 2,
+        "dedup_exact": 1,          # one groupBy on the fingerprint
+        "window_session": 1,       # one window shuffle on user_id
+        "ann_sign_bucket_topk": 1,
+        "corpus_clean_pipeline": 1,
+    }
+    qs = all_queries()
+    over = {
+        n: (shuffle_count(qs[n].fn(spark, sf_dir)), cap)
+        for n, cap in budgets.items()
+        if shuffle_count(qs[n].fn(spark, sf_dir)) > cap
+    }
+    assert not over, f"shuffle budget exceeded: {over}"
