@@ -446,3 +446,30 @@ def test_profile_columns_counts_nulls_and_distinct(spark):
     assert got["v"]["n_nonnull"] == 3 and got["v"]["n_distinct"] == 2
     assert got["empty"]["n_nonnull"] == 0 and got["empty"]["n_distinct"] == 0
     assert got["empty"]["min_value"] is None and got["empty"]["max_value"] is None
+
+
+def test_gapfill_and_funnel_empty_input_safe(spark):
+    """Gap-filling on an empty events set must yield zero rows (a null
+    min/max produces a null sequence, not a crash); a funnel with views
+    but no purchases must yield zero rows, not nulls."""
+    from pyspark.sql import functions as F
+
+    empty = spark.createDataFrame([], "user_id long, ts timestamp")
+    bounds = empty.agg(
+        F.min(F.to_date("ts")).alias("lo"), F.max(F.to_date("ts")).alias("hi")
+    )
+    cal = bounds.select(F.explode(F.sequence("lo", "hi")).alias("day"))
+    assert cal.count() == 0
+
+    import datetime as dt
+    v = spark.createDataFrame(
+        [(1, dt.datetime(2024, 1, 1))], "user_id long, v_ts timestamp"
+    )
+    p = spark.createDataFrame([], "p_user long, p_ts timestamp")
+    pairs = v.join(
+        p,
+        (v["user_id"] == p["p_user"])
+        & (p["p_ts"] >= v["v_ts"])
+        & (p["p_ts"] <= v["v_ts"] + F.expr("INTERVAL 1 HOUR")),
+    )
+    assert pairs.count() == 0
