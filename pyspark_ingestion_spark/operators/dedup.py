@@ -45,7 +45,50 @@ def exact_dedup_groups(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     )
 
 
-def _shingle_table(df: DataFrame, id_col: str, text_col: str, n: int) -> DataFrame:
+def _hot_shingles(sh: DataFrame, max_doc_freq: int | float) -> DataFrame:
+    """Shingles whose document frequency exceeds the cap — 1 column (shingle).
+
+    ``max_doc_freq`` is an absolute document count (int) or a fraction of
+    the corpus (float in (0, 1]). The count aggregation map-side combines
+    (skew on a hot shingle collapses before the exchange), and the result
+    is small by construction: only non-discriminative boilerplate shingles
+    exceed any sensible cap, so callers can broadcast it.
+    """
+    counts = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("__df"))
+    if isinstance(max_doc_freq, float) and not isinstance(max_doc_freq, bool):
+        if not 0.0 < max_doc_freq <= 1.0:
+            raise ValueError(f"fractional max_doc_freq must be in (0, 1], got {max_doc_freq}")
+        total = sh.select(F.count_distinct("doc").alias("__n_docs"))
+        cap = F.ceil(F.lit(max_doc_freq) * F.col("__n_docs"))
+        counts = counts.crossJoin(F.broadcast(total))
+    else:
+        cap = F.lit(int(max_doc_freq))
+    return counts.filter(F.col("__df") > cap).select("shingle")
+
+
+def _cap_doc_freq(sh: DataFrame, max_doc_freq: int | float | None) -> DataFrame:
+    """Drop shingles above the document-frequency cap (None = no cap).
+
+    Guards the shingle self-joins against quadratic blowup on a hot key:
+    one boilerplate shingle shared by 10⁶ docs yields ~10¹² pair rows at
+    100 TB, which AQE can redistribute but never shrink. Dropping
+    shingles with df > cap loses only non-discriminative shingles
+    (standard practice — they carry no similarity signal) and bounds the
+    per-shingle pair space at cap². Implemented as a broadcast anti-join,
+    so the big shingle table is never re-shuffled for the cap itself.
+    """
+    if max_doc_freq is None:
+        return sh
+    return sh.join(F.broadcast(_hot_shingles(sh, max_doc_freq)), "shingle", "left_anti")
+
+
+def _shingle_table(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int,
+    max_doc_freq: int | float | None = None,
+) -> DataFrame:
     """(id, shingle) exploded pairs — distinct shingles per doc.
 
     The word array is materialized behind a projection boundary BEFORE
@@ -65,7 +108,8 @@ def _shingle_table(df: DataFrame, id_col: str, text_col: str, n: int) -> DataFra
         F.sequence(F.lit(1), F.greatest(F.size(arr) - n + 1, F.lit(1))),
         lambda i: F.concat_ws(" ", *[F.get(arr, i + j - 1) for j in range(n)]),
     )
-    return w.select("doc", F.explode(F.array_distinct(shingled)).alias("shingle"))
+    sh = w.select("doc", F.explode(F.array_distinct(shingled)).alias("shingle"))
+    return _cap_doc_freq(sh, max_doc_freq)
 
 
 def jaccard_similar_pairs(
@@ -75,6 +119,7 @@ def jaccard_similar_pairs(
     n: int = 3,
     threshold_num: int = 1,
     threshold_den: int = 2,
+    max_doc_freq: int | float | None = None,
 ) -> DataFrame:
     """Pairs with n-gram-shingle Jaccard ≥ threshold_num/threshold_den.
 
@@ -83,13 +128,20 @@ def jaccard_similar_pairs(
         inter / (|A| + |B| - inter) ≥ p/q  ⟺  q·inter ≥ p·(|A|+|B|-inter)
     so no float-boundary flakiness. Returns (doc_a, doc_b, intersection,
     size_a, size_b, jaccard) with doc_a < doc_b.
+
+    ``max_doc_freq`` (absolute count or corpus fraction) drops shingles
+    shared by more documents than the cap BEFORE the self-join — the
+    scale guard against a hot boilerplate shingle whose pair space is
+    quadratic (see ``_cap_doc_freq``). Sizes and the Jaccard denominator
+    are computed over the capped shingle sets, so the threshold stays
+    internally consistent.
     """
     # the shingle table feeds three consumers (both join sides + sizes);
     # persist so shingling runs once, not per consumer. The cache is
     # session-lived (the lazy result can't be unpersisted here); blocks
     # are LRU-evictable, but sessions running dedup over MANY corpora
     # should spark.catalog.clearCache() between runs
-    sh = _shingle_table(df, id_col, text_col, n).persist()
+    sh = _shingle_table(df, id_col, text_col, n, max_doc_freq).persist()
     sizes = sh.groupBy("doc").agg(F.count(F.lit(1)).alias("sz"))
 
     a = sh.alias("a")
@@ -132,7 +184,12 @@ def minhash_seed_coeffs(seed: int) -> tuple[int, int]:
 
 
 def minhash_signatures(
-    df: DataFrame, id_col: str, text_col: str, n: int = 3, num_hashes: int = 8
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    num_hashes: int = 8,
+    max_doc_freq: int | float | None = None,
 ) -> DataFrame:
     """MinHash signatures: one md5 per shingle + universal-hash seed mixing.
 
@@ -144,7 +201,9 @@ def minhash_signatures(
     signatures stay bit-reproducible in any engine and written dedup
     ledgers stay comparable. Returns (doc, seed, sig).
     """
-    return _signatures_from_shingles(_shingle_table(df, id_col, text_col, n), num_hashes)
+    return _signatures_from_shingles(
+        _shingle_table(df, id_col, text_col, n, max_doc_freq), num_hashes
+    )
 
 
 def _wide_signatures(sh: DataFrame, num_hashes: int) -> DataFrame:
@@ -238,6 +297,7 @@ def minhash_lsh_dedup_pairs(
     band_size: int = 2,
     threshold_num: int = 1,
     threshold_den: int = 2,
+    max_doc_freq: int | float | None = None,
 ) -> DataFrame:
     """Full MinHash-LSH near-dup pipeline: candidates via banding, then
     exact Jaccard verification on the candidate pairs only.
@@ -245,10 +305,19 @@ def minhash_lsh_dedup_pairs(
     The verify join re-scans shingles only for docs that produced a
     candidate — the classic two-phase structure that keeps 100 TB dedup
     sub-quadratic. Returns (doc_a, doc_b, jaccard) for verified pairs.
+
+    ``max_doc_freq`` caps shingle document frequency before signatures
+    AND verify (see ``_cap_doc_freq``). Besides bounding the verify
+    join, it removes the degenerate band-bucket case: boilerplate-only
+    or empty documents, whose shingle sets collapse to the same few hot
+    shingles, would otherwise share identical signatures and pile into
+    one LSH bucket; with the cap they lose those shingles (dropping out
+    of the signature table entirely when nothing remains) instead of
+    forming a quadratic bucket.
     """
     # one persisted shingle table feeds signatures, both verify sides,
     # and sizes — shingling runs once instead of four times
-    sh = _shingle_table(df, id_col, text_col, n).persist()
+    sh = _shingle_table(df, id_col, text_col, n, max_doc_freq).persist()
     wide = _wide_signatures(sh, num_hashes)
     cands = _candidates_from_bands(_bands_from_wide(wide, num_hashes, band_size))
 
@@ -283,6 +352,7 @@ def containment_pairs(
     n: int = 3,
     threshold_num: int = 1,
     threshold_den: int = 2,
+    max_doc_freq: int | float | None = None,
 ) -> DataFrame:
     """Cross-corpus contamination: benchmark docs whose n-grams appear in
     the training corpus.
@@ -296,9 +366,19 @@ def containment_pairs(
     benchmark shingle side is typically tiny and broadcasts. Integer
     threshold test; returns (bench_id, corpus_id, overlap, bench_size,
     containment).
+
+    ``max_doc_freq`` is measured on the CORPUS side (where boilerplate
+    frequency is meaningful) and the resulting hot-shingle set is
+    dropped from BOTH sides — including the ``bench_size`` denominator —
+    so containment stays a ratio over the same shingle universe.
     """
-    sb = _shingle_table(bench, id_col, text_col, n).persist()
+    sb = _shingle_table(bench, id_col, text_col, n)
     sc = _shingle_table(corpus, id_col, text_col, n)
+    if max_doc_freq is not None:
+        hot = F.broadcast(_hot_shingles(sc, max_doc_freq))
+        sc = sc.join(hot, "shingle", "left_anti")
+        sb = sb.join(hot, "shingle", "left_anti")
+    sb = sb.persist()
     bsz = sb.groupBy("doc").agg(F.count(F.lit(1)).alias("bench_size"))
     inter = (
         sb.select(F.col("doc").alias("bench_id"), "shingle")

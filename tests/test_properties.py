@@ -281,3 +281,76 @@ def test_stratified_sample_bounded_and_deterministic(spark, rows):
     for g, rns in per_grp.items():
         assert sorted(rns) == list(range(1, len(rns) + 1))
         assert len(rns) <= 3
+
+
+def _hot_shingle_corpus(spark, n_docs=300):
+    """Every doc shares one boilerplate 3-gram; tails are unique."""
+    rows = [(i, f"aaa bbb ccc u{i} v{i} w{i}") for i in range(n_docs)]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_doc_freq_cap_drops_hot_shingle_keeps_rare(spark):
+    """Absolute and fractional caps prune exactly the over-frequent shingles."""
+    from pyspark_ingestion_spark.operators.dedup import _shingle_table
+
+    df = _hot_shingle_corpus(spark, n_docs=50)
+    uncapped = _shingle_table(df, "doc_id", "text", 3)
+    assert uncapped.filter(F.col("shingle") == "aaa bbb ccc").count() == 50
+
+    capped = _shingle_table(df, "doc_id", "text", 3, max_doc_freq=10)
+    shingles = {r["shingle"] for r in capped.collect()}
+    assert "aaa bbb ccc" not in shingles
+    # rare (unique-tail) shingles survive, every doc still represented
+    assert "u0 v0 w0" in shingles
+    assert capped.select("doc").distinct().count() == 50
+
+    frac = _shingle_table(df, "doc_id", "text", 3, max_doc_freq=0.5)
+    fshingles = {r["shingle"] for r in frac.collect()}
+    assert "aaa bbb ccc" not in fshingles  # df=50 > ceil(0.5*50)=25
+    assert "bbb ccc u0" in fshingles
+
+
+def test_doc_freq_cap_bounds_hot_shingle_pair_space(spark):
+    """A hot boilerplate shingle no longer yields a quadratic pair set.
+
+    300 docs sharing one shingle → C(300,2) = 44 850 colliding pairs
+    uncapped; with the cap the hot key is gone and the corpus has no
+    other collisions, so the pair space collapses to zero. This is the
+    100 TB guard: pair count per shingle is bounded by cap², not df².
+    """
+    from pyspark_ingestion_spark.operators.dedup import (
+        jaccard_similar_pairs,
+        minhash_lsh_dedup_pairs,
+    )
+
+    df = _hot_shingle_corpus(spark, n_docs=300)
+    uncapped = jaccard_similar_pairs(
+        df, "doc_id", "text", n=3, threshold_num=0, threshold_den=1
+    )
+    assert uncapped.count() == 300 * 299 // 2
+
+    capped = jaccard_similar_pairs(
+        df, "doc_id", "text", n=3, threshold_num=0, threshold_den=1, max_doc_freq=10
+    )
+    assert capped.count() == 0
+
+    lsh_capped = minhash_lsh_dedup_pairs(
+        df, "doc_id", "text", threshold_num=0, threshold_den=1, max_doc_freq=10
+    )
+    assert lsh_capped.count() == 0
+
+
+def test_doc_freq_cap_containment_consistent_universe(spark):
+    """Corpus-side cap removes hot shingles from bench numerator AND
+    denominator, so an all-boilerplate bench doc scores no hit instead
+    of a spurious 100% containment."""
+    from pyspark_ingestion_spark.operators.dedup import containment_pairs
+
+    corpus = _hot_shingle_corpus(spark, n_docs=40)
+    bench = spark.createDataFrame([(900, "aaa bbb ccc")], "doc_id long, text string")
+    hit = containment_pairs(corpus, bench, "doc_id", "text", n=3)
+    assert hit.count() == 40  # boilerplate matches every corpus doc uncapped
+    capped = containment_pairs(
+        corpus, bench, "doc_id", "text", n=3, max_doc_freq=10
+    )
+    assert capped.count() == 0
