@@ -55,29 +55,88 @@ def brute_force_topk(
     )
 
 
+def kmeans_centroids(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_centroids: int = 8,
+    seed: int = 42,
+    sample_fraction: float | None = None,
+) -> DataFrame:
+    """Train IVF centroids with MLlib KMeans on a (seeded) corpus sample.
+
+    The scale recipe: deterministic hash-sample of the corpus (md5 of
+    the id — reproducible regardless of partitioning, unlike
+    ``df.sample``), one KMeans fit (a handful of passes over the
+    sample), centroids persisted as a K-row DataFrame that every
+    subsequent ``ivf_topk`` call broadcasts. Fit once per corpus
+    generation, not per query batch. ``clusterCenters()`` materializes K
+    vectors on the driver — trivially small by construction.
+
+    Returns (centroid_id, cvec) with centroid ids ordered by the fitted
+    cluster index.
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    train = corpus
+    if sample_fraction is not None:
+        if not 0.0 < sample_fraction <= 1.0:
+            raise ValueError(f"sample_fraction must be in (0, 1], got {sample_fraction}")
+        den = 1_000_000
+        bucket = (
+            F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 7), 16, 10)
+            .cast("long") % den
+        )
+        train = corpus.filter(bucket < int(sample_fraction * den))
+    feats = train.select(
+        array_to_vector(F.col(vec_col).cast("array<double>")).alias("__feat")
+    )
+    model = KMeans(k=n_centroids, seed=seed, featuresCol="__feat").fit(feats)
+    rows = [
+        (i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())
+    ]
+    return corpus.sparkSession.createDataFrame(
+        rows, "centroid_id int, cvec array<double>"
+    )
+
+
 def assign_ivf_cells(
     df: DataFrame,
     centroids: DataFrame,
     id_col: str,
     vec_col: str,
+    nprobe: int = 1,
 ) -> DataFrame:
-    """Assign each vector to its nearest centroid (an IVF cell).
+    """Assign each vector to its nearest centroid(s) (IVF cells).
 
     ``centroids`` is (centroid_id, cvec) and is broadcast — the corpus
     streams past K centroids without shuffling. Nearest = max cosine,
     ties broken toward the lowest centroid id (deterministic: the max is
     taken over (rounded sim, -centroid_id) pairs). Adds a ``cell``
-    column.
+    column; with ``nprobe > 1`` each vector gets one row per probed
+    cell (its nprobe nearest centroids) — used on the query side to
+    trade compute for recall.
     """
+    if nprobe <= 1:
+        scored = df.crossJoin(F.broadcast(centroids)).select(
+            F.col(id_col),
+            F.struct(
+                F.round(cosine_similarity(vec_col, "cvec"), 6).alias("s"),
+                (-F.col("centroid_id")).alias("n"),
+            ).alias("__sc"),
+        )
+        best = scored.groupBy(id_col).agg((-F.max("__sc")["n"]).alias("cell"))
+        return df.join(best, id_col)
     scored = df.crossJoin(F.broadcast(centroids)).select(
         F.col(id_col),
-        F.struct(
-            F.round(cosine_similarity(vec_col, "cvec"), 6).alias("s"),
-            (-F.col("centroid_id")).alias("n"),
-        ).alias("__sc"),
+        F.col("centroid_id").alias("cell"),
+        F.round(cosine_similarity(vec_col, "cvec"), 6).alias("__s"),
     )
-    best = scored.groupBy(id_col).agg((-F.max("__sc")["n"]).alias("cell"))
-    return df.join(best, id_col)
+    probed = topk_per_group(
+        scored, [id_col], [F.desc("__s"), F.asc("cell")], k=nprobe
+    ).select(id_col, "cell")
+    return df.join(probed, id_col)
 
 
 def ivf_topk(
@@ -88,23 +147,30 @@ def ivf_topk(
     k: int = 5,
     n_centroids: int = 8,
     query_id_col: str = "query_id",
+    centroids: DataFrame | None = None,
+    nprobe: int = 1,
 ) -> DataFrame:
     """IVF-style ANN: coarse-quantize the corpus into centroid cells, then
-    score each query only against its own cell (nprobe=1).
+    score each query only against its probed cell(s).
 
-    The centroid set here is the first ``n_centroids`` corpus vectors by
-    id — a deterministic training stub; at scale you'd sample and run
-    k-means (MLlib) once, persist the centroids, and keep this exact
-    assignment/probe shape. Corpus cell assignment is a one-off
-    broadcast pass; per-query work is |cell|, not |corpus|. Raising
-    nprobe (probing several nearest cells) trades compute for recall —
-    the same join, a small explode wider.
+    ``centroids`` (centroid_id, cvec) normally comes from
+    ``kmeans_centroids`` — trained once, persisted, broadcast here. When
+    None, falls back to the first ``n_centroids`` corpus vectors by id:
+    a deterministic quantizer that keeps the query SQL-oracle-checkable
+    (KMeans isn't SQL-expressible) and pins the assignment/probe shape;
+    on real data its cells can be badly unbalanced, so production use is
+    trained centroids. Corpus cell assignment is a one-off broadcast
+    pass; per-query work is Σ|probed cells|, not |corpus|. ``nprobe``
+    probes the query's n nearest cells (corpus vectors stay in exactly
+    one cell, so probed cells are disjoint and no pair dedup is needed)
+    — the standard IVF recall/compute dial.
     """
-    centroids = corpus.filter(F.col(id_col) < n_centroids).select(
-        F.col(id_col).alias("centroid_id"), F.col(vec_col).alias("cvec")
-    )
+    if centroids is None:
+        centroids = corpus.filter(F.col(id_col) < n_centroids).select(
+            F.col(id_col).alias("centroid_id"), F.col(vec_col).alias("cvec")
+        )
     c = assign_ivf_cells(corpus, centroids, id_col, vec_col)
-    q = assign_ivf_cells(queries, centroids, query_id_col, vec_col).select(
+    q = assign_ivf_cells(queries, centroids, query_id_col, vec_col, nprobe=nprobe).select(
         query_id_col, F.col(vec_col).alias("__qvec"), "cell"
     )
     scored = c.join(F.broadcast(q), "cell").select(

@@ -691,7 +691,10 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     The second scale path next to sign-bucket LSH: cells adapt to the
     data distribution (centroids) instead of fixed hyperplanes. Oracle
     reproduces the identical assignment (rounded cosine, lowest-id
-    tie-break), so the check is exact.
+    tie-break), so the check is exact. This entry pins the probe SHAPE
+    with SQL-expressible stub centroids; the production quantizer is
+    ``ann_ivf_kmeans_topk`` (trained centroids, rows-only check +
+    pytest recall bound — KMeans has no SQL oracle).
     """
     from pyspark_ingestion_spark.operators.similarity import ivf_topk
 
@@ -700,6 +703,27 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("query_id"), "embedding"
     )
     return ivf_topk(e, queries, k=5, n_centroids=8)
+
+
+@query("ann_ivf_kmeans_topk", oracle=None)
+def ann_ivf_kmeans_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN with TRAINED centroids: seeded MLlib KMeans fit, nprobe=8.
+
+    The production IVF tier: centroids adapt to the actual embedding
+    distribution (vs the stub quantizer in ``ann_ivf_topk``), so cells
+    stay balanced on real data. No SQL oracle — KMeans isn't
+    SQL-expressible — so the driver records a rows-only check;
+    determinism (fixed seed) and recall@5 ≥ 0.8 vs ``brute_force_topk``
+    ground truth are pinned in tests/test_similarity.py.
+    """
+    from pyspark_ingestion_spark.operators.similarity import ivf_topk, kmeans_centroids
+
+    e = load_table(spark, sf_dir, "embeddings")
+    queries = e.filter(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    cents = kmeans_centroids(e, n_centroids=16, seed=42)
+    return ivf_topk(e, queries, k=5, centroids=cents, nprobe=8)
 
 
 @query(
