@@ -61,8 +61,14 @@ def ingest_table(
     ingestion.py:102-103), the batch row count, and the (possibly
     advanced) watermark.
     """
+    spark = df.sparkSession
     wm = read_watermark(
-        table_path, system, table_name, settings.ref_column, settings.ref_first_value
+        table_path,
+        system,
+        table_name,
+        settings.ref_column,
+        settings.ref_first_value,
+        spark=spark,
     )
 
     elab, partition_cols = prepare(system, df, settings, wm)
@@ -71,7 +77,7 @@ def ingest_table(
     # short-circuits on the first row; also guards Observation.get, which
     # has no metrics row when a write job runs zero tasks
     if elab.isEmpty():
-        write_watermark(wm, table_path)
+        write_watermark(wm, table_path, spark=spark)
         return IngestResult(moved_something=False, n_rows=0, watermark=wm)
 
     obs = Observation(f"ingest_{system}_{table_name}")
@@ -93,5 +99,5 @@ def ingest_table(
     n_rows = metrics["n_rows"]
     if n_rows > 0 and metrics["max_ref"] is not None:
         wm = Watermark(system, table_name, ref, format_watermark(metrics["max_ref"]))
-    write_watermark(wm, table_path)
+    write_watermark(wm, table_path, spark=spark)
     return IngestResult(moved_something=n_rows > 0, n_rows=n_rows, watermark=wm)

@@ -54,23 +54,35 @@ def format_watermark(ts: dt.datetime) -> str:
     return ts.strftime(SYNC_DATETIME_FORMAT)
 
 
-def _require_local_path(table_path: str) -> None:
-    """The JSON watermark store is local-filesystem only — fail loud on URIs.
+def _is_uri(table_path: str) -> bool:
+    return "://" in table_path
 
-    ``os.path`` silently treats ``gs://...`` as a relative local path: the
-    watermark would 'reset' every run (duplicating every batch) while
-    writes landed in a bogus local ``gs:/`` directory. Object-store
-    deployments should keep the lake remote but the sync state on a
-    driver-local/shared-posix path, or swap this module for a
-    metadata-table backend (the pipeline only touches it through
-    read_watermark/write_watermark).
+
+def _hadoop_fs(table_path: str, spark=None):
+    """(jvm, FileSystem, Path) for a URI via Spark's JVM gateway.
+
+    ``os.path`` would silently treat ``gs://...`` as a relative local
+    path — the watermark would 'reset' every run (duplicating every
+    batch) while writes landed in a bogus local ``gs:/`` directory. So
+    URI paths go through Hadoop's FileSystem API instead (the same
+    connector stack the data write uses — no new deps), letting
+    ``sync.json`` live next to the data on gs://, s3a://, hdfs://,
+    file://, like the reference keeps its sync state in the lake
+    (reference ingestion.py:106-164).
     """
-    if "://" in table_path:
-        raise NotImplementedError(
-            f"JSON watermark store requires a local filesystem path, got "
-            f"{table_path!r}; point the sync store at a local/posix path or "
-            "use a metadata-table backend"
-        )
+    if spark is None:
+        from pyspark.sql import SparkSession
+
+        spark = SparkSession.getActiveSession()
+        if spark is None:
+            raise RuntimeError(
+                f"object-store watermark path {table_path!r} needs an active "
+                "SparkSession (Hadoop FileSystem is reached through its JVM)"
+            )
+    jvm = spark._jvm
+    jpath = jvm.org.apache.hadoop.fs.Path(table_path)
+    fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    return jvm, fs, jpath
 
 
 def read_watermark(
@@ -79,12 +91,25 @@ def read_watermark(
     table_name: str,
     ref_column: str,
     ref_first_value: str,
+    spark=None,
 ) -> Watermark:
     """Load the table's watermark; initialize from ``ref_first_value`` if absent.
 
-    Parity: reference ``read_sync_file`` (ingestion.py:143-158).
+    Parity: reference ``read_sync_file`` (ingestion.py:143-158). Local
+    paths use plain ``os``; URI paths (``scheme://...``) go through the
+    Hadoop FileSystem of the active (or passed) SparkSession.
     """
-    _require_local_path(table_path)
+    if _is_uri(table_path):
+        jvm, fs, jdir = _hadoop_fs(table_path, spark)
+        jfile = jvm.org.apache.hadoop.fs.Path(jdir, SYNC_FILENAME)
+        if fs.exists(jfile):
+            stream = fs.open(jfile)
+            try:
+                raw = jvm.org.apache.commons.io.IOUtils.toString(stream, "UTF-8")
+            finally:
+                stream.close()
+            return Watermark.from_dict(json.loads(raw))
+        return Watermark(system, table_name, ref_column, ref_first_value)
     path = os.path.join(table_path, SYNC_FILENAME)
     if os.path.exists(path):
         with open(path) as f:
@@ -92,15 +117,35 @@ def read_watermark(
     return Watermark(system, table_name, ref_column, ref_first_value)
 
 
-def write_watermark(wm: Watermark, table_path: str) -> None:
+def write_watermark(wm: Watermark, table_path: str, spark=None) -> None:
     """Persist the watermark after a successful write (reference ingestion.py:161-164).
 
     Written atomically (tmp + rename) so a crash mid-write can't corrupt
     state; a crash *between* data write and watermark write re-ingests
     the last batch, which the dynamic-partition-overwrite writer makes
     idempotent (SURVEY §4 O-GAP6).
+
+    On URI paths the same tmp-write → delete → rename dance runs through
+    Hadoop FileSystem. Rename is atomic on HDFS/file; object stores make
+    it copy+delete, so the window there is (delete, rename) — a crash
+    inside it loses only the watermark, and the re-ingest that follows
+    re-initialization is idempotent by the same argument as above.
     """
-    _require_local_path(table_path)
+    if _is_uri(table_path):
+        jvm, fs, jdir = _hadoop_fs(table_path, spark)
+        jfile = jvm.org.apache.hadoop.fs.Path(jdir, SYNC_FILENAME)
+        jtmp = jvm.org.apache.hadoop.fs.Path(jdir, SYNC_FILENAME + ".tmp")
+        payload = json.dumps(wm.to_dict(), indent=2).encode("utf-8")
+        out = fs.create(jtmp, True)
+        try:
+            out.write(payload)
+        finally:
+            out.close()
+        if fs.exists(jfile):
+            fs.delete(jfile, False)
+        if not fs.rename(jtmp, jfile):
+            raise IOError(f"rename {jtmp} -> {jfile} failed")
+        return
     os.makedirs(table_path, exist_ok=True)
     path = os.path.join(table_path, SYNC_FILENAME)
     tmp = path + ".tmp"

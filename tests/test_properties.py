@@ -124,8 +124,12 @@ def test_salted_join_rejects_right_outer(spark):
         salted_join(df, df, on="k", how="full_outer")
 
 
-def test_watermark_rejects_object_store_paths(tmp_path):
+def test_watermark_uri_requires_session(tmp_path, monkeypatch):
+    """URI paths never fall through to os.path (which would mangle
+    gs://… into a local dir); without a session to reach Hadoop they
+    fail loud."""
     import pytest
+    from pyspark.sql import SparkSession
 
     from pyspark_ingestion_spark.ingestion.watermark import (
         Watermark,
@@ -133,10 +137,37 @@ def test_watermark_rejects_object_store_paths(tmp_path):
         write_watermark,
     )
 
-    with pytest.raises(NotImplementedError, match="local filesystem"):
-        read_watermark("gs://bucket/lake/t", "s", "t", "c", "x")
-    with pytest.raises(NotImplementedError, match="local filesystem"):
-        write_watermark(Watermark("s", "t", "c", "x"), "s3://bucket/lake/t")
+    monkeypatch.setattr(SparkSession, "getActiveSession", classmethod(lambda cls: None))
+    with pytest.raises(RuntimeError, match="active SparkSession"):
+        read_watermark("gs://bucket/lake/t", "s", "t", "c", "x", spark=None)
+    with pytest.raises(RuntimeError, match="active SparkSession"):
+        write_watermark(Watermark("s", "t", "c", "x"), "s3://bucket/lake/t", spark=None)
+    assert not (tmp_path / "gs:").exists()
+
+
+def test_watermark_roundtrip_through_hadoop_fs(spark, tmp_path):
+    """file:// URI exercises the full Hadoop FileSystem path (open/create/
+    rename) that gs://-s3a:// deployments use, and interoperates with the
+    plain-local JSON store byte-for-byte."""
+    from pyspark_ingestion_spark.ingestion.watermark import (
+        Watermark,
+        read_watermark,
+        write_watermark,
+    )
+
+    uri = f"file://{tmp_path}/lake/t"
+    init = read_watermark(uri, "sap", "t1", "updated_at", "1970-01-01T00:00:00.000000Z")
+    assert init.ref_last_value == "1970-01-01T00:00:00.000000Z"  # absent → init
+
+    wm = Watermark("sap", "t1", "updated_at", "2026-01-02T03:04:05.000006Z")
+    write_watermark(wm, uri, spark=spark)
+    assert read_watermark(uri, "sap", "t1", "updated_at", "x") == wm
+    # overwrite (delete + rename path)
+    wm2 = Watermark("sap", "t1", "updated_at", "2026-02-02T00:00:00.000000Z")
+    write_watermark(wm2, uri)  # falls back to the active session
+    assert read_watermark(uri, "sap", "t1", "updated_at", "x") == wm2
+    # the local (non-URI) reader sees the same file
+    assert read_watermark(f"{tmp_path}/lake/t", "sap", "t1", "updated_at", "x") == wm2
 
 
 @settings(max_examples=4, deadline=None)
