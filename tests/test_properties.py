@@ -385,3 +385,28 @@ def test_doc_freq_cap_containment_consistent_universe(spark):
         corpus, bench, "doc_id", "text", n=3, max_doc_freq=10
     )
     assert capped.count() == 0
+
+
+def test_approx_distinct_error_bound(spark):
+    """The one rows-only aggregate gets a real check: HLL++ estimate at
+    rsd=0.01 stays within 5% of the exact distinct count (a broken rsd
+    setting or sketch merge would blow well past this)."""
+    import os
+
+    from pyspark_ingestion_spark.queries import all_queries
+
+    from tests.conftest import SF_DIR
+
+    sf = "/root/testdata/sf0.01"
+    if not os.path.isdir(sf):
+        sf = SF_DIR  # pragma: no cover
+    from pyspark_ingestion_spark.sources.readers import load_table
+
+    approx = all_queries()["agg_approx_distinct"].fn(spark, sf).first()["approx_customers"]
+    exact = (
+        load_table(spark, sf, "orders")
+        .agg(F.count_distinct("o_custkey").alias("n"))
+        .first()["n"]
+    )
+    assert exact > 0
+    assert abs(approx - exact) / exact <= 0.05, f"approx={approx} exact={exact}"
