@@ -86,6 +86,13 @@ def read_file(
     CSV defaults mirror the reference writer contract (header, no quote —
     reference spark.py:63-67) so round-trips are lossless.
     """
+    if file_format == "avro":
+        from pyspark_ingestion_spark.sources.writers import _jvm_avro_available
+
+        if not _jvm_avro_available(spark):
+            from pyspark_ingestion_spark.sources.avro_py import read_avro
+
+            return read_avro(spark, path)
     reader = spark.read.format(file_format)
     if schema is not None:
         reader = reader.schema(schema)

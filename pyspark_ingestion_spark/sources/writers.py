@@ -15,6 +15,29 @@ from pyspark.sql import DataFrame
 _FORMATS = {"parquet", "csv", "json", "orc", "avro"}
 
 
+_AVRO_PROBE: dict[int, bool] = {}
+
+
+def _jvm_avro_available(spark) -> bool:
+    """True when the spark-avro datasource resolves on the JVM side.
+
+    Preferred at scale (codegen'd, remote-URI-capable); clusters add it
+    via ``spark.jars.packages org.apache.spark:spark-avro_2.13:<ver>``.
+    Probes actual datasource resolution (a bare Class.forName is not
+    enough: spark-sql ships a few avro classes without registering the
+    format); the nonexistent-path probe distinguishes "source resolved,
+    path missing" from "source missing". Result cached per session.
+    """
+    key = id(spark)
+    if key not in _AVRO_PROBE:
+        try:
+            spark.read.format("avro").schema("x INT").load("/nonexistent/__avro_probe__")
+            _AVRO_PROBE[key] = True
+        except Exception as e:
+            _AVRO_PROBE[key] = "Failed to find data source" not in str(e)
+    return _AVRO_PROBE[key]
+
+
 def write_partitioned(
     df: DataFrame,
     path: str,
@@ -35,6 +58,14 @@ def write_partitioned(
     """
     if file_format not in _FORMATS:
         raise ValueError(f"unsupported format {file_format!r}; one of {sorted(_FORMATS)}")
+
+    if file_format == "avro" and not _jvm_avro_available(df.sparkSession):
+        # pip pyspark ships without the spark-avro datasource jar; fall
+        # back to the pure-python container codec (sources/avro_py.py).
+        from pyspark_ingestion_spark.sources.avro_py import write_avro
+
+        write_avro(df, path, partition_columns=partition_columns, mode=mode)
+        return
 
     out = df
     if partition_columns:

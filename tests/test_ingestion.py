@@ -269,13 +269,9 @@ def test_write_formats_roundtrip(spark, sf_dir, tmp_path):
         .withColumn("YEAR", F.year("o_orderdate").cast("string"))
     )
     expected = src.drop("YEAR")
-    formats = ["parquet", "csv", "json", "orc"]
-    try:  # spark-avro is a separate datasource module; pip pyspark omits it
-        spark.read.format("avro").schema("x INT").load("/nonexistent")
-        formats.append("avro")
-    except Exception as e:
-        if "Failed to find data source" not in str(e):
-            formats.append("avro")
+    # avro included unconditionally: the JVM datasource when present,
+    # else the pure-python container fallback (sources/avro_py.py)
+    formats = ["parquet", "csv", "json", "orc", "avro"]
     for fmt in formats:
         out = str(tmp_path / fmt)
         write_partitioned(
@@ -473,3 +469,31 @@ def test_gapfill_and_funnel_empty_input_safe(spark):
         & (p["p_ts"] <= v["v_ts"] + F.expr("INTERVAL 1 HOUR")),
     )
     assert pairs.count() == 0
+
+
+def test_avro_fallback_codec_full_type_surface(spark, tmp_path):
+    """Pure-python avro container: nulls, bools, bytes, dates, timestamps,
+    arrays-with-null-elements, floats round-trip exactly; files carry the
+    spec magic so external avro tooling can read them."""
+    import datetime as dt
+
+    from pyspark.sql import Row
+
+    from pyspark_ingestion_spark.sources.avro_py import read_avro, write_avro
+
+    rows = [
+        Row(i=1, ok=True, b=bytearray(b"\x00\xff"), d=dt.date(2026, 2, 28),
+            ts=dt.datetime(2026, 1, 2, 3, 4, 5, 6), f=1.5, s="héllo ∆",
+            arr=[1.0, None, -2.25]),
+        Row(i=2, ok=False, b=None, d=None, ts=None, f=None, s=None, arr=None),
+    ]
+    schema = ("i int, ok boolean, b binary, d date, ts timestamp_ntz, "
+              "f float, s string, arr array<double>")
+    src = spark.createDataFrame(rows, schema)
+    out = str(tmp_path / "avro_types")
+    write_avro(src, out, mode="overwrite")
+    with open(next((tmp_path / "avro_types").glob("*.avro")), "rb") as fh:
+        assert fh.read(4) == b"Obj\x01"
+    back = read_avro(spark, out)
+    assert back.schema == src.schema
+    assert sorted(map(tuple, back.collect())) == sorted(map(tuple, src.collect()))
