@@ -217,3 +217,43 @@ def test_headline_shuffle_budgets(spark, sf_dir):
         if shuffle_count(qs[n].fn(spark, sf_dir)) > cap
     }
     assert not over, f"shuffle budget exceeded: {over}"
+
+
+def test_salted_join_splits_hot_key(spark):
+    """The reason salting exists: a 90%-hot key's rows spread across all
+    n_salts shuffle sub-partitions (bounding any one task's input at
+    roughly total/n_salts), while results still match the plain join."""
+    from pyspark.sql import functions as F
+
+    from pyspark_ingestion_spark.operators.relational import salted_join
+
+    n, hot_rows, n_salts = 10_000, 9_000, 4
+    left = spark.range(n).select(
+        F.when(F.col("id") < hot_rows, F.lit(7))
+        .otherwise(F.col("id") % 100)
+        .cast("int")
+        .alias("k"),
+        F.col("id").alias("v"),
+    )
+    right = spark.createDataFrame([(i, f"r{i}") for i in range(100)], "k int, w string")
+
+    plain = left.join(right, "k")
+    salted = salted_join(left, right, on="k", n_salts=n_salts)
+    assert salted.count() == plain.count()
+    assert salted.exceptAll(plain).isEmpty() and plain.exceptAll(salted).isEmpty()
+
+    # the shuffle key includes the salt → the planner partitions on
+    # (k, __salt), not k alone
+    assert "__salt" in salted._jdf.queryExecution().toString()
+
+    # distribution: same deterministic salt the operator applies
+    sizes = (
+        left.withColumn("__salt", F.pmod(F.hash("k", "v"), F.lit(n_salts)))
+        .groupBy("k", "__salt")
+        .count()
+        .filter(F.col("k") == 7)
+        .collect()
+    )
+    assert len(sizes) == n_salts  # hot key present in every sub-partition
+    ideal = hot_rows / n_salts
+    assert max(r["count"] for r in sizes) <= 1.5 * ideal
