@@ -129,18 +129,100 @@ def parse_data_dictionary_excel(path: str, **kwargs) -> dict[str, TableSettings]
     """Excel workbook → per-table settings (reference
     parse-data-dictionary.py:21-54: read all sheets, concat, group).
 
-    Requires pandas plus an Excel engine (openpyxl) — not present in
-    every deployment, so this is import-gated; convert the workbook to
-    CSV and use :func:`parse_data_dictionary_csv` where it isn't.
+    Prefers pandas + an Excel engine (openpyxl) when installed; falls
+    back to a minimal stdlib reader of the public OOXML layout
+    (xlsx = zip of XML parts) that covers what a data dictionary needs:
+    shared/inline strings, numbers, booleans, multiple sheets.
     """
     try:
         import pandas as pd
 
         sheets = pd.read_excel(path, sheet_name=None)
-    except ImportError as e:
-        raise NotImplementedError(
-            "Excel parsing needs pandas + openpyxl; export the workbook to "
-            "CSV and use parse_data_dictionary_csv instead"
-        ) from e
-    rows = pd.concat(sheets.values()).to_dict("records")
+        rows = pd.concat(sheets.values()).to_dict("records")
+    except ImportError:
+        rows = []
+        for sheet_rows in read_xlsx(path).values():
+            if not sheet_rows:
+                continue
+            header = [str(h) if h is not None else "" for h in sheet_rows[0]]
+            for raw in sheet_rows[1:]:
+                padded = list(raw) + [None] * (len(header) - len(raw))
+                rows.append(dict(zip(header, padded)))
     return parse_data_dictionary(rows, **kwargs)
+
+
+def read_xlsx(path: str) -> dict[str, list[list]]:
+    """Minimal stdlib XLSX reader → {sheet name: rows of cell values}.
+
+    Parses the public OOXML workbook layout directly with zipfile +
+    ElementTree: workbook.xml for sheet names/ids, workbook.xml.rels for
+    part targets, sharedStrings.xml for the string table, and each
+    worksheet's ``<c r="A1" t="..."><v>`` cells. Cell types covered:
+    shared string (t=s), inline string (t=inlineStr), formula-string
+    (t=str), boolean (t=b), numeric (default; int when integral). Gaps
+    between cells become None. Enough for config workbooks — this is
+    driver-side tooling, not a data path.
+    """
+    import re
+    import zipfile
+    import xml.etree.ElementTree as ET
+
+    ns = {"m": "http://schemas.openxmlformats.org/spreadsheetml/2006/main"}
+    rns = "{http://schemas.openxmlformats.org/officeDocument/2006/relationships}id"
+
+    def _cell_col(ref: str) -> int:
+        acc = 0
+        for ch in re.match(r"[A-Z]+", ref).group(0):
+            acc = acc * 26 + (ord(ch) - 64)
+        return acc - 1
+
+    def _si_text(si) -> str:
+        # plain <t> or rich-text runs <r><t>
+        return "".join(t.text or "" for t in si.iter(f"{{{ns['m']}}}t"))
+
+    with zipfile.ZipFile(path) as z:
+        wb = ET.fromstring(z.read("xl/workbook.xml"))
+        rels = ET.fromstring(z.read("xl/_rels/workbook.xml.rels"))
+        rel_target = {
+            r.get("Id"): r.get("Target").lstrip("/")
+            for r in rels
+        }
+        shared: list[str] = []
+        if "xl/sharedStrings.xml" in z.namelist():
+            sst = ET.fromstring(z.read("xl/sharedStrings.xml"))
+            shared = [_si_text(si) for si in sst.findall("m:si", ns)]
+
+        out: dict[str, list[list]] = {}
+        for sheet in wb.find("m:sheets", ns):
+            name = sheet.get("name")
+            target = rel_target[sheet.get(rns)]
+            if not target.startswith("xl/"):
+                target = "xl/" + target
+            ws = ET.fromstring(z.read(target))
+            rows: list[list] = []
+            for row in ws.iter(f"{{{ns['m']}}}row"):
+                vals: list = []
+                for c in row.findall("m:c", ns):
+                    idx = _cell_col(c.get("r", "A1"))
+                    while len(vals) < idx:
+                        vals.append(None)
+                    t = c.get("t", "n")
+                    if t == "inlineStr":
+                        is_el = c.find("m:is", ns)
+                        vals.append(_si_text(is_el) if is_el is not None else None)
+                        continue
+                    v = c.find("m:v", ns)
+                    if v is None or v.text is None:
+                        vals.append(None)
+                    elif t == "s":
+                        vals.append(shared[int(v.text)])
+                    elif t == "str":
+                        vals.append(v.text)
+                    elif t == "b":
+                        vals.append(v.text == "1")
+                    else:
+                        num = float(v.text)
+                        vals.append(int(num) if num.is_integer() else num)
+                rows.append(vals)
+            out[name] = rows
+    return out

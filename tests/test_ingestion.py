@@ -497,3 +497,136 @@ def test_avro_fallback_codec_full_type_surface(spark, tmp_path):
     back = read_avro(spark, out)
     assert back.schema == src.schema
     assert sorted(map(tuple, back.collect())) == sorted(map(tuple, src.collect()))
+
+
+def _make_xlsx(path, sheets):
+    """Handcraft a minimal OOXML workbook (zip of XML parts) — the test
+    must not depend on openpyxl, whose absence is the point."""
+    import zipfile
+
+    M = 'xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main"'
+    R = 'xmlns:r="http://schemas.openxmlformats.org/officeDocument/2006/relationships"'
+    strings: list[str] = []
+
+    def cell(ref, v):
+        if v is None:
+            return ""
+        if isinstance(v, bool):
+            return f'<c r="{ref}" t="b"><v>{1 if v else 0}</v></c>'
+        if isinstance(v, (int, float)):
+            return f'<c r="{ref}"><v>{v}</v></c>'
+        if v not in strings:
+            strings.append(v)
+        return f'<c r="{ref}" t="s"><v>{strings.index(v)}</v></c>'
+
+    def col_ref(i):
+        out = ""
+        i += 1
+        while i:
+            i, rem = divmod(i - 1, 26)
+            out = chr(65 + rem) + out
+        return out
+
+    sheet_xmls = []
+    for rows in sheets.values():
+        body = "".join(
+            "<row r=\"%d\">%s</row>"
+            % (ri + 1, "".join(cell(f"{col_ref(ci)}{ri + 1}", v) for ci, v in enumerate(row)))
+            for ri, row in enumerate(rows)
+        )
+        sheet_xmls.append(f'<worksheet {M}><sheetData>{body}</sheetData></worksheet>')
+
+    names = list(sheets)
+    wb_sheets = "".join(
+        f'<sheet name="{n}" sheetId="{i + 1}" r:id="rId{i + 1}"/>' for i, n in enumerate(names)
+    )
+    rels = "".join(
+        f'<Relationship Id="rId{i + 1}" Type="x" Target="worksheets/sheet{i + 1}.xml"/>'
+        for i in range(len(names))
+    )
+    sst = "".join(f"<si><t>{s}</t></si>" for s in strings)
+    with zipfile.ZipFile(path, "w") as z:
+        z.writestr("xl/workbook.xml", f'<workbook {M} {R}><sheets>{wb_sheets}</sheets></workbook>')
+        z.writestr(
+            "xl/_rels/workbook.xml.rels",
+            '<Relationships xmlns="http://schemas.openxmlformats.org/package/2006/relationships">'
+            + rels + "</Relationships>",
+        )
+        z.writestr("xl/sharedStrings.xml", f'<sst {M}>{sst}</sst>')
+        for i, xml in enumerate(sheet_xmls):
+            z.writestr(f"xl/worksheets/sheet{i + 1}.xml", xml)
+
+
+def test_parse_data_dictionary_excel_matches_csv(tmp_path):
+    """Same dictionary through the xlsx path (stdlib OOXML reader, multi-
+    sheet) and the CSV path yields identical TableSettings."""
+    import csv
+
+    from pyspark_ingestion_spark.sources.settings import (
+        parse_data_dictionary_csv,
+        parse_data_dictionary_excel,
+    )
+
+    header = ["TABLE_SCHEMA", "TABLE_NAME", "COLUMN_NAME", "INCREMENTAL_REFERENCE"]
+    data = [
+        ["erp", "orders", "id", "MODIFIED_ON"],
+        ["erp", "orders", "MODIFIED_ON", None],
+        ["erp", "customers", "cust_id", "UPDATED_AT"],
+        ["crm", "contacts", "contact_id", "LASTMOD"],
+        ["crm", "nosync", "x", None],  # no ref → skipped
+    ]
+    xlsx = tmp_path / "dd.xlsx"
+    # split across two sheets like real workbooks; reader must concat
+    _make_xlsx(xlsx, {"erp": [header] + data[:3], "crm": [header] + data[3:]})
+    csv_path = tmp_path / "dd.csv"
+    with open(csv_path, "w", newline="") as f:
+        w = csv.writer(f)
+        w.writerow(header)
+        w.writerows([["" if v is None else v for v in r] for r in data])
+
+    got_xlsx = parse_data_dictionary_excel(str(xlsx))
+    got_csv = parse_data_dictionary_csv(str(csv_path))
+    assert got_xlsx == got_csv
+    assert set(got_xlsx) == {"erp.orders", "erp.customers", "crm.contacts"}
+    assert got_xlsx["erp.orders"].ref_column == "MODIFIED_ON"
+    assert got_xlsx["erp.orders"].columns_to_import == ["id", "MODIFIED_ON"]
+
+
+def test_lims_partitions_follow_date_column(spark, tmp_path):
+    """When settings set a date_column different from ref_column, lake
+    layout follows date_column (reference config.py:48-55) while the
+    watermark still filters on ref_column."""
+    table_path = str(tmp_path / "lims" / "datedcol")
+    rows = [
+        (1, dt.datetime(2020, 5, 1, 10), dt.datetime(2019, 12, 31, 23), "OK"),
+        (2, dt.datetime(2020, 6, 2, 11), dt.datetime(2020, 1, 15, 8), "KO"),
+    ]
+    schema = ("sample_id long, MODIFIED_ON timestamp, SAMPLED_ON timestamp, "
+              "status string")
+    df = spark.createDataFrame(rows, schema)
+    settings = TableSettings(
+        ref_column="MODIFIED_ON",
+        ref_first_value="2020-01-01T00:00:00.000000Z",
+        date_column="SAMPLED_ON",
+    )
+    r = ingest_table(df, "lims", "datedcol", table_path, settings)
+    assert r.n_rows == 2
+    # layout on SAMPLED_ON (2019-12, 2020-1), not MODIFIED_ON (2020-5/6)
+    assert os.path.isdir(os.path.join(table_path, "YEAR=2019", "MONTH=12"))
+    assert os.path.isdir(os.path.join(table_path, "YEAR=2020", "MONTH=1"))
+    assert not os.path.isdir(os.path.join(table_path, "YEAR=2020", "MONTH=5"))
+    # watermark still advanced from ref_column
+    assert r.watermark.ref_last_value == "2020-06-02T11:00:00.000000Z"
+
+
+def test_catalog_identifiers_validated(spark):
+    import pytest
+
+    from pyspark_ingestion_spark.sources.catalog import drop_table, repair_table
+
+    for bad in ("t; DROP TABLE x", "a-b", "x`y", "nation WHERE 1=1"):
+        with pytest.raises(ValueError, match="invalid SQL identifier"):
+            drop_table(spark, bad)
+        with pytest.raises(ValueError, match="invalid SQL identifier"):
+            repair_table(spark, bad)
+    drop_table(spark, "never_created_ok")  # valid name still fine (IF EXISTS)
