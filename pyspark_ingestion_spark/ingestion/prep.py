@@ -84,10 +84,17 @@ def prepare_sap(df: DataFrame, ts: TableSettings, wm: Watermark) -> PrepResult:
 
 
 def prepare_lims(df: DataFrame, ts: TableSettings, wm: Watermark) -> PrepResult:
-    """LIMS: ref is already a timestamp; YEAR/MONTH partitions."""
+    """LIMS: ref is already a timestamp; YEAR/MONTH partitions.
+
+    Partitions derive from ``ts.date_column`` when set, falling back to
+    the ref column — the reference filters on ref_column but lays the
+    lake out on the settings' DATE_COLUMN (reference config.py:48-55),
+    and the two may differ.
+    """
     out = _watermark_filter(df, ts.ref_column, wm)
-    out = out.withColumn(YEAR_COL, year_string(ts.ref_column)).withColumn(
-        MONTH_COL, month_string(ts.ref_column)
+    part_src = ts.date_column or ts.ref_column
+    out = out.withColumn(YEAR_COL, year_string(part_src)).withColumn(
+        MONTH_COL, month_string(part_src)
     )
     return out, [YEAR_COL, MONTH_COL]
 

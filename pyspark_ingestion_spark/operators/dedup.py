@@ -418,9 +418,18 @@ def connected_components(
     single scalar, the only driver-side value. ``component`` is the min
     node id of the component — a deterministic cluster id and keeper.
 
+    Every round ``localCheckpoint``s the new labels: iterative plans
+    otherwise EMBED the whole previous round's lineage and grow
+    exponentially — at diameter ≳12 the driver OOMs just formatting the
+    plan. The checkpoint truncates lineage to the materialized blocks
+    (cost: no lineage fallback if an executor dies mid-algorithm; rerun
+    the operator — it's deterministic).
+
     Nodes that appear in no edge are absent (singleton docs are their
     own cluster by definition; callers can left-join if they need them).
     """
+    import warnings
+
     sym = (
         edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
         .union(edges.select(F.col(dst).alias("u"), F.col(src).alias("v")))
@@ -431,7 +440,7 @@ def connected_components(
         sym.select(F.col("u").alias("node"))
         .distinct()
         .withColumn("label", F.col("node"))
-        .persist()
+        .localCheckpoint(eager=True)
     )
     for _ in range(max_iter):
         neigh = sym.join(labels, sym["u"] == labels["node"]).select(
@@ -441,7 +450,7 @@ def connected_components(
             labels.union(neigh)
             .groupBy("node")
             .agg(F.min("label").alias("label"))
-            .persist()
+            .localCheckpoint(eager=True)
         )
         changed = (
             new_labels.alias("n")
@@ -450,10 +459,23 @@ def connected_components(
             .limit(1)
             .count()
         )
-        labels.unpersist()
+        # superseded rounds' checkpoint blocks are LRU-evictable; no
+        # explicit unpersist handle exists for localCheckpoint frames
         labels = new_labels
         if changed == 0:
             break
+    else:
+        # max_iter exhausted with the last round still changing labels: a
+        # component with diameter > max_iter would be silently split into
+        # several clusters and keep-one-per-cluster would under-dedup with
+        # no signal. Warn loudly instead of returning quietly.
+        warnings.warn(
+            f"connected_components did not converge within max_iter={max_iter} "
+            "rounds; labels may split components with larger diameter — "
+            "raise max_iter",
+            RuntimeWarning,
+            stacklevel=2,
+        )
     sym.unpersist()
     return labels.select("node", F.col("label").alias("component"))
 

@@ -9,7 +9,31 @@ calls work against Hive Metastore / Glue via the usual catalog config.
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import DataFrame, SparkSession
+
+_IDENT_RE = re.compile(r"^[A-Za-z0-9_]+(\.[A-Za-z0-9_]+)*$")
+
+
+def _qident(name: str) -> str:
+    """Validate a (possibly dotted) identifier and backtick-quote each part.
+
+    DDL here is assembled from settings-provided names (the CLI feeds
+    table names straight from JSON), so names are validated against a
+    conservative pattern and quoted — a malformed or hostile name fails
+    loud instead of breaking or rewriting the statement.
+    """
+    if not isinstance(name, str) or not _IDENT_RE.match(name):
+        raise ValueError(f"invalid SQL identifier {name!r}")
+    return ".".join(f"`{p}`" for p in name.split("."))
+
+
+def _qlocation(location: str) -> str:
+    """Escape a path for a single-quoted SQL string literal."""
+    if "\n" in location or "\r" in location:
+        raise ValueError(f"invalid location {location!r}")
+    return location.replace("'", "''")
 
 
 def ctas(
@@ -26,16 +50,17 @@ def ctas(
     Spark DDL puts PARTITIONED BY / LOCATION before AS; compression
     rides as a table property understood by the datasource.
     """
-    parts = [f"CREATE TABLE {table}", f"USING {file_format}"]
+    parts = [f"CREATE TABLE {_qident(table)}", f"USING {_qident(file_format)}"]
     opts = []
     if compression:
         opts.append(f"compression '{compression}'")
     if opts:
         parts.append(f"OPTIONS ({', '.join(opts)})")
     if partition_columns:
-        parts.append(f"PARTITIONED BY ({', '.join(partition_columns)})")
+        cols = ", ".join(_qident(c) for c in partition_columns)
+        parts.append(f"PARTITIONED BY ({cols})")
     if location:
-        parts.append(f"LOCATION '{location}'")
+        parts.append(f"LOCATION '{_qlocation(location)}'")
     parts.append(f"AS {select_statement}")
     spark.sql("\n".join(parts))
 
@@ -53,12 +78,12 @@ def cvas_partition_date(
     ``CAST(date_parse(concat(year,month,day),'%Y%m%d') AS date)``)."""
     spark.sql(
         f"""
-        CREATE OR REPLACE TEMPORARY VIEW {view_name} AS
+        CREATE OR REPLACE TEMPORARY VIEW {_qident(view_name)} AS
         SELECT *,
-               to_date(concat(lpad({year_col}, 4, '0'),
-                              lpad({month_col}, 2, '0'),
-                              lpad({day_col}, 2, '0')), 'yyyyMMdd') AS partition_date
-        FROM {source_table}
+               to_date(concat(lpad({_qident(year_col)}, 4, '0'),
+                              lpad({_qident(month_col)}, 2, '0'),
+                              lpad({_qident(day_col)}, 2, '0')), 'yyyyMMdd') AS partition_date
+        FROM {_qident(source_table)}
         """
     )
 
@@ -66,12 +91,12 @@ def cvas_partition_date(
 def repair_table(spark: SparkSession, table: str) -> None:
     """MSCK REPAIR TABLE — discover partitions written outside the catalog
     (parity: reference athena.py:31-34)."""
-    spark.sql(f"MSCK REPAIR TABLE {table}")
+    spark.sql(f"MSCK REPAIR TABLE {_qident(table)}")
 
 
 def drop_table(spark: SparkSession, table: str, purge: bool = False) -> None:
     """DROP TABLE IF EXISTS (parity: reference athena.py:36-39; PURGE skips trash)."""
-    spark.sql(f"DROP TABLE IF EXISTS {table}" + (" PURGE" if purge else ""))
+    spark.sql(f"DROP TABLE IF EXISTS {_qident(table)}" + (" PURGE" if purge else ""))
 
 
 def register_lake_table(
@@ -84,10 +109,11 @@ def register_lake_table(
     and discover its partitions — the read-side of the lake layout the
     ingestion pipeline writes."""
     spark.sql(
-        f"CREATE TABLE IF NOT EXISTS {table} USING {file_format} LOCATION '{location}'"
+        f"CREATE TABLE IF NOT EXISTS {_qident(table)} USING {_qident(file_format)} "
+        f"LOCATION '{_qlocation(location)}'"
     )
     try:
-        spark.sql(f"MSCK REPAIR TABLE {table}")
+        spark.sql(f"MSCK REPAIR TABLE {_qident(table)}")
     except Exception as e:
         # only the "table isn't partitioned" case is benign; metastore or
         # permission failures must surface, not masquerade as an empty table

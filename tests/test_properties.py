@@ -410,3 +410,28 @@ def test_approx_distinct_error_bound(spark):
     )
     assert exact > 0
     assert abs(approx - exact) / exact <= 0.05, f"approx={approx} exact={exact}"
+
+
+def test_connected_components_warns_when_unconverged(spark):
+    """A component with diameter > max_iter must not silently return
+    split clusters — the operator warns so pipelines can raise max_iter."""
+    import warnings
+
+    from pyspark_ingestion_spark.operators.dedup import connected_components
+
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(12)], "doc_a int, doc_b int"
+    )
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        connected_components(chain, max_iter=2).collect()
+    assert any(
+        issubclass(w.category, RuntimeWarning) and "did not converge" in str(w.message)
+        for w in caught
+    )
+    # and with enough rounds it converges to one component, no warning
+    with warnings.catch_warnings(record=True) as caught2:
+        warnings.simplefilter("always")
+        out = connected_components(chain, max_iter=20).collect()
+    assert not any("did not converge" in str(w.message) for w in caught2)
+    assert {r["component"] for r in out} == {0}
