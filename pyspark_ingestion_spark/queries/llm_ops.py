@@ -218,6 +218,39 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "dedup_jaccard_dfcap",
+    oracle=r"""
+    WITH
+    w AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS ws FROM documents),
+    sh0 AS (SELECT DISTINCT doc_id AS doc, array_to_string(ws[i:i+2], ' ') AS shingle
+            FROM w, LATERAL (SELECT unnest(range(1, greatest(len(ws)-2, 1) + 1)) AS i)),
+    hot AS (SELECT shingle FROM sh0 GROUP BY shingle HAVING count(*) > 25),
+    sh AS (SELECT sh0.* FROM sh0 ANTI JOIN hot USING (shingle)),
+    sizes AS (SELECT doc, count(*) AS sz FROM sh GROUP BY doc),
+    inter AS (SELECT a.doc AS doc_a, b.doc AS doc_b, count(*) AS intersection
+              FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc < b.doc
+              GROUP BY 1, 2)
+    SELECT doc_a, doc_b, intersection, sa.sz AS size_a, sb.sz AS size_b,
+           ROUND(intersection / (sa.sz + sb.sz - intersection), 6) AS jaccard
+    FROM inter
+    JOIN sizes sa ON sa.doc = doc_a
+    JOIN sizes sb ON sb.doc = doc_b
+    WHERE 2 * intersection >= 1 * (sa.sz + sb.sz - intersection)
+    """,
+)
+def dedup_jaccard_dfcap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jaccard near-dup pairs WITH the document-frequency scale guard on
+    (max_doc_freq=25): shingles shared by more docs are dropped before
+    the self-join, bounding the per-key pair space. The oracle mirrors
+    the cap in SQL, so the guard itself is value-checked, not just
+    unit-tested."""
+    d = load_table(spark, sf_dir, "documents")
+    return jaccard_similar_pairs(
+        d, "doc_id", "text", n=3, threshold_num=1, threshold_den=2, max_doc_freq=25
+    )
+
+
+@query(
     "dedup_minhash_lsh",
     oracle=f"""
     WITH {_SHINGLES_CTE},
@@ -703,6 +736,52 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("query_id"), "embedding"
     )
     return ivf_topk(e, queries, k=5, n_centroids=8)
+
+
+@query(
+    "ann_ivf_nprobe_topk",
+    oracle=f"""
+    WITH {_IVF_ASSIGN},
+    qc AS (SELECT query_id, qv, cell FROM (
+             SELECT e.vec_id AS query_id, e.v AS qv, c.cid AS cell,
+                    row_number() OVER (
+                        PARTITION BY e.vec_id
+                        ORDER BY ROUND(list_dot_product(e.v, c.cv)
+                                 / (sqrt(list_dot_product(e.v, e.v))
+                                  * sqrt(list_dot_product(c.cv, c.cv))), 6) DESC,
+                                 c.cid ASC) AS rn
+             FROM (SELECT vec_id, embedding::DOUBLE[] AS v
+                   FROM embeddings WHERE vec_id < 20) e
+             CROSS JOIN c)
+           WHERE rn <= 2),
+    scored AS (
+        SELECT q.query_id, a.vec_id AS neighbor_id,
+               ROUND(list_dot_product(a.v, q.qv)
+                     / (sqrt(list_dot_product(a.v, a.v))
+                      * sqrt(list_dot_product(q.qv, q.qv))), 6) AS sim
+        FROM assigned a JOIN qc q ON a.cell = q.cell)
+    SELECT query_id, neighbor_id, sim, CAST(rank AS INT) AS rank FROM (
+        SELECT *, row_number() OVER (PARTITION BY query_id
+                                     ORDER BY sim DESC, neighbor_id) AS rank
+        FROM scored)
+    WHERE rank <= 5
+    """,
+)
+def ann_ivf_nprobe_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN probing the 2 nearest cells per query (nprobe=2).
+
+    The recall/compute dial of the IVF tier, oracle-checked: queries
+    explode to their two nearest cells (rounded-cosine ranking, lowest
+    cell id tie-break — identical in the SQL mirror), corpus vectors
+    stay in exactly one cell, so scored candidates are the disjoint
+    union of both probed cells."""
+    from pyspark_ingestion_spark.operators.similarity import ivf_topk
+
+    e = load_table(spark, sf_dir, "embeddings")
+    queries = e.filter(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return ivf_topk(e, queries, k=5, n_centroids=8, nprobe=2)
 
 
 @query("ann_ivf_kmeans_topk", oracle=None)
