@@ -84,3 +84,38 @@ def split_words_udtf():
     from pyspark.sql.functions import udtf
 
     return udtf(SplitWordsUDTF, returnType="word string, pos int")
+
+
+def order_gaps_grouped(orders, key_col="o_custkey", date_col="o_orderdate",
+                       id_col="o_orderkey"):
+    """Per-key consecutive-event gaps via ``groupBy().applyInPandas``.
+
+    The grouped-map escape hatch: each key's rows arrive as ONE pandas
+    frame (sorted here, then diffed), for logic that genuinely needs the
+    whole group in memory — sequence models, per-group fitting, custom
+    session logic. This particular computation is also expressible as a
+    lag window (which the SQL oracle uses), making the pandas path
+    value-checkable bit-for-bit: gaps are integer day counts, so no
+    float drift. One shuffle on the key; per-group memory is the bound
+    to watch at 100 TB (a hot key's whole history in one task — cap
+    with a date horizon upstream if keys can be unbounded).
+    """
+    import pandas as pd
+
+    def _gaps(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values([date_col, id_col])
+        days = pd.to_datetime(pdf[date_col]).diff().dt.days
+        return pd.DataFrame(
+            {
+                key_col: pdf[key_col],
+                id_col: pdf[id_col],
+                "gap_days": days.astype("Int64"),
+            }
+        )
+
+    out_schema = f"{key_col} long, {id_col} long, gap_days int"
+    return (
+        orders.select(key_col, id_col, date_col)
+        .groupBy(key_col)
+        .applyInPandas(_gaps, schema=out_schema)
+    )

@@ -895,3 +895,24 @@ def udtf_split_words(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM docs_udtf_src d, LATERAL split_words_udtf(d.text) s
         """
     )
+
+
+@query(
+    "udf_grouped_map_order_gaps",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           CAST(date_diff('day',
+                lag(o_orderdate) OVER (PARTITION BY o_custkey
+                                       ORDER BY o_orderdate, o_orderkey),
+                o_orderdate) AS INT) AS gap_days
+    FROM orders
+    """,
+)
+def udf_grouped_map_order_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """groupBy().applyInPandas grouped-map surface: per-customer
+    consecutive order gaps in days, bit-exact vs a lag-window oracle
+    (integer day arithmetic — no float drift)."""
+    from pyspark_ingestion_spark.functions.udfs import order_gaps_grouped
+
+    o = load_table(spark, sf_dir, "orders")
+    return order_gaps_grouped(o)

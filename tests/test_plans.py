@@ -24,7 +24,8 @@ _REGISTRY = all_queries()
 #: queries that intentionally cross into Python (Arrow-batched decode)
 _PANDAS_OK = {"multimodal_decode", "multimodal_frame_sample",
               "multimodal_features", "multimodal_resize",
-              "udf_pandas_quality", "udtf_split_words"}
+              "udf_pandas_quality", "udtf_split_words",
+              "udf_grouped_map_order_gaps"}
 
 #: queries that run/collect eagerly or stream — plan introspection n/a
 _SKIP = {"ddl_ctas_roundtrip", "ddl_partitioned_lake_msck",
@@ -257,3 +258,19 @@ def test_salted_join_splits_hot_key(spark):
     assert len(sizes) == n_salts  # hot key present in every sub-partition
     ideal = hot_rows / n_salts
     assert max(r["count"] for r in sizes) <= 1.5 * ideal
+
+
+def test_dfcap_anti_join_broadcasts_and_shingles_cached_once(spark, sf_dir):
+    """The document-frequency cap must cost a broadcast anti-join (hot set
+    is tiny by construction), never a re-shuffle of the shingle table,
+    and the capped shingle table materializes once (cache) for its four
+    consumers."""
+    from pyspark_ingestion_spark.queries import all_queries
+
+    df = all_queries()["dedup_jaccard_dfcap"].fn(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "LeftAnti" in plan
+    for line in plan.splitlines():
+        if "LeftAnti" in line:
+            assert "BroadcastHashJoin" in line, line
+    assert plan.count("InMemoryTableScan") >= 3  # sizes + both join sides
