@@ -916,3 +916,63 @@ def udf_grouped_map_order_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     o = load_table(spark, sf_dir, "orders")
     return order_gaps_grouped(o)
+
+
+@query(
+    "corpus_decontaminate",
+    oracle=r"""
+    WITH wb AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS ws
+                FROM documents WHERE source = 'src0'),
+    shb AS (SELECT DISTINCT doc_id AS bench_id, array_to_string(ws[i:i+2], ' ') AS shingle
+            FROM wb, LATERAL (SELECT unnest(range(1, greatest(len(ws)-2, 1) + 1)) AS i)),
+    wc AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS ws
+           FROM documents WHERE source != 'src0'),
+    shc AS (SELECT DISTINCT doc_id AS corpus_id, array_to_string(ws[i:i+2], ' ') AS shingle
+            FROM wc, LATERAL (SELECT unnest(range(1, greatest(len(ws)-2, 1) + 1)) AS i)),
+    bsz AS (SELECT bench_id, count(*) AS bench_size FROM shb GROUP BY 1),
+    inter AS (SELECT b.bench_id, c.corpus_id, count(*) AS overlap
+              FROM shb b JOIN shc c ON b.shingle = c.shingle GROUP BY 1, 2),
+    dirty AS (SELECT DISTINCT i.corpus_id
+              FROM inter i JOIN bsz s ON i.bench_id = s.bench_id
+              WHERE 2 * i.overlap >= s.bench_size)
+    SELECT d.doc_id, d.source
+    FROM documents d ANTI JOIN dirty ON d.doc_id = dirty.corpus_id
+    WHERE d.source != 'src0'
+    """,
+)
+def corpus_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end decontamination: drop training docs that contain ≥50%
+    of any benchmark doc's shingles (source 'src0' = the eval set).
+
+    The action a contamination audit exists to drive. Same directional
+    containment as contamination_check; the removal itself is a
+    broadcast-friendly anti-join on the (tiny) dirty-id set — at 100 TB
+    the corpus never reshuffles to get cleaned.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    bench = d.filter(F.col("source") == "src0")
+    corpus = d.filter(F.col("source") != "src0")
+    dirty = (
+        containment_pairs(
+            corpus, bench, "doc_id", "text", n=3, threshold_num=1, threshold_den=2
+        )
+        .select("corpus_id")
+        .distinct()
+    )
+    return corpus.join(
+        F.broadcast(dirty), corpus["doc_id"] == dirty["corpus_id"], "left_anti"
+    ).select("doc_id", "source")
+
+
+@query("agg_approx_percentile", oracle=None)  # sketch → rows-only + pytest bound
+def agg_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable quantile sketch (approx_percentile) — the scalable form
+    of exact percentiles (which need a full sort/shuffle of the value
+    column at 100 TB). Error bound vs exact pinned in pytest
+    (test_properties.py::test_approx_percentile_error_bound)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.agg(
+        F.percentile_approx("l_extendedprice", [0.25, 0.5, 0.75, 0.95], 10000).alias(
+            "price_quantiles"
+        )
+    )

@@ -435,3 +435,23 @@ def test_connected_components_warns_when_unconverged(spark):
         out = connected_components(chain, max_iter=20).collect()
     assert not any("did not converge" in str(w.message) for w in caught2)
     assert {r["component"] for r in out} == {0}
+
+
+def test_approx_percentile_error_bound(spark):
+    """The quantile sketch stays within 1% relative error of exact
+    percentiles at every probed quantile (same contract style as the
+    HLL bound — sketches get error bounds, not oracles)."""
+    from pyspark_ingestion_spark.queries import all_queries
+    from pyspark_ingestion_spark.sources.readers import load_table
+
+    sf = "/root/testdata/sf0.01"
+    approx = all_queries()["agg_approx_percentile"].fn(spark, sf).first()[
+        "price_quantiles"
+    ]
+    exact = (
+        load_table(spark, sf, "lineitem")
+        .agg(F.expr("percentile(l_extendedprice, array(0.25, 0.5, 0.75, 0.95))").alias("p"))
+        .first()["p"]
+    )
+    for a, e in zip(approx, exact):
+        assert e > 0 and abs(a - e) / e <= 0.01, (approx, exact)
