@@ -257,7 +257,10 @@ def _bands_from_wide(wide: DataFrame, num_hashes: int, band_size: int) -> DataFr
 
 
 def lsh_candidate_pairs(
-    signatures: DataFrame, num_hashes: int = 8, band_size: int = 2
+    signatures: DataFrame,
+    num_hashes: int = 8,
+    band_size: int = 2,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """LSH banding: docs agreeing on ALL hashes within any band are candidates.
 
@@ -273,7 +276,28 @@ def lsh_candidate_pairs(
     return _candidates_from_bands(_bands_from_wide(wide, num_hashes, band_size))
 
 
-def _candidates_from_bands(bands: DataFrame) -> DataFrame:
+def _candidates_from_bands(
+    bands: DataFrame, max_bucket_size: int | None = None
+) -> DataFrame:
+    """Self-join band buckets into candidate pairs.
+
+    ``max_bucket_size`` drops buckets holding more docs than the cap
+    before the self-join (broadcast anti-join on the tiny oversized-
+    bucket set — the same shape as the shingle df cap). A giant bucket
+    is almost always a giant EXACT-duplicate class (identical docs ⇒
+    identical signatures ⇒ every band collides), which belongs to exact
+    dedup upstream — run that first; the cap then only guards the
+    pathological residue, at the cost of recall inside dropped buckets.
+    Default off.
+    """
+    if max_bucket_size is not None:
+        big = (
+            bands.groupBy("band", "band_key")
+            .agg(F.count(F.lit(1)).alias("__n"))
+            .filter(F.col("__n") > max_bucket_size)
+            .select("band", "band_key")
+        )
+        bands = bands.join(F.broadcast(big), ["band", "band_key"], "left_anti")
     a = bands.alias("a")
     b = bands.alias("b")
     return (
@@ -298,6 +322,7 @@ def minhash_lsh_dedup_pairs(
     threshold_num: int = 1,
     threshold_den: int = 2,
     max_doc_freq: int | float | None = None,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """Full MinHash-LSH near-dup pipeline: candidates via banding, then
     exact Jaccard verification on the candidate pairs only.
@@ -319,7 +344,9 @@ def minhash_lsh_dedup_pairs(
     # and sizes — shingling runs once instead of four times
     sh = _shingle_table(df, id_col, text_col, n, max_doc_freq).persist()
     wide = _wide_signatures(sh, num_hashes)
-    cands = _candidates_from_bands(_bands_from_wide(wide, num_hashes, band_size))
+    cands = _candidates_from_bands(
+        _bands_from_wide(wide, num_hashes, band_size), max_bucket_size
+    )
 
     sizes = sh.groupBy("doc").agg(F.count(F.lit(1)).alias("sz"))
 

@@ -194,6 +194,7 @@ def embedding_near_dup_pairs(
     vec_col: str = "embedding",
     threshold: float = 0.3,
     n_dims: int = 4,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs, blocked by sign-bucket.
 
@@ -207,12 +208,28 @@ def embedding_near_dup_pairs(
     widening ``n_dims`` shrinks buckets geometrically. Recall is the
     LSH trade: raise n_dims for speed, lower it (or union multiple
     rotated bucketings) for recall.
+
+    Sign bucketing degenerates when components are BIASED — e.g.
+    post-ReLU embeddings are mostly positive, so the all-ones bucket
+    holds nearly the whole corpus and its pair space is quadratic
+    again. ``max_bucket_size`` drops buckets above the cap (broadcast
+    anti-join on the tiny oversized-bucket list) and fails the pipeline
+    toward skipped comparisons rather than a runaway join; the durable
+    fix is centering the embeddings or switching to trained IVF cells.
     """
     b = corpus.select(
         F.col(id_col).alias("__id"),
         F.col(vec_col).alias("__vec"),
         sign_bucket(vec_col, n_dims).alias("__bucket"),
     )
+    if max_bucket_size is not None:
+        big = (
+            b.groupBy("__bucket")
+            .agg(F.count(F.lit(1)).alias("__n"))
+            .filter(F.col("__n") > max_bucket_size)
+            .select("__bucket")
+        )
+        b = b.join(F.broadcast(big), "__bucket", "left_anti")
     a, c = b.alias("a"), b.alias("b")
     return (
         a.join(

@@ -79,3 +79,42 @@ def test_ivf_full_probe_equals_brute_force(spark, sf_dir):
     exact = sorted(map(tuple, brute_force_topk(e, q, k=5).collect()))
     full = sorted(map(tuple, ivf_topk(e, q, k=5, centroids=cents, nprobe=4).collect()))
     assert full == exact
+
+
+def test_embedding_dedup_bucket_cap_guards_biased_embeddings(spark):
+    """All-positive (ReLU-style) embeddings collapse into one sign bucket
+    — quadratic pairs. The bucket-size cap drops the degenerate bucket;
+    unbiased buckets under the cap are untouched."""
+    from pyspark_ingestion_spark.operators.similarity import embedding_near_dup_pairs
+
+    rows = [(i, [1.0 + i / 1000.0, 2.0, 3.0, 4.0]) for i in range(200)]
+    biased = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    uncapped = embedding_near_dup_pairs(biased, threshold=-1.0, n_dims=4)
+    assert uncapped.count() == 200 * 199 // 2  # one bucket, all pairs
+    capped = embedding_near_dup_pairs(
+        biased, threshold=-1.0, n_dims=4, max_bucket_size=50
+    )
+    assert capped.count() == 0
+
+    mixed = spark.createDataFrame(
+        [(0, [1.0, 1.0]), (1, [1.0, 2.0]), (2, [-1.0, 1.0]), (3, [-2.0, 1.0])],
+        "vec_id long, embedding array<double>",
+    )
+    got = embedding_near_dup_pairs(mixed, threshold=-1.0, n_dims=2, max_bucket_size=2)
+    assert {(r["id_a"], r["id_b"]) for r in got.collect()} == {(0, 1), (2, 3)}
+
+
+def test_lsh_bucket_cap_guards_giant_duplicate_class(spark):
+    """A giant exact-duplicate class makes every band bucket quadratic in
+    LSH; with max_bucket_size the class is skipped (exact dedup upstream
+    owns it) while normal near-dup pairs still surface."""
+    from pyspark_ingestion_spark.operators.dedup import minhash_lsh_dedup_pairs
+
+    rows = [(i, "the same exact boilerplate text repeated verbatim") for i in range(150)]
+    rows += [(1000, "a unique document about distributed query engines and planners"),
+             (1001, "a unique document about distributed query engines and optimizers")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    capped = minhash_lsh_dedup_pairs(df, "doc_id", "text", max_bucket_size=50)
+    pairs = {(r["doc_a"], r["doc_b"]) for r in capped.collect()}
+    assert (1000, 1001) in pairs          # real near-dup survives
+    assert all(a >= 1000 for a, _ in pairs)  # giant class skipped, not exploded
