@@ -976,3 +976,78 @@ def agg_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
             "price_quantiles"
         )
     )
+
+
+@query(
+    "corpus_full_pipeline",
+    oracle=r"""
+    WITH RECURSIVE
+    scored AS (
+        SELECT doc_id, lang, text,
+               md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp,
+               CASE WHEN length(text) = 0 THEN 0.0
+                    ELSE ROUND((len(regexp_extract_all(text, '[A-Za-z]')) / length(text))
+                         * least(1.0, len(string_split_regex(trim(text), '\s+')) / 20.0), 6)
+               END AS quality
+        FROM documents),
+    keepers AS (SELECT min(doc_id) AS doc_id
+                FROM scored WHERE lang = 'en' AND quality >= 0.7 GROUP BY fp),
+    kd AS (SELECT s.doc_id, s.text FROM scored s JOIN keepers k ON s.doc_id = k.doc_id),
+    w AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS ws FROM kd),
+    sh AS (SELECT DISTINCT doc_id AS doc, array_to_string(ws[i:i+2], ' ') AS shingle
+           FROM w, LATERAL (SELECT unnest(range(1, greatest(len(ws)-2, 1) + 1)) AS i)),
+    sizes AS (SELECT doc, count(*) AS sz FROM sh GROUP BY doc),
+    inter AS (SELECT a.doc AS doc_a, b.doc AS doc_b, count(*) AS intersection
+              FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc < b.doc
+              GROUP BY 1, 2),
+    pairs AS (SELECT doc_a, doc_b FROM inter
+              JOIN sizes sa ON sa.doc = doc_a
+              JOIN sizes sb ON sb.doc = doc_b
+              WHERE 2 * intersection >= 1 * (sa.sz + sb.sz - intersection)),
+    sym AS (SELECT doc_a AS u, doc_b AS v FROM pairs
+            UNION SELECT doc_b, doc_a FROM pairs),
+    reach(u, v) AS (SELECT u, v FROM sym
+                    UNION SELECT r.u, s.v FROM reach r JOIN sym s ON r.v = s.u),
+    labels AS (SELECT u AS node, least(u, min(v)) AS component
+               FROM reach GROUP BY u),
+    dropped AS (SELECT node FROM labels WHERE node != component)
+    SELECT kd.doc_id FROM kd
+    LEFT JOIN dropped ON kd.doc_id = dropped.node
+    WHERE dropped.node IS NULL
+    """,
+)
+def corpus_full_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The whole cleaning chain in one plan: quality gate → language
+    filter → exact dedup (deterministic keeper) → near-dup clustering on
+    the survivors → keep one doc per cluster.
+
+    Stage economics at 100 TB: the gates fuse into the scan; exact dedup
+    is one fingerprint shuffle that typically removes the bulk of
+    duplicates BEFORE the (costlier) shingle join runs on survivors
+    only; both removal anti-joins broadcast tiny build sides (non-keeper
+    ids, non-keeper cluster members), so the corpus itself never
+    reshuffles to get cleaned. Oracle replays the identical chain with a
+    recursive-CTE transitive closure.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    scored = d.select(
+        "doc_id", "lang", "text",
+        fingerprint("text").alias("fp"),
+        quality_score("text").alias("quality"),
+    )
+    keepers = (
+        scored.filter((F.col("lang") == "en") & (F.col("quality") >= 0.7))
+        .groupBy("fp")
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id")
+    )
+    kd = scored.join(keepers, "doc_id").select("doc_id", "text")
+    pairs = jaccard_similar_pairs(
+        kd, "doc_id", "text", n=3, threshold_num=1, threshold_den=2
+    ).select("doc_a", "doc_b")
+    dropped = (
+        connected_components(pairs)
+        .filter(F.col("node") != F.col("component"))
+        .select(F.col("node").alias("doc_id"))
+    )
+    return kd.join(F.broadcast(dropped), "doc_id", "left_anti").select("doc_id")
