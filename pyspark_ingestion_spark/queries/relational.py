@@ -374,6 +374,48 @@ def window_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "window_rank_distribution",
+    oracle="""
+    SELECT o_orderkey, o_orderpriority,
+           ROUND(percent_rank() OVER wt, 6) AS pct_rank,
+           ROUND(cume_dist()    OVER wt, 6) AS cdist,
+           CAST(ntile(4) OVER wu AS INT)    AS quartile,
+           first_value(o_orderkey) OVER wu  AS first_in_prio,
+           last_value(o_orderkey)
+               OVER (PARTITION BY o_orderpriority
+                     ORDER BY o_totalprice, o_orderkey
+                     ROWS BETWEEN UNBOUNDED PRECEDING
+                              AND UNBOUNDED FOLLOWING) AS last_in_prio
+    FROM orders
+    WINDOW wt AS (PARTITION BY o_orderpriority
+                  ORDER BY date_trunc('month', o_orderdate)),
+           wu AS (PARTITION BY o_orderpriority
+                  ORDER BY o_totalprice, o_orderkey)
+    """,
+)
+def window_rank_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution window functions: percent_rank/cume_dist over a
+    tied ordering (month buckets — tie semantics are the point),
+    ntile + first/last_value over a fully-determined ordering (ntile
+    splits ties by row position, so determinism requires a unique key;
+    last_value needs the full-partition frame, not the default
+    running frame)."""
+    o = load_table(spark, sf_dir, "orders")
+    wt = Window.partitionBy("o_orderpriority").orderBy(F.date_trunc("month", "o_orderdate"))
+    wu = Window.partitionBy("o_orderpriority").orderBy("o_totalprice", "o_orderkey")
+    wfull = wu.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return o.select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.round(F.percent_rank().over(wt), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(wt), 6).alias("cdist"),
+        F.ntile(4).over(wu).alias("quartile"),
+        F.first("o_orderkey").over(wu).alias("first_in_prio"),
+        F.last("o_orderkey").over(wfull).alias("last_in_prio"),
+    )
+
+
 # ------------------------------------------------------------- set ops
 
 @query(
