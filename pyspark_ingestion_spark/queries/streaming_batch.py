@@ -111,6 +111,39 @@ def streaming_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_stream_to_memory(agg, output_mode="complete")
 
 
+_SLIDING_ORACLE = """
+    WITH offsets AS (SELECT unnest([0, 30]) AS off_min)
+    SELECT time_bucket(INTERVAL 30 MINUTE, ts) - to_minutes(off_min) AS window_start,
+           time_bucket(INTERVAL 30 MINUTE, ts) - to_minutes(off_min) + INTERVAL 1 HOUR
+               AS window_end,
+           event_type,
+           count(*) AS n
+    FROM events CROSS JOIN offsets
+    GROUP BY 1, 2, 3
+    """
+
+
+@query("streaming_sliding", oracle=_SLIDING_ORACLE)
+def streaming_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL Structured Streaming sliding windows (1 h window / 30 min
+    slide): each event feeds two window states. Complete mode over
+    AvailableNow must equal the batch sliding query — same SQL oracle
+    as window_sliding. State per key is bounded by (windows per event ×
+    open windows); in production append mode + a watermark bounds it."""
+    stream = read_stream_table(spark, sf_dir, "events")
+    agg = (
+        stream.groupBy(F.window("ts", "1 hour", "30 minutes"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            F.col("window.start").alias("window_start"),
+            F.col("window.end").alias("window_end"),
+            "event_type",
+            "n",
+        )
+    )
+    return run_stream_to_memory(agg, output_mode="complete")
+
+
 @query("streaming_late_data_watermark", oracle=None)  # stateful policy → rows-only
 def streaming_late_data_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Watermarked streaming agg (10-min lateness bound) in append mode.

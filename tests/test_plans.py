@@ -29,7 +29,8 @@ _PANDAS_OK = {"multimodal_decode", "multimodal_frame_sample",
 
 #: queries that run/collect eagerly or stream — plan introspection n/a
 _SKIP = {"ddl_ctas_roundtrip", "ddl_partitioned_lake_msck",
-         "streaming_tumbling", "streaming_late_data_watermark",
+         "streaming_tumbling", "streaming_sliding",
+         "streaming_late_data_watermark",
          "streaming_session", "streaming_dedup_watermark",
          "streaming_stateful_user_totals", "streaming_static_join"}
 
