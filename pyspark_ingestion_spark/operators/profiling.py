@@ -52,3 +52,61 @@ def profile_columns(df: DataFrame, columns: list[str]) -> DataFrame:
         for c in columns
     ]
     return row.select(F.explode(F.array(*structs)).alias("p")).select("p.*")
+
+
+def quality_checks(
+    df,
+    unique_cols: list[str] | None = None,
+    not_null_cols: list[str] | None = None,
+    fk: tuple[str, "DataFrame", str] | None = None,
+) -> "DataFrame":
+    """Declarative data-quality audit → ONE row of violation counts.
+
+    The ingestion-gate pattern: after a batch lands, count (a) NULLs in
+    required columns, (b) surplus duplicate key values, (c) orphaned
+    foreign keys, and fail the pipeline when any count is nonzero. Each
+    check is an aggregate (the uniqueness check one groupBy on its key,
+    the FK check an anti-join against the distinct parent keys), the
+    single-row results cross-join together (1×1 rows — free), and the
+    driver sees one scalar row, never data.
+
+    ``fk`` is (local_col, parent_df, parent_col).
+    """
+    from functools import reduce
+
+    from pyspark.sql import functions as F
+
+    parts = []
+    if not_null_cols:
+        parts.append(
+            df.agg(
+                *[
+                    F.sum(F.when(F.col(c).isNull(), 1).otherwise(0))
+                    .cast("long")
+                    .alias(f"null_{c}")
+                    for c in not_null_cols
+                ]
+            )
+        )
+    for c in unique_cols or []:
+        parts.append(
+            df.groupBy(c)
+            .agg(F.count(F.lit(1)).alias("__c"))
+            .filter(F.col("__c") > 1)
+            .agg(F.coalesce(F.sum(F.col("__c") - 1), F.lit(0)).alias(f"dup_{c}"))
+        )
+    if fk is not None:
+        local_col, parent, parent_col = fk
+        parts.append(
+            df.select(F.col(local_col))
+            .filter(F.col(local_col).isNotNull())
+            .join(
+                parent.select(F.col(parent_col).alias(local_col)).distinct(),
+                local_col,
+                "left_anti",
+            )
+            .agg(F.count(F.lit(1)).alias(f"orphan_{local_col}"))
+        )
+    if not parts:
+        raise ValueError("quality_checks: no checks requested")
+    return reduce(lambda a, b: a.crossJoin(b), parts)

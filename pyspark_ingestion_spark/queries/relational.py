@@ -1017,3 +1017,52 @@ def retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count_distinct("user_id").alias("n_users"))
     )
+
+
+@query(
+    "dq_checks",
+    oracle="""
+    SELECT
+        (SELECT CAST(count(*) - count(o_custkey) AS BIGINT) FROM orders) AS null_o_custkey,
+        (SELECT CAST(count(*) - count(o_orderdate) AS BIGINT) FROM orders) AS null_o_orderdate,
+        (SELECT coalesce(sum(c - 1), 0) FROM
+            (SELECT count(*) AS c FROM orders GROUP BY o_orderkey HAVING count(*) > 1)) AS dup_o_orderkey,
+        (SELECT count(*) FROM orders o
+         WHERE o.o_custkey IS NOT NULL
+           AND NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey))
+            AS orphan_o_custkey
+    """,
+)
+def dq_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ingestion-gate data-quality audit: NULL counts on required columns,
+    surplus duplicates on the key, orphaned FKs vs customer — one row of
+    violation counts (all zero on the conformant testdata, which is
+    itself the assertion)."""
+    from pyspark_ingestion_spark.operators.profiling import quality_checks
+
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    return quality_checks(
+        o,
+        unique_cols=["o_orderkey"],
+        not_null_cols=["o_custkey", "o_orderdate"],
+        fk=("o_custkey", c, "c_custkey"),
+    )
+
+
+@query("agg_hll_mergeable_sketch", oracle=None)  # sketch → rows-only + pytest bound
+def agg_hll_mergeable_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The mergeable-sketch pattern that makes distinct counts cheap at
+    100 TB: build one DataSketches HLL per group (map-side combinable,
+    fixed-size state), union the sketches, estimate once. In production
+    the per-partition/per-day sketches persist and re-aggregate without
+    touching rows; here per-priority sketches of o_custkey union to the
+    global estimate. Error bound vs exact pinned in pytest
+    (test_properties.py::test_hll_union_sketch_error_bound)."""
+    o = load_table(spark, sf_dir, "orders")
+    per_group = o.groupBy("o_orderpriority").agg(
+        F.hll_sketch_agg("o_custkey").alias("sk")
+    )
+    return per_group.agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("merged_distinct_customers")
+    )

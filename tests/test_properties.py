@@ -455,3 +455,38 @@ def test_approx_percentile_error_bound(spark):
     )
     for a, e in zip(approx, exact):
         assert e > 0 and abs(a - e) / e <= 0.01, (approx, exact)
+
+
+def test_quality_checks_counts_violations(spark):
+    """On deliberately broken data every violation class is counted:
+    surplus duplicates, NULLs in required columns, orphaned FKs."""
+    from pyspark_ingestion_spark.operators.profiling import quality_checks
+
+    child = spark.createDataFrame(
+        [(1, 10), (1, 11), (1, 10), (2, None), (3, 99)], "k long, fk long"
+    )
+    parent = spark.createDataFrame([(10,), (11,)], "fk long")
+    row = quality_checks(
+        child, unique_cols=["k"], not_null_cols=["fk"], fk=("fk", parent, "fk")
+    ).first()
+    assert row["dup_k"] == 2        # three rows share k=1 → two surplus
+    assert row["null_fk"] == 1
+    assert row["orphan_fk"] == 1    # fk=99 has no parent
+
+
+def test_hll_union_sketch_error_bound(spark):
+    """Mergeable-sketch contract: per-group HLL sketches unioned then
+    estimated stay within 5% of the exact global distinct count."""
+    from pyspark_ingestion_spark.queries import all_queries
+    from pyspark_ingestion_spark.sources.readers import load_table
+
+    sf = "/root/testdata/sf0.01"
+    merged = all_queries()["agg_hll_mergeable_sketch"].fn(spark, sf).first()[
+        "merged_distinct_customers"
+    ]
+    exact = (
+        load_table(spark, sf, "orders")
+        .agg(F.count_distinct("o_custkey").alias("n"))
+        .first()["n"]
+    )
+    assert abs(merged - exact) / exact <= 0.05, (merged, exact)
