@@ -90,3 +90,31 @@ def partition_date(
         ),
         "yyyyMMdd",
     )
+
+
+def aes_pseudonymize(
+    col: Column | str, key: Column | str, deterministic: bool = True
+) -> Column:
+    """Reversible PII tokenization with native AES (vs F5's one-way sha256).
+
+    The modern replacement for the reference's security surface (its
+    MD5-derived-key 3DES settings cipher is obsolete — SURVEY says do
+    not reproduce; Spark's aes_encrypt is the supported primitive).
+    ``deterministic=True`` uses ECB so equal plaintexts tokenize equally
+    — required when the token must keep join/group semantics across
+    tables, at the classic cost that equal values are linkable; pass
+    False for randomized GCM (semantically secure, but tokens no longer
+    join). Key must be 16/24/32 bytes. Returns binary.
+    """
+    mode = F.lit("ECB") if deterministic else F.lit("GCM")
+    return F.aes_encrypt(_col(col), _col(key) if not isinstance(key, str) else F.lit(key), mode)
+
+
+def aes_reveal(
+    col: Column | str, key: Column | str, deterministic: bool = True
+) -> Column:
+    """Inverse of :func:`aes_pseudonymize` → original string."""
+    mode = F.lit("ECB") if deterministic else F.lit("GCM")
+    return F.aes_decrypt(
+        _col(col), _col(key) if not isinstance(key, str) else F.lit(key), mode
+    ).cast("string")

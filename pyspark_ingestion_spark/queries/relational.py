@@ -1066,3 +1066,22 @@ def agg_hll_mergeable_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     return per_group.agg(
         F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("merged_distinct_customers")
     )
+
+
+@query(
+    "f5b_aes_pseudonymize_roundtrip",
+    oracle="SELECT c_custkey, c_name FROM customer",
+)
+def f5b_aes_pseudonymize_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reversible AES tokenization round-trip: encrypt then decrypt must
+    reproduce the source column exactly (oracle = the untouched column).
+    Exercises real JVM AES, not a stub; deterministic ECB mode so the
+    token preserves join/group semantics."""
+    from pyspark_ingestion_spark.functions.scalar import aes_pseudonymize, aes_reveal
+
+    key = "0123456789abcdef"  # 16-byte demo key; production: env/KMS
+    c = load_table(spark, sf_dir, "customer")
+    return c.select(
+        "c_custkey",
+        aes_reveal(aes_pseudonymize("c_name", key), key).alias("c_name"),
+    )

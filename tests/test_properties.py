@@ -490,3 +490,29 @@ def test_hll_union_sketch_error_bound(spark):
         .first()["n"]
     )
     assert abs(merged - exact) / exact <= 0.05, (merged, exact)
+
+
+def test_aes_pseudonymize_modes(spark):
+    """ECB tokens are deterministic (equal plaintexts stay joinable);
+    GCM tokens are randomized (not linkable); both reveal exactly."""
+    from pyspark_ingestion_spark.functions.scalar import aes_pseudonymize, aes_reveal
+
+    key = "0123456789abcdef"
+    df = spark.createDataFrame([(1, "alice"), (2, "alice"), (3, "bob")], "id int, name string")
+    det = df.select(
+        "id",
+        aes_pseudonymize("name", key).alias("tok"),
+        aes_reveal(aes_pseudonymize("name", key), key).alias("back"),
+    ).collect()
+    toks = {r["id"]: bytes(r["tok"]) for r in det}
+    assert toks[1] == toks[2] != toks[3]
+    assert all(r["back"] in ("alice", "bob") for r in det)
+
+    rnd = df.select(
+        aes_pseudonymize("name", key, deterministic=False).alias("tok"),
+        aes_reveal(
+            aes_pseudonymize("name", key, deterministic=False), key, deterministic=False
+        ).alias("back"),
+    ).collect()
+    assert len({bytes(r["tok"]) for r in rnd}) == 3  # random IV → all distinct
+    assert sorted(r["back"] for r in rnd) == ["alice", "alice", "bob"]
