@@ -182,3 +182,30 @@ def rolling_hash(text: Column | str) -> Column:
         F.lit(0).cast("long"),
         lambda acc, c: (acc * ROLLING_BASE + c) % ROLLING_MOD,
     )
+
+
+#: PII patterns shared verbatim with the SQL oracle (RE2/Java and DuckDB
+#: both support this subset: no backrefs, no lookaround)
+PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_PHONE = r"(\+?[0-9]{1,3}[-. ]?)?\(?[0-9]{3}\)?[-. ]?[0-9]{3}[-. ]?[0-9]{4}"
+PII_IPV4 = r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b"
+PII_SSN = r"\b[0-9]{3}-[0-9]{2}-[0-9]{4}\b"
+
+
+def scrub_pii(text: Column | str) -> Column:
+    """Replace emails, phone numbers, IPv4 addresses and SSNs with typed
+    placeholder tokens — the standard redaction pass before text enters
+    a training corpus.
+
+    Order matters and is fixed: emails first (their local part would
+    otherwise be chewed up by the phone pattern's digit runs), then
+    SSNs before phones (an SSN is a substring-shaped phone), then
+    phones, then IPs. Pure native regexp_replace chain — JVM codegen,
+    no UDF — and every pattern is expressible identically in the DuckDB
+    oracle, so redaction is value-checked, not eyeballed.
+    """
+    out = F.regexp_replace(_c(text), PII_EMAIL, "<EMAIL>")
+    out = F.regexp_replace(out, PII_SSN, "<SSN>")
+    out = F.regexp_replace(out, PII_PHONE, "<PHONE>")
+    out = F.regexp_replace(out, PII_IPV4, "<IP>")
+    return out

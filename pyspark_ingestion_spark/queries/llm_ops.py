@@ -1051,3 +1051,27 @@ def corpus_full_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("node").alias("doc_id"))
     )
     return kd.join(F.broadcast(dropped), "doc_id", "left_anti").select("doc_id")
+
+
+@query(
+    "scrub_pii_redaction",
+    oracle=r"""
+    SELECT doc_id,
+           regexp_replace(
+             regexp_replace(
+               regexp_replace(
+                 regexp_replace(text,
+                   '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+                 '\b[0-9]{3}-[0-9]{2}-[0-9]{4}\b', '<SSN>', 'g'),
+               '(\+?[0-9]{1,3}[-. ]?)?\(?[0-9]{3}\)?[-. ]?[0-9]{3}[-. ]?[0-9]{4}', '<PHONE>', 'g'),
+             '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b', '<IP>', 'g') AS scrubbed
+    FROM documents
+    """,
+)
+def scrub_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction pass over the corpus: emails/SSNs/phones/IPv4s →
+    typed placeholders, identical regex chain on both engines."""
+    from pyspark_ingestion_spark.functions.text import scrub_pii
+
+    d = load_table(spark, sf_dir, "documents")
+    return d.select("doc_id", scrub_pii("text").alias("scrubbed"))

@@ -630,3 +630,48 @@ def test_catalog_identifiers_validated(spark):
         with pytest.raises(ValueError, match="invalid SQL identifier"):
             repair_table(spark, bad)
     drop_table(spark, "never_created_ok")  # valid name still fine (IF EXISTS)
+
+
+def test_cdc_upsert_latest_wins_and_partition_scoped(spark, tmp_path):
+    """Upsert updates/inserts/deletes by key with latest-wins; only the
+    batch's partitions are rewritten — untouched partition files keep
+    their exact on-disk identity."""
+    import glob
+
+    from pyspark_ingestion_spark.ingestion.cdc import cdc_upsert
+    from pyspark_ingestion_spark.sources.writers import write_partitioned
+
+    path = str(tmp_path / "cdc")
+    base = spark.createDataFrame(
+        [(1, "a-v1", 100, "2019"), (2, "b-v1", 100, "2019"), (3, "c-v1", 100, "2020")],
+        "id long, val string, ver long, YEAR string",
+    )
+    write_partitioned(base, path, partition_columns=["YEAR"], mode="overwrite",
+                      compression="snappy")
+    untouched_before = sorted(glob.glob(f"{path}/YEAR=2020/*.parquet"))
+
+    updates = spark.createDataFrame(
+        [(1, "a-v2", 200, "2019", False),   # update
+         (4, "d-v1", 200, "2019", False),   # insert
+         (2, None, 200, "2019", True)],     # delete tombstone
+        "id long, val string, ver long, YEAR string, deleted boolean",
+    )
+    cdc_upsert(spark, updates, path, key_cols=["id"], order_cols=["ver"],
+               partition_columns=["YEAR"], delete_col="deleted")
+
+    out = {r["id"]: r["val"] for r in spark.read.parquet(path).collect()}
+    assert out == {1: "a-v2", 3: "c-v1", 4: "d-v1"}
+    # untouched partition identical files (not rewritten)
+    assert sorted(glob.glob(f"{path}/YEAR=2020/*.parquet")) == untouched_before
+
+    # re-running the same batch is idempotent (ties resolve to incoming)
+    cdc_upsert(spark, updates, path, key_cols=["id"], order_cols=["ver"],
+               partition_columns=["YEAR"], delete_col="deleted")
+    out2 = {r["id"]: r["val"] for r in spark.read.parquet(path).collect()}
+    assert out2 == out
+
+    # first-batch bootstrap: path absent
+    path2 = str(tmp_path / "cdc2")
+    cdc_upsert(spark, updates.filter("NOT deleted"), path2, key_cols=["id"],
+               order_cols=["ver"], partition_columns=["YEAR"], delete_col="deleted")
+    assert {r["id"] for r in spark.read.parquet(path2).collect()} == {1, 4}

@@ -516,3 +516,25 @@ def test_aes_pseudonymize_modes(spark):
     ).collect()
     assert len({bytes(r["tok"]) for r in rnd}) == 3  # random IV → all distinct
     assert sorted(r["back"] for r in rnd) == ["alice", "alice", "bob"]
+
+
+def test_scrub_pii_replaces_each_class(spark):
+    """Redaction actually fires on real PII shapes (the corpus fixture is
+    clean, so the oracle parity alone would pass on identity) and the
+    email-before-phone / ssn-before-phone ordering holds."""
+    from pyspark_ingestion_spark.functions.text import scrub_pii
+
+    rows = [
+        (1, "mail bob.smith+x@example.co.uk now"),
+        (2, "call +1-555-123-4567 or (555) 987-6543"),
+        (3, "host 192.168.1.250 down"),
+        (4, "ssn 123-45-6789 leaked"),
+        (5, "no pii here at all"),
+    ]
+    df = spark.createDataFrame(rows, "id int, t string")
+    got = {r["id"]: r["s"] for r in df.select("id", scrub_pii("t").alias("s")).collect()}
+    assert got[1] == "mail <EMAIL> now"
+    assert got[2] == "call <PHONE> or <PHONE>"
+    assert got[3] == "host <IP> down"
+    assert got[4] == "ssn <SSN> leaked"
+    assert got[5] == "no pii here at all"
