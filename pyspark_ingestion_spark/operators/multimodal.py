@@ -7,11 +7,14 @@ codecs don't exist as Spark expressions. The batch shape matters at
 scale: one Python worker invocation per Arrow batch (not per row), and
 the binary column is projected only into the decode stage.
 
-The container has no image/audio libraries, so the real decoders are
-stubbed behind ``NotImplementedError`` (clearly marked); the
-deterministic fake path exercises the exact same schema, partitioning,
-UDF signature and batch shape, so the Spark-side plumbing is fully
-tested and the codec swap is a one-function change.
+What's real vs stubbed, stated plainly: header-metadata decode
+(dimensions / frame counts for PNG, GIF, BMP, JPEG, WAV) is REAL —
+pure byte parsing in ``_decode_real``, tested on handcrafted files.
+Pixel-level decode, resampling and learned feature extraction need
+codec/model runtimes this container lacks, so those remain stubbed
+behind ``NotImplementedError`` (clearly marked); the deterministic
+fake path exercises the exact same schema, partitioning, UDF signature
+and batch shape, so the codec swap stays a one-function change.
 """
 
 from __future__ import annotations
@@ -51,13 +54,62 @@ def attach_binary_payload(df: DataFrame, id_col: str, text_col: str) -> DataFram
 
 
 def _decode_real(payload: bytes) -> tuple[int, int, int]:
-    """Real media decode — requires codec libraries not present here.
+    """REAL header-metadata decode for common containers — pure byte
+    parsing, no codec libraries.
 
-    STUB: swap in PIL/ffmpeg/soundfile in a real deployment.
+    Dimensions and frame counts live in plain header bytes, so this
+    much is genuinely implemented (not stubbed): PNG (IHDR), GIF
+    (logical screen descriptor + image-separator count), BMP (DIB
+    header), JPEG (SOF0/1/2 marker walk), WAV (fmt/data chunks —
+    mapped as width=n_channels, height=bits_per_sample,
+    n_frames=sample frames). PIXEL-level decode/resample still needs
+    real codecs (PIL/ffmpeg) and raises NotImplementedError via the
+    unknown-format branch; see module docstring.
     """
+    import struct
+
+    if payload[:8] == b"\x89PNG\r\n\x1a\n":
+        w, h = struct.unpack_from(">II", payload, 16)
+        return (w, h, 1)
+    if payload[:4] in (b"GIF8",):
+        w, h = struct.unpack_from("<HH", payload, 6)
+        # frame count = image separators introducing image descriptors
+        n = max(payload.count(b"\x2c"), 1) if len(payload) < 1 << 20 else 1
+        return (w, h, n)
+    if payload[:2] == b"BM":
+        w, h = struct.unpack_from("<ii", payload, 18)
+        return (w, abs(h), 1)
+    if payload[:3] == b"\xff\xd8\xff":
+        pos = 2
+        while pos + 9 < len(payload):
+            if payload[pos] != 0xFF:
+                break
+            marker = payload[pos + 1]
+            if marker in (0xC0, 0xC1, 0xC2):
+                h, w = struct.unpack_from(">HH", payload, pos + 5)
+                return (w, h, 1)
+            seglen = struct.unpack_from(">H", payload, pos + 2)[0]
+            pos += 2 + seglen
+        raise ValueError("jpeg: no SOF marker found")
+    if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
+        pos = 12
+        channels = bits = block_align = data_size = None
+        while pos + 8 <= len(payload):
+            cid = payload[pos : pos + 4]
+            csz = struct.unpack_from("<I", payload, pos + 4)[0]
+            if cid == b"fmt ":
+                channels, _rate = struct.unpack_from("<HI", payload, pos + 10)
+                block_align, bits = struct.unpack_from("<HH", payload, pos + 20)
+            elif cid == b"data":
+                data_size = csz
+            pos += 8 + csz + (csz & 1)
+        if channels and block_align and data_size is not None:
+            return (channels, bits or 0, data_size // block_align)
+        raise ValueError("wav: missing fmt/data chunks")
     raise NotImplementedError(
-        "media codecs (PIL/ffmpeg) are not available in this environment; "
-        "use fake=True for the deterministic test path"
+        "unknown container (only PNG/GIF/BMP/JPEG/WAV headers are parsed "
+        "natively; full pixel decode needs PIL/ffmpeg — not in this "
+        "environment); use fake=True for the deterministic test path"
     )
 
 

@@ -675,3 +675,34 @@ def test_cdc_upsert_latest_wins_and_partition_scoped(spark, tmp_path):
     cdc_upsert(spark, updates.filter("NOT deleted"), path2, key_cols=["id"],
                order_cols=["ver"], partition_columns=["YEAR"], delete_col="deleted")
     assert {r["id"] for r in spark.read.parquet(path2).collect()} == {1, 4}
+
+
+def test_real_header_decode_parses_common_containers(spark):
+    """_decode_real genuinely parses PNG/GIF/BMP/JPEG/WAV headers (byte
+    parsing, no codec libs) through the full Arrow mapInPandas path."""
+    import struct
+
+    from pyspark_ingestion_spark.operators.multimodal import decode_media
+
+    png = (b"\x89PNG\r\n\x1a\n" + struct.pack(">I", 13) + b"IHDR"
+           + struct.pack(">II", 640, 480) + b"\x08\x02\x00\x00\x00" + b"\x00" * 4)
+    gif = b"GIF89a" + struct.pack("<HH", 320, 200) + b"\x00\x00\x00" + b"\x2c" + b"\x00" * 10
+    bmp = b"BM" + struct.pack("<IHHI", 0, 0, 0, 54) + struct.pack("<Iii", 40, 800, -600)
+    jpg = (b"\xff\xd8\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00" + b"\x00" * 9
+           + b"\xff\xc0" + struct.pack(">H", 17) + b"\x08" + struct.pack(">HH", 480, 640)
+           + b"\x03" + b"\x00" * 10)
+    wav = (b"RIFF" + struct.pack("<I", 436) + b"WAVE"
+           + b"fmt " + struct.pack("<I", 16)
+           + struct.pack("<HHIIHH", 1, 2, 44100, 176400, 4, 16)
+           + b"data" + struct.pack("<I", 400) + b"\x00" * 400)
+
+    rows = [(1, bytearray(png)), (2, bytearray(gif)), (3, bytearray(bmp)),
+            (4, bytearray(jpg)), (5, bytearray(wav))]
+    media = spark.createDataFrame(rows, "doc_id long, payload binary")
+    got = {r["doc_id"]: (r["width"], r["height"], r["n_frames"])
+           for r in decode_media(media, fake=False).collect()}
+    assert got[1] == (640, 480, 1)      # png
+    assert got[2][0:2] == (320, 200)    # gif dims
+    assert got[3] == (800, 600, 1)      # bmp (negative height normalized)
+    assert got[4] == (640, 480, 1)      # jpeg via SOF0
+    assert got[5] == (2, 16, 100)       # wav: channels, bits, sample frames

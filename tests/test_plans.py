@@ -77,11 +77,14 @@ def test_topk_is_single_shuffle(spark, sf_dir):
     assert shuffle_count(df) <= 1, formatted_plan(df)
 
 
-def test_real_decoder_is_explicit_stub(spark, sf_dir):
+def test_real_decoder_unknown_format_is_explicit(spark, sf_dir):
+    """Known containers parse for real (test_ingestion covers them);
+    anything else must fail loud — full pixel decode stays an honestly
+    marked codec gap, never a silent fake."""
     from pyspark_ingestion_spark.operators.multimodal import _decode_real
 
     with pytest.raises(NotImplementedError):
-        _decode_real(b"bytes")
+        _decode_real(b"not a known container")
 
 
 def test_salted_join_matches_plain_join(spark, sf_dir):
