@@ -706,3 +706,28 @@ def test_real_header_decode_parses_common_containers(spark):
     assert got[3] == (800, 600, 1)      # bmp (negative height normalized)
     assert got[4] == (640, 480, 1)      # jpeg via SOF0
     assert got[5] == (2, 16, 100)       # wav: channels, bits, sample frames
+
+
+def test_lake_schema_evolution_merge_schema(spark, tmp_path):
+    """Columns added by later batches surface via mergeSchema: old rows
+    read NULL for the new column, new rows keep it — the append-only
+    schema-evolution contract a long-lived lake needs."""
+    from pyspark.sql import functions as F
+
+    from pyspark_ingestion_spark.sources.readers import read_file
+    from pyspark_ingestion_spark.sources.writers import write_partitioned
+
+    path = str(tmp_path / "evolve")
+    b1 = spark.createDataFrame([(1, "x", "2019")], "id long, a string, YEAR string")
+    write_partitioned(b1, path, partition_columns=["YEAR"], mode="overwrite",
+                      compression="snappy")
+    b2 = spark.createDataFrame(
+        [(2, "y", 9.5, "2020")], "id long, a string, new_metric double, YEAR string"
+    )
+    write_partitioned(b2, path, partition_columns=["YEAR"], mode="append",
+                      compression="snappy")
+
+    merged = read_file(spark, path, mergeSchema=True)
+    assert "new_metric" in merged.columns
+    rows = {r["id"]: r for r in merged.collect()}
+    assert rows[1]["new_metric"] is None and rows[2]["new_metric"] == 9.5
