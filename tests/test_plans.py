@@ -214,6 +214,13 @@ def test_headline_shuffle_budgets(spark, sf_dir):
         "window_session": 1,       # one window shuffle on user_id
         "ann_sign_bucket_topk": 1,
         "corpus_clean_pipeline": 1,
+        # heaviest non-bench TPC-H shapes: dims broadcast, so the only
+        # exchanges are fact-side agg/join boundaries
+        "q7_volume_shipping": 2,
+        "q8_market_share": 2,
+        "q18_large_volume_customer": 2,   # semi-join reuses the agg exchange
+        "q21_waiting_suppliers": 3,       # exists+not-exists over lineitem
+        "q13_customer_distribution": 3,   # outer join + two agg levels
     }
     qs = all_queries()
     over = {
