@@ -82,3 +82,20 @@ def cdc_upsert(
     overwrite_partitions(
         latest, path, partition_columns=partition_columns, file_format=file_format
     )
+
+    # dynamic overwrite replaces only partitions PRESENT in the written
+    # frame — a partition whose every key was tombstoned produces no
+    # rows, so its old files would silently survive. Drop emptied
+    # partition directories explicitly (Hadoop FS → works on any scheme).
+    remaining = {
+        tuple(r) for r in latest.select(*partition_columns).distinct().collect()
+    }
+    emptied = [vals for vals in touched if tuple(vals) not in remaining]
+    if emptied:
+        jvm = spark._jvm
+        conf = spark._jsc.hadoopConfiguration()
+        for vals in emptied:
+            sub = "/".join(f"{c}={v}" for c, v in zip(partition_columns, vals))
+            jpath = jvm.org.apache.hadoop.fs.Path(f"{path}/{sub}")
+            fs = jpath.getFileSystem(conf)
+            fs.delete(jpath, True)

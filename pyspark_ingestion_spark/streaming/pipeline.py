@@ -181,3 +181,46 @@ def stream_foreach_batch_overwrite(
         .start()
     )
     q.awaitTermination()
+
+
+def stream_cdc_upsert(
+    stream_df: DataFrame,
+    path: str,
+    checkpoint: str,
+    key_cols: list[str],
+    order_cols: list[str],
+    partition_columns: list[str],
+    delete_col: str | None = None,
+) -> None:
+    """Streaming CDC apply: each micro-batch MERGEs into the lake.
+
+    foreachBatch + ``ingestion.cdc.cdc_upsert`` — the streaming form of
+    the upsert path, with the same latest-wins/tombstone semantics and
+    the same cost model (each micro-batch rewrites only its partition
+    footprint). Replayed micro-batches (restart between sink and
+    checkpoint commit) are safe because the merge is idempotent: ties
+    on ``order_cols`` resolve toward the incoming rows, so re-applying
+    a batch reproduces the same partitions. Unlike the overwrite sink
+    above, partitions may recur across batches — that's the normal CDC
+    case (today's hot partition updated every batch).
+    """
+    from pyspark_ingestion_spark.ingestion.cdc import cdc_upsert
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        cdc_upsert(
+            batch_df.sparkSession,
+            batch_df,
+            path,
+            key_cols=key_cols,
+            order_cols=order_cols,
+            partition_columns=partition_columns,
+            delete_col=delete_col,
+        )
+
+    q = (
+        stream_df.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

@@ -731,3 +731,55 @@ def test_lake_schema_evolution_merge_schema(spark, tmp_path):
     assert "new_metric" in merged.columns
     rows = {r["id"]: r for r in merged.collect()}
     assert rows[1]["new_metric"] is None and rows[2]["new_metric"] == 9.5
+
+
+def test_maintain_rollup_incremental_equals_full_recompute(spark, tmp_path):
+    """Folding batches one at a time must equal aggregating all facts at
+    once; only the batch's partitions are rewritten; non-decomposable
+    aggregates fail loud."""
+    import glob
+
+    import pytest
+    from pyspark.sql import functions as F
+
+    from pyspark_ingestion_spark.ingestion.rollup import maintain_rollup
+
+    path = str(tmp_path / "rollup")
+    aggs = lambda: {  # noqa: E731 - fresh Column objects per call
+        "n": F.count(F.lit(1)),
+        "revenue": F.sum("amt"),
+        "max_amt": F.max("amt"),
+        "min_amt": F.min("amt"),
+    }
+    b1 = spark.createDataFrame(
+        [("2019", "red", 10.0), ("2019", "red", 5.0), ("2020", "blue", 7.0)],
+        "day string, color string, amt double",
+    )
+    b2 = spark.createDataFrame(
+        [("2019", "red", 2.0), ("2019", "green", 1.0)],  # touches only 2019
+        "day string, color string, amt double",
+    )
+    maintain_rollup(spark, b1, path, ["day", "color"], aggs(), ["day"])
+    untouched = sorted(glob.glob(f"{path}/day=2020/*.parquet"))
+    maintain_rollup(spark, b2, path, ["day", "color"], aggs(), ["day"])
+    assert sorted(glob.glob(f"{path}/day=2020/*.parquet")) == untouched
+
+    got = {
+        (r["day"], r["color"]): (r["n"], r["revenue"], r["max_amt"], r["min_amt"])
+        for r in spark.read.parquet(path).collect()
+    }
+    full = {
+        (r["day"], r["color"]): (r["n"], r["revenue"], r["max_amt"], r["min_amt"])
+        for r in b1.unionByName(b2)
+        .groupBy("day", "color")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("amt").alias("revenue"),
+             F.max("amt").alias("max_amt"), F.min("amt").alias("min_amt"))
+        .collect()
+    }
+    assert got == full
+
+    with pytest.raises(ValueError, match="not decomposable"):
+        maintain_rollup(spark, b2, path, ["day", "color"],
+                        {"med": F.expr("percentile(amt, 0.5)")}, ["day"])
+    with pytest.raises(ValueError, match="must be part of group_cols"):
+        maintain_rollup(spark, b2, path, ["color"], aggs(), ["day"])

@@ -99,3 +99,46 @@ def test_foreach_batch_overwrite_sink(spark, sf_dir, tmp_path):
     )
     stream_foreach_batch_overwrite(stream2, out, str(tmp_path / "ck2"), ["YEAR"])
     assert spark.read.parquet(out).count() == n
+
+
+def test_stream_cdc_upsert_applies_changes(spark, tmp_path):
+    """CDC feed applied through real Structured Streaming foreachBatch:
+    latest-wins per key + tombstones, same result as the batch merge."""
+    from pyspark_ingestion_spark.ingestion.cdc import cdc_upsert
+    from pyspark_ingestion_spark.sources.writers import write_partitioned
+    from pyspark_ingestion_spark.streaming.pipeline import stream_cdc_upsert
+
+    feed_dir = str(tmp_path / "feed")
+    base = spark.createDataFrame(
+        [(1, "a-v1", 100, "2019", False), (3, "c-v1", 100, "2020", False)],
+        "id long, val string, ver long, YEAR string, deleted boolean",
+    )
+    lake = str(tmp_path / "lake")
+    write_partitioned(base.drop("deleted"), lake, partition_columns=["YEAR"],
+                      mode="overwrite", compression="snappy")
+
+    changes = spark.createDataFrame(
+        [(1, "a-v2", 200, "2019", False),
+         (2, "b-v1", 200, "2019", False),
+         (3, None, 200, "2020", True)],
+        "id long, val string, ver long, YEAR string, deleted boolean",
+    )
+    changes.write.parquet(feed_dir)
+
+    stream = spark.readStream.schema(changes.schema).parquet(feed_dir)
+    stream_cdc_upsert(
+        stream, lake, checkpoint=str(tmp_path / "ckpt"),
+        key_cols=["id"], order_cols=["ver"], partition_columns=["YEAR"],
+        delete_col="deleted",
+    )
+    out = {r["id"]: r["val"] for r in spark.read.parquet(lake).collect()}
+    assert out == {1: "a-v2", 2: "b-v1"}  # 3 tombstoned
+
+    # equivalent batch merge produces the same lake
+    lake2 = str(tmp_path / "lake2")
+    write_partitioned(base.drop("deleted"), lake2, partition_columns=["YEAR"],
+                      mode="overwrite", compression="snappy")
+    cdc_upsert(spark, changes, lake2, key_cols=["id"], order_cols=["ver"],
+               partition_columns=["YEAR"], delete_col="deleted")
+    out2 = {r["id"]: r["val"] for r in spark.read.parquet(lake2).collect()}
+    assert out2 == out
