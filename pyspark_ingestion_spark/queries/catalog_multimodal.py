@@ -224,3 +224,56 @@ def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     media = attach_binary_payload(d, "doc_id", "text")
     return resize_media(decode_media(media, fake=True), max_width=64)
+
+
+@query(
+    "multimodal_ann_pipeline",
+    oracle="""
+    WITH n AS (SELECT doc_id, octet_length(encode(text)) AS nb FROM documents),
+    f AS (SELECT doc_id,
+                 [ROUND((nb % 7) / 7.0, 6), ROUND((nb % 8) / 8.0, 6),
+                  ROUND((nb % 9) / 9.0, 6), ROUND((nb % 10) / 10.0, 6),
+                  ROUND((nb % 11) / 11.0, 6), ROUND((nb % 12) / 12.0, 6),
+                  ROUND((nb % 13) / 13.0, 6), ROUND((nb % 14) / 14.0, 6)] AS v
+          FROM n),
+    nz AS (SELECT * FROM f WHERE list_dot_product(v, v) > 0),
+    q AS (SELECT doc_id AS query_id, v AS qv FROM nz WHERE doc_id < 10),
+    scored AS (SELECT q.query_id, c.doc_id AS neighbor_id,
+                      ROUND(list_dot_product(c.v, q.qv)
+                            / (sqrt(list_dot_product(c.v, c.v))
+                             * sqrt(list_dot_product(q.qv, q.qv))), 6) AS sim
+               FROM nz c CROSS JOIN q)
+    SELECT query_id, neighbor_id, sim, CAST(rank AS INT) AS rank FROM (
+        SELECT *, row_number() OVER (PARTITION BY query_id
+                                     ORDER BY sim DESC, neighbor_id) AS rank
+        FROM scored)
+    WHERE rank <= 3
+    """,
+)
+def multimodal_ann_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full multimodal dedup path in one plan: binary payload →
+    Arrow-batched feature extraction → exact cosine top-k — proving the
+    extract_features output really feeds operators.similarity. Features
+    rounded to 6dp on both engines so the float32→double hop can't
+    shift ranks; zero-norm vectors (cosine undefined) filtered on both
+    sides."""
+    from pyspark_ingestion_spark.functions.vectors import dot_product
+    from pyspark_ingestion_spark.operators.multimodal import (
+        attach_binary_payload,
+        extract_features,
+    )
+    from pyspark_ingestion_spark.operators.similarity import brute_force_topk
+
+    d = load_table(spark, sf_dir, "documents")
+    media = attach_binary_payload(d, "doc_id", "text")
+    feats = extract_features(media, dim=8, fake=True).select(
+        "doc_id",
+        F.transform(F.col("features").cast("array<double>"),
+                    lambda x: F.round(x, 6)).alias("v"),
+    )
+    nz = feats.filter(dot_product("v", "v") > 0)
+    queries = nz.filter(F.col("doc_id") < 10).select(
+        F.col("doc_id").alias("query_id"), F.col("v").alias("embedding")
+    )
+    corpus = nz.select(F.col("doc_id").alias("vec_id"), F.col("v").alias("embedding"))
+    return brute_force_topk(corpus, queries, k=3)

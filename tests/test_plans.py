@@ -24,6 +24,7 @@ _REGISTRY = all_queries()
 #: queries that intentionally cross into Python (Arrow-batched decode)
 _PANDAS_OK = {"multimodal_decode", "multimodal_frame_sample",
               "multimodal_features", "multimodal_resize",
+              "multimodal_ann_pipeline",
               "udf_pandas_quality", "udtf_split_words",
               "udf_grouped_map_order_gaps"}
 
