@@ -286,3 +286,38 @@ def test_dfcap_anti_join_broadcasts_and_shingles_cached_once(spark, sf_dir):
         if "LeftAnti" in line:
             assert "BroadcastHashJoin" in line, line
     assert plan.count("InMemoryTableScan") >= 3  # sizes + both join sides
+
+
+def test_write_clustered_files_cover_disjoint_ranges(spark, sf_dir, tmp_path):
+    """Clustered write = range-partitioned + sorted files: per-file
+    min/max of the cluster key (read from parquet footer statistics,
+    the very stats scans prune on) must be pairwise disjoint, and a
+    point-filter scan must push the predicate."""
+    import pyarrow.parquet as pq
+
+    from pyspark_ingestion_spark.plans.explain import formatted_plan
+    from pyspark_ingestion_spark.sources.readers import load_table
+    from pyspark_ingestion_spark.sources.writers import write_clustered
+
+    out = str(tmp_path / "clustered")
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    write_clustered(o, out, ["o_orderkey"], num_files=4, mode="overwrite")
+
+    ranges = []
+    for f in sorted((tmp_path / "clustered").glob("*.parquet")):
+        md = pq.ParquetFile(str(f)).metadata
+        mins, maxs = [], []
+        for rg in range(md.num_row_groups):
+            col = md.row_group(rg).column(0)
+            assert col.statistics is not None
+            mins.append(col.statistics.min)
+            maxs.append(col.statistics.max)
+        ranges.append((min(mins), max(maxs)))
+    assert len(ranges) >= 2
+    ranges.sort()
+    for (lo1, hi1), (lo2, hi2) in zip(ranges, ranges[1:]):
+        assert hi1 <= lo2, f"file ranges overlap: ({lo1},{hi1}) vs ({lo2},{hi2})"
+
+    probe = spark.read.parquet(out).filter("o_orderkey = 1")
+    assert "PushedFilters" in formatted_plan(probe)
+    assert probe.count() >= 1
