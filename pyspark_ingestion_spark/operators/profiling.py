@@ -110,3 +110,31 @@ def quality_checks(
     if not parts:
         raise ValueError("quality_checks: no checks requested")
     return reduce(lambda a, b: a.crossJoin(b), parts)
+
+
+def key_skew_profile(df, key_col: str, top_k: int = 5) -> "DataFrame":
+    """Skew diagnostic for a prospective join/groupBy key: the top-k
+    heaviest key values with their absolute counts and share of all
+    rows.
+
+    The number that decides a physical strategy: a top share near 1/n_
+    partitions is benign; a single key holding 10%+ of a 100 TB table
+    will straggle any hash-partitioned join and wants salting
+    (``relational.salted_join``), AQE skew-split, or a broadcast of the
+    other side. One map-side-combined count per key plus a top-k sort of
+    the (small) per-key count table — no second pass over the data.
+    """
+    from pyspark.sql import functions as F
+
+    counts = df.groupBy(key_col).agg(F.count(F.lit(1)).alias("n"))
+    total = counts.agg(F.sum("n").alias("__total"))
+    return (
+        counts.crossJoin(F.broadcast(total))
+        .select(
+            key_col,
+            "n",
+            F.round(F.col("n") / F.col("__total"), 6).alias("share"),
+        )
+        .orderBy(F.desc("n"), F.asc(key_col))
+        .limit(top_k)
+    )

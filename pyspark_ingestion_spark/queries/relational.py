@@ -1085,3 +1085,24 @@ def f5b_aes_pseudonymize_roundtrip(spark: SparkSession, sf_dir: str) -> DataFram
         "c_custkey",
         aes_reveal(aes_pseudonymize("c_name", key), key).alias("c_name"),
     )
+
+
+@query(
+    "profile_key_skew",
+    oracle="""
+    WITH counts AS (SELECT o_custkey, count(*) AS n FROM orders GROUP BY o_custkey),
+    total AS (SELECT sum(n) AS t FROM counts)
+    SELECT o_custkey, n, ROUND(n / t, 6) AS share
+    FROM counts CROSS JOIN total
+    ORDER BY n DESC, o_custkey
+    LIMIT 5
+    """,
+)
+def profile_key_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-key skew diagnostic: heaviest o_custkey values with row
+    share — the number that picks between plain hash join, salting and
+    broadcast before a 100 TB shuffle straggles."""
+    from pyspark_ingestion_spark.operators.profiling import key_skew_profile
+
+    o = load_table(spark, sf_dir, "orders")
+    return key_skew_profile(o, "o_custkey", top_k=5)
