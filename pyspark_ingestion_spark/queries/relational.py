@@ -1106,3 +1106,50 @@ def profile_key_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     o = load_table(spark, sf_dir, "orders")
     return key_skew_profile(o, "o_custkey", top_k=5)
+
+
+@query("agg_kll_mergeable_quantiles", oracle=None)  # sketch → rows-only + pytest bound
+def agg_kll_mergeable_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable quantiles via DataSketches KLL: per-priority sketches of
+    order totals merged into global quantiles — percentiles over partials
+    without ever sorting the value column globally. The rollup-table
+    answer to percentile columns (exact percentile needs the raw rows;
+    KLL sketch columns re-aggregate). Error bound pinned in pytest."""
+    o = load_table(spark, sf_dir, "orders")
+    per = o.groupBy("o_orderpriority").agg(
+        F.kll_sketch_agg_double("o_totalprice").alias("sk")
+    )
+    merged = F.kll_merge_agg_double("sk")
+    return per.agg(
+        F.kll_sketch_get_quantile_double(merged, F.lit(0.25)).alias("p25"),
+        F.kll_sketch_get_quantile_double(merged, F.lit(0.5)).alias("p50"),
+        F.kll_sketch_get_quantile_double(merged, F.lit(0.75)).alias("p75"),
+    )
+
+
+@query("agg_theta_set_overlap", oracle=None)  # sketch → rows-only + pytest exactness
+def agg_theta_set_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set algebra over distinct sets via DataSketches Theta: estimated
+    intersection/union of 1995-vs-1996 customer sets from two fixed-size
+    sketches — audience-overlap analytics at 100 TB without shuffling
+    raw ids between the sides. Below sketch capacity the estimate is
+    exact; pytest pins exact equality at sf0.01."""
+    o = load_table(spark, sf_dir, "orders")
+    pair = (
+        o.filter(F.year("o_orderdate") == 1995)
+        .agg(F.theta_sketch_agg("o_custkey").alias("a"))
+        .crossJoin(
+            F.broadcast(
+                o.filter(F.year("o_orderdate") == 1996)
+                .agg(F.theta_sketch_agg("o_custkey").alias("b"))
+            )
+        )
+    )
+    return pair.select(
+        F.round(F.theta_sketch_estimate(F.theta_intersection("a", "b")), 1).alias(
+            "inter_customers"
+        ),
+        F.round(F.theta_sketch_estimate(F.theta_union("a", "b")), 1).alias(
+            "union_customers"
+        ),
+    )

@@ -538,3 +538,36 @@ def test_scrub_pii_replaces_each_class(spark):
     assert got[3] == "host <IP> down"
     assert got[4] == "ssn <SSN> leaked"
     assert got[5] == "no pii here at all"
+
+
+def test_kll_quantile_sketch_error_bound(spark):
+    """Merged per-group KLL quantiles honor the sketch's actual contract:
+    RANK error (the fraction of rows at or below the estimate must sit
+    within ±3% of the target quantile; default k=200 guarantees ~1.65%).
+    Value-based bounds would be flaky — KLL is order-sensitive and dense
+    value regions amplify value error."""
+    from pyspark_ingestion_spark.queries import all_queries
+    from pyspark_ingestion_spark.sources.readers import load_table
+
+    sf = "/root/testdata/sf0.01"
+    got = all_queries()["agg_kll_mergeable_quantiles"].fn(spark, sf).first()
+    o = load_table(spark, sf, "orders")
+    total = o.count()
+    for target, est in ((0.25, got["p25"]), (0.5, got["p50"]), (0.75, got["p75"])):
+        rank = o.filter(F.col("o_totalprice") <= est).count() / total
+        assert abs(rank - target) <= 0.03, (target, est, rank)
+
+
+def test_theta_set_overlap_exact_below_capacity(spark):
+    """Theta intersection/union estimates equal the exact distinct-set
+    counts while both sets fit the sketch (they do at sf0.01)."""
+    from pyspark_ingestion_spark.queries import all_queries
+    from pyspark_ingestion_spark.sources.readers import load_table
+
+    sf = "/root/testdata/sf0.01"
+    got = all_queries()["agg_theta_set_overlap"].fn(spark, sf).first()
+    o = load_table(spark, sf, "orders")
+    a = o.filter(F.year("o_orderdate") == 1995).select("o_custkey").distinct()
+    b = o.filter(F.year("o_orderdate") == 1996).select("o_custkey").distinct()
+    assert got["inter_customers"] == a.intersect(b).count()
+    assert got["union_customers"] == a.union(b).distinct().count()
