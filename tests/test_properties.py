@@ -91,7 +91,10 @@ def test_cosine_similarity_bounds_and_self_identity(spark, vec):
 
     df = spark.createDataFrame([(vec,)], "v ARRAY<DOUBLE>")
     row = df.select(cosine_similarity("v", "v").alias("c")).first()
-    if all(x == 0 for x in vec):
+    # zero-norm predicate must mirror the engine's double arithmetic:
+    # a subnormal component (e.g. 1.1e-308) squares to 0.0, so its norm
+    # underflows to zero even though the component itself is nonzero
+    if sum(x * x for x in vec) == 0.0:
         assert row["c"] is None  # zero norm → NULL, never division blowup
     else:
         assert abs(row["c"] - 1.0) < 1e-9
