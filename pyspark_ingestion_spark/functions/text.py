@@ -184,6 +184,64 @@ def rolling_hash(text: Column | str) -> Column:
     )
 
 
+def positional_ngrams(words_arr: Column, n: int) -> Column:
+    """ALL positional word n-grams (a multiset, unlike ``word_shingles``'
+    distinct set) from a word-array column; empty array when the doc has
+    fewer than ``n`` words.
+
+    Takes the word ARRAY, not raw text: callers must materialize the
+    array behind a projection boundary first (same O(words²) lambda
+    pitfall as ``word_shingles`` — see ``operators.dedup._shingle_table``).
+    """
+    k = F.size(words_arr)
+    grams = F.transform(
+        F.sequence(F.lit(1), k - n + 1),
+        lambda i: F.concat_ws(" ", *[F.get(words_arr, i + j - 1) for j in range(n)]),
+    )
+    return F.when(k >= n, grams).otherwise(F.array().cast("array<string>"))
+
+
+def ngram_repetition(words_arr: Column, n: int) -> Column:
+    """Per-document n-gram repetition counters as a struct
+    ``(positions, top_count, dup_count)`` — the building blocks of the
+    Gopher/C4 repetition filters (Rae et al. 2021 §A1.1; Raffel et al.
+    2020): ``top_count/positions`` is the fraction of n-gram slots taken
+    by the single most frequent n-gram, ``dup_count/positions`` the
+    fraction of slots whose n-gram occurs more than once in the doc.
+
+    Shape matters at 100 TB: this is computed document-locally (sort the
+    positional grams, then one linear ``aggregate`` scan counting run
+    lengths) — zero shuffle, no explode/groupBy of every n-gram of the
+    corpus through an exchange. O(p log p) per doc, all codegen'd.
+    """
+    s = F.array_sort(positional_ngrams(words_arr, n))
+    zero = F.lit(0).cast("long")
+    init = F.struct(
+        F.lit("").alias("prev"),
+        zero.alias("run"),
+        zero.alias("top"),
+        zero.alias("dup"),
+    )
+
+    def step(acc: Column, g: Column) -> Column:
+        run = F.when(g == acc["prev"], acc["run"] + 1).otherwise(F.lit(1).cast("long"))
+        # a run reaching 2 retro-counts its first element; longer runs add 1
+        dup = acc["dup"] + F.when(run == 2, F.lit(2)).when(run > 2, F.lit(1)).otherwise(F.lit(0))
+        return F.struct(
+            g.alias("prev"),
+            run.alias("run"),
+            F.greatest(acc["top"], run).alias("top"),
+            dup.cast("long").alias("dup"),
+        )
+
+    agg = F.aggregate(s, init, step)
+    return F.struct(
+        F.size(s).cast("long").alias("positions"),
+        agg["top"].alias("top_count"),
+        agg["dup"].alias("dup_count"),
+    )
+
+
 #: PII patterns shared verbatim with the SQL oracle (RE2/Java and DuckDB
 #: both support this subset: no backrefs, no lookaround)
 PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"

@@ -12,7 +12,7 @@ internals.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from pyspark_ingestion_spark.functions.text import (
@@ -142,6 +142,72 @@ def quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Heuristic quality score: letter density × length factor."""
     d = load_table(spark, sf_dir, "documents")
     return d.select("doc_id", quality_score("text").alias("quality"))
+
+
+@query(
+    "text_repetition",
+    oracle=r"""
+    WITH w AS (SELECT doc_id, trim(lower(text)) AS t,
+                      string_split_regex(trim(lower(text)), '\s+') AS ws
+               FROM documents),
+    g2 AS (SELECT doc_id, array_to_string(ws[i:i+1], ' ') AS g
+           FROM w, LATERAL (SELECT unnest(range(1, len(ws))) AS i)),
+    c2 AS (SELECT doc_id, g, count(*) AS c FROM g2 GROUP BY 1, 2),
+    s2 AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS pos,
+                  CAST(max(c) AS BIGINT) AS topc,
+                  CAST(coalesce(sum(c) FILTER (WHERE c > 1), 0) AS BIGINT) AS dupc
+           FROM c2 GROUP BY 1),
+    g5 AS (SELECT doc_id, array_to_string(ws[i:i+4], ' ') AS g
+           FROM w, LATERAL (SELECT unnest(range(1, len(ws) - 3)) AS i)),
+    c5 AS (SELECT doc_id, g, count(*) AS c FROM g5 GROUP BY 1, 2),
+    s5 AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS pos,
+                  CAST(coalesce(sum(c) FILTER (WHERE c > 1), 0) AS BIGINT) AS dupc
+           FROM c5 GROUP BY 1)
+    SELECT w.doc_id,
+           CAST(CASE WHEN w.t = '' THEN 0 ELSE len(w.ws) END AS BIGINT) AS n_words,
+           COALESCE(ROUND(s2.topc / s2.pos, 6), 0.0) AS top_bigram_frac,
+           COALESCE(ROUND(s2.dupc / s2.pos, 6), 0.0) AS dup_bigram_frac,
+           COALESCE(ROUND(s5.dupc / s5.pos, 6), 0.0) AS dup_5gram_frac
+    FROM w
+    LEFT JOIN s2 USING (doc_id)
+    LEFT JOIN s5 USING (doc_id)
+    """,
+)
+def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher/C4-style repetition filters: fraction of bigram slots taken
+    by the most frequent bigram, and fraction of bigram / 5-gram slots
+    whose gram repeats within the doc (Rae et al. 2021 §A1.1).
+
+    Computed document-locally (sort + one linear scan per doc inside
+    ``ngram_repetition``) — no explode/groupBy shuffling every n-gram of
+    a 100 TB corpus; the oracle computes the same counters relationally.
+    """
+    from pyspark_ingestion_spark.functions.text import ngram_repetition, words
+
+    d = load_table(spark, sf_dir, "documents")
+    # word array materialized behind a projection boundary (lambda CSE pitfall)
+    w = d.select("doc_id", words(F.lower(F.col("text"))).alias("__w"))
+    arr = F.col("__w")
+    staged = w.select(
+        "doc_id",
+        F.size(arr).cast("long").alias("n_words"),
+        ngram_repetition(arr, 2).alias("r2"),
+        ngram_repetition(arr, 5).alias("r5"),
+    )
+
+    def frac(r: Column, field: str) -> Column:
+        return F.when(
+            r["positions"] > 0, F.round(r[field] / r["positions"], 6)
+        ).otherwise(F.lit(0.0))
+
+    r2, r5 = F.col("r2"), F.col("r5")
+    return staged.select(
+        "doc_id",
+        "n_words",
+        frac(r2, "top_count").alias("top_bigram_frac"),
+        frac(r2, "dup_count").alias("dup_bigram_frac"),
+        frac(r5, "dup_count").alias("dup_5gram_frac"),
+    )
 
 
 @query(

@@ -574,3 +574,49 @@ def test_theta_set_overlap_exact_below_capacity(spark):
     b = o.filter(F.year("o_orderdate") == 1996).select("o_custkey").distinct()
     assert got["inter_customers"] == a.intersect(b).count()
     assert got["union_customers"] == a.union(b).distinct().count()
+
+
+def _repetition_py(text: str, n: int) -> tuple[int, int, int]:
+    """Independent Python model of functions.text.ngram_repetition."""
+    from collections import Counter
+
+    ws = text.lower().strip().split()
+    if not ws or text.strip() == "":
+        ws = [w for w in ws if w]
+    grams = [" ".join(ws[i : i + n]) for i in range(len(ws) - n + 1)] if len(ws) >= n else []
+    c = Counter(grams)
+    top = max(c.values()) if c else 0
+    dup = sum(v for v in c.values() if v > 1)
+    return len(grams), top, dup
+
+
+@settings(max_examples=4, deadline=None)
+@given(st.lists(st.sampled_from(["a", "b", "cat", "dog ran", ""]), max_size=12))
+def test_ngram_repetition_matches_python_model(spark, parts):
+    from pyspark_ingestion_spark.functions.text import ngram_repetition, words
+
+    text = " ".join(parts)
+    df = spark.createDataFrame([(text,)], "t STRING")
+    staged = df.select(words(F.lower(F.col("t"))).alias("w"))
+    row = staged.select(
+        ngram_repetition(F.col("w"), 2).alias("r2"),
+        ngram_repetition(F.col("w"), 5).alias("r5"),
+    ).first()
+    for n, r in ((2, row["r2"]), (5, row["r5"])):
+        pos, top, dup = _repetition_py(text, n)
+        assert (r["positions"], r["top_count"], r["dup_count"]) == (pos, top, dup), (n, text)
+
+
+def test_ngram_repetition_edges(spark):
+    """Blank text, single word, and a fully-repeated doc pin the counter
+    semantics: dup_count counts every slot in a run of length >= 2."""
+    from pyspark_ingestion_spark.functions.text import ngram_repetition, words
+
+    cases = [("", (0, 0, 0)), ("hello", (0, 0, 0)), ("a a a a", (3, 3, 3)),
+             ("x y x y z", (4, 2, 2))]
+    df = spark.createDataFrame([(t,) for t, _ in cases], "t STRING")
+    staged = df.select("t", words(F.lower(F.col("t"))).alias("w"))
+    rows = {r["t"]: r["r"] for r in staged.select("t", ngram_repetition(F.col("w"), 2).alias("r")).collect()}
+    for t, want in cases:
+        r = rows[t]
+        assert (r["positions"], r["top_count"], r["dup_count"]) == want, t
