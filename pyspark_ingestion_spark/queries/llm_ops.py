@@ -1141,3 +1141,182 @@ def scrub_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = load_table(spark, sf_dir, "documents")
     return d.select("doc_id", scrub_pii("text").alias("scrubbed"))
+
+
+# ------------------------------------------------- corpus tokenization ops
+
+@query(
+    "corpus_vocabulary",
+    oracle=r"""
+    WITH w AS (SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\s+')) AS term
+               FROM documents WHERE trim(text) <> '')
+    SELECT term, count(*) AS corpus_tf, CAST(count(DISTINCT doc_id) AS BIGINT) AS doc_freq
+    FROM w WHERE term <> ''
+    GROUP BY term
+    ORDER BY corpus_tf DESC, term
+    LIMIT 1000
+    """,
+)
+def corpus_vocabulary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-1000 corpus vocabulary with term + document frequency — the
+    first step of tokenizer/vocab construction over a training corpus.
+
+    Deterministic selection boundary (corpus_tf DESC, term ASC total
+    order). Scale shape: explode → ONE hash aggregation (map-side
+    partial combine collapses each executor's term counts before the
+    exchange), then a TakeOrderedAndProject top-k — the full vocabulary
+    is never sorted or collected.
+    """
+    from pyspark_ingestion_spark.functions.text import words
+
+    d = load_table(spark, sf_dir, "documents")
+    w = d.select("doc_id", F.explode(words(F.lower(F.col("text")))).alias("term"))
+    return (
+        w.groupBy("term")
+        .agg(
+            F.count(F.lit(1)).alias("corpus_tf"),
+            F.count_distinct("doc_id").alias("doc_freq"),
+        )
+        .orderBy(F.col("corpus_tf").desc(), F.col("term"))
+        .limit(1000)
+    )
+
+
+@query(
+    "doc_chunking",
+    oracle=r"""
+    WITH w AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS ws
+               FROM documents WHERE trim(text) <> '')
+    SELECT doc_id,
+           CAST((i - 1) // 24 AS BIGINT) AS chunk_idx,
+           array_to_string(ws[i:i+31], ' ') AS chunk_text,
+           CAST(least(32, len(ws) - i + 1) AS BIGINT) AS chunk_tokens
+    FROM w, LATERAL (SELECT unnest(range(1, len(ws) + 1, 24)) AS i)
+    """,
+)
+def doc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window document chunking (32-word chunks, stride 24 →
+    8-word overlap) — the standard RAG / training-sequence prep step.
+
+    Document-local: chunk starts are generated per row with ``sequence``
+    and realized with ``posexplode`` + ``slice`` — no shuffle at all;
+    the chunk table inherits the scan's partitioning.
+    """
+    from pyspark_ingestion_spark.functions.text import words
+
+    d = load_table(spark, sf_dir, "documents")
+    w = d.select("doc_id", words(F.lower(F.col("text"))).alias("__w"))
+    arr, k = F.col("__w"), F.size(F.col("__w"))
+    starts = F.when(k >= 1, F.sequence(F.lit(1), k, F.lit(24))).otherwise(
+        F.array().cast("array<int>")
+    )
+    ch = w.select(
+        "doc_id",
+        arr.alias("__w"),
+        F.posexplode(starts).alias("chunk_idx", "__s"),
+    )
+    s = F.col("__s")
+    return ch.select(
+        "doc_id",
+        F.col("chunk_idx").cast("long").alias("chunk_idx"),
+        F.array_join(F.slice(F.col("__w"), s, F.lit(32)), " ").alias("chunk_text"),
+        F.least(F.lit(32), F.size(F.col("__w")) - s + 1).cast("long").alias("chunk_tokens"),
+    )
+
+
+@query(
+    "pack_sequences",
+    oracle=r"""
+    WITH t AS (SELECT source, doc_id,
+                      CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS BIGINT) AS n_tokens
+               FROM documents),
+    c AS (SELECT source, doc_id, n_tokens,
+                 sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+                                     ROWS UNBOUNDED PRECEDING) AS cum
+          FROM t)
+    SELECT source, doc_id, n_tokens,
+           CAST(cum - n_tokens AS BIGINT) AS start_offset,
+           CAST((cum - n_tokens) // 2048 AS BIGINT) AS seq_id
+    FROM c
+    """,
+)
+def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contiguous sequence packing: lay each shard's documents end-to-end
+    (BPE-ish token counts) and assign every doc to the 2048-token
+    training sequence its first token lands in.
+
+    Packing is PER SOURCE SHARD (window partitioned by ``source``, not a
+    global order-by) — a global cumulative sum would funnel the corpus
+    through one reducer; per-shard packing is how 100 TB pipelines
+    actually pack, and keeps the window parallel across shards.
+    """
+    from pyspark.sql.window import Window
+
+    from pyspark_ingestion_spark.functions.text import token_count
+
+    d = load_table(spark, sf_dir, "documents")
+    t = d.select("source", "doc_id", token_count("text").alias("n_tokens"))
+    win = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = F.sum("n_tokens").over(win)
+    start = (cum - F.col("n_tokens")).cast("long")
+    return t.select(
+        "source",
+        "doc_id",
+        "n_tokens",
+        start.alias("start_offset"),
+        F.floor(start / F.lit(2048)).cast("long").alias("seq_id"),
+    )
+
+
+@query(
+    "tfidf_top_terms",
+    oracle=r"""
+    WITH w AS (SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\s+')) AS term
+               FROM documents WHERE trim(text) <> ''),
+    tf AS (SELECT doc_id, term, count(*) AS tf FROM w WHERE term <> '' GROUP BY 1, 2),
+    df AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+    n AS (SELECT count(*) AS n_docs FROM documents),
+    scored AS (SELECT tf.doc_id, tf.term, tf.tf, df.df,
+                      ROUND(tf.tf * ln(n.n_docs / df.df), 4) AS tfidf,
+                      row_number() OVER (PARTITION BY tf.doc_id
+                                         ORDER BY tf.tf DESC, df.df ASC, tf.term) AS rk
+               FROM tf JOIN df USING (term) CROSS JOIN n)
+    SELECT doc_id, term, tf, df, tfidf FROM scored WHERE rk <= 5
+    """,
+)
+def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-5 characteristic terms per document with their TF-IDF score.
+
+    Selection ranks on the INTEGER triple (tf DESC, df ASC, term ASC) —
+    same ordering a tf·ln(N/df) score induces within a doc, but exactly
+    reproducible across engines (ranking on the float score itself would
+    let a last-ULP ln() difference flip near-ties). The reported
+    ``tfidf`` is rounded to 4 dp on both sides.
+
+    Scale shape: explode → (doc,term) hash agg; document frequency is a
+    second agg over that (small: one row per distinct term); N is a
+    broadcast scalar; the per-doc top-5 window partitions by doc_id.
+    """
+    from pyspark.sql.window import Window
+
+    from pyspark_ingestion_spark.functions.text import words
+
+    d = load_table(spark, sf_dir, "documents")
+    w = d.select("doc_id", F.explode(words(F.lower(F.col("text")))).alias("term"))
+    tf = w.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n = d.select(F.count(F.lit(1)).alias("n_docs"))
+    win = Window.partitionBy("doc_id").orderBy(
+        F.col("tf").desc(), F.col("df").asc(), F.col("term")
+    )
+    scored = (
+        tf.join(df, "term")
+        .crossJoin(F.broadcast(n))
+        .withColumn("tfidf", F.round(F.col("tf") * F.log(F.col("n_docs") / F.col("df")), 4))
+        .withColumn("rk", F.row_number().over(win))
+    )
+    return scored.filter(F.col("rk") <= 5).select("doc_id", "term", "tf", "df", "tfidf")
