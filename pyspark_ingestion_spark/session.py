@@ -46,6 +46,11 @@ def get_spark_session(
         .config("spark.sql.sources.partitionOverwriteMode", "dynamic")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.parquet.filterPushdown", "true")
+        # parquet timestamps without isAdjustedToUTC read as plain TIMESTAMP
+        # (UTC instants, since the session TZ is pinned) rather than
+        # TIMESTAMP_NTZ — keeps unix_millis/window/watermark semantics uniform
+        # regardless of which writer produced the lake files
+        .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
         # lake layout parity: YEAR=/MONTH=/WEEK= partition values stay strings
         .config("spark.sql.sources.partitionColumnTypeInference.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
