@@ -172,29 +172,31 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH n AS (SELECT doc_id, octet_length(encode(text)) AS nb FROM documents)
     SELECT doc_id,
-           [ROUND((nb % 7) / 7.0, 6), ROUND((nb % 8) / 8.0, 6),
-            ROUND((nb % 9) / 9.0, 6), ROUND((nb % 10) / 10.0, 6),
-            ROUND((nb % 11) / 11.0, 6), ROUND((nb % 12) / 12.0, 6),
-            ROUND((nb % 13) / 13.0, 6), ROUND((nb % 14) / 14.0, 6)] AS features
+           ROUND((nb % 7) / 7.0, 6) AS f0, ROUND((nb % 8) / 8.0, 6) AS f1,
+           ROUND((nb % 9) / 9.0, 6) AS f2, ROUND((nb % 10) / 10.0, 6) AS f3,
+           ROUND((nb % 11) / 11.0, 6) AS f4, ROUND((nb % 12) / 12.0, 6) AS f5,
+           ROUND((nb % 13) / 13.0, 6) AS f6, ROUND((nb % 14) / 14.0, 6) AS f7
     FROM n
     """,
 )
 def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Binary → feature-vector extraction (Arrow-batched, deterministic fake).
 
-    Output is ARRAY<FLOAT>, directly joinable into the ANN/near-dup
-    operators — the full multimodal dedup path. Floats rounded for
-    cross-engine hashing.
+    The operator's output is ARRAY<FLOAT>, directly joinable into the
+    ANN/near-dup operators — the full multimodal dedup path. The query
+    flattens it to one scalar column per dimension (the driver
+    canonicalizes through pandas, where array cells are unhashable) and
+    rounds for cross-engine hashing.
     """
     from pyspark_ingestion_spark.operators.multimodal import extract_features
 
     d = load_table(spark, sf_dir, "documents")
     media = attach_binary_payload(d, "doc_id", "text")
     feats = extract_features(media, dim=8, fake=True)
+    vec = F.col("features").cast("array<double>")
     return feats.select(
         "doc_id",
-        F.transform(F.col("features").cast("array<double>"),
-                    lambda x: F.round(x, 6)).alias("features"),
+        *[F.round(vec[i], 6).alias(f"f{i}") for i in range(8)],
     )
 
 

@@ -1037,10 +1037,14 @@ def agg_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
     column at 100 TB). Error bound vs exact pinned in pytest
     (test_properties.py::test_approx_percentile_error_bound)."""
     li = load_table(spark, sf_dir, "lineitem")
-    return li.agg(
-        F.percentile_approx("l_extendedprice", [0.25, 0.5, 0.75, 0.95], 10000).alias(
-            "price_quantiles"
-        )
+    q = F.percentile_approx("l_extendedprice", [0.25, 0.5, 0.75, 0.95], 10000)
+    # scalar columns, not one array column: the driver canonicalizes
+    # results through pandas, where array cells are unhashable
+    return li.agg(q.alias("q")).select(
+        F.col("q")[0].alias("p25"),
+        F.col("q")[1].alias("p50"),
+        F.col("q")[2].alias("p75"),
+        F.col("q")[3].alias("p95"),
     )
 
 

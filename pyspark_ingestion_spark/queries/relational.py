@@ -910,11 +910,13 @@ def funnel_view_to_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (p["p_ts"] >= v["v_ts"])
         & (p["p_ts"] <= v["v_ts"] + F.expr("INTERVAL 1 HOUR")),
     )
+    # cast: unix_millis requires TIMESTAMP, but sessions with parquet
+    # NTZ inference (the pip default) read ts as TIMESTAMP_NTZ
+    p_ms = F.unix_millis(F.col("p_ts").cast("timestamp"))
+    v_ms = F.unix_millis(F.col("v_ts").cast("timestamp"))
     return pairs.groupBy("user_id").agg(
         F.count(F.lit(1)).alias("n_pairs"),
-        F.min(F.unix_millis(F.col("p_ts")) - F.unix_millis(F.col("v_ts"))).alias(
-            "min_latency_ms"
-        ),
+        F.min(p_ms - v_ms).alias("min_latency_ms"),
     )
 
 
@@ -1025,7 +1027,7 @@ def retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT
         (SELECT CAST(count(*) - count(o_custkey) AS BIGINT) FROM orders) AS null_o_custkey,
         (SELECT CAST(count(*) - count(o_orderdate) AS BIGINT) FROM orders) AS null_o_orderdate,
-        (SELECT coalesce(sum(c - 1), 0) FROM
+        (SELECT CAST(coalesce(sum(c - 1), 0) AS BIGINT) FROM
             (SELECT count(*) AS c FROM orders GROUP BY o_orderkey HAVING count(*) > 1)) AS dup_o_orderkey,
         (SELECT count(*) FROM orders o
          WHERE o.o_custkey IS NOT NULL

@@ -36,6 +36,21 @@ def read_stream_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         # planning; see sources.readers.load_table which can reset it)
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     schema = spark.read.parquet(path).schema
+    # Sessions that infer parquet timestamps as TIMESTAMP_NTZ (the pip
+    # default) would make withWatermark fail — event time must be
+    # TIMESTAMP. Request TIMESTAMP in the explicit schema instead; the
+    # parquet micros are read as-is, so values are unchanged under the
+    # engine's pinned-UTC sessions.
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [
+            T.StructField(f.name, T.TimestampType(), f.nullable)
+            if isinstance(f.dataType, T.TimestampNTZType)
+            else f
+            for f in schema.fields
+        ]
+    )
     # the file streaming source wants a directory; glob-filter to one table
     stream = (
         spark.readStream.schema(schema)

@@ -54,6 +54,66 @@ def _normalize(cols, rows):
     return sorted(cols), sorted(out, key=repr)
 
 
+def _pandas_kind(values):
+    """Emulate the pandas dtype kind a column of collected cells gets
+    under a toPandas/duckdb-.df() conversion: ints stay 'i' only while
+    null-free; any null or float makes the column 'f'. The driver
+    compares results through pandas, so an int64-vs-float64 split
+    between Spark and DuckDB (e.g. a DuckDB HUGEINT aggregate) hashes
+    '3' vs '3.0' and fails even when the values are equal."""
+    import decimal
+
+    kind, saw_null = None, False
+    for v in values:
+        if v is None:
+            saw_null = True
+        elif isinstance(v, bool):
+            return None  # bools never coerce against numerics here
+        elif isinstance(v, int):
+            kind = kind or "i"
+        elif isinstance(v, (float, decimal.Decimal)):
+            kind = "f"
+        else:
+            return None  # non-numeric column — not a coercion hazard
+    if kind == "i" and saw_null:
+        kind = "f"
+    return kind
+
+
+def _driver_pandas_hazards(name, sdf, spark_rows, duck_pdf):
+    """Checks that replicate how the driver (not our fetchall-based
+    compare) sees a result: via pandas DataFrames."""
+    from pyspark.sql import types as T
+
+    complex_cols = [
+        f.name
+        for f in sdf.schema.fields
+        if isinstance(f.dataType, (T.ArrayType, T.MapType, T.StructType))
+    ]
+    assert not complex_cols, (
+        f"{name}: complex-typed output columns {complex_cols} — the driver's "
+        "pandas row-sort raises 'unhashable type' on array/map/struct cells; "
+        "flatten to scalar columns"
+    )
+
+    cols = list(sdf.columns)
+    for i, col in enumerate(cols):
+        if col not in duck_pdf.columns:
+            continue
+        s_kind = _pandas_kind([r[i] for r in spark_rows])
+        d_dtype = duck_pdf[col].dtype
+        d_kind = d_dtype.kind if d_dtype.kind in ("i", "u", "f") else None
+        if d_kind == "u":
+            d_kind = "i"
+        if s_kind and d_kind and s_kind != d_kind:
+            raise AssertionError(
+                f"{name}.{col}: Spark pandas kind '{s_kind}' vs DuckDB dtype "
+                f"{d_dtype} — equal values would still hash-mismatch in the "
+                "driver (int 3 vs float 3.0); CAST the oracle (or the query) "
+                "so both sides land on the same pandas dtype"
+            )
+
+
 @pytest.mark.parametrize("name,spec", _SPECS, ids=[n for n, _ in _SPECS])
 def test_query_matches_oracle(name, spec, spark, sf_dir):
     sdf = spec.fn(spark, sf_dir)
@@ -66,9 +126,12 @@ def test_query_matches_oracle(name, spec, spark, sf_dir):
         return
 
     con = _duck_con(sf_dir)
+    duck_pdf = con.execute(spec.oracle).df()
     res = con.execute(spec.oracle)
     duck_cols = [d[0] for d in res.description]
     duck_rows = res.fetchall()
+
+    _driver_pandas_hazards(name, sdf, spark_rows, duck_pdf)
 
     s_cols, s_vals = _normalize(spark_cols, spark_rows)
     d_cols, d_vals = _normalize(duck_cols, duck_rows)
@@ -77,3 +140,35 @@ def test_query_matches_oracle(name, spec, spark, sf_dir):
     assert len(s_vals) == len(d_vals), f"{name}: rowcount {len(s_vals)} vs {len(d_vals)}"
     mismatches = [(a, b) for a, b in zip(s_vals, d_vals) if a != b]
     assert not mismatches, f"{name}: {len(mismatches)} row diffs; first: {mismatches[:3]}"
+
+
+# ---------------------------------------------------------------------------
+# Driver-session replica: the driver's SparkSession does NOT disable parquet
+# TIMESTAMP_NTZ inference (our get_spark_session does), so event-time columns
+# arrive as TIMESTAMP_NTZ there. Everything touching withWatermark /
+# unix_millis must cope. Round 2 lost 3 streaming queries to exactly this.
+# ---------------------------------------------------------------------------
+
+_NTZ_SENSITIVE = [
+    "streaming_tumbling",
+    "streaming_session",
+    "streaming_late_data_watermark",
+    "streaming_dedup_watermark",
+    "streaming_stream_stream_join",
+    "streaming_stateful_user_totals",
+    "streaming_static_join",
+    "funnel_view_to_purchase",
+    "join_asof",
+    "join_range",
+]
+
+
+@pytest.mark.parametrize("name", [n for n in _NTZ_SENSITIVE if n in dict(_SPECS)])
+def test_query_runs_under_ntz_inference(name, spark, sf_dir):
+    spec = dict(_SPECS)[name]
+    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "true")
+    try:
+        rows = spec.fn(spark, sf_dir).collect()
+        assert isinstance(rows, list)
+    finally:
+        spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")

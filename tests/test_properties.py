@@ -448,9 +448,8 @@ def test_approx_percentile_error_bound(spark):
     from pyspark_ingestion_spark.sources.readers import load_table
 
     sf = "/root/testdata/sf0.01"
-    approx = all_queries()["agg_approx_percentile"].fn(spark, sf).first()[
-        "price_quantiles"
-    ]
+    row = all_queries()["agg_approx_percentile"].fn(spark, sf).first()
+    approx = [row["p25"], row["p50"], row["p75"], row["p95"]]
     exact = (
         load_table(spark, sf, "lineitem")
         .agg(F.expr("percentile(l_extendedprice, array(0.25, 0.5, 0.75, 0.95))").alias("p"))
