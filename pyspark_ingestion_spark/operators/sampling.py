@@ -86,3 +86,60 @@ def train_val_test_split(
         .when(F.col("bucket") < train + val, F.lit("val"))
         .otherwise(F.lit("test")),
     )
+
+
+def weighted_domain_mix(
+    df: DataFrame,
+    id_col: str,
+    domain_col: str,
+    weights: dict[str, float],
+    default_weight: float = 0.1,
+    buckets: int = 1000,
+) -> DataFrame:
+    """Deterministic domain-mixture downsampling: keep each domain at its
+    target sampling rate (0..1], decided per row by content-hash bucket.
+
+    The standard corpus-mixing step (wiki at 1.0, web crawl at 0.1, ...)
+    as a pure scan-side predicate: no shuffle, no per-domain pass, no
+    RNG. Because the bucket is a function of the row key alone, the kept
+    set is stable under corpus growth and identical across engines, and
+    raising a domain's weight later only ADDS docs — existing training
+    sets stay strict subsets. Appends ``bucket``.
+    """
+    for dom, w in weights.items():
+        if not 0.0 < w <= 1.0:
+            raise ValueError(f"weight for {dom!r} must be in (0, 1], got {w}")
+    if not 0.0 < default_weight <= 1.0:
+        raise ValueError(f"default_weight must be in (0, 1], got {default_weight}")
+    threshold = F.lit(int(round(default_weight * buckets)))
+    for dom, w in sorted(weights.items()):
+        threshold = F.when(
+            F.col(domain_col) == dom, F.lit(int(round(w * buckets)))
+        ).otherwise(threshold)
+    return df.withColumn("bucket", hash_bucket(id_col, buckets)).filter(
+        F.col("bucket") < threshold
+    )
+
+
+def shuffle_assign(df: DataFrame, id_col: str, n_shards: int = 8) -> DataFrame:
+    """Deterministic global training-order shuffle: shard + position.
+
+    Training wants the corpus in a fixed pseudo-random order, but a
+    global ORDER BY md5(id) funnels 100 TB through a single range sort.
+    Instead: shard = hash(id) mod n_shards (scan-side), position =
+    row_number within the shard ordered by (md5 hex, id). Each shard
+    sorts independently — n_shards parallel sorts of corpus/n_shards
+    rows — and the reader interleaves shards round-robin. The order is a
+    pure function of the key set: reproducible across runs, engines, and
+    partition layouts. Appends ``shard`` and ``position`` (1-based).
+    """
+    from pyspark.sql.window import Window
+
+    h = F.md5(F.col(id_col).cast("string"))
+    shard = (F.conv(F.substring(h, 1, 7), 16, 10).cast("long") % n_shards).alias(
+        "shard"
+    )
+    w = Window.partitionBy("shard").orderBy(h, F.col(id_col))
+    return df.withColumn("shard", shard).withColumn(
+        "position", F.row_number().over(w).cast("long")
+    )

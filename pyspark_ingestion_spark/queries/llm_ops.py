@@ -1324,3 +1324,217 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("rk", F.row_number().over(win))
     )
     return scored.filter(F.col("rk") <= 5).select("doc_id", "term", "tf", "df", "tfidf")
+
+
+# ------------------------------------- training-prep round-3 additions
+
+_CHUNKS32_CTE = r"""
+    w AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS ws
+          FROM documents WHERE trim(text) <> ''),
+    ch AS (SELECT doc_id,
+                  array_to_string(ws[i:i+31], ' ') AS chunk_text,
+                  least(32, len(ws) - i + 1) AS chunk_tokens
+           FROM w, LATERAL (SELECT unnest(range(1, len(ws) + 1, 24)) AS i))
+"""
+
+
+@query(
+    "dedup_chunk_exact",
+    oracle=f"""
+    WITH {_CHUNKS32_CTE}
+    SELECT md5(chunk_text) AS chunk_fp,
+           CAST(count(*) AS BIGINT) AS n_copies,
+           CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+           MIN(doc_id) AS keeper_doc
+    FROM ch
+    WHERE chunk_tokens = 32
+    GROUP BY chunk_fp
+    """,
+)
+def dedup_chunk_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Passage-granularity exact dedup: fingerprint every full 32-word
+    chunk and collapse identical chunks to one keeper (min doc_id) —
+    the sub-document analog of ``dedup_exact``, catching the repeated
+    boilerplate passages (headers, licenses, navigation) that document-
+    level dedup misses.
+
+    Scale shape: chunking is document-local (zero shuffle, see
+    doc_chunking), then ONE hash aggregation on the chunk fingerprint
+    with map-side partial combine. The md5 is computed on the 32-word
+    window only — the full document never re-serializes through the
+    exchange.
+    """
+    from pyspark_ingestion_spark.functions.text import words
+
+    d = load_table(spark, sf_dir, "documents")
+    w = d.select("doc_id", words(F.lower(F.col("text"))).alias("__w"))
+    arr, k = F.col("__w"), F.size(F.col("__w"))
+    starts = F.when(k >= 1, F.sequence(F.lit(1), k, F.lit(24))).otherwise(
+        F.array().cast("array<int>")
+    )
+    ch = w.select(
+        "doc_id", arr.alias("__w"), F.posexplode(starts).alias("__i", "__s")
+    )
+    s = F.col("__s")
+    chunks = ch.select(
+        "doc_id",
+        F.array_join(F.slice(F.col("__w"), s, F.lit(32)), " ").alias("chunk_text"),
+        F.least(F.lit(32), F.size(F.col("__w")) - s + 1).alias("chunk_tokens"),
+    ).filter(F.col("chunk_tokens") == 32)
+    return chunks.groupBy(F.md5("chunk_text").alias("chunk_fp")).agg(
+        F.count(F.lit(1)).alias("n_copies"),
+        F.count_distinct("doc_id").alias("n_docs"),
+        F.min("doc_id").alias("keeper_doc"),
+    )
+
+
+@query(
+    "bpe_pair_counts",
+    oracle=r"""
+    WITH w AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS ws
+               FROM documents WHERE trim(text) <> ''),
+    pairs AS (SELECT ws[i] || ' ' || ws[i+1] AS pair
+              FROM w, LATERAL (SELECT unnest(range(1, len(ws))) AS i))
+    SELECT pair, CAST(count(*) AS BIGINT) AS pair_count
+    FROM pairs
+    GROUP BY pair
+    ORDER BY pair_count DESC, pair
+    LIMIT 500
+    """,
+)
+def bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Adjacent-pair frequency counting — the inner loop of BPE/WordPiece
+    tokenizer training (which symbol pair to merge next) run corpus-wide.
+
+    Counts multiplicity (unlike the distinct shingle tables): every
+    adjacent occurrence votes. Scale shape: pair generation is document-
+    local (transform over an index sequence, no shuffle), then one hash
+    aggregation with map-side partial combine and a TakeOrderedAndProject
+    top-k — the full pair table is never globally sorted. Deterministic
+    selection boundary: (count DESC, pair ASC) total order.
+    """
+    from pyspark_ingestion_spark.functions.text import words
+
+    d = load_table(spark, sf_dir, "documents")
+    w = d.select(words(F.lower(F.col("text"))).alias("__w")).filter(
+        F.size("__w") >= 2
+    )
+    arr = F.col("__w")
+    pair_arr = F.transform(
+        F.sequence(F.lit(1), F.size(arr) - 1),
+        lambda i: F.concat_ws(" ", F.get(arr, i - 1), F.get(arr, i)),
+    )
+    pairs = w.select(F.explode(pair_arr).alias("pair"))
+    return (
+        pairs.groupBy("pair")
+        .agg(F.count(F.lit(1)).alias("pair_count"))
+        .orderBy(F.col("pair_count").desc(), F.col("pair"))
+        .limit(500)
+    )
+
+
+@query(
+    "mix_domains_weighted",
+    oracle="""
+    SELECT doc_id, source, bucket FROM (
+        SELECT doc_id, source,
+               ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 7))::BIGINT % 1000
+                   AS bucket
+        FROM documents)
+    WHERE bucket < CASE source WHEN 'src0' THEN 1000
+                               WHEN 'src1' THEN 500
+                               WHEN 'src2' THEN 250
+                               ELSE 100 END
+    """,
+)
+def mix_domains_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic corpus mixing: per-domain sampling rates (src0 at
+    1.0, src1 at 0.5, src2 at 0.25, everything else 0.1) applied as a
+    content-hash predicate — the domain-reweighting step of training-set
+    assembly (wiki up, crawl down).
+
+    Pure scan-side filter: no shuffle, no per-domain pass, no RNG; the
+    kept set is engine-portable and stable under corpus growth, and
+    raising a weight later only adds docs (existing sets stay subsets).
+    """
+    from pyspark_ingestion_spark.operators.sampling import weighted_domain_mix
+
+    d = load_table(spark, sf_dir, "documents")
+    return weighted_domain_mix(
+        d,
+        "doc_id",
+        "source",
+        weights={"src0": 1.0, "src1": 0.5, "src2": 0.25},
+        default_weight=0.1,
+    ).select("doc_id", "source", "bucket")
+
+
+@query(
+    "global_shuffle_assign",
+    oracle="""
+    WITH s AS (SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS hh FROM documents)
+    SELECT doc_id,
+           ('0x' || substr(hh, 1, 7))::BIGINT % 8 AS shard,
+           CAST(row_number() OVER (
+               PARTITION BY ('0x' || substr(hh, 1, 7))::BIGINT % 8
+               ORDER BY hh, doc_id) AS BIGINT) AS position
+    FROM s
+    """,
+)
+def global_shuffle_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic training-order shuffle without a global sort: hash
+    shard assignment (scan-side) + per-shard position (parallel window
+    sorts) — see ``operators.sampling.shuffle_assign`` for the scale
+    argument vs a single ORDER BY md5(id) reducer.
+    """
+    from pyspark_ingestion_spark.operators.sampling import shuffle_assign
+
+    d = load_table(spark, sf_dir, "documents")
+    return shuffle_assign(d, "doc_id", n_shards=8).select(
+        "doc_id", "shard", "position"
+    )
+
+
+@query(
+    "length_bucketed_batches",
+    oracle=r"""
+    WITH t AS (SELECT source, doc_id,
+                      CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT)
+                          AS n_words
+               FROM documents),
+    b AS (SELECT source, doc_id, n_words,
+                 CAST(ntile(4) OVER (PARTITION BY source
+                                     ORDER BY n_words, doc_id) AS BIGINT)
+                     AS len_bucket
+          FROM t)
+    SELECT source, doc_id, n_words, len_bucket,
+           CAST((row_number() OVER (PARTITION BY source, len_bucket
+                                    ORDER BY n_words, doc_id) - 1) // 16 AS BIGINT)
+               AS batch_idx
+    FROM b
+    """,
+)
+def length_bucketed_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length-bucketed batch assembly: quartile docs by word count within
+    each source shard (ntile), then group each bucket into 16-doc
+    batches — the padding-minimizing batching step of training-data
+    prep (batching similar-length sequences together wastes the fewest
+    pad tokens).
+
+    Scale shape: both windows partition by source (and bucket), so the
+    sorts run per shard in parallel — no global order-by. Deterministic
+    total order (n_words, doc_id) makes bucket and batch assignment
+    engine-portable.
+    """
+    from pyspark.sql.window import Window
+
+    from pyspark_ingestion_spark.functions.text import word_count
+
+    d = load_table(spark, sf_dir, "documents")
+    t = d.select("source", "doc_id", word_count(F.col("text")).alias("n_words"))
+    w_bucket = Window.partitionBy("source").orderBy("n_words", "doc_id")
+    b = t.withColumn("len_bucket", F.ntile(4).over(w_bucket).cast("long"))
+    w_batch = Window.partitionBy("source", "len_bucket").orderBy("n_words", "doc_id")
+    return b.withColumn(
+        "batch_idx", ((F.row_number().over(w_batch) - 1) / 16).cast("long")
+    )

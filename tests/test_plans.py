@@ -321,3 +321,42 @@ def test_write_clustered_files_cover_disjoint_ranges(spark, sf_dir, tmp_path):
     probe = spark.read.parquet(out).filter("o_orderkey = 1")
     assert "PushedFilters" in formatted_plan(probe)
     assert probe.count() >= 1
+
+
+def test_mix_domains_is_scan_side_filter(spark, sf_dir):
+    """Domain mixing is a pure predicate: ZERO exchanges — the corpus is
+    never reshuffled to get re-weighted."""
+    df = _REGISTRY["mix_domains_weighted"].fn(spark, sf_dir)
+    assert shuffle_count(df) == 0, formatted_plan(df)
+
+
+def test_shuffle_assign_has_no_global_sort(spark, sf_dir):
+    """Training-order shuffle must NOT range-partition (a global sort
+    funnels the corpus through one ordered exchange) — only the hash
+    exchange for the per-shard windows."""
+    df = _REGISTRY["global_shuffle_assign"].fn(spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "rangepartitioning" not in plan.lower(), plan
+    assert shuffle_count(df) == 1, plan
+
+
+def test_length_buckets_partition_by_source(spark, sf_dir):
+    """Both batching windows partition by source (+bucket): parallel
+    per-shard sorts, no global range sort."""
+    df = _REGISTRY["length_bucketed_batches"].fn(spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "rangepartitioning" not in plan.lower(), plan
+
+
+def test_new_aggs_partial_combine(spark, sf_dir):
+    """Chunk dedup and BPE pair counting: one hash-agg exchange each,
+    with a partial aggregate below it (map-side combine collapses
+    per-executor duplicates before the shuffle)."""
+    # dedup_chunk_exact's count_distinct(doc_id) expands to Spark's
+    # two-level distinct agg (group by (fp, doc) then fp) — 2 exchanges,
+    # both fed by partial aggregates. bpe is a plain count: 1 exchange.
+    for name, cap in (("dedup_chunk_exact", 2), ("bpe_pair_counts", 1)):
+        df = _REGISTRY[name].fn(spark, sf_dir)
+        plan = formatted_plan(df)
+        assert shuffle_count(df) <= cap, f"{name}: {plan}"
+        assert "partial" in plan.lower(), f"{name}: no partial agg\n{plan}"
