@@ -1538,3 +1538,169 @@ def length_bucketed_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
     return b.withColumn(
         "batch_idx", ((F.row_number().over(w_batch) - 1) / 16).cast("long")
     )
+
+
+@query(
+    "dedup_semantic_keep_one",
+    oracle=f"""
+    WITH RECURSIVE
+    b AS (SELECT vec_id, embedding::DOUBLE[] AS v, CAST({_BUCKET4} AS INT) AS bucket
+          FROM embeddings),
+    pairs AS (SELECT a.vec_id AS doc_a, b.vec_id AS doc_b
+              FROM b a JOIN b b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+              WHERE ROUND({_PAIR_COSINE}, 6) >= 0.3),
+    sym AS (SELECT doc_a AS u, doc_b AS v FROM pairs
+            UNION SELECT doc_b, doc_a FROM pairs),
+    reach(u, v) AS (SELECT u, v FROM sym
+                    UNION SELECT r.u, s.v FROM reach r JOIN sym s ON r.v = s.u),
+    labels AS (SELECT u AS node, least(u, min(v)) AS component
+               FROM reach GROUP BY u),
+    dropped AS (SELECT node FROM labels WHERE node != component)
+    SELECT e.vec_id, e.label FROM embeddings e
+    LEFT JOIN dropped ON e.vec_id = dropped.node
+    WHERE dropped.node IS NULL
+    """,
+)
+def dedup_semantic_keep_one(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic dedup: embedding-cosine near-dup pairs
+    (sign-bucket blocked) → connected components → keep the min-id
+    representative of every semantic cluster; singletons pass through.
+
+    The embedding-space analog of ``corpus_dedup_keep_one``: the same
+    pairs → closure → broadcast anti-join composition, with cosine
+    similarity standing in for Jaccard. The corpus itself never
+    shuffles — only the (tiny) dropped-member set moves.
+    """
+    from pyspark_ingestion_spark.operators.similarity import embedding_near_dup_pairs
+
+    e = load_table(spark, sf_dir, "embeddings")
+    pairs = embedding_near_dup_pairs(e, threshold=0.3, n_dims=4).select(
+        F.col("id_a").alias("doc_a"), F.col("id_b").alias("doc_b")
+    )
+    dropped = (
+        connected_components(pairs)
+        .filter(F.col("node") != F.col("component"))
+        .select(F.col("node").alias("vec_id"))
+    )
+    return e.join(F.broadcast(dropped), "vec_id", "left_anti").select(
+        "vec_id", "label"
+    )
+
+
+_SIGN8_BUCKET = " + ".join(
+    f"(CASE WHEN embedding[{i + 1}] >= 0 THEN {2 ** i} ELSE 0 END)" for i in range(8)
+)
+
+
+@query(
+    "ann_recall_eval",
+    oracle=f"""
+    WITH b AS (SELECT vec_id, embedding, CAST({_SIGN8_BUCKET} AS INT) AS bucket
+               FROM embeddings),
+    q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv, bucket
+          FROM b WHERE vec_id < 20),
+    truth AS (SELECT query_id, neighbor_id FROM (
+        SELECT q.query_id, e.vec_id AS neighbor_id,
+               row_number() OVER (PARTITION BY q.query_id
+                                  ORDER BY ROUND({_COSINE}, 6) DESC, e.vec_id) AS rank
+        FROM embeddings e CROSS JOIN q) WHERE rank <= 5),
+    approx AS (SELECT query_id, neighbor_id FROM (
+        SELECT q.query_id, e.vec_id AS neighbor_id,
+               row_number() OVER (PARTITION BY q.query_id
+                                  ORDER BY ROUND({_COSINE}, 6) DESC, e.vec_id) AS rank
+        FROM b e JOIN q ON e.bucket = q.bucket) WHERE rank <= 5)
+    SELECT t.query_id,
+           CAST(count(a.neighbor_id) AS BIGINT) AS n_hits,
+           ROUND(count(a.neighbor_id) / 5.0, 6) AS recall
+    FROM truth t
+    LEFT JOIN approx a ON t.query_id = a.query_id AND t.neighbor_id = a.neighbor_id
+    GROUP BY t.query_id
+    """,
+)
+def ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@5 of the sign-bucket ANN against exact brute-force ground
+    truth, per query — the measurement loop every production ANN tier
+    needs (tune n_dims / nprobe against measured recall, not vibes).
+
+    Both tiers are deterministic (rounded-sim + id tie-breaks), so even
+    this evaluation is exactly oracle-checked. Scale shape: ground truth
+    over a SAMPLE of queries (here 20) is how recall is audited at
+    100 TB — the brute-force side is queries × corpus with broadcast
+    queries, the approx side is the production bucket join.
+    """
+    e = load_table(spark, sf_dir, "embeddings")
+    queries = e.filter(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    truth = brute_force_topk(e, queries, k=5).select("query_id", "neighbor_id")
+    approx = (
+        sign_bucket_topk(e, queries, k=5, n_dims=8)
+        .select("query_id", "neighbor_id")
+        .withColumn("hit", F.lit(1))
+    )
+    return (
+        truth.join(approx, ["query_id", "neighbor_id"], "left")
+        .groupBy("query_id")
+        .agg(
+            F.count("hit").alias("n_hits"),
+            F.round(F.count("hit") / 5.0, 6).alias("recall"),
+        )
+    )
+
+
+@query(
+    "semantic_outliers",
+    oracle="""
+    WITH comp AS (SELECT vec_id, label, u.idx, u.val
+                  FROM embeddings,
+                       LATERAL (SELECT CAST(generate_subscripts(embedding, 1) AS INT)
+                                    AS idx,
+                                unnest(embedding::DOUBLE[]) AS val) u),
+    cent AS (SELECT label, idx, avg(val) AS cval FROM comp GROUP BY label, idx),
+    dots AS (SELECT c.vec_id, c.label,
+                    sum(c.val * t.cval) AS dot,
+                    sum(c.val * c.val) AS nv,
+                    sum(t.cval * t.cval) AS nc
+             FROM comp c JOIN cent t ON c.label = t.label AND c.idx = t.idx
+             GROUP BY c.vec_id, c.label)
+    SELECT vec_id, label,
+           ROUND(dot / (sqrt(nv) * sqrt(nc)), 4) AS centroid_sim,
+           CAST(CASE WHEN ROUND(dot / (sqrt(nv) * sqrt(nc)), 4) < 0.1
+                     THEN 1 ELSE 0 END AS INT) AS is_outlier
+    FROM dots
+    """,
+)
+def semantic_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space quality filtering: cosine of every vector to its
+    label centroid, flagging low-coherence outliers — the 'drop docs far
+    from their cluster center' step of embedding-based data curation.
+
+    Centroids are computed WITHOUT collecting vectors: posexplode to
+    (label, idx, val) components, one partial-combining aggregation per
+    (label, idx), then a component join (centroid table is tiny —
+    labels × dims — and broadcasts). Similarity is rounded at 4 dp so
+    cross-engine float-sum ordering can't flip the oracle.
+    """
+    e = load_table(spark, sf_dir, "embeddings")
+    comp = e.select(
+        "vec_id",
+        "label",
+        F.posexplode(F.col("embedding").cast("array<double>")).alias("idx", "val"),
+    )
+    cent = comp.groupBy("label", "idx").agg(F.avg("val").alias("cval"))
+    dots = (
+        comp.join(F.broadcast(cent), ["label", "idx"])
+        .groupBy("vec_id", "label")
+        .agg(
+            F.sum(F.col("val") * F.col("cval")).alias("dot"),
+            F.sum(F.col("val") * F.col("val")).alias("nv"),
+            F.sum(F.col("cval") * F.col("cval")).alias("nc"),
+        )
+    )
+    sim = F.round(F.col("dot") / (F.sqrt("nv") * F.sqrt("nc")), 4)
+    return dots.select(
+        "vec_id",
+        "label",
+        sim.alias("centroid_sim"),
+        F.when(sim < 0.1, 1).otherwise(0).cast("int").alias("is_outlier"),
+    )

@@ -360,3 +360,10 @@ def test_new_aggs_partial_combine(spark, sf_dir):
         plan = formatted_plan(df)
         assert shuffle_count(df) <= cap, f"{name}: {plan}"
         assert "partial" in plan.lower(), f"{name}: no partial agg\n{plan}"
+
+
+def test_semantic_outliers_broadcasts_centroids(spark, sf_dir):
+    """The (labels × dims) centroid table broadcasts; the component
+    table never reshuffles for the join."""
+    df = _REGISTRY["semantic_outliers"].fn(spark, sf_dir)
+    assert uses_broadcast_join(df), formatted_plan(df)
