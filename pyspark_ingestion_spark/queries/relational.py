@@ -1155,3 +1155,174 @@ def agg_theta_set_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             "union_customers"
         ),
     )
+
+
+# ------------------------------------------------- round-3 additions
+
+@query(
+    "window_time_range_agg",
+    oracle="""
+    SELECT event_id, user_id, ts,
+           ROUND(SUM(value) OVER w, 4) AS rolling_1h_sum,
+           CAST(COUNT(*) OVER w AS BIGINT) AS rolling_1h_n
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts
+                 RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
+    """,
+)
+def window_time_range_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-RANGE window frame: per-user rolling 1-hour sum/count — the
+    event-time rolling aggregate ROWS frames can't express (the frame is
+    defined by the timestamp gap, not a row count).
+
+    Spark range frames need a numeric ordering column, so the frame
+    orders by ``unix_micros`` with a [-3 600 000 000, 0] µs bound —
+    exactly DuckDB's ``INTERVAL 1 HOUR PRECEDING`` inclusion (the
+    testdata carries real microseconds). One hash exchange on user_id;
+    per-user ordering happens inside the window sort, never globally.
+    """
+    e = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_micros(F.col("ts").cast("timestamp")))
+        .rangeBetween(-3_600_000_000, 0)
+    )
+    return e.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.round(F.sum("value").over(w), 4).alias("rolling_1h_sum"),
+        F.count(F.lit(1)).over(w).alias("rolling_1h_n"),
+    )
+
+
+@query(
+    "unpivot_metrics",
+    oracle="""
+    WITH src AS (SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice,
+                        l_discount, l_tax
+                 FROM lineitem
+                 WHERE l_shipdate >= TIMESTAMP '1998-11-01 00:00:00'),
+    u AS (
+        SELECT l_orderkey, l_linenumber, 'quantity' AS metric,
+               CAST(l_quantity AS DOUBLE) AS val FROM src
+        UNION ALL
+        SELECT l_orderkey, l_linenumber, 'extendedprice', l_extendedprice FROM src
+        UNION ALL
+        SELECT l_orderkey, l_linenumber, 'discount', l_discount FROM src
+        UNION ALL
+        SELECT l_orderkey, l_linenumber, 'tax', l_tax FROM src)
+    SELECT * FROM u
+    """,
+)
+def unpivot_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide→long reshape (unpivot/melt) of the lineitem measures — the
+    inverse of ``agg_pivot``, used to feed metric-agnostic downstream
+    consumers (one (key, metric, value) stream instead of N columns).
+
+    ``DataFrame.unpivot`` is a zero-shuffle projection fan-out (each
+    input row emits 4 output rows inside the scan stage); the shipdate
+    filter pushes down before the fan-out, so the reshape touches only
+    the month it needs.
+    """
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") >= F.lit("1998-11-01 00:00:00").cast("timestamp")
+    )
+    return li.unpivot(
+        ["l_orderkey", "l_linenumber"],
+        ["l_quantity", "l_extendedprice", "l_discount", "l_tax"],
+        "metric",
+        "val",
+    ).withColumn("metric", F.expr("substring(metric, 3)"))
+
+
+@query(
+    "scd2_user_state",
+    oracle="""
+    WITH ordered AS (
+        SELECT user_id, event_id, ts, event_type,
+               lag(event_type) OVER (PARTITION BY user_id
+                                     ORDER BY ts, event_id) AS prev_type
+        FROM events),
+    changes AS (
+        SELECT user_id, event_id, ts, event_type FROM ordered
+        WHERE prev_type IS NULL OR prev_type != event_type)
+    SELECT user_id, event_type, ts AS valid_from,
+           lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS valid_to,
+           CAST(CASE WHEN lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                          IS NULL THEN 1 ELSE 0 END AS INT) AS is_current
+    FROM changes
+    """,
+)
+def scd2_user_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slowly-changing-dimension type 2 build: collapse each user's event
+    stream into state-validity intervals — (state, valid_from, valid_to,
+    is_current), the standard dimension-history shape a warehouse keeps
+    for every mutable entity.
+
+    Two window passes over the same (user_id → ts, event_id) ordering, so
+    ONE exchange serves both (change detection via lag, interval close
+    via lead); ties on ts break on event_id for engine-portable
+    determinism.
+    """
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_id", "ts", "event_type"
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    changes = e.withColumn("prev_type", F.lag("event_type").over(w)).filter(
+        F.col("prev_type").isNull() | (F.col("prev_type") != F.col("event_type"))
+    )
+    w2 = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return changes.select(
+        "user_id",
+        "event_type",
+        F.col("ts").alias("valid_from"),
+        F.lead("ts").over(w2).alias("valid_to"),
+        F.when(F.lead("ts").over(w2).isNull(), 1).otherwise(0).cast("int").alias(
+            "is_current"
+        ),
+    )
+
+
+@query(
+    "fuzzy_join_levenshtein",
+    oracle="""
+    SELECT a.s_suppkey AS suppkey_a, b.s_suppkey AS suppkey_b,
+           a.s_name AS name_a, b.s_name AS name_b,
+           CAST(levenshtein(a.s_name, b.s_name) AS INT) AS edit_distance
+    FROM supplier a JOIN supplier b
+      ON a.s_nationkey = b.s_nationkey AND a.s_suppkey < b.s_suppkey
+    WHERE levenshtein(a.s_name, b.s_name) <= 1
+    """,
+)
+def fuzzy_join_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocked fuzzy entity matching: supplier-name pairs within edit
+    distance 1, compared only inside a blocking key (nation) — the
+    record-linkage primitive for entity resolution across dirty feeds.
+
+    The equi-join on the block key is what scales: Levenshtein (native
+    JVM expression) runs only on within-block candidates, never the
+    corpus cross product — the same block-then-verify shape as the
+    dedup family. Blocks are the skew risk; a production run bounds
+    them with the same df-cap guard as the shingle joins.
+    """
+    s = load_table(spark, sf_dir, "supplier")
+    a = s.select(
+        F.col("s_suppkey").alias("suppkey_a"),
+        F.col("s_name").alias("name_a"),
+        F.col("s_nationkey").alias("nk"),
+    )
+    b = s.select(
+        F.col("s_suppkey").alias("suppkey_b"),
+        F.col("s_name").alias("name_b"),
+        F.col("s_nationkey").alias("nk"),
+    )
+    dist = F.levenshtein("name_a", "name_b")
+    return (
+        a.join(b, "nk")
+        .filter((F.col("suppkey_a") < F.col("suppkey_b")) & (dist <= 1))
+        .select(
+            "suppkey_a", "suppkey_b", "name_a", "name_b",
+            dist.cast("int").alias("edit_distance"),
+        )
+    )

@@ -160,6 +160,8 @@ _NTZ_SENSITIVE = [
     "funnel_view_to_purchase",
     "join_asof",
     "join_range",
+    "window_time_range_agg",
+    "scd2_user_state",
 ]
 
 
