@@ -138,3 +138,24 @@ def key_skew_profile(df, key_col: str, top_k: int = 5) -> "DataFrame":
         .orderBy(F.desc("n"), F.asc(key_col))
         .limit(top_k)
     )
+
+
+def route_quarantine(df, rules) -> "DataFrame":
+    """Row-level validation routing: append ``disposition`` = 'valid' or
+    'quarantine:<first-failed-rule>' (rules checked in order, first
+    failure wins; a NULL rule result counts as a failure — unknowable
+    data is quarantined, not silently passed).
+
+    ``rules`` is an ordered list of (name, must-hold Column). The whole
+    thing is one CASE expression evaluated scan-side — no shuffle, no
+    second pass; the valid/quarantine split downstream is two filters on
+    one column (or a partitioned write on it), the standard good-rows /
+    bad-rows ingestion pattern.
+    """
+    from pyspark.sql import functions as F
+
+    disposition = F.lit("valid")
+    for name, cond in reversed(list(rules)):
+        failed = (~cond) | cond.isNull()
+        disposition = F.when(failed, F.lit(f"quarantine:{name}")).otherwise(disposition)
+    return df.withColumn("disposition", disposition)

@@ -1326,3 +1326,219 @@ def fuzzy_join_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
             dist.cast("int").alias("edit_distance"),
         )
     )
+
+
+@query(
+    "interpolate_linear",
+    oracle="""
+    WITH hourly AS (SELECT event_type, time_bucket(INTERVAL 1 HOUR, ts) AS hour,
+                           CAST(count(*) AS BIGINT) AS v
+                    FROM events GROUP BY 1, 2),
+    bounds AS (SELECT min(time_bucket(INTERVAL 1 HOUR, ts)) AS lo,
+                      max(time_bucket(INTERVAL 1 HOUR, ts)) AS hi
+               FROM events),
+    cal AS (SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS hour
+            FROM bounds),
+    grid AS (SELECT t.event_type, c.hour
+             FROM cal c CROSS JOIN (SELECT DISTINCT event_type FROM events) t),
+    s AS (SELECT g.event_type, g.hour, h.v
+          FROM grid g LEFT JOIN hourly h USING (event_type, hour)),
+    f AS (SELECT event_type, hour, v,
+            last_value(v IGNORE NULLS) OVER wp AS pv,
+            last_value(CASE WHEN v IS NOT NULL THEN hour END IGNORE NULLS)
+                OVER wp AS ph,
+            first_value(v IGNORE NULLS) OVER wn AS nv,
+            first_value(CASE WHEN v IS NOT NULL THEN hour END IGNORE NULLS)
+                OVER wn AS nh
+          FROM s
+          WINDOW wp AS (PARTITION BY event_type ORDER BY hour
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+                 wn AS (PARTITION BY event_type ORDER BY hour
+                        ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+    SELECT event_type, hour,
+           -- floor-based half-up rounding: interpolation midpoints land on
+           -- exact .xxxx5 ties, where ROUND() differs across engines
+           floor((CASE WHEN v IS NOT NULL THEN v
+                       WHEN pv IS NULL THEN nv
+                       WHEN nv IS NULL THEN pv
+                       ELSE pv + (nv - pv) * (epoch(hour) - epoch(ph))
+                                           / (epoch(nh) - epoch(ph)) END)
+                 * 10000 + 0.5) / 10000 AS v_filled,
+           CAST(CASE WHEN v IS NOT NULL THEN 1 ELSE 0 END AS INT) AS was_present
+    FROM f
+    """,
+)
+def interpolate_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series imputation: the hourly per-type event-rate series on a
+    dense calendar grid, with missing hours linearly interpolated between
+    the nearest present neighbors (edges extend flat) — the standard
+    series-repair step before feature extraction or forecasting.
+
+    The interpolated quantity is the integer hourly count: with exact
+    integer endpoints and rational hour fractions every IEEE operation
+    is bit-identical across engines, so even the imputed values
+    oracle-match exactly (a float-averaged series would differ at the
+    last ulp from summation order and flip rounding ties).
+
+    Scale shape: the calendar derives from a one-row bounds aggregate
+    (never collected); the grid is calendar × distinct-types with both
+    sides broadcast-small; neighbor lookup is last/first IGNORE NULLS
+    over per-type window frames — one exchange on event_type serves all
+    four window functions.
+    """
+    e = load_table(spark, sf_dir, "events")
+    hour = F.date_trunc("hour", F.col("ts")).alias("hour")
+    hourly = e.groupBy("event_type", hour).agg(F.count(F.lit(1)).alias("v"))
+    bounds = e.agg(
+        F.min(F.date_trunc("hour", F.col("ts"))).alias("lo"),
+        F.max(F.date_trunc("hour", F.col("ts"))).alias("hi"),
+    )
+    cal = bounds.select(
+        F.explode(F.sequence("lo", "hi", F.expr("INTERVAL 1 HOUR"))).alias("hour")
+    )
+    types = e.select("event_type").distinct()
+    grid = cal.crossJoin(F.broadcast(types))
+    s = grid.join(hourly, ["event_type", "hour"], "left")
+
+    wp = (
+        Window.partitionBy("event_type")
+        .orderBy("hour")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    wn = (
+        Window.partitionBy("event_type")
+        .orderBy("hour")
+        .rowsBetween(0, Window.unboundedFollowing)
+    )
+    present_hour = F.when(F.col("v").isNotNull(), F.col("hour"))
+    pv = F.last("v", ignorenulls=True).over(wp)
+    ph = F.last(present_hour, ignorenulls=True).over(wp)
+    nv = F.first("v", ignorenulls=True).over(wn)
+    nh = F.first(present_hour, ignorenulls=True).over(wn)
+
+    def us(c):  # epoch micros — engine-portable hour arithmetic
+        return F.unix_micros(c.cast("timestamp"))
+
+    frac = (us(F.col("hour")) - us(ph)) / (us(nh) - us(ph))
+    filled = (
+        F.when(F.col("v").isNotNull(), F.col("v"))
+        .when(pv.isNull(), nv)
+        .when(nv.isNull(), pv)
+        .otherwise(pv + (nv - pv) * frac)
+    )
+    # floor-based half-up rounding (not F.round): midpoint interpolation
+    # hits exact .xxxx5 ties where round() half-up/half-even behavior
+    # differs across engines; floor(x*1e4+0.5)/1e4 is bit-identical IEEE
+    # arithmetic everywhere (values are non-negative here)
+    return s.select(
+        "event_type",
+        "hour",
+        (F.floor(filled * 10000 + F.lit(0.5)) / 10000).alias("v_filled"),
+        F.when(F.col("v").isNotNull(), 1).otherwise(0).cast("int").alias("was_present"),
+    )
+
+
+@query(
+    "winsorize_amounts",
+    oracle="""
+    WITH p AS (SELECT o_orderpriority,
+                      quantile_cont(o_totalprice, 0.05) AS p05,
+                      quantile_cont(o_totalprice, 0.95) AS p95
+               FROM orders GROUP BY o_orderpriority)
+    SELECT o.o_orderpriority,
+           ROUND(p05, 2) AS p05, ROUND(p95, 2) AS p95,
+           ROUND(avg(CASE WHEN o_totalprice < p05 THEN p05
+                          WHEN o_totalprice > p95 THEN p95
+                          ELSE o_totalprice END), 4) AS winsorized_avg,
+           CAST(count(*) AS BIGINT) AS n
+    FROM orders o JOIN p ON o.o_orderpriority = p.o_orderpriority
+    GROUP BY o.o_orderpriority, p05, p95
+    """,
+)
+def winsorize_amounts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorized per-group mean: order totals clipped at the group's
+    exact 5th/95th percentiles before averaging — the robust-statistics
+    cleaning step that tames heavy tails without dropping rows.
+
+    Two passes sharing one shuffle key: exact percentiles per group
+    (linear-interpolated, matching DuckDB's quantile_cont), broadcast
+    back (groups × 2 doubles — tiny), clip + average. Only the reported
+    values are rounded; the clip thresholds are exact.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    p = o.groupBy("o_orderpriority").agg(
+        F.percentile("o_totalprice", F.lit(0.05)).alias("p05"),
+        F.percentile("o_totalprice", F.lit(0.95)).alias("p95"),
+    )
+    clipped = (
+        F.when(F.col("o_totalprice") < F.col("p05"), F.col("p05"))
+        .when(F.col("o_totalprice") > F.col("p95"), F.col("p95"))
+        .otherwise(F.col("o_totalprice"))
+    )
+    return (
+        o.join(F.broadcast(p), "o_orderpriority")
+        .groupBy("o_orderpriority", "p05", "p95")
+        .agg(
+            F.round(F.avg(clipped), 4).alias("winsorized_avg"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .select(
+            "o_orderpriority",
+            F.round("p05", 2).alias("p05"),
+            F.round("p95", 2).alias("p95"),
+            "winsorized_avg",
+            "n",
+        )
+    )
+
+
+@query(
+    "validate_quarantine",
+    oracle="""
+    WITH routed AS (
+        SELECT *,
+               CASE WHEN NOT coalesce(o_totalprice BETWEEN 1000 AND 450000, FALSE)
+                        THEN 'quarantine:price_range'
+                    WHEN NOT coalesce(o_orderstatus IN ('O', 'F', 'P'), FALSE)
+                        THEN 'quarantine:status_known'
+                    WHEN NOT coalesce(o_orderdate >= TIMESTAMP '1995-01-01 00:00:00',
+                                      FALSE)
+                        THEN 'quarantine:date_floor'
+                    ELSE 'valid' END AS disposition
+        FROM orders)
+    SELECT disposition,
+           CAST(count(*) AS BIGINT) AS n,
+           ROUND(SUM(o_totalprice), 2) AS total_price
+    FROM routed
+    GROUP BY disposition
+    """,
+)
+def validate_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Good-rows / bad-rows ingestion routing: every order gets a
+    disposition — 'valid' or 'quarantine:<first-failed-rule>' — from an
+    ordered rule list evaluated scan-side (NULLs fail closed); the query
+    reports the per-disposition volume a pipeline would alert on.
+
+    The row-level operator is ``operators.profiling.route_quarantine``;
+    downstream the split is a filter (or a write partitioned by
+    disposition) — never a second validation pass.
+    """
+    from pyspark_ingestion_spark.operators.profiling import route_quarantine
+
+    o = load_table(spark, sf_dir, "orders")
+    routed = route_quarantine(
+        o,
+        [
+            ("price_range", F.col("o_totalprice").between(1000, 450000)),
+            ("status_known", F.col("o_orderstatus").isin("O", "F", "P")),
+            (
+                "date_floor",
+                F.col("o_orderdate")
+                >= F.lit("1995-01-01 00:00:00").cast("timestamp"),
+            ),
+        ],
+    )
+    return routed.groupBy("disposition").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+    )

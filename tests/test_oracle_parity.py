@@ -162,6 +162,7 @@ _NTZ_SENSITIVE = [
     "join_range",
     "window_time_range_agg",
     "scd2_user_state",
+    "interpolate_linear",
 ]
 
 
