@@ -1542,3 +1542,68 @@ def validate_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n"),
         F.round(F.sum("o_totalprice"), 2).alias("total_price"),
     )
+
+
+@query(
+    "json_variant_parse",
+    oracle="""
+    SELECT event_id,
+           CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_val,
+           CAST(json_extract_string(props, '$.missing') AS BIGINT) AS missing_val,
+           'OBJECT<k: BIGINT>' AS variant_schema
+    FROM events
+    """,
+)
+def json_variant_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured ingestion via the VARIANT type (Spark 4): parse
+    once into the binary variant encoding, then typed path extraction —
+    the modern replacement for per-access get_json_object string
+    re-parsing (the variant parse cost is paid once per row, not once
+    per extracted path).
+
+    ``try_variant_get`` on an absent path yields NULL (never throws) —
+    the schema-drift-tolerant accessor; ``schema_of_variant`` reports
+    the per-row discovered shape, which a pipeline aggregates to detect
+    payload drift.
+    """
+    e = load_table(spark, sf_dir, "events")
+    v = F.parse_json("props")
+    return e.select(
+        "event_id",
+        F.variant_get(v, "$.k", "bigint").alias("k_val"),
+        F.try_variant_get(v, "$.missing", "bigint").alias("missing_val"),
+        F.schema_of_variant(v).alias("variant_schema"),
+    )
+
+
+@query(
+    "pyds_custom_source",
+    oracle="""
+    SELECT CAST(i % 10 AS BIGINT) AS bucket,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(SUM((i * 1103515245 + 12345) % 32768) AS BIGINT) AS val_sum
+    FROM range(5000) t(i)
+    GROUP BY bucket
+    """,
+)
+def pyds_custom_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aggregate over a custom Python DataSource (Spark 4
+    ``pyspark.sql.datasource``): the source plans 8 input partitions,
+    each task generates its split, and the result oracle-matches the
+    closed-form SQL of the generator — proving the connector path
+    (partition planning, typed schema, Arrow transfer) end-to-end.
+    See ``sources.pydatasource`` for the connector-author contract.
+    """
+    from pyspark_ingestion_spark.sources.pydatasource import register_synthetic_source
+
+    register_synthetic_source(spark)
+    src = (
+        spark.read.format("graft_synth")
+        .option("n", "5000")
+        .option("partitions", "8")
+        .load()
+    )
+    return src.groupBy((F.col("id") % 10).alias("bucket")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("val").alias("val_sum"),
+    )

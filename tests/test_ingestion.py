@@ -783,3 +783,29 @@ def test_maintain_rollup_incremental_equals_full_recompute(spark, tmp_path):
                         {"med": F.expr("percentile(amt, 0.5)")}, ["day"])
     with pytest.raises(ValueError, match="must be part of group_cols"):
         maintain_rollup(spark, b2, path, ["color"], aggs(), ["day"])
+
+
+def test_python_datasource_partition_layout_invariance(spark):
+    """The custom Python DataSource plans the requested number of input
+    partitions, and the produced multiset is identical under any split
+    layout (rows are pure functions of their index)."""
+    from pyspark.sql import functions as F
+
+    from pyspark_ingestion_spark.sources.pydatasource import register_synthetic_source
+
+    register_synthetic_source(spark)
+
+    def read(parts):
+        return (
+            spark.read.format("graft_synth")
+            .option("n", "997")  # prime: uneven final split
+            .option("partitions", str(parts))
+            .load()
+        )
+
+    df8 = read(8)
+    assert df8.rdd.getNumPartitions() == 8
+    agg8 = df8.agg(F.count(F.lit(1)), F.sum("val"), F.sum("id")).first()
+    agg3 = read(3).agg(F.count(F.lit(1)), F.sum("val"), F.sum("id")).first()
+    assert tuple(agg8) == tuple(agg3)
+    assert agg8[0] == 997
