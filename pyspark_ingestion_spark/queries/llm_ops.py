@@ -1704,3 +1704,141 @@ def semantic_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         sim.alias("centroid_sim"),
         F.when(sim < 0.1, 1).otherwise(0).cast("int").alias("is_outlier"),
     )
+
+
+@query(
+    "word_cooccurrence_pmi",
+    oracle=r"""
+    WITH w AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS ws
+               FROM documents WHERE trim(text) <> ''),
+    tok AS (SELECT unnest(ws) AS word FROM w),
+    tot AS (SELECT CAST(count(*) AS BIGINT) AS t FROM tok),
+    cw AS (SELECT word, CAST(count(*) AS BIGINT) AS c FROM tok GROUP BY word),
+    prs AS (SELECT least(ws[i], ws[i+j]) AS w1, greatest(ws[i], ws[i+j]) AS w2
+            FROM w,
+                 LATERAL (SELECT unnest(range(1, len(ws))) AS i),
+                 LATERAL (SELECT unnest(range(1, least(4, len(ws) - i) + 1)) AS j)),
+    cp AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS c_ab FROM prs GROUP BY 1, 2),
+    wtot AS (SELECT CAST(sum(c_ab) AS BIGINT) AS wt FROM cp)
+    SELECT w1, w2, c_ab,
+           ROUND(ln((CAST(c_ab AS DOUBLE) / wt) /
+                    ((CAST(a.c AS DOUBLE) / t) * (CAST(b.c AS DOUBLE) / t))), 4)
+               AS pmi
+    FROM cp
+    JOIN cw a ON cp.w1 = a.word
+    JOIN cw b ON cp.w2 = b.word
+    CROSS JOIN tot CROSS JOIN wtot
+    ORDER BY c_ab DESC, w1, w2
+    LIMIT 200
+    """,
+)
+def word_cooccurrence_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Windowed word co-occurrence with PMI — the association statistic
+    behind phrase detection and static-embedding (GloVe-style) corpus
+    prep. Pairs are counted inside a 5-word sliding window (offsets
+    1–4), NEVER as all pairs per document — the window keeps pair
+    generation linear in corpus length where all-pairs is quadratic in
+    per-doc vocabulary.
+
+    Pair generation is document-local (nested index transforms, no
+    shuffle); one hash agg each for token totals and pair counts; the
+    word-count table broadcasts back onto the top pairs. Selection is
+    deterministic on (count DESC, pair ASC); PMI is reported at 4 dp
+    (ranking never touches the float, same policy as tfidf_top_terms).
+    """
+    from pyspark_ingestion_spark.functions.text import words
+
+    d = load_table(spark, sf_dir, "documents")
+    w = d.select(words(F.lower(F.col("text"))).alias("ws")).filter(F.size("ws") >= 1)
+
+    tok = w.select(F.explode("ws").alias("word"))
+    cw = tok.groupBy("word").agg(F.count(F.lit(1)).alias("c"))
+    tot = tok.agg(F.count(F.lit(1)).alias("t"))
+
+    ws = F.col("ws")
+    pair_struct = lambda i, j: F.struct(  # noqa: E731 — local expression builder
+        F.least(F.get(ws, i - 1), F.get(ws, i + j - 1)).alias("w1"),
+        F.greatest(F.get(ws, i - 1), F.get(ws, i + j - 1)).alias("w2"),
+    )
+    pairs_arr = F.flatten(
+        F.transform(
+            F.sequence(F.lit(1), F.size(ws) - 1),
+            lambda i: F.transform(
+                F.sequence(F.lit(1), F.least(F.lit(4), F.size(ws) - i)),
+                lambda j: pair_struct(i, j),
+            ),
+        )
+    )
+    prs = w.filter(F.size(ws) >= 2).select(F.explode(pairs_arr).alias("p")).select(
+        "p.w1", "p.w2"
+    )
+    cp = prs.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c_ab"))
+    wtot = cp.agg(F.sum("c_ab").alias("wt"))
+
+    ca = cw.select(F.col("word").alias("w1"), F.col("c").alias("c_a"))
+    cb = cw.select(F.col("word").alias("w2"), F.col("c").alias("c_b"))
+    pmi = F.round(
+        F.log(
+            (F.col("c_ab").cast("double") / F.col("wt"))
+            / (
+                (F.col("c_a").cast("double") / F.col("t"))
+                * (F.col("c_b").cast("double") / F.col("t"))
+            )
+        ),
+        4,
+    )
+    return (
+        cp.join(F.broadcast(ca), "w1")
+        .join(F.broadcast(cb), "w2")
+        .crossJoin(F.broadcast(tot))
+        .crossJoin(F.broadcast(wtot))
+        .select("w1", "w2", "c_ab", pmi.alias("pmi"))
+        .orderBy(F.col("c_ab").desc(), "w1", "w2")
+        .limit(200)
+    )
+
+
+@query(
+    "dedup_cluster_sizes",
+    oracle=f"""
+    WITH RECURSIVE {_SHINGLES_CTE},
+    inter AS (SELECT a.doc AS doc_a, b.doc AS doc_b, count(*) AS intersection
+              FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc < b.doc
+              GROUP BY 1, 2),
+    pairs AS (SELECT doc_a, doc_b FROM inter
+              JOIN sizes sa ON sa.doc = doc_a
+              JOIN sizes sb ON sb.doc = doc_b
+              WHERE 2 * intersection >= 1 * (sa.sz + sb.sz - intersection)),
+    sym AS (SELECT doc_a AS u, doc_b AS v FROM pairs
+            UNION SELECT doc_b, doc_a FROM pairs),
+    reach(u, v) AS (SELECT u, v FROM sym
+                    UNION SELECT r.u, s.v FROM reach r JOIN sym s ON r.v = s.u),
+    labels AS (SELECT u AS node, least(u, min(v)) AS component
+               FROM reach GROUP BY u),
+    csz AS (SELECT component, CAST(count(*) AS BIGINT) AS cluster_size
+            FROM labels GROUP BY component)
+    SELECT cluster_size, CAST(count(*) AS BIGINT) AS n_clusters
+    FROM csz GROUP BY cluster_size
+    """,
+)
+def dedup_cluster_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-cluster size histogram — the dedup run's headline
+    observability number (how much of the corpus is redundant, and in
+    what shape: many pairs vs few giant classes). A heavy tail here is
+    also the operational warning for the band-bucket and verify-join
+    guards (max_bucket_size / max_doc_freq).
+
+    Composition: near-dup pairs → connected components → two tiny
+    aggregations over the (small) cluster-member table; the corpus
+    itself is touched only by the pair detection.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    pairs = jaccard_similar_pairs(
+        d, "doc_id", "text", n=3, threshold_num=1, threshold_den=2
+    ).select("doc_a", "doc_b")
+    csz = (
+        connected_components(pairs)
+        .groupBy("component")
+        .agg(F.count(F.lit(1)).alias("cluster_size"))
+    )
+    return csz.groupBy("cluster_size").agg(F.count(F.lit(1)).alias("n_clusters"))

@@ -619,3 +619,73 @@ def test_ngram_repetition_edges(spark):
     for t, want in cases:
         r = rows[t]
         assert (r["positions"], r["top_count"], r["dup_count"]) == want, t
+
+
+def test_domain_mix_growth_monotonicity(spark):
+    """The two mixing invariants: (a) raising a domain's weight only ADDS
+    docs — the kept set at w1 is a strict subset of the kept set at
+    w2 > w1; (b) corpus growth never changes an existing doc's verdict."""
+    from pyspark_ingestion_spark.operators.sampling import weighted_domain_mix
+
+    rows = [(i, "web" if i % 3 else "wiki") for i in range(300)]
+    df = spark.createDataFrame(rows, ["doc_id", "source"])
+
+    def kept(frame, w):
+        out = weighted_domain_mix(frame, "doc_id", "source",
+                                  weights={"web": w}, default_weight=1.0)
+        return {r["doc_id"] for r in out.collect()}
+
+    low, high = kept(df, 0.2), kept(df, 0.6)
+    assert low < high  # strict subset: raising weight only adds
+
+    grown = spark.createDataFrame(
+        rows + [(i, "web") for i in range(300, 400)], ["doc_id", "source"]
+    )
+    assert kept(grown, 0.2) & set(range(300)) == low
+
+
+def test_shuffle_assign_is_dense_permutation(spark):
+    """Shard positions are a dense 1..n_shard permutation, the assignment
+    is deterministic across runs, and no shard is empty-heavy (hash
+    spreads keys)."""
+    from pyspark_ingestion_spark.operators.sampling import shuffle_assign
+
+    df = spark.createDataFrame([(i,) for i in range(500)], ["doc_id"])
+    a = shuffle_assign(df, "doc_id", n_shards=8).collect()
+    b = shuffle_assign(df, "doc_id", n_shards=8).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))  # deterministic
+
+    by_shard: dict[int, list[int]] = {}
+    for r in a:
+        by_shard.setdefault(r["shard"], []).append(r["position"])
+    assert set(by_shard) == set(range(8))  # every shard populated
+    for positions in by_shard.values():
+        assert sorted(positions) == list(range(1, len(positions) + 1))  # dense
+
+
+def test_route_quarantine_precedence_and_null_policy(spark):
+    """First failing rule wins regardless of later rules; NULL rule
+    results quarantine (fail closed), never pass."""
+    from pyspark.sql import functions as F
+
+    from pyspark_ingestion_spark.operators.profiling import route_quarantine
+
+    df = spark.createDataFrame(
+        [(1, 10.0, "A"), (2, -5.0, "A"), (3, -5.0, None), (4, None, "B"), (5, 10.0, "B")],
+        ["id", "amount", "grade"],
+    )
+    routed = route_quarantine(
+        df,
+        [
+            ("amount_positive", F.col("amount") > 0),
+            ("grade_known", F.col("grade").isin("A")),
+        ],
+    )
+    got = {r["id"]: r["disposition"] for r in routed.collect()}
+    assert got == {
+        1: "valid",
+        2: "quarantine:amount_positive",   # first rule fires, grade never checked
+        3: "quarantine:amount_positive",   # both bad -> first wins
+        4: "quarantine:amount_positive",   # NULL amount fails closed
+        5: "quarantine:grade_known",
+    }
