@@ -367,3 +367,18 @@ def test_semantic_outliers_broadcasts_centroids(spark, sf_dir):
     table never reshuffles for the join."""
     df = _REGISTRY["semantic_outliers"].fn(spark, sf_dir)
     assert uses_broadcast_join(df), formatted_plan(df)
+
+
+def test_join_strategy_hints_are_honored(spark, sf_dir):
+    """The engine's join-strategy escape hatches work: an explicit
+    shuffle_hash hint must produce a ShuffledHashJoin (the right call
+    when both sides are large but one partition fits in memory — skips
+    the sort), and merge must produce a SortMergeJoin."""
+    from pyspark_ingestion_spark.sources.readers import load_table
+
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    l = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    shj = o.hint("shuffle_hash").join(l, o.o_orderkey == l.l_orderkey)
+    assert "ShuffledHashJoin" in formatted_plan(shj), formatted_plan(shj)
+    smj = o.hint("merge").join(l, o.o_orderkey == l.l_orderkey)
+    assert "SortMergeJoin" in formatted_plan(smj), formatted_plan(smj)
