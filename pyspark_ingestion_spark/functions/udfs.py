@@ -119,3 +119,39 @@ def order_gaps_grouped(orders, key_col="o_custkey", date_col="o_orderdate",
         .groupBy(key_col)
         .applyInPandas(_gaps, schema=out_schema)
     )
+
+
+class NGramsUDTF:
+    """Polymorphic table function: (text, n) → one row per n-gram, with
+    the OUTPUT SCHEMA derived from the ``n`` argument at plan time via
+    ``analyze`` (Spark 3.5+/4 polymorphic UDTF contract) — n=2 plans
+    (w0, w1, pos), n=3 plans (w0, w1, w2, pos).
+
+    This is the API for Python expansions whose shape depends on their
+    arguments (parsers with schema args, configurable extractors);
+    static-``returnType`` UDTFs (SplitWordsUDTF) can't express it.
+    Tokenization shares ``_ascii_words`` so results stay engine-portable.
+    """
+
+    @staticmethod
+    def analyze(text, n):
+        from pyspark.sql.types import IntegerType, StringType, StructField, StructType
+        from pyspark.sql.udtf import AnalyzeResult
+
+        nv = int(n.value)
+        if nv < 1:
+            raise ValueError(f"n must be >= 1, got {nv}")
+        fields = [StructField(f"w{i}", StringType()) for i in range(nv)]
+        return AnalyzeResult(StructType(fields + [StructField("pos", IntegerType())]))
+
+    def eval(self, text: str | None, n: int):
+        ws = _ascii_words(text)
+        for i in range(max(len(ws) - n + 1, 0)):
+            yield tuple(ws[i : i + n]) + (i,)
+
+
+def ngrams_udtf():
+    """The registered form of NGramsUDTF (schema bound by analyze())."""
+    from pyspark.sql.functions import udtf
+
+    return udtf(NGramsUDTF)

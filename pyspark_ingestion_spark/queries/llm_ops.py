@@ -1842,3 +1842,30 @@ def dedup_cluster_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("cluster_size"))
     )
     return csz.groupBy("cluster_size").agg(F.count(F.lit(1)).alias("n_clusters"))
+
+
+@query(
+    "udtf_ngrams_polymorphic",
+    oracle=r"""
+    WITH w AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS ws
+               FROM documents WHERE trim(text) <> '')
+    SELECT doc_id, ws[i] AS w0, ws[i+1] AS w1, CAST(i - 1 AS INT) AS pos
+    FROM w, LATERAL (SELECT unnest(range(1, len(ws))) AS i)
+    """,
+)
+def udtf_ngrams_polymorphic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Polymorphic Python UDTF (``analyze``-derived schema): bigrams via
+    LATERAL ``ngrams_udtf(text, 2)`` — the output columns (w0, w1, pos)
+    are planned from the literal ``n`` argument, the modern contract for
+    argument-shaped Python expansions. See functions.udfs.NGramsUDTF.
+    """
+    from pyspark_ingestion_spark.functions.udfs import ngrams_udtf
+
+    spark.udtf.register("ngrams_udtf", ngrams_udtf())
+    load_table(spark, sf_dir, "documents").createOrReplaceTempView("docs_ngram_src")
+    return spark.sql(
+        """
+        SELECT d.doc_id, g.w0, g.w1, g.pos
+        FROM docs_ngram_src d, LATERAL ngrams_udtf(d.text, 2) g
+        """
+    )

@@ -26,6 +26,7 @@ _PANDAS_OK = {"multimodal_decode", "multimodal_frame_sample",
               "multimodal_features", "multimodal_resize",
               "multimodal_ann_pipeline",
               "udf_pandas_quality", "udtf_split_words",
+              "udtf_ngrams_polymorphic",
               "udf_grouped_map_order_gaps"}
 
 #: queries that run/collect eagerly or stream — plan introspection n/a
