@@ -1607,3 +1607,39 @@ def pyds_custom_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n"),
         F.sum("val").alias("val_sum"),
     )
+
+
+@query(
+    "xml_functions",
+    oracle="""
+    SELECT event_id, event_type AS t, user_id AS u, event_type AS t_xpath
+    FROM events
+    """,
+)
+def xml_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """XML ingestion surface: ``from_xml`` typed parsing and ``xpath``
+    extraction. The testdata carries no XML, so the document is
+    constructed in-plan from columns and immediately parsed back — the
+    parse/extract path is what's under test; the oracle states the
+    round-trip law (parsed values equal the source columns).
+    """
+    e = load_table(spark, sf_dir, "events")
+    xml = e.select(
+        "event_id",
+        F.concat(
+            F.lit("<r><t>"), F.col("event_type"),
+            F.lit("</t><u>"), F.col("user_id").cast("string"),
+            F.lit("</u></r>"),
+        ).alias("x"),
+    )
+    parsed = xml.select(
+        "event_id",
+        F.from_xml("x", "t STRING, u BIGINT").alias("p"),
+        F.xpath("x", F.lit("/r/t/text()")).alias("xp"),
+    )
+    return parsed.select(
+        "event_id",
+        F.col("p.t").alias("t"),
+        F.col("p.u").alias("u"),
+        F.col("xp")[0].alias("t_xpath"),
+    )

@@ -689,3 +689,35 @@ def test_route_quarantine_precedence_and_null_policy(spark):
         4: "quarantine:amount_positive",   # NULL amount fails closed
         5: "quarantine:grade_known",
     }
+
+
+def test_count_min_sketch_heavy_hitter_bound(spark):
+    """Count-min sketch estimates (mergeable heavy-hitter counting — the
+    frequency analog of the HLL/KLL/Theta family) are within eps·N of
+    exact counts and never underestimate. Spark exposes the aggregate
+    natively but no query expression over the sketch, so the estimate
+    side goes through the JVM sketch class — a driver-side read of one
+    8 KB sketch, the way a production pipeline would consume persisted
+    per-partition sketches."""
+    from pyspark.sql import functions as F
+
+    from pyspark_ingestion_spark.sources.readers import load_table
+
+    sf = "/root/testdata/sf0.01"
+    e = load_table(spark, sf, "events")
+    eps, conf = 0.01, 0.95
+    sk_bytes = e.agg(
+        F.count_min_sketch("event_type", F.lit(eps), F.lit(conf), F.lit(42)).alias("sk")
+    ).first()["sk"]
+
+    jvm = spark.sparkContext._jvm
+    bis = jvm.java.io.ByteArrayInputStream(bytes(sk_bytes))
+    cms = jvm.org.apache.spark.util.sketch.CountMinSketch.readFrom(bis)
+
+    exact = {r["event_type"]: r["n"] for r in
+             e.groupBy("event_type").agg(F.count(F.lit(1)).alias("n")).collect()}
+    total = sum(exact.values())
+    for etype, n in exact.items():
+        est = cms.estimateCount(etype)
+        assert est >= n  # CMS never underestimates
+        assert est - n <= eps * total, (etype, est, n)
