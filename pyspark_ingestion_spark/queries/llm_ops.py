@@ -1869,3 +1869,52 @@ def udtf_ngrams_polymorphic(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM docs_ngram_src d, LATERAL ngrams_udtf(d.text, 2) g
         """
     )
+
+
+@query(
+    "unigram_logprob_quality",
+    oracle=r"""
+    WITH w AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS ws
+               FROM documents WHERE trim(text) <> ''),
+    tok AS (SELECT doc_id, unnest(ws) AS word FROM w),
+    tot AS (SELECT CAST(count(*) AS BIGINT) AS t FROM tok),
+    cw AS (SELECT word, CAST(count(*) AS BIGINT) AS c FROM tok GROUP BY word)
+    SELECT tok.doc_id,
+           CAST(count(*) AS BIGINT) AS n_words,
+           ROUND(avg(-ln(CAST(c AS DOUBLE) / t)), 4) AS cross_entropy
+    FROM tok JOIN cw USING (word) CROSS JOIN tot
+    GROUP BY tok.doc_id
+    """,
+)
+def unigram_logprob_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram-LM cross-entropy per document — the CCNet/C4-style
+    perplexity proxy: docs whose words are improbable under the corpus
+    unigram distribution score high (gibberish, boilerplate codes),
+    typical prose scores low; thresholding it is the classic
+    LM-quality filter.
+
+    Scale shape: ONE token explode feeds both the vocabulary counts and
+    the per-doc scoring; the vocab table broadcasts back onto the token
+    stream (vocab ≪ corpus), so the corpus shuffles once (per-doc agg).
+    In production the LM is trained on a reference corpus and persisted;
+    here it's self-trained in-plan, which keeps the query closed-form
+    and the oracle exact.
+    """
+    from pyspark_ingestion_spark.functions.text import words
+
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select(
+        "doc_id", F.explode(words(F.lower(F.col("text")))).alias("word")
+    )
+    cw = tok.groupBy("word").agg(F.count(F.lit(1)).alias("c"))
+    tot = tok.agg(F.count(F.lit(1)).alias("t"))
+    neg_logp = -F.log(F.col("c").cast("double") / F.col("t"))
+    return (
+        tok.join(F.broadcast(cw), "word")
+        .crossJoin(F.broadcast(tot))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_words"),
+            F.round(F.avg(neg_logp), 4).alias("cross_entropy"),
+        )
+    )
