@@ -281,3 +281,59 @@ def sign_bucket_topk(
         keep_rank=True,
         rank_col="rank",
     )
+
+
+def sign_bucket_multiprobe_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    n_dims: int = 8,
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Multiprobe sign-bucket ANN: each query scores its own bucket PLUS
+    every Hamming-1 neighbor (one sign bit flipped) — 1 + n_dims probes.
+
+    The standard recall-recovery dial for LSH bucketing: near neighbors
+    lost to a single flipped hyperplane sign are recovered at
+    (n_dims+1)× the candidate cost, while the corpus layout is
+    untouched (each corpus vector still lives in exactly ONE bucket, so
+    probed buckets are disjoint and no candidate dedup is needed). At
+    scale the query side explodes ×(n_dims+1) BEFORE the broadcast —
+    queries are the small side, so the fan-out is cheap; the corpus is
+    still partitioned by bucket once and never re-shuffled.
+    """
+    c = corpus.withColumn("__bucket", sign_bucket(vec_col, n_dims))
+    probes = F.array(*[F.lit(x) for x in [0] + [2**i for i in range(n_dims)]])
+    q = (
+        queries.select(
+            F.col(query_id_col),
+            F.col(vec_col).alias("__qvec"),
+            sign_bucket(vec_col, n_dims).alias("__b0"),
+        )
+        .select(
+            query_id_col,
+            "__qvec",
+            F.explode(probes).alias("__flip"),
+            F.col("__b0"),
+        )
+        .select(
+            query_id_col,
+            "__qvec",
+            F.col("__b0").bitwiseXOR(F.col("__flip")).alias("__bucket"),
+        )
+    )
+    scored = c.join(F.broadcast(q), "__bucket").select(
+        F.col(query_id_col),
+        F.col(id_col).alias("neighbor_id"),
+        F.round(cosine_similarity(vec_col, "__qvec"), 6).alias("sim"),
+    )
+    return topk_per_group(
+        scored,
+        group_cols=[query_id_col],
+        order_cols=[F.desc("sim"), F.asc("neighbor_id")],
+        k=k,
+        keep_rank=True,
+        rank_col="rank",
+    )

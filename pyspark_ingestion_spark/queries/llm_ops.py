@@ -1918,3 +1918,40 @@ def unigram_logprob_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.avg(neg_logp), 4).alias("cross_entropy"),
         )
     )
+
+
+@query(
+    "ann_multiprobe_topk",
+    oracle=f"""
+    WITH b AS (SELECT vec_id, embedding, CAST({_SIGN8_BUCKET} AS INT) AS bucket
+               FROM embeddings),
+    q0 AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv, bucket
+           FROM b WHERE vec_id < 20),
+    q AS (SELECT query_id, qv, xor(bucket, flip) AS bucket
+          FROM q0, LATERAL (SELECT unnest([0,1,2,4,8,16,32,64,128]) AS flip)),
+    scored AS (SELECT q.query_id, e.vec_id AS neighbor_id, ROUND({_COSINE}, 6) AS sim
+               FROM b e JOIN q ON e.bucket = q.bucket)
+    SELECT query_id, neighbor_id, sim, CAST(rank AS INT) AS rank FROM (
+        SELECT *, row_number() OVER (PARTITION BY query_id
+                                     ORDER BY sim DESC, neighbor_id) AS rank
+        FROM scored)
+    WHERE rank <= 5
+    """,
+)
+def ann_multiprobe_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multiprobe sign-bucket ANN: the query probes its bucket plus all
+    Hamming-1 neighbors (9 probes at 8 bits) — recovering neighbors a
+    single flipped hyperplane sign would lose, at 9× candidate cost and
+    zero corpus re-layout. Probed buckets are disjoint (a corpus vector
+    lives in exactly one), so no candidate dedup precedes the top-k.
+    Recall monotonicity vs the single-probe tier is pinned in pytest.
+    """
+    from pyspark_ingestion_spark.operators.similarity import (
+        sign_bucket_multiprobe_topk,
+    )
+
+    e = load_table(spark, sf_dir, "embeddings")
+    queries = e.filter(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return sign_bucket_multiprobe_topk(e, queries, k=5, n_dims=8)

@@ -118,3 +118,39 @@ def test_lsh_bucket_cap_guards_giant_duplicate_class(spark):
     pairs = {(r["doc_a"], r["doc_b"]) for r in capped.collect()}
     assert (1000, 1001) in pairs          # real near-dup survives
     assert all(a >= 1000 for a, _ in pairs)  # giant class skipped, not exploded
+
+
+def test_multiprobe_recall_is_monotone(spark):
+    """Multiprobe candidates are a superset of single-probe candidates,
+    so recall@k vs brute-force truth can only improve (provably: any
+    new entrant to the approx top-k outranks a displaced member in the
+    GLOBAL order too, so it is itself in the true top-k whenever the
+    displaced one was)."""
+    from pyspark.sql import functions as F
+
+    from pyspark_ingestion_spark.operators.similarity import (
+        brute_force_topk,
+        sign_bucket_multiprobe_topk,
+        sign_bucket_topk,
+    )
+    from pyspark_ingestion_spark.sources.readers import load_table
+
+    sf = "/root/testdata/sf0.01"
+    e = load_table(spark, sf, "embeddings")
+    queries = e.filter(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+
+    def hits(df):
+        out = {}
+        for r in df.collect():
+            out.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+        return out
+
+    truth = hits(brute_force_topk(e, queries, k=5))
+    single = hits(sign_bucket_topk(e, queries, k=5, n_dims=8))
+    multi = hits(sign_bucket_multiprobe_topk(e, queries, k=5, n_dims=8))
+    for qid, t in truth.items():
+        r1 = len(single.get(qid, set()) & t)
+        r9 = len(multi.get(qid, set()) & t)
+        assert r9 >= r1, (qid, r1, r9)
