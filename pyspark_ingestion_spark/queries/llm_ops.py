@@ -1955,3 +1955,134 @@ def ann_multiprobe_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("query_id"), "embedding"
     )
     return sign_bucket_multiprobe_topk(e, queries, k=5, n_dims=8)
+
+
+@query(
+    "dedup_simhash_hamming",
+    oracle=f"""
+    WITH sig AS ({_simhash_oracle(16)}),
+    bands AS (SELECT doc, simhash, b, (simhash >> (b * 4)) & 15 AS band_val
+              FROM sig, LATERAL (SELECT unnest(range(4)) AS b)),
+    cand AS (SELECT DISTINCT a.doc AS doc_a, b.doc AS doc_b,
+                    a.simhash AS sa, b.simhash AS sb
+             FROM bands a JOIN bands b
+               ON a.b = b.b AND a.band_val = b.band_val AND a.doc < b.doc)
+    SELECT doc_a, doc_b,
+           CAST(bit_count(xor(sa, sb)) AS INT) AS hamming
+    FROM cand
+    WHERE bit_count(xor(sa, sb)) <= 3
+    """,
+)
+def dedup_simhash_hamming(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup PAIRS: 4 bands of 4 bits block the signature
+    space; candidates collide on any band, then exact Hamming distance
+    (bit_count of XOR) filters at ≤ 3.
+
+    The banding is pigeonhole-complete: ≤3 differing bits across 4
+    bands leaves at least one band identical, so NO qualifying pair is
+    missed — this turns the 16-bit signature table into a dedup join
+    with the same block-then-verify scale shape as MinHash-LSH (band
+    equi-joins, never all-pairs; the verify is two longs per
+    candidate). Completes the SimHash tier from signatures
+    (dedup_simhash) to actionable pairs.
+    """
+    sig = simhash(load_table(spark, sf_dir, "documents"), "doc_id", "text", bits=16)
+    bands = sig.select(
+        "doc", "simhash", F.explode(F.array(*[F.lit(i) for i in range(4)])).alias("b")
+    ).withColumn("band_val", F.expr("shiftright(simhash, b * 4) & 15"))
+    a = bands.select(
+        F.col("doc").alias("doc_a"), F.col("simhash").alias("sa"), "b", "band_val"
+    )
+    b = bands.select(
+        F.col("doc").alias("doc_b"), F.col("simhash").alias("sb"), "b", "band_val"
+    )
+    cand = (
+        a.join(b, ["b", "band_val"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", "sa", "sb")
+        .distinct()
+    )
+    hamming = F.bit_count(F.col("sa").bitwiseXOR(F.col("sb")))
+    return cand.filter(hamming <= 3).select(
+        "doc_a", "doc_b", hamming.cast("int").alias("hamming")
+    )
+
+
+@query(
+    "embedding_quantize_int8",
+    oracle="""
+    WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS arr FROM embeddings),
+    s AS (SELECT vec_id, arr,
+                 CASE WHEN m = 0 THEN 1.0 ELSE m / 127 END AS scale
+          FROM (SELECT vec_id, arr,
+                       list_max(list_transform(arr, x -> abs(x))) AS m FROM v)),
+    q AS (SELECT vec_id, arr, scale,
+                 list_transform(arr,
+                     x -> greatest(-127, least(127, floor(x / scale + 0.5)))) AS qv
+          FROM s)
+    SELECT vec_id,
+           ROUND(scale, 6) AS scale,
+           CAST(list_min(qv) AS INT) AS q_min,
+           CAST(list_max(qv) AS INT) AS q_max,
+           ROUND(list_max(list_transform(range(1, len(arr) + 1),
+                 i -> abs(arr[i] - qv[i] * scale))), 6) AS max_abs_err,
+           ROUND(list_dot_product(arr, qv) /
+                 (sqrt(list_dot_product(arr, arr)) * sqrt(list_dot_product(qv, qv))),
+                 6) AS cos_preserved
+    FROM q
+    """,
+)
+def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric int8 scalar quantization of embeddings (per-vector
+    absmax scale) with reconstruction metrics — the 4× memory reduction
+    that makes billion-vector ANN corpora fit executor memory; the
+    reported cosine-vs-original shows the recall cost is negligible.
+
+    All native array expressions (transform/zip_with/aggregate), no
+    Python. Rounding of quantized codes is floor(x+0.5) — half toward
+    +inf — as an explicit engine-portable definition; cosine(v, dq)
+    equals cosine(v, q) since the scale cancels, so the metric is
+    computed on the integer codes directly.
+    """
+    from pyspark_ingestion_spark.functions.vectors import cosine_similarity
+
+    e = load_table(spark, sf_dir, "embeddings")
+    arr = F.col("embedding").cast("array<double>")
+    absmax = F.array_max(F.transform(arr, lambda x: F.abs(x)))
+    scale = F.when(absmax == 0, F.lit(1.0)).otherwise(absmax / 127)
+    base = e.select("vec_id", arr.alias("arr"), scale.alias("scale"))
+    qv = F.transform(
+        F.col("arr"),
+        lambda x: F.greatest(
+            F.lit(-127).cast("long"),
+            F.least(F.lit(127).cast("long"), F.floor(x / F.col("scale") + 0.5)),
+        ),
+    )
+    qd = base.select("vec_id", "arr", "scale", qv.alias("qv"))
+    err = F.array_max(
+        F.zip_with(
+            F.col("arr"), F.col("qv"), lambda a, q: F.abs(a - q * F.col("scale"))
+        )
+    )
+    # metrics computed in their own projection: putting round(scale) AS scale
+    # in the same select would make Spark's lateral-column-alias resolution
+    # bind the err expression's F.col("scale") to the ROUNDED sibling alias,
+    # silently quantizing with a 6-dp scale
+    metrics = qd.select(
+        "vec_id",
+        "scale",
+        F.array_min("qv").cast("int").alias("q_min"),
+        F.array_max("qv").cast("int").alias("q_max"),
+        err.alias("__err"),
+        cosine_similarity(F.col("arr"), F.col("qv").cast("array<double>")).alias(
+            "__cos"
+        ),
+    )
+    return metrics.select(
+        "vec_id",
+        F.round("scale", 6).alias("scale"),
+        "q_min",
+        "q_max",
+        F.round("__err", 6).alias("max_abs_err"),
+        F.round("__cos", 6).alias("cos_preserved"),
+    )
