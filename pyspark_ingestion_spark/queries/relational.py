@@ -1643,3 +1643,127 @@ def xml_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("p.u").alias("u"),
         F.col("xp")[0].alias("t_xpath"),
     )
+
+
+@query(
+    "ewma_user_value",
+    oracle="""
+    WITH ordered AS (SELECT user_id, value
+                     FROM events ORDER BY user_id, ts, event_id),
+    l AS (SELECT user_id, list(value) AS xs FROM ordered GROUP BY user_id)
+    SELECT user_id,
+           CAST(len(xs) AS BIGINT) AS n_events,
+           ROUND(list_reduce(xs, (acc, x) -> 0.3 * x + 0.7 * acc), 4) AS ewma
+    FROM l
+    """,
+)
+def ewma_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially weighted moving average of each user's event values
+    (α = 0.3, seeded with the first observation) — the recursive
+    smoothing statistic plain window frames cannot express.
+
+    Implemented as a NATIVE per-key ordered fold: collect the user's
+    (ts, event_id, value) stream into a sorted array and run
+    ``F.aggregate`` over it — a sequential fold with deterministic
+    order, so results are bit-identical to DuckDB's list_reduce. One
+    shuffle on user_id; per-key state is the user's own event list,
+    fine for per-entity series (for unbounded keys use
+    applyInPandasWithState, streaming/stateful.py).
+    """
+    e = load_table(spark, sf_dir, "events")
+    g = e.groupBy("user_id").agg(
+        F.sort_array(F.collect_list(F.struct("ts", "event_id", "value"))).alias("s")
+    )
+    vals = F.col("s").getField("value")
+    ewma = F.aggregate(
+        F.slice(vals, 2, F.greatest(F.size(vals) - 1, F.lit(0))),
+        F.element_at(vals, 1),
+        lambda acc, x: F.lit(0.3) * x + F.lit(0.7) * acc,
+    )
+    return g.select(
+        "user_id",
+        F.size("s").cast("long").alias("n_events"),
+        F.round(ewma, 4).alias("ewma"),
+    )
+
+
+@query(
+    "rfm_segmentation",
+    oracle="""
+    WITH per_cust AS (
+        SELECT o_custkey,
+               max(o_orderdate) AS last_order,
+               CAST(count(*) AS BIGINT) AS frequency,
+               ROUND(SUM(o_totalprice), 2) AS monetary
+        FROM orders GROUP BY o_custkey),
+    scored AS (
+        SELECT o_custkey, frequency, monetary,
+               CAST(ntile(5) OVER (ORDER BY last_order, o_custkey) AS INT) AS r,
+               CAST(ntile(5) OVER (ORDER BY frequency, o_custkey) AS INT) AS f,
+               CAST(ntile(5) OVER (ORDER BY monetary, o_custkey) AS INT) AS m
+        FROM per_cust)
+    SELECT o_custkey, frequency, monetary, r, f, m,
+           CASE WHEN r >= 4 AND f >= 4 THEN 'champion'
+                WHEN r >= 4 THEN 'recent'
+                WHEN f >= 4 THEN 'loyal'
+                WHEN r <= 2 AND f <= 2 THEN 'at_risk'
+                ELSE 'regular' END AS segment
+    FROM scored
+    """,
+)
+def rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM customer segmentation: recency/frequency/monetary quintiles
+    (deterministic ntile total orders, custkey tie-break) composed into
+    the classic warehouse segment labels.
+
+    One aggregation shuffle builds the per-customer facts; the three
+    quintile windows run over the (small) per-customer table. At true
+    scale the ntile total order is the pressure point — swap in
+    percentile thresholds (winsorize_amounts' shape) to avoid a global
+    sort when the customer dimension itself is huge.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    per_cust = o.groupBy("o_custkey").agg(
+        F.max("o_orderdate").alias("last_order"),
+        F.count(F.lit(1)).alias("frequency"),
+        F.round(F.sum("o_totalprice"), 2).alias("monetary"),
+    )
+    r = F.ntile(5).over(Window.orderBy("last_order", "o_custkey"))
+    f = F.ntile(5).over(Window.orderBy("frequency", "o_custkey"))
+    m = F.ntile(5).over(Window.orderBy("monetary", "o_custkey"))
+    scored = per_cust.select(
+        "o_custkey", "frequency", "monetary",
+        r.alias("r"), f.alias("f"), m.alias("m"),
+    )
+    seg = (
+        F.when((F.col("r") >= 4) & (F.col("f") >= 4), "champion")
+        .when(F.col("r") >= 4, "recent")
+        .when(F.col("f") >= 4, "loyal")
+        .when((F.col("r") <= 2) & (F.col("f") <= 2), "at_risk")
+        .otherwise("regular")
+    )
+    return scored.withColumn("segment", seg)
+
+
+@query(
+    "agg_min_max_by",
+    oracle="""
+    SELECT o_orderpriority, o_orderstatus,
+           arg_min(o_totalprice, o_orderkey) AS first_order_price,
+           arg_max(o_totalprice, o_orderkey) AS last_order_price,
+           CAST(count(*) AS BIGINT) AS n
+    FROM orders
+    GROUP BY o_orderpriority, o_orderstatus
+    """,
+)
+def agg_min_max_by(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """min_by/max_by surface: per (priority, status) group, the total
+    price of the earliest- and latest-keyed order. Ordering on the
+    UNIQUE o_orderkey keeps the pick deterministic (min_by on a column
+    with ties is engine-arbitrary — the trap to design around)."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority", "o_orderstatus").agg(
+        F.min_by("o_totalprice", "o_orderkey").alias("first_order_price"),
+        F.max_by("o_totalprice", "o_orderkey").alias("last_order_price"),
+        F.count(F.lit(1)).alias("n"),
+    )
