@@ -1767,3 +1767,124 @@ def agg_min_max_by(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max_by("o_totalprice", "o_orderkey").alias("last_order_price"),
         F.count(F.lit(1)).alias("n"),
     )
+
+
+@query(
+    "cep_view_click_purchase",
+    oracle="""
+    WITH v AS (SELECT user_id, ts FROM events WHERE event_type = 'view'),
+    c AS (SELECT user_id, ts FROM events WHERE event_type = 'click'),
+    p AS (SELECT user_id, ts FROM events WHERE event_type = 'purchase')
+    SELECT v.user_id,
+           CAST(count(*) AS BIGINT) AS n_sequences,
+           min(v.ts) AS first_view,
+           min(p.ts) AS first_purchase
+    FROM v
+    JOIN c ON c.user_id = v.user_id AND c.ts > v.ts
+    JOIN p ON p.user_id = v.user_id AND p.ts > c.ts
+          AND p.ts <= v.ts + INTERVAL 2 HOUR
+    GROUP BY v.user_id
+    """,
+)
+def cep_view_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Complex-event-processing pattern: strictly ordered
+    view → click → purchase sequences completing within 2 hours, per
+    user — the 3-step generalization of the funnel (A-then-B-then-C,
+    not co-occurrence).
+
+    Both stage joins carry the user equi-key, so the time predicates
+    are post-filters on per-user matches — never an unbounded interval
+    join; per-user sequence counts bound the fan-out. The streaming
+    form of this shape is the stream-stream interval join
+    (streaming_stream_stream_join) chained per stage.
+    """
+    e = load_table(spark, sf_dir, "events")
+    v = e.filter(F.col("event_type") == "view").select(
+        "user_id", F.col("ts").alias("v_ts")
+    )
+    c = e.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user"), F.col("ts").alias("c_ts")
+    )
+    p = e.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"), F.col("ts").alias("p_ts")
+    )
+    seq = (
+        v.join(c, (v.user_id == c.c_user) & (c.c_ts > v.v_ts))
+        .join(
+            p,
+            (v.user_id == p.p_user)
+            & (p.p_ts > F.col("c_ts"))
+            & (p.p_ts <= F.col("v_ts") + F.expr("INTERVAL 2 HOUR")),
+        )
+    )
+    return seq.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_sequences"),
+        F.min("v_ts").alias("first_view"),
+        F.min("p_ts").alias("first_purchase"),
+    )
+
+
+@query(
+    "join_null_safe",
+    oracle="""
+    WITH k AS (SELECT CASE WHEN c_custkey % 10 = 0 THEN NULL
+                           ELSE c_custkey END AS key
+               FROM customer)
+    SELECT CAST(a.key IS NULL AS INT) AS key_is_null,
+           CAST(count(*) AS BIGINT) AS n_pairs
+    FROM k a JOIN k b ON a.key IS NOT DISTINCT FROM b.key
+    GROUP BY 1
+    """,
+)
+def join_null_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-safe equi-join (``<=>`` / IS NOT DISTINCT FROM): NULL keys
+    match EACH OTHER instead of vanishing — the semantics CDC/merge
+    keys with nullable columns actually need (a plain = join silently
+    drops every NULL-keyed row).
+
+    The aggregate output also documents the scale hazard: all NULL keys
+    land in ONE join group (here 10% of customers → quadratic pairs on
+    that single bucket), so production null-safe joins split the NULL
+    partition out (it's a cross join by definition) or coalesce NULLs
+    to a sentinel per business rule.
+    """
+    c = load_table(spark, sf_dir, "customer")
+    k = c.select(
+        F.when(F.col("c_custkey") % 10 == 0, None)
+        .otherwise(F.col("c_custkey"))
+        .alias("key")
+    )
+    a, b = k.alias("a"), k.alias("b")
+    joined = a.join(b, F.col("a.key").eqNullSafe(F.col("b.key")))
+    return joined.groupBy(
+        F.col("a.key").isNull().cast("int").alias("key_is_null")
+    ).agg(F.count(F.lit(1)).alias("n_pairs"))
+
+
+@query(
+    "lateral_explode_outer",
+    oracle=r"""
+    WITH w AS (SELECT doc_id,
+                      list_filter(string_split_regex(trim(lower(text)), '\s+'),
+                                  x -> length(x) >= 6) AS ws
+               FROM documents WHERE trim(text) <> '')
+    SELECT w.doc_id, u.long_word
+    FROM w LEFT JOIN LATERAL (SELECT unnest(ws) AS long_word) u ON TRUE
+    """,
+)
+def lateral_explode_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``explode_outer``: docs whose filtered word list is EMPTY survive
+    as a NULL row instead of disappearing — the outer-lateral semantics
+    plain explode silently violates (dropping parent rows is the classic
+    fan-out data-loss bug in ingestion pipelines).
+    """
+    from pyspark_ingestion_spark.functions.text import words
+
+    d = load_table(spark, sf_dir, "documents")
+    w = d.select(
+        "doc_id",
+        F.filter(
+            words(F.lower(F.col("text"))), lambda x: F.length(x) >= 6
+        ).alias("ws"),
+    )
+    return w.select("doc_id", F.explode_outer("ws").alias("long_word"))

@@ -163,6 +163,8 @@ _NTZ_SENSITIVE = [
     "window_time_range_agg",
     "scd2_user_state",
     "interpolate_linear",
+    "cep_view_click_purchase",
+    "ewma_user_value",
 ]
 
 
