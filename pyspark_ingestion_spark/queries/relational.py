@@ -1888,3 +1888,152 @@ def lateral_explode_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("ws"),
     )
     return w.select("doc_id", F.explode_outer("ws").alias("long_word"))
+
+
+@query(
+    "table_checksum",
+    oracle="""
+    WITH h AS (SELECT ('0x' || substr(md5(
+                   CAST(o_orderkey AS VARCHAR) || '|' ||
+                   coalesce(CAST(o_custkey AS VARCHAR), '') || '|' ||
+                   coalesce(o_orderstatus, '') || '|' ||
+                   coalesce(CAST(ROUND(o_totalprice, 2) AS VARCHAR), '')
+               ), 1, 15))::BIGINT AS rh
+          FROM orders)
+    SELECT CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(bit_xor(rh) AS BIGINT) AS checksum_xor
+    FROM h
+    """,
+)
+def table_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-independent content checksum of a table: per-row MD5 over a
+    canonical column serialization, combined with SUM and XOR — the
+    reconciliation primitive for verifying a lake copy equals its
+    source after migration/backfill (row order and partition layout
+    irrelevant; any single-row difference flips both combiners).
+
+    One scan, one scalar aggregate — no sort, no collect; at 100 TB
+    this is the cheapest possible full-content comparison (and per-
+    partition checksums fall out of the same expression grouped by the
+    partition key). Numeric columns are rounded in the serialization so
+    float formatting can't differ across engines.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    canon = F.concat_ws(
+        "|",
+        F.col("o_orderkey").cast("string"),
+        F.coalesce(F.col("o_custkey").cast("string"), F.lit("")),
+        F.coalesce(F.col("o_orderstatus"), F.lit("")),
+        F.coalesce(F.round("o_totalprice", 2).cast("string"), F.lit("")),
+    )
+    rh = F.conv(F.substring(F.md5(canon), 1, 15), 16, 10).cast("long")
+    h = o.select(rh.alias("rh"))
+    return h.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.bit_xor("rh").alias("checksum_xor"),
+    )
+
+
+@query(
+    "agg_equidepth_histogram",
+    oracle="""
+    WITH q AS (SELECT quantile_cont(o_totalprice, 0.25) AS q1,
+                      quantile_cont(o_totalprice, 0.50) AS q2,
+                      quantile_cont(o_totalprice, 0.75) AS q3
+               FROM orders)
+    SELECT CAST(bin AS INT) AS bin,
+           ROUND(lo, 2) AS lo, ROUND(hi, 2) AS hi,
+           CAST(count(*) AS BIGINT) AS n
+    FROM (
+        SELECT CASE WHEN o_totalprice <= q1 THEN 0
+                    WHEN o_totalprice <= q2 THEN 1
+                    WHEN o_totalprice <= q3 THEN 2
+                    ELSE 3 END AS bin,
+               CASE WHEN o_totalprice <= q1 THEN NULL
+                    WHEN o_totalprice <= q2 THEN q1
+                    WHEN o_totalprice <= q3 THEN q2
+                    ELSE q3 END AS lo,
+               CASE WHEN o_totalprice <= q1 THEN q1
+                    WHEN o_totalprice <= q2 THEN q2
+                    WHEN o_totalprice <= q3 THEN q3
+                    ELSE NULL END AS hi
+        FROM orders CROSS JOIN q)
+    GROUP BY bin, lo, hi
+    """,
+)
+def agg_equidepth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-depth (quartile-bounded) histogram of order totals — the
+    partner of the equi-width `agg_histogram`: bin EDGES come from exact
+    percentiles so each bin holds ~25% of rows, which is what optimizer
+    statistics and skew diagnostics actually want from a histogram.
+
+    The 3-value quantile row broadcasts back across the scan for the
+    binning pass — two scans total, no sort of the full column.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    q = o.agg(
+        F.percentile("o_totalprice", F.lit(0.25)).alias("q1"),
+        F.percentile("o_totalprice", F.lit(0.50)).alias("q2"),
+        F.percentile("o_totalprice", F.lit(0.75)).alias("q3"),
+    )
+    v = F.col("o_totalprice")
+    binned = o.crossJoin(F.broadcast(q)).select(
+        F.when(v <= F.col("q1"), 0)
+        .when(v <= F.col("q2"), 1)
+        .when(v <= F.col("q3"), 2)
+        .otherwise(3)
+        .cast("int")
+        .alias("bin"),
+        F.when(v <= F.col("q1"), None)
+        .when(v <= F.col("q2"), F.col("q1"))
+        .when(v <= F.col("q3"), F.col("q2"))
+        .otherwise(F.col("q3"))
+        .alias("lo"),
+        F.when(v <= F.col("q1"), F.col("q1"))
+        .when(v <= F.col("q2"), F.col("q2"))
+        .when(v <= F.col("q3"), F.col("q3"))
+        .otherwise(None)
+        .alias("hi"),
+    )
+    return binned.groupBy("bin", F.round("lo", 2).alias("lo"),
+                          F.round("hi", 2).alias("hi")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+
+
+@query(
+    "detect_id_gaps",
+    oracle="""
+    WITH k AS (SELECT DISTINCT o_orderkey AS id FROM orders),
+    n AS (SELECT id,
+                 lead(id) OVER (ORDER BY id) AS next_id
+          FROM k)
+    SELECT id AS gap_after,
+           next_id AS resume_at,
+           CAST(next_id - id - 1 AS BIGINT) AS missing
+    FROM n
+    WHERE next_id - id > 1
+    """,
+)
+def detect_id_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence-gap detection over the order-key space: every point
+    where consecutive distinct keys differ by more than 1 — the
+    completeness audit for ingestion from sequence-keyed sources
+    (missed CDC batches and dropped partitions show up as gaps).
+
+    One distinct pass + one ordered window (the key column alone — the
+    full table is never sorted). For production key spaces, run it per
+    shard/partition range so the window order stays partition-local.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    k = o.select(F.col("o_orderkey").alias("id")).distinct()
+    w = Window.orderBy("id")
+    n = k.withColumn("next_id", F.lead("id").over(w))
+    return (
+        n.filter(F.col("next_id") - F.col("id") > 1)
+        .select(
+            F.col("id").alias("gap_after"),
+            F.col("next_id").alias("resume_at"),
+            (F.col("next_id") - F.col("id") - 1).alias("missing"),
+        )
+    )
