@@ -2037,3 +2037,72 @@ def detect_id_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("next_id") - F.col("id") - 1).alias("missing"),
         )
     )
+
+
+@query(
+    "join_point_in_time",
+    oracle="""
+    WITH ordered AS (
+        SELECT user_id, event_id, ts, event_type,
+               lag(event_type) OVER w AS prev_type
+        FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+    scd AS (
+        SELECT user_id, event_type AS state, ts AS valid_from,
+               lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                   AS valid_to
+        FROM ordered
+        WHERE prev_type IS NULL OR prev_type != event_type),
+    purchases AS (SELECT event_id, user_id, ts FROM events
+                  WHERE event_type = 'purchase')
+    SELECT p.event_id, p.user_id, p.ts, s.state,
+           s.valid_from AS state_since
+    FROM purchases p
+    JOIN scd s
+      ON p.user_id = s.user_id
+     AND p.ts >= s.valid_from
+     AND (s.valid_to IS NULL OR p.ts < s.valid_to)
+    """,
+)
+def join_point_in_time(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time join: each purchase is enriched with the user's
+    state interval VALID AT THAT MOMENT from the SCD2 dimension — the
+    correctness join behind feature stores and dimension-history
+    lookups (joining the current state instead silently leaks the
+    future into training data).
+
+    Every fact matches exactly one interval (intervals partition each
+    user's timeline), so the join is 1:1 by construction. Scale shape:
+    equi-join on the user key; the interval predicate is a post-filter
+    on per-user matches — with a large dimension, the as-of operator
+    (operators.relational.asof_join) computes the same answer in one
+    union+window pass instead.
+    """
+    e = load_table(spark, sf_dir, "events")
+    # SCD2 intervals, same construction as scd2_user_state
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    changes = (
+        e.select("user_id", "event_id", "ts", "event_type")
+        .withColumn("prev_type", F.lag("event_type").over(w))
+        .filter(F.col("prev_type").isNull() | (F.col("prev_type") != F.col("event_type")))
+    )
+    scd = changes.select(
+        F.col("user_id").alias("s_user"),
+        F.col("event_type").alias("state"),
+        F.col("ts").alias("valid_from"),
+        F.lead("ts").over(
+            Window.partitionBy("user_id").orderBy("ts", "event_id")
+        ).alias("valid_to"),
+    )
+    p = e.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    return (
+        p.join(
+            scd,
+            (p.user_id == scd.s_user)
+            & (p.ts >= scd.valid_from)
+            & (scd.valid_to.isNull() | (p.ts < scd.valid_to)),
+        )
+        .select("event_id", "user_id", "ts", "state",
+                F.col("valid_from").alias("state_since"))
+    )
