@@ -2106,3 +2106,96 @@ def join_point_in_time(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("event_id", "user_id", "ts", "state",
                 F.col("valid_from").alias("state_since"))
     )
+
+
+@query(
+    "anomaly_mad_robust",
+    oracle="""
+    WITH med AS (SELECT event_type, quantile_cont(value, 0.5) AS med
+                 FROM events GROUP BY event_type),
+    dev AS (SELECT e.event_type, med,
+                   quantile_cont(abs(value - med), 0.5) AS mad
+            FROM events e JOIN med USING (event_type)
+            GROUP BY e.event_type, med)
+    SELECT e.event_type,
+           ROUND(d.med, 4) AS med,
+           ROUND(d.mad, 4) AS mad,
+           CAST(count(*) FILTER (abs(value - d.med) > 3 * d.mad) AS BIGINT)
+               AS n_outliers,
+           CAST(count(*) AS BIGINT) AS n
+    FROM events e JOIN dev d USING (event_type)
+    GROUP BY e.event_type, d.med, d.mad
+    """,
+)
+def anomaly_mad_robust(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Median-absolute-deviation outlier counts per event type — the
+    robust complement to `anomaly_zscore`: median/MAD are unmoved by
+    the outliers they detect, where mean/stddev are dragged toward them
+    (masking). Flags |x − med| > 3·MAD.
+
+    Three passes sharing the one group key, with the tiny per-group
+    statistics broadcast back each time — exact medians, no sort of the
+    full value column. Thresholding uses the unrounded statistics; only
+    the report is rounded.
+    """
+    e = load_table(spark, sf_dir, "events")
+    med = e.groupBy("event_type").agg(
+        F.percentile("value", F.lit(0.5)).alias("med")
+    )
+    dev = (
+        e.join(F.broadcast(med), "event_type")
+        .groupBy("event_type", "med")
+        .agg(
+            F.percentile(F.abs(F.col("value") - F.col("med")), F.lit(0.5)).alias("mad")
+        )
+    )
+    flagged = e.join(F.broadcast(dev), "event_type")
+    is_out = F.abs(F.col("value") - F.col("med")) > 3 * F.col("mad")
+    return flagged.groupBy("event_type", "med", "mad").agg(
+        F.sum(F.when(is_out, 1).otherwise(0)).cast("long").alias("n_outliers"),
+        F.count(F.lit(1)).alias("n"),
+    ).select(
+        "event_type",
+        F.round("med", 4).alias("med"),
+        F.round("mad", 4).alias("mad"),
+        "n_outliers",
+        "n",
+    )
+
+
+@query(
+    "entropy_lang_by_source",
+    oracle="""
+    WITH c AS (SELECT source, lang, CAST(count(*) AS BIGINT) AS c
+               FROM documents GROUP BY source, lang),
+    t AS (SELECT source, SUM(c) AS t FROM c GROUP BY source)
+    SELECT c.source,
+           CAST(count(*) AS BIGINT) AS n_langs,
+           ROUND(-SUM((CAST(c AS DOUBLE) / t) * ln(CAST(c AS DOUBLE) / t)), 4)
+               AS lang_entropy
+    FROM c JOIN t USING (source)
+    GROUP BY c.source
+    """,
+)
+def entropy_lang_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shannon entropy of the language mix per source shard — the
+    diversity monitor for corpus composition drift (a shard collapsing
+    to one language shows up as entropy → 0 long before counts look
+    wrong on a dashboard).
+
+    Two aggregations over the same source key (counts, then the entropy
+    fold over the tiny per-source language table) — the distribution
+    itself never leaves the cluster.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    c = d.groupBy("source", "lang").agg(F.count(F.lit(1)).alias("c"))
+    t = c.groupBy("source").agg(F.sum("c").alias("t"))
+    p = F.col("c").cast("double") / F.col("t")
+    return (
+        c.join(F.broadcast(t), "source")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_langs"),
+            F.round(-F.sum(p * F.log(p)), 4).alias("lang_entropy"),
+        )
+    )
