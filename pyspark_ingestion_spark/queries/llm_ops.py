@@ -2086,3 +2086,84 @@ def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("__err", 6).alias("max_abs_err"),
         F.round("__cos", 6).alias("cos_preserved"),
     )
+
+
+@query(
+    "dedup_incremental_batch",
+    oracle=r"""
+    WITH batch AS (SELECT doc_id, text FROM documents WHERE source = 'src19'),
+    corpus AS (SELECT doc_id, text FROM documents WHERE source != 'src19'),
+    bfp AS (SELECT doc_id, md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'))
+                       AS fp FROM batch),
+    cfp AS (SELECT DISTINCT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'))
+                       AS fp FROM corpus),
+    exact_rejects AS (SELECT b.doc_id FROM bfp b JOIN cfp c ON b.fp = c.fp),
+    bw AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS ws
+           FROM batch WHERE trim(text) <> ''),
+    bsh AS (SELECT DISTINCT doc_id AS bid, array_to_string(ws[i:i+2], ' ') AS shingle
+            FROM bw, LATERAL (SELECT unnest(range(1, greatest(len(ws)-2, 1) + 1)) AS i)),
+    cw AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS ws
+           FROM corpus WHERE trim(text) <> ''),
+    csh AS (SELECT DISTINCT doc_id AS cid, array_to_string(ws[i:i+2], ' ') AS shingle
+            FROM cw, LATERAL (SELECT unnest(range(1, greatest(len(ws)-2, 1) + 1)) AS i)),
+    bsz AS (SELECT bid, count(*) AS bs FROM bsh GROUP BY bid),
+    csz AS (SELECT cid, count(*) AS cs FROM csh GROUP BY cid),
+    inter AS (SELECT b.bid, c.cid, count(*) AS ov
+              FROM bsh b JOIN csh c ON b.shingle = c.shingle GROUP BY 1, 2),
+    near_rejects AS (
+        SELECT DISTINCT i.bid AS doc_id
+        FROM inter i JOIN bsz ON bsz.bid = i.bid JOIN csz ON csz.cid = i.cid
+        WHERE 2 * i.ov >= 1 * (bsz.bs + csz.cs - i.ov)),
+    rejects AS (SELECT doc_id FROM exact_rejects
+                UNION SELECT doc_id FROM near_rejects)
+    SELECT b.doc_id FROM batch b
+    LEFT JOIN rejects r ON b.doc_id = r.doc_id
+    WHERE r.doc_id IS NULL
+    """,
+)
+def dedup_incremental_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The continuous-ingestion dedup loop: a NEW batch (source src19)
+    is admitted only where it duplicates nothing in the EXISTING corpus
+    — exact (normalized fingerprint) and near-dup (trigram Jaccard ≥
+    1/2 against any corpus doc) rejections, then a broadcast anti-join.
+
+    The production shape: the batch is the small side everywhere — its
+    fingerprint set broadcasts against the corpus fingerprints, its
+    shingle table is the build side of the shingle equi-join — so the
+    existing corpus is SCANNED but never reshuffled, and cost scales
+    with the batch, not the lake. (At 100 TB the corpus fingerprint and
+    shingle tables are precomputed once and maintained incrementally —
+    the same tables every other dedup query here derives.)
+    """
+    d = load_table(spark, sf_dir, "documents")
+    batch = d.filter(F.col("source") == "src19").select("doc_id", "text")
+    corpus = d.filter(F.col("source") != "src19").select("doc_id", "text")
+
+    bfp = batch.select("doc_id", fingerprint("text").alias("fp"))
+    cfp = corpus.select(fingerprint("text").alias("fp")).distinct()
+    exact_rejects = bfp.join(cfp, "fp").select("doc_id")
+
+    near = containment_pairs(  # reused shingle machinery, jaccard mode below
+        corpus, batch, "doc_id", "text", n=3, threshold_num=0, threshold_den=1
+    )
+    # containment_pairs returns (bench_id=batch doc, corpus_id, overlap,
+    # bench_size) for ALL overlapping pairs at threshold 0; apply the
+    # Jaccard test with corpus sizes
+    from pyspark_ingestion_spark.operators.dedup import _shingle_table
+
+    csz = (
+        _shingle_table(corpus, "doc_id", "text", 3)
+        .groupBy("doc")
+        .agg(F.count(F.lit(1)).alias("cs"))
+        .select(F.col("doc").alias("corpus_id"), "cs")
+    )
+    near_rejects = (
+        near.join(csz, "corpus_id")
+        .filter(
+            2 * F.col("overlap") >= F.col("bench_size") + F.col("cs") - F.col("overlap")
+        )
+        .select(F.col("bench_id").alias("doc_id"))
+        .distinct()
+    )
+    rejects = exact_rejects.union(near_rejects).distinct()
+    return batch.join(F.broadcast(rejects), "doc_id", "left_anti").select("doc_id")
