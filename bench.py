@@ -30,6 +30,11 @@ HEADLINE = [
     "dedup_minhash_lsh",
     "ann_sign_bucket_topk",
     "corpus_clean_pipeline",
+    # LLM training-prep surface (r4: round-over-round visibility beyond
+    # TPC-H — anchors are the r4-measured values in BENCH_r04.json)
+    "corpus_full_pipeline",
+    "dedup_semantic_keep_one",
+    "word_cooccurrence_pmi",
     # event-time analytics
     "window_session",
 ]

@@ -138,6 +138,13 @@ class NGramsUDTF:
         from pyspark.sql.types import IntegerType, StringType, StructField, StructType
         from pyspark.sql.udtf import AnalyzeResult
 
+        if n.value is None:
+            # non-constant n: AnalyzeArgument.value is None — the output
+            # schema is plan-time, so n must be a literal
+            raise ValueError(
+                "NGramsUDTF: n must be a constant literal (the output "
+                "schema is derived from it at plan time)"
+            )
         nv = int(n.value)
         if nv < 1:
             raise ValueError(f"n must be >= 1, got {nv}")

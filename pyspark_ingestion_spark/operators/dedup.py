@@ -399,13 +399,12 @@ def containment_pairs(
     dropped from BOTH sides — including the ``bench_size`` denominator —
     so containment stays a ratio over the same shingle universe.
     """
-    sb = _shingle_table(bench, id_col, text_col, n)
-    sc = _shingle_table(corpus, id_col, text_col, n)
-    if max_doc_freq is not None:
-        hot = F.broadcast(_hot_shingles(sc, max_doc_freq))
-        sc = sc.join(hot, "shingle", "left_anti")
-        sb = sb.join(hot, "shingle", "left_anti")
-    sb = sb.persist()
+    # NOTE: the bench side is small by definition (it's the benchmark /
+    # new batch), so it is NOT persisted — recomputing its shingle
+    # explode for the size aggregate is cheaper than leaking an entry in
+    # the CacheManager per invocation (persist() here is never paired
+    # with an unpersist because the result is returned lazily).
+    sb, sc = _cross_shingle_tables(corpus, bench, id_col, text_col, n, max_doc_freq)
     bsz = sb.groupBy("doc").agg(F.count(F.lit(1)).alias("bench_size"))
     inter = (
         sb.select(F.col("doc").alias("bench_id"), "shingle")
@@ -426,6 +425,132 @@ def containment_pairs(
             "bench_size",
             F.round(F.col("overlap") / F.col("bench_size"), 6).alias("containment"),
         )
+    )
+
+
+def _cross_shingle_tables(
+    corpus: DataFrame,
+    small: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int,
+    max_doc_freq: int | float | None,
+) -> tuple[DataFrame, DataFrame]:
+    """(small-side, corpus-side) shingle tables with the hot-shingle cap.
+
+    The document-frequency cap is measured on the CORPUS side (where
+    boilerplate frequency is meaningful) and the hot set is dropped from
+    BOTH sides, so every downstream ratio is over the same shingle
+    universe. The hot set is small by construction and broadcasts.
+    """
+    ss = _shingle_table(small, id_col, text_col, n)
+    sc = _shingle_table(corpus, id_col, text_col, n)
+    if max_doc_freq is not None:
+        hot = F.broadcast(_hot_shingles(sc, max_doc_freq))
+        sc = sc.join(hot, "shingle", "left_anti")
+        ss = ss.join(hot, "shingle", "left_anti")
+    return ss, sc
+
+
+def incremental_near_candidates(
+    corpus: DataFrame,
+    batch: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    threshold_num: int = 1,
+    threshold_den: int = 2,
+    max_doc_freq: int | float | None = None,
+    _shingles: tuple[DataFrame, DataFrame] | None = None,
+) -> DataFrame:
+    """Candidate near-dup pairs for incremental batch admission:
+    (batch_id, corpus_id, overlap, batch_size) where the pair can still
+    satisfy Jaccard ≥ num/den.
+
+    Two scale guards make the pair space sub-quadratic:
+
+    - ``max_doc_freq`` drops corpus-hot shingles from both sides before
+      the equi-join — without it, ONE boilerplate shingle shared by the
+      batch and 10⁶ corpus docs materializes 10⁶ pairs per batch doc.
+    - the Jaccard-implied pre-filter ``den·overlap ≥ num·batch_size``
+      runs BEFORE any corpus-side size join: J = ov/(bs+cs-ov) ≥ num/den
+      with cs ≥ ov implies num·bs ≤ (den+num)·ov − num·cs ≤ den·ov, so
+      no true positive is dropped and pairs sharing only incidental
+      shingles never reach the corpus-size lookup.
+    """
+    sb, sc = (
+        _shingles
+        if _shingles is not None
+        else _cross_shingle_tables(corpus, batch, id_col, text_col, n, max_doc_freq)
+    )
+    bsz = sb.groupBy("doc").agg(F.count(F.lit(1)).alias("batch_size"))
+    inter = (
+        sb.select(F.col("doc").alias("batch_id"), "shingle")
+        .join(sc.select(F.col("doc").alias("corpus_id"), "shingle"), "shingle")
+        .groupBy("batch_id", "corpus_id")
+        .agg(F.count(F.lit(1)).alias("overlap"))
+    )
+    return inter.join(
+        bsz.select(F.col("doc").alias("batch_id"), "batch_size"), "batch_id"
+    ).filter(
+        F.lit(threshold_den) * F.col("overlap")
+        >= F.lit(threshold_num) * F.col("batch_size")
+    )
+
+
+def incremental_near_rejects(
+    corpus: DataFrame,
+    batch: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    threshold_num: int = 1,
+    threshold_den: int = 2,
+    max_doc_freq: int | float | None = None,
+) -> DataFrame:
+    """Batch doc ids with n-gram Jaccard ≥ num/den against ANY corpus doc
+    — the near-dup rejection set of the continuous-ingestion admission
+    loop. One column (``id_col``), distinct.
+
+    Corpus sizes are computed from the SAME capped shingle table that
+    fed the candidate join (non-eager ``localCheckpoint`` — materialized
+    once on first use, shared by both consumers, and released by the
+    ContextCleaner when the result goes out of scope, so repeated
+    invocations don't accumulate cache entries), and only for the
+    corpus ids that survived the candidate pre-filter — a broadcast
+    semi-join, so the full corpus is never reshuffled for sizes.
+    """
+    sb, sc = _cross_shingle_tables(
+        corpus, batch, id_col, text_col, n, max_doc_freq
+    )
+    sc = sc.localCheckpoint(eager=False)
+    cand = incremental_near_candidates(
+        corpus,
+        batch,
+        id_col,
+        text_col,
+        n,
+        threshold_num,
+        threshold_den,
+        max_doc_freq,
+        _shingles=(sb, sc),
+    )
+    cids = cand.select(F.col("corpus_id")).distinct()
+    csz = (
+        sc.join(F.broadcast(cids), sc["doc"] == cids["corpus_id"])
+        .groupBy("doc")
+        .agg(F.count(F.lit(1)).alias("corpus_size"))
+        .select(F.col("doc").alias("corpus_id"), "corpus_size")
+    )
+    return (
+        cand.join(csz, "corpus_id")
+        .filter(
+            F.lit(threshold_den) * F.col("overlap")
+            >= F.lit(threshold_num)
+            * (F.col("batch_size") + F.col("corpus_size") - F.col("overlap"))
+        )
+        .select(F.col("batch_id").alias(id_col))
+        .distinct()
     )
 
 

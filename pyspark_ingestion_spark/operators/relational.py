@@ -178,3 +178,50 @@ def salted_join(
         "__salt", F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1)))
     )
     return l_salted.join(r_salted, [on, "__salt"], how).drop("__salt")
+
+
+def sequence_gaps(
+    df: DataFrame, id_col: str, shard_width: int = 100_000
+) -> DataFrame:
+    """Gaps in a sequence-keyed id space: every (gap_after, resume_at,
+    missing) where consecutive distinct ids differ by more than 1.
+
+    Sharded so the sort is never global: ids hash-partition by
+    ``id DIV shard_width`` and ``lead`` runs per shard in parallel;
+    cross-shard gaps are recovered from ONE window over the per-shard
+    (min, max) summaries — at most |id space| / shard_width rows, so
+    that single-partition sort is bounded by construction, not by the
+    data (10¹² ids at width 10⁶ → 10⁶ summary rows). Empty shards need
+    no special case: ``lead`` over the summaries skips them, and a gap
+    spanning whole shards surfaces as one boundary row. Negative ids
+    work too — ``floor`` division keeps shard order consistent with id
+    order.
+    """
+    k = (
+        df.select(F.col(id_col).alias("id"))
+        .distinct()
+        .withColumn("__shard", F.floor(F.col("id") / shard_width))
+    )
+    inner = k.withColumn(
+        "next_id", F.lead("id").over(Window.partitionBy("__shard").orderBy("id"))
+    ).filter(F.col("next_id") - F.col("id") > 1)
+
+    summaries = k.groupBy("__shard").agg(
+        F.min("id").alias("__lo"), F.max("id").alias("__hi")
+    )
+    boundary = (
+        summaries.withColumn(
+            "next_id", F.lead("__lo").over(Window.orderBy("__shard"))
+        )
+        .filter(F.col("next_id") - F.col("__hi") > 1)
+        .select(F.col("__hi").alias("id"), "next_id")
+    )
+    return (
+        inner.select("id", "next_id")
+        .unionByName(boundary)
+        .select(
+            F.col("id").alias("gap_after"),
+            F.col("next_id").alias("resume_at"),
+            (F.col("next_id") - F.col("id") - 1).alias("missing"),
+        )
+    )

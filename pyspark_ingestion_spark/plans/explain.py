@@ -57,6 +57,24 @@ def python_eval_nodes(df: DataFrame) -> list[str]:
     ]
 
 
+def single_partition_exchanges(df: DataFrame) -> int:
+    """Number of ``Exchange SinglePartition`` nodes — each one funnels
+    its whole input through ONE task (global windows/sorts/limits). Any
+    occurrence on an unbounded input is a scale bug; bounded inputs
+    (per-shard summaries, final top-k of a small set) may keep one."""
+    import re
+
+    # formatted mode prints node headers bare ("(5) Exchange") with the
+    # partitioning in a per-node "Arguments:" detail line
+    return len(
+        re.findall(
+            r"^Arguments: SinglePartition",
+            formatted_plan(df),
+            re.MULTILINE,
+        )
+    )
+
+
 def shuffle_count(df: DataFrame) -> int:
     """Number of exchanges in the plan — the scale-governing quantity."""
     import re

@@ -223,6 +223,14 @@ def test_headline_shuffle_budgets(spark, sf_dir):
         "q18_large_volume_customer": 2,   # semi-join reuses the agg exchange
         "q21_waiting_suppliers": 3,       # exists+not-exists over lineitem
         "q13_customer_distribution": 3,   # outer join + two agg levels
+        # round-4 pins (r3 verdict item 8): the new/fixed surface
+        "unigram_logprob_quality": 3,     # token explode agg + vocab join + per-doc agg
+        "dedup_incremental_batch": 14,    # fp distinct/join + shingle aggs + sizes + union-distinct
+        "join_point_in_time": 1,          # one user_id exchange shared by window + join
+        "join_point_in_time_asof": 2,     # union+window + tie-dedupe window
+        "table_checksum_grouped": 1,      # one partial-combined hash agg
+        "cep_view_click_purchase": 1,     # (user, bucket) equi-joins share one exchange
+        "detect_id_gaps": 4,              # distinct + shard window + summary agg/window
     }
     qs = all_queries()
     over = {
@@ -368,6 +376,42 @@ def test_semantic_outliers_broadcasts_centroids(spark, sf_dir):
     table never reshuffles for the join."""
     df = _REGISTRY["semantic_outliers"].fn(spark, sf_dir)
     assert uses_broadcast_join(df), formatted_plan(df)
+
+
+def test_id_gap_window_is_sharded(spark, sf_dir):
+    """detect_id_gaps must never sort the full key space in one task:
+    the per-key window hash-partitions on the shard key, and the ONLY
+    single-partition exchange feeds the per-shard summary window (one
+    row per shard, bounded by construction — the plan shows it consuming
+    the min/max aggregate, not the key table)."""
+    from pyspark_ingestion_spark.plans.explain import single_partition_exchanges
+
+    df = _REGISTRY["detect_id_gaps"].fn(spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "hashpartitioning(__shard" in plan, plan
+    assert single_partition_exchanges(df) == 1, plan
+
+
+def test_cep_joins_carry_time_bucket_key(spark, sf_dir):
+    """Both CEP stage joins must include the 2h-bucket term in the
+    equi-key (losing it reverts to all-pairs-per-user fan-out — the r3
+    caveat). The bucket column appears in the join keys / partitioning,
+    not merely in a post-filter."""
+    df = _REGISTRY["cep_view_click_purchase"].fn(spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "__bkt" in plan, plan
+    # the time predicates stay post-filters; the bucket is a key
+    assert plan.count("__bkt") >= 2, plan
+
+
+def test_binned_range_join_is_hash_not_nested_loop(spark, sf_dir):
+    """The binned pure-range join must plan as a HASH join on the bin
+    key — a BroadcastNestedLoopJoin here means the binning was lost and
+    every row evaluates every range (the O(rows x ranges) trap)."""
+    df = _REGISTRY["range_join_binned"].fn(spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
 
 
 def test_join_strategy_hints_are_honored(spark, sf_dir):

@@ -256,6 +256,32 @@ def test_connected_components_matches_union_find(spark, edge_list):
     assert got == want
 
 
+@settings(max_examples=6, deadline=None)
+@given(
+    st.sets(st.integers(-50, 450), min_size=1, max_size=40),
+    st.sampled_from([7, 100, 100_000]),
+)
+def test_sequence_gaps_matches_sorted_model(spark, ids, width):
+    """The sharded gap detector must equal the sorted-list model for any
+    id set and shard width — including gaps inside a shard, gaps that
+    span shard boundaries, gaps covering whole empty shards, negative
+    ids, and duplicate ids (the input is de-duplicated first)."""
+    from pyspark_ingestion_spark.operators.relational import sequence_gaps
+
+    ordered = sorted(ids)
+    want = {
+        (a, b, b - a - 1)
+        for a, b in zip(ordered, ordered[1:])
+        if b - a > 1
+    }
+    df = spark.createDataFrame([(i,) for i in ids] + [(i,) for i in ids], "id long")
+    got = {
+        (r["gap_after"], r["resume_at"], r["missing"])
+        for r in sequence_gaps(df, "id", shard_width=width).collect()
+    }
+    assert got == want
+
+
 def test_split_assignment_stable_under_corpus_growth(spark):
     """A doc's split never changes when the corpus grows — the no-leakage
     property hash bucketing exists for (seeded df.sample lacks it)."""
@@ -388,6 +414,113 @@ def test_doc_freq_cap_containment_consistent_universe(spark):
         corpus, bench, "doc_id", "text", n=3, max_doc_freq=10
     )
     assert capped.count() == 0
+
+
+def test_incremental_batch_cap_bounds_hot_trigram_pairs(spark):
+    """The r3 weak flag, pinned: a boilerplate trigram shared by the
+    whole corpus AND the incoming batch must not materialize one
+    candidate pair per corpus doc. With the corpus-side df-cap the hot
+    shingle is gone before the equi-join; the Jaccard-implied
+    pre-filter (2·ov ≥ batch_size) then drops incidental single-shingle
+    collisions before any corpus-size lookup."""
+    from pyspark_ingestion_spark.operators.dedup import (
+        incremental_near_candidates,
+        incremental_near_rejects,
+    )
+
+    corpus = _hot_shingle_corpus(spark, n_docs=1000)
+    batch = spark.createDataFrame(
+        [
+            (9001, "aaa bbb ccc x1 x2 x3"),       # boilerplate + unique tail
+            (9002, "aaa bbb ccc u7 v7 w7"),       # near-dup of corpus doc 7
+            (9003, "zzz yyy xxx q1 q2 q3"),       # nothing shared
+        ],
+        "doc_id long, text string",
+    )
+    uncapped = incremental_near_candidates(
+        corpus, batch, "doc_id", "text", n=3, threshold_num=0, threshold_den=1
+    )
+    # every corpus doc collides with both boilerplate batch docs
+    assert uncapped.count() >= 2 * 1000
+
+    capped = incremental_near_candidates(
+        corpus, batch, "doc_id", "text", n=3, max_doc_freq=25
+    )
+    # hot shingle pruned -> only the genuine near-dup's tail collides
+    assert capped.count() <= 2
+
+    rejects = incremental_near_rejects(
+        corpus, batch, "doc_id", "text", n=3, max_doc_freq=25
+    )
+    assert {r["doc_id"] for r in rejects.collect()} == {9002}
+
+
+def test_cep_bucketed_join_matches_brute_force(spark, tmp_path):
+    """The time-bucketed CEP join must equal the brute-force triple count
+    on a synthetic heavy user whose events span many 2h buckets —
+    sequences that cross a bucket boundary are the regression this
+    pins (an off-by-one in the bucket explode silently drops exactly
+    those)."""
+    import datetime as dt
+    import itertools
+
+    from pyspark_ingestion_spark.queries import all_queries
+
+    base = dt.datetime(2024, 1, 1)
+    rows = []
+    eid = 0
+    # heavy user 1: events every 17 minutes across ~2 days, cycling types
+    # (17 min stride ⇒ many view→click→purchase chains straddle bucket edges)
+    for i in range(180):
+        rows.append((eid, base + dt.timedelta(minutes=17 * i), 1,
+                     ["view", "click", "purchase"][i % 3], 1.0, None))
+        eid += 1
+    # user 2: a single in-bucket chain and one >2h (excluded) purchase
+    for ts_min, et in ((0, "view"), (10, "click"), (30, "purchase"),
+                      (200, "purchase")):
+        rows.append((eid, base + dt.timedelta(minutes=ts_min), 2, et, 1.0, None))
+        eid += 1
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    (tmp_path / "events_cep").mkdir()
+    pdf = pd.DataFrame(
+        rows, columns=["event_id", "ts", "user_id", "event_type", "value", "props"]
+    )
+    # single file, like the driver's testdata (load_table sniffs the footer)
+    pq.write_table(
+        pa.Table.from_pandas(pdf), str(tmp_path / "events_cep" / "events.parquet")
+    )
+
+    got = {
+        r["user_id"]: (r["n_sequences"], r["first_view"], r["first_purchase"])
+        for r in all_queries()["cep_view_click_purchase"]
+        .fn(spark, str(tmp_path / "events_cep"))
+        .collect()
+    }
+
+    by_user: dict[int, list] = {}
+    for _, ts, uid, et, _v, _p in rows:
+        by_user.setdefault(uid, []).append((ts, et))
+    want = {}
+    for uid, evs in by_user.items():
+        vs = [t for t, e in evs if e == "view"]
+        cs = [t for t, e in evs if e == "click"]
+        ps = [t for t, e in evs if e == "purchase"]
+        triples = [
+            (v, c, p)
+            for v, c, p in itertools.product(vs, cs, ps)
+            if v < c < p <= v + dt.timedelta(hours=2)
+        ]
+        if triples:
+            want[uid] = (
+                len(triples),
+                min(t[0] for t in triples),
+                min(t[2] for t in triples),
+            )
+    assert got == want
+    assert want[1][0] > 0  # the heavy user really exercises the chains
 
 
 def test_approx_distinct_error_bound(spark):
