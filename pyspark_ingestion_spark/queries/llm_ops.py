@@ -2445,3 +2445,88 @@ def ngram_novelty_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("novelty_rate"),
         )
     )
+
+
+@query(
+    "ann_cosine_range_search",
+    oracle=f"""
+    WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+               FROM embeddings WHERE vec_id < 10)
+    SELECT q.query_id, e.vec_id AS neighbor_id, ROUND({_COSINE}, 6) AS sim
+    FROM embeddings e CROSS JOIN q
+    WHERE ROUND({_COSINE}, 6) >= 0.3
+    """,
+)
+def ann_cosine_range_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Threshold (range) similarity search: EVERY corpus vector with
+    cosine ≥ 0.3 of each query — the retrieval mode dedup and
+    contamination audits need (top-k hides how MANY near-neighbors
+    exist; range search returns them all).
+
+    Queries broadcast (tiny side), the corpus streams through the scan
+    once, and the threshold filter runs inside the projection — no
+    shuffle at all until a consumer aggregates. The filter compares the
+    ROUNDED similarity so the boundary is engine-exact.
+    """
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("__qvec")
+    )
+    from pyspark_ingestion_spark.functions.vectors import cosine_similarity
+
+    scored = e.crossJoin(F.broadcast(q)).select(
+        "query_id",
+        F.col("vec_id").alias("neighbor_id"),
+        F.round(cosine_similarity("embedding", "__qvec"), 6).alias("sim"),
+    )
+    return scored.filter(F.col("sim") >= 0.3)
+
+
+@query(
+    "embedding_bucket_profile",
+    oracle="""
+    WITH b AS (SELECT CAST((CASE WHEN embedding[1] >= 0 THEN 1 ELSE 0 END)
+                         + (CASE WHEN embedding[2] >= 0 THEN 2 ELSE 0 END)
+                         + (CASE WHEN embedding[3] >= 0 THEN 4 ELSE 0 END)
+                         + (CASE WHEN embedding[4] >= 0 THEN 8 ELSE 0 END)
+                           AS INT) AS bucket
+               FROM embeddings),
+    t AS (SELECT count(*) AS total FROM b)
+    SELECT bucket,
+           CAST(count(*) AS BIGINT) AS n_vecs,
+           ROUND(count(*) * 10000 // total / 10000.0, 4) AS share
+    FROM b CROSS JOIN t
+    GROUP BY bucket, total
+    """,
+)
+def embedding_bucket_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sign-bucket population profile — the health check for the LSH
+    blocking every embedding-dedup query here relies on: biased
+    (e.g. post-ReLU) embeddings collapse into one bucket, whose pair
+    space is quadratic again. Run this BEFORE a semantic-dedup pass; a
+    bucket share near 1.0 means center the embeddings or switch to
+    trained IVF cells (the ``max_bucket_size`` guard then fails the
+    pipeline toward skipped comparisons, not a runaway join).
+
+    One partial-combined agg over 2^n_dims keys + a broadcast scalar
+    total; the share divides exact integers via integer scaling.
+    """
+    from pyspark_ingestion_spark.functions.vectors import sign_bucket
+
+    e = load_table(spark, sf_dir, "embeddings")
+    b = e.select(sign_bucket("embedding", 4).alias("bucket"))
+    total = b.select(F.count(F.lit(1)).alias("total"))
+    return (
+        b.groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("n_vecs"))
+        .crossJoin(F.broadcast(total))
+        .select(
+            "bucket",
+            "n_vecs",
+            F.round(
+                F.floor(F.col("n_vecs") * 10000 / F.col("total")).cast("double")
+                / 10000.0,
+                4,
+            ).alias("share"),
+        )
+    )

@@ -165,6 +165,8 @@ _NTZ_SENSITIVE = [
     "interpolate_linear",
     "cep_view_click_purchase",
     "ewma_user_value",
+    "join_point_in_time",
+    "join_point_in_time_asof",
 ]
 
 

@@ -231,6 +231,15 @@ def test_headline_shuffle_budgets(spark, sf_dir):
         "table_checksum_grouped": 1,      # one partial-combined hash agg
         "cep_view_click_purchase": 1,     # (user, bucket) equi-joins share one exchange
         "detect_id_gaps": 4,              # distinct + shard window + summary agg/window
+        "quality_gopher_rules": 0,        # pure scan-side projection, no exchange at all
+        "ann_cosine_range_search": 0,     # broadcast queries + scan-side filter
+        "domain_cap_sample": 1,           # one source window exchange
+        "token_length_histogram": 1,      # one partial-combined agg
+        "range_join_binned": 1,           # broadcast bin join + one agg exchange
+        "source_dup_rate": 2,             # fp window + source agg
+        "embedding_bucket_profile": 2,    # bucket agg + broadcast scalar total
+        "perplexity_tail_buckets": 4,     # vocab agg + per-doc agg + lang window + final agg
+        "ngram_novelty_rate": 4,          # (source,shingle) distinct + spread + join-back + agg
     }
     qs = all_queries()
     over = {

@@ -523,6 +523,64 @@ def test_cep_bucketed_join_matches_brute_force(spark, tmp_path):
     assert want[1][0] > 0  # the heavy user really exercises the chains
 
 
+_WORD = st.sampled_from(["aa", "bb", "cc", "dd", "ee", "ff", "gg", "hh"])
+_DOC = st.lists(_WORD, min_size=0, max_size=8).map(" ".join)
+
+
+@settings(max_examples=5, deadline=None)
+@given(
+    st.lists(_DOC, min_size=1, max_size=10),
+    st.lists(_DOC, min_size=1, max_size=4),
+    st.sampled_from([None, 2]),
+)
+def test_incremental_rejects_match_python_model(spark, corpus_texts, batch_texts, cap):
+    """incremental_near_rejects must equal a brute-force Python model of
+    'Jaccard ≥ 1/2 over the df-capped trigram universe against ANY
+    corpus doc' — random small word-docs hit the edges fixtures don't
+    (empty docs, docs shorter than the shingle width, identical docs,
+    every-doc-shares-a-shingle under a cap of 2)."""
+    from pyspark_ingestion_spark.operators.dedup import incremental_near_rejects
+
+    def shingles(text):
+        ws = text.split()
+        if not ws:
+            ws = [""]
+        n = max(len(ws) - 2, 1)
+        return {" ".join(ws[i : i + 3]) for i in range(n)}
+
+    corpus = {1000 + i: shingles(t) for i, t in enumerate(corpus_texts)}
+    batch = {2000 + i: shingles(t) for i, t in enumerate(batch_texts)}
+    if cap is not None:
+        from collections import Counter
+
+        df_counts = Counter(s for sh in corpus.values() for s in sh)
+        hot = {s for s, c in df_counts.items() if c > cap}
+        corpus = {k: v - hot for k, v in corpus.items()}
+        batch = {k: v - hot for k, v in batch.items()}
+    want = {
+        bid
+        for bid, bs in batch.items()
+        for cs in corpus.values()
+        if bs | cs and 2 * len(bs & cs) >= len(bs | cs)
+    }
+
+    cdf = spark.createDataFrame(
+        [(i, t) for i, t in zip(sorted(corpus), corpus_texts)],
+        "doc_id long, text string",
+    )
+    bdf = spark.createDataFrame(
+        [(i, t) for i, t in zip(sorted(batch), batch_texts)],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]
+        for r in incremental_near_rejects(
+            cdf, bdf, "doc_id", "text", n=3, max_doc_freq=cap
+        ).collect()
+    }
+    assert got == want
+
+
 def test_approx_distinct_error_bound(spark):
     """The one rows-only aggregate gets a real check: HLL++ estimate at
     rsd=0.01 stays within 5% of the exact distinct count (a broken rsd
