@@ -554,6 +554,101 @@ def incremental_near_rejects(
     )
 
 
+def incremental_lsh_rejects(
+    corpus: DataFrame,
+    batch: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    num_hashes: int = 8,
+    band_size: int = 2,
+    threshold_num: int = 1,
+    threshold_den: int = 2,
+    max_doc_freq: int | float | None = None,
+    max_bucket_size: int | None = None,
+) -> DataFrame:
+    """LSH-accelerated batch admission: batch doc ids whose MinHash bands
+    collide with ANY corpus doc and whose exact Jaccard (verified on
+    candidates only) meets num/den. One column (``id_col``), distinct.
+
+    This is the shape the full-shingle incremental join
+    (``incremental_near_rejects``) converges to at 100 TB: the corpus
+    band table is O(docs × n_bands) rows — independent of document
+    LENGTH — and in production is precomputed once and maintained
+    incrementally, so admitting a batch costs (batch bands) ⋈ (corpus
+    band table) plus shingle verification of the candidates alone. The
+    shingle equi-join form touches every (shingle, doc) posting of the
+    corpus per batch; the band join touches ~n_bands rows per corpus
+    doc and nothing else unless a band actually collides.
+
+    Exact duplicates need no separate fingerprint pass: identical
+    (capped) shingle sets give identical signatures in every band, so
+    they always become candidates and verify at Jaccard 1. Recall below
+    the threshold is the standard LSH trade (pairs at Jaccard ≈ the
+    threshold can miss every band); both sides use the same seeded hash
+    family, so results are deterministic and oracle-checkable.
+
+    ``max_doc_freq`` is corpus-measured and strips BOTH sides before
+    signatures — without it, boilerplate-only docs collapse onto
+    identical signatures and pile into one bucket (the same guard as
+    ``minhash_lsh_dedup_pairs``); ``max_bucket_size`` drops oversized
+    corpus-side band buckets outright.
+    """
+    sb, sc = _cross_shingle_tables(
+        corpus, batch, id_col, text_col, n, max_doc_freq
+    )
+    sc = sc.localCheckpoint(eager=False)
+
+    bands_b = _bands_from_wide(_wide_signatures(sb, num_hashes), num_hashes, band_size)
+    bands_c = _bands_from_wide(_wide_signatures(sc, num_hashes), num_hashes, band_size)
+    if max_bucket_size is not None:
+        big = (
+            bands_c.groupBy("band", "band_key")
+            .agg(F.count(F.lit(1)).alias("__n"))
+            .filter(F.col("__n") > max_bucket_size)
+            .select("band", "band_key")
+        )
+        bands_c = bands_c.join(F.broadcast(big), ["band", "band_key"], "left_anti")
+    cands = (
+        bands_b.select(F.col("doc").alias("batch_id"), "band", "band_key")
+        .join(
+            bands_c.select(F.col("doc").alias("corpus_id"), "band", "band_key"),
+            ["band", "band_key"],
+        )
+        .select("batch_id", "corpus_id")
+        .distinct()
+    )
+
+    inter = (
+        cands.join(sb.select(F.col("doc").alias("batch_id"), "shingle"), "batch_id")
+        .join(
+            sc.select(F.col("doc").alias("corpus_id"), "shingle"),
+            ["corpus_id", "shingle"],
+        )
+        .groupBy("batch_id", "corpus_id")
+        .agg(F.count(F.lit(1)).alias("overlap"))
+    )
+    bsz = sb.groupBy("doc").agg(F.count(F.lit(1)).alias("batch_size"))
+    cids = cands.select("corpus_id").distinct()
+    csz = (
+        sc.join(F.broadcast(cids), sc["doc"] == cids["corpus_id"])
+        .groupBy("doc")
+        .agg(F.count(F.lit(1)).alias("corpus_size"))
+        .select(F.col("doc").alias("corpus_id"), "corpus_size")
+    )
+    return (
+        inter.join(bsz.select(F.col("doc").alias("batch_id"), "batch_size"), "batch_id")
+        .join(csz, "corpus_id")
+        .filter(
+            F.lit(threshold_den) * F.col("overlap")
+            >= F.lit(threshold_num)
+            * (F.col("batch_size") + F.col("corpus_size") - F.col("overlap"))
+        )
+        .select(F.col("batch_id").alias(id_col))
+        .distinct()
+    )
+
+
 def connected_components(
     edges: DataFrame, src: str = "doc_a", dst: str = "doc_b", max_iter: int = 20
 ) -> DataFrame:

@@ -2530,3 +2530,85 @@ def embedding_bucket_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("share"),
         )
     )
+
+
+@query(
+    "dedup_incremental_lsh",
+    oracle=r"""
+    WITH batch AS (SELECT doc_id, text FROM documents WHERE source = 'src19'),
+    corpus AS (SELECT doc_id, text FROM documents WHERE source != 'src19'),
+    bw AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS ws
+           FROM batch WHERE trim(text) <> ''),
+    bsh0 AS (SELECT DISTINCT doc_id AS bid, array_to_string(ws[i:i+2], ' ') AS shingle
+            FROM bw, LATERAL (SELECT unnest(range(1, greatest(len(ws)-2, 1) + 1)) AS i)),
+    cw AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS ws
+           FROM corpus WHERE trim(text) <> ''),
+    csh0 AS (SELECT DISTINCT doc_id AS cid, array_to_string(ws[i:i+2], ' ') AS shingle
+            FROM cw, LATERAL (SELECT unnest(range(1, greatest(len(ws)-2, 1) + 1)) AS i)),
+    hot AS (SELECT shingle FROM csh0 GROUP BY shingle HAVING count(*) > 25),
+    bsh AS (SELECT bsh0.* FROM bsh0 ANTI JOIN hot USING (shingle)),
+    csh AS (SELECT csh0.* FROM csh0 ANTI JOIN hot USING (shingle)),
+    seeds AS (SELECT unnest(range(8)) AS seed),
+    bh AS (SELECT bid, ('0x' || substr(md5(shingle), 1, 7))::BIGINT AS h FROM bsh),
+    ch AS (SELECT cid, ('0x' || substr(md5(shingle), 1, 7))::BIGINT AS h FROM csh),
+    bsig AS (SELECT bid, seed,
+                    min((((2654435761 * (seed + 1)) % 2147483647) * h
+                         + ((40503 * (seed + 7)) % 2147483647)) % 2147483647) AS sig
+             FROM bh CROSS JOIN seeds GROUP BY bid, seed),
+    csig AS (SELECT cid, seed,
+                    min((((2654435761 * (seed + 1)) % 2147483647) * h
+                         + ((40503 * (seed + 7)) % 2147483647)) % 2147483647) AS sig
+             FROM ch CROSS JOIN seeds GROUP BY cid, seed),
+    bband AS (SELECT bid, CAST(seed // 2 AS INT) AS band,
+                     md5(string_agg(CAST(seed AS VARCHAR) || ':' || CAST(sig AS VARCHAR), '|'
+                                    ORDER BY CAST(seed AS VARCHAR) || ':' || CAST(sig AS VARCHAR)))
+                         AS band_key
+              FROM bsig GROUP BY bid, CAST(seed // 2 AS INT)),
+    cband AS (SELECT cid, CAST(seed // 2 AS INT) AS band,
+                     md5(string_agg(CAST(seed AS VARCHAR) || ':' || CAST(sig AS VARCHAR), '|'
+                                    ORDER BY CAST(seed AS VARCHAR) || ':' || CAST(sig AS VARCHAR)))
+                         AS band_key
+              FROM csig GROUP BY cid, CAST(seed // 2 AS INT)),
+    cands AS (SELECT DISTINCT b.bid, c.cid
+              FROM bband b JOIN cband c
+                ON b.band = c.band AND b.band_key = c.band_key),
+    bsz AS (SELECT bid, count(*) AS bs FROM bsh GROUP BY bid),
+    csz AS (SELECT cid, count(*) AS cs FROM csh GROUP BY cid),
+    inter AS (SELECT cd.bid, cd.cid, count(*) AS ov
+              FROM cands cd
+              JOIN bsh ON bsh.bid = cd.bid
+              JOIN csh ON csh.cid = cd.cid AND csh.shingle = bsh.shingle
+              GROUP BY 1, 2),
+    rejects AS (SELECT DISTINCT i.bid AS doc_id
+                FROM inter i JOIN bsz ON bsz.bid = i.bid JOIN csz ON csz.cid = i.cid
+                WHERE 2 * i.ov >= 1 * (bsz.bs + csz.cs - i.ov))
+    SELECT b.doc_id FROM batch b
+    LEFT JOIN rejects r ON b.doc_id = r.doc_id
+    WHERE r.doc_id IS NULL
+    """,
+)
+def dedup_incremental_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch admission against the corpus via MinHash-LSH banding — the
+    form the shingle-join admission (``dedup_incremental_batch``)
+    converges to at 100 TB. The corpus-side band table is O(docs ×
+    n_bands) rows regardless of document length and is precomputed /
+    incrementally maintained in production; admitting a batch then
+    costs (batch bands) ⋈ (band table) plus exact-Jaccard verification
+    of the actual collisions only. Exact duplicates fall out for free
+    (identical capped shingle sets ⇒ identical signatures ⇒ candidates
+    at Jaccard 1); sub-threshold recall loss is the standard LSH trade,
+    which is why this query and the exact one ship side by side.
+    Deterministic seeded hashes keep even this approximate path
+    hash-checkable against the oracle (same property as
+    ``dedup_minhash_lsh``).
+    """
+    from pyspark_ingestion_spark.operators.dedup import incremental_lsh_rejects
+
+    d = load_table(spark, sf_dir, "documents")
+    batch = d.filter(F.col("source") == "src19").select("doc_id", "text")
+    corpus = d.filter(F.col("source") != "src19").select("doc_id", "text")
+    rejects = incremental_lsh_rejects(
+        corpus, batch, "doc_id", "text", n=3, num_hashes=8, band_size=2,
+        threshold_num=1, threshold_den=2, max_doc_freq=25,
+    )
+    return batch.join(F.broadcast(rejects), "doc_id", "left_anti").select("doc_id")

@@ -226,6 +226,7 @@ def test_headline_shuffle_budgets(spark, sf_dir):
         # round-4 pins (r3 verdict item 8): the new/fixed surface
         "unigram_logprob_quality": 3,     # token explode agg + vocab join + per-doc agg
         "dedup_incremental_batch": 14,    # fp distinct/join + shingle aggs + sizes + union-distinct
+        "dedup_incremental_lsh": 12,      # two signature aggs + band join + candidate verify + sizes
         "join_point_in_time": 1,          # one user_id exchange shared by window + join
         "join_point_in_time_asof": 2,     # union+window + tie-dedupe window
         "table_checksum_grouped": 1,      # one partial-combined hash agg
@@ -411,6 +412,24 @@ def test_cep_joins_carry_time_bucket_key(spark, sf_dir):
     assert "__bkt" in plan, plan
     # the time predicates stay post-filters; the bucket is a key
     assert plan.count("__bkt") >= 2, plan
+
+
+def test_round4_scans_prune_columns(spark, sf_dir):
+    """Each round-4 text/profile query must read only the columns it
+    uses — a scan dragging `text` into a metadata-only query (or
+    n_chars into a text query) pays the widest column at 100 TB."""
+    checks = {
+        "quality_gopher_rules": {"doc_id", "text"},
+        "perplexity_tail_buckets": {"doc_id", "lang", "text"},
+        "domain_cap_sample": {"doc_id", "source", "n_chars"},
+        "token_length_histogram": {"doc_id", "text"},
+        "source_dup_rate": {"doc_id", "source", "text"},
+        "ngram_novelty_rate": {"source", "text"},
+    }
+    for name, allowed in checks.items():
+        df = _REGISTRY[name].fn(spark, sf_dir)
+        got = read_schema_columns(df)
+        assert got <= allowed, f"{name} reads {got - allowed} beyond {allowed}"
 
 
 def test_binned_range_join_is_hash_not_nested_loop(spark, sf_dir):

@@ -581,6 +581,48 @@ def test_incremental_rejects_match_python_model(spark, corpus_texts, batch_texts
     assert got == want
 
 
+@settings(max_examples=4, deadline=None)
+@given(
+    st.lists(_DOC, min_size=1, max_size=8),
+    st.lists(_DOC, min_size=1, max_size=3),
+)
+def test_incremental_lsh_subset_of_exact_and_catches_dups(
+    spark, corpus_texts, batch_texts
+):
+    """Two contracts of the LSH admission path: its reject set is a
+    SUBSET of the exact shingle-join rejects (banding can only lose
+    recall, never invent a rejection — verification is exact), and a
+    batch doc textually identical to a corpus doc is ALWAYS rejected
+    (identical shingle sets ⇒ identical signatures in every band)."""
+    from pyspark_ingestion_spark.operators.dedup import (
+        incremental_lsh_rejects,
+        incremental_near_rejects,
+    )
+
+    # plant a guaranteed exact duplicate of the first corpus doc
+    batch_texts = [*batch_texts, corpus_texts[0]]
+    cdf = spark.createDataFrame(
+        [(1000 + i, t) for i, t in enumerate(corpus_texts)],
+        "doc_id long, text string",
+    )
+    bdf = spark.createDataFrame(
+        [(2000 + i, t) for i, t in enumerate(batch_texts)],
+        "doc_id long, text string",
+    )
+    kw = dict(n=3, threshold_num=1, threshold_den=2)
+    exact = {
+        r["doc_id"]
+        for r in incremental_near_rejects(cdf, bdf, "doc_id", "text", **kw).collect()
+    }
+    lsh = {
+        r["doc_id"]
+        for r in incremental_lsh_rejects(cdf, bdf, "doc_id", "text", **kw).collect()
+    }
+    assert lsh <= exact
+    planted = 2000 + len(batch_texts) - 1
+    assert planted in lsh
+
+
 def test_approx_distinct_error_bound(spark):
     """The one rows-only aggregate gets a real check: HLL++ estimate at
     rsd=0.01 stays within 5% of the exact distinct count (a broken rsd
