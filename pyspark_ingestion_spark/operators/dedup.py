@@ -650,7 +650,11 @@ def incremental_lsh_rejects(
 
 
 def connected_components(
-    edges: DataFrame, src: str = "doc_a", dst: str = "doc_b", max_iter: int = 20
+    edges: DataFrame,
+    src: str = "doc_a",
+    dst: str = "doc_b",
+    max_iter: int = 20,
+    driver_max_edges: int = 1_000_000,
 ) -> DataFrame:
     """Connected components over an undirected edge list → (node, component).
 
@@ -664,16 +668,17 @@ def connected_components(
     the component minimum (every label is a node id inside the same
     component), so the fixed point is unchanged. Measured on the
     sf0.1 semantic-similarity graph (1 707 nodes, chain-like, avg
-    degree 2.3): 14 rounds without the jump, 10 with it — the jump
+    degree 2.3): 14 steps without the jump, 10 with it — the jump
     flattens label trees, while the min still crosses between local
-    minima one edge-hop per round, so the win is real but bounded
-    (a second jump per round changes nothing; measured). Each round
+    minima one edge-hop per step, so the win is real but bounded
+    (a second jump per step changes nothing; measured). Each step
     is two bounded shuffles (edge join + label self-join, both
-    partial-min-combined); the convergence check collects a single
-    scalar, the only driver-side value. ``component`` is the min node
-    id of the component — a deterministic cluster id and keeper.
+    partial-min-combined), run one-per-Spark-job (batching steps was
+    measured slower — see SCALING.md); the convergence check collects a
+    single scalar, the only driver-side value. ``component`` is the min
+    node id of the component — a deterministic cluster id and keeper.
 
-    Every round ``localCheckpoint``s the new labels: iterative plans
+    Every job ``localCheckpoint``s the new labels: iterative plans
     otherwise EMBED the whole previous round's lineage and grow
     exponentially — at diameter ≳12 the driver OOMs just formatting the
     plan. The checkpoint truncates lineage to the materialized blocks
@@ -682,6 +687,18 @@ def connected_components(
 
     Nodes that appear in no edge are absent (singleton docs are their
     own cluster by definition; callers can left-join if they need them).
+
+    Adaptive small-graph path: the distributed loop costs ~2 Spark jobs
+    per step regardless of data size, so a graph whose EDGE SET fits in
+    driver memory (``driver_max_edges`` undirected edges, default 1M ≈
+    tens of MB — the nodes themselves, i.e. the corpus, never move) is
+    solved with one collect + union-find instead of ~20 scheduled jobs.
+    This is the same small-side economics as a broadcast join: dedup
+    pair graphs are tiny relative to the corpus that produced them. The
+    size gate is an exact count on the already-persisted edge table, and
+    both paths produce bit-identical labels (min node id per component;
+    property-tested against each other). Set ``driver_max_edges=0`` to
+    force the distributed loop — the path every larger graph takes.
     """
     import warnings
 
@@ -691,32 +708,86 @@ def connected_components(
         .distinct()
         .persist()
     )
+    # materializes the persisted symmetric edge set (every later use is
+    # a cache read) and gates the small-graph path; sym holds each
+    # undirected edge twice, hence the factor 2
+    n_sym = sym.count()
+    if n_sym <= 2 * driver_max_edges:
+        from pyspark.sql import types as T
+
+        half = sym.filter(F.col("u") <= F.col("v")).collect()
+        parent: dict = {}
+
+        def find(x):
+            root = x
+            while parent.get(root, root) != root:
+                root = parent[root]
+            while parent.get(x, x) != x:
+                parent[x], x = root, parent[x]
+            return root
+
+        for r in half:
+            ra, rb = find(r["u"]), find(r["v"])
+            if ra != rb:
+                lo, hi = (ra, rb) if ra < rb else (rb, ra)
+                parent[hi] = lo
+        nodes = {r["u"] for r in half} | {r["v"] for r in half}
+        dtype = sym.schema["u"].dataType
+        out = edges.sparkSession.createDataFrame(
+            [(n, find(n)) for n in sorted(nodes)],
+            T.StructType(
+                [
+                    T.StructField("node", dtype),
+                    T.StructField("component", dtype),
+                ]
+            ),
+        )
+        sym.unpersist()
+        return out
     labels = (
         sym.select(F.col("u").alias("node"))
         .distinct()
         .withColumn("label", F.col("node"))
         .localCheckpoint(eager=True)
     )
-    for _ in range(max_iter):
-        neigh = sym.join(labels, sym["u"] == labels["node"]).select(
+    def _step(lab: DataFrame) -> DataFrame:
+        neigh = sym.join(lab, sym["u"] == lab["node"]).select(
             F.col("v").alias("node"), F.col("label")
         )
         propagated = (
-            labels.union(neigh).groupBy("node").agg(F.min("label").alias("label"))
+            lab.union(neigh).groupBy("node").agg(F.min("label").alias("label"))
         )
         # pointer jump: label ← label(label). Every label value is a node
         # id present in the label table (labels start as self and min()
         # only ever selects existing ids), so the self-join is total. A
-        # second jump per round was measured and does NOT reduce rounds
+        # second jump per step was measured and does NOT reduce steps
         # further (labels flatten to depth ~1 immediately; convergence is
         # gated by the min crossing between local minima via the edge
-        # join, one hop per round) — so exactly one jump is kept.
+        # join, one hop per step) — so exactly one jump is kept.
         x, y = propagated.alias("x"), propagated.alias("y")
-        new_labels = (
+        return (
             x.join(y, F.col("x.label") == F.col("y.node"))
             .select(F.col("x.node").alias("node"), F.col("y.label").alias("label"))
-            .localCheckpoint(eager=True)
         )
+
+    # Exactly ONE propagation step per checkpointed job. Batching 2
+    # steps per job (to halve scheduling overhead) was measured and is
+    # ~2x SLOWER (sf0.1 semantic graph: 7.4s → 13.4s): without the
+    # intermediate checkpoint the second step re-evaluates the first
+    # step's whole subplan every time it is referenced (the label table
+    # feeds the edge join, the union, AND both sides of the pointer-jump
+    # self-join), so per-job work triples while only the fixed ~0.2s
+    # job overhead is saved. Negative result recorded in SCALING.md.
+    steps_per_action = 1
+    steps_done = 0
+    converged = False
+    while steps_done < max_iter:
+        batch = min(steps_per_action, max_iter - steps_done)
+        new_labels = labels
+        for _ in range(batch):
+            new_labels = _step(new_labels)
+        new_labels = new_labels.localCheckpoint(eager=True)
+        steps_done += batch
         changed = (
             new_labels.alias("n")
             .join(labels.alias("o"), "node")
@@ -728,15 +799,16 @@ def connected_components(
         # explicit unpersist handle exists for localCheckpoint frames
         labels = new_labels
         if changed == 0:
+            converged = True
             break
-    else:
+    if not converged:
         # max_iter exhausted with the last round still changing labels: a
         # component with diameter > max_iter would be silently split into
         # several clusters and keep-one-per-cluster would under-dedup with
         # no signal. Warn loudly instead of returning quietly.
         warnings.warn(
             f"connected_components did not converge within max_iter={max_iter} "
-            "rounds; labels may split components with larger diameter — "
+            "steps; labels may split components with larger diameter — "
             "raise max_iter",
             RuntimeWarning,
             stacklevel=2,

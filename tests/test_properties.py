@@ -252,8 +252,15 @@ def test_connected_components_matches_union_find(spark, edge_list):
     want = {n: find(n) for n in parent}
 
     edges = spark.createDataFrame(edge_list, "doc_a long, doc_b long")
+    # small-graph (driver union-find) path and distributed label
+    # propagation must both match the model — and hence each other
     got = {r["node"]: r["component"] for r in connected_components(edges).collect()}
     assert got == want
+    got_dist = {
+        r["node"]: r["component"]
+        for r in connected_components(edges, driver_max_edges=0).collect()
+    }
+    assert got_dist == want
 
 
 @settings(max_examples=6, deadline=None)
@@ -658,9 +665,11 @@ def test_connected_components_warns_when_unconverged(spark):
     chain = spark.createDataFrame(
         [(i, i + 1) for i in range(12)], "doc_a int, doc_b int"
     )
+    # force the distributed loop — the driver union-find path has no
+    # iteration limit to exhaust
     with warnings.catch_warnings(record=True) as caught:
         warnings.simplefilter("always")
-        connected_components(chain, max_iter=2).collect()
+        connected_components(chain, max_iter=2, driver_max_edges=0).collect()
     assert any(
         issubclass(w.category, RuntimeWarning) and "did not converge" in str(w.message)
         for w in caught
@@ -668,7 +677,7 @@ def test_connected_components_warns_when_unconverged(spark):
     # and with enough rounds it converges to one component, no warning
     with warnings.catch_warnings(record=True) as caught2:
         warnings.simplefilter("always")
-        out = connected_components(chain, max_iter=20).collect()
+        out = connected_components(chain, max_iter=20, driver_max_edges=0).collect()
     assert not any("did not converge" in str(w.message) for w in caught2)
     assert {r["component"] for r in out} == {0}
 
