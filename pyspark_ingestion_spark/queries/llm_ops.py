@@ -1122,7 +1122,12 @@ def corpus_full_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("node") != F.col("component"))
         .select(F.col("node").alias("doc_id"))
     )
-    return kd.join(F.broadcast(dropped), "doc_id", "left_anti").select("doc_id")
+    # the final survivor set is keepers − dropped: anti-joining the
+    # KEEPER ID SET (one column, already reduced by the fp groupBy)
+    # instead of re-deriving kd avoids a third scan + regex-scoring pass
+    # over the corpus — the keeper groupBy exchange is reused by Catalyst
+    # where it appears twice, a rescored corpus scan is not
+    return keepers.join(F.broadcast(dropped), "doc_id", "left_anti")
 
 
 @query(
@@ -2612,3 +2617,174 @@ def dedup_incremental_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         threshold_num=1, threshold_den=2, max_doc_freq=25,
     )
     return batch.join(F.broadcast(rejects), "doc_id", "left_anti").select("doc_id")
+
+
+@query(
+    "dedup_lsh_recall_eval",
+    oracle=f"""
+    WITH {_SHINGLES_CTE},
+    inter_all AS (SELECT a.doc AS doc_a, b.doc AS doc_b, count(*) AS intersection
+                  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc < b.doc
+                  GROUP BY 1, 2),
+    truth AS (SELECT doc_a, doc_b FROM inter_all
+              JOIN sizes sa ON sa.doc = doc_a
+              JOIN sizes sb ON sb.doc = doc_b
+              WHERE 2 * intersection >= 1 * (sa.sz + sb.sz - intersection)),
+    seeds AS (SELECT unnest(range(8)) AS seed),
+    hs AS (SELECT doc, ('0x' || substr(md5(shingle), 1, 7))::BIGINT AS h FROM sh),
+    sigs AS (SELECT doc, seed,
+                    min((((2654435761 * (seed + 1)) % 2147483647) * h
+                         + ((40503 * (seed + 7)) % 2147483647)) % 2147483647) AS sig
+             FROM hs CROSS JOIN seeds GROUP BY doc, seed),
+    bands AS (SELECT doc, CAST(seed // 2 AS INT) AS band,
+                     md5(string_agg(CAST(seed AS VARCHAR) || ':' || CAST(sig AS VARCHAR), '|'
+                                    ORDER BY CAST(seed AS VARCHAR) || ':' || CAST(sig AS VARCHAR)))
+                         AS band_key
+              FROM sigs GROUP BY doc, CAST(seed // 2 AS INT)),
+    cands AS (SELECT DISTINCT a.doc AS doc_a, b.doc AS doc_b
+              FROM bands a JOIN bands b
+                ON a.band = b.band AND a.band_key = b.band_key AND a.doc < b.doc),
+    hit AS (SELECT t.doc_a, t.doc_b FROM truth t
+            JOIN cands c ON t.doc_a = c.doc_a AND t.doc_b = c.doc_b)
+    SELECT (SELECT count(*) FROM truth) AS n_true_pairs,
+           (SELECT count(*) FROM cands) AS n_candidates,
+           (SELECT count(*) FROM hit)   AS n_hits,
+           ROUND((SELECT count(*) FROM hit)
+                 / greatest((SELECT count(*) FROM truth), 1), 6) AS recall,
+           ROUND((SELECT count(*) FROM hit)
+                 / greatest((SELECT count(*) FROM cands), 1), 6)
+               AS candidate_precision
+    """,
+)
+def dedup_lsh_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Measurement loop for the LSH dedup tier: candidate recall and
+    precision of MinHash(8)+LSH(4 bands x 2) against the exact Jaccard
+    >= 1/2 pair set as ground truth — the companion of
+    ``ann_recall_eval`` for the dedup side, so band/row settings are
+    tuned against measured recall, not vibes.
+
+    Because LSH verification re-checks exact Jaccard on candidates, the
+    shipped pair set is exactly (truth ∩ candidates): ``recall`` here IS
+    end-to-end dedup recall, and ``candidate_precision`` prices the
+    wasted verify work per candidate. Scale shape: both sides are the
+    production operators themselves (shingle equi-join for truth works
+    at any SF where exact ground truth is computable — at 100 TB this
+    runs on a sampled stratum, same as ANN recall audits); the final
+    result is three scalar aggregates cross-joined into one row.
+    """
+    from pyspark_ingestion_spark.operators.dedup import (
+        lsh_candidate_pairs,
+        minhash_signatures,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    truth = jaccard_similar_pairs(
+        d, "doc_id", "text", n=3, threshold_num=1, threshold_den=2
+    ).select("doc_a", "doc_b")
+    cands = lsh_candidate_pairs(
+        minhash_signatures(d, "doc_id", "text", n=3, num_hashes=8),
+        num_hashes=8,
+        band_size=2,
+    )
+    hits = truth.join(cands, ["doc_a", "doc_b"], "left_semi")
+    nt = truth.agg(F.count(F.lit(1)).alias("n_true_pairs"))
+    nc = cands.agg(F.count(F.lit(1)).alias("n_candidates"))
+    nh = hits.agg(F.count(F.lit(1)).alias("n_hits"))
+    return (
+        nt.crossJoin(nc)
+        .crossJoin(nh)
+        .select(
+            "n_true_pairs",
+            "n_candidates",
+            "n_hits",
+            F.round(
+                F.col("n_hits") / F.greatest(F.col("n_true_pairs"), F.lit(1)), 6
+            ).alias("recall"),
+            F.round(
+                F.col("n_hits") / F.greatest(F.col("n_candidates"), F.lit(1)), 6
+            ).alias("candidate_precision"),
+        )
+    )
+
+
+@query(
+    "chunk_documents_overlap",
+    oracle=r"""
+    SELECT doc_id,
+           CAST(i AS INT) AS chunk_idx,
+           CAST(i * 150 + 1 AS BIGINT) AS chunk_start,
+           CAST(length(substr(text, CAST(i * 150 + 1 AS INT), 200)) AS BIGINT)
+               AS chunk_len,
+           md5(substr(text, CAST(i * 150 + 1 AS INT), 200)) AS chunk_md5
+    FROM documents,
+         LATERAL (SELECT unnest(range(0, (length(text) - 1) // 150 + 1)) AS i)
+    WHERE length(text) > 0
+    """,
+)
+def chunk_documents_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window document chunking: 200-char windows at stride 150
+    (50-char overlap) — the context-window prep step that turns long
+    documents into training-sized pieces without losing cross-boundary
+    context. Returns one row per chunk with its index, 1-based start
+    offset, actual length (the tail chunk is shorter), and an md5 of
+    the chunk text (compact + join-friendly for chunk-level dedup,
+    cf. ``dedup_chunk_exact``).
+
+    Scale shape: the chunk fan-out is doc-local (explode of an
+    arithmetic sequence inside the scan stage — no shuffle, no UDF),
+    output size is ~len/150 rows per doc, and the substring runs
+    codegen'd per row. Empty documents produce no chunks.
+    """
+    d = load_table(spark, sf_dir, "documents").filter(F.length("text") > 0)
+    last_idx = F.floor((F.length("text") - 1) / 150).cast("int")
+    chunk = F.expr("substring(text, CAST(i * 150 + 1 AS INT), 200)")
+    return (
+        d.select("doc_id", "text", F.explode(F.sequence(F.lit(0), last_idx)).alias("i"))
+        .select(
+            "doc_id",
+            F.col("i").cast("int").alias("chunk_idx"),
+            (F.col("i") * 150 + 1).cast("long").alias("chunk_start"),
+            F.length(chunk).cast("long").alias("chunk_len"),
+            F.md5(chunk).alias("chunk_md5"),
+        )
+    )
+
+
+@query(
+    "tokenizer_fertility_by_lang",
+    oracle=r"""
+    SELECT lang,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(SUM(len(string_split_regex(trim(text), '\s+'))) AS BIGINT)
+               AS ws_tokens,
+           CAST(SUM(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')))
+                AS BIGINT) AS bpe_ish_tokens,
+           ROUND(CAST(SUM(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')))
+                      AS BIGINT)
+                 / greatest(CAST(SUM(len(string_split_regex(trim(text), '\s+')))
+                                 AS BIGINT), 1), 6) AS fertility
+    FROM documents
+    GROUP BY lang
+    """,
+)
+def tokenizer_fertility_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer fertility (BPE-ish tokens per whitespace word) by
+    language — the budgeting statistic for multilingual mixes: a
+    language whose fertility is 2x consumes 2x the context window per
+    word, which changes both mixing weights and cost estimates.
+
+    One partial-combined groupBy over per-row token counts (the same
+    counting expressions as ``token_count_bpe``); output is one row per
+    language. No shuffle beyond the |langs|-key aggregate.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    ws = word_count("text")
+    bpe = token_count("text")
+    return d.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(ws).cast("long").alias("ws_tokens"),
+        F.sum(bpe).cast("long").alias("bpe_ish_tokens"),
+        F.round(
+            F.sum(bpe).cast("long") / F.greatest(F.sum(ws).cast("long"), F.lit(1)), 6
+        ).alias("fertility"),
+    )

@@ -241,6 +241,9 @@ def test_headline_shuffle_budgets(spark, sf_dir):
         "embedding_bucket_profile": 2,    # bucket agg + broadcast scalar total
         "perplexity_tail_buckets": 4,     # vocab agg + per-doc agg + lang window + final agg
         "ngram_novelty_rate": 4,          # (source,shingle) distinct + spread + join-back + agg
+        "chunk_documents_overlap": 0,     # doc-local sequence explode, fused into the scan
+        "tokenizer_fertility_by_lang": 1, # one partial-combined lang agg
+        "dedup_lsh_recall_eval": 14,      # truth shingle join + sig pivot + band join + 3 scalar aggs
     }
     qs = all_queries()
     over = {
