@@ -2427,3 +2427,51 @@ def range_join_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_events"),
         F.sum(F.round(F.col("value") * 100, 0).cast("long")).alias("sum_cents"),
     )
+
+
+@query(
+    "join_salted_skew",
+    oracle="""
+    WITH dim AS (SELECT event_type,
+                        CAST(count(*) AS BIGINT) AS type_n,
+                        min(value) AS type_min
+                 FROM events GROUP BY event_type)
+    SELECT e.event_id, e.event_type, d.type_n,
+           ROUND(e.value - d.type_min, 6) AS delta_vs_min
+    FROM events e JOIN dim d USING (event_type)
+    """,
+)
+def join_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Salted equi-join on a genuinely hot key: ``event_type`` has only
+    a handful of distinct values, so a plain shuffle join concentrates
+    each type's entire row set in one task. ``salted_join`` splits every
+    key into 8 salt sub-partitions (deterministic row-hash salt on the
+    big side, sequence+explode replication on the small side) — and the
+    point this query pins is RESULT-equivalence: the oracle is the
+    plain unsalted SQL join, so the driver hash-checks that salting is
+    invisible in the output, turning the skew-mitigation path's unit
+    test into a value-checked row. Floats stay engine-order-independent
+    by comparing against min(value) (exact) rather than a summed
+    aggregate.
+
+    At scale the salt bounds any one task's input at roughly
+    hot_key_rows / n_salts; AQE skew-join handles moderate skew on its
+    own (session factory enables it), and explicit salting remains for
+    keys AQE can't split — this query is that path, kept value-correct.
+    """
+    from pyspark_ingestion_spark.operators.relational import salted_join
+
+    e = load_table(spark, sf_dir, "events")
+    dim = e.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("type_n"),
+        F.min("value").alias("type_min"),
+    )
+    joined = salted_join(
+        e.select("event_id", "event_type", "value"), dim, on="event_type", n_salts=8
+    )
+    return joined.select(
+        "event_id",
+        "event_type",
+        "type_n",
+        F.round(F.col("value") - F.col("type_min"), 6).alias("delta_vs_min"),
+    )
