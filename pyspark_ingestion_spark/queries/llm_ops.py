@@ -2788,3 +2788,111 @@ def tokenizer_fertility_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(bpe).cast("long") / F.greatest(F.sum(ws).cast("long"), F.lit(1)), 6
         ).alias("fertility"),
     )
+
+
+@query(
+    "mix_temperature_weights",
+    oracle="""
+    WITH counts AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs
+                    FROM documents GROUP BY source),
+    w AS (SELECT source, n_docs,
+                 CAST(ROUND(sqrt(n_docs) * 1000000, 0) AS BIGINT) AS w_micro
+          FROM counts),
+    tot AS (SELECT CAST(SUM(w_micro) AS BIGINT) AS tot FROM w)
+    SELECT source, n_docs,
+           ROUND(w_micro / tot, 6) AS mix_weight,
+           CAST(ROUND(10000.0 * w_micro / tot, 0) AS BIGINT) AS docs_per_10k
+    FROM w CROSS JOIN tot
+    """,
+)
+def mix_temperature_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled source mixing weights: p_i ∝ n_i^α with
+    α = 0.5 — the standard upsampling curve for low-resource sources in
+    multilingual/multi-domain training mixes (α=1 is proportional,
+    α=0 is uniform; 0.5 is the common middle). Returns each source's
+    normalized weight and its expected draw count per 10k-doc epoch.
+
+    Engine-portability: the α-power is materialized as an INTEGER
+    micro-weight (round(sqrt(n)·10⁶)) before the normalizing sum, so
+    the denominator is an exact int64 total rather than an
+    accumulation-order-dependent float sum — ratios then divide
+    identical integers in both engines. Scale shape: one
+    partial-combined groupBy + a broadcast one-row total join; the
+    weights table is |sources| rows and feeds ``mix_domains_weighted``
+    style scan-side admission predicates.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    counts = d.groupBy("source").agg(F.count(F.lit(1)).alias("n_docs"))
+    w = counts.withColumn(
+        "w_micro", F.round(F.sqrt("n_docs") * 1_000_000, 0).cast("long")
+    )
+    tot = w.agg(F.sum("w_micro").alias("tot"))
+    return (
+        w.crossJoin(F.broadcast(tot))
+        .select(
+            "source",
+            "n_docs",
+            F.round(F.col("w_micro") / F.col("tot"), 6).alias("mix_weight"),
+            F.round(F.lit(10000.0) * F.col("w_micro") / F.col("tot"), 0)
+            .cast("long")
+            .alias("docs_per_10k"),
+        )
+    )
+
+
+@query(
+    "langid_confusion_matrix",
+    oracle=r"""
+    WITH scored AS (
+        SELECT doc_id, lang,
+            CAST(len(regexp_extract_all(text, '\bthe\b')) + len(regexp_extract_all(text, '\ba\b'))
+               + len(regexp_extract_all(text, '\bof\b'))  + len(regexp_extract_all(text, '\band\b'))
+               + len(regexp_extract_all(text, '\bto\b')) AS BIGINT) AS en_score,
+            CAST(len(regexp_extract_all(text, '\bel\b'))  + len(regexp_extract_all(text, '\bla\b'))
+               + len(regexp_extract_all(text, '\bde\b'))  + len(regexp_extract_all(text, '\bque\b'))
+               + len(regexp_extract_all(text, '\blos\b')) AS BIGINT) AS es_score,
+            CAST(len(regexp_extract_all(text, '\ble\b'))  + len(regexp_extract_all(text, '\bla\b'))
+               + len(regexp_extract_all(text, '\bet\b'))  + len(regexp_extract_all(text, '\bles\b'))
+               + len(regexp_extract_all(text, '\bdes\b')) AS BIGINT) AS fr_score
+        FROM documents),
+    pred AS (SELECT lang AS labeled_lang,
+                    CASE WHEN en_score = 0 AND es_score = 0 AND fr_score = 0 THEN 'und'
+                         WHEN fr_score >= es_score AND fr_score >= en_score THEN 'fr'
+                         WHEN es_score >= en_score THEN 'es'
+                         ELSE 'en' END AS detected_lang
+             FROM scored),
+    cells AS (SELECT labeled_lang, detected_lang, CAST(count(*) AS BIGINT) AS n_docs
+              FROM pred GROUP BY labeled_lang, detected_lang)
+    SELECT labeled_lang, detected_lang, n_docs,
+           ROUND(n_docs / SUM(n_docs) OVER (PARTITION BY labeled_lang), 6)
+               AS share_of_labeled
+    FROM cells
+    """,
+)
+def langid_confusion_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Confusion matrix of the lang-ID heuristic against the corpus's
+    labeled language — the evaluation loop for the language filter
+    (``lang_id_heuristic`` predicts; this query scores it). One row per
+    (labeled, detected) cell with the count and its share of the
+    labeled language's documents (the diagonal share is per-language
+    recall).
+
+    Scale shape: scan-side scoring expressions (no shuffle), one
+    |langs|²-key aggregate, and a |cells|-row window for the shares —
+    the whole evaluation costs one corpus scan.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    cells = (
+        d.select(F.col("lang").alias("labeled_lang"), lang_id("text").alias("detected_lang"))
+        .groupBy("labeled_lang", "detected_lang")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+    wsum = Window.partitionBy("labeled_lang")
+    return cells.select(
+        "labeled_lang",
+        "detected_lang",
+        "n_docs",
+        F.round(F.col("n_docs") / F.sum("n_docs").over(wsum), 6).alias(
+            "share_of_labeled"
+        ),
+    )

@@ -244,6 +244,9 @@ def test_headline_shuffle_budgets(spark, sf_dir):
         "chunk_documents_overlap": 0,     # doc-local sequence explode, fused into the scan
         "tokenizer_fertility_by_lang": 1, # one partial-combined lang agg
         "dedup_lsh_recall_eval": 14,      # truth shingle join + sig pivot + band join + 3 scalar aggs
+        "join_salted_skew": 1,            # dim agg; salted join broadcasts the replicated dim
+        "mix_temperature_weights": 3,     # source agg + scalar total + broadcast-total join
+        "langid_confusion_matrix": 2,     # cell agg + per-labeled-lang share window
     }
     qs = all_queries()
     over = {
