@@ -58,11 +58,15 @@ def asof_join(
     right_ts: str,
     right_cols: Sequence[str] | None = None,
     prefix: str = "asof_",
+    direction: str = "backward",
 ) -> DataFrame:
     """As-of join: for each left row, the latest right row with
     ``right_ts <= left_ts`` within the same ``by`` keys (backward,
     inclusive — DuckDB/pandas ``merge_asof`` semantics). Left rows with
-    no prior right row get NULLs.
+    no prior right row get NULLs. ``direction="forward"`` mirrors the
+    scan (earliest right row with ``right_ts >= left_ts``, inclusive);
+    nearest-match semantics compose from one pass of each direction
+    plus a distance CASE (see ``join_asof_nearest``).
 
     Implementation is the union+window pattern, NOT a join: tag both
     sides, union, sort within each key by (ts, side) so right rows at an
@@ -72,6 +76,8 @@ def asof_join(
     amplification, which is what makes it usable on billions of rows
     where an inequality join would cross-product hot keys.
     """
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be 'backward' or 'forward', got {direction!r}")
     by = list(by)
     right_cols = list(right_cols if right_cols is not None else
                       [c for c in right.columns if c not in by and c != right_ts])
@@ -100,9 +106,15 @@ def asof_join(
     )
     l_aligned = l.select(*by, "__ts", "__side", "__payload", *left_extra)
 
+    # forward = the same scan over a mirrored ordering: walking ts
+    # DESCENDING, "the last right row seen at-or-before the current row"
+    # is exactly the earliest right row with right_ts >= left_ts. Right
+    # rows order before left rows at an equal ts in both directions, so
+    # both scans are inclusive.
+    ts_order = F.col("__ts").asc() if direction == "backward" else F.col("__ts").desc()
     w = (
         Window.partitionBy(*by)
-        .orderBy(F.col("__ts").asc(), F.col("__side").asc())
+        .orderBy(ts_order, F.col("__side").asc())
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     matched = (

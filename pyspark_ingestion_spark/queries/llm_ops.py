@@ -2896,3 +2896,195 @@ def langid_confusion_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
             "share_of_labeled"
         ),
     )
+
+
+@query(
+    "knn_label_vote",
+    oracle=f"""
+    WITH q AS (SELECT vec_id AS query_id, label AS true_label,
+                      embedding::DOUBLE[] AS qv
+               FROM embeddings WHERE vec_id % 10 = 0),
+    scored AS (SELECT q.query_id, q.true_label, e.vec_id AS neighbor_id,
+                      e.label AS neighbor_label,
+                      ROUND({_COSINE}, 6) AS sim
+               FROM embeddings e JOIN q ON e.vec_id != q.query_id),
+    top AS (SELECT * FROM (
+        SELECT *, row_number() OVER (PARTITION BY query_id
+                      ORDER BY sim DESC, neighbor_id) AS rnk
+        FROM scored) WHERE rnk <= 5),
+    votes AS (SELECT query_id, true_label, neighbor_label,
+                     count(*) AS n_votes
+              FROM top GROUP BY 1, 2, 3)
+    SELECT query_id, CAST(true_label AS INT) AS true_label,
+           CAST(neighbor_label AS INT) AS pred_label,
+           CAST(n_votes AS BIGINT) AS n_votes
+    FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                        ORDER BY n_votes DESC, neighbor_label) AS vr
+          FROM votes)
+    WHERE vr = 1
+    """,
+)
+def knn_label_vote(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """kNN majority-vote label prediction over the embedding table — the
+    label-propagation / quality-classifier step of a training-data
+    pipeline (predict a held-out doc's label from its 5 nearest
+    neighbors' labels; compare to ``true_label`` for accuracy).
+
+    Fully deterministic: neighbor rank breaks ties on (rounded sim,
+    neighbor id), the vote breaks ties on (count, lowest label). Scale
+    shape: the EVAL SET (here the ``vec_id % 10`` 10 % hash sample) is
+    broadcast against the corpus — the corpus never shuffles for
+    scoring, and the vote is two small aggregations on eval-set keys.
+    Production swaps the brute-force scoring join for any of the
+    ``ann_*`` tiers; this exact form doubles as their quality oracle.
+    """
+    from pyspark_ingestion_spark.functions.vectors import cosine_similarity
+    from pyspark_ingestion_spark.operators.relational import topk_per_group
+
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") % 10 == 0).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("label").alias("true_label"),
+        F.col("embedding").alias("__qvec"),
+    )
+    scored = e.join(
+        F.broadcast(q), F.col("vec_id") != F.col("query_id")
+    ).select(
+        "query_id",
+        "true_label",
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("label").alias("neighbor_label"),
+        F.round(cosine_similarity("embedding", "__qvec"), 6).alias("sim"),
+    )
+    top = topk_per_group(
+        scored, ["query_id"], [F.desc("sim"), F.asc("neighbor_id")], k=5
+    )
+    votes = top.groupBy("query_id", "true_label", "neighbor_label").agg(
+        F.count(F.lit(1)).alias("n_votes")
+    )
+    best = topk_per_group(
+        votes, ["query_id"], [F.desc("n_votes"), F.asc("neighbor_label")], k=1
+    )
+    return best.select(
+        "query_id",
+        "true_label",
+        F.col("neighbor_label").alias("pred_label"),
+        "n_votes",
+    )
+
+
+@query(
+    "split_leakage_check",
+    oracle=r"""
+    WITH
+    w AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS ws FROM documents),
+    sh0 AS (SELECT DISTINCT doc_id AS doc, array_to_string(ws[i:i+2], ' ') AS shingle
+            FROM w, LATERAL (SELECT unnest(range(1, greatest(len(ws)-2, 1) + 1)) AS i)),
+    hot AS (SELECT shingle FROM sh0 GROUP BY shingle HAVING count(*) > 25),
+    sh AS (SELECT sh0.* FROM sh0 ANTI JOIN hot USING (shingle)),
+    sizes AS (SELECT doc, count(*) AS sz FROM sh GROUP BY doc),
+    inter AS (SELECT a.doc AS doc_a, b.doc AS doc_b, count(*) AS intersection
+              FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc < b.doc
+              GROUP BY 1, 2),
+    pairs AS (SELECT doc_a, doc_b FROM inter
+              JOIN sizes sa ON sa.doc = doc_a
+              JOIN sizes sb ON sb.doc = doc_b
+              WHERE 2 * intersection >= 1 * (sa.sz + sb.sz - intersection)),
+    splits AS (SELECT doc_id,
+                      CASE WHEN bucket < 80 THEN 'train'
+                           WHEN bucket < 90 THEN 'val'
+                           ELSE 'test' END AS split
+               FROM (SELECT doc_id,
+                            ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 7))::BIGINT
+                                % 100 AS bucket
+                     FROM documents))
+    SELECT split_lo, split_hi, CAST(count(*) AS BIGINT) AS n_pairs,
+           CAST(split_lo <> split_hi AS INT) AS is_leak
+    FROM (SELECT least(sa.split, sb.split) AS split_lo,
+                 greatest(sa.split, sb.split) AS split_hi
+          FROM pairs
+          JOIN splits sa ON sa.doc_id = doc_a
+          JOIN splits sb ON sb.doc_id = doc_b)
+    GROUP BY split_lo, split_hi
+    """,
+)
+def split_leakage_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/test contamination audit: count near-duplicate pairs whose
+    endpoints fall in DIFFERENT train/val/test splits — the leakage that
+    silently inflates eval numbers when dedup runs per-split instead of
+    corpus-wide. Cross-split rows (``is_leak = 1``) are the defect
+    count; same-split rows are the baseline near-dup density.
+
+    Composes the df-capped Jaccard pair miner with the stable hash-bucket
+    split. Scale shape: the split label is a scan-side expression (no
+    shuffle to assign), and the PAIR SET — tiny after thresholding,
+    by the same economics as every keep-one anti-join here — is
+    broadcast against two document scans, so the corpus itself never
+    reshuffles to be audited.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    splits = train_val_test_split(d, "doc_id", train=80, val=10).select(
+        "doc_id", "split"
+    )
+    pairs = jaccard_similar_pairs(
+        d, "doc_id", "text", n=3, threshold_num=1, threshold_den=2, max_doc_freq=25
+    ).select("doc_a", "doc_b")
+    a = splits.join(
+        F.broadcast(pairs), splits.doc_id == pairs.doc_a
+    ).select("doc_b", F.col("split").alias("split_a"))
+    ab = splits.join(
+        F.broadcast(a), splits.doc_id == a.doc_b
+    ).select("split_a", F.col("split").alias("split_b"))
+    return (
+        ab.select(
+            F.least("split_a", "split_b").alias("split_lo"),
+            F.greatest("split_a", "split_b").alias("split_hi"),
+        )
+        .groupBy("split_lo", "split_hi")
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+        .withColumn(
+            "is_leak", (F.col("split_lo") != F.col("split_hi")).cast("int")
+        )
+    )
+
+
+@query(
+    "embedding_dim_stats",
+    oracle="""
+    WITH comp AS (SELECT u.idx, u.val
+                  FROM embeddings,
+                       LATERAL (SELECT CAST(generate_subscripts(embedding, 1) AS INT)
+                                    AS idx,
+                                unnest(embedding::DOUBLE[]) AS val) u)
+    SELECT idx,
+           ROUND(avg(val), 4) AS dim_mean,
+           ROUND(stddev_pop(val), 4) AS dim_std,
+           ROUND(min(val), 4) AS dim_min,
+           ROUND(max(val), 4) AS dim_max,
+           ROUND(avg(CASE WHEN val >= 0 THEN 1.0 ELSE 0.0 END), 4) AS frac_nonneg
+    FROM comp GROUP BY idx
+    """,
+)
+def embedding_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension embedding health profile: mean / population std /
+    min / max / fraction-nonnegative for every component — the check
+    that decides whether sign-bucket LSH is safe (a dimension with
+    ``frac_nonneg`` near 1, e.g. post-ReLU embeddings, collapses the
+    sign buckets; see ``embedding_near_dup_pairs``'s bias caveat) and
+    whether the corpus needs centering before ANN.
+
+    Scale shape: one posexplode (64 rows per vector, linear) into ONE
+    hash aggregate with map-side partial combine on a 64-key space —
+    no joins, no windows, the vectors stream through a single scan.
+    """
+    e = load_table(spark, sf_dir, "embeddings")
+    comp = e.select(
+        F.posexplode(F.col("embedding").cast("array<double>")).alias("pos", "val")
+    ).select((F.col("pos") + 1).alias("idx"), "val")
+    return comp.groupBy("idx").agg(
+        F.round(F.avg("val"), 4).alias("dim_mean"),
+        F.round(F.stddev_pop("val"), 4).alias("dim_std"),
+        F.round(F.min("val"), 4).alias("dim_min"),
+        F.round(F.max("val"), 4).alias("dim_max"),
+        F.round(F.avg((F.col("val") >= 0).cast("double")), 4).alias("frac_nonneg"),
+    )

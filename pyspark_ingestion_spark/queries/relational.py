@@ -142,6 +142,68 @@ def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "join_asof_nearest",
+    oracle="""
+    SELECT p.event_id, p.user_id, p.ts,
+           CASE WHEN b.ts IS NOT NULL AND (f.ts IS NULL OR
+                     epoch_us(p.ts) - epoch_us(b.ts)
+                     <= epoch_us(f.ts) - epoch_us(p.ts))
+                THEN b.ts ELSE f.ts END AS nearest_ts,
+           CASE WHEN b.ts IS NOT NULL AND (f.ts IS NULL OR
+                     epoch_us(p.ts) - epoch_us(b.ts)
+                     <= epoch_us(f.ts) - epoch_us(p.ts))
+                THEN b.event_id ELSE f.event_id END AS nearest_event_id
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+    ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') b
+      ON p.user_id = b.user_id AND p.ts >= b.ts
+    ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') f
+      ON p.user_id = f.user_id AND p.ts <= f.ts
+    """,
+)
+def join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest-direction as-of join (pandas ``merge_asof
+    direction='nearest'``): each purchase matched to the user's click
+    CLOSEST in time, before or after, ties toward the earlier click.
+
+    Composes two union+window as-of passes — backward (latest click
+    at-or-before) and forward (earliest click at-or-after) — then picks
+    the smaller absolute gap with a scalar CASE. Both passes shuffle
+    only on user_id with a per-key sort (no inequality-join range
+    explosion), so nearest costs exactly 2× the one-directional as-of
+    at any scale. Oracle: two chained DuckDB ASOF joins + the same
+    distance CASE.
+    """
+    e = load_table(spark, sf_dir, "events")
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    clicks = e.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    b = asof_join(
+        purchases, clicks, by=["user_id"], left_ts="ts", right_ts="ts",
+        right_cols=["event_id"], prefix="b_",
+    )
+    both = asof_join(
+        b, clicks, by=["user_id"], left_ts="ts", right_ts="ts",
+        right_cols=["event_id"], prefix="f_", direction="forward",
+    )
+    t = F.unix_micros(F.col("ts").cast("timestamp"))
+    bt = F.unix_micros(F.col("b_ts").cast("timestamp"))
+    ft = F.unix_micros(F.col("f_ts").cast("timestamp"))
+    use_b = F.col("b_ts").isNotNull() & (
+        F.col("f_ts").isNull() | ((t - bt) <= (ft - t))
+    )
+    return both.select(
+        "event_id", "user_id", "ts",
+        F.when(use_b, F.col("b_ts")).otherwise(F.col("f_ts")).alias("nearest_ts"),
+        F.when(use_b, F.col("b_event_id"))
+        .otherwise(F.col("f_event_id"))
+        .alias("nearest_event_id"),
+    )
+
+
+@query(
     "join_broadcast_dims",
     oracle="""
     SELECT r_name, n_name, count(*) AS n_suppliers,

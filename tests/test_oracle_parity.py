@@ -167,6 +167,7 @@ _NTZ_SENSITIVE = [
     "ewma_user_value",
     "join_point_in_time",
     "join_point_in_time_asof",
+    "join_asof_nearest",
 ]
 
 

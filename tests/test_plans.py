@@ -247,6 +247,10 @@ def test_headline_shuffle_budgets(spark, sf_dir):
         "join_salted_skew": 1,            # dim agg; salted join broadcasts the replicated dim
         "mix_temperature_weights": 3,     # source agg + scalar total + broadcast-total join
         "langid_confusion_matrix": 2,     # cell agg + per-labeled-lang share window
+        "knn_label_vote": 1,              # one query_id exchange shared by rank + vote
+        "split_leakage_check": 5,         # pair mining aggs; the pair set itself broadcasts
+        "embedding_dim_stats": 1,         # one partial-combined 64-key agg
+        "join_asof_nearest": 2,           # one user_id union+window pass per direction
     }
     qs = all_queries()
     over = {
@@ -461,3 +465,20 @@ def test_join_strategy_hints_are_honored(spark, sf_dir):
     assert "ShuffledHashJoin" in formatted_plan(shj), formatted_plan(shj)
     smj = o.hint("merge").join(l, o.o_orderkey == l.l_orderkey)
     assert "SortMergeJoin" in formatted_plan(smj), formatted_plan(smj)
+
+
+def test_knn_broadcasts_eval_set(spark, sf_dir):
+    """The kNN eval set is the broadcast side of the scoring join — the
+    corpus streams past it without shuffling (the != condition makes it
+    a broadcast nested-loop, which is the intended shape: |eval| rows
+    replicated, |corpus| never moved)."""
+    df = _REGISTRY["knn_label_vote"].fn(spark, sf_dir)
+    assert "BroadcastNestedLoopJoin" in formatted_plan(df)
+
+
+def test_leakage_pairs_broadcast_against_splits(spark, sf_dir):
+    """split_leakage_check joins the (tiny, post-threshold) pair set to
+    the split assignment by broadcasting the PAIRS — the corpus-sized
+    split side must never be the shuffled build side."""
+    df = _REGISTRY["split_leakage_check"].fn(spark, sf_dir)
+    assert uses_broadcast_join(df)
