@@ -1,0 +1,161 @@
+"""Scale-stress harness: do the dedup/ANN operators scale ~linearly?
+
+Generates synthetic corpora (docs with planted exact dups, near-dups and
+a boilerplate hot shingle; constant-size embedding clusters so the TRUE
+pair output grows linearly) at two sizes and times each operator at
+both. A sub-quadratic operator scales by roughly the size ratio; a
+quadratic pair-space bug shows up as a ratio² blow-up long before it
+OOMs a real cluster. The embedding section also demonstrates the LSH
+dial: candidate pairs are ~n²/2^b for b sign-bits, so holding per-bucket
+population constant (add log2(growth) bits) is what keeps the stage
+linear — measured here at 8 vs 12 bits.
+
+Synthetic data is used ONLY for throughput-shape measurement —
+correctness is pinned by the oracle-checked registry queries on the
+driver's parquet fixtures. Results are recorded in SCALING.md.
+
+Run: python tools/stress_scale.py [small_n] [big_n]
+"""
+
+from __future__ import annotations
+
+import random
+import sys
+import time
+
+REPO = "/root/repo"
+if REPO not in sys.path:
+    sys.path.insert(0, REPO)
+
+from pyspark.sql import functions as F  # noqa: E402
+
+WORDS = [f"w{i}" for i in range(5000)]
+BOILER = "all rights reserved contact us terms of service apply here"
+
+
+def make_docs(spark, n, seed=11):
+    rnd = random.Random(seed)
+    rows = []
+    i = 0
+    while i < n:
+        body = " ".join(rnd.choices(WORDS, k=40))
+        if rnd.random() < 0.3:           # 30% carry the boilerplate shingle run
+            body = body + " " + BOILER
+        rows.append((i, body)); i += 1
+        r = rnd.random()
+        if r < 0.01 and i < n:            # 1% exact duplicate
+            rows.append((i, body)); i += 1
+        elif r < 0.02 and i < n:          # 1% near duplicate (one word swapped)
+            ws = body.split(); ws[rnd.randrange(len(ws))] = rnd.choice(WORDS)
+            rows.append((i, " ".join(ws))); i += 1
+    return spark.createDataFrame(rows, "doc_id long, text string").repartition(32)
+
+
+def make_embeddings(spark, n, dim=64, cluster_size=20, seed=13):
+    """Constant CLUSTER SIZE (not cluster count): the true near-dup pair
+    output then grows linearly with n, so stage timings measure join
+    economics, not an output-quadratic corpus."""
+    rnd = random.Random(seed)
+    n_clusters = max(1, n // cluster_size)
+    rows = []
+    for c in range(n_clusters):
+        center = [rnd.gauss(0, 1) for _ in range(dim)]
+        for j in range(cluster_size):
+            i = c * cluster_size + j
+            if i >= n:
+                break
+            rows.append((i, [x + rnd.gauss(0, 0.10) for x in center]))
+    return spark.createDataFrame(rows, "vec_id long, embedding array<double>").repartition(32)
+
+
+def timed(label, thunk):
+    """Times the WHOLE operator: call (some operators run eager jobs
+    inside) + count of the returned frame."""
+    t0 = time.perf_counter()
+    n = thunk().count()
+    dt = time.perf_counter() - t0
+    print(f"  {label:<46s} rows={n:>10,}  {dt:7.2f}s", flush=True)
+    return dt
+
+
+def main():
+    small_n = int(sys.argv[1]) if len(sys.argv) > 1 else 20_000
+    big_n = int(sys.argv[2]) if len(sys.argv) > 2 else 100_000
+
+    from pyspark_ingestion_spark.operators.dedup import (
+        connected_components,
+        exact_dedup_groups,
+        jaccard_similar_pairs,
+        minhash_lsh_dedup_pairs,
+    )
+    from pyspark_ingestion_spark.operators.similarity import embedding_near_dup_pairs
+    from pyspark_ingestion_spark.session import get_spark_session
+
+    spark = get_spark_session(app_name="stress-scale")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # warm-up: JIT, codegen, shuffle service — so timing #1 isn't JVM startup
+    warm = make_docs(spark, 2000)
+    exact_dedup_groups(warm, "doc_id", "text").count()
+    jaccard_similar_pairs(warm, "doc_id", "text", n=3,
+                          threshold_num=1, threshold_den=2, max_doc_freq=25).count()
+
+    results = {}
+    for n in (small_n, big_n):
+        print(f"== docs n={n:,}", flush=True)
+        d = make_docs(spark, n).persist()
+        d.count()
+        r = {}
+        r["exact"] = timed("exact_dedup_groups",
+                           lambda: exact_dedup_groups(d, "doc_id", "text"))
+        r["jaccard_dfcap"] = timed(
+            "jaccard_similar_pairs (df-cap 25)",
+            lambda: jaccard_similar_pairs(d, "doc_id", "text", n=3,
+                                          threshold_num=1, threshold_den=2,
+                                          max_doc_freq=25))
+        r["minhash_lsh"] = timed(
+            "minhash_lsh_dedup_pairs (df-cap 25)",
+            lambda: minhash_lsh_dedup_pairs(d, "doc_id", "text",
+                                            threshold_num=1, threshold_den=2,
+                                            max_doc_freq=25))
+        d.unpersist()
+        results[("docs", n)] = r
+
+    for n in (small_n, big_n):
+        print(f"== embeddings n={n:,} (clusters of 20)", flush=True)
+        e = make_embeddings(spark, n).persist()
+        e.count()
+        r = {}
+
+        def pairs_at(bits):
+            return embedding_near_dup_pairs(
+                e, threshold=0.9, n_dims=bits,
+                max_bucket_size=max(2000, n // 10),
+            ).select(F.col("id_a").alias("doc_a"), F.col("id_b").alias("doc_b"))
+
+        r["near_dup_8b"] = timed("embedding_near_dup_pairs (8 sign bits)",
+                                 lambda: pairs_at(8))
+        if n == big_n:
+            # the LSH dial: +log2(5)≈2..4 bits restores per-bucket population
+            r["near_dup_12b"] = timed("embedding_near_dup_pairs (12 sign bits)",
+                                      lambda: pairs_at(12))
+        p = pairs_at(8).persist(); p.count()
+        r["cc_driver"] = timed("connected_components (driver union-find)",
+                               lambda: connected_components(p))
+        r["cc_dist"] = timed("connected_components (distributed loop)",
+                             lambda: connected_components(p, driver_max_edges=0))
+        p.unpersist(); e.unpersist()
+        results[("emb", n)] = r
+
+    ratio = big_n / small_n
+    print(f"\n== scaling ratios (size x{ratio:.0f}; ~linear <= ~x{ratio:.0f}, quadratic ~x{ratio*ratio:.0f})")
+    for sect in ("docs", "emb"):
+        for key, a in results[(sect, small_n)].items():
+            b = results[(sect, big_n)].get(key)
+            if b is not None:
+                print(f"  {sect}/{key:<16s} {a:6.2f}s -> {b:7.2f}s   x{b/a:5.1f}")
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
