@@ -60,6 +60,11 @@ def main() -> None:
         timings[name] = round(time.perf_counter() - t0, 3)
 
     total = round(sum(timings.values()), 3)
+    # the headline set GREW in r4 (+corpus_full_pipeline, +dedup_semantic_
+    # keep_one, +word_cooccurrence_pmi); this subtotal keeps the r1-r3
+    # 11-query series comparable round-over-round without freezing the set
+    r3_set = [n for n in names if n not in (
+        "corpus_full_pipeline", "dedup_semantic_keep_one", "word_cooccurrence_pmi")]
     print(
         json.dumps(
             {
@@ -68,6 +73,7 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": float(sf) if sf.replace(".", "", 1).isdigit() else sf,
+                "r1_comparable_total": round(sum(timings[n] for n in r3_set), 3),
             }
         )
     )
