@@ -247,6 +247,12 @@ def test_headline_shuffle_budgets(spark, sf_dir):
         "join_salted_skew": 1,            # dim agg; salted join broadcasts the replicated dim
         "mix_temperature_weights": 3,     # source agg + scalar total + broadcast-total join
         "langid_confusion_matrix": 2,     # cell agg + per-labeled-lang share window
+        # r4 bench headliners (pair mining / CC run eagerly inside the
+        # call; the budget pins the returned frame's residual plan)
+        "corpus_full_pipeline": 1,        # keeper groupBy; dropped set broadcasts
+        "dedup_semantic_keep_one": 0,     # broadcast anti-join only
+        "word_cooccurrence_pmi": 6,       # token+pair aggs, scalar totals, count joins
+        "dedup_minhash_lsh": 4,           # shingle aggs + signature agg + verify join
         "knn_label_vote": 1,              # one query_id exchange shared by rank + vote
         "split_leakage_check": 5,         # pair mining aggs; the pair set itself broadcasts
         "embedding_dim_stats": 1,         # one partial-combined 64-key agg
