@@ -276,6 +276,53 @@ def lsh_candidate_pairs(
     return _candidates_from_bands(_bands_from_wide(wide, num_hashes, band_size))
 
 
+def _drop_big_buckets(bands: DataFrame, max_bucket_size: int | None) -> DataFrame:
+    """Drop band buckets holding more docs than the cap — a broadcast
+    anti-join on the (tiny by construction) oversized-bucket list. The
+    single implementation behind every LSH band consumer, so the guard
+    can't drift between the self-join and batch-admission paths."""
+    if max_bucket_size is None:
+        return bands
+    big = (
+        bands.groupBy("band", "band_key")
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .filter(F.col("__n") > max_bucket_size)
+        .select("band", "band_key")
+    )
+    return bands.join(F.broadcast(big), ["band", "band_key"], "left_anti")
+
+
+def _jaccard_reject_ids(
+    cand: DataFrame,
+    sc: DataFrame,
+    id_col: str,
+    threshold_num: int,
+    threshold_den: int,
+) -> DataFrame:
+    """Shared admission tail: given candidate rows (batch_id, corpus_id,
+    overlap, batch_size) and the corpus shingle table ``sc``, join corpus
+    sizes (broadcast semi-join on the surviving corpus ids only — the
+    full corpus is never reshuffled for sizes), apply the exact Jaccard
+    test den·ov ≥ num·(bs+cs−ov), and return the distinct batch ids."""
+    cids = cand.select("corpus_id").distinct()
+    csz = (
+        sc.join(F.broadcast(cids), sc["doc"] == cids["corpus_id"])
+        .groupBy("doc")
+        .agg(F.count(F.lit(1)).alias("corpus_size"))
+        .select(F.col("doc").alias("corpus_id"), "corpus_size")
+    )
+    return (
+        cand.join(csz, "corpus_id")
+        .filter(
+            F.lit(threshold_den) * F.col("overlap")
+            >= F.lit(threshold_num)
+            * (F.col("batch_size") + F.col("corpus_size") - F.col("overlap"))
+        )
+        .select(F.col("batch_id").alias(id_col))
+        .distinct()
+    )
+
+
 def _candidates_from_bands(
     bands: DataFrame, max_bucket_size: int | None = None
 ) -> DataFrame:
@@ -290,14 +337,7 @@ def _candidates_from_bands(
     pathological residue, at the cost of recall inside dropped buckets.
     Default off.
     """
-    if max_bucket_size is not None:
-        big = (
-            bands.groupBy("band", "band_key")
-            .agg(F.count(F.lit(1)).alias("__n"))
-            .filter(F.col("__n") > max_bucket_size)
-            .select("band", "band_key")
-        )
-        bands = bands.join(F.broadcast(big), ["band", "band_key"], "left_anti")
+    bands = _drop_big_buckets(bands, max_bucket_size)
     a = bands.alias("a")
     b = bands.alias("b")
     return (
@@ -535,23 +575,7 @@ def incremental_near_rejects(
         max_doc_freq,
         _shingles=(sb, sc),
     )
-    cids = cand.select(F.col("corpus_id")).distinct()
-    csz = (
-        sc.join(F.broadcast(cids), sc["doc"] == cids["corpus_id"])
-        .groupBy("doc")
-        .agg(F.count(F.lit(1)).alias("corpus_size"))
-        .select(F.col("doc").alias("corpus_id"), "corpus_size")
-    )
-    return (
-        cand.join(csz, "corpus_id")
-        .filter(
-            F.lit(threshold_den) * F.col("overlap")
-            >= F.lit(threshold_num)
-            * (F.col("batch_size") + F.col("corpus_size") - F.col("overlap"))
-        )
-        .select(F.col("batch_id").alias(id_col))
-        .distinct()
-    )
+    return _jaccard_reject_ids(cand, sc, id_col, threshold_num, threshold_den)
 
 
 def incremental_lsh_rejects(
@@ -600,15 +624,10 @@ def incremental_lsh_rejects(
     sc = sc.localCheckpoint(eager=False)
 
     bands_b = _bands_from_wide(_wide_signatures(sb, num_hashes), num_hashes, band_size)
-    bands_c = _bands_from_wide(_wide_signatures(sc, num_hashes), num_hashes, band_size)
-    if max_bucket_size is not None:
-        big = (
-            bands_c.groupBy("band", "band_key")
-            .agg(F.count(F.lit(1)).alias("__n"))
-            .filter(F.col("__n") > max_bucket_size)
-            .select("band", "band_key")
-        )
-        bands_c = bands_c.join(F.broadcast(big), ["band", "band_key"], "left_anti")
+    bands_c = _drop_big_buckets(
+        _bands_from_wide(_wide_signatures(sc, num_hashes), num_hashes, band_size),
+        max_bucket_size,
+    )
     cands = (
         bands_b.select(F.col("doc").alias("batch_id"), "band", "band_key")
         .join(
@@ -629,24 +648,10 @@ def incremental_lsh_rejects(
         .agg(F.count(F.lit(1)).alias("overlap"))
     )
     bsz = sb.groupBy("doc").agg(F.count(F.lit(1)).alias("batch_size"))
-    cids = cands.select("corpus_id").distinct()
-    csz = (
-        sc.join(F.broadcast(cids), sc["doc"] == cids["corpus_id"])
-        .groupBy("doc")
-        .agg(F.count(F.lit(1)).alias("corpus_size"))
-        .select(F.col("doc").alias("corpus_id"), "corpus_size")
+    cand = inter.join(
+        bsz.select(F.col("doc").alias("batch_id"), "batch_size"), "batch_id"
     )
-    return (
-        inter.join(bsz.select(F.col("doc").alias("batch_id"), "batch_size"), "batch_id")
-        .join(csz, "corpus_id")
-        .filter(
-            F.lit(threshold_den) * F.col("overlap")
-            >= F.lit(threshold_num)
-            * (F.col("batch_size") + F.col("corpus_size") - F.col("overlap"))
-        )
-        .select(F.col("batch_id").alias(id_col))
-        .distinct()
-    )
+    return _jaccard_reject_ids(cand, sc, id_col, threshold_num, threshold_den)
 
 
 def connected_components(
@@ -778,16 +783,9 @@ def connected_components(
     # feeds the edge join, the union, AND both sides of the pointer-jump
     # self-join), so per-job work triples while only the fixed ~0.2s
     # job overhead is saved. Negative result recorded in SCALING.md.
-    steps_per_action = 1
-    steps_done = 0
     converged = False
-    while steps_done < max_iter:
-        batch = min(steps_per_action, max_iter - steps_done)
-        new_labels = labels
-        for _ in range(batch):
-            new_labels = _step(new_labels)
-        new_labels = new_labels.localCheckpoint(eager=True)
-        steps_done += batch
+    for _ in range(max_iter):
+        new_labels = _step(labels).localCheckpoint(eager=True)
         changed = (
             new_labels.alias("n")
             .join(labels.alias("o"), "node")

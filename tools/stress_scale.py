@@ -23,7 +23,9 @@ import random
 import sys
 import time
 
-REPO = "/root/repo"
+import os
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 if REPO not in sys.path:
     sys.path.insert(0, REPO)
 
