@@ -488,3 +488,39 @@ def test_leakage_pairs_broadcast_against_splits(spark, sf_dir):
     split side must never be the shuffled build side."""
     df = _REGISTRY["split_leakage_check"].fn(spark, sf_dir)
     assert uses_broadcast_join(df)
+
+
+#: queries whose plans intentionally contain a BroadcastNestedLoopJoin —
+#: every one broadcasts a TINY frame (a one-row scalar total, a bounded
+#: query/eval set, bin edges, centroid tables) against the big side, the
+#: documented pattern for non-equi comparisons. A name appearing here
+#: must keep that property; a name NOT here acquiring a BNLJ is a
+#: review-stopper (it usually means an accidental non-equi join).
+_BNLJ_OK = {
+    "agg_equidepth_histogram", "agg_theta_set_overlap",
+    "ann_bruteforce_topk", "ann_cosine_range_search", "ann_ivf_kmeans_topk",
+    "ann_ivf_nprobe_topk", "ann_ivf_topk", "ann_recall_eval",
+    "dedup_lsh_recall_eval", "dq_checks", "embedding_bucket_profile",
+    "interpolate_linear", "knn_label_vote", "mix_temperature_weights",
+    "multimodal_ann_pipeline", "perplexity_tail_buckets", "profile_key_skew",
+    "q22_sales_opportunity", "tfidf_top_terms", "unigram_logprob_quality",
+    "word_cooccurrence_pmi",
+}
+
+
+def test_no_cartesian_and_bounded_bnlj(spark, sf_dir):
+    """Registry-wide join-shape sweep: NO query may plan a
+    CartesianProduct (unbroadcast cross join — always a bug at scale),
+    and BroadcastNestedLoopJoin may appear only in the audited
+    broadcast-small whitelist above."""
+    cart, rogue = [], []
+    for name, spec in _REGISTRY.items():
+        if name in _SKIP:
+            continue
+        plan = formatted_plan(spec.fn(spark, sf_dir))
+        if "CartesianProduct" in plan:
+            cart.append(name)
+        if "BroadcastNestedLoopJoin" in plan and name not in _BNLJ_OK:
+            rogue.append(name)
+    assert not cart, f"CartesianProduct in: {cart}"
+    assert not rogue, f"unaudited BroadcastNestedLoopJoin in: {rogue}"
