@@ -298,13 +298,21 @@ def _jaccard_reject_ids(
     id_col: str,
     threshold_num: int,
     threshold_den: int,
+    cids: DataFrame | None = None,
 ) -> DataFrame:
     """Shared admission tail: given candidate rows (batch_id, corpus_id,
     overlap, batch_size) and the corpus shingle table ``sc``, join corpus
     sizes (broadcast semi-join on the surviving corpus ids only — the
     full corpus is never reshuffled for sizes), apply the exact Jaccard
-    test den·ov ≥ num·(bs+cs−ov), and return the distinct batch ids."""
-    cids = cand.select("corpus_id").distinct()
+    test den·ov ≥ num·(bs+cs−ov), and return the distinct batch ids.
+
+    ``cids`` overrides where the surviving-corpus-id set comes from:
+    pass the CHEAPEST superset frame available (e.g. the band-collision
+    candidates) so deriving it doesn't re-evaluate the expensive
+    overlap subplan ``cand`` hangs off — a superset only makes the
+    broadcast slightly larger, never changes the result."""
+    if cids is None:
+        cids = cand.select("corpus_id").distinct()
     csz = (
         sc.join(F.broadcast(cids), sc["doc"] == cids["corpus_id"])
         .groupBy("doc")
@@ -651,7 +659,10 @@ def incremental_lsh_rejects(
     cand = inter.join(
         bsz.select(F.col("doc").alias("batch_id"), "batch_size"), "batch_id"
     )
-    return _jaccard_reject_ids(cand, sc, id_col, threshold_num, threshold_den)
+    return _jaccard_reject_ids(
+        cand, sc, id_col, threshold_num, threshold_den,
+        cids=cands.select("corpus_id").distinct(),
+    )
 
 
 def connected_components(

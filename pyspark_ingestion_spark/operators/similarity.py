@@ -352,3 +352,65 @@ def sign_bucket_multiprobe_topk(
         keep_rank=True,
         rank_col="rank",
     )
+
+
+def embedding_batch_rejects(
+    corpus: DataFrame,
+    batch: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.3,
+    n_dims: int = 4,
+) -> DataFrame:
+    """Semantic batch admission: batch vectors whose cosine against ANY
+    corpus vector in their sign bucket meets ``threshold`` — the
+    embedding-space member of the incremental-admission trio
+    (``incremental_near_rejects`` = exact shingles,
+    ``incremental_lsh_rejects`` = MinHash bands, this = embeddings).
+
+    Returns (id, n_matches, best_sim, best_match_id) per rejected batch
+    vector, deterministically: best match = max (rounded sim, lowest
+    corpus id). Caller contract: corpus and batch ids are disjoint (a
+    shared id would match itself at sim 1).
+
+    Scale shape: the corpus is scanned once with scan-side bucket/norm
+    expressions and NEVER reshuffles — the (small) batch broadcasts into
+    a bucket equi-join, exactly the admission economics of the shingle
+    forms; at 100 TB the bucketed corpus layout (or trained IVF cells)
+    is precomputed once and maintained incrementally. The final
+    aggregate groups on batch keys only.
+    """
+    def prep(df):
+        return df.select(
+            F.col(id_col).alias("__id"),
+            F.col(vec_col).cast("array<double>").alias("__vec"),
+            sign_bucket(vec_col, n_dims).alias("__bucket"),
+            l2_norm(vec_col).alias("__norm"),
+        )
+
+    c, b = prep(corpus), prep(batch)
+    denom = F.col("b.__norm") * F.col("c.__norm")
+    cos = F.when(
+        denom != 0, dot_product(F.col("b.__vec"), F.col("c.__vec")) / denom
+    )
+    matches = (
+        c.alias("c")
+        .join(F.broadcast(b.alias("b")), F.col("b.__bucket") == F.col("c.__bucket"))
+        .select(
+            F.col("b.__id").alias("__bid"),
+            F.col("c.__id").alias("__cid"),
+            F.round(cos, 6).alias("sim"),
+        )
+        .filter(F.col("sim") >= threshold)
+    )
+    best = F.max(
+        F.struct(F.col("sim").alias("s"), (-F.col("__cid")).alias("n"))
+    ).alias("__best")
+    return matches.groupBy("__bid").agg(
+        F.count(F.lit(1)).alias("n_matches"), best
+    ).select(
+        F.col("__bid").alias(id_col),
+        "n_matches",
+        F.col("__best.s").alias("best_sim"),
+        (-F.col("__best.n")).alias("best_match_id"),
+    )

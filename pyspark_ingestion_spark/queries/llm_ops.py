@@ -3088,3 +3088,44 @@ def embedding_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.max("val"), 4).alias("dim_max"),
         F.round(F.avg((F.col("val") >= 0).cast("double")), 4).alias("frac_nonneg"),
     )
+
+
+@query(
+    "dedup_incremental_semantic",
+    oracle=f"""
+    WITH b AS (SELECT vec_id, embedding::DOUBLE[] AS v,
+                      CAST({_BUCKET4} AS INT) AS bucket
+               FROM embeddings),
+    c AS (SELECT * FROM b WHERE vec_id % 17 != 0),
+    q AS (SELECT * FROM b WHERE vec_id % 17 = 0),
+    m AS (SELECT a.vec_id AS bid, b.vec_id AS cid, ROUND({_PAIR_COSINE}, 6) AS sim
+          FROM q a JOIN c b ON a.bucket = b.bucket
+          WHERE ROUND({_PAIR_COSINE}, 6) >= 0.3),
+    g AS (SELECT bid, count(*) AS n_matches, max(sim) AS best_sim
+          FROM m GROUP BY bid)
+    SELECT g.bid AS vec_id, CAST(g.n_matches AS BIGINT) AS n_matches,
+           g.best_sim, min(m.cid) AS best_match_id
+    FROM g JOIN m ON m.bid = g.bid AND m.sim = g.best_sim
+    GROUP BY 1, 2, 3
+    """,
+)
+def dedup_incremental_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic batch admission against the existing corpus — the
+    embedding-space member of the incremental-admission trio
+    (``dedup_incremental_batch`` = exact shingle join,
+    ``dedup_incremental_lsh`` = MinHash band table, this = cosine in
+    sign buckets). The ``vec_id % 17`` split stands in for the
+    new-batch/corpus boundary; each rejected batch vector reports how
+    many corpus near-dups it hit, the best similarity, and the
+    deterministic best-match id (ties toward the lowest corpus id).
+
+    Scale shape (pinned in test_plans): the corpus never reshuffles —
+    scan-side bucket/norm expressions, the small batch BROADCAST into a
+    bucket equi-join, and one aggregate on batch keys only.
+    """
+    from pyspark_ingestion_spark.operators.similarity import embedding_batch_rejects
+
+    e = load_table(spark, sf_dir, "embeddings")
+    corpus = e.filter(F.col("vec_id") % 17 != 0)
+    batch = e.filter(F.col("vec_id") % 17 == 0)
+    return embedding_batch_rejects(corpus, batch, threshold=0.3, n_dims=4)

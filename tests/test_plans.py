@@ -254,6 +254,7 @@ def test_headline_shuffle_budgets(spark, sf_dir):
         "word_cooccurrence_pmi": 6,       # token+pair aggs, scalar totals, count joins
         "dedup_minhash_lsh": 4,           # shingle aggs + signature agg + verify join
         "knn_label_vote": 1,              # one query_id exchange shared by rank + vote
+        "dedup_incremental_semantic": 1,  # broadcast batch->bucket join + one batch-key agg
         "split_leakage_check": 5,         # pair mining aggs; the pair set itself broadcasts
         "embedding_dim_stats": 1,         # one partial-combined 64-key agg
         "join_asof_nearest": 2,           # one user_id union+window pass per direction
