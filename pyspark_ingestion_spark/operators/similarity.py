@@ -174,7 +174,15 @@ def ivf_topk(
         centroids = corpus.filter(F.col(id_col) < n_centroids).select(
             F.col(id_col).alias("centroid_id"), F.col(vec_col).alias("cvec")
         )
-    c = assign_ivf_cells(corpus, centroids, id_col, vec_col)
+    # a corpus that already carries its cell assignment (the production
+    # layout: cells are computed ONCE per centroid generation at ingest
+    # and stored as a column / partition key) skips the per-call
+    # assignment pass — measured 18.7 s → 0.77 s at 100k vectors (SCALING.md)
+    c = (
+        corpus
+        if "cell" in corpus.columns
+        else assign_ivf_cells(corpus, centroids, id_col, vec_col)
+    )
     q = assign_ivf_cells(queries, centroids, query_id_col, vec_col, nprobe=nprobe).select(
         query_id_col, F.col(vec_col).alias("__qvec"), "cell"
     )

@@ -64,6 +64,16 @@ def main():
                          lambda np=nprobe: ivf_topk(e, queries, k=5, centroids=cents,
                                                     nprobe=np)))
 
+    # production layout: corpus cells precomputed once at ingest
+    from pyspark_ingestion_spark.operators.similarity import assign_ivf_cells
+    t0 = time.perf_counter()
+    e_cells = assign_ivf_cells(e, cents, "vec_id", "embedding").persist()
+    e_cells.count()
+    print(f"corpus cell assignment (one-off at ingest): {time.perf_counter()-t0:.1f}s",
+          flush=True)
+    tiers.append(run("trained IVF nprobe=1, pre-assigned corpus",
+                     lambda: ivf_topk(e_cells, queries, k=5, centroids=cents, nprobe=1)))
+
     n_truth = truth.count()
     for label, res, dt in tiers:
         hits = truth.join(res, ["query_id", "neighbor_id"]).count()
