@@ -154,3 +154,29 @@ def test_multiprobe_recall_is_monotone(spark):
         r1 = len(single.get(qid, set()) & t)
         r9 = len(multi.get(qid, set()) & t)
         assert r9 >= r1, (qid, r1, r9)
+
+
+def test_ivf_preassigned_cells_identical(spark, sf_dir):
+    """ivf_topk over a corpus that already carries its cell column (the
+    production ingest-time layout) returns exactly the per-call
+    assignment's results — the fast path changes the plan, never the
+    answer."""
+    from pyspark_ingestion_spark.operators.similarity import (
+        assign_ivf_cells,
+        ivf_topk,
+        kmeans_centroids,
+    )
+    from pyspark_ingestion_spark.sources.readers import load_table
+
+    e = load_table(spark, sf_dir, "embeddings")
+    queries = e.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    cents = kmeans_centroids(e, n_centroids=4)
+    fresh = ivf_topk(e, queries, k=3, centroids=cents, nprobe=2)
+    pre = ivf_topk(
+        assign_ivf_cells(e, cents, "vec_id", "embedding"),
+        queries, k=3, centroids=cents, nprobe=2,
+    )
+    rows = lambda df: sorted(tuple(r) for r in df.collect())  # noqa: E731
+    assert rows(fresh) == rows(pre)
