@@ -3129,3 +3129,94 @@ def dedup_incremental_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus = e.filter(F.col("vec_id") % 17 != 0)
     batch = e.filter(F.col("vec_id") % 17 == 0)
     return embedding_batch_rejects(corpus, batch, threshold=0.3, n_dims=4)
+
+
+@query(
+    "bm25_scores",
+    oracle=r"""
+    WITH w AS (SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\s+')) AS term
+               FROM documents WHERE trim(text) <> ''),
+    per_doc AS (SELECT doc_id,
+                       CAST(count(*) AS BIGINT) AS dl,
+                       CAST(count(*) FILTER (WHERE term = 'table') AS BIGINT) AS tf_table,
+                       CAST(count(*) FILTER (WHERE term = 'row')   AS BIGINT) AS tf_row,
+                       CAST(count(*) FILTER (WHERE term = 'spark') AS BIGINT) AS tf_spark
+                FROM w WHERE term <> '' GROUP BY doc_id),
+    stats AS (SELECT count(*) AS n_docs,
+                     avg(dl) AS avgdl,
+                     sum(CASE WHEN tf_table > 0 THEN 1 ELSE 0 END) AS df_table,
+                     sum(CASE WHEN tf_row   > 0 THEN 1 ELSE 0 END) AS df_row,
+                     sum(CASE WHEN tf_spark > 0 THEN 1 ELSE 0 END) AS df_spark
+              FROM per_doc)
+    SELECT doc_id, dl, tf_table, tf_row, tf_spark,
+           ROUND(
+             ((ln((n_docs - df_table + 0.5) / (df_table + 0.5) + 1.0)
+               * (tf_table * 2.2) / (tf_table + 1.2 * (0.25 + 0.75 * dl / avgdl)))
+             + (ln((n_docs - df_row + 0.5) / (df_row + 0.5) + 1.0)
+               * (tf_row * 2.2) / (tf_row + 1.2 * (0.25 + 0.75 * dl / avgdl))))
+             + (ln((n_docs - df_spark + 0.5) / (df_spark + 0.5) + 1.0)
+               * (tf_spark * 2.2) / (tf_spark + 1.2 * (0.25 + 0.75 * dl / avgdl))),
+           4) AS bm25
+    FROM per_doc CROSS JOIN stats
+    WHERE tf_table + tf_row + tf_spark > 0
+    """,
+)
+def bm25_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 relevance of every document against the fixed query
+    {table, row, spark} (Robertson/Lucene idf, k1=1.2, b=0.75) — the
+    lexical-retrieval scorer a RAG/eval corpus pipeline pairs with the
+    ANN tiers (`ann_*` = dense retrieval, this = sparse).
+
+    Engine-portable determinism, same policy as ``tfidf_top_terms``:
+    every aggregate feeding the score is an INTEGER (tf, dl, df, N) or
+    an exact int-ratio (avgdl = sum/count), the three per-term scores
+    are added in FIXED left-to-right order as an expression (never a
+    float SUM whose accumulation order differs between engines), no
+    top-k boundary rides on the float — ALL matching docs are returned
+    and the driver compares order-insensitively.
+
+    Scale shape: explode → ONE per-doc hash agg (tf via conditional
+    counts, dl via count), a one-row stats agg over it, broadcast back —
+    the corpus is scanned once; scoring any q-term query costs one agg
+    pass regardless of corpus size.
+    """
+    from pyspark_ingestion_spark.functions.text import words
+
+    k1, b = 1.2, 0.75
+    d = load_table(spark, sf_dir, "documents")
+    w = d.select("doc_id", F.explode(words(F.lower(F.col("text")))).alias("term"))
+    terms = ["table", "row", "spark"]
+    per_doc = w.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("dl"),
+        *[
+            F.count(F.when(F.col("term") == t, 1)).alias(f"tf_{t}")
+            for t in terms
+        ],
+    )
+    stats = per_doc.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.avg("dl").alias("avgdl"),
+        *[
+            F.sum((F.col(f"tf_{t}") > 0).cast("long")).alias(f"df_{t}")
+            for t in terms
+        ],
+    )
+
+    def term_score(t: str) -> Column:
+        idf = F.log(
+            (F.col("n_docs") - F.col(f"df_{t}") + 0.5) / (F.col(f"df_{t}") + 0.5)
+            + 1.0
+        )
+        tf = F.col(f"tf_{t}")
+        denom = tf + k1 * (1 - b + b * F.col("dl") / F.col("avgdl"))
+        return idf * (tf * (k1 + 1)) / denom
+
+    score = (term_score("table") + term_score("row")) + term_score("spark")
+    return (
+        per_doc.crossJoin(F.broadcast(stats))
+        .filter(F.col("tf_table") + F.col("tf_row") + F.col("tf_spark") > 0)
+        .select(
+            "doc_id", "dl", "tf_table", "tf_row", "tf_spark",
+            F.round(score, 4).alias("bm25"),
+        )
+    )

@@ -255,6 +255,7 @@ def test_headline_shuffle_budgets(spark, sf_dir):
         "dedup_minhash_lsh": 4,           # shingle aggs + signature agg + verify join
         "knn_label_vote": 1,              # one query_id exchange shared by rank + vote
         "dedup_incremental_semantic": 1,  # broadcast batch->bucket join + one batch-key agg
+        "bm25_scores": 3,                 # per-doc agg + one-row stats agg + reuse exchange
         "split_leakage_check": 5,         # pair mining aggs; the pair set itself broadcasts
         "embedding_dim_stats": 1,         # one partial-combined 64-key agg
         "join_asof_nearest": 2,           # one user_id union+window pass per direction
@@ -505,7 +506,7 @@ _BNLJ_OK = {
     "interpolate_linear", "knn_label_vote", "mix_temperature_weights",
     "multimodal_ann_pipeline", "perplexity_tail_buckets", "profile_key_skew",
     "q22_sales_opportunity", "tfidf_top_terms", "unigram_logprob_quality",
-    "word_cooccurrence_pmi",
+    "word_cooccurrence_pmi", "bm25_scores",
 }
 
 
