@@ -422,3 +422,26 @@ def embedding_batch_rejects(
         F.col("__best.s").alias("best_sim"),
         (-F.col("__best.n")).alias("best_match_id"),
     )
+
+
+def sign_bits_for(corpus_rows: int, target_bucket_pop: int = 500,
+                  min_bits: int = 4, max_bits: int = 24) -> int:
+    """Pick the sign-bucket width from the corpus size: enough bits that
+    the MEAN bucket population is ≤ ``target_bucket_pop``, clamped to
+    [min_bits, max_bits].
+
+    Encodes the measured scale rule (SCALING.md round-4 stress): the
+    sign-bucket candidate space is ~n²/2^b, so a FIXED b turns
+    superlinear as the corpus grows; adding ⌈log₂ growth⌉ bits restores
+    per-bucket population (93.6 s → 16.6 s at 100 k vectors, 8→12 bits).
+    The mean is the right statistic only for roughly centered
+    embeddings — check ``embedding_dim_stats``' frac_nonneg first, and
+    prefer trained IVF cells (`kmeans_centroids`) when components are
+    biased.
+    """
+    import math
+
+    if corpus_rows <= 0:
+        raise ValueError(f"corpus_rows must be positive, got {corpus_rows}")
+    bits = math.ceil(math.log2(max(1.0, corpus_rows / target_bucket_pop)))
+    return max(min_bits, min(max_bits, bits))

@@ -180,3 +180,19 @@ def test_ivf_preassigned_cells_identical(spark, sf_dir):
     )
     rows = lambda df: sorted(tuple(r) for r in df.collect())  # noqa: E731
     assert rows(fresh) == rows(pre)
+
+
+def test_sign_bits_for_tracks_corpus_growth(spark):
+    """The dial adds ~log2(growth) bits: mean bucket population stays at
+    or under target across corpus sizes, and the clamps hold."""
+    from pyspark_ingestion_spark.operators.similarity import sign_bits_for
+
+    for n in (1, 10_000, 100_000, 10_000_000, 10**12):
+        bits = sign_bits_for(n)
+        assert 4 <= bits <= 24
+        if 4 < bits < 24:
+            assert n / 2**bits <= 500          # target met
+            assert n / 2 ** (bits - 1) > 500   # and not overshot
+    assert sign_bits_for(100_000) - sign_bits_for(20_000) in (2, 3)
+    with pytest.raises(ValueError):
+        sign_bits_for(0)
