@@ -1107,3 +1107,63 @@ def test_knn_vote_stable_under_repartition(spark):
     e1 = spark.createDataFrame(rows, "vec_id long, embedding array<double>, label int")
     e2 = e1.repartition(13, "label")
     assert predict(e1) == predict(e2)
+
+
+@given(st.lists(st.sampled_from(
+    ["table", "row", "spark", "scan", "merge", ""]), min_size=0, max_size=12),
+    st.integers(2, 6))
+@settings(max_examples=10, deadline=None)
+def test_bm25_matches_python_model(spark, words_for_doc0, n_docs):
+    """BM25 scoring vs an independent Python model over generated
+    mini-corpora — pins the idf form, the tf saturation, the dl/avgdl
+    normalization, and the matching-docs-only output filter on inputs
+    the fixtures don't cover (term-free docs, single-doc corpora,
+    all-query-term docs)."""
+    import math
+
+    from pyspark_ingestion_spark.queries.llm_ops import bm25_scores
+
+    k1, b, terms = 1.2, 0.75, ["table", "row", "spark"]
+    base = ["alpha beta gamma table row", "spark spark table delta",
+            "epsilon zeta eta theta", "row row row spark table scan"]
+    texts = [" ".join(w for w in words_for_doc0 if w)] + base[: n_docs - 1]
+    docs = [(i, t) for i, t in enumerate(texts)]
+
+    # python model over the SAME tokenizer convention (split on ws, drop empties)
+    toks = {i: [w for w in t.split() if w] for i, t in docs}
+    toks = {i: ws for i, ws in toks.items() if ws}       # docs with no tokens drop out
+    n = len(toks)
+    if n == 0:
+        return
+    avgdl = sum(len(ws) for ws in toks.values()) / n
+    df = {t: sum(1 for ws in toks.values() if t in ws) for t in terms}
+    want = {}
+    for i, ws in toks.items():
+        dl = len(ws)
+        score = 0.0
+        for t in terms:
+            tf = ws.count(t)
+            idf = math.log((n - df[t] + 0.5) / (df[t] + 0.5) + 1.0)
+            score = score + idf * (tf * (k1 + 1)) / (tf + k1 * (1 - b + b * dl / avgdl))
+        if any(t in ws for t in terms):
+            want[i] = round(score, 4)
+
+    import os
+    import tempfile
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    with tempfile.TemporaryDirectory() as td:
+        # single parquet FILE, like the driver's testdata layout
+        # (load_table reads the footer with pyarrow)
+        pq.write_table(
+            pa.table({"doc_id": pa.array([i for i, _ in docs], pa.int64()),
+                      "text": [t for _, t in docs]}),
+            os.path.join(td, "documents.parquet"),
+        )
+        got = {r["doc_id"]: r["bm25"]
+               for r in bm25_scores(spark, td).collect()}
+    assert set(got) == set(want), (sorted(got), sorted(want))
+    for i in want:
+        assert abs(got[i] - want[i]) <= 1e-4, (i, got[i], want[i])
