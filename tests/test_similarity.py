@@ -196,3 +196,27 @@ def test_sign_bits_for_tracks_corpus_growth(spark):
     assert sign_bits_for(100_000) - sign_bits_for(20_000) in (2, 3)
     with pytest.raises(ValueError):
         sign_bits_for(0)
+
+
+def test_embedding_batch_rejects_planted_dup(spark):
+    """A batch vector identical to a corpus vector is rejected with
+    best_sim 1.0 and the right best-match id; a batch vector in an
+    empty bucket (opposite signs) is admitted (absent from output)."""
+    from pyspark_ingestion_spark.operators.similarity import embedding_batch_rejects
+
+    corpus = spark.createDataFrame(
+        [(1, [1.0, 2.0, 3.0, 4.0]), (2, [1.0, 2.0, 3.0, 4.1]),
+         (3, [5.0, 6.0, 7.0, 8.0])],
+        "vec_id long, embedding array<double>",
+    )
+    batch = spark.createDataFrame(
+        [(100, [1.0, 2.0, 3.0, 4.0]),      # exact dup of corpus 1 (and near 2)
+         (101, [-1.0, -2.0, -3.0, -4.0])], # opposite sign bucket → admitted
+        "vec_id long, embedding array<double>",
+    )
+    got = {r["vec_id"]: r for r in
+           embedding_batch_rejects(corpus, batch, threshold=0.9, n_dims=4).collect()}
+    assert set(got) == {100}
+    assert got[100]["best_sim"] == 1.0
+    assert got[100]["best_match_id"] == 1      # sim tie impossible; exact dup wins
+    assert got[100]["n_matches"] >= 2          # corpus 1, 2 and (cos>0.9) 3 share the bucket
