@@ -237,3 +237,74 @@ def sequence_gaps(
             (F.col("next_id") - F.col("id") - 1).alias("missing"),
         )
     )
+
+
+def global_ntile(
+    df: DataFrame,
+    order_cols: Sequence[str],
+    n: int,
+    out_col: str = "tile",
+    shards: int | None = None,
+) -> DataFrame:
+    """Exact global ``ntile(n)`` without a single-partition window.
+
+    Spark's ``ntile`` over an unpartitioned window drags every row
+    through ONE task. This computes the identical bucket assignment in
+    parallel: range-repartition on the order keys (shards hold disjoint,
+    ascending key ranges — equal keys never split, and callers pass a
+    tie-break key so ranks are total), ``row_number`` within each shard,
+    then add per-shard prefix offsets — a window over the SHARD-COUNT
+    table, at most ``shards`` rows, bounded by construction like
+    ``sequence_gaps``' boundary summary — and map the exact global rank
+    through Spark's own ntile formula (first ``total % n`` buckets get
+    the extra row). AQE may coalesce adjacent ranges; ids stay ascending
+    so ranks are unaffected. Results are bit-identical to
+    ``F.ntile(n).over(Window.orderBy(*order_cols))`` (property-tested).
+
+    The sharded-rank table is materialized once (non-eager
+    ``localCheckpoint``, released by the ContextCleaner) because BOTH
+    consumers — the offset aggregate and the final join — must see the
+    SAME physical sharding: ``repartitionByRange`` draws its boundaries
+    from a sample whose seed is not stable across re-evaluations, so two
+    plan instances of the exchange can disagree on which shard a
+    borderline row lands in (observed as off-by-one tiles at 4 shards).
+    Cost: one extra write of the ranked table — the price of exactness;
+    the approximate alternative (percentile-boundary bucketing) avoids
+    it when exact tile populations aren't required.
+    """
+    if n <= 0:
+        raise ValueError(f"n must be positive, got {n}")
+    spark = df.sparkSession
+    shards = int(shards or spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    cols = [F.col(c) if isinstance(c, str) else c for c in order_cols]
+    ranged = df.repartitionByRange(shards, *cols).withColumn(
+        "__pid", F.spark_partition_id()
+    )
+    w_in = Window.partitionBy("__pid").orderBy(*cols)
+    t = ranged.withColumn("__rn", F.row_number().over(w_in)).localCheckpoint(
+        eager=False
+    )
+    counts = t.groupBy("__pid").agg(F.count(F.lit(1)).alias("__cnt"))
+    w_pre = Window.orderBy("__pid").rowsBetween(Window.unboundedPreceding, -1)
+    w_all = Window.orderBy("__pid").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    offs = counts.select(
+        "__pid",
+        F.coalesce(F.sum("__cnt").over(w_pre), F.lit(0)).alias("__off"),
+        F.sum("__cnt").over(w_all).alias("__total"),
+    )
+    rank = F.col("__off") + F.col("__rn")
+    q = (F.col("__total") / n).cast("long")          # floor: totals are non-negative
+    r = F.col("__total") % n
+    big = r * (q + 1)                                 # rows living in the larger buckets
+    q_safe = F.greatest(q, F.lit(1))                  # q=0 ⇒ every rank is in `big`
+    tile = (
+        F.when(rank <= big, ((rank - 1) / (q + 1)).cast("long") + 1)
+        .otherwise(r + ((rank - big - 1) / q_safe).cast("long") + 1)
+    ).cast("int")
+    return (
+        t.join(F.broadcast(offs), "__pid")
+        .withColumn(out_col, tile)
+        .drop("__pid", "__rn", "__off", "__total")
+    )

@@ -1785,28 +1785,33 @@ def ewma_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RFM customer segmentation: recency/frequency/monetary quintiles
-    (deterministic ntile total orders, custkey tie-break) composed into
+    (deterministic ntile total order, custkey tie-break) composed into
     the classic warehouse segment labels.
 
-    One aggregation shuffle builds the per-customer facts; the three
-    quintile windows run over the (small) per-customer table. At true
-    scale the ntile total order is the pressure point — swap in
-    percentile thresholds (winsorize_amounts' shape) to avoid a global
-    sort when the customer dimension itself is huge.
+    One aggregation shuffle builds the per-customer facts; each quintile
+    is assigned by ``operators.relational.global_ntile`` — exact global
+    ntile via range-sharded ranks + prefix offsets, so no single task
+    ever sorts the whole customer dimension (bit-identical to the
+    unpartitioned ``F.ntile`` window, property-tested; the oracle is the
+    plain SQL ntile). Three range exchanges instead of three
+    one-task sorts — the same shard-and-recombine fix the id-gap scan
+    uses.
     """
+    from pyspark_ingestion_spark.operators.relational import global_ntile
+
     o = load_table(spark, sf_dir, "orders")
     per_cust = o.groupBy("o_custkey").agg(
         F.max("o_orderdate").alias("last_order"),
         F.count(F.lit(1)).alias("frequency"),
         F.round(F.sum("o_totalprice"), 2).alias("monetary"),
     )
-    r = F.ntile(5).over(Window.orderBy("last_order", "o_custkey"))
-    f = F.ntile(5).over(Window.orderBy("frequency", "o_custkey"))
-    m = F.ntile(5).over(Window.orderBy("monetary", "o_custkey"))
-    scored = per_cust.select(
-        "o_custkey", "frequency", "monetary",
-        r.alias("r"), f.alias("f"), m.alias("m"),
-    )
+    scored = global_ntile(
+        global_ntile(
+            global_ntile(per_cust, ["last_order", "o_custkey"], 5, out_col="r"),
+            ["frequency", "o_custkey"], 5, out_col="f",
+        ),
+        ["monetary", "o_custkey"], 5, out_col="m",
+    ).select("o_custkey", "frequency", "monetary", "r", "f", "m")
     seg = (
         F.when((F.col("r") >= 4) & (F.col("f") >= 4), "champion")
         .when(F.col("r") >= 4, "recent")

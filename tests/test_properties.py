@@ -1167,3 +1167,32 @@ def test_bm25_matches_python_model(spark, words_for_doc0, n_docs):
     assert set(got) == set(want), (sorted(got), sorted(want))
     for i in want:
         assert abs(got[i] - want[i]) <= 1e-4, (i, got[i], want[i])
+
+
+@given(st.lists(st.tuples(st.integers(0, 40), st.integers(0, 10**6)),
+                min_size=1, max_size=200),
+       st.integers(2, 7), st.integers(2, 6))
+@settings(max_examples=10, deadline=None)
+def test_global_ntile_matches_spark_ntile(spark, rows, n, shards):
+    """global_ntile (range-shard + prefix offsets) is bit-identical to
+    F.ntile over an unpartitioned window, for any key distribution,
+    bucket count, and shard count — including total < n and heavy ties
+    broken by the unique id."""
+    from pyspark.sql import Window
+
+    from pyspark_ingestion_spark.operators.relational import global_ntile
+
+    df = spark.createDataFrame(
+        [(v, i) for i, (v, _) in enumerate(rows)], "v int, id int"
+    )
+    want = {
+        r["id"]: r["t"]
+        for r in df.select(
+            "id", F.ntile(n).over(Window.orderBy("v", "id")).alias("t")
+        ).collect()
+    }
+    got = {
+        r["id"]: r["tile"]
+        for r in global_ntile(df, ["v", "id"], n, shards=shards).collect()
+    }
+    assert got == want
