@@ -526,3 +526,20 @@ def test_no_cartesian_and_bounded_bnlj(spark, sf_dir):
             rogue.append(name)
     assert not cart, f"CartesianProduct in: {cart}"
     assert not rogue, f"unaudited BroadcastNestedLoopJoin in: {rogue}"
+
+
+def test_rfm_ntile_has_no_big_side_global_sort(spark, sf_dir):
+    """rfm_segmentation's quintiles run through global_ntile: the only
+    single-partition exchange in the visible plan feeds the per-shard
+    OFFSET window (≤ shards rows, bounded by construction — the same
+    contract as detect_id_gaps' boundary summary); the customer-table
+    rank windows partition by the range-shard id. The two inner ntile
+    layers sit behind lazy localCheckpoints (their boundary-stable
+    sharding is exactly why the checkpoint exists), so the visible
+    segment is the outermost layer."""
+    from pyspark_ingestion_spark.plans.explain import single_partition_exchanges
+
+    df = _REGISTRY["rfm_segmentation"].fn(spark, sf_dir)
+    plan = formatted_plan(df)
+    assert single_partition_exchanges(df) == 1, plan
+    assert "hashpartitioning(__pid" in plan, plan
