@@ -29,19 +29,24 @@ def entry(spark: SparkSession) -> DataFrame:
     return q1_pricing_summary(spark, "/root/testdata/sf0.001")
 
 
-def _already_verified() -> set[str]:
-    """Query names with a green row in any prior CORRECTNESS_r*.json.
+def _verified_round() -> dict[str, int]:
+    """Map query name -> round of its NEWEST green CORRECTNESS_r*.json row.
 
     The driver verifies a bounded prefix of ``queries()`` per round (r01
-    stopped after the first 50 in iteration order), so we rotate: names
-    that already have driver-side proof are emitted last, never-checked
-    names first. Over rounds this converges to full driver coverage.
+    stopped after the first 50 in iteration order), so we rotate.  With
+    the full registry now verified at least once (r1-r4: 194/194), the
+    best use of the 50-slot budget is re-proving the *stalest* greens on
+    today's code: never-checked names first (they need a first proof),
+    then verified names ordered least-recently-verified-first.
     """
     import glob
     import json
+    import re
 
-    verified: set[str] = set()
+    newest: dict[str, int] = {}
     for path in glob.glob(os.path.join(_REPO_ROOT, "CORRECTNESS_r*.json")):
+        m = re.search(r"CORRECTNESS_r(\d+)\.json$", path)
+        rnd = int(m.group(1)) if m else 0
         try:
             with open(path) as f:
                 rows = json.load(f)
@@ -55,8 +60,8 @@ def _already_verified() -> set[str]:
             if row.get("hash_match") is True or (
                 row.get("err") == "no_oracle" and row.get("spark_rows") is not None
             ):
-                verified.add(name)
-    return verified
+                newest[name] = max(newest.get(name, 0), rnd)
+    return newest
 
 
 def _priority(name: str) -> tuple:
@@ -86,9 +91,11 @@ def _ordered_names() -> list[str]:
     from pyspark_ingestion_spark.queries import all_queries
 
     names = sorted(all_queries())
-    done = _already_verified()
+    done = _verified_round()
     unchecked = sorted((n for n in names if n not in done), key=_priority)
-    return unchecked + [n for n in names if n in done]
+    # least-recently-verified-first: retire the oldest proofs each round
+    stale_first = sorted((n for n in names if n in done), key=lambda n: (done[n], n))
+    return unchecked + stale_first
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
