@@ -274,8 +274,15 @@ def global_ntile(
     """
     if n <= 0:
         raise ValueError(f"n must be positive, got {n}")
+    n = int(n)
     spark = df.sparkSession
-    shards = int(shards or spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    if shards:
+        shards = int(shards)
+    else:
+        try:
+            shards = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+        except ValueError:  # platforms set this to e.g. "auto"
+            shards = spark.sparkContext.defaultParallelism
     cols = [F.col(c) if isinstance(c, str) else c for c in order_cols]
     ranged = df.repartitionByRange(shards, *cols).withColumn(
         "__pid", F.spark_partition_id()
@@ -294,17 +301,20 @@ def global_ntile(
         F.coalesce(F.sum("__cnt").over(w_pre), F.lit(0)).alias("__off"),
         F.sum("__cnt").over(w_all).alias("__total"),
     )
-    rank = F.col("__off") + F.col("__rn")
-    q = (F.col("__total") / n).cast("long")          # floor: totals are non-negative
-    r = F.col("__total") % n
-    big = r * (q + 1)                                 # rows living in the larger buckets
-    q_safe = F.greatest(q, F.lit(1))                  # q=0 ⇒ every rank is in `big`
-    tile = (
-        F.when(rank <= big, ((rank - 1) / (q + 1)).cast("long") + 1)
-        .otherwise(r + ((rank - big - 1) / q_safe).cast("long") + 1)
-    ).cast("int")
+    # all tile arithmetic in LONG integer ops (`DIV`, `%`, `*`): Spark's
+    # `/` on longs yields double, which is exact only below 2^53 — DIV
+    # keeps the bit-identical-to-F.ntile guarantee at any row count
+    q = f"(__total DIV {n})"                          # floor: totals are non-negative
+    r = f"(__total % {n})"
+    big = f"({r} * ({q} + 1))"                        # rows living in the larger buckets
+    q_safe = f"GREATEST({q}, 1L)"                     # q=0 ⇒ every rank is in `big`
+    tile = F.expr(
+        f"CAST(CASE WHEN __rank <= {big} THEN (__rank - 1) DIV ({q} + 1) + 1 "
+        f"ELSE {r} + (__rank - {big} - 1) DIV {q_safe} + 1 END AS INT)"
+    )
     return (
         t.join(F.broadcast(offs), "__pid")
+        .withColumn("__rank", F.col("__off") + F.col("__rn"))
         .withColumn(out_col, tile)
-        .drop("__pid", "__rn", "__off", "__total")
+        .drop("__pid", "__rn", "__off", "__total", "__rank")
     )

@@ -154,6 +154,7 @@ def ivf_topk(
     query_id_col: str = "query_id",
     centroids: DataFrame | None = None,
     nprobe: int = 1,
+    preassigned: bool = False,
 ) -> DataFrame:
     """IVF-style ANN: coarse-quantize the corpus into centroid cells, then
     score each query only against its probed cell(s).
@@ -177,12 +178,27 @@ def ivf_topk(
     # a corpus that already carries its cell assignment (the production
     # layout: cells are computed ONCE per centroid generation at ingest
     # and stored as a column / partition key) skips the per-call
-    # assignment pass — measured 18.7 s → 0.77 s at 100k vectors (SCALING.md)
-    c = (
-        corpus
-        if "cell" in corpus.columns
-        else assign_ivf_cells(corpus, centroids, id_col, vec_col)
-    )
+    # assignment pass — measured 18.7 s → 0.77 s at 100k vectors
+    # (SCALING.md). The fast path is OPT-IN (``preassigned=True``), never
+    # inferred from a column named 'cell': a stale assignment from an
+    # older centroid generation, or a multi-row nprobe>1 assignment,
+    # would silently return wrong/duplicated neighbors. The caller owns
+    # the only fact that matters — that the column was produced by
+    # assign_ivf_cells(nprobe=1) against THESE centroids — so the
+    # contract is explicit rather than guessed.
+    if preassigned:
+        if "cell" not in corpus.columns:
+            raise ValueError("preassigned=True requires a 'cell' column "
+                             "(from assign_ivf_cells with nprobe=1)")
+        c = corpus
+    else:
+        if "cell" in corpus.columns:
+            raise ValueError(
+                "corpus already has a 'cell' column; pass preassigned=True to "
+                "use it (it must come from assign_ivf_cells(nprobe=1) against "
+                "the SAME centroids) or drop the column for fresh assignment"
+            )
+        c = assign_ivf_cells(corpus, centroids, id_col, vec_col)
     q = assign_ivf_cells(queries, centroids, query_id_col, vec_col, nprobe=nprobe).select(
         query_id_col, F.col(vec_col).alias("__qvec"), "cell"
     )

@@ -176,7 +176,7 @@ def test_ivf_preassigned_cells_identical(spark, sf_dir):
     fresh = ivf_topk(e, queries, k=3, centroids=cents, nprobe=2)
     pre = ivf_topk(
         assign_ivf_cells(e, cents, "vec_id", "embedding"),
-        queries, k=3, centroids=cents, nprobe=2,
+        queries, k=3, centroids=cents, nprobe=2, preassigned=True,
     )
     rows = lambda df: sorted(tuple(r) for r in df.collect())  # noqa: E731
     assert rows(fresh) == rows(pre)
@@ -220,3 +220,23 @@ def test_embedding_batch_rejects_planted_dup(spark):
     assert got[100]["best_sim"] == 1.0
     assert got[100]["best_match_id"] == 1      # sim tie impossible; exact dup wins
     assert got[100]["n_matches"] >= 2          # corpus 1, 2 and (cos>0.9) 3 share the bucket
+
+
+def test_ivf_preassigned_is_explicit(spark, sf_dir):
+    """A corpus carrying a 'cell' column is never silently trusted: the
+    fast path requires preassigned=True, and preassigned=True requires
+    the column (ADVICE r4 — stale assignments must not pass silently)."""
+    import pytest
+
+    from pyspark_ingestion_spark.operators.similarity import ivf_topk
+    from pyspark_ingestion_spark.sources.readers import load_table
+
+    e = load_table(spark, sf_dir, "embeddings")
+    queries = e.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    stale = e.withColumn("cell", F.lit(0))
+    with pytest.raises(ValueError, match="preassigned=True"):
+        ivf_topk(stale, queries, k=3, n_centroids=4)
+    with pytest.raises(ValueError, match="'cell' column"):
+        ivf_topk(e, queries, k=3, n_centroids=4, preassigned=True)

@@ -72,7 +72,7 @@ def main():
     print(f"corpus cell assignment (one-off at ingest): {time.perf_counter()-t0:.1f}s",
           flush=True)
     tiers.append(run("trained IVF nprobe=1, pre-assigned corpus",
-                     lambda: ivf_topk(e_cells, queries, k=5, centroids=cents, nprobe=1)))
+                     lambda: ivf_topk(e_cells, queries, k=5, centroids=cents, nprobe=1, preassigned=True)))
 
     n_truth = truth.count()
     for label, res, dt in tiers:
