@@ -22,7 +22,7 @@ materialized because candidates must collide on a key first.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from pyspark_ingestion_spark.functions.text import fingerprint, word_shingles, words
@@ -926,3 +926,153 @@ def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = 16) -> DataFr
         term = F.when(F.col(f"s{b}") > 0, F.lit(2**b)).otherwise(F.lit(0))
         sig = term if sig is None else sig + term
     return agg.select("doc", sig.cast("long").alias("simhash"))
+
+
+def substring_window_table(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int,
+    sample_mod: int | None = None,
+) -> DataFrame:
+    """(doc, pos, wh): 60-bit fingerprint of the k-char window at every
+    1-based char position — the dense Rabin-Karp-style window table of
+    exact-substring dedup (cf. the suffix-array pass training pipelines
+    run next to shingle Jaccard; this is its hash-join reformulation).
+
+    wh = first 15 md5 hex digits as a long (portable integer arithmetic,
+    like the minhash/rolling-hash fingerprints). One row per char
+    position is the honest cost of char-granular matching — linear in
+    corpus bytes, never quadratic. For the 100 TB path set
+    ``sample_mod``: keep only windows with ``wh % sample_mod == 0`` —
+    CONTENT-defined sampling, so two docs sharing a long substring keep
+    the same sampled windows regardless of alignment (a fixed-stride
+    sample would miss matches at unlucky offsets); expected rows shrink
+    ×sample_mod, and any shared substring of length ≥ k + c·sample_mod
+    still collides with probability ≈ 1 - e^-c.
+    """
+    t = F.col(text_col)
+    w = df.select(F.col(id_col).alias("doc"), t.alias("__t"))
+    positions = F.when(
+        F.length("__t") >= k, F.sequence(F.lit(1), F.length("__t") - k + 1)
+    ).otherwise(F.array().cast("array<int>"))
+    win = F.substring(F.col("__t"), F.col("pos"), F.lit(k))
+    wt = (
+        w.withColumn("pos", F.explode(positions))
+        .select(
+            "doc",
+            F.col("pos").cast("long").alias("pos"),
+            F.conv(F.substring(F.md5(win), 1, 15), 16, 10).cast("long").alias("wh"),
+        )
+    )
+    if sample_mod is not None:
+        if sample_mod < 1:
+            raise ValueError(f"sample_mod must be >= 1, got {sample_mod}")
+        wt = wt.filter(F.col("wh") % sample_mod == 0)
+    return wt
+
+
+def repeated_substring_spans(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 20,
+    max_window_df: int | None = 10,
+    sample_mod: int | None = None,
+    min_len: int | None = None,
+) -> DataFrame:
+    """Maximal cross-document repeated substrings of length ≥ k.
+
+    Three phases, the LSH discipline throughout (candidates must collide
+    on a key first — no all-pairs):
+
+    1. window fingerprints (``substring_window_table``), with a
+       document-frequency cap: window hashes appearing in more than
+       ``max_window_df`` docs are boilerplate (the hot-shingle analogue;
+       their pair space is quadratic) and are dropped via broadcast
+       anti-join before the self-join.
+    2. hash-equi-join across docs (doc_a < doc_b), then EXACT verify:
+       both window strings are re-extracted from the two texts by
+       position and compared — a 60-bit collision can propose a
+       candidate but never a span, so the output is hash-free exact.
+    3. span assembly: matching positions on the same alignment diagonal
+       (pos_a − pos_b) with consecutive pos_a form one maximal shared
+       substring; the islands trick (pos_a − row_number over the
+       diagonal) groups them without a per-pair loop. Span length =
+       run_length + k − 1.
+
+    Returns (doc_a, doc_b, pos_a, pos_b, length) — one row per maximal
+    shared span, 1-based positions. With ``sample_mod`` set, spans
+    degrade to the sampled windows only (start/length become
+    approximate; pair detection stays reliable for substrings ≥
+    k + c·sample_mod). ``min_len`` filters short spans after assembly.
+    """
+    wt = substring_window_table(df, id_col, text_col, k, sample_mod)
+    if max_window_df is not None:
+        hot = (
+            wt.groupBy("wh")
+            .agg(F.count_distinct("doc").alias("__df"))
+            .filter(F.col("__df") > max_window_df)
+            .select("wh")
+        )
+        wt = wt.join(F.broadcast(hot), "wh", "left_anti")
+    a = wt.select(F.col("doc").alias("doc_a"), F.col("pos").alias("pos_a"), "wh")
+    b = wt.select(F.col("doc").alias("doc_b"), F.col("pos").alias("pos_b"), "wh")
+    cand = a.join(b, "wh").filter(F.col("doc_a") < F.col("doc_b"))
+
+    texts = df.select(F.col(id_col).alias("__tid"), F.col(text_col).alias("__text"))
+    ta = texts.select(F.col("__tid").alias("doc_a"), F.col("__text").alias("__text_a"))
+    tb = texts.select(F.col("__tid").alias("doc_b"), F.col("__text").alias("__text_b"))
+    verified = (
+        cand.join(ta, "doc_a")
+        .join(tb, "doc_b")
+        .filter(
+            F.substring(F.col("__text_a"), F.col("pos_a").cast("int"), F.lit(k))
+            == F.substring(F.col("__text_b"), F.col("pos_b").cast("int"), F.lit(k))
+        )
+        .select("doc_a", "doc_b", "pos_a", "pos_b")
+    )
+
+    diag = (F.col("pos_a") - F.col("pos_b")).alias("__diag")
+    w_run = Window.partitionBy("doc_a", "doc_b", "__diag").orderBy("pos_a")
+    runs = verified.select("doc_a", "doc_b", "pos_a", "pos_b", diag).withColumn(
+        "__isl", F.col("pos_a") - F.row_number().over(w_run)
+    )
+    spans = runs.groupBy("doc_a", "doc_b", "__diag", "__isl").agg(
+        F.min("pos_a").alias("pos_a"),
+        F.min("pos_b").alias("pos_b"),
+        (F.max("pos_a") - F.min("pos_a") + k).alias("length"),
+    ).select("doc_a", "doc_b", "pos_a", "pos_b", "length")
+    if min_len is not None:
+        spans = spans.filter(F.col("length") >= min_len)
+    return spans
+
+
+def repeated_substring_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 20,
+    max_window_df: int | None = 10,
+    sample_mod: int | None = None,
+    min_len: int | None = None,
+) -> DataFrame:
+    """Pair-level rollup of ``repeated_substring_spans``: per (doc_a,
+    doc_b), how many maximal shared substrings, the longest one, and the
+    total shared span chars (overlap-free along each diagonal by
+    construction; diagonals can overlap each other in text space, so
+    ``shared_chars`` is an upper bound on unique shared characters).
+    The dedup-actionable view: feed ``max_len``-thresholded pairs into
+    ``connected_components`` to form removal clusters.
+    """
+    return (
+        repeated_substring_spans(
+            df, id_col, text_col, k, max_window_df, sample_mod, min_len
+        )
+        .groupBy("doc_a", "doc_b")
+        .agg(
+            F.count(F.lit(1)).alias("n_spans"),
+            F.max("length").alias("max_len"),
+            F.sum("length").alias("shared_chars"),
+        )
+    )

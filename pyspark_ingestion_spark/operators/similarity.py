@@ -461,3 +461,285 @@ def sign_bits_for(corpus_rows: int, target_bucket_pop: int = 500,
         raise ValueError(f"corpus_rows must be positive, got {corpus_rows}")
     bits = math.ceil(math.log2(max(1.0, corpus_rows / target_bucket_pop)))
     return max(min_bits, min(max_bits, bits))
+
+
+def pq_codebooks(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_sub: int = 8,
+    k_codes: int = 16,
+    seed: int = 42,
+    sample_fraction: float | None = None,
+) -> DataFrame:
+    """Train product-quantization codebooks: per subvector position ``m``
+    (the vector split into ``n_sub`` contiguous chunks), a KMeans
+    codebook of ``k_codes`` centroids over the corpus's m-th subvectors.
+
+    The memory tier BELOW int8 scalar quantization: a D-dim float vector
+    becomes ``n_sub`` byte-sized codes (64-dim float32 = 256 B → 8 B at
+    the defaults), the compression that lets a 100 TB vector corpus keep
+    its searchable representation in cluster RAM. Like
+    ``kmeans_centroids``: train once per corpus generation on a seeded
+    md5 hash-sample (``sample_fraction``), persist the (tiny,
+    n_sub × k_codes rows) codebook table, broadcast it everywhere else.
+
+    Returns (m, code_id, subvec). Requires dim % n_sub == 0.
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    train = corpus
+    if sample_fraction is not None:
+        if not 0.0 < sample_fraction <= 1.0:
+            raise ValueError(f"sample_fraction must be in (0, 1], got {sample_fraction}")
+        den = 1_000_000
+        bucket = (
+            F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 7), 16, 10)
+            .cast("long") % den
+        )
+        train = corpus.filter(bucket < int(sample_fraction * den))
+    dim = train.select(F.size(F.col(vec_col)).alias("d")).first()["d"]
+    if dim is None or dim % n_sub:
+        raise ValueError(f"vector dim {dim} not divisible by n_sub={n_sub}")
+    d_sub = dim // n_sub
+    rows = []
+    for m in range(n_sub):
+        feats = train.select(
+            array_to_vector(
+                F.slice(F.col(vec_col).cast("array<double>"), m * d_sub + 1, d_sub)
+            ).alias("__feat")
+        )
+        model = KMeans(k=k_codes, seed=seed + m, featuresCol="__feat").fit(feats)
+        rows.extend(
+            (m, ci, [float(x) for x in c])
+            for ci, c in enumerate(model.clusterCenters())
+        )
+    return corpus.sparkSession.createDataFrame(
+        rows, "m int, code_id int, subvec array<double>"
+    )
+
+
+def pq_encode(
+    df: DataFrame,
+    codebooks: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_sub: int = 8,
+) -> DataFrame:
+    """Encode vectors against PQ codebooks → (id, codes array<int>).
+
+    Per subvector: nearest codebook entry under L2. Row-local explode to
+    (id, m, subvec), broadcast join on ``m`` (the big side never
+    shuffles for the codebooks), argmin via the struct-max idiom
+    (2·s·c − |c|² maximized ⟺ L2 minimized; |s|² is constant per
+    (id, m)), lowest code_id on ties — deterministic. Two hash
+    aggregations on the id reassemble the code array. Encode is an
+    ingest-time one-off per centroid/codebook generation, exactly like
+    ``assign_ivf_cells`` — store the codes column next to the corpus.
+    """
+    d_sub = (F.size(F.col(vec_col)) / n_sub).cast("int")
+    sub = df.select(
+        F.col(id_col),
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(m).alias("m"),
+                    F.slice(
+                        F.col(vec_col).cast("array<double>"), m * d_sub + 1, d_sub
+                    ).alias("__sv"),
+                )
+                for m in range(n_sub)
+            ])
+        ).alias("s"),
+    ).select(id_col, F.col("s.m").alias("m"), F.col("s.__sv").alias("__sv"))
+    scored = sub.join(F.broadcast(codebooks), "m").select(
+        F.col(id_col),
+        "m",
+        F.struct(
+            (
+                2.0 * dot_product("__sv", "subvec") - dot_product("subvec", "subvec")
+            ).alias("s"),
+            (-F.col("code_id")).alias("n"),
+        ).alias("__sc"),
+    )
+    best = scored.groupBy(id_col, "m").agg((-F.max("__sc")["n"]).cast("int").alias("code"))
+    return best.groupBy(id_col).agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("m", "code"))), lambda s: s["code"]
+        ).alias("codes")
+    )
+
+
+def ivf_pq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    centroids: DataFrame,
+    codebooks: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    query_id_col: str = "query_id",
+    nprobe: int = 1,
+    n_sub: int = 8,
+    k_codes: int = 16,
+    preassigned: bool = False,
+    rerank: int | None = None,
+) -> DataFrame:
+    """IVF-PQ ANN: IVF cells prune the candidate space, PQ codes replace
+    the vectors at scoring time — asymmetric distance computation (ADC).
+
+    Per query, a lookup table over the (broadcast) codebooks:
+    ``pdot[m][c] = q_m · codebook[m][c]`` and ``psq[m][c] =
+    |codebook[m][c]|²``; a candidate's cosine is then approximated from
+    its codes alone — Σ_m pdot[m][code_m] over (|q| · √Σ_m
+    psq[m][code_m]) — i.e. cosine against the PQ *reconstruction*,
+    without touching the original vector. n_sub array lookups per
+    candidate instead of a D-term dot product, and the corpus's scoring
+    representation is n_sub small ints per vector.
+
+    100 TB shape: cells + codes are precomputed at ingest (one pass,
+    stored as columns); a query batch broadcasts (nprobe rows × a
+    n_sub·k_codes LUT each); the corpus partition-local-scans only its
+    probed cells.
+
+    ``rerank`` (candidate pool size > k) adds the standard exact re-rank
+    stage: PQ picks the top-``rerank`` candidates per query, their TRUE
+    vectors are fetched (broadcast of the queries×rerank candidate ids
+    into one more corpus scan — the corpus never shuffles) and rescored
+    with exact cosine. This is how production IVF-PQ recovers recall
+    lost to quantization error (measured at 100k vectors: 0.42 ADC-only
+    → see SCALING.md) while still only ever exact-scoring
+    queries×rerank vectors instead of queries×corpus.
+
+    Returns (query_id, neighbor_id, sim, rank); sim is the rounded ADC
+    cosine approximation (exact cosine when ``rerank`` is set).
+
+    ``preassigned=True`` takes the corpus's existing ``cell`` and
+    ``codes`` columns (the production ingest-time layout — both come
+    from ``assign_ivf_cells(nprobe=1)`` + ``pq_encode`` against THESE
+    centroids/codebooks); same explicit opt-in contract as
+    ``ivf_topk`` — never inferred from column presence.
+    """
+    if preassigned:
+        missing = {"cell", "codes"} - set(corpus.columns)
+        if missing:
+            raise ValueError(
+                f"preassigned=True requires 'cell' and 'codes' columns, missing {sorted(missing)}"
+            )
+        corpus_pq = corpus.select(id_col, "cell", "codes")
+    else:
+        stale = {"cell", "codes"} & set(corpus.columns)
+        if stale:
+            raise ValueError(
+                f"corpus already has {sorted(stale)}; pass preassigned=True to use "
+                "them (they must come from assign_ivf_cells(nprobe=1) + pq_encode "
+                "against the SAME centroids/codebooks) or drop them"
+            )
+        cells = assign_ivf_cells(corpus, centroids, id_col, vec_col).select(
+            id_col, "cell"
+        )
+        codes = pq_encode(corpus, codebooks, id_col, vec_col, n_sub)
+        corpus_pq = cells.join(codes, id_col)
+
+    q = queries.select(
+        F.col(query_id_col),
+        F.col(vec_col).cast("array<double>").alias("__qvec"),
+        l2_norm(vec_col).alias("__qnorm"),
+    )
+    d_sub = (F.size(F.col("__qvec")) / n_sub).cast("int")
+    pdot = dot_product(
+        F.slice(F.col("__qvec"), F.col("m") * d_sub + 1, d_sub), F.col("subvec")
+    )
+    psq = dot_product("subvec", "subvec")
+    # flat LUT in (m, code_id) order: entry index = m·k_codes + code
+    lut = (
+        q.crossJoin(F.broadcast(codebooks))
+        .select(
+            query_id_col,
+            "__qnorm",
+            F.struct("m", "code_id", pdot.alias("pdot"), psq.alias("psq")).alias("e"),
+        )
+        .groupBy(query_id_col)
+        .agg(
+            F.min("__qnorm").alias("__qnorm"),
+            F.transform(
+                F.array_sort(F.collect_list("e")),
+                lambda e: F.struct(e["pdot"].alias("pdot"), e["psq"].alias("psq")),
+            ).alias("__lut"),
+        )
+    )
+    probes = assign_ivf_cells(
+        q.select(query_id_col, F.col("__qvec").alias(vec_col)),
+        centroids,
+        query_id_col,
+        vec_col,
+        nprobe=nprobe,
+    ).select(query_id_col, "cell")
+    qside = lut.join(probes, query_id_col)
+
+    acc = F.aggregate(
+        F.sequence(F.lit(0), F.lit(n_sub - 1)),
+        F.struct(F.lit(0.0).alias("dot"), F.lit(0.0).alias("sq")),
+        lambda a, mi: F.struct(
+            (
+                a["dot"]
+                + F.get(F.col("__lut"), mi * k_codes + F.get(F.col("codes"), mi))["pdot"]
+            ).alias("dot"),
+            (
+                a["sq"]
+                + F.get(F.col("__lut"), mi * k_codes + F.get(F.col("codes"), mi))["psq"]
+            ).alias("sq"),
+        ),
+    )
+    denom = F.col("__qnorm") * F.sqrt(F.col("__acc")["sq"])
+    scored = (
+        corpus_pq.join(F.broadcast(qside), "cell")
+        .withColumn("__acc", acc)
+        .select(
+            F.col(query_id_col),
+            F.col(id_col).alias("neighbor_id"),
+            F.round(
+                F.when(denom != 0, F.col("__acc")["dot"] / denom), 6
+            ).alias("sim"),
+        )
+    )
+    if rerank is None:
+        return topk_per_group(
+            scored,
+            group_cols=[query_id_col],
+            order_cols=[F.desc("sim"), F.asc("neighbor_id")],
+            k=k,
+            keep_rank=True,
+            rank_col="rank",
+        )
+    if rerank < k:
+        raise ValueError(f"rerank pool ({rerank}) must be >= k ({k})")
+    if vec_col not in corpus.columns:
+        raise ValueError(f"rerank needs the true vectors: corpus lacks '{vec_col}'")
+    cands = topk_per_group(
+        scored,
+        group_cols=[query_id_col],
+        order_cols=[F.desc("sim"), F.asc("neighbor_id")],
+        k=rerank,
+    ).select(query_id_col, "neighbor_id")
+    truevecs = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__nvec")
+    )
+    exact = (
+        truevecs.join(F.broadcast(cands), "neighbor_id")
+        .join(F.broadcast(q.select(query_id_col, "__qvec")), query_id_col)
+        .select(
+            query_id_col,
+            "neighbor_id",
+            F.round(cosine_similarity("__nvec", "__qvec"), 6).alias("sim"),
+        )
+    )
+    return topk_per_group(
+        exact,
+        group_cols=[query_id_col],
+        order_cols=[F.desc("sim"), F.asc("neighbor_id")],
+        k=k,
+        keep_rank=True,
+        rank_col="rank",
+    )

@@ -750,6 +750,79 @@ def doc_rolling_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select("doc_id", rolling_hash("text").alias("rhash"))
 
 
+#: shared window/candidate CTEs of the exact-substring oracles (k=20,
+#: window df-cap 10). The SQL mirror joins on the window STRING; the
+#: Spark operator joins on a 60-bit md5 fingerprint then verifies the
+#: actual substrings — identical output because verification removes
+#: any hash collision. The cap is mirrored on the fingerprint exactly
+#: (('0x'||substr(md5,1,15))::UBIGINT ≡ Spark conv(substr(md5,1,15),16,10)).
+_SUBSTR_MATCHES = r"""
+    w AS (
+      SELECT doc_id AS doc, i AS pos, substr(text, i::INT, 20) AS win
+      FROM (SELECT doc_id, text,
+                   unnest(generate_series(1, greatest(length(text)-20+1, 0))) AS i
+            FROM documents)
+    ),
+    hot AS (SELECT ('0x' || substr(md5(win),1,15))::UBIGINT::BIGINT AS wh
+            FROM (SELECT win, count(DISTINCT doc) AS d FROM w GROUP BY win)
+            WHERE d > 10),
+    wf AS (SELECT doc, pos, win FROM
+             (SELECT *, ('0x' || substr(md5(win),1,15))::UBIGINT::BIGINT AS wh FROM w)
+           ANTI JOIN hot USING (wh)),
+    m AS (SELECT a.doc AS doc_a, b.doc AS doc_b, a.pos AS pos_a, b.pos AS pos_b
+          FROM wf a JOIN wf b ON a.win = b.win AND a.doc < b.doc),
+    r AS (SELECT *, pos_a - pos_b AS diag,
+                 pos_a - row_number() OVER (PARTITION BY doc_a, doc_b, pos_a - pos_b
+                                            ORDER BY pos_a) AS isl
+          FROM m)
+"""
+
+
+@query(
+    "dedup_substring_spans",
+    oracle=f"""
+    WITH {_SUBSTR_MATCHES}
+    SELECT doc_a, doc_b, min(pos_a) AS pos_a, min(pos_b) AS pos_b,
+           max(pos_a) - min(pos_a) + 20 AS length
+    FROM r GROUP BY doc_a, doc_b, diag, isl
+    """,
+)
+def dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal cross-document repeated substrings (k=20 char windows,
+    window-df cap 10) — the exact-substring dedup pass training
+    pipelines run alongside shingle Jaccard, as a fingerprint hash-join
+    + exact span verify instead of a suffix array (operator:
+    ``operators/dedup.repeated_substring_spans``). Output is one row per
+    maximal shared span with 1-based positions and char length."""
+    from pyspark_ingestion_spark.operators.dedup import repeated_substring_spans
+
+    d = load_table(spark, sf_dir, "documents")
+    return repeated_substring_spans(d, "doc_id", "text", k=20, max_window_df=10)
+
+
+@query(
+    "dedup_substring_pairs",
+    oracle=f"""
+    WITH {_SUBSTR_MATCHES},
+    spans AS (
+      SELECT doc_a, doc_b, max(pos_a) - min(pos_a) + 20 AS length
+      FROM r GROUP BY doc_a, doc_b, diag, isl)
+    SELECT doc_a, doc_b, count(*) AS n_spans, max(length) AS max_len,
+           sum(length) AS shared_chars
+    FROM spans GROUP BY doc_a, doc_b
+    """,
+)
+def dedup_substring_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pair-level rollup of the exact-substring spans: per document pair
+    the span count, the longest shared substring, and total shared span
+    chars — the dedup-actionable view (threshold on max_len, close pairs
+    into clusters with ``connected_components``)."""
+    from pyspark_ingestion_spark.operators.dedup import repeated_substring_pairs
+
+    d = load_table(spark, sf_dir, "documents")
+    return repeated_substring_pairs(d, "doc_id", "text", k=20, max_window_df=10)
+
+
 _IVF_ASSIGN = """
     c AS (SELECT vec_id AS cid, embedding::DOUBLE[] AS cv
           FROM embeddings WHERE vec_id < 8),
@@ -871,6 +944,35 @@ def ann_ivf_kmeans_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     cents = kmeans_centroids(e, n_centroids=16, seed=42)
     return ivf_topk(e, queries, k=5, centroids=cents, nprobe=8)
+
+
+@query("ann_ivf_pq_topk", oracle=None)
+def ann_ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ: trained IVF cells + product-quantization codes, asymmetric
+    distance scoring — the memory tier of the ANN ladder (a 64-dim
+    float32 vector's scoring representation shrinks 256 B → 16 codes).
+
+    No SQL oracle — both KMeans stages are untrainable in SQL — so the
+    driver records a rows-only check; determinism (fixed seeds) and
+    recall@5 ≥ the sign-bucket tier vs ``brute_force_topk`` ground truth
+    are pinned in tests/test_similarity.py, and the measured tier ladder
+    row (recall + runtime at 100k vectors) lives in SCALING.md.
+    """
+    from pyspark_ingestion_spark.operators.similarity import (
+        ivf_pq_topk,
+        kmeans_centroids,
+        pq_codebooks,
+    )
+
+    e = load_table(spark, sf_dir, "embeddings")
+    queries = e.filter(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    cents = kmeans_centroids(e, n_centroids=16, seed=42)
+    cb = pq_codebooks(e, n_sub=16, k_codes=32, seed=42)
+    return ivf_pq_topk(
+        e, queries, cents, cb, k=5, nprobe=8, n_sub=16, k_codes=32, rerank=20
+    )
 
 
 @query(

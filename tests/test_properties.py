@@ -1254,3 +1254,80 @@ def test_shingle_persist_size_gate_skips_large_inputs(spark, sf_dir):
         assert _n_persistent_rdds(spark) == before
     finally:
         spark.conf.unset(dedup.SHINGLE_PERSIST_CONF)
+
+
+def test_substring_spans_planted_and_disjoint(spark):
+    """Exact-substring dedup: docs over pairwise-disjoint alphabets share
+    no windows, so no pairs; after planting one 60-char substring into
+    two of them (at different offsets), exactly that pair appears, with
+    exactly the planted span (maximal run assembly recovers the full
+    60 chars, not just k-sized fragments)."""
+    import random
+
+    from pyspark_ingestion_spark.operators.dedup import (
+        repeated_substring_pairs,
+        repeated_substring_spans,
+    )
+
+    rng = random.Random(7)
+    alphabets = ["ab", "cd", "ef", "gh"]
+    texts = ["".join(rng.choice(a) for _ in range(200)) for a in alphabets]
+    df = spark.createDataFrame(
+        list(enumerate(texts)), "doc_id int, text string"
+    )
+    assert repeated_substring_spans(df, "doc_id", "text", k=20,
+                                    max_window_df=None).count() == 0
+
+    plant = "".join(rng.choice("z9") for _ in range(60))
+    texts[1] = texts[1][:50] + plant + texts[1][50:]
+    texts[3] = texts[3][:120] + plant + texts[3][120:]
+    df2 = spark.createDataFrame(
+        list(enumerate(texts)), "doc_id int, text string"
+    )
+    spans = repeated_substring_spans(df2, "doc_id", "text", k=20,
+                                     max_window_df=None).collect()
+    assert len(spans) == 1, spans
+    s = spans[0]
+    assert (s["doc_a"], s["doc_b"]) == (1, 3)
+    assert (s["pos_a"], s["pos_b"], s["length"]) == (51, 121, 60), tuple(s)
+
+    pairs = repeated_substring_pairs(df2, "doc_id", "text", k=20,
+                                     max_window_df=None).collect()
+    assert len(pairs) == 1
+    assert (pairs[0]["doc_a"], pairs[0]["doc_b"], pairs[0]["n_spans"],
+            pairs[0]["max_len"]) == (1, 3, 1, 60)
+
+
+def test_substring_sampling_still_catches_long_plants(spark):
+    """Content-defined mod-sampling: with sample_mod=4 the window table
+    shrinks, yet a 200-char planted substring is still detected (same
+    pair, span inside the plant) — the alignment-free property a fixed
+    stride would not have."""
+    import random
+
+    from pyspark_ingestion_spark.operators.dedup import (
+        repeated_substring_spans,
+        substring_window_table,
+    )
+
+    rng = random.Random(11)
+    plant = "".join(rng.choice("z9x8") for _ in range(200))
+    texts = [
+        "".join(rng.choice("ab") for _ in range(100)) + plant
+        + "".join(rng.choice("ab") for _ in range(100)),
+        "".join(rng.choice("cd") for _ in range(37)) + plant
+        + "".join(rng.choice("cd") for _ in range(150)),
+    ]
+    df = spark.createDataFrame(list(enumerate(texts)), "doc_id int, text string")
+    dense = substring_window_table(df, "doc_id", "text", k=20).count()
+    sampled = substring_window_table(df, "doc_id", "text", k=20, sample_mod=4).count()
+    assert sampled < dense / 2  # real sparsification (E[sampled] = dense/4)
+    spans = repeated_substring_spans(
+        df, "doc_id", "text", k=20, max_window_df=None, sample_mod=4
+    ).collect()
+    assert spans, "sampling lost a 200-char planted substring"
+    assert all((r["doc_a"], r["doc_b"]) == (0, 1) for r in spans)
+    # every reported span lies inside the planted region of both docs
+    for r in spans:
+        assert 101 <= r["pos_a"] and r["pos_a"] + r["length"] - 1 <= 300, tuple(r)
+        assert 38 <= r["pos_b"] and r["pos_b"] + r["length"] - 1 <= 237, tuple(r)

@@ -74,6 +74,32 @@ def main():
     tiers.append(run("trained IVF nprobe=1, pre-assigned corpus",
                      lambda: ivf_topk(e_cells, queries, k=5, centroids=cents, nprobe=1, preassigned=True)))
 
+    # IVF-PQ: codebook fit + corpus encode are one-offs at ingest; the
+    # query tier scores codes only (asymmetric distance), never vectors
+    from pyspark_ingestion_spark.operators.similarity import ivf_pq_topk, pq_codebooks, pq_encode
+    t0 = time.perf_counter()
+    cb = pq_codebooks(e, n_sub=16, k_codes=32, sample_fraction=0.1).persist()
+    cb.count()
+    print(f"pq codebook fit (16x32, 10% sample): {time.perf_counter()-t0:.1f}s  (one-off)",
+          flush=True)
+    t0 = time.perf_counter()
+    e_pq = e_cells.select("vec_id", "cell").join(
+        pq_encode(e, cb, n_sub=16), "vec_id").persist()
+    e_pq.count()
+    print(f"pq corpus encode (one-off at ingest): {time.perf_counter()-t0:.1f}s", flush=True)
+    for nprobe in (4, 16):
+        tiers.append(run(f"IVF-PQ (64 cells, 16x32 codes, nprobe={nprobe})",
+                         lambda np=nprobe: ivf_pq_topk(
+                             e_pq, queries, cents, cb, k=5, nprobe=np,
+                             n_sub=16, k_codes=32, preassigned=True)))
+    # exact re-rank over the PQ candidate pool: the production recall fix
+    e_pq_v = e_pq.join(e, "vec_id").persist()
+    e_pq_v.count()
+    tiers.append(run("IVF-PQ nprobe=16 + exact rerank(50)",
+                     lambda: ivf_pq_topk(
+                         e_pq_v, queries, cents, cb, k=5, nprobe=16,
+                         n_sub=16, k_codes=32, preassigned=True, rerank=50)))
+
     n_truth = truth.count()
     for label, res, dt in tiers:
         hits = truth.join(res, ["query_id", "neighbor_id"]).count()
