@@ -10,11 +10,15 @@ the binary column is projected only into the decode stage.
 What's real vs stubbed, stated plainly: header-metadata decode
 (dimensions / frame counts for PNG, GIF, BMP, JPEG, WAV) is REAL —
 pure byte parsing in ``_decode_real``, tested on handcrafted files.
-Pixel-level decode, resampling and learned feature extraction need
-codec/model runtimes this container lacks, so those remain stubbed
-behind ``NotImplementedError`` (clearly marked); the deterministic
-fake path exercises the exact same schema, partitioning, UDF signature
-and batch shape, so the codec swap stays a one-function change.
+PIXEL/SAMPLE level is REAL for the codec-free containers: uncompressed
+24/32-bit BMP pixel rows and 8/16-bit PCM WAV frames are plain byte
+slices, decoded by ``media_signal_features`` into oracle-checked
+luma/RMS statistics (round-5). What remains stubbed behind
+``NotImplementedError``: compressed-codec pixels (PNG/JPEG/GIF) and
+LEARNED feature extraction, which need codec/model runtimes this
+container lacks; the deterministic fake path exercises the exact same
+schema, partitioning, UDF signature and batch shape, so the codec swap
+stays a one-function change.
 """
 
 from __future__ import annotations
@@ -237,4 +241,213 @@ def resize_media(decoded: DataFrame, max_width: int = 64) -> DataFrame:
         .alias("height"),
         scale_num.cast("int").alias("scale_num"),
         scale_den.cast("int").alias("scale_den"),
+    )
+
+
+# ------------------------------------------------- codec-free real decode
+#
+# BMP pixel rows and WAV PCM frames are raw byte slices — no codec
+# needed — so for these two containers the pixel/sample level is REAL
+# computation, shrinking the NotImplementedError surface to compressed
+# codecs (PNG/JPEG/GIF pixels) only.
+
+#: schema of pixel/sample signal statistics (media_signal_features)
+SIGNAL_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("container", T.StringType()),
+        T.StructField("n_values", T.LongType()),
+        T.StructField("mean_val", T.DoubleType()),
+        T.StructField("rms", T.DoubleType()),
+    ]
+)
+
+
+def _bmp_luma_millis(payload: bytes) -> list[int]:
+    """REAL pixel decode for uncompressed 24/32-bit BMP: per-pixel ITU-R
+    BT.601 luma in integer millis (299·R + 587·G + 114·B) — integer so
+    downstream statistics are bit-reproducible across engines.
+
+    Walks the actual pixel array (data offset from the file header, row
+    stride = bpp·width padded to 4 bytes, bottom-up or top-down): these
+    are plain byte slices, which is exactly why BMP needs no codec.
+    """
+    import struct
+
+    if payload[:2] != b"BM":
+        raise ValueError("not a BMP payload")
+    (off,) = struct.unpack_from("<I", payload, 10)
+    w, h = struct.unpack_from("<ii", payload, 18)
+    _planes, bpp = struct.unpack_from("<HH", payload, 26)
+    (comp,) = struct.unpack_from("<I", payload, 30)
+    if comp != 0 or bpp not in (24, 32):
+        raise NotImplementedError(
+            f"only uncompressed 24/32-bit BMP pixels are decoded natively "
+            f"(got compression={comp}, bpp={bpp})"
+        )
+    h = abs(h)  # row order (bottom-up vs top-down) is irrelevant for stats
+    bypp = bpp // 8
+    stride = ((bpp * w + 31) // 32) * 4
+    lumas = []
+    for r in range(h):
+        base = off + r * stride
+        for c in range(w):
+            i = base + c * bypp
+            b, g, rr = payload[i], payload[i + 1], payload[i + 2]
+            lumas.append(299 * rr + 587 * g + 114 * b)
+    return lumas
+
+
+def _wav_sample_values(payload: bytes) -> list[int]:
+    """REAL sample decode for PCM WAV (8-bit unsigned → centered at 0,
+    16-bit signed little-endian): PCM frames are plain byte slices.
+    Multi-channel data decodes interleaved (stats are over all channels).
+    """
+    import struct
+
+    if not (payload[:4] == b"RIFF" and payload[8:12] == b"WAVE"):
+        raise ValueError("not a WAV payload")
+    pos = 12
+    fmt_code = bits = None
+    data = None
+    while pos + 8 <= len(payload):
+        cid = payload[pos : pos + 4]
+        (csz,) = struct.unpack_from("<I", payload, pos + 4)
+        if cid == b"fmt ":
+            fmt_code, _ch = struct.unpack_from("<HH", payload, pos + 8)
+            (bits,) = struct.unpack_from("<H", payload, pos + 22)
+        elif cid == b"data":
+            data = payload[pos + 8 : pos + 8 + csz]
+        pos += 8 + csz + (csz & 1)
+    if fmt_code is None or data is None:
+        raise ValueError("wav: missing fmt/data chunks")
+    if fmt_code != 1 or bits not in (8, 16):
+        raise NotImplementedError(
+            f"only 8/16-bit PCM WAV samples are decoded natively "
+            f"(got format={fmt_code}, bits={bits})"
+        )
+    if bits == 8:
+        return [b - 128 for b in data]
+    n = len(data) // 2
+    return list(struct.unpack_from(f"<{n}h", data))
+
+
+def media_signal_features(media: DataFrame) -> DataFrame:
+    """REAL pixel/sample statistics per media item, Arrow-batched:
+    (doc_id, container, n_values, mean_val, rms).
+
+    BMP → per-pixel BT.601 luma; WAV → PCM samples (8-bit centered).
+    Sums are exact int64 (luma millis ≤ 255 000 per pixel, squares
+    ≤ 6.5e10 — no overflow until ~10⁸ pixels per item) with ONE float
+    division at the end, so values hash identically against a SQL oracle
+    doing the same integer arithmetic. Compressed containers raise
+    NotImplementedError — the honest codec gate, now narrowed to
+    formats that genuinely need a codec runtime.
+    """
+    import math
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out = {k: [] for k in ("doc_id", "container", "n_values", "mean_val", "rms")}
+            for doc_id, p in zip(pdf["doc_id"], pdf["payload"]):
+                p = bytes(p)
+                if p[:2] == b"BM":
+                    vals, cont, scale = _bmp_luma_millis(p), "bmp", 1000
+                elif p[:4] == b"RIFF" and p[8:12] == b"WAVE":
+                    vals, cont, scale = _wav_sample_values(p), "wav", 1
+                else:
+                    raise NotImplementedError(
+                        "pixel/sample decode is implemented for the codec-free "
+                        "containers (BMP, PCM WAV) only; PNG/JPEG/GIF pixels "
+                        "need a codec runtime this environment lacks"
+                    )
+                n = len(vals)
+                s1 = sum(vals)
+                s2 = sum(v * v for v in vals)
+                out["doc_id"].append(doc_id)
+                out["container"].append(cont)
+                out["n_values"].append(n)
+                out["mean_val"].append(s1 / (scale * n) if n else 0.0)
+                out["rms"].append(math.sqrt(s2 / (scale * scale * n)) if n else 0.0)
+            yield pd.DataFrame(out)
+
+    return media.select("doc_id", "payload").mapInPandas(batches, SIGNAL_SCHEMA)
+
+
+def synthesize_bmp_payload(
+    df: DataFrame, id_col: str, text_col: str, width: int = 4
+) -> DataFrame:
+    """Deterministic REAL BMP payloads from a text column: the UTF-8
+    bytes become the 24-bit pixel array of a ``width``-wide bottom-up
+    BMP (zero-padded to whole rows). A data *generator* (fixture role,
+    like ``attach_binary_payload``) — the decode side parses these with
+    the real byte-walking parser, so the pixel path is exercised with
+    valid files whose expected statistics a SQL oracle can compute from
+    the text bytes directly. ``width`` must keep the 24-bit stride
+    4-byte aligned (width % 4 == 0) so every payload byte is a pixel byte.
+    """
+    import struct
+
+    if (width * 3) % 4:
+        raise ValueError(f"width must keep 3·width % 4 == 0, got {width}")
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        row = width * 3
+        for pdf in it:
+            payloads = []
+            for t in pdf["__text"]:
+                data = t.encode("utf-8")
+                h = max(1, -(-len(data) // row))
+                padded = data.ljust(h * row, b"\x00")
+                rows = [padded[i * row : (i + 1) * row] for i in range(h)]
+                pix = b"".join(reversed(rows))  # bottom-up
+                dib = struct.pack(
+                    "<IiiHHIIiiII", 40, width, h, 1, 24, 0, len(pix), 2835, 2835, 0, 0
+                )
+                hdr = struct.pack("<2sIHHI", b"BM", 54 + len(pix), 0, 0, 54)
+                payloads.append(hdr + dib + pix)
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+    return df.select(
+        F.col(id_col).alias("doc_id"), F.col(text_col).alias("__text")
+    ).mapInPandas(
+        batches,
+        T.StructType(
+            [
+                T.StructField("doc_id", T.LongType()),
+                T.StructField("payload", T.BinaryType()),
+            ]
+        ),
+    )
+
+
+def synthesize_wav_payload(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Deterministic REAL WAV payloads: the UTF-8 text bytes become the
+    8-bit PCM mono data chunk (8000 Hz). Same fixture role as
+    ``synthesize_bmp_payload``."""
+    import struct
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            payloads = []
+            for t in pdf["__text"]:
+                data = t.encode("utf-8")
+                fmt = struct.pack("<4sIHHIIHH", b"fmt ", 16, 1, 1, 8000, 8000, 1, 8)
+                dchunk = struct.pack("<4sI", b"data", len(data)) + data
+                if len(data) & 1:
+                    dchunk += b"\x00"  # RIFF chunk padding (not part of samples)
+                riff = b"WAVE" + fmt + dchunk
+                payloads.append(struct.pack("<4sI", b"RIFF", len(riff)) + riff)
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+    return df.select(
+        F.col(id_col).alias("doc_id"), F.col(text_col).alias("__text")
+    ).mapInPandas(
+        batches,
+        T.StructType(
+            [
+                T.StructField("doc_id", T.LongType()),
+                T.StructField("payload", T.BinaryType()),
+            ]
+        ),
     )

@@ -239,3 +239,96 @@ def stream_cdc_upsert(
         .start()
     )
     q.awaitTermination()
+
+
+def stream_dedup_admission(
+    stream_df: DataFrame,
+    base_corpus: DataFrame,
+    out_path: str,
+    checkpoint: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    num_hashes: int = 8,
+    band_size: int = 2,
+    threshold_num: int = 1,
+    threshold_den: int = 2,
+    max_doc_freq: int | float | None = 25,
+    max_bucket_size: int | None = None,
+) -> None:
+    """Continuous dedup admission: each micro-batch is LSH-checked
+    against a GROWING corpus (base + everything admitted so far) and the
+    survivors are appended — the streaming form of
+    ``dedup_incremental_lsh`` (``operators/dedup.incremental_lsh_rejects``).
+
+    Semantics per micro-batch: admitted = batch ∖ rejects(base ∪
+    previously-admitted). Batch-INTERNAL near-dups are both admitted
+    (each batch is checked against the corpus as of its start) — run
+    ``minhash_lsh_dedup_pairs`` inside the sink first if intra-batch
+    dedup is required. Equivalence with a sequential batch-mode loop
+    over the same micro-batches is pinned in tests/test_streaming.py,
+    including a checkpoint restart.
+
+    Exactly-once: each batch writes partition ``__batch_id=<id>`` with
+    dynamic partition overwrite, so a replayed micro-batch (restart
+    between sink write and checkpoint commit) rewrites its own partition
+    instead of duplicating — same contract as
+    ``stream_foreach_batch_overwrite``, and batch ids are unique by
+    construction here.
+
+    100 TB shape: the admission cost is O(batch bands ⋈ corpus band
+    table + verify on collisions); this reference implementation
+    recomputes the corpus band table per batch from (base ∪ admitted),
+    while a production deployment maintains the band table itself
+    incrementally (append the admitted docs' bands each batch) — the
+    operator accepts that precomputed form via its corpus argument. The
+    dedup shingle caches are released after every batch so a long-lived
+    stream never accumulates CacheManager entries.
+    """
+    from pyspark.errors import AnalysisException
+
+    from pyspark_ingestion_spark.operators.dedup import (
+        incremental_lsh_rejects,
+        release_shingle_caches,
+    )
+    from pyspark_ingestion_spark.sources.writers import overwrite_partitions
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        batch = batch_df.select(id_col, text_col)
+        corpus = base_corpus.select(id_col, text_col)
+        try:
+            prev = spark.read.parquet(out_path).select(id_col, text_col)
+            corpus = corpus.unionByName(prev)
+        except AnalysisException:  # first batch: nothing admitted yet
+            pass
+        try:
+            rejects = incremental_lsh_rejects(
+                corpus,
+                batch,
+                id_col,
+                text_col,
+                n=n,
+                num_hashes=num_hashes,
+                band_size=band_size,
+                threshold_num=threshold_num,
+                threshold_den=threshold_den,
+                max_doc_freq=max_doc_freq,
+                max_bucket_size=max_bucket_size,
+            )
+            admitted = batch.join(F.broadcast(rejects), id_col, "left_anti")
+            overwrite_partitions(
+                admitted.withColumn("__batch_id", F.lit(batch_id)),
+                out_path,
+                ["__batch_id"],
+            )
+        finally:
+            release_shingle_caches()
+
+    q = (
+        stream_df.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

@@ -809,3 +809,86 @@ def test_python_datasource_partition_layout_invariance(spark):
     agg3 = read(3).agg(F.count(F.lit(1)), F.sum("val"), F.sum("id")).first()
     assert tuple(agg8) == tuple(agg3)
     assert agg8[0] == 997
+
+
+def test_media_signal_features_known_pixels_and_samples(spark):
+    """REAL pixel/sample decode on handcrafted files with hand-computed
+    statistics: a 2x2 24-bit BMP of pure-color pixels (bottom-up rows,
+    stride padding skipped) and an 8-bit PCM WAV with known samples —
+    plus the honest gate: compressed containers still raise."""
+    import math
+    import struct
+
+    import pytest
+
+    from pyspark_ingestion_spark.operators.multimodal import media_signal_features
+
+    # 2x2 BMP, 24bpp: stride = ceil(6/4)*4 = 8 (2 pad bytes per row).
+    # bottom-up: file row 0 = image bottom. Pixels (B,G,R):
+    #   bottom row: red (0,0,255), green (0,255,0)
+    #   top row:    blue (255,0,0), white (255,255,255)
+    row_bottom = bytes([0, 0, 255, 0, 255, 0, 0xAA, 0xAA])  # pad bytes ignored
+    row_top = bytes([255, 0, 0, 255, 255, 255, 0xBB, 0xBB])
+    pix = row_bottom + row_top
+    dib = struct.pack("<IiiHHIIiiII", 40, 2, 2, 1, 24, 0, len(pix), 0, 0, 0, 0)
+    bmp = struct.pack("<2sIHHI", b"BM", 54 + len(pix), 0, 0, 54) + dib + pix
+    lumas = [299 * 255, 587 * 255, 114 * 255, 299 * 255 + 587 * 255 + 114 * 255]
+    want_mean = sum(lumas) / (1000 * 4)
+    want_rms = math.sqrt(sum(v * v for v in lumas) / (1000000 * 4))
+
+    samples = [0, 255, 128, 64]  # 8-bit unsigned -> centered -128..127
+    fmt = struct.pack("<4sIHHIIHH", b"fmt ", 16, 1, 1, 8000, 8000, 1, 8)
+    dchunk = struct.pack("<4sI", b"data", 4) + bytes(samples)
+    riff = b"WAVE" + fmt + dchunk
+    wav = struct.pack("<4sI", b"RIFF", len(riff)) + riff
+    centered = [s - 128 for s in samples]
+    wav_mean = sum(centered) / 4
+    wav_rms = math.sqrt(sum(v * v for v in centered) / 4)
+
+    media = spark.createDataFrame(
+        [(1, bytearray(bmp)), (2, bytearray(wav))], "doc_id long, payload binary"
+    )
+    got = {r["doc_id"]: r for r in media_signal_features(media).collect()}
+    assert got[1]["container"] == "bmp" and got[1]["n_values"] == 4
+    assert abs(got[1]["mean_val"] - want_mean) < 1e-9
+    assert abs(got[1]["rms"] - want_rms) < 1e-9
+    assert got[2]["container"] == "wav" and got[2]["n_values"] == 4
+    assert abs(got[2]["mean_val"] - wav_mean) < 1e-9
+    assert abs(got[2]["rms"] - wav_rms) < 1e-9
+
+    png = b"\x89PNG\r\n\x1a\n" + b"\x00" * 20
+    gated = spark.createDataFrame([(3, bytearray(png))], "doc_id long, payload binary")
+    with pytest.raises(Exception, match="codec"):
+        media_signal_features(gated).collect()
+
+
+def test_synthesized_payloads_roundtrip_real_parsers(spark):
+    """synthesize_bmp/wav produce files the REAL header parser accepts
+    with the declared geometry, and 16-bit WAV decodes signed samples."""
+    import struct
+
+    from pyspark_ingestion_spark.operators.multimodal import (
+        _wav_sample_values,
+        decode_media,
+        synthesize_bmp_payload,
+        synthesize_wav_payload,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "abcdefghijklm"), (2, "xy")], "doc_id long, text string"
+    )
+    bmp_hdr = {r["doc_id"]: r for r in decode_media(
+        synthesize_bmp_payload(df, "doc_id", "text"), fake=False).collect()}
+    assert (bmp_hdr[1]["width"], bmp_hdr[1]["height"]) == (4, 2)  # 13 B -> 2 rows
+    assert (bmp_hdr[2]["width"], bmp_hdr[2]["height"]) == (4, 1)
+    wav_hdr = {r["doc_id"]: r for r in decode_media(
+        synthesize_wav_payload(df, "doc_id", "text"), fake=False).collect()}
+    assert wav_hdr[1]["n_frames"] == 13 and wav_hdr[2]["n_frames"] == 2
+
+    # 16-bit path: two signed samples
+    fmt = struct.pack("<4sIHHIIHH", b"fmt ", 16, 1, 1, 8000, 16000, 2, 16)
+    data = struct.pack("<2h", -1000, 1000)
+    dchunk = struct.pack("<4sI", b"data", len(data)) + data
+    riff = b"WAVE" + fmt + dchunk
+    wav16 = struct.pack("<4sI", b"RIFF", len(riff)) + riff
+    assert _wav_sample_values(wav16) == [-1000, 1000]

@@ -25,6 +25,7 @@ _REGISTRY = all_queries()
 _PANDAS_OK = {"multimodal_decode", "multimodal_frame_sample",
               "multimodal_features", "multimodal_resize",
               "multimodal_ann_pipeline",
+              "multimodal_bmp_pixel_stats", "multimodal_wav_sample_stats",
               "udf_pandas_quality", "udtf_split_words",
               "udtf_ngrams_polymorphic",
               "udf_grouped_map_order_gaps"}

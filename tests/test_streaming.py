@@ -142,3 +142,105 @@ def test_stream_cdc_upsert_applies_changes(spark, tmp_path):
                partition_columns=["YEAR"], delete_col="deleted")
     out2 = {r["id"]: r["val"] for r in spark.read.parquet(lake2).collect()}
     assert out2 == out
+
+
+def test_stream_dedup_admission_matches_batch_and_restarts(spark, tmp_path):
+    """Streaming LSH admission ≡ the sequential batch-mode loop on the
+    same micro-batches (growing corpus: rejects depend on earlier
+    batches' admissions), and a checkpoint restart continues the grown
+    corpus without reprocessing or duplicating earlier batches."""
+    import time
+
+    from pyspark_ingestion_spark.operators.dedup import (
+        incremental_lsh_rejects,
+        release_shingle_caches,
+    )
+    from pyspark_ingestion_spark.streaming.pipeline import stream_dedup_admission
+
+    mk = lambda words: " ".join(words)  # noqa: E731
+    base_t = mk(["alpha", "beta", "gamma", "delta", "epsilon", "zeta",
+                 "eta", "theta", "iota", "kappa", "lamda", "mu"])
+    u = mk(["red", "green", "blue", "cyan", "magenta", "yellow",
+            "black", "white", "orange", "purple", "brown", "pink"])
+    v = mk(["one", "two", "three", "four", "five", "six",
+            "seven", "eight", "nine", "ten", "eleven", "twelve"])
+    w = mk(["north", "south", "east", "west", "up", "down",
+            "left", "right", "front", "back", "over", "under"])
+    base_corpus = spark.createDataFrame([(0, base_t)], "doc_id int, text string")
+    # fileA: 10 = exact dup of corpus → reject; 11 = unique → admit
+    file_a = [(10, base_t), (11, u)]
+    # fileB: 12 = near-dup of 11 (admitted in A) → reject iff corpus grows;
+    #        13 = unique → admit
+    near_u = u.replace("pink", "pinkish")
+    file_b = [(12, near_u), (13, v)]
+    # fileC (after restart): 14 = dup of 13 → reject; 15 = unique → admit
+    file_c = [(14, v), (15, w)]
+
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "admitted")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(src)
+    kwargs = dict(n=3, num_hashes=8, band_size=2, threshold_num=1,
+                  threshold_den=2, max_doc_freq=None)
+
+    def write_file(name, rows):
+        spark.createDataFrame(rows, "doc_id int, text string").coalesce(
+            1
+        ).write.mode("overwrite").parquet(str(tmp_path / ("stage_" + name)))
+        # one data file per micro-batch, atomically placed
+        import glob as _glob
+        import shutil
+
+        part = _glob.glob(str(tmp_path / ("stage_" + name) / "part-*.parquet"))[0]
+        shutil.copy(part, os.path.join(src, name + ".parquet"))
+        time.sleep(1.1)  # distinct mtimes → deterministic file order
+
+    def run_stream():
+        stream = (
+            spark.readStream.schema("doc_id int, text string")
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src)
+        )
+        stream_dedup_admission(stream, base_corpus, out, ckpt, **kwargs)
+
+    write_file("a", file_a)
+    write_file("b", file_b)
+    run_stream()
+    got_ab = {
+        r["doc_id"] for r in spark.read.parquet(out).select("doc_id").collect()
+    }
+
+    # sequential batch-mode model over the same micro-batches
+    def batch_model(batches):
+        corpus_rows = [(0, base_t)]
+        admitted = set()
+        for rows in batches:
+            corpus = spark.createDataFrame(corpus_rows, "doc_id int, text string")
+            batch = spark.createDataFrame(rows, "doc_id int, text string")
+            rej = {
+                r["doc_id"]
+                for r in incremental_lsh_rejects(
+                    corpus, batch, "doc_id", "text", **kwargs
+                ).collect()
+            }
+            release_shingle_caches()
+            keep = [r for r in rows if r[0] not in rej]
+            admitted |= {r[0] for r in keep}
+            corpus_rows += keep
+        return admitted
+
+    assert got_ab == batch_model([file_a, file_b]) == {11, 13}
+
+    # restart: add fileC, same checkpoint — only C is processed, against
+    # the corpus grown by A and B's admissions
+    write_file("c", file_c)
+    run_stream()
+    got_abc = {
+        r["doc_id"] for r in spark.read.parquet(out).select("doc_id").collect()
+    }
+    assert got_abc == batch_model([file_a, file_b, file_c]) == {11, 13, 15}
+    # no duplicated earlier batches: each admitted doc appears exactly once
+    counts = (
+        spark.read.parquet(out).groupBy("doc_id").count().collect()
+    )
+    assert all(r["count"] == 1 for r in counts), counts
