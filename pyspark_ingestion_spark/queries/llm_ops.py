@@ -808,7 +808,7 @@ def dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT doc_a, doc_b, max(pos_a) - min(pos_a) + 20 AS length
       FROM r GROUP BY doc_a, doc_b, diag, isl)
     SELECT doc_a, doc_b, count(*) AS n_spans, max(length) AS max_len,
-           sum(length) AS shared_chars
+           CAST(sum(length) AS BIGINT) AS shared_chars
     FROM spans GROUP BY doc_a, doc_b
     """,
 )

@@ -544,3 +544,23 @@ def test_rfm_ntile_has_no_big_side_global_sort(spark, sf_dir):
     plan = formatted_plan(df)
     assert single_partition_exchanges(df) == 1, plan
     assert "hashpartitioning(__pid" in plan, plan
+
+
+def test_substring_dedup_plan_shape(spark, sf_dir):
+    """Exact-substring dedup (r5): the window DAG hangs off narrow
+    (doc_id, text) scans only; the hot-window df-cap is a broadcast
+    anti-join (the big window table never reshuffles for the cap); and
+    the plan contains no cartesian product — candidates exist only where
+    window fingerprints collide."""
+    from pyspark_ingestion_spark.plans.explain import (
+        formatted_plan,
+        read_schema_columns,
+        uses_broadcast_join,
+    )
+    from pyspark_ingestion_spark.queries import all_queries
+
+    df = all_queries()["dedup_substring_spans"].fn(spark, sf_dir)
+    assert read_schema_columns(df) <= {"doc_id", "text"}
+    assert uses_broadcast_join(df)  # the df-cap anti-join
+    plan = formatted_plan(df)
+    assert "CartesianProduct" not in plan
