@@ -1076,3 +1076,80 @@ def repeated_substring_pairs(
             F.sum("length").alias("shared_chars"),
         )
     )
+
+
+def incremental_substring_rejects(
+    corpus: DataFrame,
+    batch: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 20,
+    min_len: int | None = None,
+    max_window_df: int | None = None,
+    sample_mod: int | None = None,
+) -> DataFrame:
+    """Batch admission by EXACT substring: batch doc ids sharing a
+    verified substring of ≥ ``min_len`` chars (default k) with ANY
+    corpus doc. One column (``id_col``), distinct — the substring member
+    of the incremental-admission trio (``incremental_near_rejects`` /
+    ``incremental_lsh_rejects`` cover shingle Jaccard; this covers the
+    exact-substring pass).
+
+    Same three-phase discipline as ``repeated_substring_spans``, but
+    cross-frame: the window df-cap is measured on the CORPUS side (where
+    boilerplate frequency is meaningful, mirroring ``containment_pairs``)
+    and dropped from both sides; candidates exist only where a batch
+    window fingerprint collides with a corpus one; verification
+    re-extracts both substrings. ``min_len > k`` adds the diagonal-run
+    assembly so only runs of ≥ min_len − k + 1 consecutive matching
+    windows reject; ``min_len == k`` needs a single verified window and
+    skips the run window function entirely. Admission cost is O(batch
+    windows ⋈ corpus window table) — the corpus never reshuffles per
+    batch (its window table is precomputable/incrementally maintained in
+    production, exactly like the LSH band table).
+    """
+    min_len = k if min_len is None else min_len
+    if min_len < k:
+        raise ValueError(f"min_len ({min_len}) must be >= k ({k})")
+    wb = substring_window_table(batch, id_col, text_col, k, sample_mod)
+    wc = substring_window_table(corpus, id_col, text_col, k, sample_mod)
+    if max_window_df is not None:
+        hot = (
+            wc.groupBy("wh")
+            .agg(F.count_distinct("doc").alias("__df"))
+            .filter(F.col("__df") > max_window_df)
+            .select("wh")
+        )
+        wb = wb.join(F.broadcast(hot), "wh", "left_anti")
+        wc = wc.join(F.broadcast(hot), "wh", "left_anti")
+    cand = (
+        wb.select(F.col("doc").alias("batch_id"), F.col("pos").alias("pos_b"), "wh")
+        .join(
+            wc.select(F.col("doc").alias("corpus_id"), F.col("pos").alias("pos_c"), "wh"),
+            "wh",
+        )
+    )
+    tb = batch.select(F.col(id_col).alias("batch_id"), F.col(text_col).alias("__tb"))
+    tc = corpus.select(F.col(id_col).alias("corpus_id"), F.col(text_col).alias("__tc"))
+    verified = (
+        cand.join(tb, "batch_id")
+        .join(tc, "corpus_id")
+        .filter(
+            F.substring(F.col("__tb"), F.col("pos_b").cast("int"), F.lit(k))
+            == F.substring(F.col("__tc"), F.col("pos_c").cast("int"), F.lit(k))
+        )
+        .select("batch_id", "corpus_id", "pos_b", "pos_c")
+    )
+    if min_len <= k:
+        return verified.select(F.col("batch_id").alias(id_col)).distinct()
+    diag = (F.col("pos_b") - F.col("pos_c")).alias("__diag")
+    w_run = Window.partitionBy("batch_id", "corpus_id", "__diag").orderBy("pos_b")
+    runs = verified.select("batch_id", "corpus_id", "pos_b", diag).withColumn(
+        "__isl", F.col("pos_b") - F.row_number().over(w_run)
+    )
+    long_enough = (
+        runs.groupBy("batch_id", "corpus_id", "__diag", "__isl")
+        .agg((F.max("pos_b") - F.min("pos_b") + k).alias("__len"))
+        .filter(F.col("__len") >= min_len)
+    )
+    return long_enough.select(F.col("batch_id").alias(id_col)).distinct()

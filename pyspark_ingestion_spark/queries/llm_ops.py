@@ -823,6 +823,58 @@ def dedup_substring_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return repeated_substring_pairs(d, "doc_id", "text", k=20, max_window_df=10)
 
 
+@query(
+    "dedup_incremental_substring",
+    oracle="""
+    WITH b AS (SELECT doc_id, text FROM documents WHERE source = 'src19'),
+    c AS (SELECT doc_id, text FROM documents WHERE source <> 'src19'),
+    wb AS (SELECT doc_id AS batch_id, i AS pos_b, substr(text, i::INT, 20) AS win,
+                  ('0x' || substr(md5(substr(text, i::INT, 20)), 1, 15))::UBIGINT::BIGINT AS wh
+           FROM (SELECT doc_id, text,
+                        unnest(generate_series(1, greatest(length(text) - 19, 0))) AS i
+                 FROM b)),
+    wc AS (SELECT doc_id AS corpus_id, i AS pos_c, substr(text, i::INT, 20) AS win,
+                  ('0x' || substr(md5(substr(text, i::INT, 20)), 1, 15))::UBIGINT::BIGINT AS wh
+           FROM (SELECT doc_id, text,
+                        unnest(generate_series(1, greatest(length(text) - 19, 0))) AS i
+                 FROM c)),
+    hot AS (SELECT wh FROM (SELECT wh, count(DISTINCT corpus_id) AS d
+                            FROM wc GROUP BY wh) WHERE d > 10),
+    wbf AS (SELECT * FROM wb ANTI JOIN hot USING (wh)),
+    wcf AS (SELECT * FROM wc ANTI JOIN hot USING (wh)),
+    m AS (SELECT batch_id, corpus_id, pos_b, pos_c
+          FROM wbf a JOIN wcf b2 ON a.wh = b2.wh AND a.win = b2.win),
+    r AS (SELECT *, pos_b - pos_c AS diag,
+                 pos_b - row_number() OVER (PARTITION BY batch_id, corpus_id,
+                                            pos_b - pos_c ORDER BY pos_b) AS isl
+          FROM m),
+    rej AS (SELECT DISTINCT batch_id FROM (
+              SELECT batch_id, max(pos_b) - min(pos_b) + 20 AS len
+              FROM r GROUP BY batch_id, corpus_id, diag, isl)
+            WHERE len >= 30)
+    SELECT doc_id FROM b WHERE doc_id NOT IN (SELECT batch_id FROM rej)
+    """,
+)
+def dedup_incremental_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch admission by exact substring — the third member of the
+    incremental-admission trio (exact/Jaccard via shingles, near-dup via
+    LSH bands, and now verbatim-substring overlap): src19 docs sharing a
+    verified ≥30-char substring (k=20 windows, ≥11-window diagonal runs)
+    with ANY corpus doc are rejected; the admitted survivors return.
+    Corpus-side window-df cap 10; corpus window table precomputable, so
+    per-batch cost is O(batch windows ⋈ corpus windows) like the LSH
+    band admission."""
+    from pyspark_ingestion_spark.operators.dedup import incremental_substring_rejects
+
+    d = load_table(spark, sf_dir, "documents")
+    batch = d.filter(F.col("source") == "src19").select("doc_id", "text")
+    corpus = d.filter(F.col("source") != "src19").select("doc_id", "text")
+    rejects = incremental_substring_rejects(
+        corpus, batch, "doc_id", "text", k=20, min_len=30, max_window_df=10
+    )
+    return batch.join(F.broadcast(rejects), "doc_id", "left_anti").select("doc_id")
+
+
 _IVF_ASSIGN = """
     c AS (SELECT vec_id AS cid, embedding::DOUBLE[] AS cv
           FROM embeddings WHERE vec_id < 8),

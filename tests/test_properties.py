@@ -1331,3 +1331,51 @@ def test_substring_sampling_still_catches_long_plants(spark):
     for r in spans:
         assert 101 <= r["pos_a"] and r["pos_a"] + r["length"] - 1 <= 300, tuple(r)
         assert 38 <= r["pos_b"] and r["pos_b"] + r["length"] - 1 <= 237, tuple(r)
+
+
+def test_incremental_substring_boundary_and_unrelated(spark):
+    """incremental_substring_rejects: a batch doc sharing EXACTLY
+    min_len chars with the corpus is rejected; sharing min_len−1 is
+    admitted; disjoint-alphabet docs are always admitted. Pins the
+    min_len = run_len + k − 1 boundary arithmetic."""
+    import random
+
+    from pyspark_ingestion_spark.operators.dedup import incremental_substring_rejects
+
+    rng = random.Random(3)
+    k, min_len = 20, 30
+    shared = "".join(rng.choice("z9x8") for _ in range(min_len))  # 30 chars
+    corpus_text = (
+        "".join(rng.choice("ab") for _ in range(80))
+        + shared
+        + "".join(rng.choice("ab") for _ in range(80))
+    )
+    corpus = spark.createDataFrame([(0, corpus_text)], "doc_id int, text string")
+    batch = spark.createDataFrame(
+        [
+            # exactly min_len shared chars, different surroundings -> reject
+            (10, "".join(rng.choice("cd") for _ in range(40)) + shared
+                 + "".join(rng.choice("cd") for _ in range(40))),
+            # only min_len-1 shared chars -> admit
+            (11, "".join(rng.choice("ef") for _ in range(40)) + shared[:-1]
+                 + "".join(rng.choice("ef") for _ in range(40))),
+            # disjoint alphabet -> admit
+            (12, "".join(rng.choice("gh") for _ in range(120))),
+        ],
+        "doc_id int, text string",
+    )
+    rejected = {
+        r["doc_id"]
+        for r in incremental_substring_rejects(
+            corpus, batch, "doc_id", "text", k=k, min_len=min_len
+        ).collect()
+    }
+    assert rejected == {10}, rejected
+    # min_len == k degenerates to single-window membership (no run window)
+    rejected_k = {
+        r["doc_id"]
+        for r in incremental_substring_rejects(
+            corpus, batch, "doc_id", "text", k=k, min_len=k
+        ).collect()
+    }
+    assert rejected_k == {10, 11}, rejected_k  # 29 shared chars ≥ one k-window
