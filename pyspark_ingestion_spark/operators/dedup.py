@@ -1153,3 +1153,76 @@ def incremental_substring_rejects(
         .filter(F.col("__len") >= min_len)
     )
     return long_enough.select(F.col("batch_id").alias(id_col)).distinct()
+
+
+def remove_duplicate_spans(
+    df: DataFrame,
+    spans: DataFrame,
+    id_col: str,
+    text_col: str,
+    doc_col: str = "doc_b",
+    pos_col: str = "pos_b",
+    len_col: str = "length",
+) -> DataFrame:
+    """Cut detected duplicate spans OUT of the duplicated documents —
+    the actionable tail of exact-substring dedup (training pipelines
+    remove the repeated text, keeping one canonical copy, rather than
+    dropping whole documents).
+
+    ``spans`` is ``repeated_substring_spans`` output (or any (doc, pos,
+    length) frame via the column args); the doc named by ``doc_col``
+    (doc_b = the higher id, so the doc_a copy survives) loses the UNION
+    of its [pos, pos+length) char ranges. Pure native fold: spans are
+    collected per doc (bounded: spans of one doc), sorted, and a single
+    ``aggregate`` walks them with a (cursor, out) accumulator — skipping
+    covered chars, concatenating kept segments, overlaps merged by the
+    cursor max; one row-local pass, no explode to char granularity.
+    Docs with no spans pass through unchanged.
+
+    Returns (id_col, text_clean, chars_removed).
+    """
+    spans_per = spans.groupBy(F.col(doc_col).alias("__sid")).agg(
+        F.array_sort(
+            F.collect_list(
+                F.struct(
+                    F.col(pos_col).cast("long").alias("p"),
+                    F.col(len_col).cast("long").alias("l"),
+                )
+            )
+        ).alias("__spans")
+    )
+    t = F.col(text_col)
+    acc0 = F.struct(F.lit(1).cast("long").alias("cur"), F.lit("").alias("out"))
+    folded = F.aggregate(
+        F.col("__spans"),
+        acc0,
+        lambda a, s: F.struct(
+            F.greatest(a["cur"], s["p"] + s["l"]).alias("cur"),
+            F.when(
+                s["p"] > a["cur"],
+                F.concat(
+                    a["out"],
+                    F.substring(t, a["cur"].cast("int"), (s["p"] - a["cur"]).cast("int")),
+                ),
+            )
+            .otherwise(a["out"])
+            .alias("out"),
+        ),
+        lambda a: F.concat(
+            a["out"],
+            F.substring(t, a["cur"].cast("int"), (F.length(t) - a["cur"] + 1).cast("int")),
+        ),
+    )
+    return (
+        df.join(spans_per, df[id_col] == F.col("__sid"), "left")
+        .select(
+            F.col(id_col),
+            t.alias("__orig"),
+            F.when(F.col("__spans").isNull(), t).otherwise(folded).alias("text_clean"),
+        )
+        .select(
+            id_col,
+            "text_clean",
+            (F.length("__orig") - F.length("text_clean")).cast("long").alias("chars_removed"),
+        )
+    )

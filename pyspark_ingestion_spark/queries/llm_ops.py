@@ -824,6 +824,46 @@ def dedup_substring_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "corpus_substring_scrub",
+    oracle=f"""
+    WITH {_SUBSTR_MATCHES},
+    spans AS (
+      SELECT doc_b, min(pos_b) AS pos_b, max(pos_a) - min(pos_a) + 20 AS length
+      FROM r GROUP BY doc_a, doc_b, diag, isl),
+    cov AS (SELECT DISTINCT doc_b AS doc_id,
+                   unnest(generate_series(pos_b, pos_b + length - 1)) AS i
+            FROM spans),
+    chars AS (SELECT doc_id, i, substr(text, i::INT, 1) AS ch
+              FROM (SELECT doc_id, text,
+                           unnest(generate_series(1, length(text))) AS i
+                    FROM documents)),
+    kept AS (SELECT doc_id, i, ch FROM chars ANTI JOIN cov USING (doc_id, i)),
+    rebuilt AS (SELECT doc_id, string_agg(ch, '' ORDER BY i) AS tc
+                FROM kept GROUP BY doc_id)
+    SELECT d.doc_id, coalesce(k.tc, '') AS text_clean,
+           length(d.text) - length(coalesce(k.tc, '')) AS chars_removed
+    FROM documents d LEFT JOIN rebuilt k USING (doc_id)
+    """,
+)
+def corpus_substring_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The actionable tail of exact-substring dedup: every detected
+    cross-document span (k=20, df-cap 10) is cut out of its doc_b (the
+    doc_a copy stays canonical) by a single row-local native fold over
+    the doc's sorted spans — no char-granular explode, no UDF. The
+    oracle rebuilds each text character-by-character excluding covered
+    positions, so the fold's overlap-merging cursor arithmetic is
+    value-checked against an independent formulation."""
+    from pyspark_ingestion_spark.operators.dedup import (
+        remove_duplicate_spans,
+        repeated_substring_spans,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    spans = repeated_substring_spans(d, "doc_id", "text", k=20, max_window_df=10)
+    return remove_duplicate_spans(d, spans, "doc_id", "text")
+
+
+@query(
     "dedup_incremental_substring",
     oracle="""
     WITH b AS (SELECT doc_id, text FROM documents WHERE source = 'src19'),

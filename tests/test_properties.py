@@ -1379,3 +1379,35 @@ def test_incremental_substring_boundary_and_unrelated(spark):
         ).collect()
     }
     assert rejected_k == {10, 11}, rejected_k  # 29 shared chars ≥ one k-window
+
+
+def test_remove_duplicate_spans_models_python(spark):
+    """remove_duplicate_spans ≡ a direct Python set-of-covered-positions
+    model, for random overlapping/adjacent/contained span layouts —
+    pinning the cursor-fold's overlap merging beyond the oracle corpus."""
+    import random
+
+    from pyspark_ingestion_spark.operators.dedup import remove_duplicate_spans
+
+    rng = random.Random(23)
+    texts = {i: "".join(rng.choice("abcdefgh") for _ in range(60)) for i in range(6)}
+    span_rows = []
+    for doc in range(1, 6):  # doc 0 gets no spans (pass-through)
+        for _ in range(rng.randrange(0, 5)):
+            p = rng.randrange(1, 58)
+            ln = rng.randrange(1, 61 - p)
+            span_rows.append((0, doc, p, ln))
+    df = spark.createDataFrame(list(texts.items()), "doc_id int, text string")
+    spans = spark.createDataFrame(span_rows, "doc_a int, doc_b int, pos_b int, length int")
+
+    got = {
+        r["doc_id"]: (r["text_clean"], r["chars_removed"])
+        for r in remove_duplicate_spans(df, spans, "doc_id", "text").collect()
+    }
+    for doc, text in texts.items():
+        covered = set()
+        for _, d, p, ln in span_rows:
+            if d == doc:
+                covered.update(range(p, p + ln))  # 1-based positions
+        want = "".join(ch for i, ch in enumerate(text, start=1) if i not in covered)
+        assert got[doc] == (want, len(text) - len(want)), (doc, got[doc], want)

@@ -120,6 +120,16 @@ def main():
             lambda: minhash_lsh_dedup_pairs(d, "doc_id", "text",
                                             threshold_num=1, threshold_den=2,
                                             max_doc_freq=25))
+        # r5: exact-substring spans. Planted exact/near dups share long
+        # verbatim runs, so true span output grows linearly with n; the
+        # 5000-word vocabulary keeps incidental 30-char window collisions
+        # rare (unlike the sf0.1 word-soup fixtures). mod-4 sampling =
+        # the 100 TB configuration.
+        from pyspark_ingestion_spark.operators.dedup import repeated_substring_spans
+        r["substring_spans"] = timed(
+            "repeated_substring_spans (k=30, cap 25, mod-4)",
+            lambda: repeated_substring_spans(d, "doc_id", "text", k=30,
+                                             max_window_df=25, sample_mod=4))
         d.unpersist()
         results[("docs", n)] = r
 
