@@ -32,6 +32,13 @@ from pyspark_ingestion_spark.functions.text import fingerprint, word_shingles, w
 SHINGLE_PERSIST_CONF = "spark.pysparkIngestionSpark.dedup.maxShinglePersistBytes"
 _SHINGLE_PERSIST_DEFAULT = 8 * 1024**3  # 8 GiB
 
+#: conf key bounding how many shingle caches stay live at once; the
+#: oldest is unpersisted when the bound is exceeded (early unpersist is
+#: always SAFE — a lazy consumer just recomputes — so the bound trades
+#: recompute for bounded CacheManager state in long sessions)
+SHINGLE_CACHE_COUNT_CONF = "spark.pysparkIngestionSpark.dedup.maxLiveShingleCaches"
+_SHINGLE_CACHE_COUNT_DEFAULT = 8
+
 #: shingle tables persisted by the dedup operators and not yet released —
 #: see release_shingle_caches()
 _LIVE_SHINGLE_CACHES: list[DataFrame] = []
@@ -73,6 +80,18 @@ def _maybe_persist_shingles(sh: DataFrame) -> DataFrame:
         return sh
     sh = sh.persist()
     _LIVE_SHINGLE_CACHES.append(sh)
+    try:
+        max_live = int(
+            spark.conf.get(SHINGLE_CACHE_COUNT_CONF, str(_SHINGLE_CACHE_COUNT_DEFAULT))
+        )
+    except ValueError:
+        max_live = _SHINGLE_CACHE_COUNT_DEFAULT
+    while max_live > 0 and len(_LIVE_SHINGLE_CACHES) > max_live:
+        old = _LIVE_SHINGLE_CACHES.pop(0)
+        try:
+            old.unpersist(blocking=False)
+        except Exception:
+            pass
     return sh
 
 

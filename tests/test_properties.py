@@ -1411,3 +1411,22 @@ def test_remove_duplicate_spans_models_python(spark):
                 covered.update(range(p, p + ln))  # 1-based positions
         want = "".join(ch for i, ch in enumerate(text, start=1) if i not in covered)
         assert got[doc] == (want, len(text) - len(want)), (doc, got[doc], want)
+
+
+def test_shingle_cache_count_is_bounded(spark, sf_dir):
+    """Long sessions (the driver runs 50+ queries in one) keep at most
+    maxLiveShingleCaches shingle caches live: the oldest is unpersisted
+    as new ones are tracked — results unaffected (early unpersist just
+    recomputes)."""
+    from pyspark_ingestion_spark.operators import dedup
+
+    df = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(10)
+    dedup.release_shingle_caches()
+    spark.conf.set(dedup.SHINGLE_CACHE_COUNT_CONF, "2")
+    try:
+        for _ in range(4):
+            dedup.minhash_lsh_dedup_pairs(df, "doc_id", "text", n=2).collect()
+        assert len(dedup._LIVE_SHINGLE_CACHES) == 2
+    finally:
+        spark.conf.unset(dedup.SHINGLE_CACHE_COUNT_CONF)
+        dedup.release_shingle_caches()
