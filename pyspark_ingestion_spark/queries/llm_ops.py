@@ -824,6 +824,72 @@ def dedup_substring_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "dedup_substring_sampling_eval",
+    oracle="""
+    WITH w AS (
+      SELECT doc_id AS doc, i AS pos,
+             ('0x' || substr(md5(substr(text, i::INT, 20)), 1, 15))::UBIGINT::BIGINT AS wh,
+             substr(text, i::INT, 20) AS win
+      FROM (SELECT doc_id, text,
+                   unnest(generate_series(1, greatest(length(text) - 19, 0))) AS i
+            FROM documents)
+    ),
+    dense AS (SELECT DISTINCT a.doc AS doc_a, b.doc AS doc_b
+              FROM w a JOIN w b ON a.win = b.win AND a.doc < b.doc),
+    samp AS (SELECT DISTINCT a.doc AS doc_a, b.doc AS doc_b
+             FROM w a JOIN w b ON a.win = b.win AND a.doc < b.doc
+             WHERE a.wh % 4 = 0 AND b.wh % 4 = 0)
+    SELECT (SELECT count(*) FROM dense) AS n_pairs_dense,
+           (SELECT count(*) FROM samp) AS n_pairs_sampled,
+           ROUND((SELECT count(*) FROM samp) / (1.0 * greatest((SELECT count(*) FROM dense), 1)), 6)
+               AS pair_recall
+    """,
+)
+def dedup_substring_sampling_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The measurement loop for the substring-dedup scale dial: how many
+    cross-document window-sharing pairs survive mod-4 content-defined
+    sampling vs the dense window table (no df-cap on either side, so
+    sampled pairs ⊆ dense pairs by construction and pair_recall is a
+    true recall). One scalar row — the number an operator owner checks
+    before turning the 100 TB sampling knob up. Mirrors the
+    ``dedup_lsh_recall_eval`` pattern: the eval runs the PRODUCTION
+    operator (``substring_window_table``) on both arms."""
+    from pyspark_ingestion_spark.operators.dedup import substring_window_table
+
+    d = load_table(spark, sf_dir, "documents")
+
+    def pairs(sample_mod):
+        wt = substring_window_table(d, "doc_id", "text", 20, sample_mod)
+        a = wt.select(F.col("doc").alias("doc_a"), F.col("pos").alias("pos_a"), "wh")
+        b = wt.select(F.col("doc").alias("doc_b"), F.col("pos").alias("pos_b"), "wh")
+        cand = a.join(b, "wh").filter(F.col("doc_a") < F.col("doc_b"))
+        texts = d.select(F.col("doc_id"), F.col("text"))
+        ta = texts.select(F.col("doc_id").alias("doc_a"), F.col("text").alias("__ta"))
+        tb = texts.select(F.col("doc_id").alias("doc_b"), F.col("text").alias("__tb"))
+        return (
+            cand.join(ta, "doc_a").join(tb, "doc_b")
+            .filter(
+                F.substring(F.col("__ta"), F.col("pos_a").cast("int"), F.lit(20))
+                == F.substring(F.col("__tb"), F.col("pos_b").cast("int"), F.lit(20))
+            )
+            .select("doc_a", "doc_b")
+            .distinct()
+        )
+
+    dense = pairs(None).agg(F.count(F.lit(1)).alias("n_pairs_dense"))
+    samp = pairs(4).agg(F.count(F.lit(1)).alias("n_pairs_sampled"))
+    return dense.crossJoin(F.broadcast(samp)).select(
+        "n_pairs_dense",
+        "n_pairs_sampled",
+        F.round(
+            F.col("n_pairs_sampled")
+            / F.greatest(F.col("n_pairs_dense"), F.lit(1)).cast("double"),
+            6,
+        ).alias("pair_recall"),
+    )
+
+
+@query(
     "corpus_substring_scrub",
     oracle=f"""
     WITH {_SUBSTR_MATCHES},

@@ -260,6 +260,13 @@ def test_headline_shuffle_budgets(spark, sf_dir):
         "split_leakage_check": 5,         # pair mining aggs; the pair set itself broadcasts
         "embedding_dim_stats": 1,         # one partial-combined 64-key agg
         "join_asof_nearest": 2,           # one user_id union+window pass per direction
+        # r5 pins: the exact-substring family + IVF-PQ
+        "dedup_substring_spans": 5,       # df-cap agg + wh join + 2 text joins + run window/agg
+        "dedup_substring_pairs": 6,       # spans + pair rollup agg
+        "corpus_substring_scrub": 7,      # spans + per-doc span collect + doc join
+        "dedup_incremental_substring": 6, # corpus-side cap + cross wh join + verify + runs + distinct
+        "ann_ivf_pq_topk": 7,             # cell/code assigns + LUT agg + rerank topk windows
+        "dedup_substring_sampling_eval": 4,  # two pair-mining arms -> two bounded scalar aggs
     }
     qs = all_queries()
     over = {
