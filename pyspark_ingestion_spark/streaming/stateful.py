@@ -68,3 +68,69 @@ def running_user_totals(events: DataFrame) -> DataFrame:
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+# -------------------------------------------- transformWithStateInPandas
+#
+# The Spark 4 successor API: a StatefulProcessor object with typed state
+# handles (value/list/map state, timers, initial state, TTL) instead of
+# one GroupState blob. ENV-GATED at runtime: the worker-side state
+# server speaks protobuf, which this container lacks (`google.protobuf.
+# descriptor` is absent), so the pipeline below launches and then fails
+# at StreamingPythonRunner init. The implementation is complete and the
+# test skips itself when the runtime dependency is missing — the same
+# honesty contract as the multimodal codec gate.
+
+def tws_runtime_available() -> bool:
+    """True when the transformWithState worker runtime can start
+    (protobuf present). Driver-side API import alone is NOT enough."""
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+def running_user_totals_tws(events: DataFrame) -> DataFrame:
+    """``running_user_totals`` re-expressed on transformWithStateInPandas:
+    per-user (n_events, total_value) in a ValueState handle, emitted
+    every micro-batch in Update mode.
+
+    Semantically identical to the applyInPandasWithState form above
+    (which remains the portable implementation); this one exists so the
+    engine tracks the current API — TTL, timers, and list/map state
+    compose from the same handle when needed.
+    """
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    class _Totals(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._state = handle.getValueState("totals", _STATE_SCHEMA)
+
+        def handleInputRows(self, key, rows, timerValues):  # noqa: ANN001
+            n, total = self._state.get() if self._state.exists() else (0, 0.0)
+            for pdf in rows:
+                n += len(pdf)
+                total += float(pdf["value"].sum())
+            self._state.update((n, total))
+            yield pd.DataFrame(
+                {
+                    "user_id": [key[0]],
+                    "n_events": [n],
+                    "total_value": [round(total, 2)],
+                }
+            )
+
+        def close(self) -> None:
+            pass
+
+    return events.select("user_id", "value").groupBy("user_id").transformWithStateInPandas(
+        _Totals(),
+        outputStructType=USER_TOTALS_SCHEMA,
+        outputMode="Update",
+        timeMode="None",
+    )

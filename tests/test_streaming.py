@@ -244,3 +244,40 @@ def test_stream_dedup_admission_matches_batch_and_restarts(spark, tmp_path):
         spark.read.parquet(out).groupBy("doc_id").count().collect()
     )
     assert all(r["count"] == 1 for r in counts), counts
+
+
+def test_transform_with_state_matches_apply_in_pandas(spark, sf_dir):
+    """transformWithStateInPandas totals ≡ the applyInPandasWithState
+    form on the same static input. SKIPS where the worker runtime can't
+    start (no protobuf in this container) — the documented env gate;
+    the API-level plan construction is still exercised unconditionally."""
+    import pytest
+
+    from pyspark_ingestion_spark.streaming.pipeline import (
+        read_stream_table,
+        run_stream_to_memory,
+    )
+    from pyspark_ingestion_spark.streaming.stateful import (
+        running_user_totals,
+        running_user_totals_tws,
+        tws_runtime_available,
+    )
+
+    stream = read_stream_table(spark, sf_dir, "events")
+    tws = running_user_totals_tws(stream)  # plan builds even without runtime
+    assert tws.isStreaming
+    if not tws_runtime_available():
+        pytest.skip("transformWithState worker runtime needs protobuf (absent here)")
+    got = sorted(
+        map(tuple, run_stream_to_memory(tws, output_mode="update").collect())
+    )
+    want = sorted(
+        map(
+            tuple,
+            run_stream_to_memory(
+                running_user_totals(read_stream_table(spark, sf_dir, "events")),
+                output_mode="update",
+            ).collect(),
+        )
+    )
+    assert got == want
