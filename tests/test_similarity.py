@@ -310,3 +310,46 @@ def test_pq_encode_deterministic_and_shaped(spark, sf_dir):
     assert a == b
     assert len(a) == e.count()
     assert all(len(codes) == 8 and all(0 <= c < 16 for c in codes) for _, codes in a)
+
+
+def test_ivf_pq_adc_matches_python_reconstruction(spark):
+    """The ADC score IS cosine(query, PQ-reconstruction): for a tiny
+    corpus, recompute each candidate's reconstruction from the codebooks
+    + codes in plain Python and check the operator's sim to 1e-6 — the
+    arithmetic contract, independent of recall behavior."""
+    import math
+    import random
+
+    from pyspark_ingestion_spark.operators.similarity import (
+        ivf_pq_topk,
+        pq_codebooks,
+        pq_encode,
+    )
+
+    rng = random.Random(5)
+    dim, n_sub, k_codes = 16, 4, 4
+    vecs = {i: [rng.gauss(0, 1) for _ in range(dim)] for i in range(30)}
+    corpus = spark.createDataFrame(
+        [(i, v) for i, v in vecs.items()], "vec_id long, embedding array<double>"
+    )
+    cents = corpus.filter("vec_id < 2").selectExpr(
+        "CAST(vec_id AS INT) AS centroid_id", "embedding AS cvec"
+    )
+    cb = pq_codebooks(corpus, n_sub=n_sub, k_codes=k_codes, seed=1)
+    cb_map = {(r["m"], r["code_id"]): r["subvec"] for r in cb.collect()}
+    codes = {r["vec_id"]: r["codes"] for r in pq_encode(corpus, cb, n_sub=n_sub).collect()}
+
+    queries = corpus.filter("vec_id < 3").select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    got = ivf_pq_topk(
+        corpus, queries, cents, cb, k=5, nprobe=2, n_sub=n_sub, k_codes=k_codes
+    ).collect()
+    assert got, "no results"
+    for r in got:
+        q = vecs[r["query_id"]]
+        recon = [x for m in range(n_sub) for x in cb_map[(m, codes[r["neighbor_id"]][m])]]
+        dot = sum(a * b for a, b in zip(q, recon))
+        denom = math.sqrt(sum(a * a for a in q)) * math.sqrt(sum(b * b for b in recon))
+        want = round(dot / denom, 6) if denom else None
+        assert abs(r["sim"] - want) <= 1e-6, (r, want)
