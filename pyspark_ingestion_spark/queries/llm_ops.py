@@ -1127,9 +1127,12 @@ def ann_ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("query_id"), "embedding"
     )
     cents = kmeans_centroids(e, n_centroids=16, seed=42)
-    cb = pq_codebooks(e, n_sub=16, k_codes=32, seed=42)
+    # n_sub=8: codebook training is fit-count-dominated (16 fits 30.5 s →
+    # 8 fits 12.0 s at sf0.01, measured); training cost is an ingest-time
+    # one-off in production but bounds the driver's per-round check here
+    cb = pq_codebooks(e, n_sub=8, k_codes=32, seed=42)
     return ivf_pq_topk(
-        e, queries, cents, cb, k=5, nprobe=8, n_sub=16, k_codes=32, rerank=20
+        e, queries, cents, cb, k=5, nprobe=8, n_sub=8, k_codes=32, rerank=20
     )
 
 
