@@ -74,8 +74,12 @@ def _maybe_persist_shingles(sh: DataFrame) -> DataFrame:
     try:
         # py4j maps the scala BigInt straight to a Python int
         est = int(sh._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
-    except Exception:  # introspection failure: keep the pre-r5 behavior
-        est = 0
+    except Exception:
+        # introspection unavailable (API drift, connect-mode frames):
+        # treat as unknown → fail the gate, same as Catalyst's Long.Max.
+        # Skipping the cache only costs recompute; persisting an
+        # unbounded corpus-sized cache is the risk the gate exists for.
+        return sh
     if est > limit:
         return sh
     sh = sh.persist()
@@ -970,6 +974,8 @@ def substring_window_table(
     ×sample_mod, and any shared substring of length ≥ k + c·sample_mod
     still collides with probability ≈ 1 - e^-c.
     """
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
     t = F.col(text_col)
     w = df.select(F.col(id_col).alias("doc"), t.alias("__t"))
     positions = F.when(
@@ -1024,8 +1030,20 @@ def repeated_substring_spans(
     shared span, 1-based positions. With ``sample_mod`` set, spans
     degrade to the sampled windows only (start/length become
     approximate; pair detection stays reliable for substrings ≥
-    k + c·sample_mod). ``min_len`` filters short spans after assembly.
+    k + c·sample_mod). ``min_len`` filters short spans after assembly —
+    REJECTED in combination with sampling: run assembly needs
+    consecutive positions, which sampling destroys, so a min_len > k
+    filter over sampled spans would silently drop arbitrarily long
+    shared substrings (assembled length collapses to ~k).
     """
+    if sample_mod is not None and min_len is not None and min_len > k:
+        raise ValueError(
+            f"min_len={min_len} > k={k} cannot be combined with sample_mod: "
+            "sampled matches are non-consecutive, so assembled span lengths "
+            "collapse to ~k and the filter silently drops long shared "
+            "substrings. Use min_len=k (single sampled window ⇒ ≥k shared "
+            "chars) or dense windows."
+        )
     wt = substring_window_table(df, id_col, text_col, k, sample_mod)
     if max_window_df is not None:
         hot = (
@@ -1130,6 +1148,15 @@ def incremental_substring_rejects(
     min_len = k if min_len is None else min_len
     if min_len < k:
         raise ValueError(f"min_len ({min_len}) must be >= k ({k})")
+    if sample_mod is not None and min_len > k:
+        raise ValueError(
+            f"min_len={min_len} > k={k} cannot be combined with sample_mod: "
+            "run assembly needs consecutive window positions, which sampling "
+            "destroys — admission would silently reject (almost) nothing. "
+            "Under sampling use min_len=k: one sampled verified window already "
+            "proves ≥k verbatim shared chars (detection threshold "
+            "≈ k + c·sample_mod)."
+        )
     wb = substring_window_table(batch, id_col, text_col, k, sample_mod)
     wc = substring_window_table(corpus, id_col, text_col, k, sample_mod)
     if max_window_df is not None:

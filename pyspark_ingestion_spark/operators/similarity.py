@@ -499,7 +499,13 @@ def pq_codebooks(
             .cast("long") % den
         )
         train = corpus.filter(bucket < int(sample_fraction * den))
-    dim = train.select(F.size(F.col(vec_col)).alias("d")).first()["d"]
+    first = train.select(F.size(F.col(vec_col)).alias("d")).first()
+    if first is None:
+        raise ValueError(
+            "empty training set: the corpus (after sample_fraction, if any) "
+            "has no rows to train PQ codebooks on — raise sample_fraction"
+        )
+    dim = first["d"]
     if dim is None or dim % n_sub:
         raise ValueError(f"vector dim {dim} not divisible by n_sub={n_sub}")
     d_sub = dim // n_sub
@@ -520,6 +526,60 @@ def pq_codebooks(
     )
 
 
+def _validate_pq_inputs(
+    df: DataFrame,
+    codebooks: DataFrame,
+    vec_col: str,
+    n_sub: int,
+    k_codes: int | None = None,
+) -> None:
+    """Bounded driver-side validation of a PQ configuration — one
+    ``first()`` on the vector frame plus one aggregate over the (tiny,
+    n_sub×k_codes-row) codebook table.
+
+    Config mismatches here produce SILENTLY WRONG results, not errors:
+    a k_codes argument disagreeing with the codebooks' per-m entry count
+    misaligns the flat ADC lookup index (mi·k_codes + code reads another
+    subquantizer's entry — in-range, plausible, wrong); an n_sub or dim
+    mismatch truncates/NULLs subvector math. Same contract philosophy as
+    the explicit ``preassigned`` opt-in: trusted-by-construction inputs
+    are cheap to verify, so verify them.
+    """
+    first = df.select(F.size(F.col(vec_col)).alias("d")).first()
+    if first is None:
+        raise ValueError("empty vector frame: nothing to encode/score")
+    dim = first["d"]
+    if dim is None or dim % n_sub:
+        raise ValueError(f"vector dim {dim} not divisible by n_sub={n_sub}")
+    d_sub = dim // n_sub
+    stats = codebooks.groupBy("m").agg(
+        F.count(F.lit(1)).alias("c"),
+        F.min("code_id").alias("mn"),
+        F.max("code_id").alias("mx"),
+        F.min(F.size("subvec")).alias("sl"),
+        F.max(F.size("subvec")).alias("sh"),
+    ).collect()
+    ms = sorted(r["m"] for r in stats)
+    if ms != list(range(n_sub)):
+        raise ValueError(
+            f"codebooks cover m={ms}, expected 0..{n_sub - 1} — n_sub mismatch"
+        )
+    for r in stats:
+        if r["sl"] != d_sub or r["sh"] != d_sub:
+            raise ValueError(
+                f"codebook m={r['m']} subvector length {r['sl']}..{r['sh']} "
+                f"!= dim/n_sub = {d_sub}"
+            )
+        if k_codes is not None and (
+            r["c"] != k_codes or r["mn"] != 0 or r["mx"] != k_codes - 1
+        ):
+            raise ValueError(
+                f"codebook m={r['m']} has {r['c']} codes ({r['mn']}..{r['mx']}), "
+                f"expected exactly {k_codes} (0..{k_codes - 1}) — a k_codes "
+                "mismatch silently misaligns the ADC lookup table"
+            )
+
+
 def pq_encode(
     df: DataFrame,
     codebooks: DataFrame,
@@ -537,7 +597,11 @@ def pq_encode(
     aggregations on the id reassemble the code array. Encode is an
     ingest-time one-off per centroid/codebook generation, exactly like
     ``assign_ivf_cells`` — store the codes column next to the corpus.
+    Validates dim % n_sub == 0 and the codebooks' m-domain/subvector
+    lengths up front (a mismatch would silently truncate trailing
+    dimensions out of every code).
     """
+    _validate_pq_inputs(df, codebooks, vec_col, n_sub)
     d_sub = (F.size(F.col(vec_col)) / n_sub).cast("int")
     sub = df.select(
         F.col(id_col),
@@ -619,8 +683,12 @@ def ivf_pq_topk(
     ``codes`` columns (the production ingest-time layout — both come
     from ``assign_ivf_cells(nprobe=1)`` + ``pq_encode`` against THESE
     centroids/codebooks); same explicit opt-in contract as
-    ``ivf_topk`` — never inferred from column presence.
+    ``ivf_topk`` — never inferred from column presence. The
+    (n_sub, k_codes) configuration is validated against the actual
+    codebook table up front — a mismatch would misalign the flat LUT
+    index and return plausible-but-wrong neighbors with no error.
     """
+    _validate_pq_inputs(queries, codebooks, vec_col, n_sub, k_codes)
     if preassigned:
         missing = {"cell", "codes"} - set(corpus.columns)
         if missing:

@@ -274,7 +274,12 @@ def stream_dedup_admission(
     between sink write and checkpoint commit) rewrites its own partition
     instead of duplicating — same contract as
     ``stream_foreach_batch_overwrite``, and batch ids are unique by
-    construction here.
+    construction here. Crucially the growing-corpus read EXCLUDES the
+    current batch id's partition: on replay the first attempt's output
+    is already on disk, and counting it as corpus would make the batch's
+    own docs reject themselves at Jaccard 1 and overwrite the partition
+    with nothing — replay must reproduce the first attempt, not erase it
+    (idempotence pinned in tests/test_streaming.py).
 
     100 TB shape: the admission cost is O(batch bands ⋈ corpus band
     table + verify on collisions); this reference implementation
@@ -285,45 +290,22 @@ def stream_dedup_admission(
     dedup shingle caches are released after every batch so a long-lived
     stream never accumulates CacheManager entries.
     """
-    from pyspark.errors import AnalysisException
-
-    from pyspark_ingestion_spark.operators.dedup import (
-        incremental_lsh_rejects,
-        release_shingle_caches,
-    )
-    from pyspark_ingestion_spark.sources.writers import overwrite_partitions
-
     def sink(batch_df: DataFrame, batch_id: int) -> None:
-        spark = batch_df.sparkSession
-        batch = batch_df.select(id_col, text_col)
-        corpus = base_corpus.select(id_col, text_col)
-        try:
-            prev = spark.read.parquet(out_path).select(id_col, text_col)
-            corpus = corpus.unionByName(prev)
-        except AnalysisException:  # first batch: nothing admitted yet
-            pass
-        try:
-            rejects = incremental_lsh_rejects(
-                corpus,
-                batch,
-                id_col,
-                text_col,
-                n=n,
-                num_hashes=num_hashes,
-                band_size=band_size,
-                threshold_num=threshold_num,
-                threshold_den=threshold_den,
-                max_doc_freq=max_doc_freq,
-                max_bucket_size=max_bucket_size,
-            )
-            admitted = batch.join(F.broadcast(rejects), id_col, "left_anti")
-            overwrite_partitions(
-                admitted.withColumn("__batch_id", F.lit(batch_id)),
-                out_path,
-                ["__batch_id"],
-            )
-        finally:
-            release_shingle_caches()
+        _admit_dedup_batch(
+            batch_df,
+            batch_id,
+            base_corpus,
+            out_path,
+            id_col=id_col,
+            text_col=text_col,
+            n=n,
+            num_hashes=num_hashes,
+            band_size=band_size,
+            threshold_num=threshold_num,
+            threshold_den=threshold_den,
+            max_doc_freq=max_doc_freq,
+            max_bucket_size=max_bucket_size,
+        )
 
     q = (
         stream_df.writeStream.foreachBatch(sink)
@@ -332,3 +314,69 @@ def stream_dedup_admission(
         .start()
     )
     q.awaitTermination()
+
+
+def _admit_dedup_batch(
+    batch_df: DataFrame,
+    batch_id: int,
+    base_corpus: DataFrame,
+    out_path: str,
+    id_col: str,
+    text_col: str,
+    n: int,
+    num_hashes: int,
+    band_size: int,
+    threshold_num: int,
+    threshold_den: int,
+    max_doc_freq: int | float | None,
+    max_bucket_size: int | None,
+) -> None:
+    """One micro-batch of ``stream_dedup_admission`` — module-level so
+    the replay path is directly testable: calling it twice with the same
+    ``batch_id`` must reproduce (not erase) the first attempt's output.
+    """
+    from pyspark.errors import AnalysisException
+
+    from pyspark_ingestion_spark.operators.dedup import (
+        incremental_lsh_rejects,
+        release_shingle_caches,
+    )
+    from pyspark_ingestion_spark.sources.writers import overwrite_partitions
+
+    spark = batch_df.sparkSession
+    batch = batch_df.select(id_col, text_col)
+    corpus = base_corpus.select(id_col, text_col)
+    try:
+        # EXCLUDE this batch's own partition: on replay it already holds
+        # the first attempt's output, which must not count as corpus
+        # (self-rejection would erase the partition — see docstring)
+        prev = (
+            spark.read.parquet(out_path)
+            .filter(F.col("__batch_id") != batch_id)
+            .select(id_col, text_col)
+        )
+        corpus = corpus.unionByName(prev)
+    except AnalysisException:  # first batch: nothing admitted yet
+        pass
+    try:
+        rejects = incremental_lsh_rejects(
+            corpus,
+            batch,
+            id_col,
+            text_col,
+            n=n,
+            num_hashes=num_hashes,
+            band_size=band_size,
+            threshold_num=threshold_num,
+            threshold_den=threshold_den,
+            max_doc_freq=max_doc_freq,
+            max_bucket_size=max_bucket_size,
+        )
+        admitted = batch.join(F.broadcast(rejects), id_col, "left_anti")
+        overwrite_partitions(
+            admitted.withColumn("__batch_id", F.lit(batch_id)),
+            out_path,
+            ["__batch_id"],
+        )
+    finally:
+        release_shingle_caches()

@@ -510,6 +510,7 @@ _BNLJ_OK = {
     "agg_equidepth_histogram", "agg_theta_set_overlap",
     "ann_bruteforce_topk", "ann_cosine_range_search", "ann_ivf_kmeans_topk",
     "ann_ivf_nprobe_topk", "ann_ivf_pq_topk", "ann_ivf_topk", "ann_recall_eval",
+    "dedup_substring_sampling_eval",  # one-row scalar agg crossJoin (broadcast)
     "dedup_lsh_recall_eval", "dq_checks", "embedding_bucket_profile",
     "interpolate_linear", "knn_label_vote", "mix_temperature_weights",
     "multimodal_ann_pipeline", "perplexity_tail_buckets", "profile_key_skew",

@@ -1430,3 +1430,27 @@ def test_shingle_cache_count_is_bounded(spark, sf_dir):
     finally:
         spark.conf.unset(dedup.SHINGLE_CACHE_COUNT_CONF)
         dedup.release_shingle_caches()
+
+
+def test_substring_guard_rails(spark):
+    """Misconfigurations that would produce silently-wrong results fail
+    fast: k < 1 (degenerate identical windows → quadratic join),
+    sampling combined with min_len > k (run assembly needs consecutive
+    positions — spans would silently collapse / admission would reject
+    nothing)."""
+    import pytest
+
+    from pyspark_ingestion_spark.operators.dedup import (
+        incremental_substring_rejects,
+        repeated_substring_spans,
+        substring_window_table,
+    )
+
+    df = spark.createDataFrame([(1, "abcdef" * 10)], "doc_id int, text string")
+    with pytest.raises(ValueError, match="k must be"):
+        substring_window_table(df, "doc_id", "text", k=0)
+    with pytest.raises(ValueError, match="sample_mod"):
+        repeated_substring_spans(df, "doc_id", "text", k=20, sample_mod=4, min_len=30)
+    with pytest.raises(ValueError, match="sample_mod"):
+        incremental_substring_rejects(df, df, "doc_id", "text", k=20,
+                                      min_len=30, sample_mod=4)

@@ -353,3 +353,33 @@ def test_ivf_pq_adc_matches_python_reconstruction(spark):
         denom = math.sqrt(sum(a * a for a in q)) * math.sqrt(sum(b * b for b in recon))
         want = round(dot / denom, 6) if denom else None
         assert abs(r["sim"] - want) <= 1e-6, (r, want)
+
+
+def test_pq_config_mismatches_fail_fast(spark):
+    """PQ config mismatches produce silently-wrong results if trusted, so
+    they must raise: k_codes disagreeing with the codebooks (misaligned
+    ADC LUT), n_sub disagreeing with the codebook m-domain, and dim not
+    divisible by n_sub."""
+    import pytest
+
+    from pyspark_ingestion_spark.operators.similarity import (
+        ivf_pq_topk,
+        pq_codebooks,
+        pq_encode,
+    )
+
+    vecs = [(i, [float(i % 7), float(i % 5), float(i % 3), 1.0] * 4)
+            for i in range(40)]
+    corpus = spark.createDataFrame(vecs, "vec_id long, embedding array<double>")
+    cents = corpus.filter("vec_id < 2").selectExpr(
+        "CAST(vec_id AS INT) AS centroid_id", "embedding AS cvec")
+    q = corpus.filter("vec_id < 2").select(
+        F.col("vec_id").alias("query_id"), "embedding")
+    cb = pq_codebooks(corpus, n_sub=4, k_codes=8, seed=1)  # 16-dim, d_sub=4
+
+    with pytest.raises(ValueError, match="k_codes"):
+        ivf_pq_topk(corpus, q, cents, cb, n_sub=4, k_codes=16)
+    with pytest.raises(ValueError, match="n_sub mismatch"):
+        pq_encode(corpus, cb, n_sub=8)  # codebooks trained with n_sub=4
+    with pytest.raises(ValueError, match="not divisible"):
+        pq_encode(corpus, cb, n_sub=3)  # 16 % 3 != 0

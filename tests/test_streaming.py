@@ -281,3 +281,34 @@ def test_transform_with_state_matches_apply_in_pandas(spark, sf_dir):
         )
     )
     assert got == want
+
+
+def test_stream_dedup_admission_replay_is_idempotent(spark, tmp_path):
+    """The crash-replay window (restart between the sink's parquet write
+    and the checkpoint commit): re-running the SAME batch id must
+    reproduce the first attempt's partition, not erase it. The first
+    attempt's output is on disk when the replay runs — if it counted as
+    corpus, the batch's own docs would reject themselves at Jaccard 1
+    and the overwrite would drop them permanently."""
+    from pyspark_ingestion_spark.streaming.pipeline import _admit_dedup_batch
+
+    base = spark.createDataFrame(
+        [(0, "alpha beta gamma delta epsilon zeta eta theta iota kappa")],
+        "doc_id int, text string",
+    )
+    batch = spark.createDataFrame(
+        [(10, "one two three four five six seven eight nine ten"),
+         (11, "alpha beta gamma delta epsilon zeta eta theta iota kappa")],
+        "doc_id int, text string",
+    )
+    out = str(tmp_path / "admitted")
+    kwargs = dict(id_col="doc_id", text_col="text", n=3, num_hashes=8,
+                  band_size=2, threshold_num=1, threshold_den=2,
+                  max_doc_freq=None, max_bucket_size=None)
+    _admit_dedup_batch(batch, 0, base, out, **kwargs)
+    first = sorted(r["doc_id"] for r in spark.read.parquet(out).collect())
+    assert first == [10]  # 11 is an exact dup of the base corpus
+    # replay the same batch id — the crash-recovery path
+    _admit_dedup_batch(batch, 0, base, out, **kwargs)
+    replay = sorted(r["doc_id"] for r in spark.read.parquet(out).collect())
+    assert replay == first, (first, replay)
