@@ -69,7 +69,15 @@ def _maybe_persist_shingles(sh: DataFrame) -> DataFrame:
         limit = int(spark.conf.get(SHINGLE_PERSIST_CONF, str(_SHINGLE_PERSIST_DEFAULT)))
     except ValueError:
         limit = _SHINGLE_PERSIST_DEFAULT
-    if limit <= 0:
+    try:
+        max_live = int(
+            spark.conf.get(SHINGLE_CACHE_COUNT_CONF, str(_SHINGLE_CACHE_COUNT_DEFAULT))
+        )
+    except ValueError:
+        max_live = _SHINGLE_CACHE_COUNT_DEFAULT
+    # consistent "0 disables caching" semantics across both confs: a
+    # count bound of <= 0 means keep NO caches, not "unbounded"
+    if limit <= 0 or max_live <= 0:
         return sh
     try:
         # py4j maps the scala BigInt straight to a Python int
@@ -84,13 +92,7 @@ def _maybe_persist_shingles(sh: DataFrame) -> DataFrame:
         return sh
     sh = sh.persist()
     _LIVE_SHINGLE_CACHES.append(sh)
-    try:
-        max_live = int(
-            spark.conf.get(SHINGLE_CACHE_COUNT_CONF, str(_SHINGLE_CACHE_COUNT_DEFAULT))
-        )
-    except ValueError:
-        max_live = _SHINGLE_CACHE_COUNT_DEFAULT
-    while max_live > 0 and len(_LIVE_SHINGLE_CACHES) > max_live:
+    while len(_LIVE_SHINGLE_CACHES) > max_live:
         old = _LIVE_SHINGLE_CACHES.pop(0)
         try:
             old.unpersist(blocking=False)
@@ -99,23 +101,46 @@ def _maybe_persist_shingles(sh: DataFrame) -> DataFrame:
     return sh
 
 
-def release_shingle_caches(blocking: bool = False) -> int:
-    """Unpersist every shingle cache the dedup operators created.
+def snapshot_shingle_caches() -> list[DataFrame]:
+    """Snapshot of the live shingle caches — pass to
+    ``release_shingle_caches(keep=...)`` to release only caches created
+    AFTER the snapshot (scoped release for concurrent pipelines)."""
+    return list(_LIVE_SHINGLE_CACHES)
+
+
+def release_shingle_caches(
+    blocking: bool = False, keep: list[DataFrame] | None = None
+) -> int:
+    """Unpersist shingle caches the dedup operators created.
 
     Returns the number of caches released. Idempotent; safe to call even
     if nothing was persisted (e.g. the size gate skipped caching). Long-
     lived sessions running dedup over many corpora should call this after
     each corpus's terminal action so distinct cached plans don't
     accumulate in the CacheManager.
+
+    ``keep`` (a :func:`snapshot_shingle_caches` result) limits the
+    release to caches created after the snapshot — so a background
+    consumer (e.g. the streaming admission sink, which releases per
+    micro-batch) never unpersists a cache a concurrent foreground job
+    is still reading. The tracking list is GIL-atomic but unsynchronized
+    across threads: a cache created concurrently with the release may
+    still be swept — safe (consumers recompute), just slower.
     """
+    keep_ids = {id(df) for df in (keep or [])}
     n = 0
+    kept: list[DataFrame] = []
     while _LIVE_SHINGLE_CACHES:
         df = _LIVE_SHINGLE_CACHES.pop()
+        if id(df) in keep_ids:
+            kept.append(df)
+            continue
         try:
             df.unpersist(blocking=blocking)
             n += 1
         except Exception:
             pass
+    _LIVE_SHINGLE_CACHES.extend(reversed(kept))
     return n
 
 

@@ -509,18 +509,26 @@ def pq_codebooks(
     if dim is None or dim % n_sub:
         raise ValueError(f"vector dim {dim} not divisible by n_sub={n_sub}")
     d_sub = dim // n_sub
-    rows = []
-    for m in range(n_sub):
-        feats = train.select(
-            array_to_vector(
-                F.slice(F.col(vec_col).cast("array<double>"), m * d_sub + 1, d_sub)
-            ).alias("__feat")
-        )
-        model = KMeans(k=k_codes, seed=seed + m, featuresCol="__feat").fit(feats)
-        rows.extend(
-            (m, ci, [float(x) for x in c])
-            for ci, c in enumerate(model.clusterCenters())
-        )
+    # cache the (sampled, double-cast) training vectors across the n_sub
+    # fits: without this every fit re-scans + re-filters the corpus —
+    # n_sub−1 redundant input passes for a training set that fits the
+    # cache by construction (it's a KMeans sample)
+    train = train.select(F.col(vec_col).cast("array<double>").alias("__v")).persist()
+    try:
+        rows = []
+        for m in range(n_sub):
+            feats = train.select(
+                array_to_vector(F.slice(F.col("__v"), m * d_sub + 1, d_sub)).alias(
+                    "__feat"
+                )
+            )
+            model = KMeans(k=k_codes, seed=seed + m, featuresCol="__feat").fit(feats)
+            rows.extend(
+                (m, ci, [float(x) for x in c])
+                for ci, c in enumerate(model.clusterCenters())
+            )
+    finally:
+        train.unpersist(blocking=False)
     return corpus.sparkSession.createDataFrame(
         rows, "m int, code_id int, subvec array<double>"
     )
@@ -694,6 +702,28 @@ def ivf_pq_topk(
         if missing:
             raise ValueError(
                 f"preassigned=True requires 'cell' and 'codes' columns, missing {sorted(missing)}"
+            )
+        # sampled shape check on the preassigned codes: a codes column
+        # from a different PQ generation (other n_sub/k_codes) would
+        # NULL the ADC accumulator or misalign the LUT silently. One
+        # row proves the common failure (configs are uniform per
+        # generation); it cannot prove every row — the full guarantee
+        # stays with the ingest pipeline that wrote the column.
+        probe = corpus.select(
+            F.size("codes").alias("n"),
+            F.array_min("codes").alias("mn"),
+            F.array_max("codes").alias("mx"),
+        ).first()
+        if probe is not None and (
+            probe["n"] != n_sub
+            or (probe["mn"] is not None and probe["mn"] < 0)
+            or (probe["mx"] is not None and probe["mx"] >= k_codes)
+        ):
+            raise ValueError(
+                f"preassigned codes look like another PQ generation: sampled row "
+                f"has {probe['n']} codes in [{probe['mn']}, {probe['mx']}], "
+                f"expected {n_sub} codes in [0, {k_codes - 1}] — re-encode with "
+                "pq_encode against THESE codebooks"
             )
         corpus_pq = corpus.select(id_col, "cell", "codes")
     else:

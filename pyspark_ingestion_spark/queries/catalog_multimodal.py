@@ -332,14 +332,23 @@ def multimodal_bmp_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "multimodal_wav_sample_stats",
     oracle="""
-    WITH s AS (SELECT doc_id, ascii(substr(text, i::INT, 1)) - 128 AS v
-               FROM (SELECT doc_id, text,
-                            unnest(generate_series(1, octet_length(encode(text)))) AS i
-                     FROM documents WHERE octet_length(encode(text)) = length(text)))
-    SELECT doc_id, 'wav' AS container, count(*) AS n_values,
-           ROUND(sum(v) / (1.0 * count(*)), 6) AS mean_val,
-           ROUND(sqrt(sum(v * v) / (1.0 * count(*))), 6) AS rms
-    FROM s GROUP BY doc_id
+    WITH d AS (SELECT doc_id, text FROM documents
+               WHERE octet_length(encode(text)) = length(text)),
+    s AS (SELECT doc_id, ascii(substr(text, i::INT, 1)) - 128 AS v
+          FROM (SELECT doc_id, text,
+                       unnest(generate_series(1, octet_length(encode(text)))) AS i
+                FROM d)),
+    agg AS (SELECT doc_id, count(*) AS n,
+                   ROUND(sum(v) / (1.0 * count(*)), 6) AS mean_val,
+                   ROUND(sqrt(sum(v * v) / (1.0 * count(*))), 6) AS rms
+            FROM s GROUP BY doc_id)
+    -- LEFT JOIN from documents so an empty-text doc (zero samples, no
+    -- agg row) still appears with n_values=0, matching the operator
+    SELECT d.doc_id, 'wav' AS container,
+           coalesce(a.n, 0) AS n_values,
+           coalesce(a.mean_val, 0.0) AS mean_val,
+           coalesce(a.rms, 0.0) AS rms
+    FROM d LEFT JOIN agg a USING (doc_id)
     """,
 )
 def multimodal_wav_sample_stats(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -340,9 +340,13 @@ def _admit_dedup_batch(
     from pyspark_ingestion_spark.operators.dedup import (
         incremental_lsh_rejects,
         release_shingle_caches,
+        snapshot_shingle_caches,
     )
     from pyspark_ingestion_spark.sources.writers import overwrite_partitions
 
+    # release only the caches THIS batch creates — a concurrent foreground
+    # dedup job's caches must survive the micro-batch commit
+    prior_caches = snapshot_shingle_caches()
     spark = batch_df.sparkSession
     batch = batch_df.select(id_col, text_col)
     corpus = base_corpus.select(id_col, text_col)
@@ -379,4 +383,4 @@ def _admit_dedup_batch(
             ["__batch_id"],
         )
     finally:
-        release_shingle_caches()
+        release_shingle_caches(keep=prior_caches)

@@ -1454,3 +1454,39 @@ def test_substring_guard_rails(spark):
     with pytest.raises(ValueError, match="sample_mod"):
         incremental_substring_rejects(df, df, "doc_id", "text", k=20,
                                       min_len=30, sample_mod=4)
+
+
+def test_scoped_release_keeps_prior_caches(spark, sf_dir):
+    """release_shingle_caches(keep=snapshot) releases only caches created
+    after the snapshot — the streaming sink must not sweep a concurrent
+    foreground job's cache."""
+    from pyspark_ingestion_spark.operators import dedup
+
+    df = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(10)
+    dedup.release_shingle_caches()
+    dedup.minhash_lsh_dedup_pairs(df, "doc_id", "text", n=2).collect()
+    assert len(dedup._LIVE_SHINGLE_CACHES) == 1
+    foreground = dedup._LIVE_SHINGLE_CACHES[0]
+    snap = dedup.snapshot_shingle_caches()
+    dedup.minhash_lsh_dedup_pairs(df, "doc_id", "text", n=3).collect()
+    assert len(dedup._LIVE_SHINGLE_CACHES) == 2
+    released = dedup.release_shingle_caches(keep=snap)
+    assert released == 1
+    assert dedup._LIVE_SHINGLE_CACHES == [foreground]
+    assert foreground.storageLevel.useMemory  # still persisted
+    dedup.release_shingle_caches()
+
+
+def test_cache_count_zero_disables_caching(spark, sf_dir):
+    """maxLiveShingleCaches=0 means keep NO caches (consistent with the
+    byte gate's '0 disables'), never 'unbounded'."""
+    from pyspark_ingestion_spark.operators import dedup
+
+    df = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(10)
+    dedup.release_shingle_caches()
+    spark.conf.set(dedup.SHINGLE_CACHE_COUNT_CONF, "0")
+    try:
+        dedup.minhash_lsh_dedup_pairs(df, "doc_id", "text", n=2).collect()
+        assert dedup._LIVE_SHINGLE_CACHES == []
+    finally:
+        spark.conf.unset(dedup.SHINGLE_CACHE_COUNT_CONF)

@@ -383,3 +383,34 @@ def test_pq_config_mismatches_fail_fast(spark):
         pq_encode(corpus, cb, n_sub=8)  # codebooks trained with n_sub=4
     with pytest.raises(ValueError, match="not divisible"):
         pq_encode(corpus, cb, n_sub=3)  # 16 % 3 != 0
+
+
+def test_pq_preassigned_stale_codes_fail_fast(spark):
+    """A preassigned codes column from a different PQ generation (wrong
+    n_sub) is caught by the sampled shape check instead of NULLing the
+    ADC scores silently."""
+    import pytest
+
+    from pyspark_ingestion_spark.operators.similarity import (
+        assign_ivf_cells,
+        ivf_pq_topk,
+        pq_codebooks,
+        pq_encode,
+    )
+
+    vecs = [(i, [float(i % 7), float(i % 5), float(i % 3), 1.0] * 4)
+            for i in range(40)]
+    corpus = spark.createDataFrame(vecs, "vec_id long, embedding array<double>")
+    cents = corpus.filter("vec_id < 2").selectExpr(
+        "CAST(vec_id AS INT) AS centroid_id", "embedding AS cvec")
+    q = corpus.filter("vec_id < 2").select(
+        F.col("vec_id").alias("query_id"), "embedding")
+    cb2 = pq_codebooks(corpus, n_sub=2, k_codes=4, seed=1)
+    cb4 = pq_codebooks(corpus, n_sub=4, k_codes=4, seed=1)
+    stale = (
+        assign_ivf_cells(corpus, cents, "vec_id", "embedding")
+        .select("vec_id", "embedding", "cell")
+        .join(pq_encode(corpus, cb2, n_sub=2), "vec_id")  # 2-code generation
+    )
+    with pytest.raises(ValueError, match="another PQ generation"):
+        ivf_pq_topk(stale, q, cents, cb4, n_sub=4, k_codes=4, preassigned=True)
