@@ -3483,3 +3483,70 @@ def bm25_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(score, 4).alias("bm25"),
         )
     )
+
+
+@query("quality_model_distill", oracle=None)
+def quality_model_distill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-based curation: distill the heuristic quality gate into a
+    trainable classifier (hashing-trick tokens → logistic regression)
+    and score every document — the fastText-style filter tier above the
+    rule gates (``operators/quality_model.py``). Weak labels =
+    quality_score above the corpus median; the model reconstructs the
+    signal from raw tokens (AUC ≥ 0.9 vs its labels pinned in pytest,
+    measured 0.97 at sf0.01). Rows-only: LR training isn't
+    SQL-expressible, and gradient aggregation order makes trailing
+    float bits partitioning-dependent (scores rounded to 4 dp).
+
+    100 TB shape: fit on a hash-sample (a 2048-coefficient model needs
+    thousands of examples), broadcast the model, score in one narrow
+    JVM-side pass fused with the scan.
+    """
+    from pyspark_ingestion_spark.functions.text import quality_score
+    from pyspark_ingestion_spark.operators.quality_model import (
+        score_corpus,
+        train_text_classifier,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    med = d.select(F.median(quality_score("text")).alias("m")).first()["m"]
+    labeled = d.withColumn("hi_q", (quality_score("text") > med).cast("int"))
+    model = train_text_classifier(labeled, "hi_q", n_features=2048, max_iter=30)
+    return score_corpus(model, d)
+
+
+@query("corpus_topic_clusters", oracle=None)
+def corpus_topic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Topic-cluster profile of the corpus: trained KMeans cells over the
+    embedding space (the same quantizer the IVF tier uses), joined back
+    to document metadata for a per-topic curation report — docs, length,
+    heuristic quality, source spread, dominant language. The view a
+    curation pass uses to decide per-topic mixing weights / quality
+    thresholds. Rows-only: KMeans isn't SQL-expressible.
+
+    100 TB shape: centroids broadcast for assignment (corpus never
+    shuffles for it), then one partial-combined groupBy over n_centroids
+    keys; the doc join is on the aligned primary key.
+    """
+    from pyspark_ingestion_spark.functions.text import quality_score
+    from pyspark_ingestion_spark.operators.similarity import (
+        assign_ivf_cells,
+        kmeans_centroids,
+    )
+
+    e = load_table(spark, sf_dir, "embeddings")
+    d = load_table(spark, sf_dir, "documents")
+    cents = kmeans_centroids(e, n_centroids=8, seed=42)
+    cells = assign_ivf_cells(e, cents, "vec_id", "embedding").select(
+        F.col("vec_id").alias("doc_id"), "cell"
+    )
+    return (
+        cells.join(d, "doc_id")
+        .groupBy(F.col("cell").alias("topic"))
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(F.avg(F.length("text")), 2).alias("avg_chars"),
+            F.round(F.avg(quality_score("text")), 4).alias("avg_quality"),
+            F.count_distinct("source").alias("n_sources"),
+            F.mode("lang").alias("top_lang"),
+        )
+    )

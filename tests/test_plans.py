@@ -267,6 +267,8 @@ def test_headline_shuffle_budgets(spark, sf_dir):
         "dedup_incremental_substring": 6, # corpus-side cap + cross wh join + verify + runs + distinct
         "ann_ivf_pq_topk": 7,             # cell/code assigns + LUT agg + rerank topk windows
         "dedup_substring_sampling_eval": 4,  # two pair-mining arms -> two bounded scalar aggs
+        "quality_model_distill": 0,       # broadcast model, pure scan-side JVM scoring
+        "corpus_topic_clusters": 3,       # cell argmax agg + doc join + topic agg
     }
     qs = all_queries()
     over = {

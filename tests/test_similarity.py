@@ -414,3 +414,51 @@ def test_pq_preassigned_stale_codes_fail_fast(spark):
     )
     with pytest.raises(ValueError, match="another PQ generation"):
         ivf_pq_topk(stale, q, cents, cb4, n_sub=4, k_codes=4, preassigned=True)
+
+
+def test_text_classifier_separable_and_distill(spark, sf_dir):
+    """The model tier learns: (1) a planted separable vocabulary (good
+    vs bad word sets) is classified near-perfectly; (2) distilling the
+    heuristic quality gate on real fixture docs reaches AUC ≥ 0.9 vs
+    its own labels. Also pins the AUC helper on a hand-checkable case."""
+    import random
+
+    from pyspark_ingestion_spark.functions.text import quality_score
+    from pyspark_ingestion_spark.operators.quality_model import (
+        auc_of_scores,
+        score_corpus,
+        train_text_classifier,
+    )
+    from pyspark_ingestion_spark.sources.readers import load_table
+
+    # hand-checkable AUC: scores 0.1/0.2/0.3/0.4 with labels 0/0/1/1 -> 1.0
+    sc = spark.createDataFrame(
+        [(1, 0.1), (2, 0.2), (3, 0.3), (4, 0.4)], "doc_id int, model_score double"
+    )
+    lb = spark.createDataFrame(
+        [(1, 0), (2, 0), (3, 1), (4, 1)], "doc_id int, y int"
+    )
+    assert auc_of_scores(sc, lb, "doc_id", "y") == 1.0
+    swapped = spark.createDataFrame(
+        [(1, 1), (2, 1), (3, 0), (4, 0)], "doc_id int, y int"
+    )
+    assert auc_of_scores(sc, swapped, "doc_id", "y") == 0.0
+
+    rng = random.Random(9)
+    good = [f"good{i}" for i in range(50)]
+    bad = [f"bad{i}" for i in range(50)]
+    rows = []
+    for i in range(200):
+        vocab = good if i % 2 == 0 else bad
+        rows.append((i, " ".join(rng.choices(vocab, k=30)), i % 2))
+    df = spark.createDataFrame(rows, "doc_id int, text string, label int")
+    model = train_text_classifier(df, "label", n_features=512, max_iter=20)
+    auc = auc_of_scores(score_corpus(model, df), df, "doc_id", "label")
+    assert auc >= 0.99, auc
+
+    d = load_table(spark, sf_dir, "documents")
+    med = d.select(F.median(quality_score("text")).alias("m")).first()["m"]
+    labeled = d.withColumn("hi_q", (quality_score("text") > med).cast("int"))
+    m2 = train_text_classifier(labeled, "hi_q", n_features=2048, max_iter=30)
+    auc2 = auc_of_scores(score_corpus(m2, d), labeled, "doc_id", "hi_q")
+    assert auc2 >= 0.9, auc2
