@@ -25,6 +25,25 @@ from pyspark.sql import functions as F
 from pyspark_ingestion_spark.operators.relational import dedupe_latest
 from pyspark_ingestion_spark.sources.writers import overwrite_partitions
 
+#: characters Spark/Hive percent-escape in partition directory names
+#: (ExternalCatalogUtils.escapePathName; verified against actual written
+#: dirs on 4.1.2: 'a:b'→'a%3Ab', 'a/b'→'a%2Fb', 'a#b'→'a%23b',
+#: 'a%b'→'a%25b'; plain spaces are NOT escaped)
+_PATH_ESCAPE = set('"#%\'*/:=?\\\x7f{[]^') | {chr(c) for c in range(0x20)}
+
+
+def _partition_path_segment(col: str, v) -> str:
+    """One ``col=value`` path segment exactly as Spark writes it —
+    percent-escaped specials, ``__HIVE_DEFAULT_PARTITION__`` for
+    NULL/empty. Raw ``str(v)`` would diverge on exactly those values
+    (the delete would silently miss the directory)."""
+    if v is None or str(v) == "":
+        return f"{col}=__HIVE_DEFAULT_PARTITION__"
+    escaped = "".join(
+        f"%{ord(ch):02X}" if ch in _PATH_ESCAPE else ch for ch in str(v)
+    )
+    return f"{col}={escaped}"
+
 
 def cdc_upsert(
     spark: SparkSession,
@@ -45,6 +64,17 @@ def cdc_upsert(
     re-run would flip-flop). The merged frame is ``localCheckpoint``ed
     before the write because Spark refuses to overwrite a path its own
     plan still scans.
+
+    CONTRACT — partition values must be IMMUTABLE per key: the merge
+    reads only the partitions present in the batch, so an update that
+    MOVES a key to a different partition value cannot see (or remove)
+    the key's stored row in its old partition — the lake would hold the
+    key twice. Likewise a tombstone removes the key only from the
+    partition value it carries. This is the standard constraint of
+    partition-scoped CDC on plain files (partition on stable columns:
+    creation date, tenant, region — never on mutable attributes); keys
+    that genuinely change partition need a delete in the old partition
+    + insert in the new, or a transactional table format.
     """
     # the batch's partition footprint — small by construction (a CDC
     # delta touches few partitions); this is the only driver-side list
@@ -95,7 +125,10 @@ def cdc_upsert(
         jvm = spark._jvm
         conf = spark._jsc.hadoopConfiguration()
         for vals in emptied:
-            sub = "/".join(f"{c}={v}" for c, v in zip(partition_columns, vals))
+            sub = "/".join(
+                _partition_path_segment(c, v)
+                for c, v in zip(partition_columns, vals)
+            )
             jpath = jvm.org.apache.hadoop.fs.Path(f"{path}/{sub}")
             fs = jpath.getFileSystem(conf)
             fs.delete(jpath, True)

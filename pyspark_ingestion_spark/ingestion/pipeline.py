@@ -82,8 +82,26 @@ def ingest_table(
 
     obs = Observation(f"ingest_{system}_{table_name}")
     ref = settings.ref_column
+    # Timestamp refs are formatted to the sync-file string INSIDE Spark
+    # (date_format runs in the pinned-UTC session timezone): collecting
+    # a raw timestamp from Observation round-trips through the DRIVER
+    # OS timezone (verified: TZ=America/New_York turns 08:15Z into
+    # 03:15 before strftime appends 'Z'), so a driver failover across
+    # timezones would shift the watermark by the offset — re-ingesting
+    # or skipping hours of rows. max over the fixed-width string is the
+    # same ordering as max over the timestamp.
+    from pyspark.sql import types as T
+
+    ref_is_ts = isinstance(
+        elab.schema[ref].dataType, (T.TimestampType, T.TimestampNTZType, T.DateType)
+    )
+    max_ref_expr = (
+        F.max(F.date_format(F.col(ref), "yyyy-MM-dd'T'HH:mm:ss.SSSSSS'Z'"))
+        if ref_is_ts
+        else F.max(F.col(ref))
+    )
     observed = elab.observe(
-        obs, F.count(F.lit(1)).alias("n_rows"), F.max(F.col(ref)).alias("max_ref")
+        obs, F.count(F.lit(1)).alias("n_rows"), max_ref_expr.alias("max_ref")
     )
 
     write_partitioned(
@@ -98,6 +116,12 @@ def ingest_table(
     metrics = obs.get
     n_rows = metrics["n_rows"]
     if n_rows > 0 and metrics["max_ref"] is not None:
-        wm = Watermark(system, table_name, ref, format_watermark(metrics["max_ref"]))
+        val = metrics["max_ref"]
+        wm = Watermark(
+            system,
+            table_name,
+            ref,
+            val if isinstance(val, str) else format_watermark(val),
+        )
     write_watermark(wm, table_path, spark=spark)
     return IngestResult(moved_something=n_rows > 0, n_rows=n_rows, watermark=wm)

@@ -53,15 +53,37 @@ def maintain_rollup(
         raise ValueError(f"partition columns {missing} must be part of group_cols")
 
     def _merge_fn(name: str, col: Column) -> Column:
-        # str(Column) renders "Column<'count(1)'>" — engine-version-stable
-        # and needs no JVM round-trip
-        rendered = str(col).split("'", 1)[-1]
-        fn = rendered.split("(")[0].strip().lower()
-        if fn.startswith(("count", "sum")):
+        # The function name + DISTINCT flag come from the column node
+        # (Spark 4 classic). This matters: str(F.count_distinct(x))
+        # renders IDENTICALLY to str(F.count(x)) (verified on 4.1.2), so
+        # a string-only check would merge a distinct-count via sum —
+        # silently wrong, not an error. Names are matched EXACTLY
+        # (min_by/max_by must not pass as min/max: their merge would
+        # return the min of the VALUE column, not the value at the min
+        # ordering key). The string parse remains only as a fallback for
+        # runtimes without the node API, where DISTINCT aggregates are
+        # undetectable — documented residual risk of that path.
+        distinct = False
+        try:
+            node = col._jc.node()
+            fn = node.functionName().lower()
+            distinct = bool(node.isDistinct())
+        except Exception:
+            rendered = str(col).split("'", 1)[-1]
+            fn = rendered.split("(")[0].strip().lower()
+            if "distinct" in rendered.lower():
+                distinct = True
+        if distinct:
+            raise ValueError(
+                f"aggregate {name!r} uses DISTINCT — not decomposable (a value "
+                "seen by two batches would be double-counted); use an HLL/theta "
+                "sketch column instead"
+            )
+        if fn in ("count", "sum"):
             return F.sum(name).alias(name)
-        if fn.startswith("min"):
+        if fn == "min":
             return F.min(name).alias(name)
-        if fn.startswith("max"):
+        if fn == "max":
             return F.max(name).alias(name)
         raise ValueError(
             f"aggregate {name}={fn!r} is not decomposable; use a sketch column "

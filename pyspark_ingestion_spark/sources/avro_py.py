@@ -285,9 +285,13 @@ def write_container(fh, avro_schema: dict, encoded_rows: list[bytes], codec: str
         fh.write(bytes(block))
 
 
-def read_container(data: bytes) -> tuple[dict, list[tuple]]:
-    """Parse one container file → (avro schema, decoded row tuples)."""
-    view = memoryview(data)
+def _read_header(view: memoryview) -> tuple[dict, str, bytes, int]:
+    """Parse just the container header → (schema, codec, sync, offset).
+
+    The header is magic + metadata map + 16-byte sync — a few KB at
+    most; callers that only need the schema must not pay for decoding
+    the data blocks (``read_avro`` peeks ONE header to type the whole
+    distributed scan)."""
     if bytes(view[:4]) != MAGIC:
         raise ValueError("not an avro object container (bad magic)")
     pos = 4
@@ -310,6 +314,20 @@ def read_container(data: bytes) -> tuple[dict, list[tuple]]:
     pos += 16
     schema = json.loads(meta["avro.schema"])
     codec = meta.get("avro.codec", b"null").decode()
+    return schema, codec, sync, pos
+
+
+def read_schema(data: bytes) -> dict:
+    """Avro schema from a container PREFIX — no block decoding. ``data``
+    need only cover the header (read the first ~64 KB of the file)."""
+    schema, _codec, _sync, _pos = _read_header(memoryview(data))
+    return schema
+
+
+def read_container(data: bytes) -> tuple[dict, list[tuple]]:
+    """Parse one container file → (avro schema, decoded row tuples)."""
+    view = memoryview(data)
+    schema, codec, sync, pos = _read_header(view)
     field_types = [f["type"] for f in schema["fields"]]
     rows: list[tuple] = []
     total = len(data)
@@ -383,16 +401,43 @@ def write_avro(
     """
     import shutil
 
+    # normalize + validate the mode UP FRONT — the JVM path accepts the
+    # same aliases, and a typo'd mode must fail before any data lands,
+    # not on the second run when the path happens to exist
+    aliases = {"error": "errorifexists", "default": "errorifexists"}
+    mode = aliases.get(mode, mode)
+    valid = {"errorifexists", "overwrite", "append", "ignore", "overwrite_partitions"}
+    if mode not in valid:
+        raise ValueError(f"unsupported mode {mode!r}; one of {sorted(valid)}")
+    if mode == "overwrite_partitions" and not partition_columns:
+        raise ValueError("overwrite_partitions mode requires partition_columns")
+
     if "://" in path and not path.startswith("file://"):
         raise NotImplementedError("pure-python avro fallback writes local paths only")
     path = path.removeprefix("file://")
     if os.path.exists(path):
         if mode == "errorifexists":
             raise FileExistsError(path)
+        if mode == "ignore":
+            return
         if mode == "overwrite":
             shutil.rmtree(path)
-        elif mode != "append":
-            raise ValueError(f"unsupported mode {mode!r}")
+        elif mode == "overwrite_partitions":
+            # DYNAMIC overwrite semantics (the overwrite_partitions
+            # writer contract): replace exactly the partitions present
+            # in df, leave every other partition untouched. A whole-path
+            # rmtree here would destroy untouched partitions — the
+            # failure mode this branch exists to prevent.
+            touched = [
+                tuple(r)
+                for r in df.select(*partition_columns).distinct().collect()
+            ]
+            for vals in touched:
+                sub = os.path.join(
+                    path, *[f"{c}={v}" for c, v in zip(partition_columns, vals)]
+                )
+                if os.path.exists(sub):
+                    shutil.rmtree(sub)
     os.makedirs(path, exist_ok=True)
 
     schema = df.schema
@@ -450,9 +495,13 @@ def read_avro(spark: SparkSession, path: str) -> DataFrame:
         files += [os.path.join(dirpath, f) for f in filenames if f.endswith(".avro")]
     if not files:
         raise FileNotFoundError(f"no .avro files under {path}")
+    # header-only peek: the schema lives in the first few KB; decoding
+    # the whole first container on the driver would load an entire
+    # partition's rows for nothing (one file per partition value is the
+    # normal layout here)
     with open(sorted(files)[0], "rb") as fh:
-        head = fh.read()
-    avro_schema, _ = read_container(head)
+        head = fh.read(64 * 1024)
+    avro_schema = read_schema(head)
     spark_schema = avro_schema_to_spark(avro_schema)
 
     def _decode(batches):

@@ -53,6 +53,11 @@ def ctas(
     parts = [f"CREATE TABLE {_qident(table)}", f"USING {_qident(file_format)}"]
     opts = []
     if compression:
+        # same validated-interpolation rule as _qident/_qlocation: codec
+        # names are plain words; anything else (e.g. a quote) would
+        # rewrite the statement instead of failing loud
+        if not _IDENT_RE.match(compression):
+            raise ValueError(f"invalid compression codec {compression!r}")
         opts.append(f"compression '{compression}'")
     if opts:
         parts.append(f"OPTIONS ({', '.join(opts)})")

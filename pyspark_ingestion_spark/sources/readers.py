@@ -92,7 +92,25 @@ def read_file(
         if not _jvm_avro_available(spark):
             from pyspark_ingestion_spark.sources.avro_py import read_avro
 
-            return read_avro(spark, path)
+            out = read_avro(spark, path)
+            if schema is not None:
+                # honor the caller's schema contract like the JVM reader:
+                # project + cast to the requested columns/types instead of
+                # silently returning the container-inferred shape
+                out = out.select(
+                    *[
+                        F.col(f.name).cast(f.dataType).alias(f.name)
+                        for f in schema.fields
+                    ]
+                )
+            if options:
+                import warnings
+
+                warnings.warn(
+                    f"pure-python avro fallback ignores reader options {sorted(options)}",
+                    stacklevel=2,
+                )
+            return out
     reader = spark.read.format(file_format)
     if schema is not None:
         reader = reader.schema(schema)

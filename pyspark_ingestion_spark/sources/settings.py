@@ -96,14 +96,26 @@ def parse_data_dictionary(
     has no non-null INCREMENTAL_REFERENCE are skipped, matching the
     reference's dropna on the ref column.
     """
+    def _cell(v):
+        """Blank-cell normalization: pandas delivers empty Excel cells
+        as float NaN (truthy!), csv as "" — both mean 'no value'. A NaN
+        ref would otherwise LOCK the group's ref at the first blank row
+        (NaN is not None) and defeat the refless-table skip filter."""
+        if v is None:
+            return None
+        if isinstance(v, float) and v != v:  # NaN
+            return None
+        s = str(v).strip()
+        return s or None
+
     grouped: dict[str, dict] = {}
     for row in rows:
         key = f"{row[DD_SCHEMA_COL]}.{row[DD_TABLE_COL]}"
         g = grouped.setdefault(key, {"columns": [], "ref": None})
-        col = row.get(DD_COLUMN_COL)
+        col = _cell(row.get(DD_COLUMN_COL))
         if col and col not in g["columns"]:
             g["columns"].append(col)
-        ref = row.get(DD_REF_COL)
+        ref = _cell(row.get(DD_REF_COL))
         if g["ref"] is None and ref:
             g["ref"] = ref
     return {

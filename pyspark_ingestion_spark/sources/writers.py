@@ -62,9 +62,45 @@ def write_partitioned(
     if file_format == "avro" and not _jvm_avro_available(df.sparkSession):
         # pip pyspark ships without the spark-avro datasource jar; fall
         # back to the pure-python container codec (sources/avro_py.py).
+        import warnings
+
         from pyspark_ingestion_spark.sources.avro_py import write_avro
 
-        write_avro(df, path, partition_columns=partition_columns, mode=mode)
+        # honor DYNAMIC partition overwrite exactly like the JVM writer
+        # would: mode="overwrite" under the dynamic conf must replace
+        # only the partitions present in df, never rmtree the table
+        # (overwrite_partitions/cdc_upsert/maintain_rollup depend on it)
+        if (
+            mode == "overwrite"
+            and partition_columns
+            and df.sparkSession.conf.get(
+                "spark.sql.sources.partitionOverwriteMode", "static"
+            ).lower()
+            == "dynamic"
+        ):
+            mode = "overwrite_partitions"
+        # codec map: the pure-python codec supports null/deflate only;
+        # detune LOUDLY, never silently
+        codec = {None: "null", "none": "null", "uncompressed": "null",
+                 "deflate": "deflate", "gzip": "deflate"}.get(
+            compression if compression is None else compression.lower()
+        )
+        if codec is None:
+            warnings.warn(
+                f"pure-python avro fallback cannot encode {compression!r}; "
+                "using deflate", stacklevel=2,
+            )
+            codec = "deflate"
+        dropped = {k: v for k, v in options.items()}
+        if max_records_per_file:
+            dropped["max_records_per_file"] = max_records_per_file
+        if dropped:
+            warnings.warn(
+                f"pure-python avro fallback ignores writer options {sorted(dropped)}",
+                stacklevel=2,
+            )
+        write_avro(df, path, partition_columns=partition_columns, mode=mode,
+                   codec=codec)
         return
 
     out = df

@@ -892,3 +892,134 @@ def test_synthesized_payloads_roundtrip_real_parsers(spark):
     riff = b"WAVE" + fmt + dchunk
     wav16 = struct.pack("<4sI", b"RIFF", len(riff)) + riff
     assert _wav_sample_values(wav16) == [-1000, 1000]
+
+
+def test_avro_fallback_dynamic_overwrite_preserves_partitions(spark, tmp_path):
+    """overwrite_partitions on the pure-python avro fallback must honor
+    DYNAMIC semantics: replacing partition p=2 leaves p=1 untouched
+    (the old fallback rmtree'd the whole table — every untouched
+    partition was silently destroyed)."""
+    from pyspark_ingestion_spark.sources.readers import read_file
+    from pyspark_ingestion_spark.sources.writers import overwrite_partitions
+
+    path = str(tmp_path / "lake")
+    df1 = spark.createDataFrame([(1, "a", 1), (2, "b", 2)], "id int, v string, p int")
+    overwrite_partitions(df1, path, ["p"], file_format="avro", compression=None)
+    df2 = spark.createDataFrame([(3, "c", 2)], "id int, v string, p int")
+    overwrite_partitions(df2, path, ["p"], file_format="avro", compression=None)
+    got = {
+        (r["id"], r["v"], r["p"])
+        for r in read_file(spark, path, file_format="avro").collect()
+    }
+    assert got == {(1, "a", 1), (3, "c", 2)}, got  # p=1 survived, p=2 replaced
+
+
+def test_avro_write_mode_validation_and_ignore(spark, tmp_path):
+    """A typo'd mode fails BEFORE any data lands (not on the second run);
+    mode='ignore' no-ops on an existing path like the JVM writer."""
+    import pytest
+
+    from pyspark_ingestion_spark.sources.avro_py import write_avro
+
+    df = spark.createDataFrame([(1, "a")], "id int, v string")
+    missing = str(tmp_path / "nowhere")
+    with pytest.raises(ValueError, match="unsupported mode"):
+        write_avro(df, missing, mode="bogus")
+    assert not os.path.exists(missing)  # nothing landed
+
+    path = str(tmp_path / "t")
+    write_avro(df, path, mode="errorifexists")
+    df2 = spark.createDataFrame([(2, "b")], "id int, v string")
+    write_avro(df2, path, mode="ignore")  # must no-op, not raise/append
+    from pyspark_ingestion_spark.sources.avro_py import read_avro
+
+    assert [tuple(r) for r in read_avro(spark, path).collect()] == [(1, "a")]
+
+
+def test_read_file_avro_fallback_honors_schema(spark, tmp_path):
+    """The fallback applies the caller's schema (projection + cast) like
+    the JVM reader, instead of silently returning the inferred shape."""
+    from pyspark.sql import types as T
+
+    from pyspark_ingestion_spark.sources.readers import read_file
+    from pyspark_ingestion_spark.sources.writers import write_partitioned
+
+    path = str(tmp_path / "t")
+    df = spark.createDataFrame([(1, "a", 9)], "id int, v string, extra int")
+    write_partitioned(df, path, file_format="avro", compression=None,
+                      mode="errorifexists")
+    want = T.StructType([
+        T.StructField("id", T.LongType()),
+        T.StructField("v", T.StringType()),
+    ])
+    got = read_file(spark, path, file_format="avro", schema=want)
+    assert got.columns == ["id", "v"]
+    assert dict(got.dtypes)["id"] == "bigint"
+    assert [tuple(r) for r in got.collect()] == [(1, "a")]
+
+
+def test_rollup_rejects_non_decomposable_aggregates(spark, tmp_path):
+    """countDistinct renders identically to count in str(Column) — the
+    merge gate must still reject it (sum over per-batch distinct counts
+    double-counts), and min_by/max_by must not pass as min/max."""
+    import pytest
+
+    from pyspark.sql import functions as F
+
+    from pyspark_ingestion_spark.ingestion.rollup import maintain_rollup
+
+    batch = spark.createDataFrame([(1, 2, "x", 5)], "p int, uid int, g string, v int")
+    for bad in (F.count_distinct("uid"), F.min_by("v", "uid"), F.max_by("v", "uid")):
+        with pytest.raises(ValueError, match="DISTINCT|not decomposable"):
+            maintain_rollup(
+                spark, batch, str(tmp_path / "r"),
+                group_cols=["p"], partition_columns=["p"],
+                agg_exprs={"m": bad},
+            )
+
+
+def test_data_dictionary_nan_cells_are_blank(spark):
+    """pandas delivers blank Excel cells as float NaN (truthy): a NaN
+    ref must not lock the group (later real refs win) and NaN column
+    names must not be imported; all-NaN-ref tables are skipped."""
+    from pyspark_ingestion_spark.sources.settings import parse_data_dictionary
+
+    nan = float("nan")
+    rows = [
+        {"TABLE_SCHEMA": "s", "TABLE_NAME": "t1", "COLUMN_NAME": "c1",
+         "INCREMENTAL_REFERENCE": nan},
+        {"TABLE_SCHEMA": "s", "TABLE_NAME": "t1", "COLUMN_NAME": "c2",
+         "INCREMENTAL_REFERENCE": "updated_at"},
+        {"TABLE_SCHEMA": "s", "TABLE_NAME": "t1", "COLUMN_NAME": nan,
+         "INCREMENTAL_REFERENCE": nan},
+        {"TABLE_SCHEMA": "s", "TABLE_NAME": "t2", "COLUMN_NAME": "c1",
+         "INCREMENTAL_REFERENCE": nan},
+    ]
+    got = parse_data_dictionary(rows)
+    assert set(got) == {"s.t1"}  # t2 has no real ref -> skipped
+    assert got["s.t1"].ref_column == "updated_at"
+    assert got["s.t1"].columns_to_import == ["c1", "c2"]
+
+
+def test_cdc_emptied_partition_delete_escapes_path(spark, tmp_path):
+    """Tombstoning every key of a partition whose value Spark
+    percent-escapes on disk ('a:b' -> 'a%3Ab') must still delete the
+    emptied directory — raw str(v) paths would silently miss it."""
+    from pyspark_ingestion_spark.ingestion.cdc import cdc_upsert
+
+    path = str(tmp_path / "lake")
+    base = spark.createDataFrame(
+        [(1, 1, False, "a:b"), (2, 1, False, "plain")],
+        "id int, ver int, deleted boolean, p string",
+    )
+    cdc_upsert(spark, base, path, key_cols=["id"], order_cols=["ver"],
+               partition_columns=["p"])
+    assert os.path.isdir(os.path.join(path, "p=a%3Ab"))
+    tomb = spark.createDataFrame(
+        [(1, 2, True, "a:b")], "id int, ver int, deleted boolean, p string"
+    )
+    cdc_upsert(spark, tomb, path, key_cols=["id"], order_cols=["ver"],
+               partition_columns=["p"], delete_col="deleted")
+    assert not os.path.exists(os.path.join(path, "p=a%3Ab"))
+    got = {r["id"] for r in spark.read.parquet(path).collect()}
+    assert got == {2}
