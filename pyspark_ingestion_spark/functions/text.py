@@ -31,7 +31,23 @@ def _c(c: Column | str) -> Column:
 
 
 def words(text: Column | str) -> Column:
-    """Whitespace-split word array (empty array for blank text)."""
+    """Whitespace-split word array (empty array for blank text).
+
+    KNOWN EDGE, pinned deliberately: ``trim`` strips ASCII SPACE only,
+    so text beginning with other whitespace (``\\t``, ``\\n``) yields an
+    empty first token (and word_count counts it). This exact behavior
+    is a three-way cross-engine contract — the DuckDB oracles
+    (``string_split_regex(trim(text), ...)``, same space-only trim) and
+    the Python property-test models (tests/test_properties.py
+    ``_rolling_hash_py``, re.ASCII split) reproduce it bit-for-bit, and
+    every fingerprint/shingle/rolling-hash derived from it is persisted
+    in dedup ledgers. Changing it means changing every oracle and model
+    in lockstep and re-verifying the whole text family — do that as a
+    coordinated migration, never as a drive-by fix. Pipelines ingesting
+    raw scraped text should normalize whitespace upstream
+    (``regexp_replace(text, '^\\\\s+|\\\\s+$', '')``) before these
+    functions.
+    """
     t = F.trim(_c(text))
     return F.when(F.length(t) == 0, F.array().cast("array<string>")).otherwise(
         F.split(t, WS)
@@ -74,8 +90,14 @@ def quality_score(text: Column | str) -> Column:
 
 
 def lang_scores(text: Column | str) -> dict[str, Column]:
-    """Marker-word hit counts per language (word-boundary regex)."""
-    t = _c(text)
+    """Marker-word hit counts per language (word-boundary regex).
+
+    The text is lowercased first — sentence-initial capitals ('The',
+    'El', 'Le') are exactly the marker positions natural text has most
+    of; matching case-sensitively would halve the score of title-cased
+    docs (every other text function here lowercases too). The SQL
+    oracles mirror with lower(text)."""
+    t = F.lower(_c(text))
     return {
         lang: sum(
             (F.regexp_count(t, F.lit(rf"\b{w}\b")) for w in markers), F.lit(0)

@@ -89,8 +89,12 @@ def quality_checks(
             )
         )
     for c in unique_cols or []:
+        # SQL UNIQUE semantics: NULLs are not duplicates of each other
+        # (a nullable-but-unique column must be able to pass the gate;
+        # nullability itself is the not_null_cols check's job)
         parts.append(
-            df.groupBy(c)
+            df.filter(F.col(c).isNotNull())
+            .groupBy(c)
             .agg(F.count(F.lit(1)).alias("__c"))
             .filter(F.col("__c") > 1)
             .agg(F.coalesce(F.sum(F.col("__c") - 1), F.lit(0)).alias(f"dup_{c}"))

@@ -83,7 +83,10 @@ def asof_join(
                       [c for c in right.columns if c not in by and c != right_ts])
 
     payload = F.struct(F.col(right_ts).alias(right_ts), *[F.col(c) for c in right_cols])
-    r = right.select(
+    # NULL-timestamp rows participate in no match on either side (the
+    # merge_asof contract): a NULL-ts RIGHT row would otherwise sort to
+    # one end of the scan and its payload would bleed into real rows
+    r = right.filter(F.col(right_ts).isNotNull()).select(
         *by,
         F.col(right_ts).alias("__ts"),
         F.lit(0).alias("__side"),
@@ -110,8 +113,15 @@ def asof_join(
     # DESCENDING, "the last right row seen at-or-before the current row"
     # is exactly the earliest right row with right_ts >= left_ts. Right
     # rows order before left rows at an equal ts in both directions, so
-    # both scans are inclusive.
-    ts_order = F.col("__ts").asc() if direction == "backward" else F.col("__ts").desc()
+    # both scans are inclusive. NULLS FIRST in BOTH directions: a left
+    # row with a NULL timestamp must see no candidates (plain .desc()
+    # defaults to NULLS LAST, which handed NULL-ts left rows the
+    # earliest right row — wrong and inconsistent with backward).
+    ts_order = (
+        F.col("__ts").asc_nulls_first()
+        if direction == "backward"
+        else F.col("__ts").desc_nulls_first()
+    )
     w = (
         Window.partitionBy(*by)
         .orderBy(ts_order, F.col("__side").asc())

@@ -17,6 +17,13 @@ going to pay anyway).
 The md5-prefix construction matches the MinHash hashing in
 operators/dedup.py (first 7 hex digits → 28-bit int), keeping the whole
 engine's hashing story uniform and DuckDB-oracle-checkable.
+
+NULL keys: md5(NULL) is NULL, so ``hash_bucket`` of a NULL id is NULL —
+threshold filters (deterministic_sample, weighted_domain_mix) DROP such
+rows, while train_val_test_split's otherwise-branch routes them to
+'test'. Sample keys are primary keys by contract; if your id column is
+nullable, coalesce it (or filter) upstream explicitly rather than
+relying on either behavior.
 """
 
 from __future__ import annotations
@@ -56,12 +63,16 @@ def stratified_sample(
     the same pre-filter + exact-re-rank shape the similarity operators
     use. Appends ``rn`` (1-based rank within the stratum).
     """
-    from pyspark.sql.window import Window
+    from pyspark_ingestion_spark.operators.relational import topk_per_group
 
-    w = Window.partitionBy(strata_col).orderBy(
-        F.md5(F.col(id_col).cast("string")), F.col(id_col)
+    return topk_per_group(
+        df,
+        [strata_col],
+        [F.md5(F.col(id_col).cast("string")), F.col(id_col)],
+        k,
+        rank_col="rn",
+        keep_rank=True,
     )
-    return df.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= k)
 
 
 def train_val_test_split(
@@ -79,6 +90,12 @@ def train_val_test_split(
     no leakage of val/test docs into train when the corpus is re-split
     after growth.
     """
+    if train + val > buckets or train < 1:
+        raise ValueError(
+            f"train ({train}) + val ({val}) must fit inside buckets ({buckets}) "
+            "with room for test — buckets >= train + val; an oversized train/val "
+            "would silently produce an empty split"
+        )
     b = hash_bucket(id_col, buckets)
     return df.withColumn("bucket", b).withColumn(
         "split",
@@ -106,15 +123,23 @@ def weighted_domain_mix(
     raising a domain's weight later only ADDS docs — existing training
     sets stay strict subsets. Appends ``bucket``.
     """
-    for dom, w in weights.items():
+    def _threshold(label: str, w: float) -> int:
         if not 0.0 < w <= 1.0:
-            raise ValueError(f"weight for {dom!r} must be in (0, 1], got {w}")
-    if not 0.0 < default_weight <= 1.0:
-        raise ValueError(f"default_weight must be in (0, 1], got {default_weight}")
-    threshold = F.lit(int(round(default_weight * buckets)))
+            raise ValueError(f"weight for {label} must be in (0, 1], got {w}")
+        t = int(round(w * buckets))
+        if t == 0:
+            # a positive weight quantizing to bucket threshold 0 would
+            # silently DROP the whole domain the caller asked to keep
+            raise ValueError(
+                f"weight {w} for {label} is below the bucket resolution "
+                f"1/{buckets}; raise `buckets` to keep this domain"
+            )
+        return t
+
+    threshold = F.lit(_threshold("default_weight", default_weight))
     for dom, w in sorted(weights.items()):
         threshold = F.when(
-            F.col(domain_col) == dom, F.lit(int(round(w * buckets)))
+            F.col(domain_col) == dom, F.lit(_threshold(repr(dom), w))
         ).otherwise(threshold)
     return df.withColumn("bucket", hash_bucket(id_col, buckets)).filter(
         F.col("bucket") < threshold

@@ -96,15 +96,15 @@ def token_count_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=r"""
     WITH scored AS (
         SELECT doc_id, lang,
-            CAST(len(regexp_extract_all(text, '\bthe\b')) + len(regexp_extract_all(text, '\ba\b'))
-               + len(regexp_extract_all(text, '\bof\b'))  + len(regexp_extract_all(text, '\band\b'))
-               + len(regexp_extract_all(text, '\bto\b')) AS BIGINT) AS en_score,
-            CAST(len(regexp_extract_all(text, '\bel\b'))  + len(regexp_extract_all(text, '\bla\b'))
-               + len(regexp_extract_all(text, '\bde\b'))  + len(regexp_extract_all(text, '\bque\b'))
-               + len(regexp_extract_all(text, '\blos\b')) AS BIGINT) AS es_score,
-            CAST(len(regexp_extract_all(text, '\ble\b'))  + len(regexp_extract_all(text, '\bla\b'))
-               + len(regexp_extract_all(text, '\bet\b'))  + len(regexp_extract_all(text, '\bles\b'))
-               + len(regexp_extract_all(text, '\bdes\b')) AS BIGINT) AS fr_score
+            CAST(len(regexp_extract_all(lower(text), '\bthe\b')) + len(regexp_extract_all(lower(text), '\ba\b'))
+               + len(regexp_extract_all(lower(text), '\bof\b'))  + len(regexp_extract_all(lower(text), '\band\b'))
+               + len(regexp_extract_all(lower(text), '\bto\b')) AS BIGINT) AS en_score,
+            CAST(len(regexp_extract_all(lower(text), '\bel\b'))  + len(regexp_extract_all(lower(text), '\bla\b'))
+               + len(regexp_extract_all(lower(text), '\bde\b'))  + len(regexp_extract_all(lower(text), '\bque\b'))
+               + len(regexp_extract_all(lower(text), '\blos\b')) AS BIGINT) AS es_score,
+            CAST(len(regexp_extract_all(lower(text), '\ble\b'))  + len(regexp_extract_all(lower(text), '\bla\b'))
+               + len(regexp_extract_all(lower(text), '\bet\b'))  + len(regexp_extract_all(lower(text), '\bles\b'))
+               + len(regexp_extract_all(lower(text), '\bdes\b')) AS BIGINT) AS fr_score
         FROM documents
     )
     SELECT doc_id, lang AS labeled_lang, en_score, es_score, fr_score,
@@ -3108,15 +3108,15 @@ def mix_temperature_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=r"""
     WITH scored AS (
         SELECT doc_id, lang,
-            CAST(len(regexp_extract_all(text, '\bthe\b')) + len(regexp_extract_all(text, '\ba\b'))
-               + len(regexp_extract_all(text, '\bof\b'))  + len(regexp_extract_all(text, '\band\b'))
-               + len(regexp_extract_all(text, '\bto\b')) AS BIGINT) AS en_score,
-            CAST(len(regexp_extract_all(text, '\bel\b'))  + len(regexp_extract_all(text, '\bla\b'))
-               + len(regexp_extract_all(text, '\bde\b'))  + len(regexp_extract_all(text, '\bque\b'))
-               + len(regexp_extract_all(text, '\blos\b')) AS BIGINT) AS es_score,
-            CAST(len(regexp_extract_all(text, '\ble\b'))  + len(regexp_extract_all(text, '\bla\b'))
-               + len(regexp_extract_all(text, '\bet\b'))  + len(regexp_extract_all(text, '\bles\b'))
-               + len(regexp_extract_all(text, '\bdes\b')) AS BIGINT) AS fr_score
+            CAST(len(regexp_extract_all(lower(text), '\bthe\b')) + len(regexp_extract_all(lower(text), '\ba\b'))
+               + len(regexp_extract_all(lower(text), '\bof\b'))  + len(regexp_extract_all(lower(text), '\band\b'))
+               + len(regexp_extract_all(lower(text), '\bto\b')) AS BIGINT) AS en_score,
+            CAST(len(regexp_extract_all(lower(text), '\bel\b'))  + len(regexp_extract_all(lower(text), '\bla\b'))
+               + len(regexp_extract_all(lower(text), '\bde\b'))  + len(regexp_extract_all(lower(text), '\bque\b'))
+               + len(regexp_extract_all(lower(text), '\blos\b')) AS BIGINT) AS es_score,
+            CAST(len(regexp_extract_all(lower(text), '\ble\b'))  + len(regexp_extract_all(lower(text), '\bla\b'))
+               + len(regexp_extract_all(lower(text), '\bet\b'))  + len(regexp_extract_all(lower(text), '\bles\b'))
+               + len(regexp_extract_all(lower(text), '\bdes\b')) AS BIGINT) AS fr_score
         FROM documents),
     pred AS (SELECT lang AS labeled_lang,
                     CASE WHEN en_score = 0 AND es_score = 0 AND fr_score = 0 THEN 'und'

@@ -1090,7 +1090,7 @@ def retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
         (SELECT CAST(count(*) - count(o_custkey) AS BIGINT) FROM orders) AS null_o_custkey,
         (SELECT CAST(count(*) - count(o_orderdate) AS BIGINT) FROM orders) AS null_o_orderdate,
         (SELECT CAST(coalesce(sum(c - 1), 0) AS BIGINT) FROM
-            (SELECT count(*) AS c FROM orders GROUP BY o_orderkey HAVING count(*) > 1)) AS dup_o_orderkey,
+            (SELECT count(*) AS c FROM orders WHERE o_orderkey IS NOT NULL GROUP BY o_orderkey HAVING count(*) > 1)) AS dup_o_orderkey,
         (SELECT count(*) FROM orders o
          WHERE o.o_custkey IS NOT NULL
            AND NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey))

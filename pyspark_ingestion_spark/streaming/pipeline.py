@@ -170,15 +170,20 @@ def stream_foreach_batch_overwrite(
     # value appears in at most one micro-batch — e.g. an ingest-date or
     # source-file column). If two batches carried rows of the same
     # partition, the second overwrite would DELETE the first batch's rows.
-    # The guard below fails the query instead of losing data silently.
-    seen_partitions: set[tuple] = set()
+    # The guard fails the query instead of losing data silently, and its
+    # state is DURABLE next to the checkpoint: an in-memory set would
+    # reset on every restart / follow-up AvailableNow increment — exactly
+    # when a recurring partition value (yesterday's date re-ingested)
+    # would slip through and erase the earlier increment. A replayed
+    # micro-batch passes (same batch id owns its partitions).
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
         parts = {
-            tuple(r[c] for c in partition_columns)
+            tuple(str(r[c]) for c in partition_columns)
             for r in batch_df.select(*partition_columns).distinct().collect()
         }
-        clash = parts & seen_partitions
+        owners = _read_partition_guard(checkpoint, batch_df.sparkSession)
+        clash = {p for p in parts if owners.get("|".join(p), batch_id) != batch_id}
         if clash:
             raise ValueError(
                 f"batch {batch_id} touches partitions already written by an "
@@ -186,7 +191,10 @@ def stream_foreach_batch_overwrite(
                 "drop their rows. Use batch-aligned partition columns (e.g. "
                 "ingest date) or an append sink with downstream dedup."
             )
-        seen_partitions.update(parts)
+        owners.update({"|".join(p): batch_id for p in parts})
+        # guard-then-write: a crash after the guard write replays with the
+        # same batch id, which the guard admits
+        _write_partition_guard(checkpoint, owners, batch_df.sparkSession)
         overwrite_partitions(batch_df, path, partition_columns)
 
     q = (
@@ -384,3 +392,55 @@ def _admit_dedup_batch(
         )
     finally:
         release_shingle_caches(keep=prior_caches)
+
+
+_GUARD_FILE = "_partition_guard.json"
+
+
+def _read_partition_guard(checkpoint: str, spark: SparkSession) -> dict[str, int]:
+    """partition-key → owning batch id, persisted next to the checkpoint
+    (same Hadoop-FS story as the watermark store for URI checkpoints)."""
+    import json
+    import os
+
+    if "://" not in checkpoint:
+        p = os.path.join(checkpoint, _GUARD_FILE)
+        if not os.path.exists(p):
+            return {}
+        with open(p) as f:
+            return {k: int(v) for k, v in json.load(f).items()}
+    from pyspark_ingestion_spark.ingestion.watermark import _hadoop_fs
+
+    jvm, fs, jpath = _hadoop_fs(f"{checkpoint}/{_GUARD_FILE}", spark)
+    if not fs.exists(jpath):
+        return {}
+    stream = fs.open(jpath)
+    try:
+        raw = jvm.org.apache.commons.io.IOUtils.toString(stream, "UTF-8")
+    finally:
+        stream.close()
+    return {k: int(v) for k, v in json.loads(raw).items()}
+
+
+def _write_partition_guard(
+    checkpoint: str, owners: dict[str, int], spark: SparkSession
+) -> None:
+    import json
+    import os
+
+    payload = json.dumps(owners, sort_keys=True)
+    if "://" not in checkpoint:
+        os.makedirs(checkpoint, exist_ok=True)
+        tmp = os.path.join(checkpoint, _GUARD_FILE + ".tmp")
+        with open(tmp, "w") as f:
+            f.write(payload)
+        os.replace(tmp, os.path.join(checkpoint, _GUARD_FILE))
+        return
+    from pyspark_ingestion_spark.ingestion.watermark import _hadoop_fs
+
+    _jvm, fs, jpath = _hadoop_fs(f"{checkpoint}/{_GUARD_FILE}", spark)
+    out = fs.create(jpath, True)
+    try:
+        out.write(bytearray(payload.encode("utf-8")))
+    finally:
+        out.close()

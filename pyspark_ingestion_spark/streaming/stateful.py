@@ -30,20 +30,30 @@ USER_TOTALS_SCHEMA = T.StructType(
     ]
 )
 
-_STATE_SCHEMA = "n LONG, total DOUBLE"
+_STATE_SCHEMA = "n LONG, nv LONG, total DOUBLE"
 
 
 def _update_user_totals(
     key: tuple, batches: Iterator[pd.DataFrame], state: GroupState
 ) -> Iterator[pd.DataFrame]:
-    """Fold each micro-batch into (n, total) state; emit the running totals."""
-    n, total = state.get if state.exists else (0, 0.0)
+    """Fold each micro-batch into (n, nv, total) state; emit running totals.
+
+    ``nv`` counts NON-NULL values: pandas sums an all-NaN series to 0.0
+    where ``F.sum`` yields NULL, so without it a key whose values are
+    all NULL would emit 0.0 and break the documented parity with the
+    batch groupBy."""
+    n, nv, total = state.get if state.exists else (0, 0, 0.0)
     for pdf in batches:
         n += len(pdf)
+        nv += int(pdf["value"].count())
         total += float(pdf["value"].sum())
-    state.update((n, total))
+    state.update((n, nv, total))
     yield pd.DataFrame(
-        {"user_id": [key[0]], "n_events": [n], "total_value": [round(total, 2)]}
+        {
+            "user_id": [key[0]],
+            "n_events": [n],
+            "total_value": [round(total, 2) if nv else None],
+        }
     )
 
 
@@ -112,16 +122,19 @@ def running_user_totals_tws(events: DataFrame) -> DataFrame:
             self._state = handle.getValueState("totals", _STATE_SCHEMA)
 
         def handleInputRows(self, key, rows, timerValues):  # noqa: ANN001
-            n, total = self._state.get() if self._state.exists() else (0, 0.0)
+            n, nv, total = (
+                self._state.get() if self._state.exists() else (0, 0, 0.0)
+            )
             for pdf in rows:
                 n += len(pdf)
+                nv += int(pdf["value"].count())
                 total += float(pdf["value"].sum())
-            self._state.update((n, total))
+            self._state.update((n, nv, total))
             yield pd.DataFrame(
                 {
                     "user_id": [key[0]],
                     "n_events": [n],
-                    "total_value": [round(total, 2)],
+                    "total_value": [round(total, 2) if nv else None],
                 }
             )
 

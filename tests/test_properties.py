@@ -1490,3 +1490,72 @@ def test_cache_count_zero_disables_caching(spark, sf_dir):
         assert dedup._LIVE_SHINGLE_CACHES == []
     finally:
         spark.conf.unset(dedup.SHINGLE_CACHE_COUNT_CONF)
+
+
+def test_asof_join_null_timestamps_never_match(spark):
+    """NULL timestamps match nothing in either direction: a NULL-ts left
+    row gets NULL asof fields (forward used to hand it the earliest
+    right row via NULLS LAST), and a NULL-ts right row's payload never
+    bleeds into real rows (backward used to treat it as 'earliest')."""
+    from pyspark_ingestion_spark.operators.relational import asof_join
+
+    left = spark.createDataFrame(
+        [(1, None), (1, 5)], "k int, lts int"
+    )
+    right = spark.createDataFrame(
+        [(1, 3, "early"), (1, 10, "late"), (1, None, "ghost")],
+        "k int, rts int, v string",
+    )
+    for direction, want_for_5 in (("backward", "early"), ("forward", "late")):
+        rows = {
+            r["lts"]: r["asof_v"]
+            for r in asof_join(
+                left, right, by=["k"], left_ts="lts", right_ts="rts",
+                direction=direction,
+            ).collect()
+        }
+        assert rows[None] is None, (direction, rows)
+        assert rows[5] == want_for_5, (direction, rows)
+
+
+def test_sampling_guards(spark):
+    """Silent-empty-output configs fail fast: a positive weight below
+    the bucket resolution, and train+val exceeding the bucket count."""
+    import pytest
+
+    from pyspark_ingestion_spark.operators.sampling import (
+        train_val_test_split,
+        weighted_domain_mix,
+    )
+
+    df = spark.createDataFrame([(1, "wiki")], "id int, source string")
+    with pytest.raises(ValueError, match="bucket resolution"):
+        weighted_domain_mix(df, "id", "source", {"wiki": 0.0004}, buckets=1000)
+    with pytest.raises(ValueError, match="buckets"):
+        train_val_test_split(df, "id", train=80, val=30, buckets=100)
+
+
+def test_quality_checks_unique_ignores_nulls(spark):
+    """SQL UNIQUE semantics: multiple NULL keys are not duplicates (the
+    not-null check owns nullability); real duplicates still count."""
+    from pyspark_ingestion_spark.operators.profiling import quality_checks
+
+    df = spark.createDataFrame(
+        [(None,), (None,), (7,), (7,), (8,)], "email int"
+    )
+    row = quality_checks(df, unique_cols=["email"]).first()
+    assert row["dup_email"] == 1  # the extra 7; NULLs don't count
+
+
+def test_lang_id_case_insensitive(spark):
+    """Sentence-initial capitals count as marker hits (both engines
+    lowercase): title-case English is still English."""
+    from pyspark_ingestion_spark.functions.text import lang_id
+
+    df = spark.createDataFrame(
+        [(1, "The Sun Also Rises And The Old Man And The Sea"),
+         (2, "the sun also rises and the old man and the sea")],
+        "id int, t string",
+    )
+    got = {r["id"]: r["l"] for r in df.select("id", lang_id("t").alias("l")).collect()}
+    assert got[1] == got[2] == "en", got

@@ -312,3 +312,55 @@ def test_stream_dedup_admission_replay_is_idempotent(spark, tmp_path):
     _admit_dedup_batch(batch, 0, base, out, **kwargs)
     replay = sorted(r["doc_id"] for r in spark.read.parquet(out).collect())
     assert replay == first, (first, replay)
+
+
+def test_foreach_batch_overwrite_guard_survives_restart(spark, sf_dir, tmp_path):
+    """The partition-clash guard is durable: a SECOND AvailableNow
+    increment (fresh sink invocation, new batch ids) carrying an
+    already-owned partition value must fail loudly instead of silently
+    erasing the first increment's rows."""
+    import pytest
+
+    from pyspark_ingestion_spark.streaming.pipeline import (
+        stream_foreach_batch_overwrite,
+    )
+
+    src = str(tmp_path / "src")
+    path = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    df1 = spark.createDataFrame([(1, "a", "d1")], "id int, v string, day string")
+    df1.coalesce(1).write.parquet(src)
+    stream1 = spark.readStream.schema("id int, v string, day string").parquet(src)
+    stream_foreach_batch_overwrite(stream1, path, ckpt, ["day"])
+    assert {r["id"] for r in spark.read.parquet(path).collect()} == {1}
+
+    # second increment re-carrying day=d1 (plus a new file so a batch fires)
+    spark.createDataFrame([(2, "b", "d1")], "id int, v string, day string")\
+        .coalesce(1).write.mode("append").parquet(src)
+    stream2 = spark.readStream.schema("id int, v string, day string").parquet(src)
+    with pytest.raises(Exception, match="already written"):
+        stream_foreach_batch_overwrite(stream2, path, ckpt, ["day"])
+    # the first increment's data survived the rejected overwrite
+    assert {r["id"] for r in spark.read.parquet(path).collect()} == {1}
+
+
+def test_stateful_totals_all_null_values_emit_null(spark, tmp_path):
+    """A key whose values are all NULL emits total_value NULL (pandas
+    sums all-NaN to 0.0; the batch-groupBy parity contract requires
+    NULL)."""
+    from pyspark_ingestion_spark.streaming.pipeline import run_stream_to_memory
+    from pyspark_ingestion_spark.streaming.stateful import running_user_totals
+
+    src = str(tmp_path / "src")
+    spark.createDataFrame(
+        [(1, None), (1, None), (2, 5.0)], "user_id long, value double"
+    ).coalesce(1).write.parquet(src)
+    stream = spark.readStream.schema("user_id long, value double").parquet(src)
+    got = {
+        r["user_id"]: (r["n_events"], r["total_value"])
+        for r in run_stream_to_memory(
+            running_user_totals(stream), output_mode="update"
+        ).collect()
+    }
+    assert got[1] == (2, None), got
+    assert got[2] == (1, 5.0), got
