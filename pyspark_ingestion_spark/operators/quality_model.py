@@ -28,7 +28,29 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from typing import NamedTuple
+
 from pyspark_ingestion_spark.functions.text import words
+
+
+class TextClassifier(NamedTuple):
+    """A fitted text classifier: plain driver-side numbers, so scoring
+    is expression-only and the model serializes anywhere (JSON,
+    broadcast, checkpoint) without MLlib machinery."""
+
+    weights: list[float]
+    intercept: float
+    n_features: int
+
+
+def _token_indices(text_col: str, n_features: int):
+    """Hashed token indices (array<int>): the engine's single hashing
+    contract for the hashing trick — Spark SQL murmur3 (`F.hash`)
+    nonneg-mod n. Train and score MUST share this function."""
+    return F.transform(
+        words(F.lower(F.col(text_col))),
+        lambda t: F.pmod(F.hash(t), F.lit(n_features)).cast("int"),
+    )
 
 
 def train_text_classifier(
@@ -40,19 +62,32 @@ def train_text_classifier(
     reg_param: float = 0.01,
     sample_fraction: float | None = None,
     id_col: str = "doc_id",
-):
+) -> "TextClassifier":
     """Fit logistic regression on hashing-trick token features.
 
     ``label_col`` must be numeric 0/1 (weak labels are fine — heuristic
     gates, source lists, a hand-labeled seed set). ``sample_fraction``
     trains on a deterministic md5 hash-sample of the corpus (same
-    recipe as ``kmeans_centroids``). Returns a fitted
-    ``pyspark.ml.PipelineModel`` whose ``transform`` adds
-    ``probability``/``prediction`` columns.
+    recipe as ``kmeans_centroids``).
+
+    Featurization is the ENGINE'S own hashing (``pmod(hash(token),
+    n_features)`` — Spark SQL murmur3), not MLlib's ``HashingTF``, for
+    two reasons: (a) scoring then shares the exact same index function
+    as pure native expressions (zero Python, zero model broadcast
+    machinery), and (b) ``LogisticRegressionModel.transform`` cannot run
+    at all in a session that has ever used ``Observation`` (Spark 4.1.2:
+    its task closure captures the non-serializable ObservationManager —
+    reproduced deterministically), and this engine's ingest pipeline IS
+    Observation-based. Only ``LogisticRegression.fit`` (which is
+    unaffected) touches MLlib. The dense-array featurization is
+    O(n_features·tokens) per row — fine for the bounded TRAINING sample,
+    never used for corpus scoring.
+
+    Returns a :class:`TextClassifier` (coefficients + intercept +
+    n_features) for :func:`score_corpus`.
     """
-    from pyspark.ml import Pipeline
     from pyspark.ml.classification import LogisticRegression
-    from pyspark.ml.feature import HashingTF
+    from pyspark.ml.functions import array_to_vector
 
     train = docs
     if sample_fraction is not None:
@@ -64,19 +99,28 @@ def train_text_classifier(
             .cast("long") % den
         )
         train = docs.filter(bucket < int(sample_fraction * den))
-    train = train.select(
-        F.col(label_col).cast("double").alias("label"),
-        words(F.lower(F.col(text_col))).alias("__tokens"),
+    idxarr = _token_indices(text_col, n_features)
+    dense = F.transform(
+        F.sequence(F.lit(0), F.lit(n_features - 1)),
+        lambda i: F.size(F.filter(idxarr, lambda x: x == i)).cast("double"),
     )
-    tf = HashingTF(inputCol="__tokens", outputCol="features", numFeatures=n_features)
+    feats = train.select(
+        F.col(label_col).cast("double").alias("label"),
+        array_to_vector(dense).alias("features"),
+    )
     lr = LogisticRegression(
         maxIter=max_iter, regParam=reg_param, featuresCol="features", labelCol="label"
     )
-    return Pipeline(stages=[tf, lr]).fit(train)
+    model = lr.fit(feats)
+    return TextClassifier(
+        weights=[float(x) for x in model.coefficients.toArray()],
+        intercept=float(model.intercept),
+        n_features=n_features,
+    )
 
 
 def score_corpus(
-    model,
+    model: "TextClassifier",
     docs: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
@@ -84,21 +128,22 @@ def score_corpus(
 ) -> DataFrame:
     """Score every document with a fitted classifier → (id, score).
 
-    The model broadcasts; scoring is one narrow JVM-side pass (hashing +
-    a dot product per row), so the corpus never shuffles — the filter
-    can fuse into the same scan as the heuristic gates. Score = P(label
-    = 1), rounded to 4 dp (see module float caveat).
+    Pure native expressions: P(1) = sigmoid(b + Σ_token w[pmod(
+    hash(token), n)]) — the weights ride as an array literal in the
+    plan (n_features doubles), tokens fold through one ``aggregate``,
+    and the whole scorer fuses into the scan: ZERO exchanges, zero
+    Python, no MLlib at scoring time (see train_text_classifier for
+    why that also matters for correctness). Score rounded to 4 dp
+    (module float caveat: fold order vs MLlib's sparse dot can differ
+    in trailing bits).
     """
-    from pyspark.ml.functions import vector_to_array
-
-    feats = docs.select(
-        F.col(id_col), words(F.lower(F.col(text_col))).alias("__tokens")
+    warr = F.array(*[F.lit(w) for w in model.weights])
+    idxarr = _token_indices(text_col, model.n_features)
+    z = F.aggregate(
+        idxarr, F.lit(model.intercept), lambda acc, i: acc + F.get(warr, i)
     )
-    scored = model.transform(feats)
-    return scored.select(
-        id_col,
-        F.round(vector_to_array(F.col("probability"))[1], 4).alias(score_col),
-    )
+    score = F.lit(1.0) / (F.lit(1.0) + F.exp(-z))
+    return docs.select(F.col(id_col), F.round(score, 4).alias(score_col))
 
 
 def auc_of_scores(

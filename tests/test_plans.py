@@ -513,6 +513,7 @@ _BNLJ_OK = {
     "ann_bruteforce_topk", "ann_cosine_range_search", "ann_ivf_kmeans_topk",
     "ann_ivf_nprobe_topk", "ann_ivf_pq_topk", "ann_ivf_topk", "ann_recall_eval",
     "dedup_substring_sampling_eval",  # one-row scalar agg crossJoin (broadcast)
+    "corpus_topic_clusters",  # broadcast K-row centroid table (IVF assignment)
     "dedup_lsh_recall_eval", "dq_checks", "embedding_bucket_profile",
     "interpolate_linear", "knn_label_vote", "mix_temperature_weights",
     "multimodal_ann_pipeline", "perplexity_tail_buckets", "profile_key_skew",

@@ -1198,8 +1198,9 @@ def test_global_ntile_matches_spark_ntile(spark, rows, n, shards):
     assert got == want
 
 
-def _n_persistent_rdds(spark) -> int:
-    return spark.sparkContext._jsc.getPersistentRDDs().size()
+def _persistent_rdd_ids(spark) -> set:
+    m = spark.sparkContext._jsc.getPersistentRDDs()
+    return {k for k in m.keySet().toArray()}
 
 
 def test_shingle_caches_are_released(spark, sf_dir):
@@ -1215,16 +1216,20 @@ def test_shingle_caches_are_released(spark, sf_dir):
     df = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(20)
 
     dedup.release_shingle_caches()  # clean slate from any earlier test
-    before = _n_persistent_rdds(spark)
+    before = _persistent_rdd_ids(spark)
 
     dedup.minhash_lsh_dedup_pairs(df, "doc_id", "text", n=2).collect()
     assert len(dedup._LIVE_SHINGLE_CACHES) == 1  # gate persisted (tiny input)
-    assert _n_persistent_rdds(spark) > before  # the cache is real, so the
-    # release assertion below is sensitive, not vacuously true
+    created = _persistent_rdd_ids(spark) - before
+    assert created  # the cache is real, so the release assertion below
+    # is sensitive, not vacuously true
 
     released = dedup.release_shingle_caches(blocking=True)
     assert released == 1
-    assert _n_persistent_rdds(spark) == before
+    # id-set compare, not counts: other tests' async unpersists can
+    # retire OLD ids concurrently — only "none of OUR new ids remain"
+    # is the invariant this test owns
+    assert not (_persistent_rdd_ids(spark) & created)
 
 
 def test_shingle_persist_size_gate_skips_large_inputs(spark, sf_dir):
@@ -1242,7 +1247,7 @@ def test_shingle_persist_size_gate_skips_large_inputs(spark, sf_dir):
         map(tuple, dedup.minhash_lsh_dedup_pairs(df, "doc_id", "text", n=2).collect())
     )
     dedup.release_shingle_caches()
-    before = _n_persistent_rdds(spark)
+    before = _persistent_rdd_ids(spark)
 
     spark.conf.set(dedup.SHINGLE_PERSIST_CONF, "1")
     try:
@@ -1251,7 +1256,7 @@ def test_shingle_persist_size_gate_skips_large_inputs(spark, sf_dir):
         )
         assert got == baseline
         assert dedup._LIVE_SHINGLE_CACHES == []
-        assert _n_persistent_rdds(spark) == before
+        assert not (_persistent_rdd_ids(spark) - before)  # nothing new persisted
     finally:
         spark.conf.unset(dedup.SHINGLE_PERSIST_CONF)
 

@@ -462,3 +462,33 @@ def test_text_classifier_separable_and_distill(spark, sf_dir):
     m2 = train_text_classifier(labeled, "hi_q", n_features=2048, max_iter=30)
     auc2 = auc_of_scores(score_corpus(m2, d), labeled, "doc_id", "hi_q")
     assert auc2 >= 0.9, auc2
+
+
+def test_classifier_survives_observation_sessions(spark):
+    """Regression for the Spark 4.1.2 interaction this engine MUST
+    tolerate: after any Observation use (our ingest pipeline is
+    Observation-based), MLlib model.transform dies with 'Task not
+    serializable: ObservationManager'. The expression-only scorer is
+    immune — train + score end-to-end in a freshly-poisoned session."""
+    from pyspark.sql import Observation
+
+    from pyspark_ingestion_spark.operators.quality_model import (
+        score_corpus,
+        train_text_classifier,
+    )
+
+    obs = Observation()
+    spark.range(3).observe(obs, F.count(F.lit(1)).alias("n")).collect()
+    assert obs.get["n"] == 3  # the session has live Observation history
+
+    df = spark.createDataFrame(
+        [(i, ("good text sample" if i % 2 else "bad junk words"), i % 2)
+         for i in range(40)],
+        "doc_id int, text string, label int",
+    )
+    model = train_text_classifier(df, "label", n_features=64, max_iter=10)
+    rows = score_corpus(model, df).collect()  # would raise before the fix
+    assert len(rows) == 40
+    hi = {r["doc_id"]: r["model_score"] for r in rows}
+    assert all(hi[i] > 0.5 for i in range(1, 40, 2))
+    assert all(hi[i] < 0.5 for i in range(0, 40, 2))
