@@ -12,7 +12,8 @@ Usage::
 
     python -m pyspark_ingestion_spark.cli ingest \
         --settings settings.json --system sap --table S.T1 \
-        --base-path /lake [--source-path /staging/t1.parquet] [--format parquet]
+        --base-path /lake [--source-path /staging/t1.parquet] \
+        [--source-format csv] [--lake-format parquet]
     python -m pyspark_ingestion_spark.cli ingest-all \
         --settings settings.json --system sap --base-path /lake
     python -m pyspark_ingestion_spark.cli parse-dd \
@@ -57,14 +58,14 @@ def _read_source(spark, system_settings, table: str, source_path: str | None, fm
 
 
 def _ingest_one(spark, systems, system: str, table: str, base_path: str,
-                source_path: str | None, fmt: str) -> bool:
+                source_path: str | None, source_fmt: str, lake_fmt: str) -> bool:
     from pyspark_ingestion_spark.ingestion import ingest_table
 
     sys_settings = systems[system]
     ts = sys_settings.tables[table]
     table_path = f"{base_path}/{system}/{table}"
-    df = _read_source(spark, sys_settings, table, source_path, fmt)
-    result = ingest_table(df, system, table, table_path, ts, file_format=fmt)
+    df = _read_source(spark, sys_settings, table, source_path, source_fmt)
+    result = ingest_table(df, system, table, table_path, ts, file_format=lake_fmt)
     log.info("%s.%s: moved=%s rows=%d watermark=%s", system, table,
              result.moved_something, result.n_rows, result.watermark.ref_last_value)
     return result.moved_something
@@ -80,7 +81,12 @@ def main(argv: list[str] | None = None) -> int:
         p.add_argument("--settings", required=True)
         p.add_argument("--system", required=True)
         p.add_argument("--base-path", required=True)
-        p.add_argument("--format", default="parquet")
+        # two formats, two meanings — one flag used to cover both, so a
+        # CSV staging read silently produced a CSV lake
+        p.add_argument("--source-format", default="parquet",
+                       help="file format of --source-path staged inputs")
+        p.add_argument("--lake-format", default="parquet",
+                       help="file format of the partitioned lake writes")
     p_ing.add_argument("--table", required=True)
     p_ing.add_argument("--source-path", default=None,
                        help="read the staged table from files instead of JDBC")
@@ -111,18 +117,25 @@ def main(argv: list[str] | None = None) -> int:
 
     systems = load_settings(args.settings)
     # getOrCreate may return a session owned by the embedding process
-    # (tests, notebooks) — only stop what this CLI itself created
-    pre_existing = SparkSession.getActiveSession()
+    # (tests, notebooks) — only stop what this CLI itself created.
+    # getActiveSession() alone is THREAD-local: an embedder's session
+    # created on another thread would read as None here while
+    # getOrCreate still returns it — and we'd stop it. Check the
+    # process-wide default too.
+    pre_existing = (
+        SparkSession.getActiveSession()
+        or getattr(SparkSession, "_instantiatedSession", None)
+    )
     spark = get_spark_session(app_name=f"ingest-{args.system}")
     try:
         if args.cmd == "ingest":
             _ingest_one(spark, systems, args.system, args.table, args.base_path,
-                        args.source_path, args.format)
+                        args.source_path, args.source_format, args.lake_format)
         else:  # ingest-all: sequential like the reference; tables are
             # independent — parallelize with a pool at fleet scale
             for table in systems[args.system].tables:
                 _ingest_one(spark, systems, args.system, table, args.base_path,
-                            None, args.format)
+                            None, args.source_format, args.lake_format)
     finally:
         if pre_existing is None:
             spark.stop()

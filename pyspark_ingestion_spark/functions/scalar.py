@@ -48,6 +48,13 @@ def month_string(ts: Column | str) -> Column:
     return F.month(_col(ts)).cast("string")
 
 
+def day_string(ts: Column | str) -> Column:
+    """DAY partition value as non-zero-padded string — completes the
+    YEAR/MONTH family for day-grain lake layouts (the partition_date
+    view recombines all three; see catalog.cvas_partition_date)."""
+    return F.dayofmonth(_col(ts)).cast("string")
+
+
 def iso_week_string(ts: Column | str) -> Column:
     """F4 — ISO-8601 week-of-year as string (reference config.py:90).
 

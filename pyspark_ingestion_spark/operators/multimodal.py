@@ -151,13 +151,15 @@ def decode_media(media: DataFrame, fake: bool = True) -> DataFrame:
 def frame_sample(decoded: DataFrame, every_k: int = 5) -> DataFrame:
     """Explode sampled frame indices per media item (0, k, 2k, …) —
     the fan-out stage before per-frame feature extraction. Native
-    ``sequence``+``explode``; no Python."""
-    return decoded.select(
-        "doc_id",
-        F.explode(
-            F.sequence(F.lit(0), F.greatest(F.col("n_frames") - 1, F.lit(0)), F.lit(every_k))
-        ).alias("frame_idx"),
-    )
+    ``sequence``+``explode``; no Python. Zero-frame items emit NO rows
+    (an earlier ``greatest(n-1, 0)`` clamp emitted frame_idx 0 for a
+    frame that does not exist — downstream per-frame extraction would
+    have read frame 0 of a frameless item)."""
+    idxs = F.when(
+        F.col("n_frames") > 0,
+        F.sequence(F.lit(0), F.col("n_frames") - 1, F.lit(every_k)),
+    ).otherwise(F.array().cast("array<int>"))
+    return decoded.select("doc_id", F.explode(idxs).alias("frame_idx"))
 
 
 #: schema of extracted per-item feature vectors

@@ -9,6 +9,8 @@ decode path with the deterministic fake codec.
 
 from __future__ import annotations
 
+import os
+import shutil
 import tempfile
 import uuid
 
@@ -56,13 +58,19 @@ def ddl_ctas_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         location=location,
         compression="snappy",
     )
-    out = (
-        spark.table(table)
-        .groupBy("o_orderstatus")
-        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("o_totalprice"), 2).alias("total"))
-    )
-    rows = out.collect()  # materialize before dropping the table
-    drop_table(spark, table)
+    try:
+        out = (
+            spark.table(table)
+            .groupBy("o_orderstatus")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.round(F.sum("o_totalprice"), 2).alias("total"))
+        )
+        rows = out.collect()  # materialize before dropping the table
+    finally:
+        # failure must not leak the uuid table into the shared catalog,
+        # and repeated runs must not accumulate mkdtemp copies of orders
+        drop_table(spark, table)
+        shutil.rmtree(os.path.dirname(location), ignore_errors=True)
     return spark.createDataFrame(rows, out.schema)
 
 
@@ -84,15 +92,18 @@ def ddl_partitioned_lake_msck(spark: SparkSession, sf_dir: str) -> DataFrame:
     location = f"{tempfile.mkdtemp()}/{table}"
     write_partitioned(o, location, partition_columns=["YEAR"], mode="overwrite",
                       compression="snappy")
-    df = register_lake_table(spark, table, location)
-    # partition-dir values come back type-inferred (int) — restore the
-    # string contract the lake layout declares
-    out = (
-        df.groupBy(F.col("YEAR").cast("string").alias("YEAR"))
-        .agg(F.count(F.lit(1)).alias("n"))
-    )
-    rows = out.collect()
-    drop_table(spark, table)
+    try:
+        df = register_lake_table(spark, table, location)
+        # partition-dir values come back type-inferred (int) — restore the
+        # string contract the lake layout declares
+        out = (
+            df.groupBy(F.col("YEAR").cast("string").alias("YEAR"))
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+        rows = out.collect()
+    finally:
+        drop_table(spark, table)
+        shutil.rmtree(os.path.dirname(location), ignore_errors=True)
     return spark.createDataFrame(rows, out.schema)
 
 
@@ -110,12 +121,18 @@ def ddl_partitioned_lake_msck(spark: SparkSession, sf_dir: str) -> DataFrame:
 def ddl_cvas_partition_date(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CVAS view (reference athena.py K6) over string partition columns."""
     l = load_table(spark, sf_dir, "lineitem")
+    from pyspark_ingestion_spark.functions.scalar import (
+        day_string,
+        month_string,
+        year_string,
+    )
+
     shaped = l.select(
         "l_orderkey",
         "l_linenumber",
-        F.year("l_shipdate").cast("string").alias("year"),
-        F.month("l_shipdate").cast("string").alias("month"),
-        F.dayofmonth("l_shipdate").cast("string").alias("day"),
+        year_string("l_shipdate").alias("year"),
+        month_string("l_shipdate").alias("month"),
+        day_string("l_shipdate").alias("day"),
     )
     src = f"lake_shaped_{uuid.uuid4().hex[:10]}"
     view = f"v_{src}"
@@ -155,9 +172,8 @@ def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT doc_id, CAST(octet_length(encode(text)) % 30 AS INT) AS n_frames
         FROM documents
     )
-    SELECT doc_id, CAST(unnest(range(0, greatest(n_frames - 1, 0) + 1, 5)) AS INT)
-               AS frame_idx
-    FROM decoded
+    SELECT doc_id, CAST(unnest(range(0, n_frames - 1 + 1, 5)) AS INT) AS frame_idx
+    FROM decoded WHERE n_frames > 0
     """,
 )
 def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:

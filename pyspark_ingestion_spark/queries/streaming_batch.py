@@ -37,9 +37,7 @@ def window_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tumbling_counts(e, "1 hour")
 
 
-@query(
-    "window_sliding",
-    oracle="""
+_SLIDING_ORACLE = """
     WITH offsets AS (SELECT unnest([0, 30]) AS off_min)
     SELECT time_bucket(INTERVAL 30 MINUTE, ts) - to_minutes(off_min) AS window_start,
            time_bucket(INTERVAL 30 MINUTE, ts) - to_minutes(off_min) + INTERVAL 1 HOUR
@@ -48,13 +46,14 @@ def window_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
            count(*) AS n
     FROM events CROSS JOIN offsets
     GROUP BY 1, 2, 3
-    """,
-)
-def window_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """1-hour windows sliding every 30 minutes — each event lands in 2 windows."""
-    e = load_table(spark, sf_dir, "events")
+    """
+
+
+def sliding_counts(events, window_size="1 hour", slide="30 minutes"):
+    """Sliding-window counts per event type — shared by the batch and
+    streaming entries so the must-agree pair can never drift apart."""
     return (
-        e.groupBy(F.window("ts", "1 hour", "30 minutes"), "event_type")
+        events.groupBy(F.window("ts", window_size, slide), "event_type")
         .agg(F.count(F.lit(1)).alias("n"))
         .select(
             F.col("window.start").alias("window_start"),
@@ -65,9 +64,14 @@ def window_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "window_session",
-    oracle="""
+@query("window_sliding", oracle=_SLIDING_ORACLE)
+def window_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1-hour windows sliding every 30 minutes — each event lands in 2 windows."""
+    e = load_table(spark, sf_dir, "events")
+    return sliding_counts(e)
+
+
+_SESSION_ORACLE = """
     WITH flagged AS (
         SELECT user_id, ts,
                CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
@@ -86,8 +90,10 @@ def window_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
            count(*) AS n_events
     FROM numbered
     GROUP BY user_id, session_id
-    """,
-)
+    """
+
+
+@query("window_session", oracle=_SESSION_ORACLE)
 def window_session(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gap-based session windows (5-min inactivity) per user.
 
@@ -111,17 +117,6 @@ def streaming_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_stream_to_memory(agg, output_mode="complete")
 
 
-_SLIDING_ORACLE = """
-    WITH offsets AS (SELECT unnest([0, 30]) AS off_min)
-    SELECT time_bucket(INTERVAL 30 MINUTE, ts) - to_minutes(off_min) AS window_start,
-           time_bucket(INTERVAL 30 MINUTE, ts) - to_minutes(off_min) + INTERVAL 1 HOUR
-               AS window_end,
-           event_type,
-           count(*) AS n
-    FROM events CROSS JOIN offsets
-    GROUP BY 1, 2, 3
-    """
-
 
 @query("streaming_sliding", oracle=_SLIDING_ORACLE)
 def streaming_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -131,17 +126,7 @@ def streaming_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
     as window_sliding. State per key is bounded by (windows per event ×
     open windows); in production append mode + a watermark bounds it."""
     stream = read_stream_table(spark, sf_dir, "events")
-    agg = (
-        stream.groupBy(F.window("ts", "1 hour", "30 minutes"), "event_type")
-        .agg(F.count(F.lit(1)).alias("n"))
-        .select(
-            F.col("window.start").alias("window_start"),
-            F.col("window.end").alias("window_end"),
-            "event_type",
-            "n",
-        )
-    )
-    return run_stream_to_memory(agg, output_mode="complete")
+    return run_stream_to_memory(sliding_counts(stream), output_mode="complete")
 
 
 @query("streaming_late_data_watermark", oracle=None)  # stateful policy → rows-only
@@ -160,26 +145,7 @@ def streaming_late_data_watermark(spark: SparkSession, sf_dir: str) -> DataFrame
 
 @query(
     "streaming_session",
-    oracle="""
-    WITH flagged AS (
-        SELECT user_id, ts,
-               CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
-                         <= INTERVAL 5 MINUTE THEN 0 ELSE 1 END AS new_session
-        FROM events
-    ),
-    numbered AS (
-        SELECT user_id, ts,
-               SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
-                                      ROWS UNBOUNDED PRECEDING) AS session_id
-        FROM flagged
-    )
-    SELECT min(ts) AS session_start,
-           max(ts) + INTERVAL 5 MINUTE AS session_end,
-           user_id,
-           count(*) AS n_events
-    FROM numbered
-    GROUP BY user_id, session_id
-    """,
+    oracle=_SESSION_ORACLE,
 )
 def streaming_session(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL streaming session windows: readStream → session_window agg →

@@ -29,11 +29,14 @@ def get_spark_session(
     broadcast threshold lets Catalyst pick broadcast-hash joins for dim
     tables automatically.
     """
+    cpus = os.environ.get("SPARK_GRAFT_CPUS")
     if master is None:
-        cpus = os.environ.get("SPARK_GRAFT_CPUS")
         master = f"local[{cpus}]" if cpus else "local[*]"
     if shuffle_partitions is None:
-        shuffle_partitions = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+        # same truthiness + integer guard as the master branch: an empty
+        # or non-numeric SPARK_GRAFT_CPUS (e.g. '' or '*') must fall back,
+        # not crash int() before the session even builds
+        shuffle_partitions = int(cpus) if cpus and cpus.isdigit() else 32
 
     builder = (
         SparkSession.builder.appName(app_name)
