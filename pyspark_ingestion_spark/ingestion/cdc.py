@@ -23,26 +23,10 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from pyspark_ingestion_spark.operators.relational import dedupe_latest
-from pyspark_ingestion_spark.sources.writers import overwrite_partitions
-
-#: characters Spark/Hive percent-escape in partition directory names
-#: (ExternalCatalogUtils.escapePathName; verified against actual written
-#: dirs on 4.1.2: 'a:b'→'a%3Ab', 'a/b'→'a%2Fb', 'a#b'→'a%23b',
-#: 'a%b'→'a%25b'; plain spaces are NOT escaped)
-_PATH_ESCAPE = set('"#%\'*/:=?\\\x7f{[]^') | {chr(c) for c in range(0x20)}
-
-
-def _partition_path_segment(col: str, v) -> str:
-    """One ``col=value`` path segment exactly as Spark writes it —
-    percent-escaped specials, ``__HIVE_DEFAULT_PARTITION__`` for
-    NULL/empty. Raw ``str(v)`` would diverge on exactly those values
-    (the delete would silently miss the directory)."""
-    if v is None or str(v) == "":
-        return f"{col}=__HIVE_DEFAULT_PARTITION__"
-    escaped = "".join(
-        f"%{ord(ch):02X}" if ch in _PATH_ESCAPE else ch for ch in str(v)
-    )
-    return f"{col}={escaped}"
+from pyspark_ingestion_spark.sources.writers import (
+    overwrite_partitions,
+    partition_path_segment as _partition_path_segment,
+)
 
 
 def cdc_upsert(

@@ -32,7 +32,20 @@ class Watermark:
     ref_last_value: str  # SYNC_DATETIME_FORMAT string
 
     def as_datetime(self) -> dt.datetime:
-        return dt.datetime.strptime(self.ref_last_value, SYNC_DATETIME_FORMAT)
+        """The watermark boundary as a tz-aware UTC datetime.
+
+        The sync-file string is UTC by contract (the write side formats
+        with ``date_format`` in the pinned-UTC session — pipeline.py).
+        The read side must be UTC too: a NAIVE datetime handed to
+        ``F.lit`` is converted through ``time.mktime`` in the *driver OS
+        timezone* (verified in PySpark 4.1.2 DatetimeConverter), so on
+        any non-UTC driver every batch boundary would shift by the UTC
+        offset — silently skipping (TZ west) or re-ingesting (TZ east)
+        up to offset-hours of rows per run. A tz-aware value goes
+        through ``calendar.timegm`` instead, which is TZ-independent.
+        """
+        naive = dt.datetime.strptime(self.ref_last_value, SYNC_DATETIME_FORMAT)
+        return naive.replace(tzinfo=dt.timezone.utc)
 
     def to_dict(self) -> dict:
         return {

@@ -22,6 +22,8 @@ materialized because candidates must collide on a key first.
 
 from __future__ import annotations
 
+import threading
+
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -42,6 +44,12 @@ _SHINGLE_CACHE_COUNT_DEFAULT = 8
 #: shingle tables persisted by the dedup operators and not yet released —
 #: see release_shingle_caches()
 _LIVE_SHINGLE_CACHES: list[DataFrame] = []
+
+#: guards _LIVE_SHINGLE_CACHES across threads — a streaming sink
+#: releasing per micro-batch can run concurrently with a foreground
+#: dedup job persisting; the old bare check-then-pop could race two
+#: concurrent releases into an IndexError out of the sink (ADVICE r5)
+_SHINGLE_CACHE_LOCK = threading.Lock()
 
 
 def _maybe_persist_shingles(sh: DataFrame) -> DataFrame:
@@ -91,9 +99,12 @@ def _maybe_persist_shingles(sh: DataFrame) -> DataFrame:
     if est > limit:
         return sh
     sh = sh.persist()
-    _LIVE_SHINGLE_CACHES.append(sh)
-    while len(_LIVE_SHINGLE_CACHES) > max_live:
-        old = _LIVE_SHINGLE_CACHES.pop(0)
+    evicted: list[DataFrame] = []
+    with _SHINGLE_CACHE_LOCK:
+        _LIVE_SHINGLE_CACHES.append(sh)
+        while len(_LIVE_SHINGLE_CACHES) > max_live:
+            evicted.append(_LIVE_SHINGLE_CACHES.pop(0))
+    for old in evicted:  # unpersist outside the lock (it can block on the JVM)
         try:
             old.unpersist(blocking=False)
         except Exception:
@@ -105,7 +116,8 @@ def snapshot_shingle_caches() -> list[DataFrame]:
     """Snapshot of the live shingle caches — pass to
     ``release_shingle_caches(keep=...)`` to release only caches created
     AFTER the snapshot (scoped release for concurrent pipelines)."""
-    return list(_LIVE_SHINGLE_CACHES)
+    with _SHINGLE_CACHE_LOCK:
+        return list(_LIVE_SHINGLE_CACHES)
 
 
 def release_shingle_caches(
@@ -123,24 +135,26 @@ def release_shingle_caches(
     release to caches created after the snapshot — so a background
     consumer (e.g. the streaming admission sink, which releases per
     micro-batch) never unpersists a cache a concurrent foreground job
-    is still reading. The tracking list is GIL-atomic but unsynchronized
-    across threads: a cache created concurrently with the release may
-    still be swept — safe (consumers recompute), just slower.
+    is still reading. The tracking list is guarded by a lock shared with
+    the persist path, so concurrent releases cannot race (the swap under
+    the lock is O(list), no JVM calls); a cache created concurrently
+    with the release may still be swept — safe (consumers recompute),
+    just slower.
     """
     keep_ids = {id(df) for df in (keep or [])}
+    with _SHINGLE_CACHE_LOCK:
+        drained = list(_LIVE_SHINGLE_CACHES)
+        _LIVE_SHINGLE_CACHES.clear()
+        _LIVE_SHINGLE_CACHES.extend(df for df in drained if id(df) in keep_ids)
     n = 0
-    kept: list[DataFrame] = []
-    while _LIVE_SHINGLE_CACHES:
-        df = _LIVE_SHINGLE_CACHES.pop()
+    for df in drained:  # unpersist outside the lock (JVM call can block)
         if id(df) in keep_ids:
-            kept.append(df)
             continue
         try:
             df.unpersist(blocking=blocking)
             n += 1
         except Exception:
             pass
-    _LIVE_SHINGLE_CACHES.extend(reversed(kept))
     return n
 
 
@@ -746,11 +760,35 @@ def incremental_lsh_rejects(
     )
     sc = sc.localCheckpoint(eager=False)
 
-    bands_b = _bands_from_wide(_wide_signatures(sb, num_hashes), num_hashes, band_size)
     bands_c = _drop_big_buckets(
         _bands_from_wide(_wide_signatures(sc, num_hashes), num_hashes, band_size),
         max_bucket_size,
     )
+    return _lsh_admission_tail(
+        sb, sc, bands_c, id_col, num_hashes, band_size,
+        threshold_num, threshold_den,
+    )
+
+
+def _lsh_admission_tail(
+    sb: DataFrame,
+    sc: DataFrame,
+    bands_c: DataFrame,
+    id_col: str,
+    num_hashes: int,
+    band_size: int,
+    threshold_num: int,
+    threshold_den: int,
+) -> DataFrame:
+    """Shared admission core: batch shingles ``sb`` + corpus shingles
+    ``sc`` (both already df-capped over the SAME hot-shingle set) +
+    corpus band table ``bands_c`` (doc, band, band_key; already
+    bucket-capped) → distinct rejected batch ids. Used by the
+    recompute form (:func:`incremental_lsh_rejects`, which derives
+    ``bands_c`` from ``sc`` per call) and by the incremental index form
+    (``streaming.pipeline``, which maintains ``bands_c`` as a persisted
+    table and passes the postings index as ``sc``)."""
+    bands_b = _bands_from_wide(_wide_signatures(sb, num_hashes), num_hashes, band_size)
     cands = (
         bands_b.select(F.col("doc").alias("batch_id"), "band", "band_key")
         .join(

@@ -138,7 +138,14 @@ def score_corpus(
     in trailing bits).
     """
     warr = F.array(*[F.lit(w) for w in model.weights])
-    idxarr = _token_indices(text_col, model.n_features)
+    # NULL text scores like an empty document (zero tokens → z = the
+    # intercept), never a NULL score: a NULL model_score would silently
+    # rank first in auc_of_scores' unpartitioned rank window and shift
+    # the AUC the tests pin (ADVICE r5)
+    idxarr = F.coalesce(
+        _token_indices(text_col, model.n_features),
+        F.array().cast("array<int>"),
+    )
     z = F.aggregate(
         idxarr, F.lit(model.intercept), lambda acc, i: acc + F.get(warr, i)
     )
@@ -164,6 +171,15 @@ def auc_of_scores(
     from pyspark.sql import Window
 
     j = scored.join(labels.select(id_col, label_col), id_col)
+    # NULL scores would sort FIRST in the rank window (not drop out),
+    # silently shifting every rank; NULL labels would vanish from
+    # rpos/npos while still counting in n. Fail loudly on either
+    # (ADVICE r5) — score_corpus itself never emits NULL scores now.
+    n_null = j.filter(
+        F.col(score_col).isNull() | F.col(label_col).isNull()
+    ).count()
+    if n_null:
+        raise ValueError(f"AUC undefined: {n_null} rows with NULL score/label")
     # average rank over score ties: rank() + (count-1)/2 within the tie
     w = Window.orderBy(score_col)
     wt = Window.partitionBy(score_col)

@@ -422,22 +422,6 @@ def write_avro(
             return
         if mode == "overwrite":
             shutil.rmtree(path)
-        elif mode == "overwrite_partitions":
-            # DYNAMIC overwrite semantics (the overwrite_partitions
-            # writer contract): replace exactly the partitions present
-            # in df, leave every other partition untouched. A whole-path
-            # rmtree here would destroy untouched partitions — the
-            # failure mode this branch exists to prevent.
-            touched = [
-                tuple(r)
-                for r in df.select(*partition_columns).distinct().collect()
-            ]
-            for vals in touched:
-                sub = os.path.join(
-                    path, *[f"{c}={v}" for c, v in zip(partition_columns, vals)]
-                )
-                if os.path.exists(sub):
-                    shutil.rmtree(sub)
     os.makedirs(path, exist_ok=True)
 
     schema = df.schema
@@ -446,10 +430,13 @@ def write_avro(
     data_fields = [f for f in schema.fields]  # partition cols stay in-file (see module doc)
 
     def _write_batches(batches):
+        import pandas as pd
+
         from pyspark import TaskContext
+        from pyspark_ingestion_spark.sources.writers import partition_path_segment
 
         tid = TaskContext.get().partitionId() if TaskContext.get() else 0
-        written = 0
+        relpaths: list[str] = []
         for pdf in batches:
             if not len(pdf):
                 continue
@@ -460,26 +447,54 @@ def write_avro(
             for key, g in groups:
                 if pcols:
                     key = key if isinstance(key, tuple) else (key,)
-                    sub = os.path.join(
-                        path, *[f"{c}={v}" for c, v in zip(pcols, key)]
+                    # Hive percent-escaping via the shared helper — a raw
+                    # str(v) layout would diverge from JVM-written lakes
+                    # on ':' '/' '#' '%' values, so a dynamic overwrite
+                    # over one would miss the old directory and leave old
+                    # and new rows side by side (the bug class
+                    # cdc._partition_path_segment fixed)
+                    rel = os.path.join(
+                        *[partition_path_segment(c, None if pd.isna(v) else v)
+                          for c, v in zip(pcols, key)]
                     )
                 else:
-                    sub = path
+                    rel = ""
+                sub = os.path.join(path, rel) if rel else path
                 os.makedirs(sub, exist_ok=True)
                 fname = f"part-{tid:05d}-{uuid.uuid4().hex}.avro"
                 encoded = _encode_pandas_rows(g.reset_index(drop=True), schema, avro_schema)
                 with open(os.path.join(sub, fname), "wb") as fh:
                     write_container(fh, avro_schema, encoded, codec=codec)
-                written += len(encoded)
-        import pandas as pd
-
-        yield pd.DataFrame({"n": [written]})
+                relpaths.append(os.path.join(rel, fname) if rel else fname)
+        yield pd.DataFrame({"relpath": pd.Series(relpaths, dtype="object")})
 
     out = df
     if pcols:
         out = out.repartition(*pcols)
-    # the tiny manifest is the job's only driver-side result
-    out.mapInPandas(_write_batches, schema="n long").agg({"n": "sum"}).collect()
+    # the tiny manifest (one written file path per task×partition-value)
+    # is the job's only driver-side result
+    written = [
+        r["relpath"]
+        for r in out.mapInPandas(_write_batches, schema="relpath string").collect()
+    ]
+
+    if mode == "overwrite_partitions":
+        # DYNAMIC overwrite semantics: replace exactly the partitions
+        # rewritten, leave every other partition untouched. Touched
+        # partitions come from the manifest of files ACTUALLY written —
+        # collecting df.select(pcols).distinct() up front and deleting
+        # before the write would recompute df (a non-deterministic df
+        # could delete partitions never rewritten), and a whole-path
+        # rmtree would destroy untouched partitions. New files carry
+        # uuid names so stale files are exactly the pre-existing ones
+        # in the touched directories.
+        new_names = {os.path.basename(p) for p in written}
+        touched_dirs = {os.path.dirname(p) for p in written}
+        for rel in touched_dirs:
+            sub = os.path.join(path, rel) if rel else path
+            for f in os.listdir(sub):
+                if f.endswith(".avro") and f not in new_names:
+                    os.remove(os.path.join(sub, f))
 
 
 def read_avro(spark: SparkSession, path: str) -> DataFrame:

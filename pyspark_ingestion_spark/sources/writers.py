@@ -14,6 +14,28 @@ from pyspark.sql import DataFrame
 
 _FORMATS = {"parquet", "csv", "json", "orc", "avro"}
 
+#: characters Spark/Hive percent-escape in partition directory names
+#: (ExternalCatalogUtils.escapePathName; verified against actual written
+#: dirs on 4.1.2: 'a:b'→'a%3Ab', 'a/b'→'a%2Fb', 'a#b'→'a%23b',
+#: 'a%b'→'a%25b'; plain spaces are NOT escaped)
+_PATH_ESCAPE = set('"#%\'*/:=?\\\x7f{[]^') | {chr(c) for c in range(0x20)}
+
+
+def partition_path_segment(col: str, v) -> str:
+    """One ``col=value`` path segment exactly as Spark writes it —
+    percent-escaped specials, ``__HIVE_DEFAULT_PARTITION__`` for
+    NULL/empty. Raw ``str(v)`` would diverge on exactly those values
+    (a delete would silently miss the directory; a python-side write
+    would lay out a directory the JVM readers/overwriters don't match).
+    Shared by the CDC delete path and the pure-python avro writer so
+    both engines agree on the lake layout byte-for-byte."""
+    if v is None or str(v) == "":
+        return f"{col}=__HIVE_DEFAULT_PARTITION__"
+    escaped = "".join(
+        f"%{ord(ch):02X}" if ch in _PATH_ESCAPE else ch for ch in str(v)
+    )
+    return f"{col}={escaped}"
+
 
 _AVRO_PROBE: dict[int, bool] = {}
 

@@ -438,9 +438,19 @@ def _write_partition_guard(
         return
     from pyspark_ingestion_spark.ingestion.watermark import _hadoop_fs
 
-    _jvm, fs, jpath = _hadoop_fs(f"{checkpoint}/{_GUARD_FILE}", spark)
-    out = fs.create(jpath, True)
+    # tmp-write → delete → rename, mirroring write_watermark: a direct
+    # fs.create on the final path truncates it first, so a crash
+    # mid-write would leave a half-written JSON that makes every later
+    # _read_partition_guard raise — permanently wedging the stream until
+    # the file is hand-deleted (ADVICE r5)
+    jvm, fs, jpath = _hadoop_fs(f"{checkpoint}/{_GUARD_FILE}", spark)
+    jtmp = jvm.org.apache.hadoop.fs.Path(f"{checkpoint}/{_GUARD_FILE}.tmp")
+    out = fs.create(jtmp, True)
     try:
         out.write(bytearray(payload.encode("utf-8")))
     finally:
         out.close()
+    if fs.exists(jpath):
+        fs.delete(jpath, False)
+    if not fs.rename(jtmp, jpath):
+        raise IOError(f"rename {jtmp} -> {jpath} failed")

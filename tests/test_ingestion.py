@@ -1023,3 +1023,81 @@ def test_cdc_emptied_partition_delete_escapes_path(spark, tmp_path):
     assert not os.path.exists(os.path.join(path, "p=a%3Ab"))
     got = {r["id"] for r in spark.read.parquet(path).collect()}
     assert got == {2}
+
+
+def test_watermark_filter_is_driver_tz_independent(spark):
+    """The batch boundary must not move with the driver OS timezone.
+
+    The sync-file string is UTC by contract; before the fix,
+    ``Watermark.as_datetime`` returned a NAIVE datetime and ``F.lit``
+    converted it through ``time.mktime`` in the driver OS TZ — on a
+    non-UTC driver every boundary shifted by the UTC offset (skipping or
+    re-ingesting offset-hours of rows). The tz-aware boundary converts
+    through ``calendar.timegm`` instead (ADVICE r5, high).
+    """
+    import time
+
+    from pyspark_ingestion_spark.ingestion.prep import _watermark_filter
+    from pyspark_ingestion_spark.ingestion.watermark import Watermark
+
+    # timestamp LITERALS parse in the pinned-UTC session TZ (JVM-side),
+    # so the input df itself carries no driver-TZ dependence
+    df = spark.sql(
+        "select * from values"
+        " (1, timestamp'2020-05-01 11:00:00'),"
+        " (2, timestamp'2020-05-01 13:00:00')"
+        " as t(id, ts)"
+    )
+    wm = Watermark("s", "t", "ts", "2020-05-01T12:00:00.000000Z")
+    assert wm.as_datetime().tzinfo is dt.timezone.utc
+
+    old_tz = os.environ.get("TZ")
+    try:
+        seen = {}
+        # EDT is UTC-4 in May, JST is UTC+9 — both directions covered
+        for tz in ("UTC", "America/New_York", "Asia/Tokyo"):
+            os.environ["TZ"] = tz
+            time.tzset()
+            seen[tz] = {r["id"] for r in _watermark_filter(df, "ts", wm).collect()}
+        assert seen == {tz: {2} for tz in seen}
+    finally:
+        if old_tz is None:
+            os.environ.pop("TZ", None)
+        else:
+            os.environ["TZ"] = old_tz
+        time.tzset()
+
+
+def test_avro_fallback_dynamic_overwrite_escaped_partition_dirs(spark, tmp_path):
+    """Partition values with Hive-escaped characters (':' → '%3A') must
+    lay out and overwrite the SAME directory the JVM writer would use.
+    The old fallback built dirs with raw str(v): a dynamic overwrite over
+    a JVM-written lake missed the escaped dir and left old and new rows
+    side by side (ADVICE r5)."""
+    from pyspark_ingestion_spark.sources.avro_py import read_avro, write_avro
+
+    path = str(tmp_path / "lake")
+    df1 = spark.createDataFrame([(1, "a:b"), (2, "keep")], "id int, p string")
+    write_avro(df1, path, ["p"], mode="overwrite_partitions", codec="null")
+    assert os.path.isdir(os.path.join(path, "p=a%3Ab"))  # JVM-style layout
+    assert not os.path.exists(os.path.join(path, "p=a:b"))
+
+    df2 = spark.createDataFrame([(3, "a:b")], "id int, p string")
+    write_avro(df2, path, ["p"], mode="overwrite_partitions", codec="null")
+    got = {(r["id"], r["p"]) for r in read_avro(spark, path).collect()}
+    assert got == {(3, "a:b"), (2, "keep")}, got  # p=a:b replaced, other kept
+
+
+def test_avro_fallback_dynamic_overwrite_null_partition(spark, tmp_path):
+    """NULL partition values land in __HIVE_DEFAULT_PARTITION__ (like the
+    JVM writer) and dynamic overwrite replaces that directory."""
+    from pyspark_ingestion_spark.sources.avro_py import read_avro, write_avro
+
+    path = str(tmp_path / "lake")
+    df1 = spark.createDataFrame([(1, None), (2, "x")], "id int, p string")
+    write_avro(df1, path, ["p"], mode="overwrite_partitions", codec="null")
+    assert os.path.isdir(os.path.join(path, "p=__HIVE_DEFAULT_PARTITION__"))
+    df2 = spark.createDataFrame([(3, None)], "id int, p string")
+    write_avro(df2, path, ["p"], mode="overwrite_partitions", codec="null")
+    got = {(r["id"], r["p"]) for r in read_avro(spark, path).collect()}
+    assert got == {(3, None), (2, "x")}, got

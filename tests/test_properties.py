@@ -1564,3 +1564,43 @@ def test_lang_id_case_insensitive(spark):
     )
     got = {r["id"]: r["l"] for r in df.select("id", lang_id("t").alias("l")).collect()}
     assert got[1] == got[2] == "en", got
+
+
+def test_release_shingle_caches_concurrent_releases_do_not_race():
+    """Two threads releasing concurrently must never raise (the old bare
+    check-then-pop could IndexError out of the streaming sink — ADVICE
+    r5) and must release each cache exactly once."""
+    import threading
+
+    from pyspark_ingestion_spark.operators import dedup
+
+    class FakeDF:
+        def __init__(self):
+            self.releases = 0
+
+        def unpersist(self, blocking=False):
+            self.releases += 1
+
+    fakes = [FakeDF() for _ in range(2000)]
+    with dedup._SHINGLE_CACHE_LOCK:
+        dedup._LIVE_SHINGLE_CACHES.clear()
+        dedup._LIVE_SHINGLE_CACHES.extend(fakes)
+
+    errors = []
+    released = []
+
+    def worker():
+        try:
+            released.append(dedup.release_shingle_caches())
+        except Exception as e:  # pragma: no cover - the regression itself
+            errors.append(e)
+
+    threads = [threading.Thread(target=worker) for _ in range(8)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert not errors, errors
+    assert sum(released) == len(fakes)
+    assert all(f.releases == 1 for f in fakes)
+    assert dedup._LIVE_SHINGLE_CACHES == []

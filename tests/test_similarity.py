@@ -492,3 +492,42 @@ def test_classifier_survives_observation_sessions(spark):
     hi = {r["doc_id"]: r["model_score"] for r in rows}
     assert all(hi[i] > 0.5 for i in range(1, 40, 2))
     assert all(hi[i] < 0.5 for i in range(0, 40, 2))
+
+
+def test_score_corpus_null_text_and_auc_null_guard(spark):
+    """NULL text scores as an empty document (sigmoid of the intercept,
+    never NULL — a NULL score would silently rank first in the AUC
+    window); auc_of_scores fails loudly on NULL scores/labels instead of
+    silently shifting (ADVICE r5)."""
+    import math
+
+    import pytest
+
+    from pyspark_ingestion_spark.operators.quality_model import (
+        TextClassifier,
+        auc_of_scores,
+        score_corpus,
+    )
+
+    model = TextClassifier(weights=[1.0, -1.0], intercept=0.25, n_features=2)
+    df = spark.createDataFrame(
+        [(1, None), (2, ""), (3, "x")], "doc_id int, text string"
+    )
+    got = {r["doc_id"]: r["model_score"] for r in score_corpus(model, df).collect()}
+    expected_empty = round(1.0 / (1.0 + math.exp(-0.25)), 4)
+    assert got[1] == expected_empty  # NULL ≡ empty doc
+    assert got[2] == expected_empty
+    assert got[1] is not None and got[3] is not None
+
+    sc = spark.createDataFrame(
+        [(1, 0.1), (2, None), (3, 0.9)], "doc_id int, model_score double"
+    )
+    lb = spark.createDataFrame([(1, 0), (2, 1), (3, 1)], "doc_id int, y int")
+    with pytest.raises(ValueError, match="NULL score/label"):
+        auc_of_scores(sc, lb, "doc_id", "y")
+    sc2 = spark.createDataFrame(
+        [(1, 0.1), (2, 0.5), (3, 0.9)], "doc_id int, model_score double"
+    )
+    lb2 = spark.createDataFrame([(1, 0), (2, None), (3, 1)], "doc_id int, y int")
+    with pytest.raises(ValueError, match="NULL score/label"):
+        auc_of_scores(sc2, lb2, "doc_id", "y")
