@@ -10,15 +10,17 @@ the binary column is projected only into the decode stage.
 What's real vs stubbed, stated plainly: header-metadata decode
 (dimensions / frame counts for PNG, GIF, BMP, JPEG, WAV) is REAL —
 pure byte parsing in ``_decode_real``, tested on handcrafted files.
-PIXEL/SAMPLE level is REAL for the codec-free containers: uncompressed
-24/32-bit BMP pixel rows and 8/16-bit PCM WAV frames are plain byte
-slices, decoded by ``media_signal_features`` into oracle-checked
-luma/RMS statistics (round-5). What remains stubbed behind
-``NotImplementedError``: compressed-codec pixels (PNG/JPEG/GIF) and
-LEARNED feature extraction, which need codec/model runtimes this
-container lacks; the deterministic fake path exercises the exact same
-schema, partitioning, UDF signature and batch shape, so the codec swap
-stays a one-function change.
+PIXEL/SAMPLE level is REAL for every container that needs no codec
+runtime: uncompressed 24/32-bit BMP pixel rows and 8/16-bit PCM WAV
+frames are plain byte slices (round-5), and 8-bit grayscale/truecolor
+PNG is stdlib ``zlib`` inflate + the five spec filter predictors
+(round-6) — all decoded by ``media_signal_features`` into
+oracle-checked luma/RMS statistics. What remains stubbed behind
+``NotImplementedError``: JPEG (DCT) and GIF (LZW) pixels and LEARNED
+feature extraction, which need codec/model runtimes this container
+lacks; the deterministic fake path exercises the exact same schema,
+partitioning, UDF signature and batch shape, so the codec swap stays a
+one-function change.
 """
 
 from __future__ import annotations
@@ -112,8 +114,10 @@ def _decode_real(payload: bytes) -> tuple[int, int, int]:
         raise ValueError("wav: missing fmt/data chunks")
     raise NotImplementedError(
         "unknown container (only PNG/GIF/BMP/JPEG/WAV headers are parsed "
-        "natively; full pixel decode needs PIL/ffmpeg — not in this "
-        "environment); use fake=True for the deterministic test path"
+        "natively; pixel/sample decode is real for BMP/PNG/PCM-WAV — see "
+        "media_signal_features — while JPEG and GIF pixels need a codec "
+        "runtime this environment lacks); use fake=True for the "
+        "deterministic test path"
     )
 
 
@@ -248,10 +252,11 @@ def resize_media(decoded: DataFrame, max_width: int = 64) -> DataFrame:
 
 # ------------------------------------------------- codec-free real decode
 #
-# BMP pixel rows and WAV PCM frames are raw byte slices — no codec
-# needed — so for these two containers the pixel/sample level is REAL
-# computation, shrinking the NotImplementedError surface to compressed
-# codecs (PNG/JPEG/GIF pixels) only.
+# BMP pixel rows and WAV PCM frames are raw byte slices, and PNG is
+# DEFLATE (stdlib zlib) + five arithmetic filter predictors — no codec
+# runtime needed — so for these three containers the pixel/sample level
+# is REAL computation, shrinking the NotImplementedError surface to the
+# codecs that genuinely need a runtime: JPEG (DCT) and GIF (LZW).
 
 #: schema of pixel/sample signal statistics (media_signal_features)
 SIGNAL_SCHEMA = T.StructType(
@@ -300,6 +305,89 @@ def _bmp_luma_millis(payload: bytes) -> list[int]:
     return lumas
 
 
+def _png_paeth(a: int, b: int, c: int) -> int:
+    """PNG Paeth predictor (PNG spec §9, filter type 4)."""
+    p = a + b - c
+    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    if pa <= pb and pa <= pc:
+        return a
+    return b if pb <= pc else c
+
+
+def _png_luma_millis(payload: bytes) -> list[int]:
+    """REAL pixel decode for 8-bit grayscale/truecolor PNG using ONLY
+    stdlib ``zlib``: concatenate the IDAT stream, inflate, undo the five
+    per-scanline filter predictors (None/Sub/Up/Average/Paeth — PNG spec
+    §9), and emit per-pixel BT.601 luma in integer millis (grayscale
+    luma = 1000·v since 299+587+114 = 1000). PNG pixels need no codec
+    runtime — DEFLATE is stdlib — so this path is real computation, the
+    same honesty bar as the BMP/WAV decoders above."""
+    import struct
+    import zlib
+
+    if payload[:8] != b"\x89PNG\r\n\x1a\n":
+        raise ValueError("not a PNG payload")
+    pos = 8
+    idat = bytearray()
+    w = h = bitdepth = colortype = interlace = None
+    while pos + 8 <= len(payload):
+        (clen,) = struct.unpack_from(">I", payload, pos)
+        ctype = payload[pos + 4 : pos + 8]
+        data = payload[pos + 8 : pos + 8 + clen]
+        if ctype == b"IHDR":
+            w, h, bitdepth, colortype, _comp, _filt, interlace = struct.unpack(
+                ">IIBBBBB", data
+            )
+        elif ctype == b"IDAT":
+            idat += data
+        elif ctype == b"IEND":
+            break
+        pos += 12 + clen
+    if w is None:
+        raise ValueError("png: missing IHDR")
+    if bitdepth != 8 or colortype not in (0, 2) or interlace != 0:
+        raise NotImplementedError(
+            f"only non-interlaced 8-bit grayscale/truecolor PNG pixels are "
+            f"decoded natively (got depth={bitdepth}, color={colortype}, "
+            f"interlace={interlace})"
+        )
+    ch = 1 if colortype == 0 else 3
+    raw = zlib.decompress(bytes(idat))
+    stride = w * ch
+    if len(raw) != h * (stride + 1):
+        raise ValueError("png: IDAT length does not match dimensions")
+    prior = bytearray(stride)
+    lumas: list[int] = []
+    for r in range(h):
+        base = r * (stride + 1)
+        ft = raw[base]
+        line = bytearray(raw[base + 1 : base + 1 + stride])
+        if ft == 1:  # Sub
+            for x in range(ch, stride):
+                line[x] = (line[x] + line[x - ch]) & 0xFF
+        elif ft == 2:  # Up
+            for x in range(stride):
+                line[x] = (line[x] + prior[x]) & 0xFF
+        elif ft == 3:  # Average
+            for x in range(stride):
+                a = line[x - ch] if x >= ch else 0
+                line[x] = (line[x] + ((a + prior[x]) >> 1)) & 0xFF
+        elif ft == 4:  # Paeth
+            for x in range(stride):
+                a = line[x - ch] if x >= ch else 0
+                c = prior[x - ch] if x >= ch else 0
+                line[x] = (line[x] + _png_paeth(a, prior[x], c)) & 0xFF
+        elif ft != 0:
+            raise ValueError(f"png: unknown filter type {ft}")
+        if ch == 1:
+            lumas.extend(1000 * v for v in line)
+        else:
+            for i in range(0, stride, 3):
+                lumas.append(299 * line[i] + 587 * line[i + 1] + 114 * line[i + 2])
+        prior = line
+    return lumas
+
+
 def _wav_sample_values(payload: bytes) -> list[int]:
     """REAL sample decode for PCM WAV (8-bit unsigned → centered at 0,
     16-bit signed little-endian): PCM frames are plain byte slices.
@@ -338,7 +426,8 @@ def media_signal_features(media: DataFrame) -> DataFrame:
     """REAL pixel/sample statistics per media item, Arrow-batched:
     (doc_id, container, n_values, mean_val, rms).
 
-    BMP → per-pixel BT.601 luma; WAV → PCM samples (8-bit centered).
+    BMP/PNG → per-pixel BT.601 luma millis; WAV → PCM samples (8-bit
+    centered).
     Sums are exact int64 (luma millis ≤ 255 000 per pixel, squares
     ≤ 6.5e10 — no overflow until ~10⁸ pixels per item) with ONE float
     division at the end, so values hash identically against a SQL oracle
@@ -355,13 +444,16 @@ def media_signal_features(media: DataFrame) -> DataFrame:
                 p = bytes(p)
                 if p[:2] == b"BM":
                     vals, cont, scale = _bmp_luma_millis(p), "bmp", 1000
+                elif p[:8] == b"\x89PNG\r\n\x1a\n":
+                    vals, cont, scale = _png_luma_millis(p), "png", 1000
                 elif p[:4] == b"RIFF" and p[8:12] == b"WAVE":
                     vals, cont, scale = _wav_sample_values(p), "wav", 1
                 else:
                     raise NotImplementedError(
-                        "pixel/sample decode is implemented for the codec-free "
-                        "containers (BMP, PCM WAV) only; PNG/JPEG/GIF pixels "
-                        "need a codec runtime this environment lacks"
+                        "pixel/sample decode covers BMP (raw slices), PNG "
+                        "(stdlib-zlib inflate + unfilter) and PCM WAV; only "
+                        "JPEG (DCT) and GIF (LZW) pixels remain gated on a "
+                        "codec runtime"
                     )
                 n = len(vals)
                 s1 = sum(vals)
@@ -408,6 +500,75 @@ def synthesize_bmp_payload(
                 )
                 hdr = struct.pack("<2sIHHI", b"BM", 54 + len(pix), 0, 0, 54)
                 payloads.append(hdr + dib + pix)
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+    return df.select(
+        F.col(id_col).alias("doc_id"), F.col(text_col).alias("__text")
+    ).mapInPandas(
+        batches,
+        T.StructType(
+            [
+                T.StructField("doc_id", T.LongType()),
+                T.StructField("payload", T.BinaryType()),
+            ]
+        ),
+    )
+
+
+def synthesize_png_payload(
+    df: DataFrame, id_col: str, text_col: str, width: int = 4
+) -> DataFrame:
+    """Deterministic REAL PNG payloads from a text column: the UTF-8
+    bytes become the 8-bit GRAYSCALE pixel array of a ``width``-wide
+    PNG (zero-padded to whole rows), deflated with stdlib ``zlib``.
+    Each scanline is FILTERED with type ``row % 5`` — None, Sub, Up,
+    Average, Paeth in rotation — so the decoder's unfilter predictors
+    are all genuinely exercised on every multi-row image, and the
+    zlib round-trip proves the pixels really come out of the IDAT
+    stream (fixture role, like ``synthesize_bmp_payload``)."""
+    import struct
+    import zlib
+
+    def _chunk(ctype: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data))
+            + ctype
+            + data
+            + struct.pack(">I", zlib.crc32(ctype + data))
+        )
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            payloads = []
+            for t in pdf["__text"]:
+                data = t.encode("utf-8")
+                h = max(1, -(-len(data) // width))
+                padded = data.ljust(h * width, b"\x00")
+                raw = bytearray()
+                prior = bytes(width)
+                for r in range(h):
+                    line = padded[r * width : (r + 1) * width]
+                    ft = r % 5
+                    raw.append(ft)
+                    for x in range(width):
+                        a = line[x - 1] if x else 0
+                        b, c = prior[x], (prior[x - 1] if x else 0)
+                        pred = (
+                            0 if ft == 0
+                            else a if ft == 1
+                            else b if ft == 2
+                            else (a + b) >> 1 if ft == 3
+                            else _png_paeth(a, b, c)
+                        )
+                        raw.append((line[x] - pred) & 0xFF)
+                    prior = line
+                ihdr = struct.pack(">IIBBBBB", width, h, 8, 0, 0, 0, 0)
+                payloads.append(
+                    b"\x89PNG\r\n\x1a\n"
+                    + _chunk(b"IHDR", ihdr)
+                    + _chunk(b"IDAT", zlib.compress(bytes(raw)))
+                    + _chunk(b"IEND", b"")
+                )
             yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
 
     return df.select(

@@ -263,6 +263,7 @@ def stream_dedup_admission(
     threshold_den: int = 2,
     max_doc_freq: int | float | None = 25,
     max_bucket_size: int | None = None,
+    index_path: str | None = None,
 ) -> None:
     """Continuous dedup admission: each micro-batch is LSH-checked
     against a GROWING corpus (base + everything admitted so far) and the
@@ -290,15 +291,38 @@ def stream_dedup_admission(
     (idempotence pinned in tests/test_streaming.py).
 
     100 TB shape: the admission cost is O(batch bands ⋈ corpus band
-    table + verify on collisions); this reference implementation
-    recomputes the corpus band table per batch from (base ∪ admitted),
-    while a production deployment maintains the band table itself
-    incrementally (append the admitted docs' bands each batch) — the
-    operator accepts that precomputed form via its corpus argument. The
+    table + verify on collisions). With ``index_path`` set (the
+    PRODUCTION form), the corpus band table and shingle postings are
+    maintained INCREMENTALLY next to the corpus — each batch appends the
+    admitted docs' bands/postings and reads the index back instead of
+    re-deriving it, so no micro-batch ever re-shingles (or even scans)
+    the corpus text; see :func:`_admit_dedup_batch_indexed`. Without
+    ``index_path`` the reference recompute form runs: the band table is
+    re-derived per batch from (base ∪ admitted) — fine for bounded local
+    corpora, O(corpus) per batch at scale. Both forms admit the same
+    documents (equivalence pinned in tests/test_streaming.py). The
     dedup shingle caches are released after every batch so a long-lived
     stream never accumulates CacheManager entries.
     """
     def sink(batch_df: DataFrame, batch_id: int) -> None:
+        if index_path is not None:
+            _admit_dedup_batch_indexed(
+                batch_df,
+                batch_id,
+                base_corpus,
+                out_path,
+                index_path,
+                id_col=id_col,
+                text_col=text_col,
+                n=n,
+                num_hashes=num_hashes,
+                band_size=band_size,
+                threshold_num=threshold_num,
+                threshold_den=threshold_den,
+                max_doc_freq=max_doc_freq,
+                max_bucket_size=max_bucket_size,
+            )
+            return
         _admit_dedup_batch(
             batch_df,
             batch_id,
@@ -392,6 +416,302 @@ def _admit_dedup_batch(
         )
     finally:
         release_shingle_caches(keep=prior_caches)
+
+
+#: the admission index lives in two tables under ``index_path``, both
+#: partitioned by ``__batch_id`` so index writes share the out_path
+#: replay contract (a replayed batch overwrites exactly its own
+#: partition). Base-corpus rows live in partition ``__batch_id=-1``.
+_IDX_POSTINGS = "postings"  # (doc, shingle)            — UNCAPPED
+_IDX_BANDS = "bands"        # (doc, band, band_key, capped_size, capped_xor)
+
+
+def _index_band_rows(
+    capped: DataFrame, doc_ids: DataFrame, num_hashes: int, band_size: int
+) -> DataFrame:
+    """Band-index rows for every doc in ``doc_ids`` from its (already
+    df-capped, already restricted) shingle rows ``capped``: one row per
+    (doc, band) plus the capping fingerprint (capped_size, capped_xor)
+    that staleness detection compares. Docs with ZERO capped shingles
+    (all-hot boilerplate, NULL text) get a TOMBSTONE row (band=-1) so
+    they stay visible to staleness detection — without it a doc whose
+    shingles later drop back under a fractional df cap could never be
+    re-banded."""
+    from pyspark_ingestion_spark.operators.dedup import (
+        _bands_from_wide,
+        _wide_signatures,
+    )
+
+    fp = capped.groupBy("doc").agg(
+        F.count(F.lit(1)).alias("capped_size"),
+        F.bit_xor(F.xxhash64("shingle")).alias("capped_xor"),
+    )
+    bands = _bands_from_wide(_wide_signatures(capped, num_hashes), num_hashes, band_size)
+    rows = bands.join(fp, "doc")
+    tomb = doc_ids.join(fp, "doc", "left_anti").select(
+        "doc",
+        F.lit(-1).alias("band"),
+        F.lit(None).cast("string").alias("band_key"),
+        F.lit(0).cast("long").alias("capped_size"),
+        F.lit(0).cast("long").alias("capped_xor"),
+    )
+    return rows.unionByName(tomb)
+
+
+def _read_latest_bands(
+    spark: SparkSession, bands_path: str, exclude_batch_id: int
+) -> DataFrame:
+    """Current band rows: per doc, the rows from its NEWEST index
+    partition (re-banding shadows older versions by writing newer rows —
+    old partitions are never rewritten, preserving their replay
+    ownership). Excludes ``exclude_batch_id`` for the same reason the
+    corpus read does: on replay the partition holds the first attempt's
+    output, which must not count as pre-existing state."""
+    # the session factory disables partition type inference (partition
+    # values read back as strings) — cast to long or "10" < "9" breaks
+    # both the exclusion compare and the latest-wins max
+    b = (
+        spark.read.parquet(bands_path)
+        .withColumn("__batch_id", F.col("__batch_id").cast("long"))
+        .filter(F.col("__batch_id") != exclude_batch_id)
+    )
+    latest = b.groupBy("doc").agg(F.max("__batch_id").alias("__batch_id"))
+    return b.join(latest, ["doc", "__batch_id"]).drop("__batch_id")
+
+
+def init_dedup_admission_index(
+    base_corpus: DataFrame,
+    index_path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    num_hashes: int = 8,
+    band_size: int = 2,
+    max_doc_freq: int | float | None = 25,
+) -> None:
+    """One-time index bootstrap: shingle the base corpus ONCE, persist
+    the postings and the df-capped band table under ``__batch_id=-1``.
+    This is the only time the base corpus text is ever scanned by the
+    indexed admission path. Idempotent (dynamic partition overwrite of
+    the base partition), so a crash mid-bootstrap just re-runs it.
+
+    Parameters must match the ``stream_dedup_admission`` call that will
+    consume the index — the band layout (num_hashes × band_size) and the
+    shingle width ``n`` are baked into the persisted rows.
+    """
+    from pyspark_ingestion_spark.operators.dedup import _hot_shingles, _shingle_table
+    from pyspark_ingestion_spark.sources.writers import overwrite_partitions
+
+    spark = base_corpus.sparkSession
+    base = base_corpus.select(id_col, text_col)
+    posts = _shingle_table(base, id_col, text_col, n)
+    overwrite_partitions(
+        posts.withColumn("__batch_id", F.lit(-1)),
+        f"{index_path}/{_IDX_POSTINGS}",
+        ["__batch_id"],
+    )
+    # re-read what was just written so banding doesn't re-shingle the text
+    stored = (
+        spark.read.parquet(f"{index_path}/{_IDX_POSTINGS}")
+        .filter(F.col("__batch_id").cast("long") == -1)
+        .select("doc", "shingle")
+    )
+    capped = stored
+    if max_doc_freq is not None:
+        hot = F.broadcast(_hot_shingles(stored, max_doc_freq))
+        capped = stored.join(hot, "shingle", "left_anti")
+    ids = base.select(F.col(id_col).alias("doc"))
+    rows = _index_band_rows(capped, ids, num_hashes, band_size)
+    overwrite_partitions(
+        rows.withColumn("__batch_id", F.lit(-1)),
+        f"{index_path}/{_IDX_BANDS}",
+        ["__batch_id"],
+    )
+
+
+def _indexed_rejects(
+    spark: SparkSession,
+    batch: DataFrame,
+    index_path: str,
+    batch_id: int,
+    id_col: str,
+    n: int,
+    num_hashes: int,
+    band_size: int,
+    threshold_num: int,
+    threshold_den: int,
+    max_doc_freq: int | float | None,
+    max_bucket_size: int | None,
+    text_col: str = "text",
+):
+    """Index-driven admission for one micro-batch. Returns
+    ``(rejects, sb, stale_rows)``:
+
+    - ``rejects`` — distinct batch ids to drop (same contract as
+      ``incremental_lsh_rejects``);
+    - ``sb`` — the batch's df-capped shingle table (reused by the sink
+      to derive the admitted docs' band rows without re-shingling);
+    - ``stale_rows`` — re-banded rows for corpus docs whose df-capped
+      shingle set changed since they were last banded (None when the
+      df cap is off — append-only corpora can't invalidate bands any
+      other way).
+
+    Exposed module-level (not closed over by the sink) so tests can
+    assert the plan property directly: NO input of this computation is
+    the corpus text — only the postings/bands index and the batch.
+
+    Equivalence with the recompute form: the postings table holds
+    exactly ``_shingle_table(corpus)`` (persisted at admission instead
+    of re-derived), so the hot-shingle set, the capped shingle universe,
+    the band keys and the Jaccard verify all see identical rows. The df
+    cap makes old docs' bands time-dependent (a shingle crossing the cap
+    changes its docs' signatures); staleness detection catches that by
+    comparing each doc's stored capping fingerprint (count + xor of
+    xxhash64(shingle)) against the current capped postings and
+    re-banding the diffs, so the effective band table equals the
+    recompute form's. (A false fingerprint match needs a 64-bit xor
+    collision between a doc's old and new capped sets; with an integer
+    df cap even the count alone is exact, since the hot set only grows.)
+
+    Per-batch cost: O(batch) shingling + one aggregate over the postings
+    index (map-side combined, narrow rows — df counts + staleness
+    fingerprints) + the band join. The corpus TEXT is never read.
+    SCALING.md sketches the next rung (an incrementally-maintained df
+    table + hot-transition log) that removes the postings aggregate too.
+    """
+    from pyspark_ingestion_spark.operators.dedup import (
+        _drop_big_buckets,
+        _hot_shingles,
+        _lsh_admission_tail,
+        _shingle_table,
+    )
+
+    posts = (
+        spark.read.parquet(f"{index_path}/{_IDX_POSTINGS}")
+        .filter(F.col("__batch_id").cast("long") != batch_id)
+        .select("doc", "shingle")
+    )
+    sb = _shingle_table(batch, id_col, text_col, n)
+    capped_c = posts
+    if max_doc_freq is not None:
+        hot = F.broadcast(_hot_shingles(posts, max_doc_freq))
+        capped_c = posts.join(hot, "shingle", "left_anti")
+        sb = sb.join(hot, "shingle", "left_anti")
+
+    stored = _read_latest_bands(spark, f"{index_path}/{_IDX_BANDS}", batch_id)
+    stale_rows = None
+    cur_bands = stored
+    if max_doc_freq is not None:
+        stored_fp = stored.select("doc", "capped_size", "capped_xor").distinct()
+        cur_fp = capped_c.groupBy("doc").agg(
+            F.count(F.lit(1)).alias("__cs"),
+            F.bit_xor(F.xxhash64("shingle")).alias("__cx"),
+        )
+        stale_ids = (
+            stored_fp.join(cur_fp, "doc", "left")
+            .filter(
+                (F.coalesce(F.col("__cs"), F.lit(0)) != F.col("capped_size"))
+                | (F.coalesce(F.col("__cx"), F.lit(0)) != F.col("capped_xor"))
+            )
+            .select("doc")
+        )
+        # cut lineage: stale_rows feeds both the candidate join and the
+        # index write — bounded (docs touching a cap transition), and the
+        # LogicalRDD plan lets the bands write not read the bands table
+        stale_rows = _index_band_rows(
+            capped_c.join(F.broadcast(stale_ids), "doc"),
+            stale_ids,
+            num_hashes,
+            band_size,
+        ).localCheckpoint(eager=False)
+        cur_bands = stored.join(stale_ids, "doc", "left_anti").unionByName(stale_rows)
+
+    bands_c = _drop_big_buckets(
+        cur_bands.filter(F.col("band") >= 0).select("doc", "band", "band_key"),
+        max_bucket_size,
+    )
+    rejects = _lsh_admission_tail(
+        sb, capped_c, bands_c, id_col, num_hashes, band_size,
+        threshold_num, threshold_den,
+    )
+    return rejects, sb, stale_rows
+
+
+def _admit_dedup_batch_indexed(
+    batch_df: DataFrame,
+    batch_id: int,
+    base_corpus: DataFrame,
+    out_path: str,
+    index_path: str,
+    id_col: str,
+    text_col: str,
+    n: int,
+    num_hashes: int,
+    band_size: int,
+    threshold_num: int,
+    threshold_den: int,
+    max_doc_freq: int | float | None,
+    max_bucket_size: int | None,
+) -> None:
+    """One micro-batch of indexed ``stream_dedup_admission``: admit via
+    :func:`_indexed_rejects`, then append the batch's text, postings and
+    band rows — each to its own ``__batch_id`` partition, so the whole
+    triple inherits the replay-overwrite contract of the plain sink
+    (calling twice with the same ``batch_id`` reproduces, never erases).
+    Module-level for the same direct replay-testability reason as
+    ``_admit_dedup_batch``."""
+    from pyspark.errors import AnalysisException
+
+    from pyspark_ingestion_spark.operators.dedup import _shingle_table
+    from pyspark_ingestion_spark.sources.writers import overwrite_partitions
+
+    spark = batch_df.sparkSession
+    try:  # bootstrap once; cheap existence probe afterwards
+        has_base = bool(
+            spark.read.parquet(f"{index_path}/{_IDX_BANDS}")
+            .filter(F.col("__batch_id").cast("long") == -1)
+            .head(1)
+        )
+    except AnalysisException:
+        has_base = False
+    if not has_base:
+        init_dedup_admission_index(
+            base_corpus, index_path, id_col=id_col, text_col=text_col, n=n,
+            num_hashes=num_hashes, band_size=band_size, max_doc_freq=max_doc_freq,
+        )
+
+    batch = batch_df.select(id_col, text_col)
+    rejects, sb, stale_rows = _indexed_rejects(
+        spark, batch, index_path, batch_id, id_col, n, num_hashes, band_size,
+        threshold_num, threshold_den, max_doc_freq, max_bucket_size,
+        text_col=text_col,
+    )
+    # materialize once (batch-sized): three writes derive from it, and
+    # the LogicalRDD plan keeps the text write from re-running the LSH
+    admitted = batch.join(F.broadcast(rejects), id_col, "left_anti").localCheckpoint(
+        eager=False
+    )
+    overwrite_partitions(
+        admitted.withColumn("__batch_id", F.lit(batch_id)), out_path, ["__batch_id"]
+    )
+    overwrite_partitions(
+        _shingle_table(admitted, id_col, text_col, n).withColumn(
+            "__batch_id", F.lit(batch_id)
+        ),
+        f"{index_path}/{_IDX_POSTINGS}",
+        ["__batch_id"],
+    )
+    admitted_ids = admitted.select(F.col(id_col).alias("doc"))
+    band_rows = _index_band_rows(
+        sb.join(admitted_ids, "doc"), admitted_ids, num_hashes, band_size
+    )
+    if stale_rows is not None:
+        band_rows = band_rows.unionByName(stale_rows)
+    overwrite_partitions(
+        band_rows.withColumn("__batch_id", F.lit(batch_id)),
+        f"{index_path}/{_IDX_BANDS}",
+        ["__batch_id"],
+    )
 
 
 _GUARD_FILE = "_partition_guard.json"

@@ -856,8 +856,9 @@ def test_media_signal_features_known_pixels_and_samples(spark):
     assert abs(got[2]["mean_val"] - wav_mean) < 1e-9
     assert abs(got[2]["rms"] - wav_rms) < 1e-9
 
-    png = b"\x89PNG\r\n\x1a\n" + b"\x00" * 20
-    gated = spark.createDataFrame([(3, bytearray(png))], "doc_id long, payload binary")
+    # the honest gate is now JPEG/GIF only (PNG decodes for real — r6)
+    gif = b"GIF89a" + b"\x00" * 20
+    gated = spark.createDataFrame([(3, bytearray(gif))], "doc_id long, payload binary")
     with pytest.raises(Exception, match="codec"):
         media_signal_features(gated).collect()
 
@@ -1101,3 +1102,73 @@ def test_avro_fallback_dynamic_overwrite_null_partition(spark, tmp_path):
     write_avro(df2, path, ["p"], mode="overwrite_partitions", codec="null")
     got = {(r["id"], r["p"]) for r in read_avro(spark, path).collect()}
     assert got == {(3, None), (2, "x")}, got
+
+
+def test_png_pixel_decode_all_filters_and_gates(spark):
+    """REAL PNG pixel decode: (1) a handcrafted grayscale PNG whose rows
+    use every filter type (None/Sub/Up/Average/Paeth) decodes to the
+    exact raw bytes; (2) a truecolor PNG yields BT.601 luma millis;
+    (3) unsupported shapes (16-bit, interlaced) raise the narrow gate,
+    and the synthesizer's files round-trip through media_signal_features
+    with hand-computed statistics."""
+    import math
+    import struct
+    import zlib
+
+    import pytest
+
+    from pyspark_ingestion_spark.operators.multimodal import (
+        _png_luma_millis,
+        _png_paeth,
+        media_signal_features,
+        synthesize_png_payload,
+    )
+
+    def chunk(ct, d):
+        return struct.pack(">I", len(d)) + ct + d + struct.pack(">I", zlib.crc32(ct + d))
+
+    def png(w, h, depth, color, interlace, raw):
+        ihdr = struct.pack(">IIBBBBB", w, h, depth, color, 0, 0, interlace)
+        return (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+                + chunk(b"IDAT", zlib.compress(raw)) + chunk(b"IEND", b""))
+
+    # 3-wide, 5-high grayscale; rows use filters 0..4. Build the filtered
+    # stream by hand from known raw rows.
+    rows = [bytes(r) for r in
+            ([10, 20, 30], [5, 250, 7], [10, 20, 30], [128, 129, 130], [1, 2, 3])]
+    raw = bytearray()
+    prior = bytes(3)
+    for ft, line in enumerate(rows):
+        raw.append(ft)
+        for x in range(3):
+            a = line[x - 1] if x else 0
+            b, c = prior[x], (prior[x - 1] if x else 0)
+            pred = (0 if ft == 0 else a if ft == 1 else b if ft == 2
+                    else (a + b) >> 1 if ft == 3 else _png_paeth(a, b, c))
+            raw.append((line[x] - pred) & 0xFF)
+        prior = line
+    got = _png_luma_millis(png(3, 5, 8, 0, 0, bytes(raw)))
+    assert got == [1000 * v for r in rows for v in r]
+
+    # truecolor: one row, two pixels (filter 0)
+    rgb = bytes([0, 255, 0, 0, 0, 255, 0])  # red, green
+    got_rgb = _png_luma_millis(png(2, 1, 8, 2, 0, rgb))
+    assert got_rgb == [299 * 255, 587 * 255]
+
+    with pytest.raises(NotImplementedError, match="grayscale/truecolor"):
+        _png_luma_millis(png(1, 1, 16, 0, 0, bytes([0, 0, 0])))
+    with pytest.raises(NotImplementedError, match="interlace"):
+        _png_luma_millis(png(1, 1, 8, 0, 1, bytes([0, 0])))
+    with pytest.raises(ValueError, match="dimensions"):
+        _png_luma_millis(png(3, 2, 8, 0, 0, bytes([0, 0])))
+
+    # synthesizer round-trip through the Spark operator, stats hand-checked
+    text = "abcdefghijklmnopqrstuvw"  # 23 bytes -> 6 rows of 4, 1 pad byte
+    df = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    out = media_signal_features(
+        synthesize_png_payload(df, "doc_id", "text")
+    ).collect()[0]
+    vals = list(text.encode()) + [0]
+    assert out["container"] == "png" and out["n_values"] == 24
+    assert abs(out["mean_val"] - sum(vals) / 24) < 1e-9
+    assert abs(out["rms"] - math.sqrt(sum(v * v for v in vals) / 24)) < 1e-9

@@ -364,3 +364,187 @@ def test_stateful_totals_all_null_values_emit_null(spark, tmp_path):
     }
     assert got[1] == (2, None), got
     assert got[2] == (1, 5.0), got
+
+
+def _mk_admission_files(spark, tmp_path, src, files):
+    """Stage each (name, rows) as ONE parquet data file in src, with
+    distinct mtimes so maxFilesPerTrigger=1 yields deterministic
+    micro-batch order."""
+    import glob as _glob
+    import shutil
+    import time
+
+    os.makedirs(src, exist_ok=True)
+    for name, rows in files:
+        stage = str(tmp_path / ("stage_" + name))
+        spark.createDataFrame(rows, "doc_id int, text string").coalesce(
+            1
+        ).write.mode("overwrite").parquet(stage)
+        part = _glob.glob(os.path.join(stage, "part-*.parquet"))[0]
+        shutil.copy(part, os.path.join(src, name + ".parquet"))
+        time.sleep(1.1)
+
+
+def test_stream_dedup_admission_indexed_matches_recompute(spark, tmp_path):
+    """The incremental-band-table form admits EXACTLY the docs the
+    recompute form admits on the same micro-batches — including across a
+    df-cap transition (a boilerplate shingle crossing max_doc_freq
+    mid-stream forces re-banding of already-indexed corpus docs), and
+    across a checkpoint restart. Also proves re-banding actually
+    happened (the index holds a newer band version for a base doc)."""
+    from pyspark_ingestion_spark.operators.dedup import (
+        incremental_lsh_rejects,
+        release_shingle_caches,
+    )
+    from pyspark_ingestion_spark.streaming.pipeline import stream_dedup_admission
+
+    boiler = "the quick brown fox jumps over the lazy dog again and again"
+    base_rows = [
+        (0, boiler + " alpha beta gamma delta epsilon zeta"),
+        (1, boiler + " eta theta iota kappa lamda mu"),
+    ]
+    file_a = [
+        (10, boiler + " red green blue cyan magenta yellow"),  # boiler df→3: hot next batch
+        (11, "one two three four five six seven eight nine ten eleven twelve"),
+    ]
+    file_b = [
+        # shares ONLY boilerplate with the corpus — after the cap fires,
+        # boiler shingles vanish from both sides, so this must ADMIT;
+        # without re-banding the stale base-doc bands it would collide
+        (12, boiler + " north south east west up down"),
+        (13, "unus duo tres quattuor quinque sex septem octo novem decem"),
+    ]
+    file_c = [
+        (14, "unus duo tres quattuor quinque sex septem octo novem decem"),  # dup of 13
+        (15, "voro fero gero curo duco dico disco posco pasco nosco"),
+    ]
+    base_corpus = spark.createDataFrame(base_rows, "doc_id int, text string")
+    kwargs = dict(n=3, num_hashes=8, band_size=2, threshold_num=1,
+                  threshold_den=2, max_doc_freq=2, max_bucket_size=None)
+
+    src = str(tmp_path / "src")
+    _mk_admission_files(spark, tmp_path, src, [("a", file_a), ("b", file_b)])
+
+    def run(out, ckpt, index_path):
+        stream = (
+            spark.readStream.schema("doc_id int, text string")
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src)
+        )
+        stream_dedup_admission(
+            stream, base_corpus, out, ckpt, index_path=index_path, **kwargs
+        )
+
+    out_r = str(tmp_path / "out_recompute")
+    out_i = str(tmp_path / "out_indexed")
+    index = str(tmp_path / "index")
+    run(out_r, str(tmp_path / "ckpt_r"), None)
+    run(out_i, str(tmp_path / "ckpt_i"), index)
+
+    def admitted_by_batch(path):
+        return {
+            (r["__batch_id"], r["doc_id"])
+            for r in spark.read.parquet(path).select("__batch_id", "doc_id").collect()
+        }
+
+    got_r, got_i = admitted_by_batch(out_r), admitted_by_batch(out_i)
+    assert got_i == got_r, (sorted(got_i), sorted(got_r))
+
+    # sequential batch-mode model (recompute semantics) agrees too
+    model_kwargs = {k: v for k, v in kwargs.items() if k != "max_bucket_size"}
+    corpus_rows, admitted = list(base_rows), set()
+    for rows in [file_a, file_b]:
+        corpus = spark.createDataFrame(corpus_rows, "doc_id int, text string")
+        batch = spark.createDataFrame(rows, "doc_id int, text string")
+        rej = {
+            r["doc_id"]
+            for r in incremental_lsh_rejects(
+                corpus, batch, "doc_id", "text", **model_kwargs
+            ).collect()
+        }
+        release_shingle_caches()
+        keep = [r for r in rows if r[0] not in rej]
+        admitted |= {r[0] for r in keep}
+        corpus_rows += keep
+    assert {d for _, d in got_i} == admitted
+    assert 12 in admitted  # the cap transition actually mattered
+
+    # re-banding proof: some base/early doc carries band rows in a LATER
+    # index partition than its admission partition (shadowing the stale ones)
+    bands = spark.read.parquet(f"{index}/bands")
+    vers = {
+        (r["doc"], int(r["__batch_id"])) for r in bands.select("doc", "__batch_id").collect()
+    }
+    rebanded = {d for d, v in vers if d in (0, 1, 10) and v > (-1 if d in (0, 1) else 0)}
+    assert rebanded, sorted(vers)
+
+    # restart: file C continues the same checkpoint + index
+    _mk_admission_files(spark, tmp_path, src, [("c", file_c)])
+    run(out_r, str(tmp_path / "ckpt_r"), None)
+    run(out_i, str(tmp_path / "ckpt_i"), index)
+    got_r3, got_i3 = admitted_by_batch(out_r), admitted_by_batch(out_i)
+    assert got_i3 == got_r3
+    assert {d for _, d in got_i3} - {d for _, d in got_i} == {15}  # 14 rejected vs 13
+
+
+def test_indexed_admission_replay_and_corpus_text_free_plan(spark, tmp_path):
+    """(1) Replaying a micro-batch through _admit_dedup_batch_indexed
+    reproduces (never erases) the first attempt across all three tables;
+    (2) the per-batch admission plan reads ONLY the index and the batch —
+    the corpus text (out_path or the base corpus's source) appears
+    nowhere in it. This is the 100 TB property the indexed form exists
+    for: per-batch work is O(batch + index read-back), never O(corpus
+    re-shingle)."""
+    from pyspark_ingestion_spark.streaming.pipeline import (
+        _admit_dedup_batch_indexed,
+        _indexed_rejects,
+    )
+
+    base_path = str(tmp_path / "base_docs")
+    spark.createDataFrame(
+        [(0, "alpha beta gamma delta epsilon zeta eta theta")],
+        "doc_id int, text string",
+    ).write.parquet(base_path)
+    base = spark.read.parquet(base_path)
+
+    out = str(tmp_path / "admitted")
+    index = str(tmp_path / "index")
+    kwargs = dict(id_col="doc_id", text_col="text", n=3, num_hashes=8,
+                  band_size=2, threshold_num=1, threshold_den=2,
+                  max_doc_freq=2, max_bucket_size=None)
+
+    b0 = spark.createDataFrame(
+        [(10, "alpha beta gamma delta epsilon zeta eta thetax"),  # near-dup → reject
+         (11, "one two three four five six seven eight")],
+        "doc_id int, text string",
+    )
+    _admit_dedup_batch_indexed(b0, 0, base, out, index, **kwargs)
+
+    def snap():
+        return (
+            {tuple(r) for r in spark.read.parquet(out).collect()},
+            {tuple(r) for r in spark.read.parquet(f"{index}/postings").collect()},
+            {tuple(r) for r in spark.read.parquet(f"{index}/bands").collect()},
+        )
+
+    first = snap()
+    assert {r[0] for r in first[0]} == {11}
+    _admit_dedup_batch_indexed(b0, 0, base, out, index, **kwargs)  # replay
+    assert snap() == first
+
+    # plan property: batch 1's rejects plan scans index + batch only
+    b1 = spark.createDataFrame(
+        [(12, "nine ten eleven twelve thirteen fourteen fifteen sixteen")],
+        "doc_id int, text string",
+    )
+    rejects, _sb, _stale = _indexed_rejects(
+        spark, b1.select("doc_id", "text"), index, 1,
+        "doc_id", 3, 8, 2, 1, 2, 2, None,
+    )
+    # inputFiles = every file any scan in the plan would read
+    files = rejects.inputFiles()
+    assert files, "expected index scans in the plan"
+    assert not any("base_docs" in f for f in files), files
+    assert not any("/admitted/" in f for f in files), files  # out_path text never read
+    assert any("/postings/" in f for f in files), files
+    rejects.collect()  # and it actually runs
