@@ -53,6 +53,25 @@ def _token_indices(text_col: str, n_features: int):
     )
 
 
+def md5_token_indices(text_col: str, n_features: int):
+    """DuckDB-expressible hashed token indices: md5's first 15 hex
+    digits mod n. The default contract (:func:`_token_indices`) uses
+    Spark's murmur3 ``F.hash``, which no other engine reproduces — this
+    variant exists so the SCORING arithmetic (weight gather + logistic)
+    can be pinned against a full SQL oracle with deterministic
+    closed-form weights (VERDICT r5 item 3); DuckDB equivalent:
+    ``('0x' || substr(md5(tok), 1, 15))::UBIGINT % n``. Same hashing-
+    trick contract as the default: train and score MUST share one
+    indexer."""
+    return F.transform(
+        words(F.lower(F.col(text_col))),
+        lambda t: F.pmod(
+            F.conv(F.substring(F.md5(t), 1, 15), 16, 10).cast("long"),
+            F.lit(n_features),
+        ).cast("int"),
+    )
+
+
 def train_text_classifier(
     docs: DataFrame,
     label_col: str,
@@ -125,6 +144,7 @@ def score_corpus(
     text_col: str = "text",
     id_col: str = "doc_id",
     score_col: str = "model_score",
+    token_indices=None,
 ) -> DataFrame:
     """Score every document with a fitted classifier → (id, score).
 
@@ -142,8 +162,11 @@ def score_corpus(
     # intercept), never a NULL score: a NULL model_score would silently
     # rank first in auc_of_scores' unpartitioned rank window and shift
     # the AUC the tests pin (ADVICE r5)
+    # token_indices overrides the murmur3 default (e.g. md5_token_indices
+    # for cross-engine oracle fixtures) — must match the trainer's indexer
+    indexer = token_indices or _token_indices
     idxarr = F.coalesce(
-        _token_indices(text_col, model.n_features),
+        indexer(text_col, model.n_features),
         F.array().cast("array<int>"),
     )
     z = F.aggregate(

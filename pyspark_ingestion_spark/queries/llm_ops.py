@@ -3550,3 +3550,220 @@ def corpus_topic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.mode("lang").alias("top_lang"),
         )
     )
+
+
+# ------------------- deterministic fixtures for the trained-model tier
+#
+# ivf_pq_topk / score_corpus normally run against KMeans/LR-FITTED
+# parameters (rows-only in the registry — float-order-dependent fits).
+# These fixtures swap the fitted parameters for CLOSED-FORM constants so
+# the SCORING arithmetic itself — PQ encode argmin, ADC LUT gather +
+# rerankless top-k, logistic weight gather — gets full DuckDB oracles
+# (VERDICT r5 item 3). Quantizing the vectors to integers makes every
+# dot product exactly representable, so argmin/ADC sums are identical
+# across engines regardless of fold order.
+
+_PQ_FIXTURE_CB_CTE = """
+    cb AS (SELECT m, c, list(CAST((m*37 + c*17 + j*7) % 21 - 10 AS DOUBLE)
+                             ORDER BY j) AS subvec
+           FROM (SELECT mm.m, cc.c, jj.j
+                 FROM (SELECT unnest(generate_series(0, 7)) AS m) mm,
+                      (SELECT unnest(generate_series(0, 3)) AS c) cc,
+                      (SELECT unnest(generate_series(0, 7)) AS j) jj)
+           GROUP BY m, c),
+    qvec AS (SELECT vec_id,
+                    list_transform(embedding::DOUBLE[],
+                                   v -> round(v * 100, 0)) AS v
+             FROM embeddings)
+"""
+
+
+def _pq_fixture_codebooks(spark: SparkSession):
+    """Closed-form PQ codebooks (n_sub=8, k_codes=4, d_sub=8):
+    subvec[m][c][j] = (m·37 + c·17 + j·7) mod 21 − 10 — integers, so
+    distances are exact in float64 on every engine."""
+    rows = [
+        (m, c, [float((m * 37 + c * 17 + j * 7) % 21 - 10) for j in range(8)])
+        for m in range(8)
+        for c in range(4)
+    ]
+    return spark.createDataFrame(rows, "m int, code_id int, subvec array<double>")
+
+
+def _ivf_fixture_centroids(spark: SparkSession):
+    """Closed-form IVF centroids (4 cells × 64 dims):
+    cvec[cl][j] = (cl·29 + j·13) mod 17 − 8."""
+    rows = [
+        (cl, [float((cl * 29 + j * 13) % 17 - 8) for j in range(64)])
+        for cl in range(4)
+    ]
+    return spark.createDataFrame(rows, "centroid_id int, cvec array<double>")
+
+
+def _quantized_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+    return e.select(
+        "vec_id",
+        F.transform(
+            F.col("embedding").cast("array<double>"), lambda v: F.round(v * 100, 0)
+        ).alias("embedding"),
+    )
+
+
+@query(
+    "ann_pq_encode_fixture",
+    oracle=f"""
+    WITH {_PQ_FIXTURE_CB_CTE},
+    scored AS (SELECT q.vec_id, cb.m, cb.c,
+                 2 * list_dot_product(list_slice(q.v, cb.m*8 + 1, cb.m*8 + 8),
+                                      cb.subvec)
+                   - list_dot_product(cb.subvec, cb.subvec) AS s
+               FROM qvec q CROSS JOIN cb),
+    best AS (SELECT vec_id, m, c,
+                    row_number() OVER (PARTITION BY vec_id, m
+                                       ORDER BY s DESC, c) AS rn
+             FROM scored)
+    SELECT vec_id, string_agg(CAST(c AS VARCHAR), '-' ORDER BY m) AS codes
+    FROM best WHERE rn = 1 GROUP BY vec_id
+    """,
+)
+def ann_pq_encode_fixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ encode against closed-form codebooks: per subvector the argmin-
+    L2 code via the 2·s·c − |c|² struct-max idiom, lowest code on ties.
+    Integer-quantized vectors ⇒ the argmin is bit-exact cross-engine, so
+    the oracle pins the ENCODE arithmetic that the rows-only fitted
+    variant (`ann_ivf_pq_topk`) exercises with trained codebooks."""
+    from pyspark_ingestion_spark.operators.similarity import pq_encode
+
+    qv = _quantized_embeddings(spark, sf_dir)
+    codes = pq_encode(
+        qv, _pq_fixture_codebooks(spark), "vec_id", "embedding", n_sub=8
+    )
+    # flattened to a string: the driver's pandas row-sort can't hash arrays
+    return codes.select(
+        "vec_id", F.array_join(F.col("codes"), "-").alias("codes")
+    )
+
+
+@query(
+    "ann_ivf_pq_adc_fixture",
+    oracle=f"""
+    WITH {_PQ_FIXTURE_CB_CTE},
+    cent AS (SELECT cl, list(CAST((cl*29 + j*13) % 17 - 8 AS DOUBLE)
+                             ORDER BY j) AS cvec
+             FROM (SELECT c.cl, j.j
+                   FROM (SELECT unnest(generate_series(0, 3)) AS cl) c,
+                        (SELECT unnest(generate_series(0, 63)) AS j) j)
+             GROUP BY cl),
+    cells AS (SELECT vec_id, cell FROM (
+        SELECT q.vec_id, c.cl AS cell,
+               row_number() OVER (PARTITION BY q.vec_id ORDER BY
+                 ROUND(list_dot_product(q.v, c.cvec)
+                       / (sqrt(list_dot_product(q.v, q.v))
+                          * sqrt(list_dot_product(c.cvec, c.cvec))), 6)
+                 DESC, c.cl) AS rn
+        FROM qvec q CROSS JOIN cent c) WHERE rn = 1),
+    scored0 AS (SELECT q.vec_id, cb.m, cb.c,
+                  2 * list_dot_product(list_slice(q.v, cb.m*8 + 1, cb.m*8 + 8),
+                                       cb.subvec)
+                    - list_dot_product(cb.subvec, cb.subvec) AS s
+                FROM qvec q CROSS JOIN cb),
+    codes AS (SELECT vec_id, list(CAST(c AS INT) ORDER BY m) AS codes
+              FROM (SELECT vec_id, m, c,
+                           row_number() OVER (PARTITION BY vec_id, m
+                                              ORDER BY s DESC, c) AS rn
+                    FROM scored0)
+              WHERE rn = 1 GROUP BY vec_id),
+    corp AS (SELECT q.vec_id, cl.cell, cd.codes, q.v
+             FROM qvec q JOIN cells cl USING (vec_id) JOIN codes cd USING (vec_id)),
+    qs AS (SELECT vec_id AS query_id, v AS qv,
+                  sqrt(list_dot_product(v, v)) AS qnorm, cell
+           FROM corp WHERE vec_id < 8),
+    un AS (SELECT q.query_id, e.vec_id AS neighbor_id, q.qv, q.qnorm,
+                  unnest(e.codes) AS code,
+                  unnest(generate_series(0, 7)) AS mi
+           FROM corp e JOIN qs q USING (cell)),
+    adc AS (SELECT query_id, neighbor_id, any_value(qnorm) AS qnorm,
+                   sum(list_dot_product(list_slice(un.qv, un.mi*8 + 1, un.mi*8 + 8),
+                                        cb.subvec)) AS dot,
+                   sum(list_dot_product(cb.subvec, cb.subvec)) AS sq
+            FROM un JOIN cb ON cb.m = un.mi AND cb.c = un.code
+            GROUP BY query_id, neighbor_id)
+    SELECT query_id, neighbor_id, sim, CAST(rank AS INT) AS rank FROM (
+        SELECT query_id, neighbor_id,
+               ROUND(CASE WHEN qnorm * sqrt(sq) != 0
+                          THEN dot / (qnorm * sqrt(sq)) END, 6) AS sim,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY CASE WHEN qnorm * sqrt(sq) != 0
+                                                THEN dot / (qnorm * sqrt(sq)) END
+                                           DESC NULLS LAST, neighbor_id) AS rank
+        FROM adc)
+    WHERE rank <= 5
+    """,
+)
+def ann_ivf_pq_adc_fixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The FULL IVF-PQ scoring chain — cell assignment, PQ encode, the
+    per-query ADC lookup table, the flat m·k_codes+code gather, cosine-
+    vs-reconstruction and top-k — against closed-form centroids and
+    codebooks, hash-checked against a DuckDB oracle reproducing every
+    stage. With integer-quantized vectors all ADC accumulations are
+    exact, so only the final division is float (rounded to 6 dp on both
+    sides, ranked on the rounded value with id tie-break). The fitted
+    variant (`ann_ivf_pq_topk`) stays rows-only; this pins its
+    arithmetic."""
+    from pyspark_ingestion_spark.operators.similarity import ivf_pq_topk
+
+    qv = _quantized_embeddings(spark, sf_dir)
+    queries = qv.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return ivf_pq_topk(
+        qv,
+        queries,
+        _ivf_fixture_centroids(spark),
+        _pq_fixture_codebooks(spark),
+        id_col="vec_id",
+        vec_col="embedding",
+        k=5,
+        nprobe=1,
+        n_sub=8,
+        k_codes=4,
+    )
+
+
+@query(
+    "quality_model_score_fixture",
+    oracle="""
+    WITH w AS (SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\\s+')) AS tok
+               FROM documents),
+    idx AS (SELECT doc_id,
+                   CAST(('0x' || substr(md5(tok), 1, 15))::UBIGINT % 64 AS INT) AS i
+            FROM w),
+    z AS (SELECT doc_id, 0.25 + sum(((i * 13) % 21 - 10) / 16.0) AS z
+          FROM idx GROUP BY doc_id)
+    SELECT d.doc_id,
+           ROUND(1.0 / (1.0 + exp(-coalesce(z.z, 0.25))), 4) AS model_score
+    FROM documents d LEFT JOIN z USING (doc_id)
+    """,
+)
+def quality_model_score_fixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The expression-only logistic scorer (`score_corpus`) with closed-
+    form weights w[i] = ((i·13) mod 21 − 10)/16 (dyadic rationals ⇒ the
+    weight-sum is exact in any fold order) and the md5 token indexer
+    (DuckDB-expressible, unlike Spark murmur3). Pins the scoring path —
+    token hash → weight gather → sigmoid → round(4) — that the fitted
+    classifier (`quality_model_distill`, rows-only) uses with trained
+    weights."""
+    from pyspark_ingestion_spark.operators.quality_model import (
+        TextClassifier,
+        md5_token_indices,
+        score_corpus,
+    )
+
+    model = TextClassifier(
+        weights=[((i * 13) % 21 - 10) / 16.0 for i in range(64)],
+        intercept=0.25,
+        n_features=64,
+    )
+    d = load_table(spark, sf_dir, "documents")
+    return score_corpus(model, d, token_indices=md5_token_indices)
