@@ -50,6 +50,10 @@ HEADLINE = [
     "word_cooccurrence_pmi",
     # event-time analytics
     "window_session",
+    # round-5 expensive families, inside the regression gate from r6 on
+    # (their own anchor round is r6 — excluded from r1_comparable_total)
+    "dedup_substring_spans",
+    "ann_ivf_pq_topk",
 ]
 
 
@@ -89,7 +93,8 @@ def main() -> None:
     # keep_one, +word_cooccurrence_pmi); this subtotal keeps the r1-r3
     # 11-query series comparable round-over-round without freezing the set
     r3_set = [n for n in names if n not in (
-        "corpus_full_pipeline", "dedup_semantic_keep_one", "word_cooccurrence_pmi")]
+        "corpus_full_pipeline", "dedup_semantic_keep_one", "word_cooccurrence_pmi",
+        "dedup_substring_spans", "ann_ivf_pq_topk")]
     print(
         json.dumps(
             {

@@ -53,6 +53,27 @@ def make_docs(spark, n, seed=11):
     return spark.createDataFrame(rows, "doc_id long, text string").repartition(32)
 
 
+def make_boilerplate_docs(spark, n, template_frac=0.3, seed=17):
+    """ADVERSARIAL corpus: one 40-word template shared by
+    ``template_frac`` of the docs (each copy differing in two words),
+    the rest random. Without the df cap the template copies' pair space
+    is quadratic in the template count; the cap must keep both the
+    candidate space and wall-clock in the linear regime (VERDICT r5
+    item 6)."""
+    rnd = random.Random(seed)
+    template = [f"t{j}" for j in range(40)]
+    rows = []
+    for i in range(n):
+        if rnd.random() < template_frac:
+            ws = list(template)
+            ws[(i * 7) % 40] = f"u{i}a"
+            ws[(i * 11 + 3) % 40] = f"u{i}b"
+            rows.append((i, " ".join(ws)))
+        else:
+            rows.append((i, " ".join(rnd.choices(WORDS, k=40))))
+    return spark.createDataFrame(rows, "doc_id long, text string").repartition(32)
+
+
 def make_embeddings(spark, n, dim=64, cluster_size=20, seed=13):
     """Constant CLUSTER SIZE (not cluster count): the true near-dup pair
     output then grows linearly with n, so stage timings measure join
@@ -134,6 +155,34 @@ def main():
         results[("docs", n)] = r
 
     for n in (small_n, big_n):
+        print(f"== boilerplate-adversarial docs n={n:,} (30% one template)", flush=True)
+        d = make_boilerplate_docs(spark, n).persist()
+        d.count()
+        r = {}
+        r["adv_minhash_lsh"] = timed(
+            "minhash_lsh_dedup_pairs (df-cap 25)",
+            lambda: minhash_lsh_dedup_pairs(d, "doc_id", "text",
+                                            threshold_num=1, threshold_den=2,
+                                            max_doc_freq=25))
+        r["adv_jaccard_dfcap"] = timed(
+            "jaccard_similar_pairs (df-cap 25)",
+            lambda: jaccard_similar_pairs(d, "doc_id", "text", n=3,
+                                          threshold_num=1, threshold_den=2,
+                                          max_doc_freq=25))
+        from pyspark_ingestion_spark.operators.dedup import (
+            lsh_candidate_pairs,
+            minhash_signatures,
+            release_shingle_caches,
+        )
+        r["adv_candidates"] = timed(
+            "lsh_candidate_pairs (capped candidate SPACE)",
+            lambda: lsh_candidate_pairs(
+                minhash_signatures(d, "doc_id", "text", max_doc_freq=25)))
+        release_shingle_caches()
+        d.unpersist()
+        results[("adv", n)] = r
+
+    for n in (small_n, big_n):
         print(f"== embeddings n={n:,} (clusters of 20)", flush=True)
         e = make_embeddings(spark, n).persist()
         e.count()
@@ -161,7 +210,7 @@ def main():
 
     ratio = big_n / small_n
     print(f"\n== scaling ratios (size x{ratio:.0f}; ~linear <= ~x{ratio:.0f}, quadratic ~x{ratio*ratio:.0f})")
-    for sect in ("docs", "emb"):
+    for sect in ("docs", "adv", "emb"):
         for key, a in results[(sect, small_n)].items():
             b = results[(sect, big_n)].get(key)
             if b is not None:
