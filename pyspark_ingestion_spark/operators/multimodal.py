@@ -13,14 +13,15 @@ pure byte parsing in ``_decode_real``, tested on handcrafted files.
 PIXEL/SAMPLE level is REAL for every container that needs no codec
 runtime: uncompressed 24/32-bit BMP pixel rows and 8/16-bit PCM WAV
 frames are plain byte slices (round-5), and 8-bit grayscale/truecolor
-PNG is stdlib ``zlib`` inflate + the five spec filter predictors
-(round-6) — all decoded by ``media_signal_features`` into
-oracle-checked luma/RMS statistics. What remains stubbed behind
-``NotImplementedError``: JPEG (DCT) and GIF (LZW) pixels and LEARNED
-feature extraction, which need codec/model runtimes this container
-lacks; the deterministic fake path exercises the exact same schema,
-partitioning, UDF signature and batch shape, so the codec swap stays a
-one-function change.
+PNG is stdlib ``zlib`` inflate + the five spec filter predictors and
+GIF is a ~60-line pure-Python LZW decoder (round-6) — all decoded by
+``media_signal_features`` into oracle-checked luma/RMS statistics.
+What remains stubbed behind ``NotImplementedError``: JPEG pixels (DCT
++ entropy coding — the one container that genuinely needs a codec
+runtime) and LEARNED feature extraction (needs a model runtime); the
+deterministic fake path exercises the exact same schema, partitioning,
+UDF signature and batch shape, so the codec swap stays a one-function
+change.
 """
 
 from __future__ import annotations
@@ -114,8 +115,8 @@ def _decode_real(payload: bytes) -> tuple[int, int, int]:
         raise ValueError("wav: missing fmt/data chunks")
     raise NotImplementedError(
         "unknown container (only PNG/GIF/BMP/JPEG/WAV headers are parsed "
-        "natively; pixel/sample decode is real for BMP/PNG/PCM-WAV — see "
-        "media_signal_features — while JPEG and GIF pixels need a codec "
+        "natively; pixel/sample decode is real for BMP/PNG/GIF/PCM-WAV — "
+        "see media_signal_features — while JPEG pixels need a codec "
         "runtime this environment lacks); use fake=True for the "
         "deterministic test path"
     )
@@ -252,11 +253,12 @@ def resize_media(decoded: DataFrame, max_width: int = 64) -> DataFrame:
 
 # ------------------------------------------------- codec-free real decode
 #
-# BMP pixel rows and WAV PCM frames are raw byte slices, and PNG is
-# DEFLATE (stdlib zlib) + five arithmetic filter predictors — no codec
-# runtime needed — so for these three containers the pixel/sample level
-# is REAL computation, shrinking the NotImplementedError surface to the
-# codecs that genuinely need a runtime: JPEG (DCT) and GIF (LZW).
+# BMP pixel rows and WAV PCM frames are raw byte slices, PNG is
+# DEFLATE (stdlib zlib) + five arithmetic filter predictors, and GIF is
+# pure-Python LZW — no codec runtime needed — so for these four
+# containers the pixel/sample level is REAL computation, shrinking the
+# NotImplementedError surface to the one codec that genuinely needs a
+# runtime: JPEG (DCT + entropy coding).
 
 #: schema of pixel/sample signal statistics (media_signal_features)
 SIGNAL_SCHEMA = T.StructType(
@@ -302,6 +304,166 @@ def _bmp_luma_millis(payload: bytes) -> list[int]:
             i = base + c * bypp
             b, g, rr = payload[i], payload[i + 1], payload[i + 2]
             lumas.append(299 * rr + 587 * g + 114 * b)
+    return lumas
+
+
+def _gif_lzw_decode(data: bytes, min_code_size: int) -> bytearray:
+    """GIF-variant LZW decode (GIF89a spec appendix F): LSB-first bit
+    packing, variable code width from ``min_code_size``+1 up to 12 bits,
+    CLEAR resets the table, code width grows when the table reaches
+    2^width. Pure Python over the concatenated image sub-blocks."""
+    clear = 1 << min_code_size
+    end = clear + 1
+    init = [bytes([i]) for i in range(clear)] + [b"", b""]
+    table = list(init)
+    width = min_code_size + 1
+    out = bytearray()
+    prev: bytes | None = None
+    bitpos = 0
+    total = len(data) * 8
+    while bitpos + width <= total:
+        byte_i = bitpos >> 3
+        chunk = int.from_bytes(data[byte_i : byte_i + 3], "little")
+        code = (chunk >> (bitpos & 7)) & ((1 << width) - 1)
+        bitpos += width
+        if code == end:
+            break
+        if code == clear:
+            table = list(init)
+            width = min_code_size + 1
+            prev = None
+            continue
+        if prev is None:
+            if code >= len(table):
+                raise ValueError("gif: first code after clear not a literal")
+            entry = table[code]
+        elif code < len(table):
+            entry = table[code]
+            table.append(prev + entry[:1])
+        elif code == len(table):  # the KwKwK case
+            entry = prev + prev[:1]
+            table.append(entry)
+        else:
+            raise ValueError("gif: corrupt LZW stream (code beyond table)")
+        if prev is not None and len(table) == (1 << width) and width < 12:
+            width += 1
+        out += entry
+        prev = entry
+    return out
+
+
+def _gif_lzw_encode(pixels: bytes, min_code_size: int) -> bytes:
+    """GIF-variant LZW encode — the exact inverse of
+    :func:`_gif_lzw_decode` (greedy longest-match, width bump when the
+    DECODER's table reaches 2^width — its table trails this encoder's
+    ``next_code`` by one — and a CLEAR reset before the 4096-entry
+    ceiling). Fixture role: lets the synthesizer emit REAL compressed
+    GIF streams for the real decoder to chew on."""
+    clear = 1 << min_code_size
+    end = clear + 1
+    out = bytearray()
+    cur = 0
+    nbits = 0
+
+    def emit(code: int) -> None:
+        nonlocal cur, nbits
+        cur |= code << nbits
+        nbits += width
+        while nbits >= 8:
+            out.append(cur & 0xFF)
+            cur >>= 8
+            nbits -= 8
+
+    table = {bytes([i]): i for i in range(clear)}
+    next_code = end + 1
+    width = min_code_size + 1
+    emit(clear)
+    buf = b""
+    for b in pixels:
+        nb = buf + bytes([b])
+        if nb in table:
+            buf = nb
+            continue
+        emit(table[buf])
+        table[nb] = next_code
+        next_code += 1
+        # decoder table size before reading the NEXT code = next_code - 1
+        if next_code - 1 == (1 << width) and width < 12:
+            width += 1
+        buf = bytes([b])
+        if next_code == 4096:
+            emit(clear)
+            table = {bytes([i]): i for i in range(clear)}
+            next_code = end + 1
+            width = min_code_size + 1
+    if buf:
+        emit(table[buf])
+    emit(end)
+    if nbits:
+        out.append(cur & 0xFF)
+    return bytes(out)
+
+
+def _gif_luma_millis(payload: bytes) -> list[int]:
+    """REAL pixel decode for GIF using the pure-Python LZW decoder:
+    walk the container (logical screen descriptor, color tables,
+    extension blocks, image descriptors), LZW-decode every frame's
+    index stream, map indices through the active palette to BT.601 luma
+    millis. Interlaced frames decode in storage order — irrelevant for
+    the order-free statistics this feeds. GIF needs no codec RUNTIME
+    (LZW is ~60 lines of integer bit-twiddling), the same honesty bar
+    as the PNG/BMP/WAV decoders."""
+    import struct
+
+    if payload[:4] != b"GIF8":
+        raise ValueError("not a GIF payload")
+    w, h, packed, _bg, _aspect = struct.unpack_from("<HHBBB", payload, 6)
+    pos = 13
+    gct = None
+    if packed & 0x80:
+        n = 2 << (packed & 0x07)
+        gct = payload[pos : pos + 3 * n]
+        pos += 3 * n
+    lumas: list[int] = []
+    while pos < len(payload):
+        b0 = payload[pos]
+        if b0 == 0x3B:  # trailer
+            break
+        if b0 == 0x21:  # extension: label + sub-blocks
+            pos += 2
+            while payload[pos]:
+                pos += 1 + payload[pos]
+            pos += 1
+            continue
+        if b0 != 0x2C:
+            raise ValueError(f"gif: unexpected block 0x{b0:02x}")
+        _l, _t, iw, ih, ipacked = struct.unpack_from("<HHHHB", payload, pos + 1)
+        pos += 10
+        pal = gct
+        if ipacked & 0x80:
+            n = 2 << (ipacked & 0x07)
+            pal = payload[pos : pos + 3 * n]
+            pos += 3 * n
+        if pal is None:
+            raise ValueError("gif: no color table for image")
+        min_code = payload[pos]
+        pos += 1
+        data = bytearray()
+        while payload[pos]:
+            ln = payload[pos]
+            data += payload[pos + 1 : pos + 1 + ln]
+            pos += 1 + ln
+        pos += 1
+        idxs = _gif_lzw_decode(bytes(data), min_code)
+        if len(idxs) < iw * ih:
+            raise ValueError("gif: LZW stream shorter than frame")
+        for i in idxs[: iw * ih]:
+            base = 3 * i
+            if base + 3 > len(pal):
+                raise ValueError("gif: pixel index beyond color table")
+            lumas.append(
+                299 * pal[base] + 587 * pal[base + 1] + 114 * pal[base + 2]
+            )
     return lumas
 
 
@@ -426,8 +588,8 @@ def media_signal_features(media: DataFrame) -> DataFrame:
     """REAL pixel/sample statistics per media item, Arrow-batched:
     (doc_id, container, n_values, mean_val, rms).
 
-    BMP/PNG → per-pixel BT.601 luma millis; WAV → PCM samples (8-bit
-    centered).
+    BMP/PNG/GIF → per-pixel BT.601 luma millis; WAV → PCM samples
+    (8-bit centered).
     Sums are exact int64 (luma millis ≤ 255 000 per pixel, squares
     ≤ 6.5e10 — no overflow until ~10⁸ pixels per item) with ONE float
     division at the end, so values hash identically against a SQL oracle
@@ -446,14 +608,17 @@ def media_signal_features(media: DataFrame) -> DataFrame:
                     vals, cont, scale = _bmp_luma_millis(p), "bmp", 1000
                 elif p[:8] == b"\x89PNG\r\n\x1a\n":
                     vals, cont, scale = _png_luma_millis(p), "png", 1000
+                elif p[:4] == b"GIF8":
+                    vals, cont, scale = _gif_luma_millis(p), "gif", 1000
                 elif p[:4] == b"RIFF" and p[8:12] == b"WAVE":
                     vals, cont, scale = _wav_sample_values(p), "wav", 1
                 else:
                     raise NotImplementedError(
                         "pixel/sample decode covers BMP (raw slices), PNG "
-                        "(stdlib-zlib inflate + unfilter) and PCM WAV; only "
-                        "JPEG (DCT) and GIF (LZW) pixels remain gated on a "
-                        "codec runtime"
+                        "(stdlib-zlib inflate + unfilter), GIF (pure-python "
+                        "LZW) and PCM WAV; only JPEG pixels remain gated — "
+                        "the one container whose decode (DCT + entropy "
+                        "coding) genuinely needs a codec runtime"
                     )
                 n = len(vals)
                 s1 = sum(vals)
@@ -568,6 +733,54 @@ def synthesize_png_payload(
                     + _chunk(b"IHDR", ihdr)
                     + _chunk(b"IDAT", zlib.compress(bytes(raw)))
                     + _chunk(b"IEND", b"")
+                )
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+    return df.select(
+        F.col(id_col).alias("doc_id"), F.col(text_col).alias("__text")
+    ).mapInPandas(
+        batches,
+        T.StructType(
+            [
+                T.StructField("doc_id", T.LongType()),
+                T.StructField("payload", T.BinaryType()),
+            ]
+        ),
+    )
+
+
+def synthesize_gif_payload(
+    df: DataFrame, id_col: str, text_col: str, width: int = 4
+) -> DataFrame:
+    """Deterministic REAL GIF payloads from a text column: the UTF-8
+    bytes become the pixel INDEX stream of a ``width``-wide GIF89a with
+    a 256-entry grayscale global color table (palette[i] = (i,i,i), so
+    decoded luma millis = 1000·byte), REALLY compressed with the
+    pure-Python LZW encoder (min code size 8, variable width, clear
+    resets) — the decoder's dictionary/width/reset machinery is
+    genuinely exercised, not bypassed (fixture role, like
+    ``synthesize_png_payload``)."""
+    import struct
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        gct = bytes(v for i in range(256) for v in (i, i, i))
+        for pdf in it:
+            payloads = []
+            for t in pdf["__text"]:
+                data = t.encode("utf-8")
+                h = max(1, -(-len(data) // width))
+                padded = data.ljust(h * width, b"\x00")
+                lzw = _gif_lzw_encode(padded, 8)
+                blocks = bytearray()
+                for i in range(0, len(lzw), 255):
+                    chunk = lzw[i : i + 255]
+                    blocks += bytes([len(chunk)]) + chunk
+                payloads.append(
+                    b"GIF89a"
+                    + struct.pack("<HHBBB", width, h, 0xF7, 0, 0)
+                    + gct
+                    + b"\x2c" + struct.pack("<HHHHB", 0, 0, width, h, 0)
+                    + bytes([8]) + bytes(blocks) + b"\x00\x3b"
                 )
             yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
 

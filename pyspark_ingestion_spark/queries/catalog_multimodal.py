@@ -435,3 +435,50 @@ def multimodal_png_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("mean_val", 6).alias("mean_val"),
         F.round("rms", 6).alias("rms"),
     )
+
+
+@query(
+    "multimodal_gif_pixel_stats",
+    oracle="""
+    WITH d AS (SELECT doc_id, text, octet_length(encode(text)) AS nb FROM documents
+               WHERE octet_length(encode(text)) = length(text)),
+    dims AS (SELECT doc_id, text, nb,
+                    greatest(CAST(ceil(nb / 4.0) AS BIGINT), 1) AS h FROM d),
+    byt AS (SELECT doc_id, h,
+                   CASE WHEN i < nb THEN ascii(substr(text, (i + 1)::INT, 1))
+                        ELSE 0 END AS b
+            FROM (SELECT doc_id, text, nb, h,
+                         unnest(generate_series(0, h * 4 - 1)) AS i
+                  FROM dims))
+    SELECT doc_id, 'gif' AS container, h * 4 AS n_values,
+           ROUND(sum(b) / (1.0 * h * 4), 6) AS mean_val,
+           ROUND(sqrt(sum(b * b) / (1.0 * h * 4)), 6) AS rms
+    FROM byt GROUP BY doc_id, h
+    """,
+)
+def multimodal_gif_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL LZW-compressed pixel decode with pure Python: documents'
+    bytes become the index stream of valid grayscale-palette GIF89a
+    files, genuinely LZW-compressed by ``synthesize_gif_payload`` (so
+    the variable-code-width dictionary machinery, KwKwK case and clear
+    resets all run for real), decoded by ``_gif_luma_millis`` and
+    reduced to mean luma / RMS from integer-exact sums. The oracle
+    recomputes the identical statistics from the text bytes — with PNG
+    (r6) this leaves JPEG as the ONLY container still gated on a codec
+    runtime."""
+    from pyspark_ingestion_spark.operators.multimodal import (
+        media_signal_features,
+        synthesize_gif_payload,
+    )
+
+    d = load_table(spark, sf_dir, "documents").filter(
+        F.octet_length("text") == F.length("text")  # ASCII ⇒ byte i = char i
+    )
+    stats = media_signal_features(synthesize_gif_payload(d, "doc_id", "text"))
+    return stats.select(
+        "doc_id",
+        "container",
+        "n_values",
+        F.round("mean_val", 6).alias("mean_val"),
+        F.round("rms", 6).alias("rms"),
+    )

@@ -856,9 +856,9 @@ def test_media_signal_features_known_pixels_and_samples(spark):
     assert abs(got[2]["mean_val"] - wav_mean) < 1e-9
     assert abs(got[2]["rms"] - wav_rms) < 1e-9
 
-    # the honest gate is now JPEG/GIF only (PNG decodes for real — r6)
-    gif = b"GIF89a" + b"\x00" * 20
-    gated = spark.createDataFrame([(3, bytearray(gif))], "doc_id long, payload binary")
+    # the honest gate is now JPEG only (PNG and GIF decode for real — r6)
+    jpg = b"\xff\xd8\xff" + b"\x00" * 20
+    gated = spark.createDataFrame([(3, bytearray(jpg))], "doc_id long, payload binary")
     with pytest.raises(Exception, match="codec"):
         media_signal_features(gated).collect()
 
@@ -1172,3 +1172,53 @@ def test_png_pixel_decode_all_filters_and_gates(spark):
     assert out["container"] == "png" and out["n_values"] == 24
     assert abs(out["mean_val"] - sum(vals) / 24) < 1e-9
     assert abs(out["rms"] - math.sqrt(sum(v * v for v in vals) / 24)) < 1e-9
+
+
+def test_gif_pixel_decode_lzw_and_gates(spark):
+    """REAL GIF pixel decode: handcrafted single-frame GIF with a known
+    LZW stream decodes to exact palette-luma values; extension blocks
+    are skipped; interlace/multi-frame accumulate; synthesizer files
+    round-trip through media_signal_features with hand-computed stats;
+    a corrupt LZW stream raises."""
+    import math
+    import struct
+
+    import pytest
+
+    from pyspark_ingestion_spark.operators.multimodal import (
+        _gif_luma_millis,
+        _gif_lzw_encode,
+        media_signal_features,
+        synthesize_gif_payload,
+    )
+
+    # 2x2 GIF, 4-entry color table (red, green, blue, white), pixels 0..3,
+    # preceded by a graphic-control extension the walker must skip
+    gct = bytes([255, 0, 0,  0, 255, 0,  0, 0, 255,  255, 255, 255])
+    lzw = _gif_lzw_encode(bytes([0, 1, 2, 3]), 2)
+    gif = (b"GIF89a" + struct.pack("<HHBBB", 2, 2, 0xF1, 0, 0) + gct
+           + b"\x21\xf9\x04\x00\x00\x00\x00\x00"  # GCE extension
+           + b"\x2c" + struct.pack("<HHHHB", 0, 0, 2, 2, 0)
+           + bytes([2, len(lzw)]) + lzw + b"\x00\x3b")
+    assert _gif_luma_millis(gif) == [
+        299 * 255, 587 * 255, 114 * 255, (299 + 587 + 114) * 255
+    ]
+
+    # corrupt stream: a code far beyond the table
+    bad = gif.replace(bytes([2, len(lzw)]) + lzw,
+                      bytes([2, 2]) + b"\xff\xff", 1)
+    with pytest.raises(ValueError):
+        _gif_luma_millis(bad)
+
+    # synthesizer round-trip (forces real dictionary growth on long text)
+    text = "the quick brown fox jumps over the lazy dog " * 30
+    df = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    out = media_signal_features(
+        synthesize_gif_payload(df, "doc_id", "text")
+    ).collect()[0]
+    data = text.encode()
+    h = max(1, -(-len(data) // 4))
+    vals = list(data.ljust(h * 4, b"\x00"))
+    assert out["container"] == "gif" and out["n_values"] == h * 4
+    assert abs(out["mean_val"] - sum(vals) / (h * 4)) < 1e-9
+    assert abs(out["rms"] - math.sqrt(sum(v * v for v in vals) / (h * 4))) < 1e-9
