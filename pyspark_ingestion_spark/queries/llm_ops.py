@@ -3767,3 +3767,164 @@ def quality_model_score_fixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     d = load_table(spark, sf_dir, "documents")
     return score_corpus(model, d, token_indices=md5_token_indices)
+
+
+@query(
+    "bigram_logprob_quality",
+    oracle=r"""
+    WITH w AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS ws
+               FROM documents WHERE trim(text) <> ''),
+    bg AS (SELECT doc_id, ws[i] || ' ' || ws[i + 1] AS bigram, ws[i] AS left_w
+           FROM (SELECT doc_id, ws, unnest(generate_series(1, len(ws) - 1)) AS i
+                 FROM w)),
+    c2 AS (SELECT bigram, CAST(count(*) AS BIGINT) AS c FROM bg GROUP BY bigram),
+    cl AS (SELECT left_w, CAST(count(*) AS BIGINT) AS cc FROM bg GROUP BY left_w)
+    SELECT bg.doc_id,
+           CAST(count(*) AS BIGINT) AS n_bigrams,
+           ROUND(avg(-ln(CAST(c AS DOUBLE) / cc)), 4) AS cross_entropy
+    FROM bg JOIN c2 USING (bigram) JOIN cl USING (left_w)
+    GROUP BY bg.doc_id
+    """,
+)
+def bigram_logprob_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram-LM cross-entropy per document — one model order above
+    ``unigram_logprob_quality``: −avg ln P(wᵢ | wᵢ₋₁) under the corpus
+    MLE bigram model (c(w₁w₂)/c(w₁·)). The standard next step of the
+    CCNet-style LM-quality ladder: unigram catches rare-WORD gibberish,
+    the bigram model catches wrong word ORDER (shuffled or templated
+    text whose individual words are common). Docs with <2 words emit no
+    row (no bigram slots) on both engines.
+
+    Scale shape: the word array materializes once behind a projection
+    boundary (the same O(words²) higher-order-function trap
+    ``_shingle_table`` documents), ONE bigram stream feeds both count
+    tables and the scoring join; the bigram vocabulary is Zipf-bounded
+    but can exceed broadcast size at 100 TB, so the count joins are
+    plain shuffle equi-joins on the bigram/left-word keys (AQE handles
+    the hot-key skew of stopword pairs). In production the LM counts
+    are trained once on a reference corpus and persisted.
+    """
+    d = load_table(spark, sf_dir, "documents").filter(F.trim("text") != "")
+    warr = d.select(
+        "doc_id", words(F.lower(F.col("text"))).alias("__ws")
+    )
+    arr = F.col("__ws")
+    bigrams = F.when(
+        F.size(arr) >= 2,
+        F.transform(
+            F.sequence(F.lit(2), F.greatest(F.size(arr), F.lit(2))),
+            lambda i: F.concat_ws(" ", F.get(arr, i - 2), F.get(arr, i - 1)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    bg = warr.select("doc_id", F.explode(bigrams).alias("bigram")).select(
+        "doc_id",
+        "bigram",
+        F.split(F.col("bigram"), " ", 2).getItem(0).alias("left_w"),
+    )
+    c2 = bg.groupBy("bigram").agg(F.count(F.lit(1)).alias("c"))
+    cl = bg.groupBy("left_w").agg(F.count(F.lit(1)).alias("cc"))
+    neg_logp = -F.log(F.col("c").cast("double") / F.col("cc"))
+    return (
+        bg.join(c2, "bigram")
+        .join(cl, "left_w")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.round(F.avg(neg_logp), 4).alias("cross_entropy"),
+        )
+    )
+
+
+@query(
+    "pq_reconstruction_error",
+    oracle=f"""
+    WITH {_PQ_FIXTURE_CB_CTE},
+    scored AS (SELECT q.vec_id, cb.m, cb.c,
+                 2 * list_dot_product(list_slice(q.v, cb.m*8 + 1, cb.m*8 + 8),
+                                      cb.subvec)
+                   - list_dot_product(cb.subvec, cb.subvec) AS s
+               FROM qvec q CROSS JOIN cb),
+    codes AS (SELECT vec_id, list(CAST(c AS INT) ORDER BY m) AS codes
+              FROM (SELECT vec_id, m, c,
+                           row_number() OVER (PARTITION BY vec_id, m
+                                              ORDER BY s DESC, c) AS rn
+                    FROM scored)
+              WHERE rn = 1 GROUP BY vec_id),
+    un AS (SELECT vec_id, unnest(codes) AS code,
+                  unnest(generate_series(0, 7)) AS mi
+           FROM codes),
+    e AS (SELECT un.vec_id,
+                 sum(list_dot_product(list_slice(q.v, un.mi*8 + 1, un.mi*8 + 8),
+                                      list_slice(q.v, un.mi*8 + 1, un.mi*8 + 8))
+                     - 2 * list_dot_product(list_slice(q.v, un.mi*8 + 1, un.mi*8 + 8),
+                                            cb.subvec)
+                     + list_dot_product(cb.subvec, cb.subvec)) AS sq_err,
+                 any_value(list_dot_product(q.v, q.v)) AS nsq
+          FROM un
+          JOIN cb ON cb.m = un.mi AND cb.c = un.code
+          JOIN qvec q ON q.vec_id = un.vec_id
+          GROUP BY un.vec_id)
+    SELECT vec_id, CAST(sq_err AS BIGINT) AS sq_err,
+           ROUND(CASE WHEN nsq > 0 THEN sqrt(sq_err / nsq) END, 6) AS rel_err
+    FROM e
+    """,
+)
+def pq_reconstruction_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-vector PQ quantization error against the closed-form fixture
+    codebooks: ‖v − reconstruction(codes)‖² (exact integer on the
+    quantized vectors) and the relative error √(sq_err/‖v‖²). The
+    eval-side companion of the ADC fixture — this is the quantity the
+    ``rerank`` stage of ``ivf_pq_topk`` exists to compensate (measured
+    0.42 ADC-only recall → 1.000 with rerank(50) in SCALING.md), here
+    as a first-class oracle-checked report instead of a pytest-only
+    number. One broadcast codebook join; the corpus never shuffles."""
+    from pyspark_ingestion_spark.functions.vectors import dot_product
+    from pyspark_ingestion_spark.operators.similarity import pq_encode
+
+    qv = _quantized_embeddings(spark, sf_dir)
+    cb = _pq_fixture_codebooks(spark)
+    codes = pq_encode(qv, cb, "vec_id", "embedding", n_sub=8)
+    d_sub = (F.size(F.col("embedding")) / 8).cast("int")
+    sub = (
+        qv.join(codes, "vec_id")
+        .select(
+            "vec_id",
+            dot_product("embedding", "embedding").alias("__nsq"),
+            F.explode(
+                F.array(*[
+                    F.struct(
+                        F.lit(m).alias("m"),
+                        F.slice(
+                            F.col("embedding").cast("array<double>"),
+                            m * d_sub + 1, d_sub,
+                        ).alias("sv"),
+                        F.get("codes", m).alias("code"),
+                    )
+                    for m in range(8)
+                ])
+            ).alias("s"),
+        )
+        .select("vec_id", "__nsq", F.col("s.m").alias("m"),
+                F.col("s.sv").alias("sv"), F.col("s.code").alias("code"))
+    )
+    diff_sq = F.aggregate(
+        F.zip_with(F.col("sv"), F.col("subvec"), lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda a, v: a + v,
+    )
+    joined = sub.join(
+        F.broadcast(cb), (sub["m"] == cb["m"]) & (sub["code"] == cb["code_id"])
+    )
+    return (
+        joined.groupBy("vec_id")
+        .agg(
+            F.sum(diff_sq).cast("long").alias("sq_err"),
+            F.round(
+                F.when(
+                    F.min("__nsq") > 0,
+                    F.sqrt(F.sum(diff_sq) / F.min("__nsq")),
+                ),
+                6,
+            ).alias("rel_err"),
+        )
+    )

@@ -26,6 +26,7 @@ _PANDAS_OK = {"multimodal_decode", "multimodal_frame_sample",
               "multimodal_features", "multimodal_resize",
               "multimodal_ann_pipeline",
               "multimodal_bmp_pixel_stats", "multimodal_wav_sample_stats",
+              "multimodal_png_pixel_stats", "multimodal_gif_pixel_stats",
               "udf_pandas_quality", "udtf_split_words",
               "udtf_ngrams_polymorphic",
               "udf_grouped_map_order_gaps"}
@@ -512,6 +513,7 @@ _BNLJ_OK = {
     "agg_equidepth_histogram", "agg_theta_set_overlap",
     "ann_bruteforce_topk", "ann_cosine_range_search", "ann_ivf_kmeans_topk",
     "ann_ivf_nprobe_topk", "ann_ivf_pq_topk", "ann_ivf_topk", "ann_recall_eval",
+    "ann_ivf_pq_adc_fixture",  # same ivf_pq_topk broadcast-centroid shape
     "dedup_substring_sampling_eval",  # one-row scalar agg crossJoin (broadcast)
     "corpus_topic_clusters",  # broadcast K-row centroid table (IVF assignment)
     "dedup_lsh_recall_eval", "dq_checks", "embedding_bucket_profile",
