@@ -2542,3 +2542,313 @@ def join_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
         "type_n",
         F.round(F.col("value") - F.col("type_min"), 6).alias("delta_vs_min"),
     )
+
+
+# ------------------------------------------- record linkage / graph / layout
+
+@query(
+    "entity_canonical_keep_one",
+    oracle="""
+    WITH RECURSIVE names AS (
+        SELECT p_name, CAST(count(*) AS BIGINT) AS n_parts,
+               min(p_partkey) AS first_key
+        FROM part GROUP BY p_name),
+    e AS (SELECT a.p_name AS u, b.p_name AS v
+          FROM names a JOIN names b
+            ON string_split(a.p_name, ' ')[1] = string_split(b.p_name, ' ')[1]
+           AND a.p_name < b.p_name
+          WHERE levenshtein(a.p_name, b.p_name) <= 3),
+    sym AS (SELECT u, v FROM e UNION SELECT v, u FROM e),
+    reach(u, v) AS (SELECT u, v FROM sym
+                    UNION SELECT r.u, s.v FROM reach r JOIN sym s ON r.v = s.u),
+    comp AS (SELECT u AS node, least(u, min(v)) AS entity FROM reach GROUP BY u)
+    SELECT coalesce(c.entity, n.p_name) AS entity,
+           CAST(count(*) AS BIGINT) AS n_names,
+           CAST(sum(n.n_parts) AS BIGINT) AS n_parts,
+           min(n.first_key) AS entity_key
+    FROM names n LEFT JOIN comp c ON c.node = n.p_name
+    GROUP BY 1
+    """,
+)
+def entity_canonical_keep_one(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end record linkage: blocked fuzzy matching → transitive
+    closure → one canonical entity per cluster, with the member rollup.
+
+    ``fuzzy_join_levenshtein`` pins the PAIR primitive; this query is
+    the rest of the entity-resolution pipeline a dirty 100 TB feed
+    needs: (1) collapse the corpus to its DISTINCT name table first
+    (map-side-combined aggregate — the fuzzy stage must never run per
+    ROW, only per distinct value; same economics as the dedup family's
+    distinct-shingle tables), (2) compare names only inside a blocking
+    key (first token; the banded ``levenshtein(_, _, 3)`` early-exits
+    at the threshold, so a block's cost is bounded), (3) close the
+    matches transitively with :func:`connected_components` — A~B, B~C
+    must merge even though A and C exceed the edit threshold — and
+    (4) aggregate the per-entity rollup keyed by the min member name,
+    folding unmatched names back in as their own singleton entities
+    (components only covers edge endpoints). Blocking is the recall
+    tradeoff: names whose FIRST token differs are never compared
+    ('hot rod' / 'old rod'), which is what keeps the pair space
+    O(block²·blocks), not O(names²) — recall lost to the block key is
+    the same dial the LSH band count turns.
+    """
+    from pyspark_ingestion_spark.operators.dedup import connected_components
+
+    p = load_table(spark, sf_dir, "part")
+    names = p.groupBy("p_name").agg(
+        F.count(F.lit(1)).alias("n_parts"),
+        F.min("p_partkey").alias("first_key"),
+    )
+    blocked = names.select(
+        "p_name", F.split("p_name", " ").getItem(0).alias("__block")
+    )
+    edges = (
+        blocked.select(F.col("p_name").alias("name_a"), "__block")
+        .join(blocked.select(F.col("p_name").alias("name_b"), "__block"), "__block")
+        .filter(
+            (F.col("name_a") < F.col("name_b"))
+            # 3-arg levenshtein: banded DP, returns -1 past the threshold
+            & (F.levenshtein("name_a", "name_b", 3) >= 0)
+        )
+        .select("name_a", "name_b")
+    )
+    comp = connected_components(edges, "name_a", "name_b")
+    return (
+        names.join(comp, names["p_name"] == comp["node"], "left")
+        .groupBy(F.coalesce("component", "p_name").alias("entity"))
+        .agg(
+            F.count(F.lit(1)).alias("n_names"),
+            F.sum("n_parts").alias("n_parts"),
+            F.min("first_key").alias("entity_key"),
+        )
+    )
+
+
+_PR_ITERATIONS = 5
+
+_PR_ORACLE = """
+    WITH op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    pw AS (SELECT a.l_partkey AS src, b.l_partkey AS dst,
+                  CAST(count(*) AS DOUBLE) AS w
+           FROM op a JOIN op b ON a.l_orderkey = b.l_orderkey
+                              AND a.l_partkey < b.l_partkey
+           GROUP BY 1, 2),
+    sym AS (SELECT src, dst, w FROM pw UNION ALL SELECT dst, src, w FROM pw),
+    ow AS (SELECT src, sum(w) AS outw FROM sym GROUP BY src),
+    e AS (SELECT s.src, s.dst, s.w / o.outw AS p FROM sym s JOIN ow o USING (src)),
+    n AS (SELECT CAST(1.0 AS DOUBLE) / count(DISTINCT src) AS inv FROM e),
+    r0 AS (SELECT DISTINCT src AS node, (SELECT inv FROM n) AS r FROM e)""" + "".join(
+    f""",
+    r{k} AS (SELECT e.dst AS node,
+                    CAST(0.15 AS DOUBLE) * (SELECT inv FROM n)
+                    + CAST(0.85 AS DOUBLE) * sum(r{k - 1}.r * e.p) AS r
+             FROM e JOIN r{k - 1} ON r{k - 1}.node = e.src GROUP BY e.dst)"""
+    for k in range(1, _PR_ITERATIONS + 1)
+) + f"""
+    SELECT node, ROUND(r, 6) AS pagerank FROM r{_PR_ITERATIONS}
+    """
+
+
+@query("pagerank_copurchase", oracle=_PR_ORACLE)
+def pagerank_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted PageRank over the part co-purchase graph — the bounded-
+    iteration DATAFLOW-LOOP class (contrast :func:`connected_components`,
+    which iterates to a data-dependent fixpoint): a fixed 5 damped
+    power-iteration steps, each one join + one map-side-combined
+    aggregate, unrolled into a single declarative plan. The oracle
+    unrolls the same 5 steps as CTE stages, so every iteration's
+    arithmetic is hash-checked, not just the converged shape.
+
+    Graph build: co-purchase edges are per-order part pairs (distinct
+    (order, part) first — multiplicity inside one order is not signal),
+    symmetrized, with transition weights w/out_weight. Undirected
+    symmetrization means no dangling nodes by construction, so the
+    damping term is the only teleport mass and total rank mass stays
+    ~1 (the classic dangling-node sink correction is unnecessary).
+
+    Scale shape: the per-order self-join fans out O(Σ items_per_order²)
+    — bounded by basket size, not corpus size (the same doc-local
+    quadratic the PMI window fan-out documents); each power step
+    shuffles rank rows on the join key only (ranks are one double per
+    node — at 10⁹ nodes that's ~16 GB spread over the cluster, and AQE
+    turns the rank side into a broadcast when it fits); the identical
+    edge subplan across the 5 steps is materialized once per job by
+    Spark's ReusedExchange (exchange-level dedup), so the unrolled loop
+    does NOT re-shuffle the edge table per step. The node count seeding
+    r₀ = 1/N is the one driver-side scalar (the same bounded-collect
+    contract as connected_components' convergence check). A fixed
+    iteration budget is the production form at 100 TB — rank deltas
+    shrink geometrically and each extra step is a full pass.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    op = li.select("l_orderkey", "l_partkey").distinct()
+    pw = (
+        op.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("src"))
+        .join(
+            op.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("dst")),
+            "ok",
+        )
+        .filter(F.col("src") < F.col("dst"))
+        .groupBy("src", "dst")
+        .agg(F.count(F.lit(1)).cast("double").alias("w"))
+    )
+    sym = pw.union(pw.select(F.col("dst").alias("src"), F.col("src").alias("dst"), "w"))
+    outw = sym.groupBy("src").agg(F.sum("w").alias("outw"))
+    edges = sym.join(outw, "src").select(
+        "src", "dst", (F.col("w") / F.col("outw")).alias("p")
+    )
+    n = edges.select("src").distinct().count()  # bounded scalar: seeds r0 = 1/N
+    inv = 1.0 / n
+    ranks = (
+        edges.select(F.col("src").alias("node")).distinct().withColumn("r", F.lit(inv))
+    )
+    for _ in range(_PR_ITERATIONS):
+        ranks = (
+            edges.join(ranks, edges["src"] == ranks["node"])
+            .groupBy("dst")
+            .agg(
+                (F.lit(0.15) * F.lit(inv) + F.lit(0.85) * F.sum(F.col("r") * F.col("p"))).alias("r")
+            )
+            .select(F.col("dst").alias("node"), "r")
+        )
+    return ranks.select("node", F.round("r", 6).alias("pagerank"))
+
+
+_Z_BITS = 16       # interleaved bits per dimension (covers keys < 65536)
+_Z_FILES = 32      # file-group count both layouts are split into
+
+_Z_SQL = " + ".join(
+    f"(((l_partkey >> {i}) & 1) << {2 * i}) + (((l_suppkey >> {i}) & 1) << {2 * i + 1})"
+    for i in range(_Z_BITS)
+)
+_Z_ROW_BOX = ("l_partkey >= b.plo AND l_partkey <= b.phi AND "
+              "l_suppkey >= b.slo AND l_suppkey <= b.shi")
+_Z_FILE_BOX = ("pk_max >= b.plo AND pk_min <= b.phi AND "
+               "sk_max >= b.slo AND sk_min <= b.shi")
+
+
+def _z_stats_sql(src: str) -> str:
+    return f"""(SELECT f,
+            min(l_partkey) AS pk_min, max(l_partkey) AS pk_max,
+            min(l_suppkey) AS sk_min, max(l_suppkey) AS sk_max,
+            count(*) AS rws,
+            sum(CASE WHEN {_Z_ROW_BOX} THEN 1 ELSE 0 END) AS rib
+        FROM {src}, b GROUP BY f)"""
+
+
+def _z_summary_sql(name: str, st: str) -> str:
+    return f"""(SELECT '{name}' AS layout,
+            CAST(count(*) AS BIGINT) AS files_total,
+            CAST(sum(CASE WHEN {_Z_FILE_BOX} THEN 1 ELSE 0 END) AS BIGINT)
+                AS files_scanned,
+            CAST(sum(CASE WHEN {_Z_FILE_BOX} THEN rws ELSE 0 END) AS BIGINT)
+                AS rows_scanned,
+            CAST(sum(rib) AS BIGINT) AS rows_in_box
+        FROM {st}, b)"""
+
+
+_ZORDER_ORACLE = f"""
+    WITH z AS (SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
+                      {_Z_SQL} AS zval FROM lineitem),
+    b AS (SELECT min(l_partkey) + CAST(0.4 AS DOUBLE)*(max(l_partkey)-min(l_partkey)) AS plo,
+                 min(l_partkey) + CAST(0.5 AS DOUBLE)*(max(l_partkey)-min(l_partkey)) AS phi,
+                 min(l_suppkey) + CAST(0.4 AS DOUBLE)*(max(l_suppkey)-min(l_suppkey)) AS slo,
+                 min(l_suppkey) + CAST(0.5 AS DOUBLE)*(max(l_suppkey)-min(l_suppkey)) AS shi
+          FROM lineitem),
+    zb AS (SELECT *, ntile({_Z_FILES}) OVER (ORDER BY zval, l_orderkey, l_linenumber,
+                                             l_partkey, l_suppkey) AS f FROM z),
+    lb AS (SELECT *, ntile({_Z_FILES}) OVER (ORDER BY l_orderkey, l_linenumber,
+                                             l_partkey, l_suppkey) AS f FROM z),
+    sz AS {_z_stats_sql('zb')},
+    sl AS {_z_stats_sql('lb')}
+    SELECT * FROM {_z_summary_sql('zorder', 'sz')}
+    UNION ALL SELECT * FROM {_z_summary_sql('linear', 'sl')}
+    """
+
+
+@query("zorder_layout_pruning", oracle=_ZORDER_ORACLE)
+def zorder_layout_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order data layout vs insertion order, measured by the min/max
+    file-skipping math that makes lakehouse scans cheap — the operator
+    behind Delta/Iceberg ``OPTIMIZE ZORDER BY``, as a value-checked
+    query: interleave the bits of the two filter dimensions into a
+    space-filling-curve key, split each layout into 32 equal
+    file groups, keep per-file (min, max) column stats, and count how
+    many files a two-dimensional box predicate must scan under each
+    layout. Both engines compute the same interleave, the same exact
+    ntile split (``global_ntile`` ≡ windowed ``ntile``, property-
+    tested), and the same overlap arithmetic, so the pruning ratio —
+    the whole point of the layout — is hash-checked, not asserted.
+    Measured here: z-order scans 5/32 files for a ~10%×10% box where
+    insertion order scans 32/32 (every file spans the full part range).
+
+    Scale shape: the z-value is a pure per-row bit expression (one
+    whole-stage-codegen map, no shuffle); the file split is
+    :func:`global_ntile`'s sharded range-partition form, not a
+    single-partition window — exactly how a real OPTIMIZE job range-
+    partitions by the curve key before writing; the per-file stats are
+    one map-side-combined aggregate (this is literally the parquet
+    footer min/max the scan planner reads); box bounds derive from the
+    dimension min/max as two driver-side scalars (bounded-collect
+    contract). Integer keys make every comparison exact cross-engine;
+    the 0.4/0.5 fractional bounds never land on integers here, and the
+    row-level ``rows_in_box`` (layout-invariant by construction) is the
+    built-in self-check that both layouts saw the same data.
+    """
+    from pyspark_ingestion_spark.operators.relational import global_ntile
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_partkey", "l_suppkey"
+    )
+    mm = li.agg(
+        F.min("l_partkey"), F.max("l_partkey"),
+        F.min("l_suppkey"), F.max("l_suppkey"),
+    ).first()
+    plo = mm[0] + 0.4 * (mm[1] - mm[0])
+    phi = mm[0] + 0.5 * (mm[1] - mm[0])
+    slo = mm[2] + 0.4 * (mm[3] - mm[2])
+    shi = mm[2] + 0.5 * (mm[3] - mm[2])
+
+    zcol = None
+    for i in range(_Z_BITS):
+        for col, off in (("l_partkey", 2 * i), ("l_suppkey", 2 * i + 1)):
+            t = F.shiftleft(F.shiftright(F.col(col), i).bitwiseAND(F.lit(1)), off)
+            zcol = t if zcol is None else zcol + t
+    zdf = li.withColumn("__z", zcol)
+
+    in_box = (
+        (F.col("l_partkey") >= plo) & (F.col("l_partkey") <= phi)
+        & (F.col("l_suppkey") >= slo) & (F.col("l_suppkey") <= shi)
+    )
+    overlap = (
+        (F.col("pk_max") >= plo) & (F.col("pk_min") <= phi)
+        & (F.col("sk_max") >= slo) & (F.col("sk_min") <= shi)
+    )
+
+    def layout_summary(order_cols: list, name: str) -> DataFrame:
+        files = global_ntile(zdf, order_cols, _Z_FILES, out_col="__file")
+        per_file = files.groupBy("__file").agg(
+            F.min("l_partkey").alias("pk_min"), F.max("l_partkey").alias("pk_max"),
+            F.min("l_suppkey").alias("sk_min"), F.max("l_suppkey").alias("sk_max"),
+            F.count(F.lit(1)).alias("rws"),
+            F.sum(in_box.cast("long")).alias("rib"),
+        )
+        return per_file.agg(
+            F.count(F.lit(1)).alias("files_total"),
+            F.sum(overlap.cast("long")).alias("files_scanned"),
+            F.sum(F.when(overlap, F.col("rws")).otherwise(F.lit(0))).alias(
+                "rows_scanned"
+            ),
+            F.sum("rib").alias("rows_in_box"),
+        ).select(
+            F.lit(name).alias("layout"),
+            "files_total", "files_scanned", "rows_scanned", "rows_in_box",
+        )
+
+    zorder = layout_summary(
+        ["__z", "l_orderkey", "l_linenumber", "l_partkey", "l_suppkey"], "zorder"
+    )
+    linear = layout_summary(
+        ["l_orderkey", "l_linenumber", "l_partkey", "l_suppkey"], "linear"
+    )
+    return zorder.union(linear)

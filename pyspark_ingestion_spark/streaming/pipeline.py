@@ -264,6 +264,7 @@ def stream_dedup_admission(
     max_doc_freq: int | float | None = 25,
     max_bucket_size: int | None = None,
     index_path: str | None = None,
+    index_mode: str = "fingerprint",
 ) -> None:
     """Continuous dedup admission: each micro-batch is LSH-checked
     against a GROWING corpus (base + everything admitted so far) and the
@@ -303,7 +304,16 @@ def stream_dedup_admission(
     documents (equivalence pinned in tests/test_streaming.py). The
     dedup shingle caches are released after every batch so a long-lived
     stream never accumulates CacheManager entries.
+
+    ``index_mode`` picks the index maintenance strategy:
+    ``"fingerprint"`` (default — staleness detected per batch by
+    comparing per-doc capping fingerprints against the postings, works
+    for any df cap) or ``"hotlog"`` (integer caps only: df-count deltas
+    + a hot-transition log remove the read path's corpus-wide
+    aggregates entirely; measured A/B in SCALING.md).
     """
+    _validate_index_mode(index_mode, max_doc_freq)
+
     def sink(batch_df: DataFrame, batch_id: int) -> None:
         if index_path is not None:
             _admit_dedup_batch_indexed(
@@ -321,6 +331,7 @@ def stream_dedup_admission(
                 threshold_den=threshold_den,
                 max_doc_freq=max_doc_freq,
                 max_bucket_size=max_bucket_size,
+                index_mode=index_mode,
             )
             return
         _admit_dedup_batch(
@@ -424,6 +435,12 @@ def _admit_dedup_batch(
 #: partition). Base-corpus rows live in partition ``__batch_id=-1``.
 _IDX_POSTINGS = "postings"  # (doc, shingle)            — UNCAPPED
 _IDX_BANDS = "bands"        # (doc, band, band_key, capped_size, capped_xor)
+#: hotlog-mode extras (``index_mode="hotlog"``): the per-batch df-count
+#: deltas and the hot-transition log that replace the read path's two
+#: O(corpus-postings) aggregates (hot-shingle counts + staleness
+#: fingerprints) with reads of O(batch)/O(hot) tables.
+_IDX_DFCNT = "dfcnt"        # (shingle, cnt)  — batch's ADMITTED df delta
+_IDX_HOT = "hot"            # (shingle)       — became hot as of this batch
 
 
 def _index_band_rows(
@@ -488,12 +505,18 @@ def init_dedup_admission_index(
     num_hashes: int = 8,
     band_size: int = 2,
     max_doc_freq: int | float | None = 25,
+    index_mode: str = "fingerprint",
 ) -> None:
     """One-time index bootstrap: shingle the base corpus ONCE, persist
     the postings and the df-capped band table under ``__batch_id=-1``.
     This is the only time the base corpus text is ever scanned by the
     indexed admission path. Idempotent (dynamic partition overwrite of
     the base partition), so a crash mid-bootstrap just re-runs it.
+
+    ``index_mode="hotlog"`` additionally seeds the df-count table (the
+    base corpus's per-shingle document frequencies) and the hot log (the
+    shingles already at/over the cap) — the state that lets every later
+    batch skip corpus-wide aggregates.
 
     Parameters must match the ``stream_dedup_admission`` call that will
     consume the index — the band layout (num_hashes × band_size) and the
@@ -502,6 +525,7 @@ def init_dedup_admission_index(
     from pyspark_ingestion_spark.operators.dedup import _hot_shingles, _shingle_table
     from pyspark_ingestion_spark.sources.writers import overwrite_partitions
 
+    _validate_index_mode(index_mode, max_doc_freq)
     spark = base_corpus.sparkSession
     base = base_corpus.select(id_col, text_col)
     posts = _shingle_table(base, id_col, text_col, n)
@@ -527,6 +551,41 @@ def init_dedup_admission_index(
         f"{index_path}/{_IDX_BANDS}",
         ["__batch_id"],
     )
+    if index_mode == "hotlog":
+        cnt = stored.groupBy("shingle").agg(F.count(F.lit(1)).alias("cnt"))
+        overwrite_partitions(
+            cnt.withColumn("__batch_id", F.lit(-1)),
+            f"{index_path}/{_IDX_DFCNT}",
+            ["__batch_id"],
+        )
+        # same STRICT semantics as _hot_shingles: hot means df > cap
+        base_hot = (
+            cnt.filter(F.col("cnt") > F.lit(int(max_doc_freq))).select("shingle")
+            if max_doc_freq is not None
+            else cnt.filter(F.lit(False)).select("shingle")
+        )
+        overwrite_partitions(
+            base_hot.withColumn("__batch_id", F.lit(-1)),
+            f"{index_path}/{_IDX_HOT}",
+            ["__batch_id"],
+        )
+
+
+def _validate_index_mode(index_mode: str, max_doc_freq: int | float | None) -> None:
+    """hotlog correctness rests on the hot set growing MONOTONICALLY —
+    true for an integer df cap (counts only increase), false for a
+    fractional cap (the threshold count itself moves with corpus size,
+    so shingles can cross in either direction, which only the
+    fingerprint mode's per-doc comparison catches)."""
+    if index_mode not in ("fingerprint", "hotlog"):
+        raise ValueError(f"unknown index_mode {index_mode!r}")
+    if index_mode == "hotlog" and max_doc_freq is not None:
+        if not (isinstance(max_doc_freq, int) and not isinstance(max_doc_freq, bool)):
+            raise ValueError(
+                "index_mode='hotlog' requires an INTEGER max_doc_freq (or None): "
+                "a fractional cap's hot set is not monotone — use the "
+                "fingerprint mode for fractional caps"
+            )
 
 
 def _indexed_rejects(
@@ -637,6 +696,177 @@ def _indexed_rejects(
     return rejects, sb, stale_rows
 
 
+def _read_hot_log(
+    spark: SparkSession, index_path: str, exclude_batch_id: int
+) -> DataFrame:
+    """The hot-shingle set as of the end of batch ``exclude_batch_id − 1``
+    — the union of every earlier batch's transition rows. O(hot) rows:
+    bounded by corpus_shingles / cap, NOT by the corpus. A hot table
+    with no files yet (nothing has ever crossed the cap and the base had
+    no hot shingles — dynamic partition overwrite writes nothing for an
+    empty frame) reads as the empty set, not an error."""
+    from pyspark.errors import AnalysisException
+
+    try:
+        hot = spark.read.parquet(f"{index_path}/{_IDX_HOT}")
+    except AnalysisException:
+        return spark.createDataFrame([], "shingle string")
+    return (
+        hot.filter(F.col("__batch_id").cast("long") != exclude_batch_id)
+        .select("shingle")
+        .distinct()
+    )
+
+
+def _indexed_rejects_hotlog(
+    spark: SparkSession,
+    batch: DataFrame,
+    index_path: str,
+    batch_id: int,
+    id_col: str,
+    n: int,
+    num_hashes: int,
+    band_size: int,
+    threshold_num: int,
+    threshold_den: int,
+    max_doc_freq: int | None,
+    max_bucket_size: int | None,
+    text_col: str = "text",
+):
+    """Hot-log admission for one micro-batch — the rung above
+    :func:`_indexed_rejects`: the read path runs ZERO corpus-wide
+    aggregates. Returns ``(rejects, sb)`` where ``sb`` is the batch's
+    df-capped shingle table.
+
+    The fingerprint mode's two per-batch O(corpus-postings) shuffles —
+    the hot-shingle df aggregate and the staleness fingerprint aggregate
+    (together they dominate its ~47 s steady-state batch on an
+    8M-posting local corpus; hotlog's same batch is ~15 s — measured
+    3-arm A/B in SCALING.md) — are replaced by a read of the persisted
+    HOT LOG (O(hot) rows) broadcast into anti-joins on both sides.
+    Staleness never needs detecting here because the batch that CAUSES a
+    cap crossing re-bands the affected docs eagerly at write time
+    (:func:`_apply_hot_transitions`) — by induction the band table read
+    back at batch b is already correct w.r.t. the hot set through
+    b − 1, which is exactly the set admission must use (the fingerprint
+    mode computes hot from postings excluding the current batch).
+
+    Remaining per-batch corpus-sized work: SCANS only (the postings
+    read feeding the broadcast anti-join + the candidates-only verify,
+    and the bands read-back) — no corpus-wide shuffle, no corpus-text
+    parse, no signature recompute. Requires an integer df cap
+    (hot-set monotonicity; validated at the entry points).
+    """
+    from pyspark_ingestion_spark.operators.dedup import (
+        _drop_big_buckets,
+        _lsh_admission_tail,
+        _shingle_table,
+    )
+
+    posts = (
+        spark.read.parquet(f"{index_path}/{_IDX_POSTINGS}")
+        .filter(F.col("__batch_id").cast("long") != batch_id)
+        .select("doc", "shingle")
+    )
+    sb = _shingle_table(batch, id_col, text_col, n)
+    capped_c = posts
+    if max_doc_freq is not None:
+        hot = F.broadcast(_read_hot_log(spark, index_path, batch_id))
+        capped_c = posts.join(hot, "shingle", "left_anti")
+        sb = sb.join(hot, "shingle", "left_anti")
+    stored = _read_latest_bands(spark, f"{index_path}/{_IDX_BANDS}", batch_id)
+    bands_c = _drop_big_buckets(
+        stored.filter(F.col("band") >= 0).select("doc", "band", "band_key"),
+        max_bucket_size,
+    )
+    rejects = _lsh_admission_tail(
+        sb, capped_c, bands_c, id_col, num_hashes, band_size,
+        threshold_num, threshold_den,
+    )
+    return rejects, sb
+
+
+def _apply_hot_transitions(
+    spark: SparkSession,
+    index_path: str,
+    batch_id: int,
+    adm_posts: DataFrame,
+    num_hashes: int,
+    band_size: int,
+    max_doc_freq: int | None,
+) -> DataFrame | None:
+    """Write-side df maintenance for hotlog mode, run AFTER the batch's
+    postings partition is written. ``adm_posts`` is the admitted docs'
+    UNCAPPED shingle table. Appends the batch's df-count delta and any
+    hot transitions (both into partition ``batch_id`` — replays
+    overwrite deterministically), and returns re-band rows for every doc
+    whose capped shingle set the transitions changed (None when nothing
+    crossed — the overwhelmingly common batch).
+
+    Cost: the delta aggregate is O(batch); the previous cumulative
+    counts come from the dfcnt table restricted to the BATCH's shingles
+    (broadcast semi-join — the table is scanned, never shuffled); only
+    when a shingle actually crosses does the postings table get probed
+    (broadcast semi-join on the transition shingles) to find the docs to
+    re-band. The existence check on the transition set is one bounded
+    driver action, same contract as connected_components' convergence
+    scalar."""
+    from pyspark_ingestion_spark.sources.writers import overwrite_partitions
+
+    batch_cnt = adm_posts.groupBy("shingle").agg(F.count(F.lit(1)).alias("cnt"))
+    overwrite_partitions(
+        batch_cnt.withColumn("__batch_id", F.lit(batch_id)),
+        f"{index_path}/{_IDX_DFCNT}",
+        ["__batch_id"],
+    )
+    if max_doc_freq is None:
+        return None
+    cap = int(max_doc_freq)
+    written_cnt = (
+        spark.read.parquet(f"{index_path}/{_IDX_DFCNT}")
+        .withColumn("__batch_id", F.col("__batch_id").cast("long"))
+    )
+    prev = (
+        written_cnt.filter(F.col("__batch_id") != batch_id)
+        .join(F.broadcast(batch_cnt.select("shingle")), "shingle")
+        .groupBy("shingle")
+        .agg(F.sum("cnt").alias("prev"))
+    )
+    # hot ⟺ cumulative df STRICTLY exceeds the cap (_hot_shingles parity)
+    newly_hot = (
+        batch_cnt.join(prev, "shingle", "left")
+        .withColumn("prev", F.coalesce(F.col("prev"), F.lit(0)))
+        .filter((F.col("prev") <= cap) & (F.col("prev") + F.col("cnt") > cap))
+        .select("shingle")
+        .localCheckpoint(eager=False)  # feeds the hot write + two probes
+    )
+    overwrite_partitions(
+        newly_hot.withColumn("__batch_id", F.lit(batch_id)),
+        f"{index_path}/{_IDX_HOT}",
+        ["__batch_id"],
+    )
+    if not newly_hot.head(1):  # bounded existence probe
+        return None
+    # re-band every admitted doc (any partition, incl. this batch's own,
+    # already written) whose capped set lost the transitioned shingles
+    posts_all = spark.read.parquet(f"{index_path}/{_IDX_POSTINGS}").select(
+        "doc", "shingle"
+    )
+    stale_ids = (
+        posts_all.join(F.broadcast(newly_hot), "shingle").select("doc").distinct()
+    )
+    # -2 is never a batch id: reads the WHOLE log, i.e. hot_prev ∪ the
+    # transition partition this function just wrote
+    hot_now = F.broadcast(_read_hot_log(spark, index_path, exclude_batch_id=-2))
+    capped_all = posts_all.join(hot_now, "shingle", "left_anti")
+    return _index_band_rows(
+        capped_all.join(F.broadcast(stale_ids), "doc"),
+        stale_ids,
+        num_hashes,
+        band_size,
+    ).localCheckpoint(eager=False)
+
+
 def _admit_dedup_batch_indexed(
     batch_df: DataFrame,
     batch_id: int,
@@ -652,12 +882,18 @@ def _admit_dedup_batch_indexed(
     threshold_den: int,
     max_doc_freq: int | float | None,
     max_bucket_size: int | None,
+    index_mode: str = "fingerprint",
 ) -> None:
     """One micro-batch of indexed ``stream_dedup_admission``: admit via
-    :func:`_indexed_rejects`, then append the batch's text, postings and
+    :func:`_indexed_rejects` (or :func:`_indexed_rejects_hotlog` when
+    ``index_mode="hotlog"``), then append the batch's text, postings and
     band rows — each to its own ``__batch_id`` partition, so the whole
     triple inherits the replay-overwrite contract of the plain sink
     (calling twice with the same ``batch_id`` reproduces, never erases).
+    In hotlog mode the write side additionally maintains the df-count
+    deltas and the hot-transition log (same partition, same contract),
+    re-banding eagerly any docs a cap crossing invalidated — which is
+    what lets the NEXT batch's read path skip staleness detection.
     Module-level for the same direct replay-testability reason as
     ``_admit_dedup_batch``."""
     from pyspark.errors import AnalysisException
@@ -665,10 +901,15 @@ def _admit_dedup_batch_indexed(
     from pyspark_ingestion_spark.operators.dedup import _shingle_table
     from pyspark_ingestion_spark.sources.writers import overwrite_partitions
 
+    _validate_index_mode(index_mode, max_doc_freq)
     spark = batch_df.sparkSession
+    # the hotlog probe targets dfcnt, not hot: a base corpus with no
+    # shingle at the cap leaves the hot table legitimately EMPTY (no
+    # files at all), and probing it would re-bootstrap every batch
+    probe = _IDX_DFCNT if index_mode == "hotlog" else _IDX_BANDS
     try:  # bootstrap once; cheap existence probe afterwards
         has_base = bool(
-            spark.read.parquet(f"{index_path}/{_IDX_BANDS}")
+            spark.read.parquet(f"{index_path}/{probe}")
             .filter(F.col("__batch_id").cast("long") == -1)
             .head(1)
         )
@@ -678,14 +919,24 @@ def _admit_dedup_batch_indexed(
         init_dedup_admission_index(
             base_corpus, index_path, id_col=id_col, text_col=text_col, n=n,
             num_hashes=num_hashes, band_size=band_size, max_doc_freq=max_doc_freq,
+            index_mode=index_mode,
         )
 
     batch = batch_df.select(id_col, text_col)
-    rejects, sb, stale_rows = _indexed_rejects(
-        spark, batch, index_path, batch_id, id_col, n, num_hashes, band_size,
-        threshold_num, threshold_den, max_doc_freq, max_bucket_size,
-        text_col=text_col,
-    )
+    if index_mode == "hotlog":
+        rejects, sb = _indexed_rejects_hotlog(
+            spark, batch, index_path, batch_id, id_col, n, num_hashes, band_size,
+            threshold_num, threshold_den,
+            int(max_doc_freq) if max_doc_freq is not None else None,
+            max_bucket_size, text_col=text_col,
+        )
+        stale_rows = None
+    else:
+        rejects, sb, stale_rows = _indexed_rejects(
+            spark, batch, index_path, batch_id, id_col, n, num_hashes, band_size,
+            threshold_num, threshold_den, max_doc_freq, max_bucket_size,
+            text_col=text_col,
+        )
     # materialize once (batch-sized): three writes derive from it, and
     # the LogicalRDD plan keeps the text write from re-running the LSH
     admitted = batch.join(F.broadcast(rejects), id_col, "left_anti").localCheckpoint(
@@ -694,10 +945,9 @@ def _admit_dedup_batch_indexed(
     overwrite_partitions(
         admitted.withColumn("__batch_id", F.lit(batch_id)), out_path, ["__batch_id"]
     )
+    adm_posts = _shingle_table(admitted, id_col, text_col, n)
     overwrite_partitions(
-        _shingle_table(admitted, id_col, text_col, n).withColumn(
-            "__batch_id", F.lit(batch_id)
-        ),
+        adm_posts.withColumn("__batch_id", F.lit(batch_id)),
         f"{index_path}/{_IDX_POSTINGS}",
         ["__batch_id"],
     )
@@ -705,6 +955,22 @@ def _admit_dedup_batch_indexed(
     band_rows = _index_band_rows(
         sb.join(admitted_ids, "doc"), admitted_ids, num_hashes, band_size
     )
+    if index_mode == "hotlog":
+        # runs after the postings write on purpose: transition probing and
+        # the stale re-bands must see this batch's own admitted postings
+        stale_rows = _apply_hot_transitions(
+            spark, index_path, batch_id, adm_posts, num_hashes, band_size,
+            int(max_doc_freq) if max_doc_freq is not None else None,
+        )
+        if stale_rows is not None:
+            # the re-bands REPLACE this partition's fresh rows for any of
+            # the batch's own docs that the crossing invalidated — both
+            # versions would land in the same partition, where latest-wins
+            # cannot break the tie
+            band_rows = band_rows.join(
+                F.broadcast(stale_rows.select("doc").distinct()), "doc", "left_anti"
+            ).unionByName(stale_rows)
+            stale_rows = None
     if stale_rows is not None:
         band_rows = band_rows.unionByName(stale_rows)
     overwrite_partitions(

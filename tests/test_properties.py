@@ -1650,3 +1650,56 @@ def test_boilerplate_template_corpus_pair_space_stays_capped(spark):
     assert uncapped >= 300 * 299 / 4, uncapped  # quadratic in template count
     assert capped <= 5 * 1000, capped           # linear regime
     assert capped < uncapped / 8, (capped, uncapped)
+
+
+def test_entity_resolution_transitive_closure(spark, sf_dir):
+    """bolt~rod and ring~rod sit at edit distance 3, but bolt~ring is 4:
+    only the transitive closure merges all three — the reason entity
+    resolution needs components, not pairs. Singletons must survive as
+    their own entities, and the rollup must re-partition the part table
+    exactly (no member lost or double-counted)."""
+    from pyspark_ingestion_spark.queries import all_queries
+    from pyspark_ingestion_spark.sources.readers import load_table
+
+    df = all_queries()["entity_canonical_keep_one"].fn(spark, sf_dir)
+    rows = {r["entity"]: r for r in df.collect()}
+    merged = [r for r in rows.values() if r["n_names"] > 1]
+    assert merged and all(r["n_names"] == 3 for r in merged), merged
+    assert sum(r["n_parts"] for r in rows.values()) == load_table(
+        spark, sf_dir, "part"
+    ).count()
+    assert any(r["n_names"] == 1 for r in rows.values())
+
+
+def test_pagerank_conserves_mass(spark, sf_dir):
+    """Symmetrized co-purchase edges leave no dangling nodes, so damped
+    power iteration conserves total rank mass exactly (up to the final
+    6-dp rounding, ≤ 5e-7 per node); every node keeps at least the
+    teleport floor 0.15/N."""
+    from pyspark_ingestion_spark.queries import all_queries
+
+    rows = all_queries()["pagerank_copurchase"].fn(spark, sf_dir).collect()
+    n = len(rows)
+    mass = sum(r["pagerank"] for r in rows)
+    assert abs(mass - 1.0) <= 5e-7 * n + 1e-9, mass
+    assert all(r["pagerank"] >= 0.15 / n - 5e-7 for r in rows)
+
+
+def test_zorder_prunes_where_linear_cannot(spark, sf_dir):
+    """The pruning arithmetic's invariants: both layouts hold the same
+    rows (rows_in_box is layout-invariant), every scanned superset
+    covers the box rows, and the z-order layout needs strictly fewer
+    files for the 2-D box than insertion order (whose every file spans
+    the whole part range)."""
+    from pyspark_ingestion_spark.queries import all_queries
+
+    rows = {
+        r["layout"]: r
+        for r in all_queries()["zorder_layout_pruning"].fn(spark, sf_dir).collect()
+    }
+    z, lin = rows["zorder"], rows["linear"]
+    assert z["files_total"] == lin["files_total"] == 32
+    assert z["rows_in_box"] == lin["rows_in_box"]
+    assert z["rows_scanned"] >= z["rows_in_box"]
+    assert lin["rows_scanned"] >= lin["rows_in_box"]
+    assert z["files_scanned"] < lin["files_scanned"], (z, lin)

@@ -4,6 +4,7 @@ from __future__ import annotations
 
 import os
 
+import pytest
 from pyspark.sql import functions as F
 
 from pyspark_ingestion_spark.streaming.pipeline import (
@@ -385,8 +386,14 @@ def _mk_admission_files(spark, tmp_path, src, files):
         time.sleep(1.1)
 
 
-def test_stream_dedup_admission_indexed_matches_recompute(spark, tmp_path):
-    """The incremental-band-table form admits EXACTLY the docs the
+@pytest.mark.parametrize("index_mode", ["fingerprint", "hotlog"])
+def test_stream_dedup_admission_indexed_matches_recompute(
+    spark, tmp_path, index_mode
+):
+    """The incremental-band-table form — in BOTH maintenance modes:
+    fingerprint (per-batch staleness detection) and hotlog (df-delta +
+    hot-transition log, zero corpus-wide read-path aggregates; the
+    crossing batch re-bands eagerly) — admits EXACTLY the docs the
     recompute form admits on the same micro-batches — including across a
     df-cap transition (a boilerplate shingle crossing max_doc_freq
     mid-stream forces re-banding of already-indexed corpus docs), and
@@ -432,7 +439,8 @@ def test_stream_dedup_admission_indexed_matches_recompute(spark, tmp_path):
             .parquet(src)
         )
         stream_dedup_admission(
-            stream, base_corpus, out, ckpt, index_path=index_path, **kwargs
+            stream, base_corpus, out, ckpt, index_path=index_path,
+            index_mode=index_mode, **kwargs
         )
 
     out_r = str(tmp_path / "out_recompute")
@@ -487,17 +495,21 @@ def test_stream_dedup_admission_indexed_matches_recompute(spark, tmp_path):
     assert {d for _, d in got_i3} - {d for _, d in got_i} == {15}  # 14 rejected vs 13
 
 
-def test_indexed_admission_replay_and_corpus_text_free_plan(spark, tmp_path):
+@pytest.mark.parametrize("index_mode", ["fingerprint", "hotlog"])
+def test_indexed_admission_replay_and_corpus_text_free_plan(
+    spark, tmp_path, index_mode
+):
     """(1) Replaying a micro-batch through _admit_dedup_batch_indexed
-    reproduces (never erases) the first attempt across all three tables;
-    (2) the per-batch admission plan reads ONLY the index and the batch —
-    the corpus text (out_path or the base corpus's source) appears
-    nowhere in it. This is the 100 TB property the indexed form exists
-    for: per-batch work is O(batch + index read-back), never O(corpus
-    re-shingle)."""
+    reproduces (never erases) the first attempt across every index
+    table (incl. hotlog's dfcnt/hot log); (2) the per-batch admission
+    plan reads ONLY the index and the batch — the corpus text (out_path
+    or the base corpus's source) appears nowhere in it. This is the
+    100 TB property the indexed form exists for: per-batch work is
+    O(batch + index read-back), never O(corpus re-shingle)."""
     from pyspark_ingestion_spark.streaming.pipeline import (
         _admit_dedup_batch_indexed,
         _indexed_rejects,
+        _indexed_rejects_hotlog,
     )
 
     base_path = str(tmp_path / "base_docs")
@@ -518,18 +530,31 @@ def test_indexed_admission_replay_and_corpus_text_free_plan(spark, tmp_path):
          (11, "one two three four five six seven eight")],
         "doc_id int, text string",
     )
-    _admit_dedup_batch_indexed(b0, 0, base, out, index, **kwargs)
+    _admit_dedup_batch_indexed(b0, 0, base, out, index, index_mode=index_mode,
+                               **kwargs)
+
+    tables = ["postings", "bands"] + (
+        ["dfcnt", "hot"] if index_mode == "hotlog" else []
+    )
 
     def snap():
-        return (
-            {tuple(r) for r in spark.read.parquet(out).collect()},
-            {tuple(r) for r in spark.read.parquet(f"{index}/postings").collect()},
-            {tuple(r) for r in spark.read.parquet(f"{index}/bands").collect()},
-        )
+        out_rows = {tuple(r) for r in spark.read.parquet(out).collect()}
+        idx_rows = []
+        for t in tables:
+            try:
+                idx_rows.append(
+                    (t, frozenset(
+                        tuple(r) for r in spark.read.parquet(f"{index}/{t}").collect()
+                    ))
+                )
+            except Exception:
+                idx_rows.append((t, None))  # empty table with no files yet
+        return out_rows, tuple(idx_rows)
 
     first = snap()
     assert {r[0] for r in first[0]} == {11}
-    _admit_dedup_batch_indexed(b0, 0, base, out, index, **kwargs)  # replay
+    _admit_dedup_batch_indexed(b0, 0, base, out, index, index_mode=index_mode,
+                               **kwargs)  # replay
     assert snap() == first
 
     # plan property: batch 1's rejects plan scans index + batch only
@@ -537,10 +562,16 @@ def test_indexed_admission_replay_and_corpus_text_free_plan(spark, tmp_path):
         [(12, "nine ten eleven twelve thirteen fourteen fifteen sixteen")],
         "doc_id int, text string",
     )
-    rejects, _sb, _stale = _indexed_rejects(
-        spark, b1.select("doc_id", "text"), index, 1,
-        "doc_id", 3, 8, 2, 1, 2, 2, None,
-    )
+    if index_mode == "hotlog":
+        rejects, _sb = _indexed_rejects_hotlog(
+            spark, b1.select("doc_id", "text"), index, 1,
+            "doc_id", 3, 8, 2, 1, 2, 2, None,
+        )
+    else:
+        rejects, _sb, _stale = _indexed_rejects(
+            spark, b1.select("doc_id", "text"), index, 1,
+            "doc_id", 3, 8, 2, 1, 2, 2, None,
+        )
     # inputFiles = every file any scan in the plan would read
     files = rejects.inputFiles()
     assert files, "expected index scans in the plan"
@@ -548,3 +579,29 @@ def test_indexed_admission_replay_and_corpus_text_free_plan(spark, tmp_path):
     assert not any("/admitted/" in f for f in files), files  # out_path text never read
     assert any("/postings/" in f for f in files), files
     rejects.collect()  # and it actually runs
+
+
+def test_hotlog_mode_rejects_fractional_cap(spark, tmp_path):
+    """hotlog correctness rests on hot-set monotonicity, which a
+    fractional df cap breaks (the threshold count moves with corpus
+    size) — the entry points must fail fast, not silently mis-admit."""
+    from pyspark_ingestion_spark.streaming.pipeline import (
+        _admit_dedup_batch_indexed,
+        _validate_index_mode,
+    )
+
+    with pytest.raises(ValueError, match="INTEGER max_doc_freq"):
+        _validate_index_mode("hotlog", 0.5)
+    _validate_index_mode("hotlog", 25)     # int: fine
+    _validate_index_mode("hotlog", None)   # uncapped: fine
+    with pytest.raises(ValueError, match="index_mode"):
+        _validate_index_mode("bogus", 25)
+    base = spark.createDataFrame([(0, "a b c d e f")], "doc_id int, text string")
+    b = spark.createDataFrame([(1, "g h i j k l")], "doc_id int, text string")
+    with pytest.raises(ValueError, match="INTEGER max_doc_freq"):
+        _admit_dedup_batch_indexed(
+            b, 0, base, str(tmp_path / "o"), str(tmp_path / "i"),
+            id_col="doc_id", text_col="text", n=3, num_hashes=8, band_size=2,
+            threshold_num=1, threshold_den=2, max_doc_freq=0.5,
+            max_bucket_size=None, index_mode="hotlog",
+        )
