@@ -54,6 +54,12 @@ HEADLINE = [
     # (their own anchor round is r6 — excluded from r1_comparable_total)
     "dedup_substring_spans",
     "ann_ivf_pq_topk",
+    # round-6 graph / record-linkage families (anchor round r6, excluded
+    # from r1_comparable_total like the r5 additions; triangle_count_
+    # copurchase is deliberately NOT a headliner — same graph family as
+    # pagerank but ~2× its cost, low extra regression signal per second)
+    "pagerank_copurchase",
+    "entity_canonical_keep_one",
 ]
 
 
@@ -94,7 +100,8 @@ def main() -> None:
     # 11-query series comparable round-over-round without freezing the set
     r3_set = [n for n in names if n not in (
         "corpus_full_pipeline", "dedup_semantic_keep_one", "word_cooccurrence_pmi",
-        "dedup_substring_spans", "ann_ivf_pq_topk")]
+        "dedup_substring_spans", "ann_ivf_pq_topk",
+        "pagerank_copurchase", "entity_canonical_keep_one")]
     print(
         json.dumps(
             {

@@ -141,6 +141,68 @@ def ddl_cvas_partition_date(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(view).select("l_orderkey", "l_linenumber", "partition_date")
 
 
+@query(
+    "ddl_dpp_pruned_join",
+    oracle="""
+    SELECT CAST(year(o_orderdate) AS BIGINT) AS order_year,
+           CAST(count(*) AS BIGINT) AS n,
+           ROUND(sum(o_totalprice), 2) AS total
+    FROM orders
+    WHERE year(o_orderdate) % 3 = 0
+    GROUP BY 1
+    """,
+)
+def ddl_dpp_pruned_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dynamic partition pruning over the partitioned lake layout — the
+    runtime companion to `ddl_partitioned_lake_msck`'s static pruning
+    (`test_lake_partition_pruning` pins the static case; `test_dpp_
+    join_prunes_partitions` pins this one): the fact table is written
+    partitioned by order year and joined against a dim whose filter is
+    NOT constant-foldable (the focus-year set is derived from a scan,
+    standing in for any dimension predicate), so the only way the scan
+    can skip partitions is Spark inserting a DynamicPruningExpression —
+    the broadcast dim's build side re-used as a runtime IN filter on
+    the partition column before any fact bytes are read.
+
+    This is the single biggest scan-cost lever on a 100 TB
+    date-partitioned lake: a dim-filtered join touching 3 of ~2500
+    day-partitions reads ~0.1% of the fact bytes with DPP and 100%
+    without, regardless of how good the join itself is. The value
+    oracle pins the join RESULT; the plan test pins the mechanism
+    (dynamicpruningexpression inside the scan's PartitionFilters, dim
+    side broadcast). DDL-family contract: runs eagerly against the
+    session catalog, drops the uuid table and temp dir afterwards.
+    """
+    o = load_table(spark, sf_dir, "orders").withColumn(
+        "order_year", F.year("o_orderdate").cast("long")
+    )
+    table = f"dpp_{uuid.uuid4().hex[:10]}"
+    location = f"{tempfile.mkdtemp()}/{table}"
+    write_partitioned(o, location, partition_columns=["order_year"],
+                      mode="overwrite", compression="snappy")
+    try:
+        fact = register_lake_table(spark, table, location)
+        focus = (
+            load_table(spark, sf_dir, "orders")
+            .select(F.year("o_orderdate").cast("long").alias("order_year"))
+            .distinct()
+            .filter(F.col("order_year") % 3 == 0)
+        )
+        out = (
+            fact.join(F.broadcast(focus), "order_year")
+            .groupBy(F.col("order_year").cast("long").alias("order_year"))
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.round(F.sum("o_totalprice"), 2).alias("total"),
+            )
+        )
+        rows = out.collect()
+    finally:
+        drop_table(spark, table)
+        shutil.rmtree(os.path.dirname(location), ignore_errors=True)
+    return spark.createDataFrame(rows, out.schema)
+
+
 # ---------------------------------------------------------- multimodal
 
 @query(

@@ -2671,10 +2671,13 @@ def pagerank_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     quadratic the PMI window fan-out documents); each power step
     shuffles rank rows on the join key only (ranks are one double per
     node — at 10⁹ nodes that's ~16 GB spread over the cluster, and AQE
-    turns the rank side into a broadcast when it fits); the identical
-    edge subplan across the 5 steps is materialized once per job by
-    Spark's ReusedExchange (exchange-level dedup), so the unrolled loop
-    does NOT re-shuffle the edge table per step. The node count seeding
+    turns the rank side into a broadcast when it fits); the edge
+    subplan is truncated with a non-eager ``localCheckpoint`` before
+    the loop — materialized once on first use, shared by all 5 steps,
+    released by the ContextCleaner when the result goes out of scope
+    (the connected_components / jaccard pattern) — so the unrolled
+    plan joins a LogicalRDD per step instead of replaying the
+    basket-pair build 5 times. The node count seeding
     r₀ = 1/N is the one driver-side scalar (the same bounded-collect
     contract as connected_components' convergence check). A fixed
     iteration budget is the production form at 100 TB — rank deltas
@@ -2696,7 +2699,7 @@ def pagerank_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     outw = sym.groupBy("src").agg(F.sum("w").alias("outw"))
     edges = sym.join(outw, "src").select(
         "src", "dst", (F.col("w") / F.col("outw")).alias("p")
-    )
+    ).localCheckpoint(eager=False)  # built once, joined by all 5 steps
     n = edges.select("src").distinct().count()  # bounded scalar: seeds r0 = 1/N
     inv = 1.0 / n
     ranks = (
@@ -2852,3 +2855,213 @@ def zorder_layout_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
         ["l_orderkey", "l_linenumber", "l_partkey", "l_suppkey"], "linear"
     )
     return zorder.union(linear)
+
+
+_TRI_ORACLE = """
+    WITH op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    e AS (SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+          FROM op a JOIN op b ON a.l_orderkey = b.l_orderkey
+                             AND a.l_partkey < b.l_partkey),
+    tri AS (SELECT p.u AS a, p.v AS b, q.v AS c
+            FROM e p JOIN e q ON q.u = p.v
+                     JOIN e r ON r.u = p.u AND r.v = q.v),
+    tn AS (SELECT a AS node FROM tri UNION ALL SELECT b FROM tri
+           UNION ALL SELECT c FROM tri),
+    tc AS (SELECT node, CAST(count(*) AS BIGINT) AS triangles
+           FROM tn GROUP BY node),
+    deg AS (SELECT node, CAST(count(*) AS BIGINT) AS degree
+            FROM (SELECT u AS node FROM e UNION ALL SELECT v AS node FROM e)
+            GROUP BY node)
+    SELECT t.node, t.triangles, d.degree,
+           ROUND(2.0 * t.triangles / (d.degree * (d.degree - 1)), 6)
+               AS clustering
+    FROM tc t JOIN deg d ON d.node = t.node
+    ORDER BY t.triangles DESC, t.node
+    LIMIT 20
+    """
+
+
+@query("triangle_count_copurchase", oracle=_TRI_ORACLE)
+def triangle_count_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact triangle counting over the part co-purchase graph with the
+    DEGREE-ORIENTED enumeration — the third member of the graph family
+    (``connected_components`` = fixpoint iteration, ``pagerank_
+    copurchase`` = bounded dataflow loop, this = a one-shot multiway
+    self-join whose COST, not correctness, depends on edge orientation).
+    Returns the top 20 nodes by triangle participation with degree and
+    local clustering coefficient 2·tri/(deg·(deg−1)) — deterministic
+    total order (triangles desc, node).
+
+    The scale trick is the orientation: enumerating wedges around the
+    LOWER-degree endpoint (edges directed low→high by (degree, node))
+    bounds every node's out-degree at O(√m), so the wedge join
+    generates O(m^1.5) candidate rows worst-case instead of the
+    Σ deg² of naive id-ordered enumeration — on a power-law graph (the
+    realistic 100 TB shape: a few boilerplate-hub parts in millions of
+    baskets) that is the difference between a bounded join and a hub
+    node fanning out deg² ≈ 10¹² wedges. The oracle enumerates the SAME
+    triangle set id-ordered (cheap at test scale, cost-unbounded at
+    production scale), pinning that orientation changes cost only.
+    Each triangle is found exactly once (orientation is a total order:
+    rank(a) < rank(b) < rank(c)); per-node counts explode each triangle
+    to its 3 corners — one narrow unionAll, one map-side-combined agg.
+    Basket-local edge fan-out is the same bounded quadratic the PMI
+    window and PageRank builds document.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    op = li.select("l_orderkey", "l_partkey").distinct()
+    e = (
+        op.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("u"))
+        .join(
+            op.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("v")),
+            "ok",
+        )
+        .filter(F.col("u") < F.col("v"))
+        .select("u", "v")
+        .distinct()
+        .localCheckpoint(eager=False)  # one edge build, four consumers
+    )
+    deg = (
+        e.select(F.col("u").alias("node"))
+        .unionAll(e.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("degree"))
+    )
+    ed = (
+        e.join(deg.select(F.col("node").alias("u"), F.col("degree").alias("du")), "u")
+        .join(deg.select(F.col("node").alias("v"), F.col("degree").alias("dv")), "v")
+    )
+    u_first = (F.col("du") < F.col("dv")) | (
+        (F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))
+    )
+    oriented = ed.select(
+        F.when(u_first, F.col("u")).otherwise(F.col("v")).alias("src"),
+        F.when(u_first, F.col("v")).otherwise(F.col("u")).alias("dst"),
+    ).localCheckpoint(eager=False)  # wedge sides + closing probe share it
+    o1 = oriented.select(F.col("src").alias("a"), F.col("dst").alias("b"))
+    o2 = oriented.select(F.col("src").alias("b"), F.col("dst").alias("c"))
+    closing = oriented.select(F.col("src").alias("a"), F.col("dst").alias("c"))
+    tri = o1.join(o2, "b").join(closing, ["a", "c"])
+    per_node = (
+        tri.select(F.col("a").alias("node"))
+        .unionAll(tri.select(F.col("b").alias("node")))
+        .unionAll(tri.select(F.col("c").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("triangles"))
+    )
+    return (
+        per_node.join(deg, "node")
+        .select(
+            "node",
+            "triangles",
+            "degree",
+            F.round(
+                F.lit(2.0) * F.col("triangles")
+                / (F.col("degree") * (F.col("degree") - F.lit(1))),
+                6,
+            ).alias("clustering"),
+        )
+        .orderBy(F.col("triangles").desc(), "node")
+        .limit(20)
+    )
+
+
+_KANON_LEVELS = """stack(4,
+    'L0_bal10',    concat_ws('|', CAST(c_nationkey AS STRING), c_mktsegment,
+                             CAST(floor(c_acctbal / 10) AS BIGINT)),
+    'L1_bal1000',  concat_ws('|', CAST(c_nationkey AS STRING), c_mktsegment,
+                             CAST(floor(c_acctbal / 1000) AS BIGINT)),
+    'L2_nation_seg', concat_ws('|', CAST(c_nationkey AS STRING), c_mktsegment),
+    'L3_nation',   CAST(c_nationkey AS STRING)
+) AS (level, qi)"""
+
+_KANON_ORACLE = """
+    WITH lv AS (
+        SELECT 'L0_bal10' AS level,
+               concat_ws('|', c_nationkey, c_mktsegment,
+                         CAST(floor(c_acctbal / 10) AS BIGINT)) AS qi,
+               (c_acctbal < 0) AS has_debt
+        FROM customer
+        UNION ALL
+        SELECT 'L1_bal1000',
+               concat_ws('|', c_nationkey, c_mktsegment,
+                         CAST(floor(c_acctbal / 1000) AS BIGINT)),
+               (c_acctbal < 0)
+        FROM customer
+        UNION ALL
+        SELECT 'L2_nation_seg',
+               concat_ws('|', c_nationkey, c_mktsegment), (c_acctbal < 0)
+        FROM customer
+        UNION ALL
+        SELECT 'L3_nation', CAST(c_nationkey AS VARCHAR), (c_acctbal < 0)
+        FROM customer),
+    g AS (SELECT level, qi, CAST(count(*) AS BIGINT) AS k,
+                 CAST(count(DISTINCT has_debt) AS BIGINT) AS l
+          FROM lv GROUP BY 1, 2)
+    SELECT level,
+           CAST(count(*) AS BIGINT) AS n_groups,
+           min(k) AS min_k,
+           CAST(sum(CASE WHEN k = 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS singleton_groups,
+           CAST(sum(CASE WHEN k < 5 THEN k ELSE 0 END) AS BIGINT)
+               AS rows_k_lt_5,
+           ROUND(CAST(sum(CASE WHEN k >= 5 THEN k ELSE 0 END) AS DOUBLE)
+                 / sum(k), 6) AS pct_rows_k_ge_5,
+           CAST(sum(CASE WHEN l = 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS groups_l_eq_1
+    FROM g GROUP BY level
+    """
+
+
+@query("k_anonymity_report", oracle=_KANON_ORACLE)
+def k_anonymity_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity / l-diversity audit across a generalization ladder —
+    the privacy-risk REPORT a training-data release needs before the
+    hash-pseudonymized (`f5_sha256_pseudonymize`) or PII-scrubbed
+    (`scrub_pii_redaction`) corpus ships: pseudonymizing the key does
+    not help if the quasi-identifier combination (nation, segment,
+    account-balance bucket) is unique enough to re-identify the row.
+
+    Four generalization levels of the same quasi-identifier tuple, from
+    finest (balance bucketed to 10) to coarsest (nation only). Per
+    level: group count, worst-case k (min group size), singleton
+    groups (k=1 ⇒ unique ⇒ re-identifiable), rows in groups below the
+    k=5 policy line, the fraction of rows meeting k≥5, and the
+    l-diversity failure count — groups where the sensitive attribute
+    (has_debt = negative balance) takes a SINGLE value, so membership
+    alone leaks it even when k is large. Coarsening monotonically
+    repairs k at the cost of analytic utility; the ladder quantifies
+    that tradeoff so the release picks the coarsest level that meets
+    policy (property-tested monotone in tests/test_properties.py).
+
+    Scale shape: one `stack` fan-out (4 rows per customer, fused into
+    the scan — no shuffle to build levels), ONE map-side-combined
+    aggregate on (level, qi), then a per-level rollup of the group
+    table (tiny). No window, no join, no driver loop: at 10⁹ rows the
+    only corpus-sized exchange is the partial-combined group-by whose
+    key space (level × observed QI values) is data-bounded, exactly
+    like the dedup family's fingerprint aggregates.
+    """
+    c = load_table(spark, sf_dir, "customer")
+    lv = c.select(
+        F.expr(_KANON_LEVELS),
+        (F.col("c_acctbal") < 0).alias("has_debt"),
+    )
+    g = lv.groupBy("level", "qi").agg(
+        F.count(F.lit(1)).alias("k"),
+        F.countDistinct("has_debt").alias("l"),
+    )
+    return g.groupBy("level").agg(
+        F.count(F.lit(1)).alias("n_groups"),
+        F.min("k").alias("min_k"),
+        F.sum(F.when(F.col("k") == 1, 1).otherwise(0)).alias("singleton_groups"),
+        F.sum(F.when(F.col("k") < 5, F.col("k")).otherwise(F.lit(0))).alias(
+            "rows_k_lt_5"
+        ),
+        F.round(
+            F.sum(F.when(F.col("k") >= 5, F.col("k")).otherwise(F.lit(0)))
+            / F.sum("k"),
+            6,
+        ).alias("pct_rows_k_ge_5"),
+        F.sum(F.when(F.col("l") == 1, 1).otherwise(0)).alias("groups_l_eq_1"),
+    )

@@ -33,6 +33,7 @@ _PANDAS_OK = {"multimodal_decode", "multimodal_frame_sample",
 
 #: queries that run/collect eagerly or stream — plan introspection n/a
 _SKIP = {"ddl_ctas_roundtrip", "ddl_partitioned_lake_msck",
+         "ddl_dpp_pruned_join",
          "streaming_tumbling", "streaming_sliding",
          "streaming_late_data_watermark",
          "streaming_session", "streaming_dedup_watermark",
@@ -153,6 +154,39 @@ def test_lake_partition_pruning(spark, sf_dir, tmp_path):
     assert "PartitionFilters" in plan and "1997" in plan, plan
     expected = src.filter(F.col("YEAR") == "1997").count()
     assert df.count() == expected
+
+
+def test_dpp_join_prunes_partitions(spark, sf_dir, tmp_path):
+    """Dynamic partition pruning: joining the year-partitioned lake fact
+    against a scan-derived (non-foldable) dim filter must insert a
+    DynamicPruningExpression into the fact scan's PartitionFilters —
+    the partition skip happens at runtime from the broadcast build
+    side, before any fact bytes are read. Static pruning is pinned by
+    test_lake_partition_pruning; this is the join-driven case
+    ddl_dpp_pruned_join's oracle checks by value."""
+    from pyspark.sql import functions as F
+
+    from pyspark_ingestion_spark.sources.readers import load_table
+    from pyspark_ingestion_spark.sources.writers import write_partitioned
+
+    out = str(tmp_path / "dpp_lake")
+    src = load_table(spark, sf_dir, "orders").withColumn(
+        "order_year", F.year("o_orderdate").cast("long")
+    )
+    write_partitioned(src, out, partition_columns=["order_year"],
+                      mode="overwrite", compression="snappy")
+    fact = spark.read.parquet(out)
+    focus = (
+        load_table(spark, sf_dir, "orders")
+        .select(F.year("o_orderdate").cast("long").alias("order_year"))
+        .distinct()
+        .filter(F.col("order_year") % 3 == 0)
+    )
+    joined = fact.join(F.broadcast(focus), "order_year")
+    plan = formatted_plan(joined)
+    assert "dynamicpruning" in plan.lower(), plan
+    expected = src.filter(F.col("order_year") % 3 == 0).count()
+    assert joined.count() == expected
 
 
 def test_semi_and_anti_join_shapes(spark, sf_dir):

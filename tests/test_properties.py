@@ -1703,3 +1703,64 @@ def test_zorder_prunes_where_linear_cannot(spark, sf_dir):
     assert z["rows_scanned"] >= z["rows_in_box"]
     assert lin["rows_scanned"] >= lin["rows_in_box"]
     assert z["files_scanned"] < lin["files_scanned"], (z, lin)
+
+
+def test_triangle_count_invariants(spark, sf_dir):
+    """Per-node triangle participation is bounded by the wedge count
+    C(deg, 2); clustering = 2·tri/(deg·(deg−1)) must land in (0, 1];
+    and the degree-oriented enumeration must agree with a brute-force
+    Python recount on the same edge set (orientation changes COST, not
+    the triangle set)."""
+    from itertools import combinations
+
+    from pyspark_ingestion_spark.queries import all_queries
+    from pyspark_ingestion_spark.sources.readers import load_table
+
+    rows = all_queries()["triangle_count_copurchase"].fn(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert 0 < r["triangles"] <= r["degree"] * (r["degree"] - 1) // 2, r
+        assert 0 < r["clustering"] <= 1.0, r
+
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = {}
+    for ok, pk in li.select("l_orderkey", "l_partkey").distinct().collect():
+        orders.setdefault(ok, set()).add(pk)
+    adj = {}
+    for parts in orders.values():
+        for u, v in combinations(sorted(parts), 2):
+            adj.setdefault(u, set()).add(v)
+            adj.setdefault(v, set()).add(u)
+    # triangles containing n = adjacent pairs of n's neighbours
+    expected = {
+        n: sum(1 for a, b in combinations(sorted(adj[n]), 2) if b in adj[a])
+        for n in adj
+    }
+    got = {r["node"]: r["triangles"] for r in rows}
+    for node, tri in got.items():
+        assert expected[node] == tri, (node, tri, expected[node])
+
+
+def test_k_anonymity_generalization_monotone(spark, sf_dir):
+    """Coarsening the quasi-identifier can only merge groups: along the
+    ladder L0→L3 the worst-case k must be non-decreasing, the rows
+    below the k=5 policy line non-increasing, and the k≥5 coverage
+    non-decreasing; group counts shrink. The total row count seen at
+    every level equals the table (no row lost to the stack fan-out)."""
+    from pyspark_ingestion_spark.queries import all_queries
+    from pyspark_ingestion_spark.sources.readers import load_table
+
+    rows = {r["level"]: r
+            for r in all_queries()["k_anonymity_report"].fn(spark, sf_dir).collect()}
+    ladder = ["L0_bal10", "L1_bal1000", "L2_nation_seg", "L3_nation"]
+    assert set(rows) == set(ladder)
+    total = load_table(spark, sf_dir, "customer").count()
+    for lvl in ladder:
+        r = rows[lvl]
+        assert r["rows_k_lt_5"] + round(r["pct_rows_k_ge_5"] * total) == total, r
+    for fine, coarse in zip(ladder, ladder[1:]):
+        f, c = rows[fine], rows[coarse]
+        assert c["min_k"] >= f["min_k"], (f, c)
+        assert c["rows_k_lt_5"] <= f["rows_k_lt_5"], (f, c)
+        assert c["pct_rows_k_ge_5"] >= f["pct_rows_k_ge_5"], (f, c)
+        assert c["n_groups"] <= f["n_groups"], (f, c)
