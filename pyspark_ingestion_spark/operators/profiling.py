@@ -163,3 +163,67 @@ def route_quarantine(df, rules) -> "DataFrame":
         failed = (~cond) | cond.isNull()
         disposition = F.when(failed, F.lit(f"quarantine:{name}")).otherwise(disposition)
     return df.withColumn("disposition", disposition)
+
+
+def token_cms_buckets(
+    df: "DataFrame",
+    text_col: str = "text",
+    depth: int = 4,
+    width: int = 256,
+) -> "DataFrame":
+    """Per-token sketch coordinates ``(term, i, bucket)``, one row per
+    token occurrence × hash row — the SINGLE definition of the
+    deterministic count-min bucketing: hash row i buckets a term via
+    the cross-engine md5 fingerprint
+    (``conv(substr(md5(i|term),1,15),16,10) % width``) — no RNG, so the
+    sketch is reproducible across engines, runs, and partial rebuilds.
+    Shared by the batch heavy-hitters query (which also derives the
+    per-term estimates from these rows) and the streaming maintenance
+    sink, so the two can never drift."""
+    from pyspark.sql import functions as F
+
+    from pyspark_ingestion_spark.functions.text import words
+
+    tok = df.select(F.explode(words(F.lower(F.col(text_col)))).alias("term"))
+    return (
+        tok.select(
+            "term",
+            F.explode(F.array(*[F.lit(i) for i in range(depth)])).alias("i"),
+        )
+        .withColumn(
+            "bucket",
+            F.conv(
+                F.substring(
+                    F.md5(F.concat_ws("|", F.col("i").cast("string"), F.col("term"))),
+                    1, 15,
+                ),
+                16, 10,
+            ).cast("long")
+            % width,
+        )
+    )
+
+
+def token_cms_cells(
+    df: "DataFrame",
+    text_col: str = "text",
+    depth: int = 4,
+    width: int = 256,
+) -> "DataFrame":
+    """Deterministic count-min-sketch cells over a document frame's token
+    stream: ``(i, bucket, cnt)`` for i < depth, bucket < width.
+
+    Cells are COUNTERS, so sketches merge by cell-wise sum: the sketch
+    of a corpus equals the summed cells of any partition of it — the
+    property both the batch query (`approx_topk_heavy_hitters`) and the
+    streaming maintenance sink (`streaming.pipeline.stream_token_cms`)
+    build on. One explode + one map-side-combined aggregate onto a key
+    space hard-capped at depth×width cells.
+    """
+    from pyspark.sql import functions as F
+
+    return (
+        token_cms_buckets(df, text_col, depth, width)
+        .groupBy("i", "bucket")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )

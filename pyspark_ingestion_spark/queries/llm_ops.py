@@ -3928,3 +3928,82 @@ def pq_reconstruction_error(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("rel_err"),
         )
     )
+
+
+_CMS_DEPTH = 4     # independent hash rows
+_CMS_WIDTH = 256   # buckets per row
+
+_CMS_ORACLE = rf"""
+    WITH tok AS (SELECT unnest(string_split_regex(trim(lower(text)), '\s+')) AS term
+                 FROM documents WHERE trim(text) <> ''),
+    t AS (SELECT term FROM tok WHERE term <> ''),
+    g AS (SELECT unnest(generate_series(0, {_CMS_DEPTH - 1})) AS i),
+    h AS (SELECT term, i,
+                 CAST(('0x' || substr(md5(i::VARCHAR || '|' || term), 1, 15))::UBIGINT
+                      % {_CMS_WIDTH} AS BIGINT) AS bucket
+          FROM t CROSS JOIN g),
+    cms AS (SELECT i, bucket, CAST(count(*) AS BIGINT) AS cnt
+            FROM h GROUP BY 1, 2),
+    est AS (SELECT term, min(cnt) AS est_count
+            FROM (SELECT DISTINCT term, i, bucket FROM h) d
+            JOIN cms USING (i, bucket) GROUP BY term),
+    exact AS (SELECT term, CAST(count(*) AS BIGINT) AS exact_count
+              FROM t GROUP BY term)
+    SELECT e.term, e.est_count, x.exact_count,
+           e.est_count - x.exact_count AS overestimate
+    FROM est e JOIN exact x USING (term)
+    ORDER BY e.est_count DESC, e.term
+    LIMIT 15
+    """
+
+
+@query("approx_topk_heavy_hitters", oracle=_CMS_ORACLE)
+def approx_topk_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min-sketch heavy hitters over the corpus token stream,
+    DETERMINISTIC and therefore fully oracle-checked — the sketch tier's
+    first hash-green member (`agg_hll_mergeable_sketch` /
+    `agg_kll_mergeable_quantiles` / `agg_theta_set_overlap` stay
+    rows-only because their register layouts are library-internal; the
+    CMS is just modular-hash bucket counts, so every cell is
+    SQL-expressible). Hash row i buckets a term by the shared
+    cross-engine md5 fingerprint (``conv(substr(md5,1,15),16,10)`` ≡
+    DuckDB ``('0x'||…)::UBIGINT``) mod 256 — no RNG, no seed state.
+    Output: top-15 terms by ESTIMATED count with exact count and the
+    (always ≥ 0) overestimate — the one-sided CMS error the property
+    test (`test_count_min_sketch_bounds`) bounds at eps·N.
+
+    Scale shape: the sketch build is ONE map-side-combined aggregate
+    over a 4× fan-out of the token stream to a key space hard-
+    capped at depth×width = 1024 cells — the whole sketch fits in a
+    broadcast regardless of corpus size, which is the point: at 100 TB
+    the 8 KB sketch is the only thing that crosses the wire (mergeable
+    across partitions/days by cell-wise SUM — the same partial-combine
+    Spark already does), while the exact per-term aggregate it
+    approximates shuffles the full Zipf key space. The estimate join is
+    candidates × broadcast(sketch); the exact join here exists only to
+    REPORT the error, production reads the sketch alone.
+    """
+    from pyspark_ingestion_spark.functions.text import words
+    from pyspark_ingestion_spark.operators.profiling import token_cms_buckets
+
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select(F.explode(words(F.lower(F.col("text")))).alias("term"))
+    h = token_cms_buckets(d, "text", _CMS_DEPTH, _CMS_WIDTH)
+    cms = h.groupBy("i", "bucket").agg(F.count(F.lit(1)).alias("cnt"))
+    est = (
+        h.select("term", "i", "bucket")
+        .distinct()
+        .join(F.broadcast(cms), ["i", "bucket"])
+        .groupBy("term")
+        .agg(F.min("cnt").alias("est_count"))
+    )
+    exact = tok.groupBy("term").agg(F.count(F.lit(1)).alias("exact_count"))
+    return (
+        est.join(exact, "term")
+        .select(
+            "term", "est_count", "exact_count",
+            (F.col("est_count") - F.col("exact_count")).alias("overestimate"),
+        )
+        .orderBy(F.col("est_count").desc(), "term")
+        .limit(15)
+    )

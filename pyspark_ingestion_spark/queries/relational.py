@@ -3065,3 +3065,109 @@ def k_anonymity_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("pct_rows_k_ge_5"),
         F.sum(F.when(F.col("l") == 1, 1).otherwise(0)).alias("groups_l_eq_1"),
     )
+
+
+_ATTR_WINDOW_US = 72 * 3600 * 1_000_000  # 72 h lookback
+_ATTR_HALF_LIFE_H = 24.0
+
+_ATTR_ORACLE = f"""
+    WITH p AS (SELECT event_id AS purchase_id, user_id, ts, value
+               FROM events WHERE event_type = 'purchase'),
+    t AS (SELECT user_id, ts, event_type AS touch_type FROM events
+          WHERE event_type IN ('view', 'click', 'signup')),
+    m AS (SELECT p.purchase_id, p.value, t.touch_type,
+                 power(0.5, (epoch_us(p.ts) - epoch_us(t.ts)) / 3600000000.0
+                            / {_ATTR_HALF_LIFE_H}) AS w
+          FROM p JOIN t ON t.user_id = p.user_id
+                       AND epoch_us(t.ts) < epoch_us(p.ts)
+                       AND epoch_us(p.ts) - epoch_us(t.ts) <= {_ATTR_WINDOW_US}),
+    c AS (SELECT touch_type, value, w,
+                 sum(w) OVER (PARTITION BY purchase_id) AS sw FROM m),
+    att AS (SELECT touch_type, CAST(count(*) AS BIGINT) AS n_credits,
+                   ROUND(sum(value * w / sw), 2) AS credited_value
+            FROM c GROUP BY touch_type),
+    direct AS (SELECT 'direct' AS touch_type,
+                      CAST(count(*) AS BIGINT) AS n_credits,
+                      ROUND(coalesce(sum(value), 0), 2) AS credited_value
+               FROM p ANTI JOIN (SELECT DISTINCT purchase_id FROM m)
+                    USING (purchase_id))
+    SELECT * FROM att
+    UNION ALL SELECT * FROM direct WHERE n_credits > 0
+    """
+
+
+@query("attribution_time_decay", oracle=_ATTR_ORACLE)
+def attribution_time_decay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-touch revenue attribution with exponential time decay — the
+    event-analytics operator between `funnel_view_to_purchase` (did a
+    path exist) and `cep_view_click_purchase` (strict pattern order):
+    every view/click/signup in the 72 h before a purchase earns a share
+    of its value, weighted ``0.5^(hours_gap/24)`` (24 h half-life) and
+    normalized per purchase so each purchase distributes exactly its
+    value; purchases with no prior touch credit a ``direct`` bucket.
+    Output: per touch type, the number of credited touch instances and
+    the credited revenue.
+
+    Scale shape: the touch↔purchase pairing is ONE user_id equi-join
+    with the time window as a post-join filter — fan-out is bounded by
+    per-user (touches-in-window × purchases), the same actor-local
+    quadratic the PMI window and the basket-pair builds document; a
+    pathological single-user feed is the `salted_join` /
+    `range_join_binned` escalation path. Normalization is a window sum
+    keyed by purchase_id (narrow rows, post-filter); the final rollup
+    is a map-side-combined aggregate over ~4 keys. The decay weight is
+    pure per-row arithmetic fused into the join's projection — no UDF,
+    no second pass over events.
+    """
+    e = load_table(spark, sf_dir, "events")
+    p = e.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("p_ms"),
+        "value",
+    )
+    t = e.filter(F.col("event_type").isin("view", "click", "signup")).select(
+        "user_id",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("t_ms"),
+        F.col("event_type").alias("touch_type"),
+    )
+    m = (
+        p.join(t, "user_id")
+        .filter(
+            (F.col("t_ms") < F.col("p_ms"))
+            & (F.col("p_ms") - F.col("t_ms") <= F.lit(_ATTR_WINDOW_US))
+        )
+        .select(
+            "purchase_id",
+            "value",
+            "touch_type",
+            F.pow(
+                F.lit(0.5),
+                (F.col("p_ms") - F.col("t_ms")) / F.lit(3600000000.0)
+                / F.lit(_ATTR_HALF_LIFE_H),
+            ).alias("w"),
+        )
+    )
+    sw = Window.partitionBy("purchase_id")
+    att = (
+        m.withColumn("sw", F.sum("w").over(sw))
+        .groupBy("touch_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_credits"),
+            F.round(F.sum(F.col("value") * F.col("w") / F.col("sw")), 2).alias(
+                "credited_value"
+            ),
+        )
+    )
+    direct = (
+        p.join(m.select("purchase_id").distinct(), "purchase_id", "left_anti")
+        .agg(
+            F.count(F.lit(1)).alias("n_credits"),
+            F.round(F.coalesce(F.sum("value"), F.lit(0.0)), 2).alias(
+                "credited_value"
+            ),
+        )
+        .select(F.lit("direct").alias("touch_type"), "n_credits", "credited_value")
+        .filter(F.col("n_credits") > 0)
+    )
+    return att.unionByName(direct)

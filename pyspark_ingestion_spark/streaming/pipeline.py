@@ -1040,3 +1040,64 @@ def _write_partition_guard(
         fs.delete(jpath, False)
     if not fs.rename(jtmp, jpath):
         raise IOError(f"rename {jtmp} -> {jpath} failed")
+
+
+def stream_token_cms(
+    stream_df: DataFrame,
+    cms_path: str,
+    checkpoint: str,
+    text_col: str = "text",
+    depth: int = 4,
+    width: int = 256,
+) -> None:
+    """Incremental count-min-sketch maintenance over a document stream —
+    the streaming form of `approx_topk_heavy_hitters`' sketch build, and
+    the simplest possible demonstration of why mergeable sketches are
+    the 100 TB streaming answer: each micro-batch computes ONLY its own
+    delta cells (O(batch) — the corpus is never revisited, no staleness,
+    no re-banding, nothing like the LSH index's cap transitions, because
+    CMS cells are pure counters and counter merge is associative +
+    commutative), writes them to its ``__batch_id`` partition under the
+    sink's replay-overwrite contract (a replayed batch rewrites its own
+    delta — idempotent), and the queryable sketch is just the cell-wise
+    SUM over all partitions (:func:`read_token_cms`). Stream ≡ batch is
+    EXACT, not approximate: the merged cells equal
+    ``token_cms_cells(union of batches)`` cell for cell (pinned in
+    tests/test_streaming.py, including restart + replay).
+
+    At scale the delta per batch is ≤ depth×width rows (8 KB at 4×256)
+    regardless of batch size, so a year of micro-batches is still a
+    trivial compaction; readers pay one ~cells×batches scan that a
+    periodic roll-up (overwrite partition −1 with the merged cells,
+    drop the rest) bounds further — same pattern as the admission
+    index's base partition.
+    """
+    from pyspark_ingestion_spark.operators.profiling import token_cms_cells
+    from pyspark_ingestion_spark.sources.writers import overwrite_partitions
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        delta = token_cms_cells(batch_df, text_col, depth, width)
+        overwrite_partitions(
+            delta.withColumn("__batch_id", F.lit(batch_id)),
+            cms_path,
+            ["__batch_id"],
+        )
+
+    q = (
+        stream_df.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
+def read_token_cms(spark: SparkSession, cms_path: str) -> DataFrame:
+    """The merged sketch: cell-wise sum of every batch's delta cells.
+    Returns ``(i, bucket, cnt)`` — identical to ``token_cms_cells`` over
+    the concatenated corpus, by counter associativity."""
+    return (
+        spark.read.parquet(cms_path)
+        .groupBy("i", "bucket")
+        .agg(F.sum("cnt").alias("cnt"))
+    )

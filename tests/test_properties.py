@@ -1764,3 +1764,38 @@ def test_k_anonymity_generalization_monotone(spark, sf_dir):
         assert c["rows_k_lt_5"] <= f["rows_k_lt_5"], (f, c)
         assert c["pct_rows_k_ge_5"] >= f["pct_rows_k_ge_5"], (f, c)
         assert c["n_groups"] <= f["n_groups"], (f, c)
+
+
+def test_attribution_conserves_purchase_value(spark, sf_dir):
+    """Per-purchase normalization means attribution redistributes value,
+    never creates or destroys it: the credited totals across all touch
+    types (+ direct) must sum to the total purchase value, and every
+    credited bucket is positive."""
+    from pyspark.sql import functions as F
+
+    from pyspark_ingestion_spark.queries import all_queries
+    from pyspark_ingestion_spark.sources.readers import load_table
+
+    rows = all_queries()["attribution_time_decay"].fn(spark, sf_dir).collect()
+    assert rows and all(r["credited_value"] > 0 for r in rows)
+    credited = sum(r["credited_value"] for r in rows)
+    total = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "purchase")
+        .agg(F.sum("value"))
+        .first()[0]
+    )
+    # each bucket is rounded to 2 dp → error ≤ 0.005 per bucket
+    assert abs(credited - total) <= 0.005 * len(rows) + 1e-9, (credited, total)
+
+
+def test_cms_overestimate_is_one_sided(spark, sf_dir):
+    """Count-min can only overestimate: every reported estimate ≥ the
+    exact count, and the top-15 selection is by estimated count."""
+    from pyspark_ingestion_spark.queries import all_queries
+
+    rows = all_queries()["approx_topk_heavy_hitters"].fn(spark, sf_dir).collect()
+    assert len(rows) == 15
+    assert all(r["overestimate"] >= 0 for r in rows)
+    ests = [r["est_count"] for r in rows]
+    assert ests == sorted(ests, reverse=True)

@@ -605,3 +605,68 @@ def test_hotlog_mode_rejects_fractional_cap(spark, tmp_path):
             threshold_num=1, threshold_den=2, max_doc_freq=0.5,
             max_bucket_size=None, index_mode="hotlog",
         )
+
+
+def test_stream_token_cms_matches_batch_and_replays(spark, tmp_path):
+    """The incrementally maintained CMS equals the batch sketch over the
+    concatenated corpus CELL FOR CELL (counter merge is exact, unlike
+    the LSH index there is no staleness to manage), restart-continues
+    across checkpoints, and a replayed micro-batch rewrites its own
+    delta rather than double-counting."""
+    from pyspark_ingestion_spark.operators.profiling import token_cms_cells
+    from pyspark_ingestion_spark.streaming.pipeline import (
+        read_token_cms,
+        stream_token_cms,
+    )
+
+    file_a = [(1, "alpha beta alpha gamma"), (2, "beta beta delta")]
+    file_b = [(3, "alpha epsilon"), (4, "zeta beta alpha alpha")]
+    src = str(tmp_path / "src")
+    _mk_admission_files(spark, tmp_path, src, [("a", file_a)])
+
+    cms_path = str(tmp_path / "cms")
+    ckpt = str(tmp_path / "ckpt")
+    kwargs = dict(text_col="text", depth=4, width=32)
+
+    def run():
+        stream = (
+            spark.readStream.schema("doc_id int, text string")
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src)
+        )
+        stream_token_cms(stream, cms_path, ckpt, **kwargs)
+
+    def cells(df):
+        return {(r["i"], r["bucket"]): r["cnt"] for r in df.collect()}
+
+    run()  # batch 0 = file a
+    batch_a = spark.createDataFrame(file_a, "doc_id int, text string")
+    assert cells(read_token_cms(spark, cms_path)) == cells(
+        token_cms_cells(batch_a, **kwargs)
+    )
+
+    # restart: file b arrives, same checkpoint continues from the offset
+    _mk_admission_files(spark, tmp_path, src, [("b", file_b)])
+    run()
+    both = spark.createDataFrame(file_a + file_b, "doc_id int, text string")
+    merged = cells(read_token_cms(spark, cms_path))
+    assert merged == cells(token_cms_cells(both, **kwargs))
+
+    # replay: re-running a batch id overwrites its delta, never adds
+    from pyspark_ingestion_spark.sources.writers import overwrite_partitions
+
+    from pyspark.sql import functions as F
+
+    delta = token_cms_cells(batch_a, **kwargs).withColumn("__batch_id", F.lit(0))
+    overwrite_partitions(delta, cms_path, ["__batch_id"])
+    assert cells(read_token_cms(spark, cms_path)) == merged
+
+    # the sketch estimates really come from these cells: 'alpha' appears
+    # 5x across both files and CMS can only overestimate
+    import hashlib
+
+    def bucket(i, term, width=32):
+        return int(hashlib.md5(f"{i}|{term}".encode()).hexdigest()[:15], 16) % width
+
+    est = min(merged.get((i, bucket(i, "alpha")), 0) for i in range(4))
+    assert est >= 5
