@@ -3735,7 +3735,7 @@ def ann_ivf_pq_adc_fixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     "quality_model_score_fixture",
     oracle="""
     WITH w AS (SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\\s+')) AS tok
-               FROM documents),
+               FROM documents WHERE trim(text) <> ''),
     idx AS (SELECT doc_id,
                    CAST(('0x' || substr(md5(tok), 1, 15))::UBIGINT % 64 AS INT) AS i
             FROM w),

@@ -553,12 +553,15 @@ def init_dedup_admission_index(
     )
     if index_mode == "hotlog":
         cnt = stored.groupBy("shingle").agg(F.count(F.lit(1)).alias("cnt"))
-        overwrite_partitions(
-            cnt.withColumn("__batch_id", F.lit(-1)),
-            f"{index_path}/{_IDX_DFCNT}",
-            ["__batch_id"],
-        )
-        # same STRICT semantics as _hot_shingles: hot means df > cap
+        # same STRICT semantics as _hot_shingles: hot means df > cap.
+        # WRITE ORDER IS LOAD-BEARING: the bootstrap-completion probe in
+        # _admit_dedup_batch_indexed targets dfcnt, so dfcnt must be the
+        # LAST table written — a crash between the hot write and the
+        # dfcnt write re-runs the (idempotent) bootstrap, whereas the
+        # reverse order would leave has_base=True with the hot seed
+        # missing, a divergence _apply_hot_transitions can never repair
+        # (its crossing filter requires prev <= cap, but the base counts
+        # are already past it).
         base_hot = (
             cnt.filter(F.col("cnt") > F.lit(int(max_doc_freq))).select("shingle")
             if max_doc_freq is not None
@@ -567,6 +570,11 @@ def init_dedup_admission_index(
         overwrite_partitions(
             base_hot.withColumn("__batch_id", F.lit(-1)),
             f"{index_path}/{_IDX_HOT}",
+            ["__batch_id"],
+        )
+        overwrite_partitions(
+            cnt.withColumn("__batch_id", F.lit(-1)),
+            f"{index_path}/{_IDX_DFCNT}",
             ["__batch_id"],
         )
 
@@ -735,8 +743,8 @@ def _indexed_rejects_hotlog(
 ):
     """Hot-log admission for one micro-batch — the rung above
     :func:`_indexed_rejects`: the read path runs ZERO corpus-wide
-    aggregates. Returns ``(rejects, sb)`` where ``sb`` is the batch's
-    df-capped shingle table.
+    aggregates over POSTINGS. Returns ``(rejects, sb)`` where ``sb`` is
+    the batch's df-capped shingle table.
 
     The fingerprint mode's two per-batch O(corpus-postings) shuffles —
     the hot-shingle df aggregate and the staleness fingerprint aggregate
@@ -751,11 +759,17 @@ def _indexed_rejects_hotlog(
     b − 1, which is exactly the set admission must use (the fingerprint
     mode computes hot from postings excluding the current batch).
 
-    Remaining per-batch corpus-sized work: SCANS only (the postings
-    read feeding the broadcast anti-join + the candidates-only verify,
-    and the bands read-back) — no corpus-wide shuffle, no corpus-text
-    parse, no signature recompute. Requires an integer df cap
-    (hot-set monotonicity; validated at the entry points).
+    Remaining per-batch corpus-sized work: the postings scan feeding
+    the broadcast anti-join + the candidates-only verify (scans, no
+    shuffle), and ONE corpus-sized shuffle that both indexed modes
+    share — ``_read_latest_bands``' per-doc latest-version max over the
+    band table (O(docs × n_bands) NARROW rows, ~25× smaller than the
+    postings the fingerprint mode additionally shuffles). Its roll-up
+    is operational compaction — periodically overwrite the base
+    partition with the merged current bands and drop the rest — not a
+    per-batch cost. No corpus-text parse, no signature recompute.
+    Requires an integer df cap (hot-set monotonicity; validated at the
+    entry points).
     """
     from pyspark_ingestion_spark.operators.dedup import (
         _drop_big_buckets,
@@ -905,7 +919,9 @@ def _admit_dedup_batch_indexed(
     spark = batch_df.sparkSession
     # the hotlog probe targets dfcnt, not hot: a base corpus with no
     # shingle at the cap leaves the hot table legitimately EMPTY (no
-    # files at all), and probing it would re-bootstrap every batch
+    # files at all), and probing it would re-bootstrap every batch.
+    # dfcnt is also written LAST in init_dedup_admission_index, so its
+    # base partition existing implies the whole bootstrap completed
     probe = _IDX_DFCNT if index_mode == "hotlog" else _IDX_BANDS
     try:  # bootstrap once; cheap existence probe afterwards
         has_base = bool(

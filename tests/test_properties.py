@@ -1799,3 +1799,46 @@ def test_cms_overestimate_is_one_sided(spark, sf_dir):
     assert all(r["overestimate"] >= 0 for r in rows)
     ests = [r["est_count"] for r in rows]
     assert ests == sorted(ests, reverse=True)
+
+
+def test_score_fixture_blank_text_cross_engine(spark):
+    """Blank / whitespace-only documents score at the intercept on BOTH
+    engines: Spark's words('') is an empty array (z = b), and the
+    DuckDB oracle's token CTE guards `trim(text) <> ''` so the blank
+    doc falls to the LEFT-JOIN/coalesce path instead of hashing the ''
+    token DuckDB's split would otherwise emit (a divergence the shipped
+    fixtures never exercise — this pins it on adversarial input)."""
+    import duckdb
+    import pandas as pd
+
+    from pyspark_ingestion_spark.queries import all_queries
+    from pyspark_ingestion_spark.operators.quality_model import (
+        TextClassifier,
+        md5_token_indices,
+    )
+
+    docs = pd.DataFrame(
+        {"doc_id": [1, 2, 3], "text": ["hello world", "", "   "]}
+    )
+    oracle = all_queries()["quality_model_score_fixture"].oracle
+    con = duckdb.connect()
+    con.register("documents", docs)
+    duck = {r[0]: r[1] for r in con.execute(oracle).fetchall()}
+
+    n_features = 64
+    weights = [((i * 13) % 21 - 10) / 16.0 for i in range(n_features)]
+    model = TextClassifier(weights=weights, intercept=0.25, n_features=n_features)
+    sdf = spark.createDataFrame(docs)
+    from pyspark_ingestion_spark.operators.quality_model import score_corpus
+
+    got = {
+        r["doc_id"]: r["model_score"]
+        for r in score_corpus(
+            model, sdf, token_indices=md5_token_indices
+        ).collect()
+    }
+    assert got == duck, (got, duck)
+    import math
+
+    intercept_score = round(1 / (1 + math.exp(-0.25)), 4)
+    assert got[2] == got[3] == intercept_score

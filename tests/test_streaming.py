@@ -670,3 +670,59 @@ def test_stream_token_cms_matches_batch_and_replays(spark, tmp_path):
 
     est = min(merged.get((i, bucket(i, "alpha")), 0) for i in range(4))
     assert est >= 5
+
+
+def test_hotlog_bootstrap_crash_window_rerolls(spark, tmp_path):
+    """The hotlog bootstrap's write order is load-bearing: dfcnt is the
+    completion probe AND the last table written, so a crash after the
+    hot write but before the dfcnt write re-runs the (idempotent)
+    bootstrap on the next batch instead of proceeding with a
+    half-seeded index. Simulated by deleting dfcnt from a completed
+    bootstrap: the next batch must restore it and admit exactly what an
+    uninterrupted run admits."""
+    import shutil
+
+    from pyspark_ingestion_spark.streaming.pipeline import (
+        _admit_dedup_batch_indexed,
+    )
+
+    # boilerplate shingle over the cap in the BASE corpus — the hot seed
+    # whose loss the old probe order could never repair
+    base = spark.createDataFrame(
+        [(0, "one two three four aaa bbb ccc"),
+         (1, "five six seven eight aaa bbb ccc"),
+         (2, "nine ten eleven twelve aaa bbb ccc")],
+        "doc_id int, text string",
+    )
+    b0 = spark.createDataFrame(
+        [(10, "thirteen fourteen fifteen sixteen aaa bbb ccc")],
+        "doc_id int, text string",
+    )
+    kwargs = dict(id_col="doc_id", text_col="text", n=3, num_hashes=8,
+                  band_size=2, threshold_num=1, threshold_den=2,
+                  max_doc_freq=2, max_bucket_size=None, index_mode="hotlog")
+
+    from pyspark_ingestion_spark.streaming.pipeline import (
+        init_dedup_admission_index,
+    )
+
+    init_kwargs = dict(id_col="doc_id", text_col="text", n=3, num_hashes=8,
+                       band_size=2, max_doc_freq=2, index_mode="hotlog")
+
+    out_a, idx_a = str(tmp_path / "out_a"), str(tmp_path / "idx_a")
+    _admit_dedup_batch_indexed(b0, 0, base, out_a, idx_a, **kwargs)
+    clean = {r["doc_id"] for r in spark.read.parquet(out_a).collect()}
+
+    out_b, idx_b = str(tmp_path / "out_b"), str(tmp_path / "idx_b")
+    # simulate the crash window: the bootstrap wrote postings/bands/hot
+    # but died before dfcnt (its LAST write = the completion probe)
+    init_dedup_admission_index(base, idx_b, **init_kwargs)
+    shutil.rmtree(f"{idx_b}/dfcnt")
+    for t in ("postings", "bands", "hot"):
+        spark.read.parquet(f"{idx_b}/{t}")  # the rest of the bootstrap exists
+    _admit_dedup_batch_indexed(b0, 0, base, out_b, idx_b, **kwargs)
+    # bootstrap re-ran: dfcnt restored with the base seed, admissions agree
+    df = spark.read.parquet(f"{idx_b}/dfcnt")
+    assert df.filter(F.col("__batch_id").cast("long") == -1).head(1)
+    got = {r["doc_id"] for r in spark.read.parquet(out_b).collect()}
+    assert got == clean, (got, clean)
