@@ -765,9 +765,10 @@ def _indexed_rejects_hotlog(
     share — ``_read_latest_bands``' per-doc latest-version max over the
     band table (O(docs × n_bands) NARROW rows, ~25× smaller than the
     postings the fingerprint mode additionally shuffles). Its roll-up
-    is operational compaction — periodically overwrite the base
-    partition with the merged current bands and drop the rest — not a
-    per-batch cost. No corpus-text parse, no signature recompute.
+    is :func:`compact_admission_bands` — run between increments, it
+    folds the versioned partitions into the base so this max resolves
+    over one version per doc — not a per-batch cost. No corpus-text
+    parse, no signature recompute.
     Requires an integer df cap (hot-set monotonicity; validated at the
     entry points).
     """
@@ -1117,3 +1118,61 @@ def read_token_cms(spark: SparkSession, cms_path: str) -> DataFrame:
         .groupBy("i", "bucket")
         .agg(F.sum("cnt").alias("cnt"))
     )
+
+
+def compact_admission_bands(spark: SparkSession, index_path: str) -> int:
+    """Operational maintenance for the admission index's ONE remaining
+    corpus-sized shuffle: fold every versioned band partition into the
+    base partition (``__batch_id=-1``) and drop the per-batch
+    partitions, so the per-batch latest-version resolution
+    (:func:`_read_latest_bands`' per-doc max) runs over exactly one
+    version per doc — a near-free aggregate instead of a
+    versions-deep one. Run BETWEEN streaming increments (no admission
+    batch in flight), on whatever cadence the batch count warrants;
+    returns the number of batch partitions removed.
+
+    Crash-safe by content-idempotence, in write order: (1) the merged
+    current rows are materialized eagerly BEFORE the base overwrite
+    (the merge reads partition −1, which the overwrite replaces);
+    (2) the base overwrite lands rows content-identical to what
+    latest-wins already resolves, so a crash before step (3) changes
+    nothing a reader sees (for every doc the surviving newer partition
+    still wins with the SAME rows); (3) each superseded partition dir
+    is dropped via Hadoop FS (any scheme). Re-running after any crash
+    completes the job. One ordering constraint: compact only when the
+    last increment's CHECKPOINT has committed — never between a crashed
+    sink write and its replay — because folding a batch's rows into the
+    base partition defeats the replay read's ``!= batch_id``
+    self-exclusion for that one uncommitted batch. Only the bands
+    table compacts: dfcnt/hot are
+    O(shingles)/O(hot) narrow tables whose union/sum needs no version
+    resolution, and postings partitions are the append-only corpus
+    ledger (batch ownership is their replay contract — merging them
+    would break `!= batch_id` exclusion on replay).
+    """
+    from pyspark_ingestion_spark.sources.writers import overwrite_partitions
+
+    bands_path = f"{index_path}/{_IDX_BANDS}"
+    existing = sorted(
+        int(r["__batch_id"])
+        for r in spark.read.parquet(bands_path)
+        .select(F.col("__batch_id").cast("long").alias("__batch_id"))
+        .distinct()
+        .collect()
+    )
+    stale = [b for b in existing if b != -1]
+    if not stale:
+        return 0
+    # -2 is never a batch id: exclude nothing, resolve latest across all
+    merged = _read_latest_bands(spark, bands_path, exclude_batch_id=-2)
+    merged = merged.localCheckpoint(eager=True)  # materialize BEFORE overwrite
+    overwrite_partitions(
+        merged.withColumn("__batch_id", F.lit(-1)), bands_path, ["__batch_id"]
+    )
+    jvm = spark._jvm
+    conf = spark._jsc.hadoopConfiguration()
+    for b in stale:
+        jpath = jvm.org.apache.hadoop.fs.Path(f"{bands_path}/__batch_id={b}")
+        fs = jpath.getFileSystem(conf)
+        fs.delete(jpath, True)
+    return len(stale)

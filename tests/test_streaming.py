@@ -726,3 +726,74 @@ def test_hotlog_bootstrap_crash_window_rerolls(spark, tmp_path):
     assert df.filter(F.col("__batch_id").cast("long") == -1).head(1)
     got = {r["doc_id"] for r in spark.read.parquet(out_b).collect()}
     assert got == clean, (got, clean)
+
+
+def test_compact_admission_bands_preserves_admissions(spark, tmp_path):
+    """Folding the versioned band partitions into the base partition is
+    invisible to admission: across a forced cap transition (which writes
+    re-band versions — the very rows latest-wins exists for), the
+    effective band table before and after compaction is identical, only
+    partition -1 survives, and the next batch admits exactly what an
+    uncompacted twin index admits. Compaction is also idempotent."""
+    from pyspark_ingestion_spark.streaming.pipeline import (
+        _admit_dedup_batch_indexed,
+        _read_latest_bands,
+        compact_admission_bands,
+    )
+
+    base = spark.createDataFrame(
+        [(0, "one two three four boiler plate text"),
+         (1, "five six seven eight nine ten eleven")],
+        "doc_id int, text string",
+    )
+    # batch 0 pushes the boilerplate shingle over the cap -> re-bands
+    b0 = spark.createDataFrame(
+        [(10, "twelve thirteen fourteen boiler plate text"),
+         (11, "fifteen sixteen seventeen boiler plate text")],
+        "doc_id int, text string",
+    )
+    b1 = spark.createDataFrame(
+        [(20, "one two three four boiler plate text"),   # dup of 0
+         (21, "eighteen nineteen twenty twentyone")],
+        "doc_id int, text string",
+    )
+    kwargs = dict(id_col="doc_id", text_col="text", n=3, num_hashes=8,
+                  band_size=2, threshold_num=1, threshold_den=2,
+                  max_doc_freq=2, max_bucket_size=None)
+
+    paths = {}
+    for arm in ("plain", "compacted"):
+        out, idx = str(tmp_path / f"out_{arm}"), str(tmp_path / f"idx_{arm}")
+        paths[arm] = (out, idx)
+        _admit_dedup_batch_indexed(b0, 0, base, out, idx, **kwargs)
+
+    out_c, idx_c = paths["compacted"]
+    before = {
+        tuple(r) for r in _read_latest_bands(
+            spark, f"{idx_c}/bands", exclude_batch_id=-2).collect()
+    }
+    removed = compact_admission_bands(spark, idx_c)
+    assert removed >= 1
+    after = {
+        tuple(r) for r in _read_latest_bands(
+            spark, f"{idx_c}/bands", exclude_batch_id=-2).collect()
+    }
+    assert after == before
+    parts = {
+        r["__batch_id"]
+        for r in spark.read.parquet(f"{idx_c}/bands")
+        .select(F.col("__batch_id").cast("long").alias("__batch_id"))
+        .distinct().collect()
+    }
+    assert parts == {-1}, parts
+    assert compact_admission_bands(spark, idx_c) == 0  # idempotent
+
+    for arm in ("plain", "compacted"):
+        out, idx = paths[arm]
+        _admit_dedup_batch_indexed(b1, 1, base, out, idx, **kwargs)
+    admitted = {
+        arm: {r["doc_id"] for r in spark.read.parquet(paths[arm][0]).collect()}
+        for arm in paths
+    }
+    assert admitted["plain"] == admitted["compacted"]
+    assert 20 not in admitted["plain"] and 21 in admitted["plain"]
