@@ -4007,3 +4007,66 @@ def approx_topk_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("est_count").desc(), "term")
         .limit(15)
     )
+
+
+_AES_TWO_POW_60 = float(1 << 60)
+
+_AES_ORACLE = """
+    WITH d AS (SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS weight
+               FROM documents WHERE trim(text) <> ''),
+    k AS (SELECT doc_id, weight,
+                 ROUND(ln(greatest(
+                         ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::UBIGINT
+                         / 1152921504606846976.0, 1e-18)) / weight, 9)
+                     AS sample_key
+          FROM d)
+    SELECT doc_id, weight, sample_key
+    FROM k ORDER BY sample_key DESC, doc_id
+    LIMIT 100
+    """
+
+
+@query("sample_weighted_priority", oracle=_AES_ORACLE)
+def sample_weighted_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sampling WITHOUT replacement (Efraimidis–Spirakis A-ES),
+    deterministic and fully oracle-checked — the quality/length-weighted
+    corpus draw a training mix needs beyond the uniform `sample_hash_mod`
+    and the per-stratum `stratified_sample_by_source`: each doc gets key
+    ln(u)/w (u = its md5-derived uniform in (0,1), w = its byte length
+    standing in for any positive quality weight) and the sample is the
+    top-k keys — a draw whose inclusion law is exactly weighted sampling
+    without replacement, reproducible because u comes from the
+    cross-engine md5 fingerprint, not an RNG.
+
+    ln(u)/w is the numerically safe monotone transform of the textbook
+    u^(1/w) (keys near 1 for heavy docs would collide at float
+    precision; log keys spread them), rounded to 9 dp on BOTH engines
+    with doc_id tie-break so the selection boundary is deterministic
+    cross-engine.
+
+    Scale shape: key assignment is pure per-row arithmetic fused into
+    the scan (zero exchanges); the draw is one TakeOrderedAndProject
+    top-k — per-partition heaps of k rows, merged on the driver, the
+    corpus is never globally sorted. Changing the weight column (model
+    quality score, domain weight, dedup-cluster size) changes nothing
+    structural. Heavier docs are measurably overrepresented
+    (property-tested: selected mean weight > corpus mean weight).
+    """
+    d = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.trim(F.col("text")) != "")
+        .select(
+            "doc_id",
+            F.octet_length("text").cast("long").alias("weight"),
+        )
+    )
+    u = F.greatest(
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15), 16, 10)
+        .cast("double") / F.lit(_AES_TWO_POW_60),
+        F.lit(1e-18),
+    )
+    return (
+        d.withColumn("sample_key", F.round(F.log(u) / F.col("weight"), 9))
+        .orderBy(F.col("sample_key").desc(), "doc_id")
+        .limit(100)
+    )

