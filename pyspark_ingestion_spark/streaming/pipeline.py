@@ -1120,7 +1120,29 @@ def read_token_cms(spark: SparkSession, cms_path: str) -> DataFrame:
     )
 
 
-def compact_admission_bands(spark: SparkSession, index_path: str) -> int:
+def _list_child_ids(spark: SparkSession, path: str, prefix: str) -> list[int]:
+    """Integer-suffixed child entries of a directory via a Hadoop FS
+    listing (any scheme) — O(children) METADATA calls, never a scan of
+    the data under them. ``prefix=''`` matches bare-integer names
+    (checkpoint ``commits/``); ``'__batch_id='`` matches partition dirs."""
+    from pyspark_ingestion_spark.ingestion.watermark import _hadoop_fs
+
+    _jvm, fs, jpath = _hadoop_fs(path, spark)
+    if not fs.exists(jpath):
+        return []
+    ids = []
+    for st in fs.listStatus(jpath):
+        name = st.getPath().getName()
+        if name.startswith(prefix):
+            suffix = name[len(prefix):]
+            if suffix.lstrip("-").isdigit():
+                ids.append(int(suffix))
+    return sorted(ids)
+
+
+def compact_admission_bands(
+    spark: SparkSession, index_path: str, checkpoint: str | None = None
+) -> int:
     """Operational maintenance for the admission index's ONE remaining
     corpus-sized shuffle: fold every versioned band partition into the
     base partition (``__batch_id=-1``) and drop the per-batch
@@ -1131,48 +1153,93 @@ def compact_admission_bands(spark: SparkSession, index_path: str) -> int:
     batch in flight), on whatever cadence the batch count warrants;
     returns the number of batch partitions removed.
 
-    Crash-safe by content-idempotence, in write order: (1) the merged
-    current rows are materialized eagerly BEFORE the base overwrite
-    (the merge reads partition −1, which the overwrite replaces);
-    (2) the base overwrite lands rows content-identical to what
-    latest-wins already resolves, so a crash before step (3) changes
-    nothing a reader sees (for every doc the surviving newer partition
-    still wins with the SAME rows); (3) each superseded partition dir
-    is dropped via Hadoop FS (any scheme). Re-running after any crash
-    completes the job. One ordering constraint: compact only when the
-    last increment's CHECKPOINT has committed — never between a crashed
-    sink write and its replay — because folding a batch's rows into the
-    base partition defeats the replay read's ``!= batch_id``
-    self-exclusion for that one uncommitted batch. Only the bands
-    table compacts: dfcnt/hot are
-    O(shingles)/O(hot) narrow tables whose union/sum needs no version
-    resolution, and postings partitions are the append-only corpus
-    ledger (batch ownership is their replay contract — merging them
-    would break `!= batch_id` exclusion on replay).
+    Durability is WRITE-AHEAD STAGING, because the base-partition
+    overwrite is not atomic (dynamic overwrite deletes the old dir
+    before committing new files) and docs banded only at bootstrap
+    exist nowhere else: (1) resolve latest across all versions and
+    write the merged rows to a staging dir, then its ``manifest.json``
+    (tmp→rename — the commit marker recording exactly which partition
+    ids are covered); (2) overwrite ``__batch_id=-1`` FROM the staging
+    parquet (a durable source, not executor memory); (3) delete
+    exactly the covered partitions, then staging. A crash anywhere
+    re-runs to completion: before the manifest, bands are untouched
+    and the run recomputes; after it, the run RESUMES from staging —
+    rewriting the base and finishing the deletes, all idempotent, and
+    never touching batches that landed after the crashed attempt
+    (the covered list pins the delete set). Partition ids come from an
+    FS dir listing, never a scan of the corpus-sized table.
+
+    ``checkpoint`` (recommended): the admission stream's checkpoint
+    location. When given, the call REFUSES to fold a band partition
+    with no commit marker in ``<checkpoint>/commits`` — enforcing the
+    constraint that compaction must never run between a crashed sink
+    write and its replay (folding an uncommitted batch's rows into the
+    base would defeat the replay read's ``!= batch_id``
+    self-exclusion). Without it the caller owns that guarantee.
+
+    Only the bands table compacts: dfcnt/hot are O(shingles)/O(hot)
+    narrow tables whose union/sum needs no version resolution, and
+    postings partitions are the append-only corpus ledger (batch
+    ownership is their replay contract — merging them would break
+    ``!= batch_id`` exclusion on replay).
     """
+    import json
+
+    from pyspark_ingestion_spark.ingestion.watermark import _hadoop_fs
     from pyspark_ingestion_spark.sources.writers import overwrite_partitions
 
     bands_path = f"{index_path}/{_IDX_BANDS}"
-    existing = sorted(
-        int(r["__batch_id"])
-        for r in spark.read.parquet(bands_path)
-        .select(F.col("__batch_id").cast("long").alias("__batch_id"))
-        .distinct()
-        .collect()
-    )
-    stale = [b for b in existing if b != -1]
-    if not stale:
-        return 0
-    # -2 is never a batch id: exclude nothing, resolve latest across all
-    merged = _read_latest_bands(spark, bands_path, exclude_batch_id=-2)
-    merged = merged.localCheckpoint(eager=True)  # materialize BEFORE overwrite
+    staging = f"{index_path}/{_IDX_BANDS}__compact_staging"
+
+    # underscore prefix: Spark's file index skips _-prefixed files, so
+    # the marker can live inside the staging dir without breaking the
+    # parquet read-back
+    jvm, fs, man_path = _hadoop_fs(f"{staging}/_manifest.json", spark)
+    if fs.exists(man_path):  # resume a crashed run: staging is the plan
+        stream = fs.open(man_path)
+        try:
+            raw = jvm.org.apache.commons.io.IOUtils.toString(stream, "UTF-8")
+        finally:
+            stream.close()
+        covered = json.loads(raw)["covered"]
+    else:
+        covered = [
+            b for b in _list_child_ids(spark, bands_path, "__batch_id=")
+            if b != -1
+        ]
+        if not covered:
+            return 0
+        if checkpoint is not None:
+            committed = set(_list_child_ids(spark, f"{checkpoint}/commits", ""))
+            uncommitted = [b for b in covered if b not in committed]
+            if uncommitted:
+                raise ValueError(
+                    f"band partitions {uncommitted} have no commit marker in "
+                    f"{checkpoint}/commits — compacting them would fold a "
+                    "possibly-replaying batch's rows into the base and defeat "
+                    "its replay self-exclusion. Let the stream commit (or "
+                    "replay) first."
+                )
+        # -2 is never a batch id: exclude nothing, resolve latest across all
+        _read_latest_bands(spark, bands_path, exclude_batch_id=-2).write.mode(
+            "overwrite"
+        ).parquet(staging)
+        jtmp = jvm.org.apache.hadoop.fs.Path(f"{staging}/_manifest.json.tmp")
+        out = fs.create(jtmp, True)
+        try:
+            out.write(bytearray(json.dumps({"covered": covered}).encode("utf-8")))
+        finally:
+            out.close()
+        if not fs.rename(jtmp, man_path):  # commit marker: staging is durable
+            raise IOError(f"rename {jtmp} -> {man_path} failed")
+
+    merged = spark.read.parquet(staging).drop("__batch_id")
     overwrite_partitions(
         merged.withColumn("__batch_id", F.lit(-1)), bands_path, ["__batch_id"]
     )
-    jvm = spark._jvm
-    conf = spark._jsc.hadoopConfiguration()
-    for b in stale:
-        jpath = jvm.org.apache.hadoop.fs.Path(f"{bands_path}/__batch_id={b}")
-        fs = jpath.getFileSystem(conf)
-        fs.delete(jpath, True)
-    return len(stale)
+    for b in covered:
+        _jvm2, pfs, ppath = _hadoop_fs(f"{bands_path}/__batch_id={b}", spark)
+        pfs.delete(ppath, True)
+    _jvm3, sfs, spath = _hadoop_fs(staging, spark)
+    sfs.delete(spath, True)
+    return len(covered)

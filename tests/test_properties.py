@@ -1868,5 +1868,33 @@ def test_weighted_priority_sampling_favors_heavy_docs(spark, sf_dir):
         .first()[0]
     )
     assert sel_mean > corpus, (sel_mean, corpus)
-    boundary = min(r["sample_key"] for r in rows)
-    assert all(r["sample_key"] >= boundary for r in rows)
+    # top-k validity against the FULL corpus: no excluded doc's key may
+    # exceed the selection boundary (comparing selected rows against
+    # their own min would be tautologically true)
+    # selection maximizes (key, -doc_id): key desc, doc_id asc tie-break
+    boundary = min((r["sample_key"], -r["doc_id"]) for r in rows)
+    selected_ids = {r["doc_id"] for r in rows}
+    all_keys = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.trim("text") != "")
+        .select(
+            "doc_id",
+            F.round(
+                F.log(
+                    F.greatest(
+                        F.conv(
+                            F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15),
+                            16, 10,
+                        ).cast("double") / F.lit(float(1 << 60)),
+                        F.lit(1e-18),
+                    )
+                )
+                / F.octet_length("text").cast("long"),
+                9,
+            ).alias("key"),
+        )
+        .collect()
+    )
+    excluded = [(r["key"], -r["doc_id"]) for r in all_keys
+                if r["doc_id"] not in selected_ids]
+    assert max(excluded) < boundary, (max(excluded), boundary)

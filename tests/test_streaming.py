@@ -797,3 +797,71 @@ def test_compact_admission_bands_preserves_admissions(spark, tmp_path):
     }
     assert admitted["plain"] == admitted["compacted"]
     assert 20 not in admitted["plain"] and 21 in admitted["plain"]
+
+
+def test_compact_admission_bands_staging_resume_and_commit_guard(spark, tmp_path):
+    """(1) WRITE-AHEAD durability: with the staging manifest present, a
+    re-run resumes from the staged rows even if the base partition was
+    destroyed mid-overwrite (the exact crash window dynamic overwrite
+    opens) — nothing banded only at bootstrap is lost. (2) The
+    checkpoint guard refuses to fold a band partition with no commit
+    marker, and accepts once the marker exists."""
+    import json
+    import os
+    import shutil
+
+    from pyspark_ingestion_spark.streaming.pipeline import (
+        _admit_dedup_batch_indexed,
+        _read_latest_bands,
+        compact_admission_bands,
+    )
+
+    base = spark.createDataFrame(
+        [(0, "one two three four five six seven"),
+         (1, "eight nine ten eleven twelve thirteen")],
+        "doc_id int, text string",
+    )
+    b0 = spark.createDataFrame(
+        [(10, "fourteen fifteen sixteen seventeen eighteen")],
+        "doc_id int, text string",
+    )
+    kwargs = dict(id_col="doc_id", text_col="text", n=3, num_hashes=8,
+                  band_size=2, threshold_num=1, threshold_den=2,
+                  max_doc_freq=2, max_bucket_size=None)
+
+    out, idx = str(tmp_path / "out"), str(tmp_path / "idx")
+    _admit_dedup_batch_indexed(b0, 0, base, out, idx, **kwargs)
+    want = {
+        tuple(r) for r in _read_latest_bands(
+            spark, f"{idx}/bands", exclude_batch_id=-2).collect()
+    }
+
+    # (1) simulate the crashed first attempt: staging written + manifest
+    # committed, base partition then DESTROYED by the interrupted
+    # overwrite, batch partitions already deleted
+    staging = f"{idx}/bands__compact_staging"
+    _read_latest_bands(spark, f"{idx}/bands", exclude_batch_id=-2).write.mode(
+        "overwrite"
+    ).parquet(staging)
+    with open(os.path.join(staging, "_manifest.json"), "w") as f:
+        json.dump({"covered": [0]}, f)
+    shutil.rmtree(f"{idx}/bands/__batch_id=-1")
+    shutil.rmtree(f"{idx}/bands/__batch_id=0")
+    assert compact_admission_bands(spark, idx) == 1  # resumes from staging
+    got = {
+        tuple(r) for r in _read_latest_bands(
+            spark, f"{idx}/bands", exclude_batch_id=-2).collect()
+    }
+    assert got == want
+    assert not os.path.exists(staging)
+
+    # (2) commit guard: a band partition without a commit marker refuses
+    out2, idx2 = str(tmp_path / "out2"), str(tmp_path / "idx2")
+    ckpt = str(tmp_path / "ckpt")
+    _admit_dedup_batch_indexed(b0, 0, base, out2, idx2, **kwargs)
+    os.makedirs(os.path.join(ckpt, "commits"), exist_ok=True)
+    with pytest.raises(ValueError, match="no commit marker"):
+        compact_admission_bands(spark, idx2, checkpoint=ckpt)
+    with open(os.path.join(ckpt, "commits", "0"), "w") as f:
+        f.write("v1")
+    assert compact_admission_bands(spark, idx2, checkpoint=ckpt) == 1
