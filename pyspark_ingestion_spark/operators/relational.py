@@ -328,3 +328,69 @@ def global_ntile(
         .withColumn(out_col, tile)
         .drop("__pid", "__rn", "__off", "__total", "__rank")
     )
+
+
+def snapshot_diff(
+    old: "DataFrame",
+    new: "DataFrame",
+    key_cols: list[str],
+    compare_cols: list[str],
+) -> "DataFrame":
+    """Row-level diff between two snapshots of the same table — the
+    DERIVATION side of CDC (``ingestion.cdc.cdc_upsert`` applies a
+    change feed; this produces one, for sources that only hand you full
+    snapshots). Output: the key columns plus ``change_type``
+    ('added' | 'removed' | 'changed') and ``changed_cols`` (the compared
+    columns whose values differ, null-safely; empty for added/removed).
+    Unchanged rows are dropped — the result is O(churn), not O(table).
+
+    One full-outer shuffle join on the key; all comparisons are
+    null-safe (``<=>``) single-row expressions fused into the join's
+    projection. At lake scale, restrict both sides to the partitions
+    the feed can touch before calling (the cdc_upsert pattern) so the
+    join shuffles the churn's partition footprint, not the table.
+    """
+    o = old.select(
+        *[F.col(k).alias(f"__ok_{k}") for k in key_cols],
+        *[F.col(c).alias(f"__o_{c}") for c in compare_cols],
+        F.lit(True).alias("__in_old"),
+    )
+    n = new.select(
+        *[F.col(k).alias(f"__nk_{k}") for k in key_cols],
+        *[F.col(c).alias(f"__n_{c}") for c in compare_cols],
+        F.lit(True).alias("__in_new"),
+    )
+    cond = None
+    for k in key_cols:
+        eq = F.col(f"__ok_{k}").eqNullSafe(F.col(f"__nk_{k}"))
+        cond = eq if cond is None else (cond & eq)
+    j = o.join(n, cond, "full_outer")
+    differs = [
+        ~F.col(f"__o_{c}").eqNullSafe(F.col(f"__n_{c}")) for c in compare_cols
+    ]
+    any_diff = None
+    for d in differs:
+        any_diff = d if any_diff is None else (any_diff | d)
+    change = (
+        F.when(F.col("__in_old").isNull(), F.lit("added"))
+        .when(F.col("__in_new").isNull(), F.lit("removed"))
+        .when(any_diff, F.lit("changed"))
+    )
+    changed_cols = F.when(
+        change == "changed",
+        F.array_compact(
+            F.array(*[F.when(d, F.lit(c)) for d, c in zip(differs, compare_cols)])
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return (
+        j.withColumn("change_type", change)
+        .filter(F.col("change_type").isNotNull())
+        .select(
+            *[
+                F.coalesce(F.col(f"__ok_{k}"), F.col(f"__nk_{k}")).alias(k)
+                for k in key_cols
+            ],
+            "change_type",
+            changed_cols.alias("changed_cols"),
+        )
+    )

@@ -3171,3 +3171,68 @@ def attribution_time_decay(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("n_credits") > 0)
     )
     return att.unionByName(direct)
+
+
+_SNAPDIFF_ORACLE = """
+    WITH old_s AS (SELECT o_orderkey, o_totalprice, o_orderstatus
+                   FROM orders WHERE o_orderkey % 97 <> 0),
+    new_s AS (SELECT o_orderkey,
+                     CASE WHEN o_orderkey % 11 = 0 THEN o_totalprice + 100
+                          ELSE o_totalprice END AS o_totalprice,
+                     CASE WHEN o_orderkey % 13 = 0 THEN 'X'
+                          ELSE o_orderstatus END AS o_orderstatus
+              FROM orders WHERE o_orderkey % 89 <> 0),
+    j AS (SELECT coalesce(o.o_orderkey, n.o_orderkey) AS o_orderkey,
+                 CASE WHEN o.o_orderkey IS NULL THEN 'added'
+                      WHEN n.o_orderkey IS NULL THEN 'removed'
+                      WHEN o.o_totalprice IS DISTINCT FROM n.o_totalprice
+                        OR o.o_orderstatus IS DISTINCT FROM n.o_orderstatus
+                        THEN 'changed' END AS change_type,
+                 CASE WHEN o.o_orderkey IS NOT NULL AND n.o_orderkey IS NOT NULL
+                      THEN list_filter(
+                        [CASE WHEN o.o_totalprice IS DISTINCT FROM n.o_totalprice
+                              THEN 'o_totalprice' END,
+                         CASE WHEN o.o_orderstatus IS DISTINCT FROM n.o_orderstatus
+                              THEN 'o_orderstatus' END],
+                        x -> x IS NOT NULL)
+                      ELSE [] END AS changed_cols
+          FROM old_s o FULL OUTER JOIN new_s n ON o.o_orderkey = n.o_orderkey)
+    SELECT o_orderkey, change_type, changed_cols
+    FROM j WHERE change_type IS NOT NULL
+    """
+
+
+@query("snapshot_table_diff", oracle=_SNAPDIFF_ORACLE)
+def snapshot_table_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-level diff between two snapshots of a table — the DERIVATION
+    side of CDC (`ingestion.cdc.cdc_upsert` applies a change feed; this
+    produces one, for upstreams that only hand over full snapshots —
+    the standard lakehouse "compare yesterday's export to today's"
+    problem). The two snapshots are deterministic derivations of
+    `orders` (drops on different key moduli + value edits on others) so
+    added/removed/changed rows and per-row changed-column lists are all
+    value-checked; operator: :func:`operators.relational.snapshot_diff`.
+
+    Scale shape: ONE full-outer shuffle join on the key with all
+    comparisons (null-safe `<=>`) fused into the projection — no second
+    pass, no window, output O(churn) not O(table). At lake scale the
+    caller restricts both sides to the feed's partition footprint first
+    (the cdc_upsert pattern), making the shuffle proportional to churn.
+    """
+    from pyspark_ingestion_spark.operators.relational import snapshot_diff
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice", "o_orderstatus"
+    )
+    old = o.filter(F.col("o_orderkey") % 97 != 0)
+    new = o.filter(F.col("o_orderkey") % 89 != 0).select(
+        "o_orderkey",
+        F.when(
+            F.col("o_orderkey") % 11 == 0, F.col("o_totalprice") + 100
+        ).otherwise(F.col("o_totalprice")).alias("o_totalprice"),
+        F.when(F.col("o_orderkey") % 13 == 0, F.lit("X"))
+        .otherwise(F.col("o_orderstatus")).alias("o_orderstatus"),
+    )
+    return snapshot_diff(
+        old, new, ["o_orderkey"], ["o_totalprice", "o_orderstatus"]
+    )

@@ -313,6 +313,8 @@ def test_headline_shuffle_budgets(spark, sf_dir):
         "zorder_layout_pruning": 8,       # 2 layouts × (ntile shard + file stats + rollup)
         "approx_topk_heavy_hitters": 4,   # cms cells + distinct coords + exact agg + topk
         "bigram_logprob_quality": 3,      # bigram agg + left agg + per-doc agg
+        "snapshot_table_diff": 2,         # one full-outer key join (2 sides)
+        "sample_weighted_priority": 0,    # scan-side keys + TakeOrdered top-k
     }
     qs = all_queries()
     over = {

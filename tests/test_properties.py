@@ -1898,3 +1898,44 @@ def test_weighted_priority_sampling_favors_heavy_docs(spark, sf_dir):
     excluded = [(r["key"], -r["doc_id"]) for r in all_keys
                 if r["doc_id"] not in selected_ids]
     assert max(excluded) < boundary, (max(excluded), boundary)
+
+
+def test_snapshot_diff_roundtrip_reconstructs_new(spark, sf_dir):
+    """The diff is a complete, minimal change feed: (old − removed −
+    changed keys) ∪ (new rows for added/changed keys) reconstructs the
+    new snapshot exactly, and every emitted changed_cols list is
+    non-empty exactly for 'changed' rows."""
+    from pyspark.sql import functions as F
+
+    from pyspark_ingestion_spark.queries import all_queries
+    from pyspark_ingestion_spark.sources.readers import load_table
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice", "o_orderstatus"
+    )
+    old = o.filter(F.col("o_orderkey") % 97 != 0)
+    new = o.filter(F.col("o_orderkey") % 89 != 0).select(
+        "o_orderkey",
+        F.when(F.col("o_orderkey") % 11 == 0, F.col("o_totalprice") + 100)
+        .otherwise(F.col("o_totalprice")).alias("o_totalprice"),
+        F.when(F.col("o_orderkey") % 13 == 0, F.lit("X"))
+        .otherwise(F.col("o_orderstatus")).alias("o_orderstatus"),
+    )
+    diff = all_queries()["snapshot_table_diff"].fn(spark, sf_dir)
+    rows = diff.collect()
+    assert rows
+    types = {r["change_type"] for r in rows}
+    assert types == {"added", "removed", "changed"}
+    for r in rows:
+        assert (len(r["changed_cols"]) > 0) == (r["change_type"] == "changed"), r
+
+    drop_keys = diff.filter(F.col("change_type").isin("removed", "changed")).select(
+        "o_orderkey"
+    )
+    take_keys = diff.filter(F.col("change_type").isin("added", "changed")).select(
+        "o_orderkey"
+    )
+    rebuilt = old.join(drop_keys, "o_orderkey", "left_anti").unionByName(
+        new.join(take_keys, "o_orderkey", "left_semi")
+    )
+    assert rebuilt.exceptAll(new).isEmpty() and new.exceptAll(rebuilt).isEmpty()
