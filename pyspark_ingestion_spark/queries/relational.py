@@ -3189,13 +3189,13 @@ _SNAPDIFF_ORACLE = """
                         OR o.o_orderstatus IS DISTINCT FROM n.o_orderstatus
                         THEN 'changed' END AS change_type,
                  CASE WHEN o.o_orderkey IS NOT NULL AND n.o_orderkey IS NOT NULL
-                      THEN list_filter(
+                      THEN array_to_string(list_filter(
                         [CASE WHEN o.o_totalprice IS DISTINCT FROM n.o_totalprice
                               THEN 'o_totalprice' END,
                          CASE WHEN o.o_orderstatus IS DISTINCT FROM n.o_orderstatus
                               THEN 'o_orderstatus' END],
-                        x -> x IS NOT NULL)
-                      ELSE [] END AS changed_cols
+                        x -> x IS NOT NULL), ',')
+                      ELSE '' END AS changed_cols
           FROM old_s o FULL OUTER JOIN new_s n ON o.o_orderkey = n.o_orderkey)
     SELECT o_orderkey, change_type, changed_cols
     FROM j WHERE change_type IS NOT NULL
@@ -3211,7 +3211,9 @@ def snapshot_table_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     problem). The two snapshots are deterministic derivations of
     `orders` (drops on different key moduli + value edits on others) so
     added/removed/changed rows and per-row changed-column lists are all
-    value-checked; operator: :func:`operators.relational.snapshot_diff`.
+    value-checked; operator: :func:`operators.relational.snapshot_diff`
+    (the registry wrapper joins the list to a comma string — the
+    driver's pandas row-sort cannot order array cells).
 
     Scale shape: ONE full-outer shuffle join on the key with all
     comparisons (null-safe `<=>`) fused into the projection — no second
@@ -3233,6 +3235,9 @@ def snapshot_table_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(F.col("o_orderkey") % 13 == 0, F.lit("X"))
         .otherwise(F.col("o_orderstatus")).alias("o_orderstatus"),
     )
-    return snapshot_diff(
+    diff = snapshot_diff(
         old, new, ["o_orderkey"], ["o_totalprice", "o_orderstatus"]
+    )
+    return diff.withColumn(
+        "changed_cols", F.array_join("changed_cols", ",")
     )
