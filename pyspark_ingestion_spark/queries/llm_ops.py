@@ -4070,3 +4070,98 @@ def sample_weighted_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("sample_key").desc(), "doc_id")
         .limit(100)
     )
+
+
+_CALIB_ORACLE = """
+    WITH w AS (SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\\s+')) AS tok
+               FROM documents WHERE trim(text) <> ''),
+    idx AS (SELECT doc_id,
+                   CAST(('0x' || substr(md5(tok), 1, 15))::UBIGINT % 64 AS INT) AS i
+            FROM w),
+    z AS (SELECT doc_id, 0.25 + sum(((i * 13) % 21 - 10) / 16.0) AS z
+          FROM idx GROUP BY doc_id),
+    sc AS (SELECT d.doc_id,
+                  ROUND(1.0 / (1.0 + exp(-coalesce(z.z, 0.25))), 4) AS model_score
+           FROM documents d LEFT JOIN z USING (doc_id)),
+    q AS (SELECT doc_id,
+                 CASE WHEN length(text) = 0 THEN 0.0
+                      ELSE ROUND((len(regexp_extract_all(text, '[A-Za-z]'))
+                                  / length(text))
+                           * least(1.0,
+                                   len(string_split_regex(trim(text), '\\s+'))
+                                   / 20.0), 6)
+                 END AS q
+          FROM documents),
+    lab AS (SELECT doc_id,
+                   CASE WHEN q > (SELECT median(q) FROM q) THEN 1 ELSE 0 END
+                       AS hi_q
+            FROM q),
+    dec AS (SELECT s.model_score, l.hi_q,
+                   CAST(ntile(10) OVER (ORDER BY s.model_score, s.doc_id)
+                        AS INT) AS decile
+            FROM sc s JOIN lab l USING (doc_id))
+    SELECT decile, CAST(count(*) AS BIGINT) AS n,
+           ROUND(avg(model_score), 4) AS mean_score,
+           ROUND(CAST(avg(hi_q) AS DOUBLE), 4) AS pos_rate,
+           ROUND(ROUND(avg(model_score), 4)
+                 - ROUND(CAST(avg(hi_q) AS DOUBLE), 4), 4) AS calibration_gap
+    FROM dec GROUP BY decile
+    """
+
+
+@query("quality_model_calibration", oracle=_CALIB_ORACLE)
+def quality_model_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reliability diagram for the model-based curation tier: bucket the
+    corpus into score deciles of the fixture classifier and compare each
+    decile's mean predicted score against the empirical rate of the
+    label it distills (heuristic quality above the corpus median) — the
+    calibration check a real pipeline runs BEFORE picking a filter
+    threshold, because a mis-calibrated filter silently shifts the kept
+    corpus's quality mix. Deciles use the exact sharded
+    :func:`global_ntile` (≡ windowed ``ntile``, property-tested), so
+    the whole report — cuts, means, rates, gaps — is hash-checked
+    against DuckDB; the fitted model (`quality_model_distill`) would
+    use the same report with its trained weights.
+
+    Scale shape: scoring is the zero-exchange broadcast-weights scan;
+    the label needs one median (a single scalar broadcast back); the
+    decile split is the range-sharded ntile (no single-partition
+    window); the report is a 10-key map-side-combined aggregate.
+    """
+    from pyspark_ingestion_spark.functions.text import quality_score
+    from pyspark_ingestion_spark.operators.quality_model import (
+        TextClassifier,
+        md5_token_indices,
+        score_corpus,
+    )
+    from pyspark_ingestion_spark.operators.relational import global_ntile
+
+    d = load_table(spark, sf_dir, "documents")
+    model = TextClassifier(
+        weights=[((i * 13) % 21 - 10) / 16.0 for i in range(64)],
+        intercept=0.25,
+        n_features=64,
+    )
+    scored = score_corpus(model, d, token_indices=md5_token_indices)
+    med = d.agg(F.median(quality_score("text")).alias("m"))
+    lab = (
+        d.select("doc_id", quality_score("text").alias("q"))
+        .crossJoin(F.broadcast(med))
+        .select(
+            "doc_id", (F.col("q") > F.col("m")).cast("int").alias("hi_q")
+        )
+    )
+    j = scored.join(lab, "doc_id")
+    dec = global_ntile(j, ["model_score", "doc_id"], 10, out_col="decile")
+    return (
+        dec.groupBy(F.col("decile").cast("int").alias("decile"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.avg("model_score"), 4).alias("mean_score"),
+            F.round(F.avg("hi_q"), 4).alias("pos_rate"),
+        )
+        .withColumn(
+            "calibration_gap",
+            F.round(F.col("mean_score") - F.col("pos_rate"), 4),
+        )
+    )

@@ -315,6 +315,7 @@ def test_headline_shuffle_budgets(spark, sf_dir):
         "bigram_logprob_quality": 3,      # bigram agg + left agg + per-doc agg
         "snapshot_table_diff": 2,         # one full-outer key join (2 sides)
         "sample_weighted_priority": 0,    # scan-side keys + TakeOrdered top-k
+        "quality_model_calibration": 3,   # label join + ntile shard + 10-key rollup
     }
     qs = all_queries()
     over = {

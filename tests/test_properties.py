@@ -1939,3 +1939,27 @@ def test_snapshot_diff_roundtrip_reconstructs_new(spark, sf_dir):
         new.join(take_keys, "o_orderkey", "left_semi")
     )
     assert rebuilt.exceptAll(new).isEmpty() and new.exceptAll(rebuilt).isEmpty()
+
+
+def test_calibration_report_invariants(spark, sf_dir):
+    """Deciles partition the corpus exactly (Σn = docs), mean predicted
+    score is non-decreasing across deciles by construction (they are
+    cut on the score), rates stay in [0,1], and the n-weighted positive
+    rate equals the corpus base rate (no doc lost or double-counted by
+    the sharded ntile)."""
+    from pyspark_ingestion_spark.queries import all_queries
+    from pyspark_ingestion_spark.sources.readers import load_table
+
+    rows = sorted(
+        all_queries()["quality_model_calibration"].fn(spark, sf_dir).collect(),
+        key=lambda r: r["decile"],
+    )
+    assert [r["decile"] for r in rows] == list(range(1, 11))
+    total = load_table(spark, sf_dir, "documents").count()
+    assert sum(r["n"] for r in rows) == total
+    scores = [r["mean_score"] for r in rows]
+    assert scores == sorted(scores)
+    assert all(0.0 <= r["pos_rate"] <= 1.0 for r in rows)
+    weighted = sum(r["pos_rate"] * r["n"] for r in rows) / total
+    # hi_q is 'strictly above the median' -> base rate just under 0.5
+    assert 0.3 <= weighted <= 0.5, weighted
