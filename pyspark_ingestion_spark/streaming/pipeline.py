@@ -1177,19 +1177,78 @@ def compact_admission_bands(
     base would defeat the replay read's ``!= batch_id``
     self-exclusion). Without it the caller owns that guarantee.
 
-    Only the bands table compacts: dfcnt/hot are O(shingles)/O(hot)
-    narrow tables whose union/sum needs no version resolution, and
-    postings partitions are the append-only corpus ledger (batch
-    ownership is their replay contract — merging them would break
-    ``!= batch_id`` exclusion on replay).
+    Postings never compact: their partitions are the append-only corpus
+    ledger (batch ownership is their replay contract — merging them
+    would break ``!= batch_id`` exclusion on replay). For the hotlog
+    mode's dfcnt/hot tables use :func:`compact_admission_index`.
     """
+    return _compact_versioned_table(
+        spark,
+        f"{index_path}/{_IDX_BANDS}",
+        # -2 is never a batch id: exclude nothing, resolve latest across all
+        lambda path: _read_latest_bands(spark, path, exclude_batch_id=-2),
+        checkpoint,
+    )
+
+
+def compact_admission_index(
+    spark: SparkSession, index_path: str, checkpoint: str | None = None
+) -> dict[str, int]:
+    """Compact every versioned table of the admission index that grows a
+    partition per batch: ``bands`` (latest-wins merge), and — when the
+    hotlog mode's tables exist — ``dfcnt`` (per-shingle SUM merge: each
+    partition holds a df-count delta, so the fold is exact counter
+    addition, and without it every batch's
+    :func:`_apply_hot_transitions` scans O(shingles × batches) delta
+    rows — a per-batch cost growing with stream LENGTH) and ``hot``
+    (distinct-union merge). Same write-ahead staging protocol, same
+    ``checkpoint`` commit guard, same offline precondition as
+    :func:`compact_admission_bands` for each table; postings stay
+    append-only by contract. Returns table → partitions removed.
+    """
+    removed = {
+        "bands": compact_admission_bands(spark, index_path, checkpoint)
+    }
+    dfcnt_path = f"{index_path}/{_IDX_DFCNT}"
+    if _list_child_ids(spark, dfcnt_path, "__batch_id="):
+        removed["dfcnt"] = _compact_versioned_table(
+            spark,
+            dfcnt_path,
+            lambda path: spark.read.parquet(path)
+            .groupBy("shingle")
+            .agg(F.sum("cnt").alias("cnt")),
+            checkpoint,
+        )
+        removed["hot"] = _compact_versioned_table(
+            spark,
+            f"{index_path}/{_IDX_HOT}",
+            lambda path: spark.read.parquet(path).select("shingle").distinct(),
+            checkpoint,
+        )
+    return removed
+
+
+def _compact_versioned_table(
+    spark: SparkSession,
+    table_path: str,
+    merge_fn,
+    checkpoint: str | None,
+) -> int:
+    """Write-ahead-staged fold of a ``__batch_id``-partitioned table into
+    its base partition (−1). ``merge_fn(table_path)`` produces the
+    merged current rows (WITHOUT ``__batch_id``) from all partitions.
+    Protocol and crash analysis per :func:`compact_admission_bands`'s
+    docstring: staging parquet → ``_manifest.json`` commit marker
+    (covered partition ids) → base overwrite FROM staging → covered
+    deletes → staging delete; a re-run before the manifest recomputes,
+    after it resumes, and never touches partitions that landed after a
+    crashed attempt."""
     import json
 
     from pyspark_ingestion_spark.ingestion.watermark import _hadoop_fs
     from pyspark_ingestion_spark.sources.writers import overwrite_partitions
 
-    bands_path = f"{index_path}/{_IDX_BANDS}"
-    staging = f"{index_path}/{_IDX_BANDS}__compact_staging"
+    staging = f"{table_path}__compact_staging"
 
     # underscore prefix: Spark's file index skips _-prefixed files, so
     # the marker can live inside the staging dir without breaking the
@@ -1204,7 +1263,7 @@ def compact_admission_bands(
         covered = json.loads(raw)["covered"]
     else:
         covered = [
-            b for b in _list_child_ids(spark, bands_path, "__batch_id=")
+            b for b in _list_child_ids(spark, table_path, "__batch_id=")
             if b != -1
         ]
         if not covered:
@@ -1214,16 +1273,13 @@ def compact_admission_bands(
             uncommitted = [b for b in covered if b not in committed]
             if uncommitted:
                 raise ValueError(
-                    f"band partitions {uncommitted} have no commit marker in "
-                    f"{checkpoint}/commits — compacting them would fold a "
-                    "possibly-replaying batch's rows into the base and defeat "
-                    "its replay self-exclusion. Let the stream commit (or "
-                    "replay) first."
+                    f"partitions {uncommitted} of {table_path} have no commit "
+                    f"marker in {checkpoint}/commits — compacting them would "
+                    "fold a possibly-replaying batch's rows into the base and "
+                    "defeat its replay self-exclusion. Let the stream commit "
+                    "(or replay) first."
                 )
-        # -2 is never a batch id: exclude nothing, resolve latest across all
-        _read_latest_bands(spark, bands_path, exclude_batch_id=-2).write.mode(
-            "overwrite"
-        ).parquet(staging)
+        merge_fn(table_path).write.mode("overwrite").parquet(staging)
         jtmp = jvm.org.apache.hadoop.fs.Path(f"{staging}/_manifest.json.tmp")
         out = fs.create(jtmp, True)
         try:
@@ -1235,10 +1291,10 @@ def compact_admission_bands(
 
     merged = spark.read.parquet(staging).drop("__batch_id")
     overwrite_partitions(
-        merged.withColumn("__batch_id", F.lit(-1)), bands_path, ["__batch_id"]
+        merged.withColumn("__batch_id", F.lit(-1)), table_path, ["__batch_id"]
     )
     for b in covered:
-        _jvm2, pfs, ppath = _hadoop_fs(f"{bands_path}/__batch_id={b}", spark)
+        _jvm2, pfs, ppath = _hadoop_fs(f"{table_path}/__batch_id={b}", spark)
         pfs.delete(ppath, True)
     _jvm3, sfs, spath = _hadoop_fs(staging, spark)
     sfs.delete(spath, True)

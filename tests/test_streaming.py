@@ -865,3 +865,83 @@ def test_compact_admission_bands_staging_resume_and_commit_guard(spark, tmp_path
     with open(os.path.join(ckpt, "commits", "0"), "w") as f:
         f.write("v1")
     assert compact_admission_bands(spark, idx2, checkpoint=ckpt) == 1
+
+
+def test_compact_admission_index_hotlog_tables(spark, tmp_path):
+    """Full-index compaction on a hotlog index: dfcnt folds by exact
+    per-shingle SUM (delta partitions are counters), hot by distinct
+    union, bands by latest-wins — cumulative df counts, the hot set,
+    and subsequent admissions are all invariant, and each table ends
+    single-partitioned. The uncompacted twin admits identically."""
+    from pyspark_ingestion_spark.streaming.pipeline import (
+        _admit_dedup_batch_indexed,
+        compact_admission_index,
+    )
+
+    base = spark.createDataFrame(
+        [(0, "one two three four boiler plate text"),
+         (1, "five six seven eight nine ten eleven")],
+        "doc_id int, text string",
+    )
+    b0 = spark.createDataFrame(
+        [(10, "twelve thirteen fourteen boiler plate text")],
+        "doc_id int, text string",
+    )
+    b1 = spark.createDataFrame(
+        [(20, "fifteen sixteen seventeen boiler plate text"),  # crosses cap
+         (21, "eighteen nineteen twenty twentyone twentytwo")],
+        "doc_id int, text string",
+    )
+    b2 = spark.createDataFrame(
+        [(30, "one two three four boiler plate text"),   # dup of 0
+         (31, "alpha beta gamma delta epsilon zeta")],
+        "doc_id int, text string",
+    )
+    kwargs = dict(id_col="doc_id", text_col="text", n=3, num_hashes=8,
+                  band_size=2, threshold_num=1, threshold_den=2,
+                  max_doc_freq=2, max_bucket_size=None, index_mode="hotlog")
+
+    paths = {}
+    for arm in ("plain", "compacted"):
+        out, idx = str(tmp_path / f"out_{arm}"), str(tmp_path / f"idx_{arm}")
+        paths[arm] = (out, idx)
+        _admit_dedup_batch_indexed(b0, 0, base, out, idx, **kwargs)
+        _admit_dedup_batch_indexed(b1, 1, base, out, idx, **kwargs)
+
+    out_c, idx_c = paths["compacted"]
+
+    def dfcnt_totals(idx):
+        return {
+            r["shingle"]: r["total"]
+            for r in spark.read.parquet(f"{idx}/dfcnt")
+            .groupBy("shingle").agg(F.sum("cnt").alias("total")).collect()
+        }
+
+    def hot_set(idx):
+        return {r["shingle"]
+                for r in spark.read.parquet(f"{idx}/hot").collect()}
+
+    cnt_before, hot_before = dfcnt_totals(idx_c), hot_set(idx_c)
+    removed = compact_admission_index(spark, idx_c)
+    assert removed["bands"] >= 1 and removed["dfcnt"] >= 1
+    assert dfcnt_totals(idx_c) == cnt_before
+    assert hot_set(idx_c) == hot_before
+    for t in ("bands", "dfcnt", "hot"):
+        parts = {
+            r["__batch_id"]
+            for r in spark.read.parquet(f"{idx_c}/{t}")
+            .select(F.col("__batch_id").cast("long").alias("__batch_id"))
+            .distinct().collect()
+        }
+        assert parts == {-1}, (t, parts)
+
+    for arm in ("plain", "compacted"):
+        out, idx = paths[arm]
+        _admit_dedup_batch_indexed(b2, 2, base, out, idx, **kwargs)
+    admitted = {
+        arm: {(r["__batch_id"], r["doc_id"])
+              for r in spark.read.parquet(paths[arm][0])
+              .select("__batch_id", "doc_id").collect()}
+        for arm in paths
+    }
+    assert admitted["plain"] == admitted["compacted"]
