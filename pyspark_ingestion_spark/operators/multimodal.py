@@ -404,6 +404,14 @@ def _gif_lzw_encode(pixels: bytes, min_code_size: int) -> bytes:
     return bytes(out)
 
 
+def _need(payload: bytes, pos: int, n: int, what: str) -> None:
+    """Bounds guard for the byte-walking decoders: raise the decoders'
+    ValueError contract (not IndexError/struct.error) when a truncated
+    or corrupt container would read past the payload (ADVICE r6)."""
+    if pos + n > len(payload):
+        raise ValueError(f"{what}: truncated payload")
+
+
 def _gif_luma_millis(payload: bytes) -> list[int]:
     """REAL pixel decode for GIF using the pure-Python LZW decoder:
     walk the container (logical screen descriptor, color tables,
@@ -417,11 +425,13 @@ def _gif_luma_millis(payload: bytes) -> list[int]:
 
     if payload[:4] != b"GIF8":
         raise ValueError("not a GIF payload")
+    _need(payload, 6, 7, "gif")
     w, h, packed, _bg, _aspect = struct.unpack_from("<HHBBB", payload, 6)
     pos = 13
     gct = None
     if packed & 0x80:
         n = 2 << (packed & 0x07)
+        _need(payload, pos, 3 * n, "gif")
         gct = payload[pos : pos + 3 * n]
         pos += 3 * n
     lumas: list[int] = []
@@ -431,28 +441,36 @@ def _gif_luma_millis(payload: bytes) -> list[int]:
             break
         if b0 == 0x21:  # extension: label + sub-blocks
             pos += 2
+            _need(payload, pos, 1, "gif")
             while payload[pos]:
                 pos += 1 + payload[pos]
+                _need(payload, pos, 1, "gif")
             pos += 1
             continue
         if b0 != 0x2C:
             raise ValueError(f"gif: unexpected block 0x{b0:02x}")
+        _need(payload, pos + 1, 9, "gif")
         _l, _t, iw, ih, ipacked = struct.unpack_from("<HHHHB", payload, pos + 1)
         pos += 10
         pal = gct
         if ipacked & 0x80:
             n = 2 << (ipacked & 0x07)
+            _need(payload, pos, 3 * n, "gif")
             pal = payload[pos : pos + 3 * n]
             pos += 3 * n
         if pal is None:
             raise ValueError("gif: no color table for image")
+        _need(payload, pos, 1, "gif")
         min_code = payload[pos]
         pos += 1
         data = bytearray()
+        _need(payload, pos, 1, "gif")
         while payload[pos]:
             ln = payload[pos]
+            _need(payload, pos + 1, ln, "gif")
             data += payload[pos + 1 : pos + 1 + ln]
             pos += 1 + ln
+            _need(payload, pos, 1, "gif")
         pos += 1
         idxs = _gif_lzw_decode(bytes(data), min_code)
         if len(idxs) < iw * ih:
@@ -495,10 +513,13 @@ def _png_luma_millis(payload: bytes) -> list[int]:
     while pos + 8 <= len(payload):
         (clen,) = struct.unpack_from(">I", payload, pos)
         ctype = payload[pos + 4 : pos + 8]
+        _need(payload, pos + 8, clen, "png")
         data = payload[pos + 8 : pos + 8 + clen]
         if ctype == b"IHDR":
+            if clen < 13:
+                raise ValueError("png: truncated payload")
             w, h, bitdepth, colortype, _comp, _filt, interlace = struct.unpack(
-                ">IIBBBBB", data
+                ">IIBBBBB", data[:13]
             )
         elif ctype == b"IDAT":
             idat += data

@@ -197,24 +197,30 @@ def auc_of_scores(
     # NULL scores would sort FIRST in the rank window (not drop out),
     # silently shifting every rank; NULL labels would vanish from
     # rpos/npos while still counting in n. Fail loudly on either
-    # (ADVICE r5) — score_corpus itself never emits NULL scores now.
-    n_null = j.filter(
-        F.col(score_col).isNull() | F.col(label_col).isNull()
-    ).count()
-    if n_null:
-        raise ValueError(f"AUC undefined: {n_null} rows with NULL score/label")
+    # (ADVICE r5). The NULL counter rides in the SAME aggregation pass
+    # as rpos/npos/n (ADVICE r6: a separate count() doubled the join
+    # cost of every eval) — NULL scores rank first, but since we abort
+    # before using rpos when n_null > 0, the shifted ranks never leak.
     # average rank over score ties: rank() + (count-1)/2 within the tie
     w = Window.orderBy(score_col)
     wt = Window.partitionBy(score_col)
     ranked = j.select(
         F.col(label_col).cast("double").alias("__y"),
         (F.rank().over(w) + (F.count(F.lit(1)).over(wt) - 1) / 2.0).alias("__r"),
+        (F.col(score_col).isNull() | F.col(label_col).isNull())
+        .cast("long")
+        .alias("__isnull"),
     )
     agg = ranked.agg(
         F.sum(F.when(F.col("__y") == 1.0, F.col("__r"))).alias("rpos"),
         F.sum(F.col("__y")).alias("npos"),
         F.count(F.lit(1)).alias("n"),
+        F.sum("__isnull").alias("n_null"),
     ).first()
+    if agg["n_null"]:
+        raise ValueError(
+            f"AUC undefined: {agg['n_null']} rows with NULL score/label"
+        )
     npos, n = agg["npos"], agg["n"]
     nneg = n - npos
     if not npos or not nneg:

@@ -374,8 +374,13 @@ def snapshot_diff(
     change = (
         F.when(F.col("__in_old").isNull(), F.lit("added"))
         .when(F.col("__in_new").isNull(), F.lit("removed"))
-        .when(any_diff, F.lit("changed"))
     )
+    # keys-only diff (compare_cols=[]): there is no 'changed' state —
+    # a key present on both sides is by definition unchanged, so only
+    # the added/removed branches apply (ADVICE r6: F.when(None, ...)
+    # raised TypeError at plan-build time here)
+    if any_diff is not None:
+        change = change.when(any_diff, F.lit("changed"))
     changed_cols = F.when(
         change == "changed",
         F.array_compact(

@@ -424,10 +424,27 @@ def write_avro(
             shutil.rmtree(path)
     os.makedirs(path, exist_ok=True)
 
+    if mode == "overwrite_partitions":
+        # a crashed previous run may have left a committed-but-unfinished
+        # overwrite (manifest present) or uncommitted staged files (no
+        # manifest): roll the former FORWARD, sweep the latter, so this
+        # run starts from a clean committed state (ADVICE r6)
+        if os.path.exists(os.path.join(path, _OVERWRITE_MANIFEST)):
+            _finish_partition_overwrite(path)
+        else:
+            for dirpath, _d, filenames in os.walk(path):
+                for f in filenames:
+                    if f.endswith(".avro.staged"):
+                        os.remove(os.path.join(dirpath, f))
+
     schema = df.schema
     avro_schema = spark_schema_to_avro(schema)
     pcols = list(partition_columns or [])
     data_fields = [f for f in schema.fields]  # partition cols stay in-file (see module doc)
+    # dynamic overwrite stages under a suffix readers never match
+    # (read_avro filters *.avro) so a crash mid-write leaves old data
+    # fully intact and the staged files invisible
+    file_suffix = ".avro.staged" if mode == "overwrite_partitions" else ".avro"
 
     def _write_batches(batches):
         import pandas as pd
@@ -461,7 +478,7 @@ def write_avro(
                     rel = ""
                 sub = os.path.join(path, rel) if rel else path
                 os.makedirs(sub, exist_ok=True)
-                fname = f"part-{tid:05d}-{uuid.uuid4().hex}.avro"
+                fname = f"part-{tid:05d}-{uuid.uuid4().hex}{file_suffix}"
                 encoded = _encode_pandas_rows(g.reset_index(drop=True), schema, avro_schema)
                 with open(os.path.join(sub, fname), "wb") as fh:
                     write_container(fh, avro_schema, encoded, codec=codec)
@@ -488,13 +505,49 @@ def write_avro(
         # rmtree would destroy untouched partitions. New files carry
         # uuid names so stale files are exactly the pre-existing ones
         # in the touched directories.
-        new_names = {os.path.basename(p) for p in written}
-        touched_dirs = {os.path.dirname(p) for p in written}
-        for rel in touched_dirs:
-            sub = os.path.join(path, rel) if rel else path
-            for f in os.listdir(sub):
-                if f.endswith(".avro") and f not in new_names:
-                    os.remove(os.path.join(sub, f))
+        #
+        # Durability is the compaction protocol's (ADVICE r6): the
+        # distributed write landed STAGED (.avro.staged, invisible to
+        # readers), so the commit point is the manifest's tmp→rename
+        # below. Crash before it: old data intact, staged files swept
+        # by the next run. Crash after it: the next run (or a direct
+        # _finish_partition_overwrite) rolls FORWARD — renames staged
+        # to live, deletes exactly the stale files in the touched dirs.
+        man = os.path.join(path, _OVERWRITE_MANIFEST)
+        tmp = man + ".tmp"
+        with open(tmp, "w") as fh:
+            json.dump({"staged": sorted(written)}, fh)
+        os.replace(tmp, man)  # commit marker
+        _finish_partition_overwrite(path)
+
+
+#: commit marker of an in-flight overwrite_partitions write — underscore
+#: prefix so Spark file indexes skip it; no .avro suffix so read_avro does
+_OVERWRITE_MANIFEST = "_overwrite_manifest.json"
+
+
+def _finish_partition_overwrite(path: str) -> None:
+    """Roll a committed dynamic-overwrite forward to completion: rename
+    every staged file to its live ``.avro`` name, then delete the stale
+    pre-existing ``.avro`` files in the touched directories, then drop
+    the manifest. Every step is idempotent (rename skipped when already
+    done, deletes keyed off the manifest's name set), so a crash at any
+    point is finished by re-running."""
+    man = os.path.join(path, _OVERWRITE_MANIFEST)
+    with open(man) as fh:
+        staged = json.load(fh)["staged"]
+    final_names = {os.path.basename(p).removesuffix(".staged") for p in staged}
+    touched_dirs = {os.path.dirname(p) for p in staged}
+    for rel in staged:
+        src = os.path.join(path, rel)
+        if os.path.exists(src):
+            os.replace(src, os.path.join(path, rel.removesuffix(".staged")))
+    for rel in touched_dirs:
+        sub = os.path.join(path, rel) if rel else path
+        for f in os.listdir(sub):
+            if f.endswith(".avro") and f not in final_names:
+                os.remove(os.path.join(sub, f))
+    os.remove(man)
 
 
 def read_avro(spark: SparkSession, path: str) -> DataFrame:

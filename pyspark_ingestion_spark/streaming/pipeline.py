@@ -265,6 +265,7 @@ def stream_dedup_admission(
     max_bucket_size: int | None = None,
     index_path: str | None = None,
     index_mode: str = "fingerprint",
+    compact_every: int | None = None,
 ) -> None:
     """Continuous dedup admission: each micro-batch is LSH-checked
     against a GROWING corpus (base + everything admitted so far) and the
@@ -311,11 +312,40 @@ def stream_dedup_admission(
     for any df cap) or ``"hotlog"`` (integer caps only: df-count deltas
     + a hot-transition log remove the read path's corpus-wide
     aggregates entirely; measured A/B in SCALING.md).
+
+    ``compact_every`` (indexed forms only): AUTO-COMPACT the index from
+    INSIDE the sink every N batches — :func:`compact_admission_index`
+    runs at the START of every batch whose id is a positive multiple of
+    N, i.e. inside the same foreachBatch serialization domain as every
+    index read and write, so no maintenance window is ever needed: the
+    stream never pauses, nothing reads the index mid-overwrite, and
+    per-batch cost stays FLAT with stream length instead of growing
+    O(versions) in the bands max and O(batches) in the dfcnt scan
+    (measured over 30+ batches in SCALING.md). Uncommitted partitions —
+    exactly this batch's own, when the compaction batch is a REPLAY —
+    are skipped, not folded (``on_uncommitted="skip"``), preserving the
+    replay read's ``!= batch_id`` self-exclusion; every committed
+    partition folds on the next trigger. A crash mid-compaction resumes
+    from the write-ahead staging on the replay of the same batch,
+    BEFORE any index read of that replay.
     """
     _validate_index_mode(index_mode, max_doc_freq)
+    if compact_every is not None and (
+        index_path is None or compact_every < 1
+    ):
+        raise ValueError(
+            "compact_every requires index_path and a positive interval"
+        )
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
         if index_path is not None:
+            if compact_every and batch_id > 0 and batch_id % compact_every == 0:
+                compact_admission_index(
+                    batch_df.sparkSession,
+                    index_path,
+                    checkpoint=checkpoint,
+                    on_uncommitted="skip",
+                )
             _admit_dedup_batch_indexed(
                 batch_df,
                 batch_id,
@@ -484,6 +514,20 @@ def _read_latest_bands(
     ownership). Excludes ``exclude_batch_id`` for the same reason the
     corpus read does: on replay the partition holds the first attempt's
     output, which must not count as pre-existing state."""
+    # COMPACTED fast path: when every surviving version lives in the base
+    # partition (compaction folded the per-batch partitions, or nothing
+    # was ever re-banded), the per-doc latest-version max is a no-op that
+    # still costs a corpus-wide shuffle per batch — read the base
+    # directly instead (one O(children) FS listing decides; the filter
+    # partition-prunes, zero Exchange). This is what makes in-sink
+    # auto-compaction actually flatten the steady-state batch cost.
+    ids = _list_child_ids(spark, bands_path, "__batch_id=")
+    if ids and not [i for i in ids if i not in (-1, exclude_batch_id)]:
+        return (
+            spark.read.parquet(bands_path)
+            .filter(F.col("__batch_id").cast("long") == -1)
+            .drop("__batch_id")
+        )
     # the session factory disables partition type inference (partition
     # values read back as strings) — cast to long or "10" < "9" breaks
     # both the exclusion compare and the latest-wins max
@@ -1141,7 +1185,10 @@ def _list_child_ids(spark: SparkSession, path: str, prefix: str) -> list[int]:
 
 
 def compact_admission_bands(
-    spark: SparkSession, index_path: str, checkpoint: str | None = None
+    spark: SparkSession,
+    index_path: str,
+    checkpoint: str | None = None,
+    on_uncommitted: str = "raise",
 ) -> int:
     """Operational maintenance for the admission index's ONE remaining
     corpus-sized shuffle: fold every versioned band partition into the
@@ -1170,29 +1217,46 @@ def compact_admission_bands(
     FS dir listing, never a scan of the corpus-sized table.
 
     ``checkpoint`` (recommended): the admission stream's checkpoint
-    location. When given, the call REFUSES to fold a band partition
-    with no commit marker in ``<checkpoint>/commits`` — enforcing the
-    constraint that compaction must never run between a crashed sink
-    write and its replay (folding an uncommitted batch's rows into the
-    base would defeat the replay read's ``!= batch_id``
-    self-exclusion). Without it the caller owns that guarantee.
+    location. When given, a band partition with no commit marker in
+    ``<checkpoint>/commits`` — a possibly-replaying batch whose rows
+    must never fold into the base, or the replay read's ``!= batch_id``
+    self-exclusion breaks — is either refused wholesale
+    (``on_uncommitted="raise"``, the offline default) or left out of
+    the fold (``on_uncommitted="skip"`` — the IN-SINK form: a sink
+    compacting at the start of batch b runs before b's own commit
+    marker exists, so on a replay b's partitions are on disk
+    uncommitted and must simply be skipped, not crash the stream).
+    Without ``checkpoint`` the caller owns that guarantee.
 
     Postings never compact: their partitions are the append-only corpus
     ledger (batch ownership is their replay contract — merging them
     would break ``!= batch_id`` exclusion on replay). For the hotlog
     mode's dfcnt/hot tables use :func:`compact_admission_index`.
     """
+
+    def merge(path: str, keep_ids: list[int]) -> DataFrame:
+        b = (
+            spark.read.parquet(path)
+            .withColumn("__batch_id", F.col("__batch_id").cast("long"))
+            .filter(F.col("__batch_id").isin(keep_ids))
+        )
+        latest = b.groupBy("doc").agg(F.max("__batch_id").alias("__batch_id"))
+        return b.join(latest, ["doc", "__batch_id"]).drop("__batch_id")
+
     return _compact_versioned_table(
         spark,
         f"{index_path}/{_IDX_BANDS}",
-        # -2 is never a batch id: exclude nothing, resolve latest across all
-        lambda path: _read_latest_bands(spark, path, exclude_batch_id=-2),
+        merge,
         checkpoint,
+        on_uncommitted,
     )
 
 
 def compact_admission_index(
-    spark: SparkSession, index_path: str, checkpoint: str | None = None
+    spark: SparkSession,
+    index_path: str,
+    checkpoint: str | None = None,
+    on_uncommitted: str = "raise",
 ) -> dict[str, int]:
     """Compact every versioned table of the admission index that grows a
     partition per batch: ``bands`` (latest-wins merge), and — when the
@@ -1207,23 +1271,32 @@ def compact_admission_index(
     append-only by contract. Returns table → partitions removed.
     """
     removed = {
-        "bands": compact_admission_bands(spark, index_path, checkpoint)
+        "bands": compact_admission_bands(spark, index_path, checkpoint, on_uncommitted)
     }
+
+    def keep(path: str, keep_ids: list[int]) -> DataFrame:
+        return (
+            spark.read.parquet(path)
+            .filter(F.col("__batch_id").cast("long").isin(keep_ids))
+        )
+
     dfcnt_path = f"{index_path}/{_IDX_DFCNT}"
     if _list_child_ids(spark, dfcnt_path, "__batch_id="):
         removed["dfcnt"] = _compact_versioned_table(
             spark,
             dfcnt_path,
-            lambda path: spark.read.parquet(path)
+            lambda path, ids: keep(path, ids)
             .groupBy("shingle")
             .agg(F.sum("cnt").alias("cnt")),
             checkpoint,
+            on_uncommitted,
         )
         removed["hot"] = _compact_versioned_table(
             spark,
             f"{index_path}/{_IDX_HOT}",
-            lambda path: spark.read.parquet(path).select("shingle").distinct(),
+            lambda path, ids: keep(path, ids).select("shingle").distinct(),
             checkpoint,
+            on_uncommitted,
         )
     return removed
 
@@ -1233,21 +1306,27 @@ def _compact_versioned_table(
     table_path: str,
     merge_fn,
     checkpoint: str | None,
+    on_uncommitted: str = "raise",
 ) -> int:
     """Write-ahead-staged fold of a ``__batch_id``-partitioned table into
-    its base partition (−1). ``merge_fn(table_path)`` produces the
-    merged current rows (WITHOUT ``__batch_id``) from all partitions.
-    Protocol and crash analysis per :func:`compact_admission_bands`'s
-    docstring: staging parquet → ``_manifest.json`` commit marker
-    (covered partition ids) → base overwrite FROM staging → covered
-    deletes → staging delete; a re-run before the manifest recomputes,
-    after it resumes, and never touches partitions that landed after a
-    crashed attempt."""
+    its base partition (−1). ``merge_fn(table_path, keep_ids)`` produces
+    the merged current rows (WITHOUT ``__batch_id``) from exactly the
+    partitions in ``keep_ids`` — the fold is PINNED to the covered set,
+    so a partition landing mid-merge can never leak rows into the base
+    while surviving the delete (the silent dfcnt double-count ADVICE r6
+    flagged). Protocol and crash analysis per
+    :func:`compact_admission_bands`'s docstring: staging parquet →
+    ``_manifest.json`` commit marker (covered partition ids) → base
+    overwrite FROM staging → covered deletes → staging delete; a re-run
+    before the manifest recomputes, after it resumes, and never touches
+    partitions that landed after a crashed attempt."""
     import json
 
     from pyspark_ingestion_spark.ingestion.watermark import _hadoop_fs
     from pyspark_ingestion_spark.sources.writers import overwrite_partitions
 
+    if on_uncommitted not in ("raise", "skip"):
+        raise ValueError(f"unknown on_uncommitted {on_uncommitted!r}")
     staging = f"{table_path}__compact_staging"
 
     # underscore prefix: Spark's file index skips _-prefixed files, so
@@ -1266,12 +1345,10 @@ def _compact_versioned_table(
             b for b in _list_child_ids(spark, table_path, "__batch_id=")
             if b != -1
         ]
-        if not covered:
-            return 0
         if checkpoint is not None:
             committed = set(_list_child_ids(spark, f"{checkpoint}/commits", ""))
             uncommitted = [b for b in covered if b not in committed]
-            if uncommitted:
+            if uncommitted and on_uncommitted == "raise":
                 raise ValueError(
                     f"partitions {uncommitted} of {table_path} have no commit "
                     f"marker in {checkpoint}/commits — compacting them would "
@@ -1279,7 +1356,31 @@ def _compact_versioned_table(
                     "defeat its replay self-exclusion. Let the stream commit "
                     "(or replay) first."
                 )
-        merge_fn(table_path).write.mode("overwrite").parquet(staging)
+            covered = [b for b in covered if b not in uncommitted]
+        if not covered:
+            return 0
+        merge_fn(table_path, covered + [-1]).write.mode("overwrite").parquet(staging)
+        # Defense-in-depth for the OFFLINE precondition: the keep-filter
+        # above already pins the staged rows to the covered set, so a
+        # partition landing mid-merge can no longer double-count — but a
+        # landing still means a live stream read the bands table inside
+        # this run's base-overwrite window (where the base dir is briefly
+        # absent), so surface it instead of proceeding. Pre-manifest,
+        # deleting staging rolls the whole attempt back.
+        landed = [
+            b for b in _list_child_ids(spark, table_path, "__batch_id=")
+            if b != -1 and b not in covered
+        ]
+        if landed and on_uncommitted == "raise":
+            _jvm4, afs, apath = _hadoop_fs(staging, spark)
+            afs.delete(apath, True)
+            raise RuntimeError(
+                f"compaction aborted: partitions {landed} of {table_path} "
+                "landed during the merge scan — a streaming batch committed "
+                "mid-compaction. Staging was rolled back; re-run when the "
+                "stream is quiescent (or from inside the sink, where "
+                "foreachBatch serializes against admission writes)."
+            )
         jtmp = jvm.org.apache.hadoop.fs.Path(f"{staging}/_manifest.json.tmp")
         out = fs.create(jtmp, True)
         try:

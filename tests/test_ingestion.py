@@ -1222,3 +1222,113 @@ def test_gif_pixel_decode_lzw_and_gates(spark):
     assert out["container"] == "gif" and out["n_values"] == h * 4
     assert abs(out["mean_val"] - sum(vals) / (h * 4)) < 1e-9
     assert abs(out["rms"] - math.sqrt(sum(v * v for v in vals) / (h * 4))) < 1e-9
+
+
+def test_media_decoders_truncated_payloads_raise_valueerror(spark):
+    """A truncated or corrupt container must surface the decoders'
+    ValueError contract, never a raw IndexError/struct.error from an
+    unchecked byte read (ADVICE r6): truncation at every structural
+    boundary of the GIF walk (header, color table, descriptor,
+    sub-block) and a PNG whose chunk length runs past the payload."""
+    import struct
+
+    from pyspark_ingestion_spark.operators.multimodal import (
+        _gif_luma_millis,
+        _gif_lzw_encode,
+        _png_luma_millis,
+    )
+
+    gct = bytes(v for i in range(4) for v in (i, i, i))
+    lzw = _gif_lzw_encode(bytes([0, 1, 2, 3]), 2)
+    gif = (b"GIF89a" + struct.pack("<HHBBB", 2, 2, 0xF1, 0, 0) + gct
+           + b"\x21\xf9\x04\x00\x00\x00\x00\x00"
+           + b"\x2c" + struct.pack("<HHHHB", 0, 0, 2, 2, 0)
+           + bytes([2, len(lzw)]) + lzw + b"\x00\x3b")
+    assert len(_gif_luma_millis(gif)) == 4  # the intact file decodes
+    # cut the GIF at every byte boundary: each prefix must either decode
+    # (nothing after the trailer) or raise ValueError — never IndexError
+    for cut in range(4, len(gif)):
+        try:
+            _gif_luma_millis(gif[:cut])
+        except ValueError:
+            pass
+
+    png_hdr = b"\x89PNG\r\n\x1a\n"
+    ihdr = struct.pack(">IIBBBBB", 2, 2, 8, 0, 0, 0, 0)
+    # chunk header claims 13 bytes of IHDR but the payload ends early
+    truncated = (png_hdr + struct.pack(">I", 13) + b"IHDR" + ihdr[:5])
+    with pytest.raises(ValueError, match="truncated"):
+        _png_luma_millis(truncated)
+    # IHDR chunk shorter than the 13 spec bytes
+    short = (png_hdr + struct.pack(">I", 5) + b"IHDR" + ihdr[:5]
+             + struct.pack(">I", 0))
+    with pytest.raises(ValueError, match="truncated"):
+        _png_luma_millis(short)
+
+
+def test_avro_dynamic_overwrite_crash_window_rolls_forward(spark, tmp_path):
+    """The dynamic-overwrite commit protocol (ADVICE r6): (1) a crash
+    BEFORE the manifest leaves old rows fully readable (staged files are
+    invisible to readers) and the next write sweeps the orphans; (2) a
+    crash AFTER the manifest but before the cleanup is rolled FORWARD by
+    the next write — no duplicate rows survive."""
+    import json
+    import os
+
+    from pyspark_ingestion_spark.sources.avro_py import (
+        _OVERWRITE_MANIFEST,
+        read_avro,
+        write_avro,
+    )
+
+    path = str(tmp_path / "lake")
+    df1 = spark.createDataFrame([(1, "a", 1), (2, "b", 2)], "id int, v string, p int")
+    write_avro(df1, path, partition_columns=["p"], mode="overwrite_partitions")
+
+    def rows():
+        return {(r["id"], r["v"], r["p"]) for r in read_avro(spark, path).collect()}
+
+    # (1) pre-manifest crash: an orphan staged file is invisible and swept
+    orphan = os.path.join(path, "p=2", "part-99999-deadbeef.avro.staged")
+    with open(orphan, "wb") as f:
+        f.write(b"not avro")
+    assert rows() == {(1, "a", 1), (2, "b", 2)}
+    df2 = spark.createDataFrame([(3, "c", 2)], "id int, v string, p int")
+    write_avro(df2, path, partition_columns=["p"], mode="overwrite_partitions")
+    assert not os.path.exists(orphan)
+    assert rows() == {(1, "a", 1), (3, "c", 2)}
+
+    # (2) post-manifest crash: rebuild the exact on-disk state — staged
+    # files present, manifest committed, stale .avro not yet deleted —
+    # then let the next run roll it forward
+    df3 = spark.createDataFrame([(4, "d", 2)], "id int, v string, p int")
+    write_avro(df3, path, partition_columns=["p"], mode="overwrite_partitions")
+    assert rows() == {(1, "a", 1), (4, "d", 2)}
+    new_file = [f for f in os.listdir(os.path.join(path, "p=2"))
+                if f.endswith(".avro")][0]
+    staged_rel = os.path.join("p=2", new_file + ".staged")
+    os.rename(os.path.join(path, "p=2", new_file),
+              os.path.join(path, staged_rel))
+    with open(os.path.join(path, "p=2", "stale-leftover.avro"), "wb") as f:
+        f.write(b"not avro")  # the pre-existing file the crash left behind
+    with open(os.path.join(path, _OVERWRITE_MANIFEST), "w") as f:
+        json.dump({"staged": [staged_rel]}, f)
+    df4 = spark.createDataFrame([(9, "z", 3)], "id int, v string, p int")
+    write_avro(df4, path, partition_columns=["p"], mode="overwrite_partitions")
+    assert not os.path.exists(os.path.join(path, "p=2", "stale-leftover.avro"))
+    assert not os.path.exists(os.path.join(path, _OVERWRITE_MANIFEST))
+    assert rows() == {(1, "a", 1), (4, "d", 2), (9, "z", 3)}
+
+
+def test_snapshot_diff_keys_only_added_removed(spark):
+    """compare_cols=[] is the keys-only diff: rows present on both sides
+    are by definition unchanged, so only added/removed rows emit — and
+    the plan must BUILD (ADVICE r6: F.when(None, ...) raised TypeError
+    at plan-build time, making a keys-only diff impossible)."""
+    from pyspark_ingestion_spark.operators.relational import snapshot_diff
+
+    old = spark.createDataFrame([(1,), (2,)], "k int")
+    new = spark.createDataFrame([(2,), (3,)], "k int")
+    got = {(r["k"], r["change_type"], tuple(r["changed_cols"]))
+           for r in snapshot_diff(old, new, ["k"], []).collect()}
+    assert got == {(3, "added", ()), (1, "removed", ())}

@@ -945,3 +945,55 @@ def test_compact_admission_index_hotlog_tables(spark, tmp_path):
         for arm in paths
     }
     assert admitted["plain"] == admitted["compacted"]
+
+
+def test_compact_versioned_table_aborts_on_mid_merge_landing(spark, tmp_path):
+    """The offline precondition is now DETECTED, not assumed (ADVICE r6):
+    if a batch partition lands between the covered listing and the merge
+    scan — so its rows are in staging but its partition is not in the
+    delete set, a silent double-count for the dfcnt SUM merge — the run
+    aborts BEFORE the manifest, rolls staging back, and a clean re-run
+    folds everything exactly once."""
+    import os
+
+    from pyspark_ingestion_spark.streaming.pipeline import (
+        _compact_versioned_table,
+    )
+
+    table = str(tmp_path / "dfcnt")
+    for b, cnt in ((-1, 5), (0, 2)):
+        spark.createDataFrame([("sh", cnt)], "shingle string, cnt long").write.parquet(
+            f"{table}/__batch_id={b}"
+        )
+
+    def racing_merge(path, keep_ids):
+        # a streaming batch commits while the merge scan runs
+        spark.createDataFrame([("sh", 7)], "shingle string, cnt long").write.parquet(
+            f"{path}/__batch_id=1"
+        )
+        return (
+            spark.read.parquet(path)
+            .filter(F.col("__batch_id").cast("long").isin(keep_ids))
+            .groupBy("shingle").agg(F.sum("cnt").alias("cnt"))
+        )
+
+    with pytest.raises(RuntimeError, match="landed during the merge scan"):
+        _compact_versioned_table(spark, table, racing_merge, None)
+    assert not os.path.exists(f"{table}__compact_staging")  # rolled back
+    # nothing was folded or deleted: all three partitions intact
+    parts = {int(r["__batch_id"]) for r in spark.read.parquet(table)
+             .select("__batch_id").distinct().collect()}
+    assert parts == {-1, 0, 1}
+
+    # quiescent re-run folds exactly once: total conserved, one partition
+    def clean_merge(path, keep_ids):
+        return (
+            spark.read.parquet(path)
+            .filter(F.col("__batch_id").cast("long").isin(keep_ids))
+            .groupBy("shingle").agg(F.sum("cnt").alias("cnt"))
+        )
+
+    assert _compact_versioned_table(spark, table, clean_merge, None) == 2
+    rows = spark.read.parquet(table).collect()
+    assert len(rows) == 1 and rows[0]["cnt"] == 14
+    assert {int(r["__batch_id"]) for r in rows} == {-1}
