@@ -266,6 +266,7 @@ def stream_dedup_admission(
     index_path: str | None = None,
     index_mode: str = "fingerprint",
     compact_every: int | None = None,
+    compact_major_every: int | None = None,
 ) -> None:
     """Continuous dedup admission: each micro-batch is LSH-checked
     against a GROWING corpus (base + everything admitted so far) and the
@@ -320,14 +321,26 @@ def stream_dedup_admission(
     index read and write, so no maintenance window is ever needed: the
     stream never pauses, nothing reads the index mid-overwrite, and
     per-batch cost stays FLAT with stream length instead of growing
-    O(versions) in the bands max and O(batches) in the dfcnt scan
-    (measured over 30+ batches in SCALING.md). Uncommitted partitions —
-    exactly this batch's own, when the compaction batch is a REPLAY —
-    are skipped, not folded (``on_uncommitted="skip"``), preserving the
-    replay read's ``!= batch_id`` self-exclusion; every committed
-    partition folds on the next trigger. A crash mid-compaction resumes
-    from the write-ahead staging on the replay of the same batch,
-    BEFORE any index read of that replay.
+    O(versions) in the bands max and O(batches) in the dfcnt scan and
+    the postings/hot small-file counts (measured over 64 batches in
+    SCALING.md). Uncommitted partitions — exactly this batch's own,
+    when the compaction batch is a REPLAY — are skipped, not folded
+    (``on_uncommitted="skip"``), preserving the replay read's
+    ``!= batch_id`` self-exclusion; every committed partition folds on
+    the next trigger. A crash mid-compaction resumes from the
+    write-ahead staging on the replay of the same batch, BEFORE any
+    index read of that replay.
+
+    Write amplification is LSM-tiered: the every-N compaction is a
+    MINOR — it folds only the delta partitions since the last fold into
+    one segment, O(deltas) rewrite, never touching the (corpus-sized)
+    base — while every ``compact_major_every`` batches (default 8·N) a
+    MAJOR folds segments + deltas into the base, bounding segment
+    count. Per-batch read cost between majors is O(base + k segments +
+    N deltas) partitions with k ≤ major/minor ratio — flat in stream
+    LENGTH; amortized write cost is O(batch) from minors plus
+    O(corpus / major interval) from majors, the standard LSM trade and
+    the only shape that survives a never-pausing 100 TB stream.
     """
     _validate_index_mode(index_mode, max_doc_freq)
     if compact_every is not None and (
@@ -336,15 +349,32 @@ def stream_dedup_admission(
         raise ValueError(
             "compact_every requires index_path and a positive interval"
         )
+    if compact_major_every is not None and (
+        compact_every is None or compact_major_every < compact_every
+    ):
+        raise ValueError(
+            "compact_major_every requires compact_every and an interval >= it"
+        )
+    major_every = (
+        compact_major_every
+        if compact_major_every is not None
+        else (compact_every * 8 if compact_every else None)
+    )
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
         if index_path is not None:
             if compact_every and batch_id > 0 and batch_id % compact_every == 0:
+                mode = (
+                    "major"
+                    if major_every and batch_id % major_every == 0
+                    else "minor"
+                )
                 compact_admission_index(
                     batch_df.sparkSession,
                     index_path,
                     checkpoint=checkpoint,
                     on_uncommitted="skip",
+                    mode=mode,
                 )
             _admit_dedup_batch_indexed(
                 batch_df,
@@ -1189,6 +1219,7 @@ def compact_admission_bands(
     index_path: str,
     checkpoint: str | None = None,
     on_uncommitted: str = "raise",
+    mode: str = "major",
 ) -> int:
     """Operational maintenance for the admission index's ONE remaining
     corpus-sized shuffle: fold every versioned band partition into the
@@ -1228,10 +1259,10 @@ def compact_admission_bands(
     uncommitted and must simply be skipped, not crash the stream).
     Without ``checkpoint`` the caller owns that guarantee.
 
-    Postings never compact: their partitions are the append-only corpus
-    ledger (batch ownership is their replay contract — merging them
-    would break ``!= batch_id`` exclusion on replay). For the hotlog
-    mode's dfcnt/hot tables use :func:`compact_admission_index`.
+    This folds bands only; :func:`compact_admission_index` additionally
+    folds postings (plain concat — committed partitions can never
+    replay, so the ledger folds under the same guard) and the hotlog
+    mode's dfcnt/hot tables.
     """
 
     def merge(path: str, keep_ids: list[int]) -> DataFrame:
@@ -1249,6 +1280,7 @@ def compact_admission_bands(
         merge,
         checkpoint,
         on_uncommitted,
+        mode,
     )
 
 
@@ -1257,21 +1289,34 @@ def compact_admission_index(
     index_path: str,
     checkpoint: str | None = None,
     on_uncommitted: str = "raise",
+    mode: str = "major",
 ) -> dict[str, int]:
-    """Compact every versioned table of the admission index that grows a
-    partition per batch: ``bands`` (latest-wins merge), and — when the
-    hotlog mode's tables exist — ``dfcnt`` (per-shingle SUM merge: each
-    partition holds a df-count delta, so the fold is exact counter
-    addition, and without it every batch's
-    :func:`_apply_hot_transitions` scans O(shingles × batches) delta
-    rows — a per-batch cost growing with stream LENGTH) and ``hot``
-    (distinct-union merge). Same write-ahead staging protocol, same
-    ``checkpoint`` commit guard, same offline precondition as
-    :func:`compact_admission_bands` for each table; postings stay
-    append-only by contract. Returns table → partitions removed.
+    """Compact every table of the admission index that grows a
+    partition per batch: ``bands`` (latest-wins merge), ``postings``
+    (plain concatenation — rows are disjoint across partitions since a
+    doc is admitted once), and — when the hotlog mode's tables exist —
+    ``dfcnt`` (per-shingle SUM merge: each partition holds a df-count
+    delta, so the fold is exact counter addition, and without it every
+    batch's :func:`_apply_hot_transitions` scans O(shingles × batches)
+    delta rows — a per-batch cost growing with stream LENGTH) and
+    ``hot`` (distinct-union merge). Same write-ahead staging protocol,
+    same ``checkpoint`` commit guard, same precondition as
+    :func:`compact_admission_bands` for each table. Returns table →
+    partitions removed.
+
+    Postings folding note (r7): round 6 kept postings append-only on
+    the theory that batch ownership was their replay contract — but the
+    commit guard already restricts folding to COMMITTED partitions, and
+    a committed batch can never replay (the same invariant bands rely
+    on), so the ledger folds safely. It matters because the per-batch
+    postings scan otherwise reads O(batches) small files — measured as
+    the growth term BOTH compacted and uncompacted arms shared before
+    this fold existed (SCALING.md r7 A/B).
     """
     removed = {
-        "bands": compact_admission_bands(spark, index_path, checkpoint, on_uncommitted)
+        "bands": compact_admission_bands(
+            spark, index_path, checkpoint, on_uncommitted, mode
+        )
     }
 
     def keep(path: str, keep_ids: list[int]) -> DataFrame:
@@ -1280,6 +1325,14 @@ def compact_admission_index(
             .filter(F.col("__batch_id").cast("long").isin(keep_ids))
         )
 
+    removed["postings"] = _compact_versioned_table(
+        spark,
+        f"{index_path}/{_IDX_POSTINGS}",
+        lambda path, ids: keep(path, ids).select("doc", "shingle"),
+        checkpoint,
+        on_uncommitted,
+        mode,
+    )
     dfcnt_path = f"{index_path}/{_IDX_DFCNT}"
     if _list_child_ids(spark, dfcnt_path, "__batch_id="):
         removed["dfcnt"] = _compact_versioned_table(
@@ -1290,6 +1343,7 @@ def compact_admission_index(
             .agg(F.sum("cnt").alias("cnt")),
             checkpoint,
             on_uncommitted,
+            mode,
         )
         removed["hot"] = _compact_versioned_table(
             spark,
@@ -1297,6 +1351,7 @@ def compact_admission_index(
             lambda path, ids: keep(path, ids).select("shingle").distinct(),
             checkpoint,
             on_uncommitted,
+            mode,
         )
     return removed
 
@@ -1307,19 +1362,41 @@ def _compact_versioned_table(
     merge_fn,
     checkpoint: str | None,
     on_uncommitted: str = "raise",
+    mode: str = "major",
 ) -> int:
-    """Write-ahead-staged fold of a ``__batch_id``-partitioned table into
-    its base partition (−1). ``merge_fn(table_path, keep_ids)`` produces
+    """Write-ahead-staged fold of a ``__batch_id``-partitioned table.
+    ``merge_fn(table_path, keep_ids)`` produces
     the merged current rows (WITHOUT ``__batch_id``) from exactly the
     partitions in ``keep_ids`` — the fold is PINNED to the covered set,
     so a partition landing mid-merge can never leak rows into the base
     while surviving the delete (the silent dfcnt double-count ADVICE r6
     flagged). Protocol and crash analysis per
     :func:`compact_admission_bands`'s docstring: staging parquet →
-    ``_manifest.json`` commit marker (covered partition ids) → base
-    overwrite FROM staging → covered deletes → staging delete; a re-run
-    before the manifest recomputes, after it resumes, and never touches
-    partitions that landed after a crashed attempt."""
+    ``_manifest.json`` commit marker (covered partition ids + target) →
+    target overwrite FROM staging → covered deletes → staging delete; a
+    re-run before the manifest recomputes, after it resumes, and never
+    touches partitions that landed after a crashed attempt.
+
+    ``mode`` picks the LSM level (write-amplification trade):
+
+    - ``"major"``: fold EVERYTHING (deltas and segments) into the base
+      partition (−1). One version per doc afterwards, but the rewrite
+      is O(current table) — schedule by write budget.
+    - ``"minor"``: fold only the per-batch DELTA partitions since the
+      last minor (segment partitions — marked by a ``_segment`` file —
+      and the base are left untouched) into ONE segment whose id is
+      ``max(covered)``. Rewrite cost is O(deltas), NOT O(table) — the
+      level a per-batch in-sink cadence can afford at 100 TB. The id
+      choice is what keeps the bands latest-wins max correct: the
+      merge already resolved latest WITHIN the fold, and max(covered)
+      is ≥ every folded version and < any later batch, so cross-
+      partition resolution is unchanged; order-free merges (postings
+      concat, dfcnt sum, hot union) don't care. Segment ids are real
+      committed batch ids, so the checkpoint commit guard keeps
+      working untouched. Partition count after k minors: k segments +
+      up-to-interval deltas — a major (or a re-minor over segments is
+      NOT possible; majors collapse segments) bounds k.
+    """
     import json
 
     from pyspark_ingestion_spark.ingestion.watermark import _hadoop_fs
@@ -1327,7 +1404,15 @@ def _compact_versioned_table(
 
     if on_uncommitted not in ("raise", "skip"):
         raise ValueError(f"unknown on_uncommitted {on_uncommitted!r}")
+    if mode not in ("major", "minor"):
+        raise ValueError(f"unknown compaction mode {mode!r}")
     staging = f"{table_path}__compact_staging"
+
+    def _is_segment(b: int) -> bool:
+        _j, sfs2, mpath = _hadoop_fs(
+            f"{table_path}/__batch_id={b}/_segment", spark
+        )
+        return sfs2.exists(mpath)
 
     # underscore prefix: Spark's file index skips _-prefixed files, so
     # the marker can live inside the staging dir without breaking the
@@ -1339,12 +1424,16 @@ def _compact_versioned_table(
             raw = jvm.org.apache.commons.io.IOUtils.toString(stream, "UTF-8")
         finally:
             stream.close()
-        covered = json.loads(raw)["covered"]
+        plan = json.loads(raw)
+        covered = plan["covered"]
+        target = plan.get("target", -1)
     else:
         covered = [
             b for b in _list_child_ids(spark, table_path, "__batch_id=")
             if b != -1
         ]
+        if mode == "minor":
+            covered = [b for b in covered if not _is_segment(b)]
         if checkpoint is not None:
             committed = set(_list_child_ids(spark, f"{checkpoint}/commits", ""))
             uncommitted = [b for b in covered if b not in committed]
@@ -1357,19 +1446,24 @@ def _compact_versioned_table(
                     "(or replay) first."
                 )
             covered = [b for b in covered if b not in uncommitted]
-        if not covered:
+        if not covered or (mode == "minor" and len(covered) < 2):
             return 0
-        merge_fn(table_path, covered + [-1]).write.mode("overwrite").parquet(staging)
+        target = -1 if mode == "major" else max(covered)
+        merge_base = [-1] if mode == "major" else []
+        merge_fn(table_path, covered + merge_base).write.mode("overwrite").parquet(
+            staging
+        )
         # Defense-in-depth for the OFFLINE precondition: the keep-filter
         # above already pins the staged rows to the covered set, so a
         # partition landing mid-merge can no longer double-count — but a
         # landing still means a live stream read the bands table inside
-        # this run's base-overwrite window (where the base dir is briefly
-        # absent), so surface it instead of proceeding. Pre-manifest,
-        # deleting staging rolls the whole attempt back.
+        # this run's target-overwrite window (where the target dir is
+        # briefly absent), so surface it instead of proceeding.
+        # Pre-manifest, deleting staging rolls the whole attempt back.
         landed = [
             b for b in _list_child_ids(spark, table_path, "__batch_id=")
             if b != -1 and b not in covered
+            and not (mode == "minor" and _is_segment(b))
         ]
         if landed and on_uncommitted == "raise":
             _jvm4, afs, apath = _hadoop_fs(staging, spark)
@@ -1384,7 +1478,11 @@ def _compact_versioned_table(
         jtmp = jvm.org.apache.hadoop.fs.Path(f"{staging}/_manifest.json.tmp")
         out = fs.create(jtmp, True)
         try:
-            out.write(bytearray(json.dumps({"covered": covered}).encode("utf-8")))
+            out.write(
+                bytearray(
+                    json.dumps({"covered": covered, "target": target}).encode("utf-8")
+                )
+            )
         finally:
             out.close()
         if not fs.rename(jtmp, man_path):  # commit marker: staging is durable
@@ -1392,11 +1490,312 @@ def _compact_versioned_table(
 
     merged = spark.read.parquet(staging).drop("__batch_id")
     overwrite_partitions(
-        merged.withColumn("__batch_id", F.lit(-1)), table_path, ["__batch_id"]
+        merged.withColumn("__batch_id", F.lit(target)), table_path, ["__batch_id"]
     )
+    if target != -1:  # mark the folded partition as a segment
+        _jvm5, mfs, mpath = _hadoop_fs(
+            f"{table_path}/__batch_id={target}/_segment", spark
+        )
+        mfs.create(mpath, True).close()
     for b in covered:
+        if b == target:
+            continue  # the target partition now holds the merged rows
         _jvm2, pfs, ppath = _hadoop_fs(f"{table_path}/__batch_id={b}", spark)
         pfs.delete(ppath, True)
     _jvm3, sfs, spath = _hadoop_fs(staging, spark)
     sfs.delete(spath, True)
     return len(covered)
+
+
+# ------------------------------------ exact-substring streaming admission
+
+#: the substring admission index: the corpus's UNCAPPED window table,
+#: one partition per batch (base rows in ``__batch_id=-1``), carrying
+#: the k-char window STRING alongside its fingerprint. Storing ``w``
+#: makes per-batch verification a stored-string compare — the read path
+#: never reopens corpus text, not even for candidates (the LSH index
+#: can't do this: Jaccard verify needs whole shingle sets; an exact
+#: window IS its own verifier). Rows are append-only — the df cap is
+#: applied at READ time, so nothing is ever re-banded or versioned and
+#: no compaction protocol is needed. Size: ~(8 + k) bytes per indexed
+#: char position — the production path sets ``sample_mod`` (content-
+#: defined sampling, see operators/dedup.substring_window_table), which
+#: divides the row count while keeping alignment-independent detection.
+_IDX_WINDOWS = "windows"
+
+
+def _windows_with_text(
+    df: DataFrame, id_col: str, text_col: str, k: int, sample_mod: int | None
+) -> DataFrame:
+    """``substring_window_table`` rows plus the window string itself:
+    (doc, pos, wh, w). One extra batch-sized join against the input's
+    own text — never the corpus's."""
+    from pyspark_ingestion_spark.operators.dedup import substring_window_table
+
+    wt = substring_window_table(df, id_col, text_col, k, sample_mod)
+    texts = df.select(F.col(id_col).alias("doc"), F.col(text_col).alias("__t"))
+    return wt.join(texts, "doc").select(
+        "doc",
+        "pos",
+        "wh",
+        F.substring(F.col("__t"), F.col("pos").cast("int"), F.lit(k)).alias("w"),
+    )
+
+
+def _validate_substring_params(k: int, min_len: int, sample_mod: int | None) -> None:
+    """Same contract as ``operators.dedup.incremental_substring_rejects``
+    (its docstring explains both refusals)."""
+    if min_len < k:
+        raise ValueError(f"min_len ({min_len}) must be >= k ({k})")
+    if sample_mod is not None and min_len > k:
+        raise ValueError(
+            f"min_len={min_len} > k={k} cannot be combined with sample_mod: "
+            "run assembly needs consecutive window positions, which sampling "
+            "destroys — admission would silently reject (almost) nothing."
+        )
+
+
+def init_substring_admission_index(
+    base_corpus: DataFrame,
+    index_path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 20,
+    sample_mod: int | None = None,
+) -> None:
+    """One-time bootstrap of the substring admission index: window the
+    base corpus ONCE into ``__batch_id=-1``. The only time the indexed
+    path ever scans base text. Idempotent (dynamic partition overwrite),
+    so a crash mid-bootstrap just re-runs."""
+    from pyspark_ingestion_spark.sources.writers import overwrite_partitions
+
+    rows = _windows_with_text(
+        base_corpus.select(id_col, text_col), id_col, text_col, k, sample_mod
+    )
+    overwrite_partitions(
+        rows.withColumn("__batch_id", F.lit(-1)),
+        f"{index_path}/{_IDX_WINDOWS}",
+        ["__batch_id"],
+    )
+
+
+def _substring_rejects_indexed(
+    spark: SparkSession,
+    batch: DataFrame,
+    index_path: str,
+    batch_id: int,
+    id_col: str,
+    text_col: str,
+    k: int,
+    min_len: int,
+    max_window_df: int | None,
+    sample_mod: int | None,
+):
+    """Index-driven exact-substring admission for one micro-batch.
+    Returns ``(rejects, wb)`` — the distinct batch ids to drop, and the
+    batch's window rows (with strings), reused by the sink's index write.
+
+    Equivalence with ``incremental_substring_rejects``: the index holds
+    exactly the corpus's uncapped window table (persisted at admission
+    instead of re-derived), the df cap is the same corpus-side read-time
+    aggregate, candidates collide on the same 60-bit fingerprints, and
+    the exact verify compares the same two k-char substrings — one
+    re-extracted from the batch text in hand, one STORED at indexing
+    time (a string equals its stored copy, so the verify is identical).
+    Module-level so tests can pin the plan property: NO input of this
+    computation is corpus text — only the windows index and the batch.
+
+    Per-batch cost: O(batch windows ⋈ index) + one narrow-row df
+    aggregate over the index (the fingerprint-mode analogue; a dfcnt
+    delta ladder like the LSH hotlog would remove it, but here there is
+    no re-banding to trigger, so the aggregate is this path's single
+    corpus-sized stage). Replay self-exclusion mirrors the LSH index:
+    the read drops the current batch id's partition."""
+    _validate_substring_params(k, min_len, sample_mod)
+    wc = (
+        spark.read.parquet(f"{index_path}/{_IDX_WINDOWS}")
+        .filter(F.col("__batch_id").cast("long") != batch_id)
+        .select("doc", "pos", "wh", "w")
+    )
+    wb = _windows_with_text(batch, id_col, text_col, k, sample_mod)
+    if max_window_df is not None:
+        hot = (
+            wc.groupBy("wh")
+            .agg(F.count_distinct("doc").alias("__df"))
+            .filter(F.col("__df") > max_window_df)
+            .select("wh")
+        )
+        wb = wb.join(F.broadcast(hot), "wh", "left_anti")
+        wc = wc.join(F.broadcast(hot), "wh", "left_anti")
+    cand = wb.select(
+        F.col("doc").alias("__bid"), F.col("pos").alias("pos_b"), "wh",
+        F.col("w").alias("__wb"),
+    ).join(
+        wc.select(
+            F.col("doc").alias("__cid"), F.col("pos").alias("pos_c"), "wh",
+            F.col("w").alias("__wc"),
+        ),
+        "wh",
+    )
+    verified = cand.filter(F.col("__wb") == F.col("__wc")).select(
+        "__bid", "__cid", "pos_b", "pos_c"
+    )
+    if min_len <= k:
+        rejects = verified.select(F.col("__bid").alias(id_col)).distinct()
+        return rejects, wb
+    from pyspark.sql import Window
+
+    diag = (F.col("pos_b") - F.col("pos_c")).alias("__diag")
+    w_run = Window.partitionBy("__bid", "__cid", "__diag").orderBy("pos_b")
+    runs = verified.select("__bid", "__cid", "pos_b", diag).withColumn(
+        "__isl", F.col("pos_b") - F.row_number().over(w_run)
+    )
+    long_enough = (
+        runs.groupBy("__bid", "__cid", "__diag", "__isl")
+        .agg((F.max("pos_b") - F.min("pos_b") + k).alias("__len"))
+        .filter(F.col("__len") >= min_len)
+    )
+    rejects = long_enough.select(F.col("__bid").alias(id_col)).distinct()
+    return rejects, wb
+
+
+def _admit_substring_batch_indexed(
+    batch_df: DataFrame,
+    batch_id: int,
+    base_corpus: DataFrame,
+    out_path: str,
+    index_path: str,
+    id_col: str,
+    text_col: str,
+    k: int,
+    min_len: int,
+    max_window_df: int | None,
+    sample_mod: int | None,
+) -> None:
+    """One micro-batch of indexed ``stream_substring_admission``: admit
+    via :func:`_substring_rejects_indexed`, then append the admitted
+    docs' text and window rows — each to its own ``__batch_id``
+    partition (replay overwrites exactly its own partitions; the read
+    excludes them — same contract as ``_admit_dedup_batch_indexed``).
+    Module-level for direct replay testability."""
+    from pyspark.errors import AnalysisException
+
+    from pyspark_ingestion_spark.sources.writers import overwrite_partitions
+
+    spark = batch_df.sparkSession
+    try:  # bootstrap once; cheap existence probe afterwards
+        has_base = bool(
+            spark.read.parquet(f"{index_path}/{_IDX_WINDOWS}")
+            .filter(F.col("__batch_id").cast("long") == -1)
+            .head(1)
+        )
+    except AnalysisException:
+        has_base = False
+    if not has_base:
+        init_substring_admission_index(
+            base_corpus, index_path, id_col=id_col, text_col=text_col, k=k,
+            sample_mod=sample_mod,
+        )
+
+    batch = batch_df.select(id_col, text_col)
+    rejects, wb = _substring_rejects_indexed(
+        spark, batch, index_path, batch_id, id_col, text_col, k, min_len,
+        max_window_df, sample_mod,
+    )
+    # batch-sized; three writes derive from it — cut lineage once so the
+    # window write doesn't re-run the candidate join
+    admitted = batch.join(F.broadcast(rejects), id_col, "left_anti").localCheckpoint(
+        eager=False
+    )
+    overwrite_partitions(
+        admitted.withColumn("__batch_id", F.lit(batch_id)), out_path, ["__batch_id"]
+    )
+    adm_windows = wb.join(
+        admitted.select(F.col(id_col).alias("doc")), "doc"
+    )
+    overwrite_partitions(
+        adm_windows.withColumn("__batch_id", F.lit(batch_id)),
+        f"{index_path}/{_IDX_WINDOWS}",
+        ["__batch_id"],
+    )
+
+
+def stream_substring_admission(
+    stream_df: DataFrame,
+    base_corpus: DataFrame,
+    out_path: str,
+    checkpoint: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 20,
+    min_len: int | None = None,
+    max_window_df: int | None = None,
+    sample_mod: int | None = None,
+    index_path: str | None = None,
+) -> None:
+    """Continuous EXACT-SUBSTRING admission — the substring member of
+    the streaming admission trio (LSH: :func:`stream_dedup_admission`;
+    the semantic member's batch-incremental form is
+    ``queries/llm_ops.dedup_incremental_semantic``): each micro-batch
+    rejects docs sharing a verified substring of ≥ ``min_len`` chars
+    (default ``k``) with the growing corpus (base + everything admitted
+    so far), and appends the survivors. Semantics per micro-batch match
+    a sequential loop of ``operators.dedup.incremental_substring_rejects``
+    over the same batches (equivalence pinned in tests/test_streaming.py,
+    including restart + replay).
+
+    With ``index_path`` (the PRODUCTION form) the corpus window table is
+    maintained incrementally next to the corpus and carries the window
+    strings, so no micro-batch ever re-windows — or even reads — the
+    corpus text (plan-proved in tests); without it the recompute form
+    re-derives the corpus window table from (base ∪ admitted) each
+    batch. Exactly-once via the same ``__batch_id`` dynamic-overwrite
+    contract as the LSH sink. 100 TB shape: set ``sample_mod`` —
+    content-defined window sampling divides index size and join fan-in
+    while keeping detection alignment-independent."""
+    from pyspark.errors import AnalysisException
+
+    from pyspark_ingestion_spark.operators.dedup import incremental_substring_rejects
+    from pyspark_ingestion_spark.sources.writers import overwrite_partitions
+
+    eff_min_len = k if min_len is None else min_len
+    _validate_substring_params(k, eff_min_len, sample_mod)
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        if index_path is not None:
+            _admit_substring_batch_indexed(
+                batch_df, batch_id, base_corpus, out_path, index_path,
+                id_col=id_col, text_col=text_col, k=k, min_len=eff_min_len,
+                max_window_df=max_window_df, sample_mod=sample_mod,
+            )
+            return
+        spark = batch_df.sparkSession
+        batch = batch_df.select(id_col, text_col)
+        corpus = base_corpus.select(id_col, text_col)
+        try:
+            prev = (
+                spark.read.parquet(out_path)
+                .filter(F.col("__batch_id").cast("long") != batch_id)
+                .select(id_col, text_col)
+            )
+            corpus = corpus.unionByName(prev)
+        except AnalysisException:  # first batch: nothing admitted yet
+            pass
+        rejects = incremental_substring_rejects(
+            corpus, batch, id_col, text_col, k=k, min_len=eff_min_len,
+            max_window_df=max_window_df, sample_mod=sample_mod,
+        )
+        admitted = batch.join(F.broadcast(rejects), id_col, "left_anti")
+        overwrite_partitions(
+            admitted.withColumn("__batch_id", F.lit(batch_id)),
+            out_path,
+            ["__batch_id"],
+        )
+
+    q = (
+        stream_df.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

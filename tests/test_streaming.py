@@ -997,3 +997,434 @@ def test_compact_versioned_table_aborts_on_mid_merge_landing(spark, tmp_path):
     rows = spark.read.parquet(table).collect()
     assert len(rows) == 1 and rows[0]["cnt"] == 14
     assert {int(r["__batch_id"]) for r in rows} == {-1}
+
+
+@pytest.mark.parametrize("index_mode", ["fingerprint", "hotlog"])
+def test_in_sink_auto_compaction_matches_recompute(spark, tmp_path, index_mode):
+    """compact_every fires compact_admission_index MID-STREAM — inside
+    the sink, between micro-batches, with no maintenance window — and
+    the stream still admits exactly what the recompute form admits,
+    across a df-cap transition and a checkpoint restart. After each
+    compaction batch the versioned tables hold only {base, that batch},
+    and a REPLAY of the compaction batch (its own partitions on disk but
+    uncommitted, the on_uncommitted='skip' case) reproduces the
+    effective index state instead of folding or erasing it. Hotlog's
+    hot set stays within its structural bound (hot · cap < postings
+    rows, since hot means df > cap)."""
+    import shutil
+
+    from pyspark_ingestion_spark.streaming.pipeline import (
+        _admit_dedup_batch_indexed,
+        _read_latest_bands,
+        compact_admission_index,
+        stream_dedup_admission,
+    )
+
+    boiler = "the quick brown fox jumps over the lazy dog again and again"
+    base_rows = [
+        (0, boiler + " alpha beta gamma delta epsilon zeta"),
+        (1, boiler + " eta theta iota kappa lamda mu"),
+    ]
+    file_a = [
+        (10, boiler + " red green blue cyan magenta yellow"),
+        (11, "one two three four five six seven eight nine ten eleven twelve"),
+    ]
+    file_b = [
+        (12, boiler + " north south east west up down"),
+        (13, "unus duo tres quattuor quinque sex septem octo novem decem"),
+    ]
+    file_c = [
+        (14, "unus duo tres quattuor quinque sex septem octo novem decem"),
+        (15, "voro fero gero curo duco dico disco posco pasco nosco"),
+    ]
+    base_corpus = spark.createDataFrame(base_rows, "doc_id int, text string")
+    kwargs = dict(n=3, num_hashes=8, band_size=2, threshold_num=1,
+                  threshold_den=2, max_doc_freq=2, max_bucket_size=None)
+
+    src = str(tmp_path / "src")
+    _mk_admission_files(spark, tmp_path, src, [("a", file_a), ("b", file_b)])
+
+    def run(out, ckpt, index_path, **extra):
+        stream = (
+            spark.readStream.schema("doc_id int, text string")
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src)
+        )
+        stream_dedup_admission(
+            stream, base_corpus, out, ckpt, index_path=index_path,
+            index_mode=index_mode, **kwargs, **extra
+        )
+
+    out_r, out_i = str(tmp_path / "out_r"), str(tmp_path / "out_i")
+    index, ckpt_i = str(tmp_path / "index"), str(tmp_path / "ckpt_i")
+    run(out_r, str(tmp_path / "ckpt_r"), None)
+    # compact_major_every=1: every in-sink compaction is a MAJOR, so the
+    # partition assertions below see a fully-folded index (the LSM minor
+    # tier has its own test)
+    run(out_i, ckpt_i, index, compact_every=1, compact_major_every=1)
+
+    def admitted(path):
+        return {
+            (int(r["__batch_id"]), r["doc_id"])
+            for r in spark.read.parquet(path).select("__batch_id", "doc_id").collect()
+        }
+
+    assert admitted(out_i) == admitted(out_r)
+    assert 12 in {d for _, d in admitted(out_i)}  # the cap transition mattered
+
+    # the batch-1 compaction really folded batch 0: only {-1, 1} survive
+    tables = ["bands", "postings"] + (
+        ["dfcnt", "hot"] if index_mode == "hotlog" else []
+    )
+    for t in tables:
+        parts = {
+            int(r["__batch_id"])
+            for r in spark.read.parquet(f"{index}/{t}")
+            .select("__batch_id").distinct().collect()
+        }
+        assert parts <= {-1, 1}, (t, parts)
+
+    # restart continues the same checkpoint + index, compacting again
+    _mk_admission_files(spark, tmp_path, src, [("c", file_c)])
+    run(out_r, str(tmp_path / "ckpt_r"), None)
+    run(out_i, ckpt_i, index, compact_every=1, compact_major_every=1)
+    assert admitted(out_i) == admitted(out_r)
+
+    def effective_state():
+        bands = frozenset(
+            tuple(r) for r in _read_latest_bands(spark, f"{index}/bands", -2).collect()
+        )
+        extras = []
+        if index_mode == "hotlog":
+            extras.append(frozenset(
+                (r["shingle"], r["total"])
+                for r in spark.read.parquet(f"{index}/dfcnt")
+                .groupBy("shingle").agg(F.sum("cnt").alias("total")).collect()
+            ))
+            extras.append(frozenset(
+                r["shingle"] for r in spark.read.parquet(f"{index}/hot")
+                .select("shingle").distinct().collect()
+            ))
+        return (admitted(out_i), bands, tuple(extras))
+
+    if index_mode == "hotlog":
+        n_posts = spark.read.parquet(f"{index}/postings").count()
+        n_hot = (
+            spark.read.parquet(f"{index}/hot").select("shingle").distinct().count()
+        )
+        assert n_hot * kwargs["max_doc_freq"] < n_posts, (n_hot, n_posts)
+
+    # REPLAY of the last (compaction) batch: rebuild the exact restart
+    # state — batch 2's partitions on disk, its commit marker absent —
+    # and rerun the sink's sequence: skip-mode compaction, then the
+    # batch itself. The effective state must come back identical.
+    want = effective_state()
+    last = max(b for b, _ in admitted(out_i))
+    fake_ckpt = str(tmp_path / "fake_ckpt")
+    os.makedirs(os.path.join(fake_ckpt, "commits"), exist_ok=True)
+    for b in range(last):  # markers for every batch EXCEPT the replaying one
+        with open(os.path.join(fake_ckpt, "commits", str(b)), "w") as f:
+            f.write("v1")
+    compact_admission_index(
+        spark, index, checkpoint=fake_ckpt, on_uncommitted="skip"
+    )
+    # the uncommitted batch's partitions survived the skip-mode fold
+    for t in tables:
+        parts = {
+            int(r["__batch_id"])
+            for r in spark.read.parquet(f"{index}/{t}")
+            .select("__batch_id").distinct().collect()
+        }
+        assert parts <= {-1, last}, (t, parts)
+    batch = spark.createDataFrame(file_c, "doc_id int, text string")
+    _admit_dedup_batch_indexed(
+        batch, last, base_corpus, out_i, index, id_col="doc_id",
+        text_col="text", index_mode=index_mode, **kwargs
+    )
+    assert effective_state() == want
+
+    # post-compaction fast path: with every version folded into the
+    # base, the latest-bands read is a pruned base scan — ZERO Exchange
+    shutil.rmtree(fake_ckpt)
+    compact_admission_index(spark, index)
+    from pyspark_ingestion_spark.plans.explain import shuffle_count
+
+    fast = _read_latest_bands(spark, f"{index}/bands", 999)
+    assert shuffle_count(fast) == 0
+    assert fast.count() > 0
+
+
+def test_stream_substring_admission_matches_recompute_and_restarts(spark, tmp_path):
+    """The exact-substring streaming sink: indexed form ≡ recompute form
+    ≡ a sequential incremental_substring_rejects loop on the same
+    micro-batches (growing corpus: batch 2's reject depends on batch 1's
+    admission), across a checkpoint restart. The indexed form's admission
+    plan reads ONLY the windows index and the batch — corpus text (base
+    or out_path) appears nowhere in it, because the index stores the
+    window strings the exact verify compares."""
+    from pyspark_ingestion_spark.operators.dedup import (
+        incremental_substring_rejects,
+    )
+    from pyspark_ingestion_spark.streaming.pipeline import (
+        _substring_rejects_indexed,
+        stream_substring_admission,
+    )
+
+    base_rows = [(0, "the common preamble text alpha beta gamma delta")]
+    file_a = [
+        (10, "something with the common preamble text inside it"),  # ⊃ base → reject
+        (11, "completely different words over here instead"),       # admit
+    ]
+    file_b = [
+        (12, "echoing different words over here instead too"),  # ⊃ 11 → reject iff corpus grew
+        (13, "novel unrelated content of the third batch"),     # admit
+    ]
+    file_c = [
+        (14, "reprise: unrelated content of the third batch"),  # ⊃ 13 → reject
+        (15, "fresh text that matches nothing at all, honest"), # admit
+    ]
+    base_corpus = spark.createDataFrame(base_rows, "doc_id int, text string")
+    kwargs = dict(k=10, min_len=None, max_window_df=None, sample_mod=None)
+
+    src = str(tmp_path / "src")
+    _mk_admission_files(spark, tmp_path, src, [("a", file_a), ("b", file_b)])
+
+    def run(out, ckpt, index_path):
+        stream = (
+            spark.readStream.schema("doc_id int, text string")
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src)
+        )
+        stream_substring_admission(
+            stream, base_corpus, out, ckpt, index_path=index_path, **kwargs
+        )
+
+    out_r, out_i = str(tmp_path / "out_r"), str(tmp_path / "out_i")
+    index, ckpt_i = str(tmp_path / "index"), str(tmp_path / "ckpt_i")
+    run(out_r, str(tmp_path / "ckpt_r"), None)
+    run(out_i, ckpt_i, index)
+
+    def admitted(path):
+        return {
+            (int(r["__batch_id"]), r["doc_id"])
+            for r in spark.read.parquet(path).select("__batch_id", "doc_id").collect()
+        }
+
+    assert admitted(out_i) == admitted(out_r)
+    assert {d for _, d in admitted(out_i)} == {11, 13}
+
+    # sequential batch-mode model agrees
+    corpus_rows, model = list(base_rows), set()
+    for rows in [file_a, file_b]:
+        corpus = spark.createDataFrame(corpus_rows, "doc_id int, text string")
+        batch = spark.createDataFrame(rows, "doc_id int, text string")
+        rej = {
+            r["doc_id"]
+            for r in incremental_substring_rejects(
+                corpus, batch, "doc_id", "text", k=10
+            ).collect()
+        }
+        keep = [r for r in rows if r[0] not in rej]
+        model |= {r[0] for r in keep}
+        corpus_rows += keep
+    assert {d for _, d in admitted(out_i)} == model
+
+    # restart continues the same checkpoint + index
+    _mk_admission_files(spark, tmp_path, src, [("c", file_c)])
+    run(out_r, str(tmp_path / "ckpt_r"), None)
+    run(out_i, ckpt_i, index)
+    assert admitted(out_i) == admitted(out_r)
+    assert {d for _, d in admitted(out_i)} == {11, 13, 15}
+
+    # plan property: the indexed rejects read NO text path
+    b = spark.createDataFrame([(99, "probe text")], "doc_id int, text string")
+    rejects, _wb = _substring_rejects_indexed(
+        spark, b, index, 99, "doc_id", "text", 10, 10, None, None
+    )
+    files = rejects.inputFiles()
+    assert files and all("/windows/" in f for f in files), files
+    rejects.collect()
+
+
+def test_substring_admission_indexed_replay_cap_and_min_len(spark, tmp_path):
+    """(1) Replaying a micro-batch through _admit_substring_batch_indexed
+    reproduces (never erases) the first attempt's output and index rows.
+    (2) The read-time window df cap and the min_len diagonal-run
+    assembly both match incremental_substring_rejects exactly."""
+    from pyspark_ingestion_spark.operators.dedup import (
+        incremental_substring_rejects,
+    )
+    from pyspark_ingestion_spark.streaming.pipeline import (
+        _admit_substring_batch_indexed,
+        _substring_rejects_indexed,
+        init_substring_admission_index,
+    )
+
+    base = spark.createDataFrame(
+        [(0, "one shared boilerplate phrase plus alpha beta gamma"),
+         (1, "one shared boilerplate phrase plus delta epsilon zeta"),
+         (2, "one shared boilerplate phrase plus eta theta iota")],
+        "doc_id int, text string",
+    )
+    out, index = str(tmp_path / "out"), str(tmp_path / "idx")
+    b0 = spark.createDataFrame(
+        [(10, "docs with one shared boilerplate phrase only collide there"),
+         (11, "plus alpha beta gamma tail shared with doc zero")],
+        "doc_id int, text string",
+    )
+    args = dict(id_col="doc_id", text_col="text", k=10, min_len=10,
+                max_window_df=2, sample_mod=None)
+    _admit_substring_batch_indexed(b0, 0, base, out, index, **args)
+
+    def snap():
+        return (
+            {tuple(r) for r in spark.read.parquet(out).collect()},
+            {tuple(r) for r in spark.read.parquet(f"{index}/windows").collect()},
+        )
+
+    first = snap()
+    # 10 admits: its only collision is the boilerplate phrase, which sits
+    # in 3 > max_window_df=2 corpus docs and is dropped by the cap;
+    # 11 rejects (genuine shared tail with doc 0)
+    assert {r[0] for r in first[0]} == {10}
+    _admit_substring_batch_indexed(b0, 0, base, out, index, **args)  # replay
+    assert snap() == first
+
+    # cap + min_len parity against the batch-form on a fresh corpus
+    corpus = spark.createDataFrame(
+        [(0, "AAAAAAAAAAAAAAAAAAAA then unrelated filler text one"),
+         (1, "BBBBBBBBBB middle of another unrelated document")],
+        "doc_id int, text string",
+    )
+    batch = spark.createDataFrame(
+        # 20 shared As with doc 0 (long run); 10 shared Bs with doc 1 (short)
+        [(20, "xx AAAAAAAAAAAAAAAAAAAA yy"), (21, "zz BBBBBBBBBB ww")],
+        "doc_id int, text string",
+    )
+    idx2 = str(tmp_path / "idx2")
+    init_substring_admission_index(corpus, idx2, k=10)
+    for min_len in (10, 15):
+        want = {
+            r["doc_id"]
+            for r in incremental_substring_rejects(
+                corpus, batch, "doc_id", "text", k=10, min_len=min_len
+            ).collect()
+        }
+        got_df, _ = _substring_rejects_indexed(
+            spark, batch, idx2, 0, "doc_id", "text", 10, min_len, None, None
+        )
+        got = {r["doc_id"] for r in got_df.collect()}
+        assert got == want, (min_len, got, want)
+    # min_len=10 rejects both; min_len=15 keeps only the 20-char run
+    assert want == {20}
+
+
+def test_minor_compaction_segments_and_major_collapse(spark, tmp_path):
+    """LSM tiering of the admission index: a MINOR fold collapses only
+    the delta partitions since the last fold into ONE segment (id =
+    max(covered), marked with a _segment file) and leaves base and
+    earlier segments untouched — O(deltas) rewrite, the level an
+    in-sink cadence can afford — while a MAJOR collapses everything
+    into the base. Effective state (admissions, effective bands, df
+    totals, hot set) is invariant at every step, and the second minor
+    provably does not rewrite the first segment."""
+    import os
+
+    from pyspark_ingestion_spark.streaming.pipeline import (
+        _admit_dedup_batch_indexed,
+        _read_hot_log,
+        _read_latest_bands,
+        compact_admission_index,
+    )
+
+    base = spark.createDataFrame(
+        [(0, "alpha beta gamma delta epsilon zeta eta theta")],
+        "doc_id int, text string",
+    )
+    out, idx = str(tmp_path / "out"), str(tmp_path / "idx")
+    kwargs = dict(id_col="doc_id", text_col="text", n=3, num_hashes=8,
+                  band_size=2, threshold_num=1, threshold_den=2,
+                  max_doc_freq=2, max_bucket_size=None, index_mode="hotlog")
+    texts = [
+        "one two three four five six the big boiler plate text",
+        "eight nine ten eleven twelve thirteen the big boiler plate text",
+        # third appearance pushes the shared trigrams over cap=2
+        "fourteen fifteen sixteen seventeen eighteen the big boiler plate text",
+        "nineteen twenty twentyone twentytwo twentythree",
+        "twentyfour twentyfive twentysix twentyseven twentyeight",
+    ]
+    for b, t in enumerate(texts):
+        bdf = spark.createDataFrame([(10 + b, t)], "doc_id int, text string")
+        _admit_dedup_batch_indexed(bdf, b, base, out, idx, **kwargs)
+
+    tables = ["bands", "postings", "dfcnt", "hot"]
+
+    def effective():
+        state = {
+            "bands": frozenset(
+                tuple(r) for r in _read_latest_bands(spark, f"{idx}/bands", -2).collect()
+            ),
+            "posts": frozenset(
+                tuple(r)
+                for r in spark.read.parquet(f"{idx}/postings")
+                .select("doc", "shingle").collect()
+            ),
+            "dfcnt": frozenset(
+                (r["shingle"], r["t"])
+                for r in spark.read.parquet(f"{idx}/dfcnt")
+                .groupBy("shingle").agg(F.sum("cnt").alias("t")).collect()
+            ),
+            "hot": frozenset(
+                r["shingle"]
+                for r in _read_hot_log(spark, idx, exclude_batch_id=-2).collect()
+            ),
+        }
+        return state
+
+    def parts(t):
+        return {
+            int(r["__batch_id"])
+            for r in spark.read.parquet(f"{idx}/{t}")
+            .select("__batch_id").distinct().collect()
+        }
+
+    want = effective()
+
+    # minor #1: deltas 0..4 → segment 4, base untouched. The hot table
+    # has a single delta (only the crossing batch writes files), and a
+    # one-partition minor is a no-op by design — nothing to fold.
+    removed = compact_admission_index(spark, idx, mode="minor")
+    assert removed["bands"] == 5 and removed["postings"] == 5
+    for t in ("bands", "postings", "dfcnt"):
+        assert parts(t) <= {-1, 4}, (t, parts(t))
+        assert os.path.exists(f"{idx}/{t}/__batch_id=4/_segment"), t
+    assert parts("hot") == {2} and removed["hot"] == 0
+    assert effective() == want
+
+    # two more batches on the compacted index
+    for b, t in enumerate(
+        ["thirty thirtyone thirtytwo thirtythree thirtyfour",
+         "thirtyfive thirtysix thirtyseven thirtyeight thirtynine"], start=5
+    ):
+        bdf = spark.createDataFrame([(10 + b, t)], "doc_id int, text string")
+        _admit_dedup_batch_indexed(bdf, b, base, out, idx, **kwargs)
+    want2 = effective()
+
+    # minor #2 folds ONLY the new deltas {5, 6}; segment 4 is not rewritten
+    seg4_mtime = os.path.getmtime(f"{idx}/bands/__batch_id=4")
+    removed2 = compact_admission_index(spark, idx, mode="minor")
+    assert removed2["bands"] == 2, removed2
+    for t in ("bands", "postings", "dfcnt"):
+        assert parts(t) <= {-1, 4, 6}, (t, parts(t))
+    assert os.path.getmtime(f"{idx}/bands/__batch_id=4") == seg4_mtime
+    assert effective() == want2
+
+    # a third minor with no new deltas is a no-op (segments are skipped)
+    assert compact_admission_index(spark, idx, mode="minor")["bands"] == 0
+
+    # major collapses segments + base into one partition, state invariant
+    removed3 = compact_admission_index(spark, idx, mode="major")
+    assert removed3["bands"] == 2
+    for t in tables:
+        assert parts(t) == {-1}, (t, parts(t))
+    assert effective() == want2
