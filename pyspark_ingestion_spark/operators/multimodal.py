@@ -10,18 +10,20 @@ the binary column is projected only into the decode stage.
 What's real vs stubbed, stated plainly: header-metadata decode
 (dimensions / frame counts for PNG, GIF, BMP, JPEG, WAV) is REAL —
 pure byte parsing in ``_decode_real``, tested on handcrafted files.
-PIXEL/SAMPLE level is REAL for every container that needs no codec
-runtime: uncompressed 24/32-bit BMP pixel rows and 8/16-bit PCM WAV
-frames are plain byte slices (round-5), and 8-bit grayscale/truecolor
-PNG is stdlib ``zlib`` inflate + the five spec filter predictors and
-GIF is a ~60-line pure-Python LZW decoder (round-6) — all decoded by
+PIXEL/SAMPLE level is REAL for every still-image/audio container:
+uncompressed 24/32-bit BMP pixel rows and 8/16-bit PCM WAV frames are
+plain byte slices (round-5); 8-bit grayscale/truecolor PNG is stdlib
+``zlib`` inflate + the five spec filter predictors and GIF is a
+~60-line pure-Python LZW decoder (round-6); baseline sequential JPEG
+(SOF0/1) is a pure-Python entropy + DCT pipeline — canonical Huffman
+from the file's own DHT, byte unstuffing, DC prediction, dequant,
+zig-zag, 8x8 inverse DCT (round-7) — all decoded by
 ``media_signal_features`` into oracle-checked luma/RMS statistics.
-What remains stubbed behind ``NotImplementedError``: JPEG pixels (DCT
-+ entropy coding — the one container that genuinely needs a codec
-runtime) and LEARNED feature extraction (needs a model runtime); the
-deterministic fake path exercises the exact same schema, partitioning,
-UDF signature and batch shape, so the codec swap stays a one-function
-change.
+What remains stubbed behind ``NotImplementedError``: progressive JPEG
+(SOF2 multi-pass spectral decode), video containers, and LEARNED
+feature extraction (needs a model runtime); the deterministic fake
+path exercises the exact same schema, partitioning, UDF signature and
+batch shape, so those swaps stay one-function changes.
 """
 
 from __future__ import annotations
@@ -69,9 +71,9 @@ def _decode_real(payload: bytes) -> tuple[int, int, int]:
     (logical screen descriptor + image-separator count), BMP (DIB
     header), JPEG (SOF0/1/2 marker walk), WAV (fmt/data chunks —
     mapped as width=n_channels, height=bits_per_sample,
-    n_frames=sample frames). PIXEL-level decode/resample still needs
-    real codecs (PIL/ffmpeg) and raises NotImplementedError via the
-    unknown-format branch; see module docstring.
+    n_frames=sample frames). PIXEL-level decode is real for
+    BMP/PNG/GIF/baseline-JPEG/PCM-WAV (see ``media_signal_features``);
+    unknown containers raise NotImplementedError; see module docstring.
     """
     import struct
 
@@ -115,10 +117,9 @@ def _decode_real(payload: bytes) -> tuple[int, int, int]:
         raise ValueError("wav: missing fmt/data chunks")
     raise NotImplementedError(
         "unknown container (only PNG/GIF/BMP/JPEG/WAV headers are parsed "
-        "natively; pixel/sample decode is real for BMP/PNG/GIF/PCM-WAV — "
-        "see media_signal_features — while JPEG pixels need a codec "
-        "runtime this environment lacks); use fake=True for the "
-        "deterministic test path"
+        "natively; pixel/sample decode is real for BMP/PNG/GIF/baseline-"
+        "JPEG/PCM-WAV — see media_signal_features); use fake=True for "
+        "the deterministic test path"
     )
 
 
@@ -631,15 +632,17 @@ def media_signal_features(media: DataFrame) -> DataFrame:
                     vals, cont, scale = _png_luma_millis(p), "png", 1000
                 elif p[:4] == b"GIF8":
                     vals, cont, scale = _gif_luma_millis(p), "gif", 1000
+                elif p[:3] == b"\xff\xd8\xff":
+                    vals, cont, scale = _jpeg_luma_millis(p), "jpeg", 1000
                 elif p[:4] == b"RIFF" and p[8:12] == b"WAVE":
                     vals, cont, scale = _wav_sample_values(p), "wav", 1
                 else:
                     raise NotImplementedError(
                         "pixel/sample decode covers BMP (raw slices), PNG "
                         "(stdlib-zlib inflate + unfilter), GIF (pure-python "
-                        "LZW) and PCM WAV; only JPEG pixels remain gated — "
-                        "the one container whose decode (DCT + entropy "
-                        "coding) genuinely needs a codec runtime"
+                        "LZW), baseline JPEG (pure-python Huffman + dequant "
+                        "+ IDCT) and PCM WAV; the remaining gate is "
+                        "progressive JPEG (SOF2) and video containers"
                     )
                 n = len(vals)
                 s1 = sum(vals)
@@ -835,6 +838,497 @@ def synthesize_wav_payload(df: DataFrame, id_col: str, text_col: str) -> DataFra
                     dchunk += b"\x00"  # RIFF chunk padding (not part of samples)
                 riff = b"WAVE" + fmt + dchunk
                 payloads.append(struct.pack("<4sI", b"RIFF", len(riff)) + riff)
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+    return df.select(
+        F.col(id_col).alias("doc_id"), F.col(text_col).alias("__text")
+    ).mapInPandas(
+        batches,
+        T.StructType(
+            [
+                T.StructField("doc_id", T.LongType()),
+                T.StructField("payload", T.BinaryType()),
+            ]
+        ),
+    )
+
+
+# ---------------------------------------------------- baseline JPEG codec
+#
+# Baseline sequential JPEG (SOF0) needs no codec RUNTIME either — the
+# whole pipeline is integer/float arithmetic the stdlib covers: marker
+# walk, canonical Huffman tables from DHT, bit unstuffing (0xFF 0x00),
+# DC-predictor + run-length AC entropy decode, dequantization, 8x8
+# inverse DCT, level shift. What stays honestly gated after this:
+# PROGRESSIVE JPEG (SOF2 — spectral selection / successive approximation
+# passes) and learned feature extraction.
+
+#: JPEG Annex K example luminance Huffman specs (public ITU T.81 tables):
+#: (BITS counts for lengths 1..16, HUFFVAL symbol list)
+_JPEG_DC_BITS = [0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0]
+_JPEG_DC_VALS = list(range(12))
+_JPEG_AC_BITS = [0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7D]
+_JPEG_AC_VALS = [
+    0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12, 0x21, 0x31, 0x41, 0x06,
+    0x13, 0x51, 0x61, 0x07, 0x22, 0x71, 0x14, 0x32, 0x81, 0x91, 0xA1, 0x08,
+    0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0, 0x24, 0x33, 0x62, 0x72,
+    0x82, 0x09, 0x0A, 0x16, 0x17, 0x18, 0x19, 0x1A, 0x25, 0x26, 0x27, 0x28,
+    0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38, 0x39, 0x3A, 0x43, 0x44, 0x45,
+    0x46, 0x47, 0x48, 0x49, 0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59,
+    0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68, 0x69, 0x6A, 0x73, 0x74, 0x75,
+    0x76, 0x77, 0x78, 0x79, 0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89,
+    0x8A, 0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3,
+    0xA4, 0xA5, 0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6,
+    0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7, 0xC8, 0xC9,
+    0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1, 0xE2,
+    0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF1, 0xF2, 0xF3, 0xF4,
+    0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA,
+]
+
+#: zig-zag index order (T.81 figure 5): zigzag[k] = raster index of the
+#: k-th coefficient in transmission order
+_JPEG_ZIGZAG = [
+    0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+]
+
+
+def _jpeg_canonical_codes(bits: list[int], vals: list[int]) -> dict:
+    """Canonical Huffman assignment (T.81 C.2): symbol -> (code, length)."""
+    codes = {}
+    code = 0
+    k = 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            codes[vals[k]] = (code, length)
+            code += 1
+            k += 1
+        code <<= 1
+    return codes
+
+
+def _jpeg_decode_table(bits: list[int], vals: list[int]) -> dict:
+    """Decoder view of the same canonical table: (length, code) -> symbol."""
+    return {
+        (length, code): sym
+        for sym, (code, length) in _jpeg_canonical_codes(bits, vals).items()
+    }
+
+
+class _JpegBitReader:
+    """MSB-first bit reader over entropy-coded data with 0xFF00 unstuffing."""
+
+    def __init__(self, payload: bytes, pos: int):
+        self.p = payload
+        self.pos = pos
+        self.cur = 0
+        self.nbits = 0
+
+    def read_bit(self) -> int:
+        if not self.nbits:
+            if self.pos >= len(self.p):
+                raise ValueError("jpeg: truncated entropy stream")
+            b = self.p[self.pos]
+            self.pos += 1
+            if b == 0xFF:
+                if self.pos >= len(self.p):
+                    raise ValueError("jpeg: truncated entropy stream")
+                nxt = self.p[self.pos]
+                if nxt == 0x00:
+                    self.pos += 1  # stuffed byte
+                else:
+                    raise ValueError("jpeg: marker inside entropy stream")
+            self.cur = b
+            self.nbits = 8
+        self.nbits -= 1
+        return (self.cur >> self.nbits) & 1
+
+    def read_bits(self, n: int) -> int:
+        v = 0
+        for _ in range(n):
+            v = (v << 1) | self.read_bit()
+        return v
+
+    def read_huffman(self, table: dict) -> int:
+        code = 0
+        for length in range(1, 17):
+            code = (code << 1) | self.read_bit()
+            sym = table.get((length, code))
+            if sym is not None:
+                return sym
+        raise ValueError("jpeg: invalid Huffman code")
+
+
+def _jpeg_extend(v: int, s: int) -> int:
+    """T.81 F.2.2.1 EXTEND: map an s-bit magnitude to its signed value."""
+    return v if s == 0 or v >= (1 << (s - 1)) else v - (1 << s) + 1
+
+
+_JPEG_IDCT_COS = None
+
+
+def _jpeg_idct_block(coef: list[int]) -> list[int]:
+    """8x8 inverse DCT (T.81 A.3.3) + level shift + clamp → 64 raster
+    pixels. DC-only blocks take the mathematically-exact constant path
+    (IDCT of a lone DC coefficient is a constant block) — an identity,
+    not an approximation — which is what keeps constant-block fixtures
+    bit-exact and mass decode fast; blocks with AC energy run the full
+    separable float IDCT."""
+    import math
+
+    if not any(coef[1:]):
+        v = round(coef[0] / 8.0) + 128
+        v = 0 if v < 0 else 255 if v > 255 else v
+        return [v] * 64
+    global _JPEG_IDCT_COS
+    if _JPEG_IDCT_COS is None:
+        _JPEG_IDCT_COS = [
+            [math.cos((2 * x + 1) * u * math.pi / 16.0) for u in range(8)]
+            for x in range(8)
+        ]
+    c = _JPEG_IDCT_COS
+    half = [0.0] * 64  # rows: 1D IDCT over u for each v
+    inv_sqrt2 = 1.0 / math.sqrt(2.0)
+    for v in range(8):
+        row = coef[v * 8 : v * 8 + 8]
+        for x in range(8):
+            s = 0.0
+            for u in range(8):
+                cu = inv_sqrt2 if u == 0 else 1.0
+                s += cu * row[u] * c[x][u]
+            half[v * 8 + x] = s / 2.0
+    out = [0] * 64
+    for x in range(8):
+        for y in range(8):
+            s = 0.0
+            for v in range(8):
+                cv = inv_sqrt2 if v == 0 else 1.0
+                s += cv * half[v * 8 + x] * c[y][v]
+            p = round(s / 2.0) + 128
+            out[y * 8 + x] = 0 if p < 0 else 255 if p > 255 else p
+    return out
+
+
+def _jpeg_luma_millis(payload: bytes) -> list[int]:
+    """REAL pixel decode for baseline sequential JPEG (SOF0/SOF1) in
+    pure Python: marker walk (DQT/DHT/SOF/DRI/SOS), canonical Huffman
+    tables built from the file's own DHT segments, MSB-first entropy
+    decode with byte unstuffing and restart-marker handling, DC
+    prediction, dequantization, zig-zag reorder and 8x8 inverse DCT.
+    Emits BT.601 luma millis: grayscale → 1000·pixel; interleaved
+    YCbCr → 1000·Y (JPEG's Y component IS BT.601 luma — chroma never
+    contributes to it, so Cb/Cr blocks are entropy-decoded to advance
+    the stream and discarded). Progressive JPEG (SOF2) raises — the
+    honest remainder of the codec gate."""
+    import struct
+
+    if payload[:3] != b"\xff\xd8\xff":
+        raise ValueError("not a JPEG payload")
+    quant: dict[int, list[int]] = {}
+    huff_dc: dict[int, dict] = {}
+    huff_ac: dict[int, dict] = {}
+    comps = None  # list of (comp_id, h, v, tq)
+    width = height = None
+    restart_interval = 0
+    pos = 2
+    scan = None
+    while pos + 4 <= len(payload):
+        if payload[pos] != 0xFF:
+            raise ValueError(f"jpeg: expected marker at {pos}")
+        marker = payload[pos + 1]
+        if marker == 0xD8:  # stray SOI
+            pos += 2
+            continue
+        (seglen,) = struct.unpack_from(">H", payload, pos + 2)
+        _need(payload, pos + 2, seglen, "jpeg")
+        body = payload[pos + 4 : pos + 2 + seglen]
+        if marker == 0xDB:  # DQT
+            b = 0
+            while b < len(body):
+                pq, tq = body[b] >> 4, body[b] & 0x0F
+                if pq != 0:
+                    raise NotImplementedError("jpeg: 16-bit quant tables")
+                quant[tq] = list(body[b + 1 : b + 65])
+                b += 65
+        elif marker == 0xC4:  # DHT
+            b = 0
+            while b < len(body):
+                tc, th = body[b] >> 4, body[b] & 0x0F
+                bits = list(body[b + 1 : b + 17])
+                n = sum(bits)
+                vals = list(body[b + 17 : b + 17 + n])
+                (huff_dc if tc == 0 else huff_ac)[th] = _jpeg_decode_table(bits, vals)
+                b += 17 + n
+        elif marker in (0xC0, 0xC1):  # SOF0/1: baseline sequential
+            _prec, height, width, nc = struct.unpack_from(">BHHB", body, 0)
+            comps = []
+            for i in range(nc):
+                cid, hv, tq = struct.unpack_from(">BBB", body, 6 + 3 * i)
+                comps.append((cid, hv >> 4, hv & 0x0F, tq))
+            if any(h != 1 or v != 1 for _, h, v, _ in comps):
+                raise NotImplementedError("jpeg: subsampled chroma (non-4:4:4)")
+        elif marker == 0xC2:
+            raise NotImplementedError(
+                "jpeg: progressive (SOF2) needs multi-pass spectral decode — "
+                "the remaining codec gate"
+            )
+        elif marker == 0xDD:  # DRI
+            (restart_interval,) = struct.unpack_from(">H", body, 0)
+        elif marker == 0xDA:  # SOS: entropy data follows
+            ns = body[0]
+            scan = [
+                (body[1 + 2 * i], body[2 + 2 * i] >> 4, body[2 + 2 * i] & 0x0F)
+                for i in range(ns)
+            ]
+            pos = pos + 2 + seglen
+            break
+        pos += 2 + seglen
+    if comps is None or scan is None:
+        raise ValueError("jpeg: missing SOF/SOS")
+    by_id = {cid: (h, v, tq) for cid, h, v, tq in comps}
+    reader = _JpegBitReader(payload, pos)
+    mcus_x = (width + 7) // 8
+    mcus_y = (height + 7) // 8
+    pred = {cid: 0 for cid, _, _ in scan}
+    lumas: list[int] = []
+    luma_cid = scan[0][0]  # grayscale: the only component; YCbCr: Y is first
+    n_mcu = 0
+    for my in range(mcus_y):
+        for mx in range(mcus_x):
+            if restart_interval and n_mcu and n_mcu % restart_interval == 0:
+                # byte-align and consume the RSTn marker, reset predictors
+                reader.nbits = 0
+                _need(payload, reader.pos, 2, "jpeg")
+                if payload[reader.pos] != 0xFF or not (
+                    0xD0 <= payload[reader.pos + 1] <= 0xD7
+                ):
+                    raise ValueError("jpeg: expected restart marker")
+                reader.pos += 2
+                pred = {cid: 0 for cid, _, _ in scan}
+            n_mcu += 1
+            for cid, td, ta in scan:
+                q = quant[by_id[cid][2]]
+                s = reader.read_huffman(huff_dc[td])
+                diff = _jpeg_extend(reader.read_bits(s), s)
+                pred[cid] += diff
+                zz = [0] * 64
+                zz[0] = pred[cid] * q[0]
+                k = 1
+                while k < 64:
+                    rs = reader.read_huffman(huff_ac[ta])
+                    r, size = rs >> 4, rs & 0x0F
+                    if size == 0:
+                        if r == 15:  # ZRL
+                            k += 16
+                            continue
+                        break  # EOB
+                    k += r
+                    if k > 63:
+                        raise ValueError("jpeg: AC run past block end")
+                    zz[k] = _jpeg_extend(reader.read_bits(size), size) * q[k]
+                    k += 1
+                if cid == luma_cid:
+                    coef = [0] * 64
+                    for i, zi in enumerate(_JPEG_ZIGZAG):
+                        coef[zi] = zz[i]
+                    block = _jpeg_idct_block(coef)
+                    # clip edge blocks to the true image bounds
+                    for yy in range(8):
+                        py = my * 8 + yy
+                        if py >= height:
+                            break
+                        for xx in range(8):
+                            if mx * 8 + xx >= width:
+                                break
+                            lumas.append(1000 * block[yy * 8 + xx])
+                else:
+                    # chroma: stream advanced above; pixels not needed for luma
+                    pass
+    return lumas
+
+
+class _JpegBitWriter:
+    """MSB-first bit writer with 0xFF stuffing (the encoder mirror)."""
+
+    def __init__(self):
+        self.out = bytearray()
+        self.cur = 0
+        self.nbits = 0
+
+    def write(self, code: int, length: int) -> None:
+        for i in range(length - 1, -1, -1):
+            self.cur = (self.cur << 1) | ((code >> i) & 1)
+            self.nbits += 1
+            if self.nbits == 8:
+                self.out.append(self.cur)
+                if self.cur == 0xFF:
+                    self.out.append(0x00)
+                self.cur = 0
+                self.nbits = 0
+
+    def pad(self) -> None:
+        """1-pad to a byte boundary (before restart markers / at EOI)."""
+        if self.nbits:
+            self.write((1 << (8 - self.nbits)) - 1, 8 - self.nbits)
+
+    def flush(self) -> bytes:
+        self.pad()
+        return bytes(self.out)
+
+
+def _jpeg_fdct_block(pixels: list[int]) -> list[float]:
+    """8x8 forward DCT (T.81 A.3.3) over level-shifted raster pixels."""
+    import math
+
+    global _JPEG_IDCT_COS
+    if _JPEG_IDCT_COS is None:
+        _JPEG_IDCT_COS = [
+            [math.cos((2 * x + 1) * u * math.pi / 16.0) for u in range(8)]
+            for x in range(8)
+        ]
+    c = _JPEG_IDCT_COS
+    inv_sqrt2 = 1.0 / math.sqrt(2.0)
+    shifted = [p - 128 for p in pixels]
+    half = [0.0] * 64  # 1D over x for each row y, output indexed [y][u]
+    for y in range(8):
+        for u in range(8):
+            s = 0.0
+            for x in range(8):
+                s += shifted[y * 8 + x] * c[x][u]
+            half[y * 8 + u] = s
+    out = [0.0] * 64
+    for u in range(8):
+        cu = inv_sqrt2 if u == 0 else 1.0
+        for v in range(8):
+            cv = inv_sqrt2 if v == 0 else 1.0
+            s = 0.0
+            for y in range(8):
+                s += half[y * 8 + u] * c[y][v]
+            out[v * 8 + u] = s * cu * cv / 4.0
+    return out
+
+
+def _jpeg_encode_gray(
+    pixels: bytes, width: int, height: int, quant: list[int],
+    restart_interval: int = 0,
+) -> bytes:
+    """REAL baseline JPEG encoder for 8-bit grayscale (fixture role,
+    like ``_gif_lzw_encode``): forward DCT, quantization against
+    ``quant`` (raster order), zig-zag, canonical Annex-K Huffman with
+    DC prediction / AC run-length / EOB, byte stuffing, and optional
+    DRI/RSTn restart markers (byte-aligned, predictors reset — so the
+    decoder's restart path is exercised on real data too). The decoder
+    chews actual entropy-coded DCT data, not a bypass."""
+    import struct
+
+    if width % 8 or height % 8:
+        raise ValueError("fixture encoder wants multiple-of-8 dimensions")
+    dc_codes = _jpeg_canonical_codes(_JPEG_DC_BITS, _JPEG_DC_VALS)
+    ac_codes = _jpeg_canonical_codes(_JPEG_AC_BITS, _JPEG_AC_VALS)
+    w = _JpegBitWriter()
+    pred = 0
+    n_mcu = 0
+    for my in range(height // 8):
+        for mx in range(width // 8):
+            if restart_interval and n_mcu and n_mcu % restart_interval == 0:
+                w.pad()
+                w.out.append(0xFF)
+                w.out.append(0xD0 + ((n_mcu // restart_interval - 1) % 8))
+                pred = 0
+            n_mcu += 1
+            block = [
+                pixels[(my * 8 + yy) * width + mx * 8 + xx]
+                for yy in range(8)
+                for xx in range(8)
+            ]
+            coef = _jpeg_fdct_block(block)
+            zz = [
+                int(round(coef[zi] / quant[zi])) for zi in _JPEG_ZIGZAG
+            ]
+            diff = zz[0] - pred
+            pred = zz[0]
+            s = diff if diff >= 0 else -diff
+            size = s.bit_length()
+            w.write(*dc_codes[size])
+            if size:
+                w.write(diff if diff >= 0 else diff + (1 << size) - 1, size)
+            run = 0
+            for k in range(1, 64):
+                if zz[k] == 0:
+                    run += 1
+                    continue
+                while run > 15:
+                    w.write(*ac_codes[0xF0])  # ZRL
+                    run -= 16
+                v = zz[k]
+                s = v if v >= 0 else -v
+                size = s.bit_length()
+                w.write(*ac_codes[(run << 4) | size])
+                w.write(v if v >= 0 else v + (1 << size) - 1, size)
+                run = 0
+            if run:
+                w.write(*ac_codes[0x00])  # EOB
+    data = w.flush()
+
+    def seg(marker: int, body: bytes) -> bytes:
+        return struct.pack(">BBH", 0xFF, marker, len(body) + 2) + body
+
+    qz = bytes(quant[zi] for zi in _JPEG_ZIGZAG)  # DQT ships zig-zag order
+    dqt = seg(0xDB, b"\x00" + qz)
+    dht = seg(
+        0xC4,
+        b"\x00" + bytes(_JPEG_DC_BITS) + bytes(_JPEG_DC_VALS)
+        + b"\x10" + bytes(_JPEG_AC_BITS) + bytes(_JPEG_AC_VALS),
+    )
+    sof = seg(0xC0, struct.pack(">BHHB", 8, height, width, 1) + b"\x01\x11\x00")
+    dri = seg(0xDD, struct.pack(">H", restart_interval)) if restart_interval else b""
+    sos = seg(0xDA, b"\x01\x01\x00" + b"\x00\x3f\x00")
+    return b"\xff\xd8" + dqt + dht + sof + dri + sos + data + b"\xff\xd9"
+
+
+#: fixture quant table: DC step 8 divides every constant block's DC
+#: coefficient 8·(v − 128) exactly, so constant blocks round-trip
+#: bit-exactly; AC steps are the Annex-K-ish 16 (they only matter for
+#: non-constant pytest images, where the roundtrip is lossy as JPEG is)
+_JPEG_FIXTURE_QUANT = [8] + [16] * 63
+
+#: blocks per row in the synthesized fixture grid (image width 256 px)
+_JPEG_BLOCKS_PER_ROW = 32
+
+
+def synthesize_jpeg_payload(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Deterministic REAL JPEG payloads from a text column: each UTF-8
+    byte becomes one CONSTANT 8x8 block (value = the byte) laid out in a
+    32-block-wide grid, genuinely encoded by the baseline encoder —
+    forward DCT, quantization, canonical Huffman DC prediction, byte
+    stuffing all run for real. Constant blocks survive quantization
+    exactly (their only coefficient is DC = 8·(v−128), and the fixture
+    DC step 8 divides it), so a SQL oracle can compute the decoded
+    statistics from the text bytes: 64 pixels of value b per byte, plus
+    constant-0 padding blocks to fill the last grid row (fixture role,
+    like ``synthesize_gif_payload``)."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        bpr = _JPEG_BLOCKS_PER_ROW
+        for pdf in it:
+            payloads = []
+            for t in pdf["__text"]:
+                data = t.encode("utf-8")
+                n_blocks = max(1, len(data))
+                rows = -(-n_blocks // bpr)
+                padded = data.ljust(rows * bpr, b"\x00")
+                width, height = bpr * 8, rows * 8
+                pix = bytearray(width * height)
+                for bi, val in enumerate(padded):
+                    by, bx = divmod(bi, bpr)
+                    for yy in range(8):
+                        base = (by * 8 + yy) * width + bx * 8
+                        pix[base : base + 8] = bytes([val]) * 8
+                payloads.append(
+                    _jpeg_encode_gray(bytes(pix), width, height, _JPEG_FIXTURE_QUANT)
+                )
             yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
 
     return df.select(

