@@ -63,6 +63,58 @@ HEADLINE = [
 ]
 
 
+def _stream_admission_batches(
+    spark, corpus_n: int = 5_000, n_batches: int = 4, batch_rows: int = 200,
+    words_per_doc: int = 40,
+) -> list[float]:
+    """Per-batch wall-clock of hotlog indexed streaming admission on a
+    fixed deterministic workload — the sink body of
+    ``stream_dedup_admission(index_mode="hotlog")``, which equivalence
+    tests pin to the recompute form. Returns the steady-state batch
+    times (batch 0 pays the one-time bootstrap and is dropped)."""
+    import random
+    import shutil
+    import tempfile
+
+    from pyspark_ingestion_spark.operators.dedup import release_shingle_caches
+    from pyspark_ingestion_spark.streaming.pipeline import _admit_dedup_batch_indexed
+
+    words = [f"w{i}" for i in range(8000)]
+
+    def rows(n, seed, start):
+        rnd = random.Random(seed)
+        return [
+            (i, " ".join(rnd.choices(words, k=words_per_doc)))
+            for i in range(start, start + n)
+        ]
+
+    tmp = tempfile.mkdtemp(prefix="bench_stream_")
+    try:
+        spark.createDataFrame(
+            rows(corpus_n, seed=5, start=0), "doc_id long, text string"
+        ).repartition(8).write.mode("overwrite").parquet(f"{tmp}/base")
+        base = spark.read.parquet(f"{tmp}/base")
+        kwargs = dict(id_col="doc_id", text_col="text", n=3, num_hashes=8,
+                      band_size=2, threshold_num=1, threshold_den=2,
+                      max_doc_freq=25, max_bucket_size=None,
+                      index_mode="hotlog")
+        times = []
+        for bid in range(n_batches):
+            bdf = spark.createDataFrame(
+                rows(batch_rows, seed=100 + bid, start=corpus_n + bid * 10_000),
+                "doc_id long, text string",
+            ).coalesce(2)
+            t0 = time.perf_counter()
+            _admit_dedup_batch_indexed(
+                bdf, bid, base, f"{tmp}/out", f"{tmp}/index", **kwargs
+            )
+            release_shingle_caches()
+            times.append(round(time.perf_counter() - t0, 3))
+        return times[1:]
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
@@ -84,6 +136,15 @@ def main() -> None:
             registry[name].fn(spark, sf_dir).collect()
             runs[name].append(round(time.perf_counter() - t0, 3))
 
+    # streaming steady-state (r7): hotlog indexed admission seconds/BATCH
+    # at FIXED corpus/batch sizes (deterministic synthetic docs — the
+    # metric tracks the read/write path's cost, not the sf dir), so a
+    # regression in the streaming tier is visible to the driver instead
+    # of living only in one-off SCALING.md A/Bs. Batch 0 (one-time index
+    # bootstrap) is excluded; the reported number is the min over the
+    # steady-state batches, consistent with the min-of-runs convention.
+    runs["stream_admission_hotlog_batch"] = _stream_admission_batches(spark)
+
     timings = {n: min(rs) for n, rs in runs.items()}
     detail = {
         n: {
@@ -101,7 +162,8 @@ def main() -> None:
     r3_set = [n for n in names if n not in (
         "corpus_full_pipeline", "dedup_semantic_keep_one", "word_cooccurrence_pmi",
         "dedup_substring_spans", "ann_ivf_pq_topk",
-        "pagerank_copurchase", "entity_canonical_keep_one")]
+        "pagerank_copurchase", "entity_canonical_keep_one",
+        "stream_admission_hotlog_batch")]
     print(
         json.dumps(
             {
