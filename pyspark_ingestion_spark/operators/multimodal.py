@@ -10,20 +10,22 @@ the binary column is projected only into the decode stage.
 What's real vs stubbed, stated plainly: header-metadata decode
 (dimensions / frame counts for PNG, GIF, BMP, JPEG, WAV) is REAL —
 pure byte parsing in ``_decode_real``, tested on handcrafted files.
-PIXEL/SAMPLE level is REAL for every still-image/audio container:
-uncompressed 24/32-bit BMP pixel rows and 8/16-bit PCM WAV frames are
-plain byte slices (round-5); 8-bit grayscale/truecolor PNG is stdlib
-``zlib`` inflate + the five spec filter predictors and GIF is a
-~60-line pure-Python LZW decoder (round-6); baseline sequential JPEG
-(SOF0/1) is a pure-Python entropy + DCT pipeline — canonical Huffman
-from the file's own DHT, byte unstuffing, DC prediction, dequant,
-zig-zag, 8x8 inverse DCT (round-7) — all decoded by
+PIXEL/SAMPLE level is REAL for: uncompressed 24/32-bit BMP pixel rows
+and 8/16-bit PCM WAV frames (plain byte slices, round-5); 8-bit
+grayscale/truecolor PNG (stdlib ``zlib`` inflate + the five spec
+filter predictors) and GIF (a ~60-line pure-Python LZW decoder),
+round-6; and baseline sequential JPEG (SOF0/1) with grayscale or
+4:4:4 chroma — a pure-Python entropy + DCT pipeline: canonical
+Huffman from the file's own DHT, byte unstuffing, DC prediction,
+dequant, zig-zag, 8x8 inverse DCT (round-7) — all decoded by
 ``media_signal_features`` into oracle-checked luma/RMS statistics.
-What remains stubbed behind ``NotImplementedError``: progressive JPEG
-(SOF2 multi-pass spectral decode), video containers, and LEARNED
-feature extraction (needs a model runtime); the deterministic fake
-path exercises the exact same schema, partitioning, UDF signature and
-batch shape, so those swaps stay one-function changes.
+What remains behind ``NotImplementedError``, stated just as plainly:
+CHROMA-SUBSAMPLED baseline JPEG (4:2:0/4:2:2 — the dominant camera/web
+form; needs per-component MCU geometry), 16-bit quant tables,
+progressive JPEG (SOF2 multi-pass spectral decode), video containers,
+and LEARNED feature extraction (needs a model runtime); the
+deterministic fake path exercises the exact same schema, partitioning,
+UDF signature and batch shape, so those swaps stay localized.
 """
 
 from __future__ import annotations
@@ -117,9 +119,9 @@ def _decode_real(payload: bytes) -> tuple[int, int, int]:
         raise ValueError("wav: missing fmt/data chunks")
     raise NotImplementedError(
         "unknown container (only PNG/GIF/BMP/JPEG/WAV headers are parsed "
-        "natively; pixel/sample decode is real for BMP/PNG/GIF/baseline-"
-        "JPEG/PCM-WAV — see media_signal_features); use fake=True for "
-        "the deterministic test path"
+        "natively; pixel/sample decode is real for BMP/PNG/GIF/PCM-WAV "
+        "and grayscale/4:4:4 baseline JPEG — see media_signal_features); "
+        "use fake=True for the deterministic test path"
     )
 
 
@@ -640,9 +642,11 @@ def media_signal_features(media: DataFrame) -> DataFrame:
                     raise NotImplementedError(
                         "pixel/sample decode covers BMP (raw slices), PNG "
                         "(stdlib-zlib inflate + unfilter), GIF (pure-python "
-                        "LZW), baseline JPEG (pure-python Huffman + dequant "
-                        "+ IDCT) and PCM WAV; the remaining gate is "
-                        "progressive JPEG (SOF2) and video containers"
+                        "LZW), grayscale/4:4:4 baseline JPEG (pure-python "
+                        "Huffman + dequant + IDCT) and PCM WAV; the "
+                        "remaining gate is chroma-subsampled baseline JPEG "
+                        "(4:2:0/4:2:2), progressive JPEG (SOF2), and video "
+                        "containers"
                     )
                 n = len(vals)
                 s1 = sum(vals)
@@ -1044,25 +1048,39 @@ def _jpeg_luma_millis(payload: bytes) -> list[int]:
         (seglen,) = struct.unpack_from(">H", payload, pos + 2)
         _need(payload, pos + 2, seglen, "jpeg")
         body = payload[pos + 4 : pos + 2 + seglen]
+        # every fixed-layout read below is length-checked first so a
+        # truncated/corrupt segment raises the decoders' ValueError
+        # contract, never a raw struct.error/IndexError (r7 review —
+        # same contract _need enforces for GIF/PNG)
         if marker == 0xDB:  # DQT
             b = 0
             while b < len(body):
                 pq, tq = body[b] >> 4, body[b] & 0x0F
                 if pq != 0:
                     raise NotImplementedError("jpeg: 16-bit quant tables")
+                if b + 65 > len(body):
+                    raise ValueError("jpeg: truncated DQT segment")
                 quant[tq] = list(body[b + 1 : b + 65])
                 b += 65
         elif marker == 0xC4:  # DHT
             b = 0
             while b < len(body):
+                if b + 17 > len(body):
+                    raise ValueError("jpeg: truncated DHT segment")
                 tc, th = body[b] >> 4, body[b] & 0x0F
                 bits = list(body[b + 1 : b + 17])
                 n = sum(bits)
+                if b + 17 + n > len(body):
+                    raise ValueError("jpeg: truncated DHT segment")
                 vals = list(body[b + 17 : b + 17 + n])
                 (huff_dc if tc == 0 else huff_ac)[th] = _jpeg_decode_table(bits, vals)
                 b += 17 + n
         elif marker in (0xC0, 0xC1):  # SOF0/1: baseline sequential
+            if len(body) < 6:
+                raise ValueError("jpeg: truncated SOF segment")
             _prec, height, width, nc = struct.unpack_from(">BHHB", body, 0)
+            if len(body) < 6 + 3 * nc:
+                raise ValueError("jpeg: truncated SOF segment")
             comps = []
             for i in range(nc):
                 cid, hv, tq = struct.unpack_from(">BBB", body, 6 + 3 * i)
@@ -1072,11 +1090,15 @@ def _jpeg_luma_millis(payload: bytes) -> list[int]:
         elif marker == 0xC2:
             raise NotImplementedError(
                 "jpeg: progressive (SOF2) needs multi-pass spectral decode — "
-                "the remaining codec gate"
+                "part of the remaining codec gate"
             )
         elif marker == 0xDD:  # DRI
+            if len(body) < 2:
+                raise ValueError("jpeg: truncated DRI segment")
             (restart_interval,) = struct.unpack_from(">H", body, 0)
         elif marker == 0xDA:  # SOS: entropy data follows
+            if not body or len(body) < 1 + 2 * body[0]:
+                raise ValueError("jpeg: truncated SOS segment")
             ns = body[0]
             scan = [
                 (body[1 + 2 * i], body[2 + 2 * i] >> 4, body[2 + 2 * i] & 0x0F)
@@ -1085,9 +1107,14 @@ def _jpeg_luma_millis(payload: bytes) -> list[int]:
             pos = pos + 2 + seglen
             break
         pos += 2 + seglen
-    if comps is None or scan is None:
+    if comps is None or scan is None or not scan:
         raise ValueError("jpeg: missing SOF/SOS")
     by_id = {cid: (h, v, tq) for cid, h, v, tq in comps}
+    for cid, td, ta in scan:
+        if cid not in by_id:
+            raise ValueError(f"jpeg: SOS component {cid} not declared in SOF")
+        if by_id[cid][2] not in quant or td not in huff_dc or ta not in huff_ac:
+            raise ValueError("jpeg: scan references a missing DQT/DHT table")
     reader = _JpegBitReader(payload, pos)
     mcus_x = (width + 7) // 8
     mcus_y = (height + 7) // 8

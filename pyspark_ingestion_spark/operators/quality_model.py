@@ -221,6 +221,10 @@ def auc_of_scores(
         raise ValueError(
             f"AUC undefined: {agg['n_null']} rows with NULL score/label"
         )
+    # zero-row join: every SUM aggregate is NULL (npos would be None and
+    # the nneg arithmetic below would raise a bare TypeError)
+    if not agg["n"]:
+        raise ValueError("AUC undefined: scored∩labels join is empty")
     npos, n = agg["npos"], agg["n"]
     nneg = n - npos
     if not npos or not nneg:

@@ -579,8 +579,9 @@ def multimodal_jpeg_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     and per-image mean luma / RMS come from integer-exact sums.
     Constant blocks survive quantization exactly (DC = 8·(v−128), DC
     step 8), so the oracle recomputes the identical statistics from the
-    text bytes. With BMP/PNG/GIF/WAV this closes the still-image codec
-    gate; the honest remainder is progressive JPEG (SOF2) and video."""
+    text bytes. Scope stated plainly: grayscale and 4:4:4 baseline
+    JPEG; the honest remainder is chroma-subsampled baseline
+    (4:2:0/4:2:2), progressive (SOF2), and video."""
     from pyspark_ingestion_spark.operators.multimodal import (
         media_signal_features,
         synthesize_jpeg_payload,

@@ -350,10 +350,13 @@ def stream_dedup_admission(
             "compact_every requires index_path and a positive interval"
         )
     if compact_major_every is not None and (
-        compact_every is None or compact_major_every < compact_every
+        compact_every is None or compact_major_every % compact_every != 0
     ):
+        # majors only fire ON compaction batches, so a non-multiple M
+        # would silently degrade the major cadence to lcm(N, M)
         raise ValueError(
-            "compact_major_every requires compact_every and an interval >= it"
+            "compact_major_every requires compact_every and must be a "
+            "multiple of it (majors run on compaction batches)"
         )
     major_every = (
         compact_major_every
@@ -1436,7 +1439,21 @@ def _compact_versioned_table(
             covered = [b for b in covered if not _is_segment(b)]
         if checkpoint is not None:
             committed = set(_list_child_ids(spark, f"{checkpoint}/commits", ""))
-            uncommitted = [b for b in covered if b not in committed]
+            # Spark PURGES commit-log entries beyond
+            # spark.sql.streaming.minBatchesToRetain (default 100), so
+            # absence from commits/ does not mean uncommitted for OLD
+            # batches. The log is strictly sequential: anything older
+            # than the oldest retained entry must have committed (it can
+            # never be in flight again). Without this floor, long-lived
+            # segments would be misclassified forever — skip-mode majors
+            # would silently never fold them (unbounded segment growth,
+            # the exact thing majors exist to bound) and raise-mode
+            # offline compaction would fail spuriously (r7 review).
+            floor = min(committed) if committed else None
+            uncommitted = [
+                b for b in covered
+                if b not in committed and (floor is None or b >= floor)
+            ]
             if uncommitted and on_uncommitted == "raise":
                 raise ValueError(
                     f"partitions {uncommitted} of {table_path} have no commit "
@@ -1592,8 +1609,17 @@ def _substring_rejects_indexed(
     sample_mod: int | None,
 ):
     """Index-driven exact-substring admission for one micro-batch.
-    Returns ``(rejects, wb)`` — the distinct batch ids to drop, and the
-    batch's window rows (with strings), reused by the sink's index write.
+    Returns ``(rejects, wb_raw)`` — the distinct batch ids to drop, and
+    the batch's UNCAPPED window rows (with strings), reused by the
+    sink's index write. Returning the uncapped rows is load-bearing
+    twice over (r7 review): (1) CORRECTNESS — the index's contract is
+    "exactly ``substring_window_table(corpus)``, cap applied at READ
+    time"; persisting capped rows would silently drop an admitted doc's
+    currently-hot windows from the ledger forever, so a later run with
+    a different (or no) cap would diverge from the recompute form;
+    (2) COST — the capped frame's plan contains the corpus-wide hot
+    aggregate, so writing it would re-run that aggregate per batch,
+    while the uncapped frame's plan is batch-sized.
 
     Equivalence with ``incremental_substring_rejects``: the index holds
     exactly the corpus's uncapped window table (persisted at admission
@@ -1617,7 +1643,8 @@ def _substring_rejects_indexed(
         .filter(F.col("__batch_id").cast("long") != batch_id)
         .select("doc", "pos", "wh", "w")
     )
-    wb = _windows_with_text(batch, id_col, text_col, k, sample_mod)
+    wb_raw = _windows_with_text(batch, id_col, text_col, k, sample_mod)
+    wb = wb_raw
     if max_window_df is not None:
         hot = (
             wc.groupBy("wh")
@@ -1642,7 +1669,7 @@ def _substring_rejects_indexed(
     )
     if min_len <= k:
         rejects = verified.select(F.col("__bid").alias(id_col)).distinct()
-        return rejects, wb
+        return rejects, wb_raw
     from pyspark.sql import Window
 
     diag = (F.col("pos_b") - F.col("pos_c")).alias("__diag")
@@ -1656,7 +1683,7 @@ def _substring_rejects_indexed(
         .filter(F.col("__len") >= min_len)
     )
     rejects = long_enough.select(F.col("__bid").alias(id_col)).distinct()
-    return rejects, wb
+    return rejects, wb_raw
 
 
 def _admit_substring_batch_indexed(

@@ -1405,3 +1405,51 @@ def test_jpeg_codec_real_decode(spark):
     assert out["container"] == "jpeg" and out["n_values"] == nblk * 64
     assert abs(out["mean_val"] - sum(vals) / nblk) < 1e-9
     assert abs(out["rms"] - math.sqrt(sum(v * v for v in vals) / nblk)) < 1e-9
+
+
+def test_jpeg_header_truncation_contract(spark):
+    """Truncated/corrupt JPEG HEADER segments (not just the entropy
+    stream) surface the decoders' ValueError contract — never a raw
+    struct.error/IndexError/KeyError (r7 review)."""
+    import struct
+
+    from pyspark_ingestion_spark.operators.multimodal import _jpeg_luma_millis
+
+    def seg(marker, body):
+        return struct.pack(">BBH", 0xFF, marker, len(body) + 2) + body
+
+    soi = b"\xff\xd8"
+    dqt = seg(0xDB, b"\x00" + bytes(64))
+    dht = seg(0xC4, b"\x00" + bytes([1] + [0] * 15) + bytes([0])
+              + b"\x10" + bytes([1] + [0] * 15) + bytes([0]))
+    sof = seg(0xC0, struct.pack(">BHHB", 8, 8, 8, 1) + b"\x01\x11\x00")
+    sos = seg(0xDA, b"\x01\x01\x00" + b"\x00\x3f\x00")
+
+    cases = {
+        "short DQT": soi + seg(0xDB, b"\x00" + bytes(10)) + sof + dht + sos,
+        "short DHT": soi + dqt + sof + seg(0xC4, b"\x00" + bytes(5)) + sos,
+        "short SOF": soi + dqt + dht + seg(0xC0, b"\x08\x00") + sos,
+        "empty SOS": soi + dqt + dht + sof + seg(0xDA, b""),
+        "short DRI": soi + dqt + dht + sof + seg(0xDD, b"\x01") + sos,
+        "SOS component missing from SOF":
+            soi + dqt + dht + sof
+            + seg(0xDA, b"\x01\x07\x00" + b"\x00\x3f\x00"),
+        "scan references missing DHT":
+            soi + dqt + sof + seg(0xDA, b"\x01\x01\x33" + b"\x00\x3f\x00"),
+    }
+    for name, payload in cases.items():
+        with pytest.raises(ValueError):
+            _jpeg_luma_millis(payload)
+        print("ok:", name)
+
+
+def test_auc_empty_join_raises_value_error(spark):
+    """auc_of_scores on a zero-row scored∩labels join raises the
+    designed 'AUC undefined' ValueError, not a bare TypeError from
+    None arithmetic (r7 review)."""
+    from pyspark_ingestion_spark.operators.quality_model import auc_of_scores
+
+    scored = spark.createDataFrame([(1, 0.5)], "doc_id long, model_score double")
+    labels = spark.createDataFrame([(2, 1)], "doc_id long, label int")
+    with pytest.raises(ValueError, match="AUC undefined.*empty"):
+        auc_of_scores(scored, labels, "doc_id", "label")

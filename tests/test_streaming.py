@@ -1428,3 +1428,118 @@ def test_minor_compaction_segments_and_major_collapse(spark, tmp_path):
     for t in tables:
         assert parts(t) == {-1}, (t, parts(t))
     assert effective() == want2
+
+
+def test_substring_index_stores_uncapped_windows(spark, tmp_path):
+    """The windows index must hold exactly substring_window_table(doc)
+    for every admitted doc — INCLUDING windows that were hot (df-capped)
+    at admission time. Persisting capped rows would silently drop an
+    admitted doc's hot windows from the ledger forever, so a restart
+    with the cap raised/removed would diverge from the recompute form
+    (r7 review). Pinned both directly (index rows == uncapped window
+    table) and behaviorally (cap removed on restart: indexed ≡ batch)."""
+    from pyspark_ingestion_spark.operators.dedup import (
+        incremental_substring_rejects,
+        substring_window_table,
+    )
+    from pyspark_ingestion_spark.streaming.pipeline import (
+        _admit_substring_batch_indexed,
+        _substring_rejects_indexed,
+    )
+
+    # the shared phrase sits in 3 > cap=2 corpus docs → hot at admission
+    base = spark.createDataFrame(
+        [(0, "one shared boilerplate phrase plus alpha beta gamma"),
+         (1, "one shared boilerplate phrase plus delta epsilon zeta"),
+         (2, "one shared boilerplate phrase plus eta theta iota")],
+        "doc_id int, text string",
+    )
+    out, idx = str(tmp_path / "out"), str(tmp_path / "idx")
+    doc10 = "docs with one shared boilerplate phrase only collide there"
+    b0 = spark.createDataFrame([(10, doc10)], "doc_id int, text string")
+    args = dict(id_col="doc_id", text_col="text", k=10, min_len=10,
+                max_window_df=2, sample_mod=None)
+    _admit_substring_batch_indexed(b0, 0, base, out, idx, **args)
+
+    # direct: doc 10's index rows == its UNCAPPED window table
+    stored = {
+        (r["pos"], r["wh"], r["w"])
+        for r in spark.read.parquet(f"{idx}/windows")
+        .filter(F.col("doc") == 10).collect()
+    }
+    want = {
+        (r["pos"], r["wh"], doc10[r["pos"] - 1 : r["pos"] - 1 + 10])
+        for r in substring_window_table(b0, "doc_id", "text", 10).collect()
+    }
+    assert stored == want and stored  # non-empty, hot windows included
+
+    # behavioral: next batch runs with NO cap — the previously-hot
+    # boilerplate region must now collide via the index, exactly as the
+    # recompute form over (base ∪ admitted) says
+    b1 = spark.createDataFrame(
+        [(20, "totally new words with one shared boilerplate phrase too"),
+         (21, "nothing in common with anything whatsoever here")],
+        "doc_id int, text string",
+    )
+    corpus = base.unionByName(
+        spark.read.parquet(out).select("doc_id", "text")
+    )
+    want_rej = {
+        r["doc_id"]
+        for r in incremental_substring_rejects(
+            corpus, b1, "doc_id", "text", k=10
+        ).collect()
+    }
+    got_df, _ = _substring_rejects_indexed(
+        spark, b1, idx, 1, "doc_id", "text", 10, 10, None, None
+    )
+    got_rej = {r["doc_id"] for r in got_df.collect()}
+    assert got_rej == want_rej == {20}
+
+
+def test_compaction_commit_floor_and_major_multiple(spark, tmp_path):
+    """(1) Commit-log RETENTION: Spark purges commits/ beyond
+    minBatchesToRetain, so a partition older than the oldest retained
+    marker must count as committed (the log is sequential — it can
+    never be in flight again); without the floor, old segments would
+    never fold in skip mode and raise-mode would fail spuriously
+    (r7 review). (2) compact_major_every must be a MULTIPLE of
+    compact_every — majors only fire on compaction batches, so any
+    other value silently degrades the cadence to lcm."""
+    import os
+
+    from pyspark_ingestion_spark.streaming.pipeline import (
+        _compact_versioned_table,
+        stream_dedup_admission,
+    )
+
+    table = str(tmp_path / "t")
+    for b, cnt in ((-1, 5), (0, 2), (1, 3), (120, 4)):
+        spark.createDataFrame([("sh", cnt)], "shingle string, cnt long").write.parquet(
+            f"{table}/__batch_id={b}"
+        )
+    # simulate a purged commit log: only batches >= 119 retained
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(os.path.join(ckpt, "commits"), exist_ok=True)
+    for b in (119, 120):
+        with open(os.path.join(ckpt, "commits", str(b)), "w") as f:
+            f.write("v1")
+
+    def merge(path, ids):
+        return (
+            spark.read.parquet(path)
+            .filter(F.col("__batch_id").cast("long").isin(ids))
+            .groupBy("shingle").agg(F.sum("cnt").alias("cnt"))
+        )
+
+    # 0 and 1 predate the retained floor (119) → committed; 120 has a
+    # marker; everything folds without raising
+    assert _compact_versioned_table(spark, table, merge, ckpt) == 3
+    rows = spark.read.parquet(table).collect()
+    assert len(rows) == 1 and rows[0]["cnt"] == 14
+
+    with pytest.raises(ValueError, match="multiple"):
+        stream_dedup_admission(
+            None, None, "x", "y", index_path="z",
+            compact_every=4, compact_major_every=6,
+        )
