@@ -1759,6 +1759,8 @@ def stream_substring_admission(
     max_window_df: int | None = None,
     sample_mod: int | None = None,
     index_path: str | None = None,
+    compact_every: int | None = None,
+    compact_major_every: int | None = None,
 ) -> None:
     """Continuous EXACT-SUBSTRING admission — the substring member of
     the streaming admission trio (LSH: :func:`stream_dedup_admission`;
@@ -1779,7 +1781,15 @@ def stream_substring_admission(
     batch. Exactly-once via the same ``__batch_id`` dynamic-overwrite
     contract as the LSH sink. 100 TB shape: set ``sample_mod`` —
     content-defined window sampling divides index size and join fan-in
-    while keeping detection alignment-independent."""
+    while keeping detection alignment-independent.
+
+    ``compact_every`` / ``compact_major_every`` (indexed form only):
+    same in-sink LSM policy as :func:`stream_dedup_admission` — a MINOR
+    fold of the windows index's delta partitions into a segment every N
+    batches (plain concatenation; the index is append-only so every
+    merge level is order-free), a MAJOR into the base every M (default
+    8N). Without it the per-batch index scan reads O(batches) small
+    files — the growth term the LSH A/B measured (SCALING.md r7)."""
     from pyspark.errors import AnalysisException
 
     from pyspark_ingestion_spark.operators.dedup import incremental_substring_rejects
@@ -1787,9 +1797,35 @@ def stream_substring_admission(
 
     eff_min_len = k if min_len is None else min_len
     _validate_substring_params(k, eff_min_len, sample_mod)
+    if compact_every is not None and (index_path is None or compact_every < 1):
+        raise ValueError("compact_every requires index_path and a positive interval")
+    if compact_major_every is not None and (
+        compact_every is None or compact_major_every % compact_every != 0
+    ):
+        raise ValueError(
+            "compact_major_every requires compact_every and must be a "
+            "multiple of it (majors run on compaction batches)"
+        )
+    major_every = (
+        compact_major_every
+        if compact_major_every is not None
+        else (compact_every * 8 if compact_every else None)
+    )
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
         if index_path is not None:
+            if compact_every and batch_id > 0 and batch_id % compact_every == 0:
+                compact_substring_index(
+                    batch_df.sparkSession,
+                    index_path,
+                    checkpoint=checkpoint,
+                    on_uncommitted="skip",
+                    mode=(
+                        "major"
+                        if major_every and batch_id % major_every == 0
+                        else "minor"
+                    ),
+                )
             _admit_substring_batch_indexed(
                 batch_df, batch_id, base_corpus, out_path, index_path,
                 id_col=id_col, text_col=text_col, k=k, min_len=eff_min_len,
@@ -1826,3 +1862,30 @@ def stream_substring_admission(
         .start()
     )
     q.awaitTermination()
+
+
+def compact_substring_index(
+    spark: SparkSession,
+    index_path: str,
+    checkpoint: str | None = None,
+    on_uncommitted: str = "raise",
+    mode: str = "major",
+) -> int:
+    """Fold the substring admission index's per-batch ``windows``
+    partitions — plain concatenation (rows are disjoint across
+    partitions: a doc is admitted once and the index is append-only, so
+    every merge level is order-free). Same write-ahead staging, commit
+    guard (with the retention floor) and LSM minor/major tiers as
+    :func:`compact_admission_index`; returns partitions removed."""
+    return _compact_versioned_table(
+        spark,
+        f"{index_path}/{_IDX_WINDOWS}",
+        lambda path, ids: (
+            spark.read.parquet(path)
+            .filter(F.col("__batch_id").cast("long").isin(ids))
+            .select("doc", "pos", "wh", "w")
+        ),
+        checkpoint,
+        on_uncommitted,
+        mode,
+    )

@@ -1195,8 +1195,15 @@ def test_stream_substring_admission_matches_recompute_and_restarts(spark, tmp_pa
             .option("maxFilesPerTrigger", "1")
             .parquet(src)
         )
+        # indexed arm auto-compacts MID-STREAM (majors, so the partition
+        # assertion below sees a fully-folded index) — equivalence must
+        # hold with compaction interleaved, same bar as the LSH sink
+        extra = (
+            dict(compact_every=1, compact_major_every=1) if index_path else {}
+        )
         stream_substring_admission(
-            stream, base_corpus, out, ckpt, index_path=index_path, **kwargs
+            stream, base_corpus, out, ckpt, index_path=index_path, **kwargs,
+            **extra
         )
 
     out_r, out_i = str(tmp_path / "out_r"), str(tmp_path / "out_i")
@@ -1235,6 +1242,14 @@ def test_stream_substring_admission_matches_recompute_and_restarts(spark, tmp_pa
     run(out_i, ckpt_i, index)
     assert admitted(out_i) == admitted(out_r)
     assert {d for _, d in admitted(out_i)} == {11, 13, 15}
+
+    # the mid-stream majors really folded: only {-1, last batch} survive
+    parts = {
+        int(r["__batch_id"])
+        for r in spark.read.parquet(f"{index}/windows")
+        .select("__batch_id").distinct().collect()
+    }
+    assert parts <= {-1, 2}, parts
 
     # plan property: the indexed rejects read NO text path
     b = spark.createDataFrame([(99, "probe text")], "doc_id int, text string")
