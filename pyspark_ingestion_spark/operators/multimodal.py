@@ -14,18 +14,18 @@ PIXEL/SAMPLE level is REAL for: uncompressed 24/32-bit BMP pixel rows
 and 8/16-bit PCM WAV frames (plain byte slices, round-5); 8-bit
 grayscale/truecolor PNG (stdlib ``zlib`` inflate + the five spec
 filter predictors) and GIF (a ~60-line pure-Python LZW decoder),
-round-6; and baseline sequential JPEG (SOF0/1) with grayscale or
-4:4:4 chroma — a pure-Python entropy + DCT pipeline: canonical
-Huffman from the file's own DHT, byte unstuffing, DC prediction,
-dequant, zig-zag, 8x8 inverse DCT (round-7) — all decoded by
-``media_signal_features`` into oracle-checked luma/RMS statistics.
+round-6; and baseline sequential JPEG (SOF0/1) — grayscale, 4:4:4, and
+chroma-subsampled 4:2:0/4:2:2 (the dominant camera/web form) via the
+full interleaved-MCU geometry — a pure-Python entropy + DCT pipeline:
+canonical Huffman from the file's own DHT, byte unstuffing, DC
+prediction, dequant, zig-zag, 8x8 inverse DCT (round-7) — all decoded
+by ``media_signal_features`` into oracle-checked luma/RMS statistics.
 What remains behind ``NotImplementedError``, stated just as plainly:
-CHROMA-SUBSAMPLED baseline JPEG (4:2:0/4:2:2 — the dominant camera/web
-form; needs per-component MCU geometry), 16-bit quant tables,
-progressive JPEG (SOF2 multi-pass spectral decode), video containers,
-and LEARNED feature extraction (needs a model runtime); the
-deterministic fake path exercises the exact same schema, partitioning,
-UDF signature and batch shape, so those swaps stay localized.
+16-bit quant tables, progressive JPEG (SOF2 multi-pass spectral
+decode), video containers, and LEARNED feature extraction (needs a
+model runtime); the deterministic fake path exercises the exact same
+schema, partitioning, UDF signature and batch shape, so those swaps
+stay localized.
 """
 
 from __future__ import annotations
@@ -120,7 +120,7 @@ def _decode_real(payload: bytes) -> tuple[int, int, int]:
     raise NotImplementedError(
         "unknown container (only PNG/GIF/BMP/JPEG/WAV headers are parsed "
         "natively; pixel/sample decode is real for BMP/PNG/GIF/PCM-WAV "
-        "and grayscale/4:4:4 baseline JPEG — see media_signal_features); "
+        "and baseline JPEG incl. 4:2:0/4:2:2 — see media_signal_features); "
         "use fake=True for the deterministic test path"
     )
 
@@ -642,11 +642,10 @@ def media_signal_features(media: DataFrame) -> DataFrame:
                     raise NotImplementedError(
                         "pixel/sample decode covers BMP (raw slices), PNG "
                         "(stdlib-zlib inflate + unfilter), GIF (pure-python "
-                        "LZW), grayscale/4:4:4 baseline JPEG (pure-python "
-                        "Huffman + dequant + IDCT) and PCM WAV; the "
-                        "remaining gate is chroma-subsampled baseline JPEG "
-                        "(4:2:0/4:2:2), progressive JPEG (SOF2), and video "
-                        "containers"
+                        "LZW), baseline JPEG incl. 4:2:0/4:2:2 chroma "
+                        "subsampling (pure-python Huffman + dequant + IDCT) "
+                        "and PCM WAV; the remaining gate is progressive "
+                        "JPEG (SOF2) and video containers"
                     )
                 n = len(vals)
                 s1 = sum(vals)
@@ -1085,8 +1084,10 @@ def _jpeg_luma_millis(payload: bytes) -> list[int]:
             for i in range(nc):
                 cid, hv, tq = struct.unpack_from(">BBB", body, 6 + 3 * i)
                 comps.append((cid, hv >> 4, hv & 0x0F, tq))
-            if any(h != 1 or v != 1 for _, h, v, _ in comps):
-                raise NotImplementedError("jpeg: subsampled chroma (non-4:4:4)")
+            if any(
+                not (1 <= h <= 4 and 1 <= v <= 4) for _, h, v, _ in comps
+            ):
+                raise ValueError("jpeg: invalid sampling factors")
         elif marker == 0xC2:
             raise NotImplementedError(
                 "jpeg: progressive (SOF2) needs multi-pass spectral decode — "
@@ -1116,11 +1117,22 @@ def _jpeg_luma_millis(payload: bytes) -> list[int]:
         if by_id[cid][2] not in quant or td not in huff_dc or ta not in huff_ac:
             raise ValueError("jpeg: scan references a missing DQT/DHT table")
     reader = _JpegBitReader(payload, pos)
-    mcus_x = (width + 7) // 8
-    mcus_y = (height + 7) // 8
+    # interleaved MCU geometry (T.81 A.2.3): the MCU spans 8·Hmax ×
+    # 8·Vmax luma pixels; each scan component contributes h×v blocks per
+    # MCU in raster order. Covers grayscale, 4:4:4, 4:2:2 and 4:2:0 —
+    # luma stats only need the Y blocks, so chroma blocks are entropy-
+    # decoded (to advance the stream) and discarded, never upsampled.
+    h_max = max(h for _, h, _, _ in comps)
+    v_max = max(v for _, _, v, _ in comps)
+    luma_cid = scan[0][0]  # grayscale: the only component; YCbCr: Y first
+    if by_id[luma_cid][0] != h_max or by_id[luma_cid][1] != v_max:
+        raise NotImplementedError(
+            "jpeg: luma subsampled below another component"
+        )
+    mcus_x = (width + 8 * h_max - 1) // (8 * h_max)
+    mcus_y = (height + 8 * v_max - 1) // (8 * v_max)
     pred = {cid: 0 for cid, _, _ in scan}
     lumas: list[int] = []
-    luma_cid = scan[0][0]  # grayscale: the only component; YCbCr: Y is first
     n_mcu = 0
     for my in range(mcus_y):
         for mx in range(mcus_x):
@@ -1136,43 +1148,47 @@ def _jpeg_luma_millis(payload: bytes) -> list[int]:
                 pred = {cid: 0 for cid, _, _ in scan}
             n_mcu += 1
             for cid, td, ta in scan:
-                q = quant[by_id[cid][2]]
-                s = reader.read_huffman(huff_dc[td])
-                diff = _jpeg_extend(reader.read_bits(s), s)
-                pred[cid] += diff
-                zz = [0] * 64
-                zz[0] = pred[cid] * q[0]
-                k = 1
-                while k < 64:
-                    rs = reader.read_huffman(huff_ac[ta])
-                    r, size = rs >> 4, rs & 0x0F
-                    if size == 0:
-                        if r == 15:  # ZRL
-                            k += 16
-                            continue
-                        break  # EOB
-                    k += r
-                    if k > 63:
-                        raise ValueError("jpeg: AC run past block end")
-                    zz[k] = _jpeg_extend(reader.read_bits(size), size) * q[k]
-                    k += 1
-                if cid == luma_cid:
-                    coef = [0] * 64
-                    for i, zi in enumerate(_JPEG_ZIGZAG):
-                        coef[zi] = zz[i]
-                    block = _jpeg_idct_block(coef)
-                    # clip edge blocks to the true image bounds
-                    for yy in range(8):
-                        py = my * 8 + yy
-                        if py >= height:
-                            break
-                        for xx in range(8):
-                            if mx * 8 + xx >= width:
+                ch, cv, tq = by_id[cid]
+                q = quant[tq]
+                for byi in range(cv):
+                    for bxi in range(ch):
+                        s = reader.read_huffman(huff_dc[td])
+                        diff = _jpeg_extend(reader.read_bits(s), s)
+                        pred[cid] += diff
+                        zz = [0] * 64
+                        zz[0] = pred[cid] * q[0]
+                        k = 1
+                        while k < 64:
+                            rs = reader.read_huffman(huff_ac[ta])
+                            r, size = rs >> 4, rs & 0x0F
+                            if size == 0:
+                                if r == 15:  # ZRL
+                                    k += 16
+                                    continue
+                                break  # EOB
+                            k += r
+                            if k > 63:
+                                raise ValueError("jpeg: AC run past block end")
+                            zz[k] = (
+                                _jpeg_extend(reader.read_bits(size), size) * q[k]
+                            )
+                            k += 1
+                        if cid != luma_cid:
+                            continue  # chroma: stream advanced; luma-irrelevant
+                        coef = [0] * 64
+                        for i, zi in enumerate(_JPEG_ZIGZAG):
+                            coef[zi] = zz[i]
+                        block = _jpeg_idct_block(coef)
+                        # clip edge blocks to the true image bounds
+                        y0 = (my * v_max + byi) * 8
+                        x0 = (mx * h_max + bxi) * 8
+                        for yy in range(8):
+                            if y0 + yy >= height:
                                 break
-                            lumas.append(1000 * block[yy * 8 + xx])
-                else:
-                    # chroma: stream advanced above; pixels not needed for luma
-                    pass
+                            for xx in range(8):
+                                if x0 + xx >= width:
+                                    break
+                                lumas.append(1000 * block[yy * 8 + xx])
     return lumas
 
 
@@ -1355,6 +1371,137 @@ def synthesize_jpeg_payload(df: DataFrame, id_col: str, text_col: str) -> DataFr
                         pix[base : base + 8] = bytes([val]) * 8
                 payloads.append(
                     _jpeg_encode_gray(bytes(pix), width, height, _JPEG_FIXTURE_QUANT)
+                )
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+    return df.select(
+        F.col(id_col).alias("doc_id"), F.col(text_col).alias("__text")
+    ).mapInPandas(
+        batches,
+        T.StructType(
+            [
+                T.StructField("doc_id", T.LongType()),
+                T.StructField("payload", T.BinaryType()),
+            ]
+        ),
+    )
+
+
+def _jpeg_encode_ycbcr_neutral(
+    pixels: bytes, width: int, height: int, quant: list[int],
+    sampling: tuple[int, int] = (2, 2),
+) -> bytes:
+    """REAL interleaved 3-component baseline JPEG encoder with
+    SUBSAMPLED chroma (4:2:0 via ``sampling=(2,2)``, 4:2:2 via (2,1)) —
+    the dominant camera/web form — over a luma plane with NEUTRAL
+    chroma (Cb = Cr = 128, i.e. zero after level shift, so every chroma
+    block is DC-diff 0 + EOB and the decoded luma equals the grayscale
+    case). Fixture role: the decoder's interleaved-MCU geometry (h×v
+    luma blocks per MCU, per-component DC predictors, chroma blocks in
+    the entropy stream) is exercised on real encoded data."""
+    import struct
+
+    hs, vs = sampling
+    if width % (8 * hs) or height % (8 * vs):
+        raise ValueError(
+            f"fixture encoder wants dimensions divisible by {8*hs}x{8*vs}"
+        )
+    dc_codes = _jpeg_canonical_codes(_JPEG_DC_BITS, _JPEG_DC_VALS)
+    ac_codes = _jpeg_canonical_codes(_JPEG_AC_BITS, _JPEG_AC_VALS)
+    w = _JpegBitWriter()
+
+    def emit_block(zz: list[int], pred: int) -> int:
+        diff = zz[0] - pred
+        s = abs(diff).bit_length()
+        w.write(*dc_codes[s])
+        if s:
+            w.write(diff if diff >= 0 else diff + (1 << s) - 1, s)
+        run = 0
+        for k in range(1, 64):
+            if zz[k] == 0:
+                run += 1
+                continue
+            while run > 15:
+                w.write(*ac_codes[0xF0])
+                run -= 16
+            v = zz[k]
+            s = abs(v).bit_length()
+            w.write(*ac_codes[(run << 4) | s])
+            w.write(v if v >= 0 else v + (1 << s) - 1, s)
+            run = 0
+        if run:
+            w.write(*ac_codes[0x00])  # EOB
+        return zz[0]
+
+    pred = {1: 0, 2: 0, 3: 0}
+    for my in range(height // (8 * vs)):
+        for mx in range(width // (8 * hs)):
+            for byi in range(vs):  # luma: hs x vs blocks per MCU
+                for bxi in range(hs):
+                    block = [
+                        pixels[(my * vs * 8 + byi * 8 + yy) * width
+                               + mx * hs * 8 + bxi * 8 + xx]
+                        for yy in range(8)
+                        for xx in range(8)
+                    ]
+                    coef = _jpeg_fdct_block(block)
+                    zz = [int(round(coef[zi] / quant[zi])) for zi in _JPEG_ZIGZAG]
+                    pred[1] = emit_block(zz, pred[1])
+            for cid in (2, 3):  # neutral chroma: one zero block each
+                pred[cid] = emit_block([0] * 64, pred[cid])
+    data = w.flush()
+
+    def seg(marker: int, body: bytes) -> bytes:
+        return struct.pack(">BBH", 0xFF, marker, len(body) + 2) + body
+
+    qz = bytes(quant[zi] for zi in _JPEG_ZIGZAG)
+    dqt = seg(0xDB, b"\x00" + qz)
+    dht = seg(
+        0xC4,
+        b"\x00" + bytes(_JPEG_DC_BITS) + bytes(_JPEG_DC_VALS)
+        + b"\x10" + bytes(_JPEG_AC_BITS) + bytes(_JPEG_AC_VALS),
+    )
+    sof = seg(
+        0xC0,
+        struct.pack(">BHHB", 8, height, width, 3)
+        + bytes([1, (hs << 4) | vs, 0, 2, 0x11, 0, 3, 0x11, 0]),
+    )
+    sos = seg(0xDA, b"\x03" + bytes([1, 0x00, 2, 0x00, 3, 0x00]) + b"\x00\x3f\x00")
+    return b"\xff\xd8" + dqt + dht + sof + sos + data + b"\xff\xd9"
+
+
+def synthesize_jpeg420_payload(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Deterministic REAL 4:2:0 JPEG payloads from a text column — the
+    chroma-subsampled variant of :func:`synthesize_jpeg_payload`: the
+    same constant-8x8-block luma grid (block rows padded to an even
+    count so the 16x16 MCU geometry divides evenly; pad blocks are
+    constant 0) interleaved with neutral subsampled chroma by
+    ``_jpeg_encode_ycbcr_neutral``. Exercises the decoder's per-MCU
+    4-luma-block walk, per-component DC predictors and chroma-block
+    skipping on real entropy-coded data, with the same exact
+    byte-arithmetic oracle contract."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        bpr = _JPEG_BLOCKS_PER_ROW
+        for pdf in it:
+            payloads = []
+            for t in pdf["__text"]:
+                data = t.encode("utf-8")
+                n_blocks = max(1, len(data))
+                rows = -(-n_blocks // bpr)
+                rows += rows & 1  # 4:2:0 MCU = 2x2 blocks: even block rows
+                padded = data.ljust(rows * bpr, b"\x00")
+                width, height = bpr * 8, rows * 8
+                pix = bytearray(width * height)
+                for bi, val in enumerate(padded):
+                    by, bx = divmod(bi, bpr)
+                    for yy in range(8):
+                        base = (by * 8 + yy) * width + bx * 8
+                        pix[base : base + 8] = bytes([val]) * 8
+                payloads.append(
+                    _jpeg_encode_ycbcr_neutral(
+                        bytes(pix), width, height, _JPEG_FIXTURE_QUANT
+                    )
                 )
             yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
 

@@ -598,3 +598,53 @@ def multimodal_jpeg_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("mean_val", 6).alias("mean_val"),
         F.round("rms", 6).alias("rms"),
     )
+
+
+@query(
+    "multimodal_jpeg420_pixel_stats",
+    oracle="""
+    WITH d AS (SELECT doc_id, text, octet_length(encode(text)) AS nb FROM documents
+               WHERE octet_length(encode(text)) = length(text)),
+    dims AS (SELECT doc_id, text, nb,
+                    -- 32 blocks/row, block rows padded to EVEN (16x16 MCUs)
+                    32 * (CAST(ceil(greatest(nb, 1) / 32.0) AS BIGINT)
+                          + CAST(ceil(greatest(nb, 1) / 32.0) AS BIGINT) % 2)
+                        AS n_blocks
+             FROM d),
+    byt AS (SELECT doc_id, n_blocks,
+                   CASE WHEN i < nb THEN ascii(substr(text, (i + 1)::INT, 1))
+                        ELSE 0 END AS b
+            FROM (SELECT doc_id, text, nb, n_blocks,
+                         unnest(generate_series(0, n_blocks - 1)) AS i
+                  FROM dims))
+    SELECT doc_id, 'jpeg' AS container, n_blocks * 64 AS n_values,
+           ROUND(sum(b) / (1.0 * n_blocks), 6) AS mean_val,
+           ROUND(sqrt(sum(b * b) / (1.0 * n_blocks)), 6) AS rms
+    FROM byt GROUP BY doc_id, n_blocks
+    """,
+)
+def multimodal_jpeg420_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL 4:2:0 chroma-subsampled baseline-JPEG decode — the dominant
+    camera/web JPEG form: interleaved MCUs carry 4 luma blocks + 1 Cb +
+    1 Cr each (``_jpeg_encode_ycbcr_neutral`` fixtures, neutral chroma),
+    and the decoder walks the full per-component MCU geometry with
+    separate DC predictors, discarding chroma after entropy-decoding it.
+    Same exact constant-block contract as ``multimodal_jpeg_pixel_stats``
+    (luma = text byte, even-padded block grid), so the lossy subsampled
+    form still gets a byte-arithmetic oracle."""
+    from pyspark_ingestion_spark.operators.multimodal import (
+        media_signal_features,
+        synthesize_jpeg420_payload,
+    )
+
+    d = load_table(spark, sf_dir, "documents").filter(
+        F.octet_length("text") == F.length("text")  # ASCII ⇒ byte i = char i
+    )
+    stats = media_signal_features(synthesize_jpeg420_payload(d, "doc_id", "text"))
+    return stats.select(
+        "doc_id",
+        "container",
+        "n_values",
+        F.round("mean_val", 6).alias("mean_val"),
+        F.round("rms", 6).alias("rms"),
+    )

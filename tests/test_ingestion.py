@@ -1453,3 +1453,38 @@ def test_auc_empty_join_raises_value_error(spark):
     labels = spark.createDataFrame([(2, 1)], "doc_id long, label int")
     with pytest.raises(ValueError, match="AUC undefined.*empty"):
         auc_of_scores(scored, labels, "doc_id", "label")
+
+
+def test_jpeg_chroma_subsampled_decode(spark):
+    """4:2:0 and 4:2:2 baseline JPEG — the dominant camera/web form —
+    decode for real: interleaved MCUs (h×v luma blocks + chroma blocks
+    per MCU, per-component DC predictors) through the same pure-Python
+    pipeline, constant-block fixtures exact, and equal to the grayscale
+    encoding of the same luma plane."""
+    import random
+    from collections import Counter
+
+    from pyspark_ingestion_spark.operators.multimodal import (
+        _JPEG_FIXTURE_QUANT,
+        _jpeg_encode_gray,
+        _jpeg_encode_ycbcr_neutral,
+        _jpeg_luma_millis,
+    )
+
+    rnd = random.Random(3)
+    w = h = 32
+    vals = [rnd.randrange(256) for _ in range((w // 8) * (h // 8))]
+    pix = bytearray(w * h)
+    for bi, v in enumerate(vals):
+        by, bx = divmod(bi, w // 8)
+        for yy in range(8):
+            base = (by * 8 + yy) * w + bx * 8
+            pix[base : base + 8] = bytes([v]) * 8
+    want = Counter(1000 * p for p in pix)
+    for sampling in ((2, 2), (2, 1)):
+        jp = _jpeg_encode_ycbcr_neutral(
+            bytes(pix), w, h, _JPEG_FIXTURE_QUANT, sampling=sampling
+        )
+        assert Counter(_jpeg_luma_millis(jp)) == want, sampling
+    gray = _jpeg_encode_gray(bytes(pix), w, h, _JPEG_FIXTURE_QUANT)
+    assert Counter(_jpeg_luma_millis(gray)) == want
