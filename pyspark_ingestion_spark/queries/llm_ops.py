@@ -4165,3 +4165,93 @@ def quality_model_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("mean_score") - F.col("pos_rate"), 4),
         )
     )
+
+
+@query(
+    "corpus_token_entropy",
+    oracle=r"""
+    WITH w AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS ws
+               FROM documents WHERE trim(text) <> ''),
+    tok AS (SELECT unnest(ws) AS word FROM w),
+    cw AS (SELECT word, CAST(count(*) AS BIGINT) AS c FROM tok GROUP BY word),
+    tot AS (SELECT CAST(sum(c) AS BIGINT) AS t, CAST(count(*) AS BIGINT) AS types
+            FROM cw)
+    SELECT t AS n_tokens,
+           types AS n_types,
+           ROUND(types / (1.0 * t), 6) AS type_token_ratio,
+           ROUND(sum(-(c / (1.0 * t)) * ln(c / (1.0 * t))), 4) AS entropy_nats
+    FROM cw CROSS JOIN tot
+    GROUP BY t, types
+    """,
+)
+def corpus_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level token diversity scalars — the health-check numbers a
+    training-data pipeline tracks release-over-release: total/unique
+    token counts, type-token ratio, and the Shannon entropy (nats) of
+    the unigram distribution. A near-duplicated or template-heavy crawl
+    shows up as entropy collapsing toward the template's distribution
+    long before eyeballing ever would; paired with the dedup tier it
+    quantifies what dedup bought.
+
+    Scale shape: one token explode → one map-side-combined (word) count
+    → a vocabulary-sized entropy fold. The corpus-wide Σc (token total)
+    rides as a single-row cross join, never a second corpus pass —
+    exactly the unigram_logprob_quality plan with the per-doc join
+    dropped, so the only corpus-sized stage is the one vocab shuffle.
+    """
+    from pyspark_ingestion_spark.functions.text import words
+
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select(F.explode(words(F.lower(F.col("text")))).alias("word"))
+    cw = tok.groupBy("word").agg(F.count(F.lit(1)).alias("c"))
+    tot = cw.agg(
+        F.sum("c").alias("t"), F.count(F.lit(1)).alias("types")
+    )
+    p = F.col("c").cast("double") / F.col("t")
+    return (
+        cw.crossJoin(F.broadcast(tot))
+        .groupBy("t", "types")
+        .agg(
+            F.round(F.sum(-p * F.log(p)), 4).alias("entropy_nats"),
+        )
+        .select(
+            F.col("t").alias("n_tokens"),
+            F.col("types").alias("n_types"),
+            F.round(F.col("types") / F.col("t").cast("double"), 6).alias(
+                "type_token_ratio"
+            ),
+            "entropy_nats",
+        )
+    )
+
+
+@query(
+    "text_normalize_fingerprint",
+    oracle=r"""
+    SELECT doc_id,
+           md5(regexp_replace(trim(regexp_replace(lower(text), '[^a-z0-9\s]', ' ', 'g')),
+                              '\s+', ' ', 'g')) AS norm_fp,
+           CAST(length(regexp_replace(trim(regexp_replace(lower(text), '[^a-z0-9\s]', ' ', 'g')),
+                                      '\s+', ' ', 'g')) AS BIGINT) AS norm_len
+    FROM documents
+    """,
+)
+def text_normalize_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical-text normalization — the fuzz-dedup preprocessor every
+    training pipeline runs before fingerprinting (lowercase, strip
+    non-alphanumerics to spaces, collapse whitespace): emitted as an
+    md5 fingerprint + normalized length per doc, the exact columns a
+    normalization-aware exact-dedup pass groups on. Pure native regexp
+    chain, identical in both engines — zero Python, fuses into the scan.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    norm = F.regexp_replace(
+        F.trim(F.regexp_replace(F.lower(F.col("text")), r"[^a-z0-9\s]", " ")),
+        r"\s+",
+        " ",
+    )
+    return d.select(
+        "doc_id",
+        F.md5(norm).alias("norm_fp"),
+        F.length(norm).cast("long").alias("norm_len"),
+    )

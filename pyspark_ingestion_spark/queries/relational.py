@@ -3241,3 +3241,119 @@ def snapshot_table_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     return diff.withColumn(
         "changed_cols", F.array_join("changed_cols", ",")
     )
+
+
+@query(
+    "retention_cohort_matrix",
+    oracle="""
+    WITH wk AS (SELECT user_id,
+                       CAST(date_trunc('week', CAST(ts AS TIMESTAMP)) AS DATE) AS w
+                FROM events),
+    cohort AS (SELECT user_id, min(w) AS cw FROM wk GROUP BY user_id),
+    act AS (SELECT DISTINCT wk.user_id, cw, w FROM wk JOIN cohort USING (user_id))
+    SELECT cw AS cohort_week,
+           CAST((w - cw) / 7 AS INT) AS week_offset,
+           CAST(count(*) AS BIGINT) AS n_users
+    FROM act
+    GROUP BY 1, 2
+    """,
+)
+def retention_cohort_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort retention — the product-analytics staple: users
+    bucketed by their FIRST active week, counted in every later week
+    they return (offset 0 = the cohort's size). One row per (cohort
+    week, week offset).
+
+    Scale shape: one distinct over (user, week) — map-side combined —
+    one per-user min (the cohort assignment, reused via a broadcastable
+    user→cohort dim when users ≪ events), one equi-join back, one
+    counting aggregate on a (weeks × offsets)-bounded key space. No
+    window functions, no self-join over events; every corpus-sized
+    stage is a single hash aggregate. date_trunc('week') is
+    Monday-start in BOTH engines (verify SKILL gotcha), cast to DATE on
+    both sides so values hash identically.
+    """
+    e = load_table(spark, sf_dir, "events")
+    wk = e.select(
+        "user_id",
+        F.date_trunc("week", F.col("ts").cast("timestamp")).cast("date").alias("w"),
+    )
+    cohort = wk.groupBy("user_id").agg(F.min("w").alias("cw"))
+    act = wk.join(cohort, "user_id").select("user_id", "cw", "w").distinct()
+    return (
+        act.groupBy(
+            F.col("cw").alias("cohort_week"),
+            (F.datediff("w", "cw") / 7).cast("int").alias("week_offset"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_users"))
+    )
+
+
+@query(
+    "copurchase_lift",
+    oracle="""
+    WITH op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    n_orders AS (SELECT CAST(count(DISTINCT l_orderkey) AS BIGINT) AS n FROM op),
+    cnt AS (SELECT l_partkey, CAST(count(*) AS BIGINT) AS c FROM op GROUP BY 1),
+    pairs AS (SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+                     CAST(count(*) AS BIGINT) AS n_ab
+              FROM op a JOIN op b ON a.l_orderkey = b.l_orderkey
+                                  AND a.l_partkey < b.l_partkey
+              GROUP BY 1, 2
+              HAVING count(*) >= 2)
+    SELECT part_a, part_b, n_ab,
+           ROUND(n_ab * n / (1.0 * ca.c * cb.c), 4) AS lift
+    FROM pairs
+    JOIN cnt ca ON ca.l_partkey = part_a
+    JOIN cnt cb ON cb.l_partkey = part_b
+    CROSS JOIN n_orders
+    """,
+)
+def copurchase_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Association-rule lift over co-purchased part pairs — the market-
+    basket metric family (support / lift) on the same basket-local pair
+    build the graph queries use: lift = P(a,b) / (P(a)·P(b)), with
+    pairs supported by ≥ 2 baskets (singleton pairs carry no
+    association signal and dominate the pair space).
+
+    Scale shape: the pair generation is basket-local (bounded quadratic
+    per order, the PMI/PageRank build), the per-part counts broadcast
+    back onto the pair table (parts ≪ pairs), and the basket total
+    rides as one broadcast row. One corpus-sized shuffle (the pair
+    count), everything else broadcast. Skewed hub parts are exactly the
+    df-cap discussion in the dedup tier — a production run caps basket
+    size upstream.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    op = li.select("l_orderkey", "l_partkey").distinct()
+    n_orders = op.select(F.count_distinct("l_orderkey").alias("n"))
+    cnt = op.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("c"))
+    pairs = (
+        op.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("part_a"))
+        .join(
+            op.select(
+                F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("part_b")
+            ),
+            "ok",
+        )
+        .filter(F.col("part_a") < F.col("part_b"))
+        .groupBy("part_a", "part_b")
+        .agg(F.count(F.lit(1)).alias("n_ab"))
+        .filter(F.col("n_ab") >= 2)
+    )
+    ca = cnt.select(F.col("l_partkey").alias("part_a"), F.col("c").alias("ca"))
+    cb = cnt.select(F.col("l_partkey").alias("part_b"), F.col("c").alias("cb"))
+    return (
+        pairs.join(F.broadcast(ca), "part_a")
+        .join(F.broadcast(cb), "part_b")
+        .crossJoin(F.broadcast(n_orders))
+        .select(
+            "part_a",
+            "part_b",
+            "n_ab",
+            F.round(
+                F.col("n_ab") * F.col("n") / (F.col("ca") * F.col("cb")).cast("double"),
+                4,
+            ).alias("lift"),
+        )
+    )
