@@ -14,18 +14,20 @@ PIXEL/SAMPLE level is REAL for: uncompressed 24/32-bit BMP pixel rows
 and 8/16-bit PCM WAV frames (plain byte slices, round-5); 8-bit
 grayscale/truecolor PNG (stdlib ``zlib`` inflate + the five spec
 filter predictors) and GIF (a ~60-line pure-Python LZW decoder),
-round-6; and baseline sequential JPEG (SOF0/1) — grayscale, 4:4:4, and
-chroma-subsampled 4:2:0/4:2:2 (the dominant camera/web form) via the
-full interleaved-MCU geometry — a pure-Python entropy + DCT pipeline:
-canonical Huffman from the file's own DHT, byte unstuffing, DC
-prediction, dequant, zig-zag, 8x8 inverse DCT (round-7) — all decoded
+round-6; and JPEG (round-7) — a pure-Python entropy + DCT pipeline (canonical
+Huffman from the file's own DHT, byte unstuffing, DC prediction,
+dequant, zig-zag, 8x8 inverse DCT) covering baseline sequential
+(SOF0/1) in grayscale, 4:4:4 AND chroma-subsampled 4:2:0/4:2:2 (the
+dominant camera/web form, full interleaved-MCU geometry) plus
+PROGRESSIVE (SOF2, full annex G: spectral selection, successive
+approximation with G.1.2.3 correction bits, EOB runs) — all decoded
 by ``media_signal_features`` into oracle-checked luma/RMS statistics.
 What remains behind ``NotImplementedError``, stated just as plainly:
-16-bit quant tables, progressive JPEG (SOF2 multi-pass spectral
-decode), video containers, and LEARNED feature extraction (needs a
-model runtime); the deterministic fake path exercises the exact same
-schema, partitioning, UDF signature and batch shape, so those swaps
-stay localized.
+16-bit quant tables, arithmetic-coded and lossless JPEG, video
+containers, and LEARNED feature extraction (needs a model runtime);
+the deterministic fake path exercises the exact same schema,
+partitioning, UDF signature and batch shape, so those swaps stay
+localized.
 """
 
 from __future__ import annotations
@@ -644,8 +646,9 @@ def media_signal_features(media: DataFrame) -> DataFrame:
                         "(stdlib-zlib inflate + unfilter), GIF (pure-python "
                         "LZW), baseline JPEG incl. 4:2:0/4:2:2 chroma "
                         "subsampling (pure-python Huffman + dequant + IDCT) "
-                        "and PCM WAV; the remaining gate is progressive "
-                        "JPEG (SOF2) and video containers"
+                        "and PCM WAV incl. progressive (SOF2) JPEG; the "
+                        "remaining gate is 16-bit quant tables, arithmetic-"
+                        "coded JPEG, and video containers"
                     )
                 n = len(vals)
                 s1 = sum(vals)
@@ -856,15 +859,16 @@ def synthesize_wav_payload(df: DataFrame, id_col: str, text_col: str) -> DataFra
     )
 
 
-# ---------------------------------------------------- baseline JPEG codec
+# --------------------------------------------------------------- JPEG codec
 #
-# Baseline sequential JPEG (SOF0) needs no codec RUNTIME either — the
-# whole pipeline is integer/float arithmetic the stdlib covers: marker
-# walk, canonical Huffman tables from DHT, bit unstuffing (0xFF 0x00),
-# DC-predictor + run-length AC entropy decode, dequantization, 8x8
-# inverse DCT, level shift. What stays honestly gated after this:
-# PROGRESSIVE JPEG (SOF2 — spectral selection / successive approximation
-# passes) and learned feature extraction.
+# JPEG needs no codec RUNTIME either — the whole pipeline is
+# integer/float arithmetic the stdlib covers: marker walk, canonical
+# Huffman tables from DHT, bit unstuffing (0xFF 0x00), DC-predictor +
+# run-length AC entropy decode, dequantization, 8x8 inverse DCT, level
+# shift — for baseline sequential (SOF0/1, grayscale/4:4:4/4:2:0/4:2:2)
+# AND progressive (SOF2, full annex G). What stays honestly gated:
+# 16-bit quant tables, arithmetic-coded/lossless JPEG, video, learned
+# feature extraction.
 
 #: JPEG Annex K example luminance Huffman specs (public ITU T.81 tables):
 #: (BITS counts for lengths 1..16, HUFFVAL symbol list)
@@ -1014,17 +1018,48 @@ def _jpeg_idct_block(coef: list[int]) -> list[int]:
     return out
 
 
+def _jpeg_parse_dqt(body: bytes, quant: dict) -> None:
+    """DQT segment → quant[table_id] = 64 zig-zag-order steps.
+    Length-checked per the decoders' ValueError contract."""
+    b = 0
+    while b < len(body):
+        pq, tq = body[b] >> 4, body[b] & 0x0F
+        if pq != 0:
+            raise NotImplementedError("jpeg: 16-bit quant tables")
+        if b + 65 > len(body):
+            raise ValueError("jpeg: truncated DQT segment")
+        quant[tq] = list(body[b + 1 : b + 65])
+        b += 65
+
+
+def _jpeg_parse_dht(body: bytes, huff_dc: dict, huff_ac: dict) -> None:
+    """DHT segment → decoder tables. Length-checked per the contract."""
+    b = 0
+    while b < len(body):
+        if b + 17 > len(body):
+            raise ValueError("jpeg: truncated DHT segment")
+        tc, th = body[b] >> 4, body[b] & 0x0F
+        bits = list(body[b + 1 : b + 17])
+        n = sum(bits)
+        if b + 17 + n > len(body):
+            raise ValueError("jpeg: truncated DHT segment")
+        vals = list(body[b + 17 : b + 17 + n])
+        (huff_dc if tc == 0 else huff_ac)[th] = _jpeg_decode_table(bits, vals)
+        b += 17 + n
+
+
 def _jpeg_luma_millis(payload: bytes) -> list[int]:
-    """REAL pixel decode for baseline sequential JPEG (SOF0/SOF1) in
-    pure Python: marker walk (DQT/DHT/SOF/DRI/SOS), canonical Huffman
-    tables built from the file's own DHT segments, MSB-first entropy
-    decode with byte unstuffing and restart-marker handling, DC
-    prediction, dequantization, zig-zag reorder and 8x8 inverse DCT.
-    Emits BT.601 luma millis: grayscale → 1000·pixel; interleaved
-    YCbCr → 1000·Y (JPEG's Y component IS BT.601 luma — chroma never
-    contributes to it, so Cb/Cr blocks are entropy-decoded to advance
-    the stream and discarded). Progressive JPEG (SOF2) raises — the
-    honest remainder of the codec gate."""
+    """REAL pixel decode for JPEG in pure Python: marker walk
+    (DQT/DHT/SOF/DRI/SOS), canonical Huffman tables built from the
+    file's own DHT segments, MSB-first entropy decode with byte
+    unstuffing and restart-marker handling, DC prediction,
+    dequantization, zig-zag reorder and 8x8 inverse DCT. Baseline
+    sequential (SOF0/1) decodes here; progressive (SOF2) hands off to
+    :func:`_jpeg_decode_progressive` at the first SOS. Emits BT.601
+    luma millis: grayscale → 1000·pixel; interleaved YCbCr → 1000·Y
+    (JPEG's Y component IS BT.601 luma — chroma never contributes to
+    it, so Cb/Cr blocks are entropy-decoded to advance the stream and
+    discarded)."""
     import struct
 
     if payload[:3] != b"\xff\xd8\xff":
@@ -1052,28 +1087,9 @@ def _jpeg_luma_millis(payload: bytes) -> list[int]:
         # contract, never a raw struct.error/IndexError (r7 review —
         # same contract _need enforces for GIF/PNG)
         if marker == 0xDB:  # DQT
-            b = 0
-            while b < len(body):
-                pq, tq = body[b] >> 4, body[b] & 0x0F
-                if pq != 0:
-                    raise NotImplementedError("jpeg: 16-bit quant tables")
-                if b + 65 > len(body):
-                    raise ValueError("jpeg: truncated DQT segment")
-                quant[tq] = list(body[b + 1 : b + 65])
-                b += 65
+            _jpeg_parse_dqt(body, quant)
         elif marker == 0xC4:  # DHT
-            b = 0
-            while b < len(body):
-                if b + 17 > len(body):
-                    raise ValueError("jpeg: truncated DHT segment")
-                tc, th = body[b] >> 4, body[b] & 0x0F
-                bits = list(body[b + 1 : b + 17])
-                n = sum(bits)
-                if b + 17 + n > len(body):
-                    raise ValueError("jpeg: truncated DHT segment")
-                vals = list(body[b + 17 : b + 17 + n])
-                (huff_dc if tc == 0 else huff_ac)[th] = _jpeg_decode_table(bits, vals)
-                b += 17 + n
+            _jpeg_parse_dht(body, huff_dc, huff_ac)
         elif marker in (0xC0, 0xC1):  # SOF0/1: baseline sequential
             if len(body) < 6:
                 raise ValueError("jpeg: truncated SOF segment")
@@ -1088,10 +1104,25 @@ def _jpeg_luma_millis(payload: bytes) -> list[int]:
                 not (1 <= h <= 4 and 1 <= v <= 4) for _, h, v, _ in comps
             ):
                 raise ValueError("jpeg: invalid sampling factors")
-        elif marker == 0xC2:
-            raise NotImplementedError(
-                "jpeg: progressive (SOF2) needs multi-pass spectral decode — "
-                "part of the remaining codec gate"
+        elif marker == 0xC2:  # SOF2: progressive — same frame header layout
+            if len(body) < 6:
+                raise ValueError("jpeg: truncated SOF segment")
+            _prec, height, width, nc = struct.unpack_from(">BHHB", body, 0)
+            if len(body) < 6 + 3 * nc:
+                raise ValueError("jpeg: truncated SOF segment")
+            comps = []
+            for i in range(nc):
+                cid, hv, tq = struct.unpack_from(">BBB", body, 6 + 3 * i)
+                comps.append((cid, hv >> 4, hv & 0x0F, tq))
+            if any(
+                not (1 <= h <= 4 and 1 <= v <= 4) for _, h, v, _ in comps
+            ):
+                raise ValueError("jpeg: invalid sampling factors")
+            # multi-scan coefficient accumulation path — hands the walk
+            # over at the FIRST SOS and consumes every scan itself
+            return _jpeg_decode_progressive(
+                payload, pos + 2 + seglen, quant, huff_dc, huff_ac,
+                comps, height, width, restart_interval,
             )
         elif marker == 0xDD:  # DRI
             if len(body) < 2:
@@ -1500,6 +1531,501 @@ def synthesize_jpeg420_payload(df: DataFrame, id_col: str, text_col: str) -> Dat
                         pix[base : base + 8] = bytes([val]) * 8
                 payloads.append(
                     _jpeg_encode_ycbcr_neutral(
+                        bytes(pix), width, height, _JPEG_FIXTURE_QUANT
+                    )
+                )
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+    return df.select(
+        F.col(id_col).alias("doc_id"), F.col(text_col).alias("__text")
+    ).mapInPandas(
+        batches,
+        T.StructType(
+            [
+                T.StructField("doc_id", T.LongType()),
+                T.StructField("payload", T.BinaryType()),
+            ]
+        ),
+    )
+
+
+def _jpeg_decode_progressive(
+    payload: bytes,
+    pos: int,
+    quant: dict,
+    huff_dc: dict,
+    huff_ac: dict,
+    comps: list,
+    height: int,
+    width: int,
+    restart_interval: int,
+) -> list[int]:
+    """REAL progressive JPEG (SOF2) decode — T.81 annex G, the full
+    thing: SPECTRAL SELECTION (each scan carries one Ss..Se coefficient
+    band) and SUCCESSIVE APPROXIMATION (first scans deliver coefficient
+    bits above Al; refinement scans append one bit of precision each,
+    with the G.1.2.3 correction-bit protocol for already-nonzero
+    coefficients), EOB-run coding across blocks, interleaved DC scans /
+    per-component AC scans, DHT/DQT/DRI redefinition between scans, and
+    restart markers inside scans. Quantized coefficients accumulate
+    across scans per block; dequantization + IDCT run once at the end,
+    so a fully-transmitted progressive file decodes to EXACTLY the
+    pixels of the sequential encoding of the same coefficients (pinned
+    in tests). Called by :func:`_jpeg_luma_millis` at the first SOS of
+    a SOF2 frame; returns luma millis in block-raster order."""
+    import struct
+
+    by_id = {cid: (h, v, tq) for cid, h, v, tq in comps}
+    h_max = max(h for _, h, _, _ in comps)
+    v_max = max(v for _, _, v, _ in comps)
+    luma_cid = comps[0][0]
+    if by_id[luma_cid][0] != h_max or by_id[luma_cid][1] != v_max:
+        raise NotImplementedError("jpeg: luma subsampled below another component")
+    mcus_x = (width + 8 * h_max - 1) // (8 * h_max)
+    mcus_y = (height + 8 * v_max - 1) // (8 * v_max)
+    # per-component coefficient store (zig-zag order, QUANTIZED — the
+    # successive-approximation arithmetic operates pre-dequant), indexed
+    # on the PADDED interleaved grid so interleaved DC scans and
+    # non-interleaved AC scans address the same blocks
+    stride = {}
+    blocks: dict[int, list[list[int]]] = {}
+    nblk = {}
+    for cid, h, v, tq in comps:
+        stride[cid] = mcus_x * h
+        blocks[cid] = [[0] * 64 for _ in range(mcus_x * h * mcus_y * v)]
+        # true (non-interleaved) block dims: ceil(ceil(dim·f/f_max)/8)
+        cw = -(-width * h // h_max)
+        ch_ = -(-height * v // v_max)
+        nblk[cid] = (-(-cw // 8), -(-ch_ // 8))  # (blocks_x, blocks_y)
+
+    def decode_scan(scomps, ss, se, ah, al, pos):
+        reader = _JpegBitReader(payload, pos)
+        pred = {cid: 0 for cid, _, _ in scomps}
+        eobrun = 0
+        p1 = 1 << al
+        n_unit = 0
+
+        def maybe_restart(n_unit):
+            if restart_interval and n_unit and n_unit % restart_interval == 0:
+                reader.nbits = 0
+                _need(payload, reader.pos, 2, "jpeg")
+                if payload[reader.pos] != 0xFF or not (
+                    0xD0 <= payload[reader.pos + 1] <= 0xD7
+                ):
+                    raise ValueError("jpeg: expected restart marker")
+                reader.pos += 2
+                for c in pred:
+                    pred[c] = 0
+                return 0  # eobrun resets at restart
+            return None
+
+        def refine_one(blk, k):
+            if reader.read_bit():
+                if not (abs(blk[k]) & p1):
+                    blk[k] += p1 if blk[k] > 0 else -p1
+
+        def dc_unit(cid, td, blk):
+            if ah == 0:  # first DC scan: point-transformed diffs
+                s = reader.read_huffman(huff_dc[td])
+                diff = _jpeg_extend(reader.read_bits(s), s)
+                pred[cid] += diff
+                blk[0] = pred[cid] * p1
+            else:  # refinement: one appended bit (bitwise OR, T.81 G.1.2.1)
+                if reader.read_bit():
+                    blk[0] |= p1
+
+        def ac_unit(ta, blk):
+            nonlocal eobrun
+            if ah == 0:  # first AC scan for this band
+                if eobrun > 0:
+                    eobrun -= 1
+                    return
+                k = ss
+                while k <= se:
+                    rs = reader.read_huffman(huff_ac[ta])
+                    r, s = rs >> 4, rs & 0x0F
+                    if s == 0:
+                        if r != 15:
+                            eobrun = (1 << r) - 1
+                            if r:
+                                eobrun += reader.read_bits(r)
+                            return
+                        k += 16
+                        continue
+                    k += r
+                    if k > se:
+                        raise ValueError("jpeg: AC run past band end")
+                    blk[k] = _jpeg_extend(reader.read_bits(s), s) * p1
+                    k += 1
+                return
+            # refinement AC scan (T.81 G.1.2.3)
+            k = ss
+            if eobrun == 0:
+                while k <= se:
+                    rs = reader.read_huffman(huff_ac[ta])
+                    r, s = rs >> 4, rs & 0x0F
+                    if s == 0:
+                        if r != 15:
+                            eobrun = 1 << r
+                            if r:
+                                eobrun += reader.read_bits(r)
+                            break
+                        val = 0  # ZRL: skip 16 zero-history coefficients
+                    else:
+                        if s != 1:
+                            raise ValueError("jpeg: bad refinement magnitude")
+                        val = p1 if reader.read_bit() else -p1
+                    while k <= se:
+                        if blk[k] != 0:
+                            refine_one(blk, k)
+                        else:
+                            if r == 0:
+                                break
+                            r -= 1
+                        k += 1
+                    if val and k <= se:
+                        blk[k] = val
+                    k += 1
+            if eobrun > 0:
+                while k <= se:  # correction bits for the EOB-run block
+                    if blk[k] != 0:
+                        refine_one(blk, k)
+                    k += 1
+                eobrun -= 1
+
+        if ss == 0:  # DC scan
+            if se != 0:
+                raise ValueError("jpeg: DC scan with nonzero Se")
+            # T.81 A.2: a scan is interleaved iff it carries >1 component;
+            # a single-component scan walks that component's own block
+            # grid even in a multi-component frame
+            if len(scomps) > 1:
+                for my in range(mcus_y):
+                    for mx in range(mcus_x):
+                        r = maybe_restart(n_unit)
+                        if r is not None:
+                            eobrun = r
+                        n_unit += 1
+                        for cid, td, _ta in scomps:
+                            ch, cv, _tq = by_id[cid]
+                            for byi in range(cv):
+                                for bxi in range(ch):
+                                    idx = (my * cv + byi) * stride[cid] + (
+                                        mx * ch + bxi
+                                    )
+                                    dc_unit(cid, td, blocks[cid][idx])
+            else:  # single-component frame: non-interleaved geometry
+                cid, td, _ta = scomps[0]
+                bx, by = nblk[cid]
+                for r_ in range(by):
+                    for c_ in range(bx):
+                        rr = maybe_restart(n_unit)
+                        if rr is not None:
+                            eobrun = rr
+                        n_unit += 1
+                        dc_unit(cid, td, blocks[cid][r_ * stride[cid] + c_])
+        else:  # AC scan: always single-component, non-interleaved
+            if len(scomps) != 1:
+                raise ValueError("jpeg: interleaved AC scan")
+            cid, _td, ta = scomps[0]
+            bx, by = nblk[cid]
+            for r_ in range(by):
+                for c_ in range(bx):
+                    rr = maybe_restart(n_unit)
+                    if rr is not None:
+                        eobrun = rr
+                    n_unit += 1
+                    ac_unit(ta, blocks[cid][r_ * stride[cid] + c_])
+        # byte-align and hand back the position of the next marker
+        return reader.pos
+
+    # scan-at-a-time marker walk: DHT/DQT/DRI may be redefined between scans
+    nonlocal_restart = restart_interval
+    while pos + 2 <= len(payload):
+        if payload[pos] != 0xFF:
+            raise ValueError(f"jpeg: expected marker at {pos}")
+        marker = payload[pos + 1]
+        if marker == 0xD9:  # EOI
+            break
+        _need(payload, pos + 2, 2, "jpeg")
+        (seglen,) = struct.unpack_from(">H", payload, pos + 2)
+        _need(payload, pos + 2, seglen, "jpeg")
+        body = payload[pos + 4 : pos + 2 + seglen]
+        if marker == 0xDB:
+            _jpeg_parse_dqt(body, quant)
+        elif marker == 0xC4:
+            _jpeg_parse_dht(body, huff_dc, huff_ac)
+        elif marker == 0xDD:
+            if len(body) < 2:
+                raise ValueError("jpeg: truncated DRI segment")
+            (nonlocal_restart,) = struct.unpack_from(">H", body, 0)
+        elif marker == 0xDA:
+            if not body or len(body) < 4 + 2 * body[0]:
+                raise ValueError("jpeg: truncated SOS segment")
+            ns = body[0]
+            scomps = [
+                (body[1 + 2 * i], body[2 + 2 * i] >> 4, body[2 + 2 * i] & 0x0F)
+                for i in range(ns)
+            ]
+            ss, se = body[1 + 2 * ns], body[2 + 2 * ns]
+            ah, al = body[3 + 2 * ns] >> 4, body[3 + 2 * ns] & 0x0F
+            for cid, td, ta in scomps:
+                if cid not in by_id:
+                    raise ValueError(f"jpeg: SOS component {cid} not in SOF")
+                if ss == 0 and ah == 0 and td not in huff_dc:
+                    raise ValueError("jpeg: scan references a missing DHT")
+                if ss > 0 and ta not in huff_ac:
+                    raise ValueError("jpeg: scan references a missing DHT")
+            restart_interval = nonlocal_restart
+            pos = decode_scan(scomps, ss, se, ah, al, pos + 2 + seglen)
+            continue
+        pos += 2 + seglen
+
+    # all scans in: dequantize, reorder, IDCT — luma only
+    q = quant.get(by_id[luma_cid][2])
+    if q is None:
+        raise ValueError("jpeg: missing quant table")
+    lumas: list[int] = []
+    bx, by = nblk[luma_cid]
+    for r_ in range(by):
+        for c_ in range(bx):
+            zz = blocks[luma_cid][r_ * stride[luma_cid] + c_]
+            coef = [0] * 64
+            for i, zi in enumerate(_JPEG_ZIGZAG):
+                coef[zi] = zz[i] * q[i]
+            block = _jpeg_idct_block(coef)
+            y0, x0 = r_ * 8, c_ * 8
+            for yy in range(8):
+                if y0 + yy >= height:
+                    break
+                for xx in range(8):
+                    if x0 + xx >= width:
+                        break
+                    lumas.append(1000 * block[yy * 8 + xx])
+    return lumas
+
+
+#: AC Huffman spec for the progressive encoder: the Annex-K baseline
+#: table has no EOBn run-length symbols (0x10..0xE0 — progressive-only
+#: codes), so progressive scans ship their own flat 8-bit table covering
+#: every symbol annex G can emit: (r<<4)|s for s 1..10, EOB0..EOB14, ZRL.
+#: 176 symbols at length 8 is canonical-valid (no all-ones code).
+_JPEG_PROG_AC_VALS = sorted(
+    [(r << 4) | s for r in range(16) for s in range(1, 11)]
+    + [n << 4 for n in range(15)]
+    + [0xF0]
+)
+_JPEG_PROG_AC_BITS = [0, 0, 0, 0, 0, 0, 0, len(_JPEG_PROG_AC_VALS),
+                      0, 0, 0, 0, 0, 0, 0, 0]
+
+#: default progressive scan script (grayscale): DC with one level of
+#: successive approximation, AC split into two spectral bands at Al=2,
+#: then two full-band refinement passes — exercises every annex-G code
+#: path (spectral selection, EOB runs, ZRL-in-refinement, correction
+#: bits, newly-significant insertion)
+_JPEG_PROG_SCANS = [
+    (0, 0, 0, 1),
+    (0, 0, 1, 0),
+    (1, 5, 0, 2),
+    (6, 63, 0, 2),
+    (1, 63, 2, 1),
+    (1, 63, 1, 0),
+]
+
+
+def _jpeg_encode_gray_progressive(
+    pixels: bytes, width: int, height: int, quant: list[int],
+    scans: list | None = None,
+) -> bytes:
+    """REAL progressive (SOF2) JPEG encoder for 8-bit grayscale —
+    the fixture counterpart of :func:`_jpeg_decode_progressive`,
+    implementing T.81 annex G encoding: per-scan spectral bands,
+    successive-approximation point transforms, EOB-run accumulation
+    with buffered correction bits (the G.1.2.3 encoder side), ZRL
+    emission bounded by the last newly-significant index. The quantized
+    coefficients are identical to what :func:`_jpeg_encode_gray`
+    produces, so progressive and sequential encodings of the same
+    pixels must decode to IDENTICAL pixels — the equivalence tests pin
+    exactly that."""
+    import struct
+
+    if width % 8 or height % 8:
+        raise ValueError("fixture encoder wants multiple-of-8 dimensions")
+    scans = _JPEG_PROG_SCANS if scans is None else scans
+    dc_codes = _jpeg_canonical_codes(_JPEG_DC_BITS, _JPEG_DC_VALS)
+    ac_codes = _jpeg_canonical_codes(_JPEG_PROG_AC_BITS, _JPEG_PROG_AC_VALS)
+    # quantized zig-zag coefficient blocks, raster block order
+    zz_blocks = []
+    for my in range(height // 8):
+        for mx in range(width // 8):
+            block = [
+                pixels[(my * 8 + yy) * width + mx * 8 + xx]
+                for yy in range(8)
+                for xx in range(8)
+            ]
+            coef = _jpeg_fdct_block(block)
+            zz_blocks.append(
+                [int(round(coef[zi] / quant[zi])) for zi in _JPEG_ZIGZAG]
+            )
+
+    def pt(v: int, al: int) -> int:
+        """point transform: signed magnitude shift (T.81 G.1.1.2)."""
+        return (abs(v) >> al) * (1 if v >= 0 else -1)
+
+    scan_payloads = []
+    for ss, se, ah, al in scans:
+        w = _JpegBitWriter()
+        if ss == 0 and ah == 0:  # DC first
+            pred = 0
+            for zz in zz_blocks:
+                t = zz[0] >> al  # arithmetic shift, two's complement (G.1.2.1)
+                diff = t - pred
+                pred = t
+                s = abs(diff).bit_length()
+                w.write(*dc_codes[s])
+                if s:
+                    w.write(diff if diff >= 0 else diff + (1 << s) - 1, s)
+        elif ss == 0:  # DC refinement: one appended bit per block
+            for zz in zz_blocks:
+                w.write((zz[0] >> al) & 1, 1)
+        elif ah == 0:  # AC first for the Ss..Se band
+            eobrun = 0
+
+            def flush_eob(w=w):
+                nonlocal eobrun
+                if eobrun:
+                    nbits = eobrun.bit_length() - 1
+                    w.write(*ac_codes[nbits << 4])
+                    if nbits:
+                        w.write(eobrun - (1 << nbits), nbits)
+                    eobrun = 0
+
+            for zz in zz_blocks:
+                r = 0
+                for k in range(ss, se + 1):
+                    t = pt(zz[k], al)
+                    if t == 0:
+                        r += 1
+                        continue
+                    while r > 15:
+                        flush_eob()
+                        w.write(*ac_codes[0xF0])
+                        r -= 16
+                    flush_eob()
+                    s = abs(t).bit_length()
+                    w.write(*ac_codes[(r << 4) | s])
+                    w.write(t if t >= 0 else t + (1 << s) - 1, s)
+                    r = 0
+                if r:
+                    eobrun += 1
+                    if eobrun == 0x7FFF:
+                        flush_eob()
+            flush_eob()
+        else:  # AC refinement (T.81 G.1.2.3 encoder side)
+            eobrun = 0
+            be: list[int] = []  # correction bits buffered across the EOB run
+
+            def flush_eob_r(w=w):
+                nonlocal eobrun, be
+                if eobrun:
+                    nbits = eobrun.bit_length() - 1
+                    w.write(*ac_codes[nbits << 4])
+                    if nbits:
+                        w.write(eobrun - (1 << nbits), nbits)
+                    eobrun = 0
+                for bit in be:
+                    w.write(bit, 1)
+                be = []
+
+            for zz in zz_blocks:
+                absv = [abs(zz[k]) >> al for k in range(ss, se + 1)]
+                eob_idx = ss - 1  # last NEWLY-significant index this pass
+                for k in range(ss, se + 1):
+                    if absv[k - ss] == 1:
+                        eob_idx = k
+                r = 0
+                br: list[int] = []
+                for k in range(ss, se + 1):
+                    t = absv[k - ss]
+                    if t == 0:
+                        r += 1
+                        continue
+                    while r > 15 and k <= eob_idx:
+                        flush_eob_r()
+                        w.write(*ac_codes[0xF0])
+                        r -= 16
+                        for bit in br:
+                            w.write(bit, 1)
+                        br = []
+                    if t > 1:  # already significant: buffer a correction bit
+                        br.append((abs(zz[k]) >> al) & 1)
+                        continue
+                    flush_eob_r()
+                    w.write(*ac_codes[(r << 4) | 1])
+                    w.write(1 if zz[k] > 0 else 0, 1)
+                    for bit in br:
+                        w.write(bit, 1)
+                    br = []
+                    r = 0
+                if r > 0 or br:
+                    eobrun += 1
+                    be += br
+                    if eobrun == 0x7FFF:
+                        flush_eob_r()
+            flush_eob_r()
+        scan_payloads.append(((ss, se, ah, al), w.flush()))
+
+    def seg(marker: int, body: bytes) -> bytes:
+        return struct.pack(">BBH", 0xFF, marker, len(body) + 2) + body
+
+    qzz = bytes(quant[zi] for zi in _JPEG_ZIGZAG)
+    out = bytearray(b"\xff\xd8")
+    out += seg(0xDB, b"\x00" + qzz)
+    out += seg(
+        0xC4,
+        b"\x00" + bytes(_JPEG_DC_BITS) + bytes(_JPEG_DC_VALS)
+        + b"\x10" + bytes(_JPEG_PROG_AC_BITS)
+        + bytes(_JPEG_PROG_AC_VALS),
+    )
+    out += seg(0xC2, struct.pack(">BHHB", 8, height, width, 1) + b"\x01\x11\x00")
+    for (ss, se, ah, al), data in scan_payloads:
+        tdta = 0x00  # DC scans: DC table 0; AC scans: AC table 0
+        out += seg(0xDA, b"\x01\x01" + bytes([tdta, ss, se, (ah << 4) | al]))
+        out += data
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+def synthesize_jpeg_progressive_payload(
+    df: DataFrame, id_col: str, text_col: str
+) -> DataFrame:
+    """Deterministic REAL progressive (SOF2) JPEG payloads from a text
+    column — the same constant-8x8-block grid as
+    :func:`synthesize_jpeg_payload`, encoded through the full annex-G
+    multi-scan pipeline (spectral selection + successive approximation,
+    EOB runs, correction bits). Constant blocks still round-trip
+    exactly (the coefficient arithmetic is identical to sequential —
+    pinned bit-for-bit in tests), so the lossy progressive form gets
+    the same byte-arithmetic oracle."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        bpr = _JPEG_BLOCKS_PER_ROW
+        for pdf in it:
+            payloads = []
+            for t in pdf["__text"]:
+                data = t.encode("utf-8")
+                n_blocks = max(1, len(data))
+                rows = -(-n_blocks // bpr)
+                padded = data.ljust(rows * bpr, b"\x00")
+                width, height = bpr * 8, rows * 8
+                pix = bytearray(width * height)
+                for bi, val in enumerate(padded):
+                    by, bx = divmod(bi, bpr)
+                    for yy in range(8):
+                        base = (by * 8 + yy) * width + bx * 8
+                        pix[base : base + 8] = bytes([val]) * 8
+                payloads.append(
+                    _jpeg_encode_gray_progressive(
                         bytes(pix), width, height, _JPEG_FIXTURE_QUANT
                     )
                 )

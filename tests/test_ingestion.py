@@ -1488,3 +1488,58 @@ def test_jpeg_chroma_subsampled_decode(spark):
         assert Counter(_jpeg_luma_millis(jp)) == want, sampling
     gray = _jpeg_encode_gray(bytes(pix), w, h, _JPEG_FIXTURE_QUANT)
     assert Counter(_jpeg_luma_millis(gray)) == want
+
+
+def test_jpeg_progressive_decode_matches_sequential(spark):
+    """Progressive (SOF2) JPEG decodes EXACTLY like the sequential
+    encoding of the same pixels — quantized coefficients are identical
+    once every scan lands, so the whole annex-G machinery (spectral
+    selection, successive approximation first + refinement, EOB runs,
+    correction bits) is pinned bit-for-bit against the already-verified
+    sequential path; constant blocks keep the exact oracle contract."""
+    import random
+    from collections import Counter
+
+    from pyspark_ingestion_spark.operators.multimodal import (
+        _JPEG_FIXTURE_QUANT,
+        _jpeg_encode_gray,
+        _jpeg_encode_gray_progressive,
+        _jpeg_luma_millis,
+        media_signal_features,
+        synthesize_jpeg_progressive_payload,
+    )
+
+    rnd = random.Random(11)
+    for _ in range(4):
+        w = 8 * rnd.randrange(1, 7)
+        h = 8 * rnd.randrange(1, 7)
+        pix = bytes(rnd.randrange(256) for _ in range(w * h))
+        seq = _jpeg_luma_millis(_jpeg_encode_gray(pix, w, h, _JPEG_FIXTURE_QUANT))
+        prog = _jpeg_luma_millis(
+            _jpeg_encode_gray_progressive(pix, w, h, _JPEG_FIXTURE_QUANT)
+        )
+        assert seq == prog, (w, h)
+    # q=1: large coefficients, every successive-approximation level busy
+    pix = bytes(rnd.randrange(256) for _ in range(48 * 48))
+    assert _jpeg_luma_millis(
+        _jpeg_encode_gray_progressive(pix, 48, 48, [1] * 64)
+    ) == _jpeg_luma_millis(_jpeg_encode_gray(pix, 48, 48, [1] * 64))
+
+    # constant-block fixture keeps the exact byte-arithmetic contract
+    text = "progressive jpeg really decodes " * 4
+    df = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    out = media_signal_features(
+        synthesize_jpeg_progressive_payload(df, "doc_id", "text")
+    ).collect()[0]
+    data = text.encode()
+    nblk = 32 * -(-max(1, len(data)) // 32)
+    vals = list(data.ljust(nblk, b"\x00"))
+    assert out["container"] == "jpeg" and out["n_values"] == nblk * 64
+    assert abs(out["mean_val"] - sum(vals) / nblk) < 1e-9
+
+    # a truncated progressive file still raises ValueError
+    full = _jpeg_encode_gray_progressive(
+        bytes(range(64)), 8, 8, _JPEG_FIXTURE_QUANT
+    )
+    with pytest.raises(ValueError):
+        _jpeg_luma_millis(full[: len(full) - 8])
