@@ -646,7 +646,8 @@ def media_signal_features(media: DataFrame) -> DataFrame:
                         "(stdlib-zlib inflate + unfilter), GIF (pure-python "
                         "LZW), baseline JPEG incl. 4:2:0/4:2:2 chroma "
                         "subsampling (pure-python Huffman + dequant + IDCT) "
-                        "and PCM WAV incl. progressive (SOF2) JPEG; the "
+                        "and PCM WAV; JPEG covers baseline (grayscale/"
+                        "4:4:4/4:2:0/4:2:2) and progressive (SOF2); the "
                         "remaining gate is 16-bit quant tables, arithmetic-"
                         "coded JPEG, and video containers"
                     )
@@ -1048,6 +1049,25 @@ def _jpeg_parse_dht(body: bytes, huff_dc: dict, huff_ac: dict) -> None:
         b += 17 + n
 
 
+def _jpeg_parse_sof(body: bytes) -> tuple:
+    """SOF frame header → (height, width, comps) with the decoders'
+    length/validity checks; shared by the SOF0/1 and SOF2 branches."""
+    import struct
+
+    if len(body) < 6:
+        raise ValueError("jpeg: truncated SOF segment")
+    _prec, height, width, nc = struct.unpack_from(">BHHB", body, 0)
+    if len(body) < 6 + 3 * nc:
+        raise ValueError("jpeg: truncated SOF segment")
+    comps = []
+    for i in range(nc):
+        cid, hv, tq = struct.unpack_from(">BBB", body, 6 + 3 * i)
+        comps.append((cid, hv >> 4, hv & 0x0F, tq))
+    if any(not (1 <= h <= 4 and 1 <= v <= 4) for _, h, v, _ in comps):
+        raise ValueError("jpeg: invalid sampling factors")
+    return height, width, comps
+
+
 def _jpeg_luma_millis(payload: bytes) -> list[int]:
     """REAL pixel decode for JPEG in pure Python: marker walk
     (DQT/DHT/SOF/DRI/SOS), canonical Huffman tables built from the
@@ -1091,33 +1111,9 @@ def _jpeg_luma_millis(payload: bytes) -> list[int]:
         elif marker == 0xC4:  # DHT
             _jpeg_parse_dht(body, huff_dc, huff_ac)
         elif marker in (0xC0, 0xC1):  # SOF0/1: baseline sequential
-            if len(body) < 6:
-                raise ValueError("jpeg: truncated SOF segment")
-            _prec, height, width, nc = struct.unpack_from(">BHHB", body, 0)
-            if len(body) < 6 + 3 * nc:
-                raise ValueError("jpeg: truncated SOF segment")
-            comps = []
-            for i in range(nc):
-                cid, hv, tq = struct.unpack_from(">BBB", body, 6 + 3 * i)
-                comps.append((cid, hv >> 4, hv & 0x0F, tq))
-            if any(
-                not (1 <= h <= 4 and 1 <= v <= 4) for _, h, v, _ in comps
-            ):
-                raise ValueError("jpeg: invalid sampling factors")
+            height, width, comps = _jpeg_parse_sof(body)
         elif marker == 0xC2:  # SOF2: progressive — same frame header layout
-            if len(body) < 6:
-                raise ValueError("jpeg: truncated SOF segment")
-            _prec, height, width, nc = struct.unpack_from(">BHHB", body, 0)
-            if len(body) < 6 + 3 * nc:
-                raise ValueError("jpeg: truncated SOF segment")
-            comps = []
-            for i in range(nc):
-                cid, hv, tq = struct.unpack_from(">BBB", body, 6 + 3 * i)
-                comps.append((cid, hv >> 4, hv & 0x0F, tq))
-            if any(
-                not (1 <= h <= 4 and 1 <= v <= 4) for _, h, v, _ in comps
-            ):
-                raise ValueError("jpeg: invalid sampling factors")
+            height, width, comps = _jpeg_parse_sof(body)
             # multi-scan coefficient accumulation path — hands the walk
             # over at the FIRST SOS and consumes every scan itself
             return _jpeg_decode_progressive(
@@ -1372,17 +1368,16 @@ _JPEG_FIXTURE_QUANT = [8] + [16] * 63
 _JPEG_BLOCKS_PER_ROW = 32
 
 
-def synthesize_jpeg_payload(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
-    """Deterministic REAL JPEG payloads from a text column: each UTF-8
-    byte becomes one CONSTANT 8x8 block (value = the byte) laid out in a
-    32-block-wide grid, genuinely encoded by the baseline encoder —
-    forward DCT, quantization, canonical Huffman DC prediction, byte
-    stuffing all run for real. Constant blocks survive quantization
-    exactly (their only coefficient is DC = 8·(v−128), and the fixture
-    DC step 8 divides it), so a SQL oracle can compute the decoded
-    statistics from the text bytes: 64 pixels of value b per byte, plus
-    constant-0 padding blocks to fill the last grid row (fixture role,
-    like ``synthesize_gif_payload``)."""
+def _synthesize_jpeg_grid(
+    df: DataFrame, id_col: str, text_col: str, encode_fn, even_rows: bool = False
+) -> DataFrame:
+    """Shared fixture plumbing for every JPEG synthesizer: text bytes →
+    the constant-8x8-block grayscale grid (32 blocks per row, constant-0
+    padding blocks; ``even_rows`` pads block rows to an even count for
+    16x16-MCU 4:2:0 geometry) → ``encode_fn(pixels, width, height)`` →
+    (doc_id, payload) via one Arrow-batched mapInPandas. The grid
+    contract lives HERE, once — the three public synthesizers differ
+    only in the encoder (r7 review)."""
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         bpr = _JPEG_BLOCKS_PER_ROW
@@ -1392,6 +1387,8 @@ def synthesize_jpeg_payload(df: DataFrame, id_col: str, text_col: str) -> DataFr
                 data = t.encode("utf-8")
                 n_blocks = max(1, len(data))
                 rows = -(-n_blocks // bpr)
+                if even_rows:
+                    rows += rows & 1
                 padded = data.ljust(rows * bpr, b"\x00")
                 width, height = bpr * 8, rows * 8
                 pix = bytearray(width * height)
@@ -1400,9 +1397,7 @@ def synthesize_jpeg_payload(df: DataFrame, id_col: str, text_col: str) -> DataFr
                     for yy in range(8):
                         base = (by * 8 + yy) * width + bx * 8
                         pix[base : base + 8] = bytes([val]) * 8
-                payloads.append(
-                    _jpeg_encode_gray(bytes(pix), width, height, _JPEG_FIXTURE_QUANT)
-                )
+                payloads.append(encode_fn(bytes(pix), width, height))
             yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
 
     return df.select(
@@ -1415,6 +1410,23 @@ def synthesize_jpeg_payload(df: DataFrame, id_col: str, text_col: str) -> DataFr
                 T.StructField("payload", T.BinaryType()),
             ]
         ),
+    )
+
+
+def synthesize_jpeg_payload(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Deterministic REAL JPEG payloads from a text column: each UTF-8
+    byte becomes one CONSTANT 8x8 block (value = the byte) laid out in a
+    32-block-wide grid, genuinely encoded by the baseline encoder —
+    forward DCT, quantization, canonical Huffman DC prediction, byte
+    stuffing all run for real. Constant blocks survive quantization
+    exactly (their only coefficient is DC = 8·(v−128), and the fixture
+    DC step 8 divides it), so a SQL oracle can compute the decoded
+    statistics from the text bytes: 64 pixels of value b per byte, plus
+    constant-0 padding blocks to fill the last grid row (fixture role,
+    like ``synthesize_gif_payload``)."""
+    return _synthesize_jpeg_grid(
+        df, id_col, text_col,
+        lambda pix, w, h: _jpeg_encode_gray(pix, w, h, _JPEG_FIXTURE_QUANT),
     )
 
 
@@ -1511,41 +1523,12 @@ def synthesize_jpeg420_payload(df: DataFrame, id_col: str, text_col: str) -> Dat
     4-luma-block walk, per-component DC predictors and chroma-block
     skipping on real entropy-coded data, with the same exact
     byte-arithmetic oracle contract."""
-
-    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        bpr = _JPEG_BLOCKS_PER_ROW
-        for pdf in it:
-            payloads = []
-            for t in pdf["__text"]:
-                data = t.encode("utf-8")
-                n_blocks = max(1, len(data))
-                rows = -(-n_blocks // bpr)
-                rows += rows & 1  # 4:2:0 MCU = 2x2 blocks: even block rows
-                padded = data.ljust(rows * bpr, b"\x00")
-                width, height = bpr * 8, rows * 8
-                pix = bytearray(width * height)
-                for bi, val in enumerate(padded):
-                    by, bx = divmod(bi, bpr)
-                    for yy in range(8):
-                        base = (by * 8 + yy) * width + bx * 8
-                        pix[base : base + 8] = bytes([val]) * 8
-                payloads.append(
-                    _jpeg_encode_ycbcr_neutral(
-                        bytes(pix), width, height, _JPEG_FIXTURE_QUANT
-                    )
-                )
-            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
-
-    return df.select(
-        F.col(id_col).alias("doc_id"), F.col(text_col).alias("__text")
-    ).mapInPandas(
-        batches,
-        T.StructType(
-            [
-                T.StructField("doc_id", T.LongType()),
-                T.StructField("payload", T.BinaryType()),
-            ]
+    return _synthesize_jpeg_grid(
+        df, id_col, text_col,
+        lambda pix, w, h: _jpeg_encode_ycbcr_neutral(
+            pix, w, h, _JPEG_FIXTURE_QUANT
         ),
+        even_rows=True,  # 4:2:0 MCU = 2x2 blocks: even block rows
     )
 
 
@@ -1740,6 +1723,7 @@ def _jpeg_decode_progressive(
         return reader.pos
 
     # scan-at-a-time marker walk: DHT/DQT/DRI may be redefined between scans
+    n_scans = 0
     nonlocal_restart = restart_interval
     while pos + 2 <= len(payload):
         if payload[pos] != 0xFF:
@@ -1778,9 +1762,17 @@ def _jpeg_decode_progressive(
                     raise ValueError("jpeg: scan references a missing DHT")
             restart_interval = nonlocal_restart
             pos = decode_scan(scomps, ss, se, ah, al, pos + 2 + seglen)
+            n_scans += 1
             continue
         pos += 2 + seglen
 
+    if n_scans == 0:
+        # zero scans would "decode" to fabricated mid-gray pixels — the
+        # same missing-SOS contract the sequential path enforces (r7
+        # review). Fewer-than-encoded scans is NOT detectable (any scan
+        # count is valid progressive JPEG — partial files render), but a
+        # scan-less frame is unambiguously corrupt.
+        raise ValueError("jpeg: missing SOF/SOS")
     # all scans in: dequantize, reorder, IDCT — luma only
     q = quant.get(by_id[luma_cid][2])
     if q is None:
@@ -2007,38 +1999,9 @@ def synthesize_jpeg_progressive_payload(
     exactly (the coefficient arithmetic is identical to sequential —
     pinned bit-for-bit in tests), so the lossy progressive form gets
     the same byte-arithmetic oracle."""
-
-    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        bpr = _JPEG_BLOCKS_PER_ROW
-        for pdf in it:
-            payloads = []
-            for t in pdf["__text"]:
-                data = t.encode("utf-8")
-                n_blocks = max(1, len(data))
-                rows = -(-n_blocks // bpr)
-                padded = data.ljust(rows * bpr, b"\x00")
-                width, height = bpr * 8, rows * 8
-                pix = bytearray(width * height)
-                for bi, val in enumerate(padded):
-                    by, bx = divmod(bi, bpr)
-                    for yy in range(8):
-                        base = (by * 8 + yy) * width + bx * 8
-                        pix[base : base + 8] = bytes([val]) * 8
-                payloads.append(
-                    _jpeg_encode_gray_progressive(
-                        bytes(pix), width, height, _JPEG_FIXTURE_QUANT
-                    )
-                )
-            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
-
-    return df.select(
-        F.col(id_col).alias("doc_id"), F.col(text_col).alias("__text")
-    ).mapInPandas(
-        batches,
-        T.StructType(
-            [
-                T.StructField("doc_id", T.LongType()),
-                T.StructField("payload", T.BinaryType()),
-            ]
+    return _synthesize_jpeg_grid(
+        df, id_col, text_col,
+        lambda pix, w, h: _jpeg_encode_gray_progressive(
+            pix, w, h, _JPEG_FIXTURE_QUANT
         ),
     )

@@ -4227,28 +4227,28 @@ def corpus_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "text_normalize_fingerprint",
-    oracle=r"""
+    oracle="""
     SELECT doc_id,
-           md5(regexp_replace(trim(regexp_replace(lower(text), '[^a-z0-9\s]', ' ', 'g')),
-                              '\s+', ' ', 'g')) AS norm_fp,
-           CAST(length(regexp_replace(trim(regexp_replace(lower(text), '[^a-z0-9\s]', ' ', 'g')),
-                                      '\s+', ' ', 'g')) AS BIGINT) AS norm_len
+           md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))) AS norm_fp,
+           CAST(length(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')))
+               AS BIGINT) AS norm_len
     FROM documents
     """,
 )
 def text_normalize_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Canonical-text normalization — the fuzz-dedup preprocessor every
-    training pipeline runs before fingerprinting (lowercase, strip
-    non-alphanumerics to spaces, collapse whitespace): emitted as an
-    md5 fingerprint + normalized length per doc, the exact columns a
-    normalization-aware exact-dedup pass groups on. Pure native regexp
-    chain, identical in both engines — zero Python, fuses into the scan.
+    training pipeline runs before fingerprinting (lowercase, every run
+    of non-alphanumerics — punctuation AND whitespace — collapses to one
+    space, trim): emitted as an md5 fingerprint + normalized length per
+    doc, the exact columns a normalization-aware exact-dedup pass groups
+    on. Pure native regexp, zero Python, fuses into the scan. The
+    character class is deliberately ``[^a-z0-9]+`` with NO ``\\s``:
+    Java's ``\\s`` includes vertical tab, RE2's does not (r7 review),
+    and the explicit class sidesteps the whole engine-divergence family.
     """
     d = load_table(spark, sf_dir, "documents")
-    norm = F.regexp_replace(
-        F.trim(F.regexp_replace(F.lower(F.col("text")), r"[^a-z0-9\s]", " ")),
-        r"\s+",
-        " ",
+    norm = F.trim(
+        F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9]+", " ")
     )
     return d.select(
         "doc_id",

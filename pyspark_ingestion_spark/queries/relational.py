@@ -3244,52 +3244,6 @@ def snapshot_table_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "retention_cohort_matrix",
-    oracle="""
-    WITH wk AS (SELECT user_id,
-                       CAST(date_trunc('week', CAST(ts AS TIMESTAMP)) AS DATE) AS w
-                FROM events),
-    cohort AS (SELECT user_id, min(w) AS cw FROM wk GROUP BY user_id),
-    act AS (SELECT DISTINCT wk.user_id, cw, w FROM wk JOIN cohort USING (user_id))
-    SELECT cw AS cohort_week,
-           CAST((w - cw) / 7 AS INT) AS week_offset,
-           CAST(count(*) AS BIGINT) AS n_users
-    FROM act
-    GROUP BY 1, 2
-    """,
-)
-def retention_cohort_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Weekly cohort retention — the product-analytics staple: users
-    bucketed by their FIRST active week, counted in every later week
-    they return (offset 0 = the cohort's size). One row per (cohort
-    week, week offset).
-
-    Scale shape: one distinct over (user, week) — map-side combined —
-    one per-user min (the cohort assignment, reused via a broadcastable
-    user→cohort dim when users ≪ events), one equi-join back, one
-    counting aggregate on a (weeks × offsets)-bounded key space. No
-    window functions, no self-join over events; every corpus-sized
-    stage is a single hash aggregate. date_trunc('week') is
-    Monday-start in BOTH engines (verify SKILL gotcha), cast to DATE on
-    both sides so values hash identically.
-    """
-    e = load_table(spark, sf_dir, "events")
-    wk = e.select(
-        "user_id",
-        F.date_trunc("week", F.col("ts").cast("timestamp")).cast("date").alias("w"),
-    )
-    cohort = wk.groupBy("user_id").agg(F.min("w").alias("cw"))
-    act = wk.join(cohort, "user_id").select("user_id", "cw", "w").distinct()
-    return (
-        act.groupBy(
-            F.col("cw").alias("cohort_week"),
-            (F.datediff("w", "cw") / 7).cast("int").alias("week_offset"),
-        )
-        .agg(F.count(F.lit(1)).alias("n_users"))
-    )
-
-
-@query(
     "copurchase_lift",
     oracle="""
     WITH op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),

@@ -350,13 +350,17 @@ def stream_dedup_admission(
             "compact_every requires index_path and a positive interval"
         )
     if compact_major_every is not None and (
-        compact_every is None or compact_major_every % compact_every != 0
+        compact_every is None
+        or compact_major_every < compact_every
+        or compact_major_every % compact_every != 0
     ):
         # majors only fire ON compaction batches, so a non-multiple M
-        # would silently degrade the major cadence to lcm(N, M)
+        # would silently degrade the major cadence to lcm(N, M) — and
+        # M=0 would pass the modulo check while making major_every falsy
+        # (majors silently never run; r7 review)
         raise ValueError(
             "compact_major_every requires compact_every and must be a "
-            "multiple of it (majors run on compaction batches)"
+            "positive multiple of it (majors run on compaction batches)"
         )
     major_every = (
         compact_major_every
@@ -1533,8 +1537,11 @@ def _compact_versioned_table(
 #: never reopens corpus text, not even for candidates (the LSH index
 #: can't do this: Jaccard verify needs whole shingle sets; an exact
 #: window IS its own verifier). Rows are append-only — the df cap is
-#: applied at READ time, so nothing is ever re-banded or versioned and
-#: no compaction protocol is needed. Size: ~(8 + k) bytes per indexed
+#: applied at READ time, so nothing is ever re-banded or versioned;
+#: every partition-fold level (compact_substring_index's LSM minors and
+#: majors) is therefore plain order-free concatenation under the shared
+#: write-ahead/commit-guard protocol, and partitions DO get deleted and
+#: rewritten by it. Size: ~(8 + k) bytes per indexed
 #: char position — the production path sets ``sample_mod`` (content-
 #: defined sampling, see operators/dedup.substring_window_table), which
 #: divides the row count while keeping alignment-independent detection.
@@ -1800,11 +1807,13 @@ def stream_substring_admission(
     if compact_every is not None and (index_path is None or compact_every < 1):
         raise ValueError("compact_every requires index_path and a positive interval")
     if compact_major_every is not None and (
-        compact_every is None or compact_major_every % compact_every != 0
+        compact_every is None
+        or compact_major_every < compact_every
+        or compact_major_every % compact_every != 0
     ):
         raise ValueError(
             "compact_major_every requires compact_every and must be a "
-            "multiple of it (majors run on compaction batches)"
+            "positive multiple of it (majors run on compaction batches)"
         )
     major_every = (
         compact_major_every

@@ -856,10 +856,11 @@ def test_media_signal_features_known_pixels_and_samples(spark):
     assert abs(got[2]["mean_val"] - wav_mean) < 1e-9
     assert abs(got[2]["rms"] - wav_rms) < 1e-9
 
-    # the honest gate is now JPEG only (PNG and GIF decode for real — r6)
+    # JPEG decodes for real now (r7) — a garbage body after the SOI is
+    # CORRUPT and must raise the decoder's ValueError, never fabricate
     jpg = b"\xff\xd8\xff" + b"\x00" * 20
     gated = spark.createDataFrame([(3, bytearray(jpg))], "doc_id long, payload binary")
-    with pytest.raises(Exception, match="codec"):
+    with pytest.raises(Exception, match="jpeg"):
         media_signal_features(gated).collect()
 
 
@@ -1386,11 +1387,14 @@ def test_jpeg_codec_real_decode(spark):
     assert len(got) == 256
     assert max(abs(a - b) for a, b in zip(got, want)) <= 2  # sorted-value bound
 
-    # (3) truncation → ValueError; progressive SOF2 → NotImplementedError
+    # (3) truncation → ValueError. A sequential file re-marked SOF2 is
+    # CORRUPT progressive (its entropy data follows sequential rules) —
+    # the progressive decoder must reject it, not fabricate pixels
+    # (real SOF2 decode has its own test)
     with pytest.raises(ValueError):
         _jpeg_luma_millis(jp[: len(jp) // 2])
     prog = jp.replace(b"\xff\xc0", b"\xff\xc2", 1)
-    with pytest.raises(NotImplementedError, match="progressive"):
+    with pytest.raises(ValueError):
         _jpeg_luma_millis(prog)
 
     # (4) synthesizer → media_signal_features with hand-computed stats
@@ -1543,3 +1547,19 @@ def test_jpeg_progressive_decode_matches_sequential(spark):
     )
     with pytest.raises(ValueError):
         _jpeg_luma_millis(full[: len(full) - 8])
+
+
+def test_jpeg_progressive_zero_scans_raises(spark):
+    """A SOF2 frame with no SOS scans is unambiguously corrupt and must
+    raise (it used to 'decode' to fabricated mid-gray pixels — r7
+    review); a partial-but-nonzero scan count stays legal progressive."""
+    from pyspark_ingestion_spark.operators.multimodal import (
+        _JPEG_FIXTURE_QUANT,
+        _jpeg_encode_gray_progressive,
+        _jpeg_luma_millis,
+    )
+
+    full = _jpeg_encode_gray_progressive(bytes(range(64)), 8, 8, _JPEG_FIXTURE_QUANT)
+    first_sos = full.index(b"\xff\xda")
+    with pytest.raises(ValueError, match="missing SOF/SOS"):
+        _jpeg_luma_millis(full[:first_sos] + b"\xff\xd9")

@@ -1558,3 +1558,24 @@ def test_compaction_commit_floor_and_major_multiple(spark, tmp_path):
             None, None, "x", "y", index_path="z",
             compact_every=4, compact_major_every=6,
         )
+
+
+def test_compact_major_every_zero_rejected(spark, tmp_path):
+    """compact_major_every=0 satisfies the modulo check but makes the
+    major cadence falsy (majors silently never run — unbounded segment
+    growth); both sinks must reject it (r7 review)."""
+    from pyspark_ingestion_spark.streaming.pipeline import (
+        stream_dedup_admission,
+        stream_substring_admission,
+    )
+
+    with pytest.raises(ValueError, match="positive multiple"):
+        stream_dedup_admission(
+            None, None, "x", "y", index_path="z",
+            compact_every=4, compact_major_every=0,
+        )
+    with pytest.raises(ValueError, match="positive multiple"):
+        stream_substring_admission(
+            None, None, "x", "y", index_path="z",
+            compact_every=4, compact_major_every=0,
+        )
