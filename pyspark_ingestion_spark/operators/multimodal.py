@@ -23,8 +23,8 @@ PROGRESSIVE (SOF2, full annex G: spectral selection, successive
 approximation with G.1.2.3 correction bits, EOB runs) — all decoded
 by ``media_signal_features`` into oracle-checked luma/RMS statistics.
 What remains behind ``NotImplementedError``, stated just as plainly:
-16-bit quant tables, arithmetic-coded and lossless JPEG, video
-containers, and LEARNED feature extraction (needs a model runtime);
+arithmetic-coded and lossless JPEG, video containers, and LEARNED
+feature extraction (needs a model runtime);
 the deterministic fake path exercises the exact same schema,
 partitioning, UDF signature and batch shape, so those swaps stay
 localized.
@@ -647,9 +647,9 @@ def media_signal_features(media: DataFrame) -> DataFrame:
                         "LZW), baseline JPEG incl. 4:2:0/4:2:2 chroma "
                         "subsampling (pure-python Huffman + dequant + IDCT) "
                         "and PCM WAV; JPEG covers baseline (grayscale/"
-                        "4:4:4/4:2:0/4:2:2) and progressive (SOF2); the "
-                        "remaining gate is 16-bit quant tables, arithmetic-"
-                        "coded JPEG, and video containers"
+                        "4:4:4/4:2:0/4:2:2), progressive (SOF2) and both "
+                        "DQT precisions; the remaining gate is arithmetic-"
+                        "coded JPEG and video containers"
                     )
                 n = len(vals)
                 s1 = sum(vals)
@@ -867,9 +867,9 @@ def synthesize_wav_payload(df: DataFrame, id_col: str, text_col: str) -> DataFra
 # Huffman tables from DHT, bit unstuffing (0xFF 0x00), DC-predictor +
 # run-length AC entropy decode, dequantization, 8x8 inverse DCT, level
 # shift — for baseline sequential (SOF0/1, grayscale/4:4:4/4:2:0/4:2:2)
-# AND progressive (SOF2, full annex G). What stays honestly gated:
-# 16-bit quant tables, arithmetic-coded/lossless JPEG, video, learned
-# feature extraction.
+# AND progressive (SOF2, full annex G), with 8- and 16-bit quant
+# tables. What stays honestly gated: arithmetic-coded/lossless JPEG,
+# video, learned feature extraction.
 
 #: JPEG Annex K example luminance Huffman specs (public ITU T.81 tables):
 #: (BITS counts for lengths 1..16, HUFFVAL symbol list)
@@ -1019,18 +1019,39 @@ def _jpeg_idct_block(coef: list[int]) -> list[int]:
     return out
 
 
+def _jpeg_dqt_body(quant: list[int]) -> bytes:
+    """DQT body for a raster-order quant table: zig-zag reorder plus the
+    right precision flag (Pq=1 16-bit big-endian when any step > 255 —
+    the encoder mirror of _jpeg_parse_dqt's dual-precision read)."""
+    import struct
+
+    qz = [quant[zi] for zi in _JPEG_ZIGZAG]
+    if max(qz) > 255:  # precision flag rides the HIGH nibble: Pq<<4 | Tq
+        return b"\x10" + b"".join(struct.pack(">H", v) for v in qz)
+    return b"\x00" + bytes(qz)
+
+
 def _jpeg_parse_dqt(body: bytes, quant: dict) -> None:
-    """DQT segment → quant[table_id] = 64 zig-zag-order steps.
+    """DQT segment → quant[table_id] = 64 zig-zag-order steps; both
+    precisions (Pq=0: 8-bit, Pq=1: 16-bit big-endian — used by
+    high-quality/low-loss encoders whose steps exceed 255).
     Length-checked per the decoders' ValueError contract."""
     b = 0
     while b < len(body):
         pq, tq = body[b] >> 4, body[b] & 0x0F
-        if pq != 0:
-            raise NotImplementedError("jpeg: 16-bit quant tables")
-        if b + 65 > len(body):
+        if pq not in (0, 1):
+            raise ValueError("jpeg: invalid DQT precision")
+        step = 1 + pq
+        if b + 1 + 64 * step > len(body):
             raise ValueError("jpeg: truncated DQT segment")
-        quant[tq] = list(body[b + 1 : b + 65])
-        b += 65
+        if pq == 0:
+            quant[tq] = list(body[b + 1 : b + 65])
+        else:
+            quant[tq] = [
+                (body[b + 1 + 2 * i] << 8) | body[b + 2 + 2 * i]
+                for i in range(64)
+            ]
+        b += 1 + 64 * step
 
 
 def _jpeg_parse_dht(body: bytes, huff_dc: dict, huff_ac: dict) -> None:
@@ -1345,8 +1366,7 @@ def _jpeg_encode_gray(
     def seg(marker: int, body: bytes) -> bytes:
         return struct.pack(">BBH", 0xFF, marker, len(body) + 2) + body
 
-    qz = bytes(quant[zi] for zi in _JPEG_ZIGZAG)  # DQT ships zig-zag order
-    dqt = seg(0xDB, b"\x00" + qz)
+    dqt = seg(0xDB, _jpeg_dqt_body(quant))
     dht = seg(
         0xC4,
         b"\x00" + bytes(_JPEG_DC_BITS) + bytes(_JPEG_DC_VALS)
@@ -1497,8 +1517,7 @@ def _jpeg_encode_ycbcr_neutral(
     def seg(marker: int, body: bytes) -> bytes:
         return struct.pack(">BBH", 0xFF, marker, len(body) + 2) + body
 
-    qz = bytes(quant[zi] for zi in _JPEG_ZIGZAG)
-    dqt = seg(0xDB, b"\x00" + qz)
+    dqt = seg(0xDB, _jpeg_dqt_body(quant))
     dht = seg(
         0xC4,
         b"\x00" + bytes(_JPEG_DC_BITS) + bytes(_JPEG_DC_VALS)
@@ -1970,9 +1989,8 @@ def _jpeg_encode_gray_progressive(
     def seg(marker: int, body: bytes) -> bytes:
         return struct.pack(">BBH", 0xFF, marker, len(body) + 2) + body
 
-    qzz = bytes(quant[zi] for zi in _JPEG_ZIGZAG)
     out = bytearray(b"\xff\xd8")
-    out += seg(0xDB, b"\x00" + qzz)
+    out += seg(0xDB, _jpeg_dqt_body(quant))
     out += seg(
         0xC4,
         b"\x00" + bytes(_JPEG_DC_BITS) + bytes(_JPEG_DC_VALS)

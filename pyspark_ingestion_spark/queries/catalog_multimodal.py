@@ -580,8 +580,8 @@ def multimodal_jpeg_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     Constant blocks survive quantization exactly (DC = 8·(v−128), DC
     step 8), so the oracle recomputes the identical statistics from the
     text bytes. This query covers grayscale baseline; the 4:2:0 and
-    progressive companions extend it, leaving 16-bit quant tables,
-    arithmetic-coded JPEG and video as the honest codec remainder."""
+    progressive companions extend it, leaving arithmetic-coded JPEG
+    and video as the honest codec remainder."""
     from pyspark_ingestion_spark.operators.multimodal import (
         media_signal_features,
         synthesize_jpeg_payload,
@@ -681,7 +681,7 @@ def multimodal_jpeg_progressive_pixel_stats(spark: SparkSession, sf_dir: str) ->
     full-band refinement passes); progressive ≡ sequential decode is
     pinned bit-for-bit in pytest, and constant blocks keep the exact
     byte-arithmetic oracle. This closes the progressive gate — the
-    codec remainder is 16-bit quant tables and video containers."""
+    codec remainder is arithmetic-coded JPEG and video containers."""
     from pyspark_ingestion_spark.operators.multimodal import (
         media_signal_features,
         synthesize_jpeg_progressive_payload,

@@ -1563,3 +1563,42 @@ def test_jpeg_progressive_zero_scans_raises(spark):
     first_sos = full.index(b"\xff\xda")
     with pytest.raises(ValueError, match="missing SOF/SOS"):
         _jpeg_luma_millis(full[:first_sos] + b"\xff\xd9")
+
+
+def test_jpeg_16bit_quant_tables(spark):
+    """Pq=1 DQT segments (16-bit big-endian steps — high-quality/
+    low-loss encoders) parse and decode; constant blocks stay exact
+    through a >255 AC step table in all three encoders, and progressive
+    remains bit-identical to sequential under it. Precision nibbles
+    other than 0/1 raise."""
+    import random
+    from collections import Counter
+
+    from pyspark_ingestion_spark.operators.multimodal import (
+        _jpeg_encode_gray,
+        _jpeg_encode_gray_progressive,
+        _jpeg_encode_ycbcr_neutral,
+        _jpeg_luma_millis,
+        _jpeg_parse_dqt,
+    )
+
+    rnd = random.Random(5)
+    q16 = [8] + [300] * 63
+    vals = [rnd.randrange(256) for _ in range(16)]
+    w = h = 32
+    pix = bytearray(w * h)
+    for bi, v in enumerate(vals):
+        by, bx = divmod(bi, 4)
+        for yy in range(8):
+            base = (by * 8 + yy) * w + bx * 8
+            pix[base : base + 8] = bytes([v]) * 8
+    want = Counter(1000 * p for p in pix)
+    for enc in (_jpeg_encode_gray, _jpeg_encode_gray_progressive,
+                _jpeg_encode_ycbcr_neutral):
+        assert Counter(_jpeg_luma_millis(enc(bytes(pix), w, h, q16))) == want
+    pix2 = bytes(rnd.randrange(256) for _ in range(16 * 16))
+    assert _jpeg_luma_millis(
+        _jpeg_encode_gray(pix2, 16, 16, q16)
+    ) == _jpeg_luma_millis(_jpeg_encode_gray_progressive(pix2, 16, 16, q16))
+    with pytest.raises(ValueError, match="precision"):
+        _jpeg_parse_dqt(b"\x20" + bytes(64), {})

@@ -27,6 +27,8 @@ _PANDAS_OK = {"multimodal_decode", "multimodal_frame_sample",
               "multimodal_ann_pipeline",
               "multimodal_bmp_pixel_stats", "multimodal_wav_sample_stats",
               "multimodal_png_pixel_stats", "multimodal_gif_pixel_stats",
+              "multimodal_jpeg_pixel_stats", "multimodal_jpeg420_pixel_stats",
+              "multimodal_jpeg_progressive_pixel_stats",
               "udf_pandas_quality", "udtf_split_words",
               "udtf_ngrams_polymorphic",
               "udf_grouped_map_order_gaps"}
@@ -567,6 +569,8 @@ _BNLJ_OK = {
     "multimodal_ann_pipeline", "perplexity_tail_buckets", "profile_key_skew",
     "q22_sales_opportunity", "tfidf_top_terms", "unigram_logprob_quality",
     "word_cooccurrence_pmi", "bm25_scores",
+    "corpus_token_entropy",  # one-row (total, types) scalar crossJoin
+    "copurchase_lift",       # one-row basket-count crossJoin
 }
 
 
