@@ -1147,6 +1147,7 @@ def stream_token_cms(
     text_col: str = "text",
     depth: int = 4,
     width: int = 256,
+    compact_every: int | None = None,
 ) -> None:
     """Incremental count-min-sketch maintenance over a document stream —
     the streaming form of `approx_topk_heavy_hitters`' sketch build, and
@@ -1164,16 +1165,26 @@ def stream_token_cms(
     tests/test_streaming.py, including restart + replay).
 
     At scale the delta per batch is ≤ depth×width rows (8 KB at 4×256)
-    regardless of batch size, so a year of micro-batches is still a
-    trivial compaction; readers pay one ~cells×batches scan that a
-    periodic roll-up (overwrite partition −1 with the merged cells,
-    drop the rest) bounds further — same pattern as the admission
-    index's base partition.
+    regardless of batch size, so the growth term is partition COUNT, not
+    bytes; ``compact_every`` bounds it with the same in-sink protocol as
+    the admission indexes — every N batches the committed delta
+    partitions fold into the base by cell-wise SUM (exact by counter
+    associativity, like the dfcnt merge; a major every time, since the
+    whole table is ≤ depth×width rows — no LSM tiering needed),
+    skip-mode for the replaying batch's own uncommitted partition.
     """
     from pyspark_ingestion_spark.operators.profiling import token_cms_cells
     from pyspark_ingestion_spark.sources.writers import overwrite_partitions
 
+    if compact_every is not None and compact_every < 1:
+        raise ValueError("compact_every must be a positive interval")
+
     def sink(batch_df: DataFrame, batch_id: int) -> None:
+        if compact_every and batch_id > 0 and batch_id % compact_every == 0:
+            compact_token_cms(
+                batch_df.sparkSession, cms_path, checkpoint=checkpoint,
+                on_uncommitted="skip",
+            )
         delta = token_cms_cells(batch_df, text_col, depth, width)
         overwrite_partitions(
             delta.withColumn("__batch_id", F.lit(batch_id)),
@@ -1188,6 +1199,32 @@ def stream_token_cms(
         .start()
     )
     q.awaitTermination()
+
+
+def compact_token_cms(
+    spark: SparkSession,
+    cms_path: str,
+    checkpoint: str | None = None,
+    on_uncommitted: str = "raise",
+) -> int:
+    """Fold the CMS delta partitions into the base by cell-wise SUM —
+    exact (counter associativity; :func:`read_token_cms` is the same sum
+    over whatever partitions exist, so the merged sketch is invariant).
+    Same write-ahead staging, commit guard (retention floor) and replay
+    skip-mode as the admission-index compactions; always a major (the
+    merged table is ≤ depth×width rows). Returns partitions removed."""
+    return _compact_versioned_table(
+        spark,
+        cms_path,
+        lambda path, ids: (
+            spark.read.parquet(path)
+            .filter(F.col("__batch_id").cast("long").isin(ids))
+            .groupBy("i", "bucket")
+            .agg(F.sum("cnt").alias("cnt"))
+        ),
+        checkpoint,
+        on_uncommitted,
+    )
 
 
 def read_token_cms(spark: SparkSession, cms_path: str) -> DataFrame:

@@ -634,7 +634,10 @@ def test_stream_token_cms_matches_batch_and_replays(spark, tmp_path):
             .option("maxFilesPerTrigger", "1")
             .parquet(src)
         )
-        stream_token_cms(stream, cms_path, ckpt, **kwargs)
+        # compact_every=1: every batch after the first folds committed
+        # deltas into the base MID-STREAM — the merged sketch must be
+        # invariant under it (cell-wise sum is associative)
+        stream_token_cms(stream, cms_path, ckpt, compact_every=1, **kwargs)
 
     def cells(df):
         return {(r["i"], r["bucket"]): r["cnt"] for r in df.collect()}
@@ -652,14 +655,24 @@ def test_stream_token_cms_matches_batch_and_replays(spark, tmp_path):
     merged = cells(read_token_cms(spark, cms_path))
     assert merged == cells(token_cms_cells(both, **kwargs))
 
-    # replay: re-running a batch id overwrites its delta, never adds
+    # replay: re-running a batch id overwrites its delta, never adds.
+    # Only an UNCOMMITTED batch can replay, and the in-sink fold's
+    # commit guard never touches one — so the replayable partition is
+    # exactly the newest batch (1 = file b), whose delta is still its
+    # own partition (batch 1's fold ran BEFORE its write and covered
+    # only batch 0)
     from pyspark_ingestion_spark.sources.writers import overwrite_partitions
 
     from pyspark.sql import functions as F
 
-    delta = token_cms_cells(batch_a, **kwargs).withColumn("__batch_id", F.lit(0))
+    batch_b = spark.createDataFrame(file_b, "doc_id int, text string")
+    delta = token_cms_cells(batch_b, **kwargs).withColumn("__batch_id", F.lit(1))
     overwrite_partitions(delta, cms_path, ["__batch_id"])
     assert cells(read_token_cms(spark, cms_path)) == merged
+    # and the folded base really exists (mid-stream compaction ran)
+    parts = {int(r["__batch_id"]) for r in spark.read.parquet(cms_path)
+             .select("__batch_id").distinct().collect()}
+    assert -1 in parts and 0 not in parts, parts
 
     # the sketch estimates really come from these cells: 'alpha' appears
     # 5x across both files and CMS can only overestimate
@@ -1579,3 +1592,50 @@ def test_compact_major_every_zero_rejected(spark, tmp_path):
             None, None, "x", "y", index_path="z",
             compact_every=4, compact_major_every=0,
         )
+
+
+def test_compact_token_cms_preserves_sketch(spark, tmp_path):
+    """Folding the CMS delta partitions into the base is exact: the
+    merged sketch (read_token_cms) is identical before and after, the
+    table ends single-partitioned, a second run is a no-op, and an
+    uncommitted (replaying) partition is skipped, not folded."""
+    import os
+
+    from pyspark_ingestion_spark.streaming.pipeline import (
+        compact_token_cms,
+        read_token_cms,
+    )
+
+    cms = str(tmp_path / "cms")
+    for b, rows in ((0, [(0, 1, 5), (0, 2, 1)]), (1, [(0, 1, 2), (1, 3, 7)]),
+                    (2, [(0, 2, 4)])):
+        spark.createDataFrame(rows, "i int, bucket int, cnt long").write.parquet(
+            f"{cms}/__batch_id={b}"
+        )
+
+    def cells():
+        return {(r["i"], r["bucket"]): r["cnt"]
+                for r in read_token_cms(spark, cms).collect()}
+
+    want = cells()
+    # batch 2 has no commit marker (a possibly-replaying batch): skip it
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(os.path.join(ckpt, "commits"), exist_ok=True)
+    for b in (0, 1):
+        with open(os.path.join(ckpt, "commits", str(b)), "w") as f:
+            f.write("v1")
+    assert compact_token_cms(spark, cms, checkpoint=ckpt,
+                             on_uncommitted="skip") == 2
+    parts = {int(r["__batch_id"]) for r in spark.read.parquet(cms)
+             .select("__batch_id").distinct().collect()}
+    assert parts == {-1, 2}
+    assert cells() == want
+    # once batch 2 commits, the next fold takes it too
+    with open(os.path.join(ckpt, "commits", "2"), "w") as f:
+        f.write("v1")
+    assert compact_token_cms(spark, cms, checkpoint=ckpt) == 1
+    parts = {int(r["__batch_id"]) for r in spark.read.parquet(cms)
+             .select("__batch_id").distinct().collect()}
+    assert parts == {-1}
+    assert cells() == want
+    assert compact_token_cms(spark, cms) == 0  # idempotent no-op
