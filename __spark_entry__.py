@@ -87,11 +87,22 @@ def _priority(name: str) -> tuple:
     return (len(tiers) + 1, name)
 
 
+#: queries whose Spark code or oracle changed THIS round: an old green
+#: proof would attest different semantics, so they re-verify as if never
+#: checked (ahead of the LRV rotation).
+_CHANGED_THIS_ROUND = {
+    "multimodal_features",      # r8: real pixel luma-histogram features
+    "multimodal_ann_pipeline",  # r8: same feature base
+}
+
+
 def _ordered_names() -> list[str]:
     from pyspark_ingestion_spark.queries import all_queries
 
     names = sorted(all_queries())
     done = _verified_round()
+    for n in _CHANGED_THIS_ROUND:
+        done.pop(n, None)
     unchecked = sorted((n for n in names if n not in done), key=_priority)
     # least-recently-verified-first: retire the oldest proofs each round
     stale_first = sorted((n for n in names if n in done), key=lambda n: (done[n], n))

@@ -172,11 +172,15 @@ def frame_sample(decoded: DataFrame, every_k: int = 5) -> DataFrame:
     return decoded.select("doc_id", F.explode(idxs).alias("frame_idx"))
 
 
-#: schema of extracted per-item feature vectors
+#: schema of extracted per-item feature vectors. DOUBLE, not float32:
+#: the histogram components are exact small-integer ratios computed in
+#: Python doubles, and declaring float32 would truncate them for no
+#: benefit while making 6-dp oracle rounding flip at float32-epsilon
+#: boundaries.
 FEATURES_SCHEMA = T.StructType(
     [
         T.StructField("doc_id", T.LongType()),
-        T.StructField("features", T.ArrayType(T.FloatType())),
+        T.StructField("features", T.ArrayType(T.DoubleType())),
     ]
 )
 
@@ -192,40 +196,189 @@ RESIZED_SCHEMA = T.StructType(
 )
 
 
-def _features_real(payload: bytes, dim: int) -> list[float]:
-    """Real feature extraction — needs a vision/audio model runtime.
+def _model_features(payload: bytes, dim: int) -> list[float]:
+    """LEARNED (semantic) feature extraction — needs a vision/audio
+    model runtime.
 
-    STUB: swap in an ONNX/torch encoder in a real deployment.
+    STUB: swap in an ONNX/torch encoder in a real deployment. The
+    CONTENT-derived deterministic features (luma/sample histograms) are
+    real — see :func:`_pixel_features` / ``mode="pixel"``.
     """
     raise NotImplementedError(
-        "feature-extraction models are not available in this environment; "
-        "use fake=True for the deterministic test path"
+        "learned feature-extraction models are not available in this "
+        "environment; use mode='pixel' for real content-derived features "
+        "or mode='fake' for the length-arithmetic plumbing path"
     )
 
 
-def extract_features(media: DataFrame, dim: int = 8, fake: bool = True) -> DataFrame:
+def _pixel_features(payload: bytes, dim: int) -> list[float]:
+    """REAL content-derived feature vector: a ``dim``-bin histogram of
+    the decoded signal — BT.601 luma millis for BMP/PNG/GIF/JPEG pixels
+    (bin = luma·dim ∕ 255000, clamped), centred-PCM samples shifted to
+    unsigned for WAV — normalised by the value count, so components sum
+    to 1 and are integer-ratio exact (SQL-oracle-checkable: the same
+    arithmetic reproduces them from the fixture bytes). Deterministic,
+    model-free, and derived from the actual decoded content, which is
+    what makes the downstream ANN/dedup path operate on real signals."""
+    import struct
+
+    p = bytes(payload)
+    if p[:2] == b"BM":
+        vals, off, span = _bmp_luma_millis(p), 0, 255_000
+    elif p[:8] == b"\x89PNG\r\n\x1a\n":
+        vals, off, span = _png_luma_millis(p), 0, 255_000
+    elif p[:4] == b"GIF8":
+        vals, off, span = _gif_luma_millis(p), 0, 255_000
+    elif p[:3] == b"\xff\xd8\xff":
+        vals, off, span = _jpeg_luma_millis(p), 0, 255_000
+    elif p[:4] == b"RIFF" and p[8:12] == b"WAVE":
+        vals = _wav_sample_values(p)
+        # bit depth decides the centring shift (8-bit samples were
+        # centred by −128, 16-bit are signed int16)
+        pos, bits = 12, 16
+        while pos + 8 <= len(p):
+            cid = p[pos : pos + 4]
+            csz = struct.unpack_from("<I", p, pos + 4)[0]
+            if cid == b"fmt ":
+                bits = struct.unpack_from("<H", p, pos + 22)[0]
+                break
+            pos += 8 + csz + (csz & 1)
+        off, span = (128, 256) if bits == 8 else (32_768, 65_536)
+    else:
+        raise NotImplementedError(
+            "pixel features cover the really-decoded containers "
+            "(BMP/PNG/GIF/baseline+progressive JPEG/PCM WAV); other "
+            "payloads need mode='model' (gated) or mode='fake'"
+        )
+    n = len(vals)
+    if n == 0:
+        return [0.0] * dim
+    counts = [0] * dim
+    for v in vals:
+        b = (v + off) * dim // span
+        counts[b if b < dim else dim - 1] += 1
+    return [c / n for c in counts]
+
+
+def extract_features(media: DataFrame, dim: int = 8, mode: str = "pixel") -> DataFrame:
     """Binary payload → fixed-dim feature vector, Arrow-batched.
 
-    The deterministic fake derives component i as
-    ``(n_bytes mod (7 + i)) / (7 + i)`` — enough to validate the
-    binary→ARRAY<FLOAT> plumbing end-to-end (batch signature, array
-    column shape, downstream joinability with the ANN operators). The
-    output feeds ``operators.similarity`` directly: decode → features →
+    ``mode="pixel"`` (default): REAL content features — a normalised
+    ``dim``-bin histogram of the decoded luma/PCM signal
+    (:func:`_pixel_features`), reusing the same pure-Python decoders as
+    ``media_signal_features``; deterministic and byte-arithmetic
+    oracle-checkable. ``mode="fake"``: the length-arithmetic scaffold
+    (component i = ``(n_bytes mod (7+i)) / (7+i)``) for plumbing tests
+    on opaque payloads. ``mode="model"``: the honest learned-embedding
+    gate (NotImplementedError without a model runtime). The output
+    feeds ``operators.similarity`` directly: decode → features →
     near-dup / ANN is the full multimodal dedup path.
     """
+    if mode not in ("pixel", "fake", "model"):
+        raise ValueError(f"unknown feature mode {mode!r}")
+    fn = {
+        "pixel": _pixel_features,
+        "model": _model_features,
+        "fake": lambda p, d: [float(len(p) % (7 + i)) / (7 + i) for i in range(d)],
+    }[mode]
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
-            if fake:
-                feats = [
-                    [float(len(p) % (7 + i)) / (7 + i) for i in range(dim)]
-                    for p in pdf["payload"]
-                ]
-            else:
-                feats = [_features_real(p, dim) for p in pdf["payload"]]
+            feats = [fn(p, dim) for p in pdf["payload"]]
             yield pd.DataFrame({"doc_id": pdf["doc_id"], "features": feats})
 
     return media.select("doc_id", "payload").mapInPandas(batches, FEATURES_SCHEMA)
+
+
+#: schema of perceptual-hash signatures: the 64 dHash bits split into
+#: two 32-bit halves (bits 32..63 and 0..31). Two BIGINTs instead of
+#: one because bit 63 of a packed long would need two's-complement
+#: wraparound, which SQL oracles cannot reproduce without HUGEINT
+#: gymnastics; every shift/mask/bit_count downstream works identically
+#: on the halves.
+PHASH_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("dh_hi", T.LongType()),
+        T.StructField("dh_lo", T.LongType()),
+    ]
+)
+
+
+def _image_dhash_bits(payload: bytes, gx: int = 9, gy: int = 8) -> tuple[int, int]:
+    """64-bit dHash over the REALLY-decoded luma plane: block-mean
+    downsample to a ``gx × gy`` grid (pixel (x, y) → cell
+    (x·gx ∕ w, y·gy ∕ h), integer division), then bit k = cy·(gx−1)+cx
+    is 1 iff cell (cy, cx) mean > cell (cy, cx+1) mean. The comparison
+    cross-multiplies integer sums and counts — no float ever — so a SQL
+    oracle reproduces every bit from the fixture bytes. Cells a small
+    image leaves empty compare as 0-sum/0-count (bit 0, deterministic).
+    The y axis follows the DECODER's row order (for bottom-up BMPs that
+    is bottom row first) — orientation is a convention; dedup only needs
+    both copies of an image to land on the same one.
+
+    Near-dup robustness comes from block means: a uniform brightness
+    shift adds the same constant to every cell mean (hash-invariant),
+    and a local edit perturbs only the cells it touches (few bits)."""
+    p = bytes(payload)
+    w, h, _ = _decode_real(p)
+    if p[:2] == b"BM":
+        vals = _bmp_luma_millis(p)
+    elif p[:8] == b"\x89PNG\r\n\x1a\n":
+        vals = _png_luma_millis(p)
+    elif p[:4] == b"GIF8":
+        vals = _gif_luma_millis(p)
+    elif p[:3] == b"\xff\xd8\xff":
+        vals = _jpeg_luma_millis(p)
+    else:
+        raise NotImplementedError(
+            "image dHash needs a really-decoded pixel container "
+            "(BMP/PNG/GIF/JPEG)"
+        )
+    if w <= 0 or h <= 0 or len(vals) < w * h:
+        raise ValueError(f"decoded plane too small: {len(vals)} < {w}x{h}")
+    s = [[0] * gx for _ in range(gy)]
+    c = [[0] * gx for _ in range(gy)]
+    for idx in range(w * h):  # multi-frame GIFs hash their first frame
+        cx = (idx % w) * gx // w
+        cy = (idx // w) * gy // h
+        s[cy][cx] += vals[idx]
+        c[cy][cx] += 1
+    hi = lo = 0
+    for cy in range(gy):
+        for cx in range(gx - 1):
+            if s[cy][cx] * c[cy][cx + 1] > s[cy][cx + 1] * c[cy][cx]:
+                k = cy * (gx - 1) + cx
+                if k < 32:
+                    lo |= 1 << k
+                else:
+                    hi |= 1 << (k - 32)
+    return hi, lo
+
+
+def image_dhash(media: DataFrame) -> DataFrame:
+    """Perceptual dHash per media item, Arrow-batched: (doc_id, dh_hi,
+    dh_lo) — the multimodal column's first-class DEDUP signature. 9×8
+    block means → 64 horizontal-gradient bits; near-duplicate images
+    (re-encodes, brightness shifts, small local edits) land within a few
+    Hamming bits, distinct images ~32 apart. Feeds the same
+    pigeonhole-complete banding as ``dedup_simhash_hamming`` (8 bands of
+    8 bits across the two halves guarantee any pair ≤ 7 bits apart
+    shares a band), so the pair search is band equi-joins — never
+    all-pairs — exactly the LSH scale shape."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            hashes = [_image_dhash_bits(p) for p in pdf["payload"]]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "dh_hi": [x[0] for x in hashes],
+                    "dh_lo": [x[1] for x in hashes],
+                }
+            )
+
+    return media.select("doc_id", "payload").mapInPandas(batches, PHASH_SCHEMA)
 
 
 def resize_media(decoded: DataFrame, max_width: int = 64) -> DataFrame:

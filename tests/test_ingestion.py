@@ -1602,3 +1602,97 @@ def test_jpeg_16bit_quant_tables(spark):
     ) == _jpeg_luma_millis(_jpeg_encode_gray_progressive(pix2, 16, 16, q16))
     with pytest.raises(ValueError, match="precision"):
         _jpeg_parse_dqt(b"\x20" + bytes(64), {})
+
+
+def test_image_dhash_perceptual_properties(spark):
+    """image_dhash over REAL decoded pixels has the perceptual contract
+    image dedup needs: a uniform brightness shift leaves the hash
+    IDENTICAL (cross-multiplied cell-mean comparisons shift equally on
+    both sides), a small local edit flips at most the bits of the cells
+    it touches, unrelated content lands far away, and the SAME pixel
+    plane re-encoded through different containers (PNG deflate+filters
+    vs GIF LZW) hashes identically — re-encoded duplicates are found."""
+    from pyspark_ingestion_spark.operators.multimodal import (
+        image_dhash,
+        synthesize_bmp_payload,
+        synthesize_gif_payload,
+        synthesize_png_payload,
+    )
+
+    base = "the quick brown fox jumps over the lazy dog " * 8  # 360 = 10 rows
+    bright = "".join(chr(ord(c) + 1) for c in base)  # every byte +1
+    edited = "zzz" + base[3:]  # perturbs exactly pixel 0
+    other = "completely different pixel content everywhere!! " * 8
+    df = spark.createDataFrame(
+        [(1, base), (2, bright), (3, edited), (4, other)],
+        "doc_id long, text string",
+    )
+    sig = {
+        r["doc_id"]: (r["dh_hi"], r["dh_lo"])
+        for r in image_dhash(
+            synthesize_bmp_payload(df, "doc_id", "text", width=12)
+        ).collect()
+    }
+
+    def ham(a, b):
+        return bin(a[0] ^ b[0]).count("1") + bin(a[1] ^ b[1]).count("1")
+
+    assert sig[1] == sig[2], "brightness shift must be hash-invariant"
+    assert ham(sig[1], sig[3]) <= 2, "local edit must flip only nearby bits"
+    assert ham(sig[1], sig[4]) >= 8, "distinct content must not collide"
+
+    # re-encode invariance: PNG and GIF carry the same grayscale plane
+    df2 = spark.createDataFrame(
+        [(1, base), (4, other)], "doc_id long, text string"
+    )
+    png = {
+        r["doc_id"]: (r["dh_hi"], r["dh_lo"])
+        for r in image_dhash(
+            synthesize_png_payload(df2, "doc_id", "text")
+        ).collect()
+    }
+    gif = {
+        r["doc_id"]: (r["dh_hi"], r["dh_lo"])
+        for r in image_dhash(
+            synthesize_gif_payload(df2, "doc_id", "text")
+        ).collect()
+    }
+    assert png == gif, "same pixels re-encoded must hash identically"
+
+
+def test_pixel_features_known_histogram(spark):
+    """extract_features(mode='pixel') returns the REAL luma histogram:
+    hand-computed on a known BMP, WAV samples binned by bit depth, and
+    the mode gates (model → NotImplementedError, bogus → ValueError)."""
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from pyspark_ingestion_spark.operators.multimodal import (
+        extract_features,
+        synthesize_bmp_payload,
+        synthesize_wav_payload,
+    )
+
+    # 12 bytes = one 4-px row: pixels (B,G,R) = (97,98,99)x2, (100,101,102),
+    # (103,104,105) -> lumas 98257, 98257, 101257, 104257 (all bin 3 of 8:
+    # lm*8//255000 = 3)
+    df = spark.createDataFrame([(1, "abcdefghijkl")], "doc_id long, text string")
+    feats = extract_features(
+        synthesize_bmp_payload(df, "doc_id", "text"), dim=8, mode="pixel"
+    ).collect()[0]["features"]
+    assert feats == [0.0, 0.0, 0.0, 1.0, 0.0, 0.0, 0.0, 0.0]
+
+    # 8-bit WAV: 'abcd' samples centered (-31..-27), +128 -> 97..100,
+    # bin = v*8//256 = 3 for all four
+    wav = extract_features(
+        synthesize_wav_payload(df.select("doc_id", F.lit("abcd").alias("text")),
+                               "doc_id", "text"),
+        dim=8, mode="pixel",
+    ).collect()[0]["features"]
+    assert wav == [0.0, 0.0, 0.0, 1.0, 0.0, 0.0, 0.0, 0.0]
+
+    media = synthesize_bmp_payload(df, "doc_id", "text")
+    with _pytest.raises(Exception, match="learned feature-extraction"):
+        extract_features(media, dim=8, mode="model").collect()
+    with _pytest.raises(ValueError, match="unknown feature mode"):
+        extract_features(media, dim=8, mode="bogus")

@@ -24,7 +24,7 @@ _REGISTRY = all_queries()
 #: queries that intentionally cross into Python (Arrow-batched decode)
 _PANDAS_OK = {"multimodal_decode", "multimodal_frame_sample",
               "multimodal_features", "multimodal_resize",
-              "multimodal_ann_pipeline",
+              "multimodal_ann_pipeline", "dedup_image_phash",
               "multimodal_bmp_pixel_stats", "multimodal_wav_sample_stats",
               "multimodal_png_pixel_stats", "multimodal_gif_pixel_stats",
               "multimodal_jpeg_pixel_stats", "multimodal_jpeg420_pixel_stats",
@@ -571,6 +571,7 @@ _BNLJ_OK = {
     "word_cooccurrence_pmi", "bm25_scores",
     "corpus_token_entropy",  # one-row (total, types) scalar crossJoin
     "copurchase_lift",       # one-row basket-count crossJoin
+    "bpe_train_merges",      # one-row argmax-pair crossJoin per merge round
 }
 
 

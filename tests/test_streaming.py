@@ -367,7 +367,7 @@ def test_stateful_totals_all_null_values_emit_null(spark, tmp_path):
     assert got[2] == (1, 5.0), got
 
 
-def _mk_admission_files(spark, tmp_path, src, files):
+def _mk_admission_files(spark, tmp_path, src, files, schema="doc_id int, text string"):
     """Stage each (name, rows) as ONE parquet data file in src, with
     distinct mtimes so maxFilesPerTrigger=1 yields deterministic
     micro-batch order."""
@@ -378,7 +378,7 @@ def _mk_admission_files(spark, tmp_path, src, files):
     os.makedirs(src, exist_ok=True)
     for name, rows in files:
         stage = str(tmp_path / ("stage_" + name))
-        spark.createDataFrame(rows, "doc_id int, text string").coalesce(
+        spark.createDataFrame(rows, schema).coalesce(
             1
         ).write.mode("overwrite").parquet(stage)
         part = _glob.glob(os.path.join(stage, "part-*.parquet"))[0]
@@ -1345,6 +1345,292 @@ def test_substring_admission_indexed_replay_cap_and_min_len(spark, tmp_path):
         assert got == want, (min_len, got, want)
     # min_len=10 rejects both; min_len=15 keeps only the 20-char run
     assert want == {20}
+
+
+def test_stream_semantic_admission_matches_recompute_and_restarts(spark, tmp_path):
+    """The semantic streaming sink — the embedding member completing the
+    indexed admission trio: indexed form ≡ recompute form ≡ a sequential
+    embedding_batch_rejects loop on the same micro-batches (growing
+    corpus: batch 2's reject depends on batch 1's admission), across a
+    checkpoint restart with in-sink majors interleaved. Replay of a
+    micro-batch reproduces (never erases) output and index rows. Plan
+    property: the indexed rejects read ONLY the buckets index — no
+    corpus embedding source appears anywhere in the plan, because the
+    index stores the vectors and norms the cosine verify needs."""
+    from pyspark_ingestion_spark.operators.similarity import (
+        embedding_batch_rejects,
+    )
+    from pyspark_ingestion_spark.streaming.pipeline import (
+        _admit_semantic_batch_indexed,
+        _semantic_rejects_indexed,
+        stream_semantic_admission,
+    )
+
+    def vec(*xs):
+        return [float(x) for x in xs]
+
+    base_rows = [(0, vec(1, 1, -1, -1))]
+    file_a = [
+        (10, vec(0.9, 1.1, -1, -1)),    # ~base → reject
+        (11, vec(-1, 1, 1, -1)),        # orthogonal to base → admit
+    ]
+    file_b = [
+        (12, vec(-0.9, 1.2, 1.0, -1.1)),  # ~11 → reject iff corpus grew
+        (13, vec(1, -1, 1, -1)),          # fresh direction → admit
+    ]
+    file_c = [
+        (14, vec(1.1, -0.9, 1, -1)),    # ~13 → reject
+        (15, vec(-1, -1, -1, 1)),       # lone bucket → admit
+    ]
+    schema = "vec_id long, embedding array<float>"
+    base_corpus = spark.createDataFrame(base_rows, schema)
+    kwargs = dict(id_col="vec_id", vec_col="embedding", threshold=0.3, n_dims=4)
+
+    src = str(tmp_path / "src")
+    _mk_admission_files(spark, tmp_path, src, [("a", file_a), ("b", file_b)],
+                        schema=schema)
+
+    def run(out, ckpt, index_path):
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src)
+        )
+        extra = (
+            dict(compact_every=1, compact_major_every=1) if index_path else {}
+        )
+        stream_semantic_admission(
+            stream, base_corpus, out, ckpt, index_path=index_path, **kwargs,
+            **extra
+        )
+
+    out_r, out_i = str(tmp_path / "out_r"), str(tmp_path / "out_i")
+    index, ckpt_i = str(tmp_path / "index"), str(tmp_path / "ckpt_i")
+    run(out_r, str(tmp_path / "ckpt_r"), None)
+    run(out_i, ckpt_i, index)
+
+    def admitted(path):
+        return {
+            (int(r["__batch_id"]), r["vec_id"])
+            for r in spark.read.parquet(path).select("__batch_id", "vec_id").collect()
+        }
+
+    assert admitted(out_i) == admitted(out_r)
+    assert {d for _, d in admitted(out_i)} == {11, 13}
+
+    # sequential batch-mode model agrees
+    corpus_rows, model = list(base_rows), set()
+    for rows in [file_a, file_b]:
+        corpus = spark.createDataFrame(corpus_rows, schema)
+        batch = spark.createDataFrame(rows, schema)
+        rej = {
+            r["vec_id"]
+            for r in embedding_batch_rejects(
+                corpus, batch, "vec_id", "embedding", threshold=0.3, n_dims=4
+            ).collect()
+        }
+        keep = [r for r in rows if r[0] not in rej]
+        model |= {r[0] for r in keep}
+        corpus_rows += keep
+    assert {d for _, d in admitted(out_i)} == model
+
+    # restart continues the same checkpoint + index
+    _mk_admission_files(spark, tmp_path, src, [("c", file_c)], schema=schema)
+    run(out_r, str(tmp_path / "ckpt_r"), None)
+    run(out_i, ckpt_i, index)
+    assert admitted(out_i) == admitted(out_r)
+    assert {d for _, d in admitted(out_i)} == {11, 13, 15}
+
+    # the mid-stream majors really folded: only {-1, last batch} survive
+    parts = {
+        int(r["__batch_id"])
+        for r in spark.read.parquet(f"{index}/buckets")
+        .select("__batch_id").distinct().collect()
+    }
+    assert parts <= {-1, 2}, parts
+
+    # REPLAY of the last batch reproduces output + index rows exactly
+    def snap():
+        return (
+            admitted(out_i),
+            frozenset(
+                (r["doc"], r["bucket"], int(r["__batch_id"]))
+                for r in spark.read.parquet(f"{index}/buckets").collect()
+            ),
+        )
+
+    want = snap()
+    batch_c = spark.createDataFrame(file_c, schema)
+    _admit_semantic_batch_indexed(
+        batch_c, 2, base_corpus, out_i, index, **kwargs
+    )
+    assert snap() == want
+
+    # plan property: the indexed rejects read NO embedding source path
+    probe = spark.createDataFrame([(99, vec(1, 1, -1, -1))], schema)
+    rejects, _bb = _semantic_rejects_indexed(
+        spark, probe, index, 99, "vec_id", "embedding", 0.3, 4
+    )
+    files = rejects.inputFiles()
+    assert files and all("/buckets/" in f for f in files), files
+    assert {r["vec_id"] for r in rejects.collect()} == {99}  # ~base → reject
+
+
+def test_substring_dfcnt_ledger_plan_parity_and_backfill(spark, tmp_path):
+    """r8 (clears the r7 weak flag): the substring index's window-df cap
+    resolves from the incrementally-maintained ``dfcnt`` ledger, never a
+    corpus-wide aggregate over the windows table. Pins: (1) the ledger
+    invariant — per-hash SUM over dfcnt partitions equals count_distinct
+    recomputed from the windows table — across batches AND LSM
+    minor/major compactions; (2) admission parity with the recompute
+    form across cap values on a ledger-driven index; (3) the plan
+    property itself: the hot computation's scans are dfcnt-only (the
+    windows table feeds only the candidate join), broadcast-restricted
+    to the batch's hashes, and the full rejects plan reads no text path
+    and contains no distinct-count aggregate; (4) a legacy index (ledger
+    deleted) still admits identically via the fallback arm, and the next
+    admit backfills the ledger per-partition."""
+    import shutil
+
+    from pyspark_ingestion_spark.operators.dedup import (
+        incremental_substring_rejects,
+    )
+    from pyspark_ingestion_spark.plans.explain import (
+        formatted_plan,
+        uses_broadcast_join,
+    )
+    from pyspark_ingestion_spark.streaming.pipeline import (
+        _admit_substring_batch_indexed,
+        _substring_hot_windows,
+        _substring_rejects_indexed,
+        compact_substring_index,
+    )
+
+    base = spark.createDataFrame(
+        [(0, "one shared boilerplate phrase plus alpha beta gamma"),
+         (1, "one shared boilerplate phrase plus delta epsilon zeta"),
+         (2, "one shared boilerplate phrase plus eta theta iota")],
+        "doc_id int, text string",
+    )
+    out, index = str(tmp_path / "out"), str(tmp_path / "idx")
+    args = dict(id_col="doc_id", text_col="text", k=10, min_len=10,
+                max_window_df=2, sample_mod=None)
+    batches = {
+        0: [(10, "docs with one shared boilerplate phrase only collide there"),
+            (11, "plus alpha beta gamma tail shared with doc zero")],
+        1: [(12, "phrase only collide there is now shared with doc ten"),
+            (13, "totally novel words nothing matches here at all")],
+    }
+    for b, rows in batches.items():
+        df = spark.createDataFrame(rows, "doc_id int, text string")
+        _admit_substring_batch_indexed(df, b, base, out, index, **args)
+    # 10 admits (its only collision is 3-doc boilerplate, > cap);
+    # 11 rejects (tail shared with doc 0 only); 12 rejects against the
+    # ADMITTED doc 10 — i.e. the ledger covers batch partitions, not just
+    # the base; 13 admits
+    admitted = {r["doc_id"] for r in spark.read.parquet(out).collect()}
+    assert admitted == {10, 13}
+
+    def ledger() -> dict:
+        return {
+            r["wh"]: r["total"]
+            for r in spark.read.parquet(f"{index}/dfcnt")
+            .groupBy("wh").agg(F.sum("cnt").alias("total")).collect()
+        }
+
+    def recomputed() -> dict:
+        return {
+            r["wh"]: r["total"]
+            for r in spark.read.parquet(f"{index}/windows")
+            .groupBy("wh").agg(F.count_distinct("doc").alias("total")).collect()
+        }
+
+    assert ledger() == recomputed()
+
+    # LSM folds preserve the ledger sums (minor → segment, major → base)
+    assert compact_substring_index(spark, index, mode="minor") == {
+        "windows": 2, "dfcnt": 2,
+    }
+    assert ledger() == recomputed()
+    compact_substring_index(spark, index, mode="major")
+    parts = {
+        int(r["__batch_id"])
+        for r in spark.read.parquet(f"{index}/dfcnt")
+        .select("__batch_id").distinct().collect()
+    }
+    assert parts == {-1}, parts
+    assert ledger() == recomputed()
+
+    # read-path parity across caps on the compacted, ledger-driven index
+    corpus = base.unionByName(
+        spark.read.parquet(out).select("doc_id", "text")
+    )
+    probe = spark.createDataFrame(
+        [(20, "one shared boilerplate phrase appears here once more"),
+         (21, "plus delta epsilon zeta borrowed from document one"),
+         (22, "phrase only collide there borrowed from doc ten")],
+        "doc_id int, text string",
+    )
+    by_cap = {}
+    for cap in (1, 2, None):
+        want = {
+            r["doc_id"]
+            for r in incremental_substring_rejects(
+                corpus, probe, "doc_id", "text", k=10, max_window_df=cap
+            ).collect()
+        }
+        got_df, _ = _substring_rejects_indexed(
+            spark, probe, index, 99, "doc_id", "text", 10, 10, cap, None
+        )
+        assert {r["doc_id"] for r in got_df.collect()} == want, cap
+        by_cap[cap] = want
+    # cap=2: 20's only collision (boilerplate, df=4 > 2) is capped →
+    # admit; 21/22 share rare substrings with docs 1/10 → reject.
+    # uncapped: the boilerplate collision counts again → 20 rejects too
+    assert by_cap[2] == {21, 22}
+    assert by_cap[None] == {20, 21, 22}
+
+    # plan property: hotness never scans the windows table, and the
+    # ledger aggregate is broadcast-restricted to the batch's hashes
+    from pyspark_ingestion_spark.streaming.pipeline import _windows_with_text
+
+    pw = _windows_with_text(probe, "doc_id", "text", 10, None)
+    hot = _substring_hot_windows(spark, index, 99, pw, 2)
+    hot_files = hot.inputFiles()
+    assert hot_files and all("/dfcnt/" in f for f in hot_files), hot_files
+    assert uses_broadcast_join(hot)
+    rej, _ = _substring_rejects_indexed(
+        spark, probe, index, 99, "doc_id", "text", 10, 10, 2, None
+    )
+    files = rej.inputFiles()
+    assert files and all("/windows/" in f or "/dfcnt/" in f for f in files), files
+    assert "count(distinct" not in formatted_plan(rej).lower()
+
+    # legacy index: ledger gone → fallback arm admits identically …
+    shutil.rmtree(f"{index}/dfcnt")
+    fb, _ = _substring_rejects_indexed(
+        spark, probe, index, 99, "doc_id", "text", 10, 10, 2, None
+    )
+    assert {r["doc_id"] for r in fb.collect()} == {21, 22}
+    assert "count(distinct" in formatted_plan(fb).lower()  # the old arm
+    # … and the next admit backfills the ledger partition-per-partition
+    df3 = spark.createDataFrame(
+        [(30, "yet another run of fresh text matching nothing")],
+        "doc_id int, text string",
+    )
+    _admit_substring_batch_indexed(df3, 3, base, out, index, **args)
+    win_parts = {
+        int(r["__batch_id"])
+        for r in spark.read.parquet(f"{index}/windows")
+        .select("__batch_id").distinct().collect()
+    }
+    df_parts = {
+        int(r["__batch_id"])
+        for r in spark.read.parquet(f"{index}/dfcnt")
+        .select("__batch_id").distinct().collect()
+    }
+    assert df_parts == win_parts, (df_parts, win_parts)
+    assert ledger() == recomputed()
 
 
 def test_minor_compaction_segments_and_major_collapse(spark, tmp_path):

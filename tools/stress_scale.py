@@ -91,6 +91,154 @@ def make_embeddings(spark, n, dim=64, cluster_size=20, seed=13):
     return spark.createDataFrame(rows, "vec_id long, embedding array<double>").repartition(32)
 
 
+def make_baskets(spark, n_orders, basket=6, seed=23):
+    """(ok, part) basket table with CONSTANT basket size and parts ~
+    n_orders/2 ids: the co-purchase graph's nodes AND edges then grow
+    linearly with n_orders, so pagerank timings measure join/agg
+    economics, not an output-quadratic graph."""
+    rnd = random.Random(seed)
+    n_parts = max(10, n_orders // 2)
+    rows = [
+        (o, rnd.randrange(n_parts))
+        for o in range(n_orders)
+        for _ in range(basket)
+    ]
+    return spark.createDataFrame(rows, "ok long, part long").repartition(32)
+
+
+def pagerank_over(op):
+    """The pagerank_copurchase body (queries/relational.py) over a
+    synthetic (ok, part) basket table — same per-order pair build,
+    symmetrization, localCheckpointed edge table and 5 unrolled damped
+    power steps, so the measured growth is the query's shape."""
+    op = op.distinct()
+    pw = (
+        op.select("ok", F.col("part").alias("src"))
+        .join(op.select("ok", F.col("part").alias("dst")), "ok")
+        .filter(F.col("src") < F.col("dst"))
+        .groupBy("src", "dst")
+        .agg(F.count(F.lit(1)).cast("double").alias("w"))
+    )
+    sym = pw.union(pw.select(F.col("dst").alias("src"), F.col("src").alias("dst"), "w"))
+    outw = sym.groupBy("src").agg(F.sum("w").alias("outw"))
+    edges = sym.join(outw, "src").select(
+        "src", "dst", (F.col("w") / F.col("outw")).alias("p")
+    ).localCheckpoint(eager=False)
+    n = edges.select("src").distinct().count()
+    inv = 1.0 / n
+    ranks = edges.select(F.col("src").alias("node")).distinct().withColumn(
+        "r", F.lit(inv)
+    )
+    for _ in range(5):
+        ranks = (
+            edges.join(ranks, edges["src"] == ranks["node"])
+            .groupBy("dst")
+            .agg((F.lit(0.15) * F.lit(inv)
+                  + F.lit(0.85) * F.sum(F.col("r") * F.col("p"))).alias("r"))
+            .select(F.col("dst").alias("node"), "r")
+        )
+    return ranks.select("node", F.round("r", 6).alias("pagerank"))
+
+
+def make_names(spark, n, block_pop=20, seed=29):
+    """Name table with CONSTANT blocking-key population: ~half of each
+    20-name block sits within edit distance 3 (true matches), the rest
+    far — so the blocked pair space and the component count both grow
+    linearly with n."""
+    rows = []
+    for i in range(n):
+        blk = i // block_pop
+        tail = f"x{i % 7}" if i % 2 == 0 else f"zq{i}fartail"
+        rows.append((f"blk{blk} {tail}",))
+    return spark.createDataFrame(rows, "p_name string").repartition(32)
+
+
+def entity_over(names_df):
+    """The entity_canonical_keep_one body over a synthetic name table:
+    distinct-name collapse, first-token blocking, banded levenshtein
+    edges, connected_components closure, per-entity rollup."""
+    from pyspark_ingestion_spark.operators.dedup import connected_components
+
+    names = names_df.groupBy("p_name").agg(F.count(F.lit(1)).alias("n_rows"))
+    blocked = names.select(
+        "p_name", F.split("p_name", " ").getItem(0).alias("__block")
+    )
+    edges = (
+        blocked.select(F.col("p_name").alias("name_a"), "__block")
+        .join(blocked.select(F.col("p_name").alias("name_b"), "__block"), "__block")
+        .filter(
+            (F.col("name_a") < F.col("name_b"))
+            & (F.levenshtein("name_a", "name_b", 3) >= 0)
+        )
+        .select("name_a", "name_b")
+    )
+    comp = connected_components(edges, "name_a", "name_b")
+    return (
+        names.join(comp, names["p_name"] == comp["node"], "left")
+        .groupBy(F.coalesce("component", "p_name").alias("entity"))
+        .agg(F.count(F.lit(1)).alias("n_names"), F.sum("n_rows").alias("n_rows"))
+    )
+
+
+def stream_substring_batches(spark, corpus_n, n_batches=4, batch_rows=200, seed=31):
+    """Mean steady-state per-batch seconds of INDEXED
+    stream_substring_admission (dfcnt ledger, k=20, cap=10) at a given
+    corpus size — the sink body on deterministic synthetic docs, batch 0
+    (bootstrap) excluded. The claim under test: per-batch cost grows
+    with the corpus only through SCANS (the candidate join against the
+    windows index), never through a corpus-sized shuffle."""
+    import shutil
+    import tempfile
+
+    from pyspark_ingestion_spark.streaming.pipeline import (
+        _admit_substring_batch_indexed,
+    )
+
+    rnd = random.Random(seed)
+    boiler = [
+        "subscribe to our newsletter for the latest updates and offers",
+        "all rights reserved reproduction without permission is prohibited",
+    ]
+
+    def rows(n, start):
+        out = []
+        for i in range(start, start + n):
+            ws = rnd.choices(WORDS, k=40)
+            if rnd.random() < 0.3:
+                pos = rnd.randrange(len(ws))
+                ws[pos:pos] = rnd.choice(boiler).split()
+            out.append((i, " ".join(ws)))
+        return out
+
+    tmp = tempfile.mkdtemp(prefix="stress_substream_")
+    try:
+        spark.createDataFrame(
+            rows(corpus_n, 0), "doc_id long, text string"
+        ).repartition(32).write.mode("overwrite").parquet(f"{tmp}/base")
+        base = spark.read.parquet(f"{tmp}/base")
+        args = dict(id_col="doc_id", text_col="text", k=20, min_len=20,
+                    max_window_df=10, sample_mod=None)
+        times = []
+        for bid in range(n_batches):
+            bdf = spark.createDataFrame(
+                rows(batch_rows, corpus_n + bid * 10_000),
+                "doc_id long, text string",
+            ).coalesce(2)
+            t0 = time.perf_counter()
+            _admit_substring_batch_indexed(
+                bdf, bid, base, f"{tmp}/out", f"{tmp}/index", **args
+            )
+            times.append(time.perf_counter() - t0)
+        steady = times[1:]
+        dt = sum(steady) / len(steady)
+        print(f"  stream_substring_admission (corpus {corpus_n:>7,})      "
+              f"per-batch mean {dt:7.2f}s  (batches: "
+              f"{', '.join(f'{t:.2f}' for t in times)})", flush=True)
+        return dt
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 def timed(label, thunk):
     """Times the WHOLE operator: call (some operators run eager jobs
     inside) + count of the returned frame."""
@@ -208,9 +356,32 @@ def main():
         p.unpersist(); e.unpersist()
         results[("emb", n)] = r
 
+    # r8 (VERDICT r7 item 8): graph + streaming headliners in the same
+    # two-size harness
+    for n in (small_n, big_n):
+        print(f"== graph n={n:,} (baskets of 6 / blocks of 20)", flush=True)
+        r = {}
+        baskets = make_baskets(spark, n).persist()
+        baskets.count()
+        r["pagerank"] = timed("pagerank (5 unrolled power steps)",
+                              lambda: pagerank_over(baskets))
+        baskets.unpersist()
+        names = make_names(spark, n).persist()
+        names.count()
+        r["entity_canonical"] = timed("entity_canonical (block+lev+cc+rollup)",
+                                      lambda: entity_over(names))
+        names.unpersist()
+        results[("graph", n)] = r
+
+    for n in (small_n, big_n):
+        print(f"== streaming corpus n={n:,}", flush=True)
+        results[("stream", n)] = {
+            "substring_batch": stream_substring_batches(spark, n)
+        }
+
     ratio = big_n / small_n
     print(f"\n== scaling ratios (size x{ratio:.0f}; ~linear <= ~x{ratio:.0f}, quadratic ~x{ratio*ratio:.0f})")
-    for sect in ("docs", "adv", "emb"):
+    for sect in ("docs", "adv", "emb", "graph", "stream"):
         for key, a in results[(sect, small_n)].items():
             b = results[(sect, big_n)].get(key)
             if b is not None:
