@@ -1604,15 +1604,25 @@ _IDX_WDFCNT = "dfcnt"
 
 
 def _windows_with_text(
-    df: DataFrame, id_col: str, text_col: str, k: int, sample_mod: int | None
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int,
+    sample_mod: int | None,
+    broadcast_texts: bool = False,
 ) -> DataFrame:
     """``substring_window_table`` rows plus the window string itself:
-    (doc, pos, wh, w). One extra batch-sized join against the input's
-    own text — never the corpus's."""
+    (doc, pos, wh, w). One extra join against the input's own text —
+    never the corpus's. ``broadcast_texts=True`` (the per-BATCH call
+    sites) pins that join to a broadcast hash join so a micro-batch
+    plan never sort-merges even batch-sized frames; the bootstrap call
+    windows the whole base corpus and must NOT broadcast it."""
     from pyspark_ingestion_spark.operators.dedup import substring_window_table
 
     wt = substring_window_table(df, id_col, text_col, k, sample_mod)
     texts = df.select(F.col(id_col).alias("doc"), F.col(text_col).alias("__t"))
+    if broadcast_texts:
+        texts = F.broadcast(texts)
     return wt.join(texts, "doc").select(
         "doc",
         "pos",
@@ -1757,14 +1767,18 @@ def _substring_rejects_indexed(
     time"; persisting capped rows would silently drop an admitted doc's
     currently-hot windows from the ledger forever, so a later run with
     a different (or no) cap would diverge from the recompute form;
-    (2) COST — the capped frame's plan contains the corpus-wide hot
-    aggregate, so writing it would re-run that aggregate per batch,
-    while the uncapped frame's plan is batch-sized.
+    (2) COST — the capped frame's plan contains the hot-window lookup
+    (ledger scan + anti-join), so writing it would re-run that lookup
+    per batch, while the uncapped frame's plan is batch-sized; and the
+    UNCAPPED rows are what the dfcnt ledger delta must count, or a
+    later cap change would read wrong frequencies.
 
     Equivalence with ``incremental_substring_rejects``: the index holds
     exactly the corpus's uncapped window table (persisted at admission
-    instead of re-derived), the df cap is the same corpus-side read-time
-    aggregate, candidates collide on the same 60-bit fingerprints, and
+    instead of re-derived), the ledger's per-hash SUM equals the
+    corpus-side ``count_distinct`` the recompute form measures (docs are
+    disjoint across partitions), candidates collide on the same 60-bit
+    fingerprints, and
     the exact verify compares the same two k-char substrings — one
     re-extracted from the batch text in hand, one STORED at indexing
     time (a string equals its stored copy, so the verify is identical).
@@ -1795,7 +1809,23 @@ def _substring_rejects_indexed(
         .filter(F.col("__batch_id").cast("long") != batch_id)
         .select("doc", "pos", "wh", "w")
     )
-    wb_raw = _windows_with_text(batch, id_col, text_col, k, sample_mod)
+    # checkpointed once: the frame feeds the hot lookup's distinct, the
+    # candidate join's broadcast build AND (via the admit function) the
+    # windows/dfcnt writes — without the cut, the window fan-out and its
+    # broadcast builds re-run per reference (measured +40%/batch at toy
+    # scale). Caveat, observed and accounted for: a LogicalRDD carries
+    # no size stats, so on a TOY corpus the planner may inject runtime
+    # bloom filters built from the windows scan to prune this frame;
+    # at any real corpus size the creation-side threshold (10 MB,
+    # spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold)
+    # forbids building a bloom from the corpus-sized scan, so the
+    # steady-state plan stays scans-plus-batch-shuffles (the structural
+    # pin in tests disables bloom injection to assert exactly that
+    # shape). Every join against this frame is an explicit broadcast,
+    # so the missing stats can never flip a join side.
+    wb_raw = _windows_with_text(
+        batch, id_col, text_col, k, sample_mod, broadcast_texts=True
+    ).localCheckpoint(eager=False)
     wb = wb_raw
     if max_window_df is not None:
         hot = None
@@ -1814,9 +1844,16 @@ def _substring_rejects_indexed(
                 .select("wh")
             )
         wb = wb.join(F.broadcast(hot), "wh", "left_anti")
-    cand = wb.select(
-        F.col("doc").alias("__bid"), F.col("pos").alias("pos_b"), "wh",
-        F.col("w").alias("__wb"),
+    # the candidate join BROADCASTS the batch windows explicitly: the
+    # corpus-sized windows index must only ever be the streamed/scanned
+    # side, never shuffled or size-guessed into the build side (batch
+    # frames often carry no stats, and a stats miss here would cost a
+    # corpus-wide Exchange per micro-batch — plan-pinned in tests)
+    cand = F.broadcast(
+        wb.select(
+            F.col("doc").alias("__bid"), F.col("pos").alias("pos_b"), "wh",
+            F.col("w").alias("__wb"),
+        )
     ).join(
         wc.select(
             F.col("doc").alias("__cid"), F.col("pos").alias("pos_c"), "wh",
@@ -1912,7 +1949,7 @@ def _admit_substring_batch_indexed(
         admitted.withColumn("__batch_id", F.lit(batch_id)), out_path, ["__batch_id"]
     )
     adm_windows = wb.join(
-        admitted.select(F.col(id_col).alias("doc")), "doc"
+        F.broadcast(admitted.select(F.col(id_col).alias("doc"))), "doc"
     ).localCheckpoint(eager=False)  # feeds the windows write AND the ledger delta
     overwrite_partitions(
         adm_windows.withColumn("__batch_id", F.lit(batch_id)),
@@ -2254,7 +2291,9 @@ def _admit_semantic_batch_indexed(
     overwrite_partitions(
         admitted.withColumn("__batch_id", F.lit(batch_id)), out_path, ["__batch_id"]
     )
-    adm_buckets = bb.join(admitted.select(F.col(id_col).alias("doc")), "doc")
+    adm_buckets = bb.join(
+        F.broadcast(admitted.select(F.col(id_col).alias("doc"))), "doc"
+    )
     overwrite_partitions(
         adm_buckets.withColumn("__batch_id", F.lit(batch_id)),
         f"{index_path}/{_IDX_BUCKETS}",
