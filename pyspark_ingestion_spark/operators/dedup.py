@@ -789,8 +789,14 @@ def _lsh_admission_tail(
     (``streaming.pipeline``, which maintains ``bands_c`` as a persisted
     table and passes the postings index as ``sc``)."""
     bands_b = _bands_from_wide(_wide_signatures(sb, num_hashes), num_hashes, band_size)
+    # batch sides are EXPLICIT broadcasts: the streaming sink feeds this
+    # with stats-free micro-batch frames, and a size guess here would
+    # sort-merge-shuffle the corpus band table (candidate join) or the
+    # whole postings table on (doc, shingle) (verify join) — per batch.
+    # bands_b is batch docs × n_bands; the verify's build side is batch
+    # shingles × band-collision candidates, bounded by the bucket caps.
     cands = (
-        bands_b.select(F.col("doc").alias("batch_id"), "band", "band_key")
+        F.broadcast(bands_b.select(F.col("doc").alias("batch_id"), "band", "band_key"))
         .join(
             bands_c.select(F.col("doc").alias("corpus_id"), "band", "band_key"),
             ["band", "band_key"],
@@ -800,7 +806,11 @@ def _lsh_admission_tail(
     )
 
     inter = (
-        cands.join(sb.select(F.col("doc").alias("batch_id"), "shingle"), "batch_id")
+        F.broadcast(
+            F.broadcast(cands).join(
+                sb.select(F.col("doc").alias("batch_id"), "shingle"), "batch_id"
+            )
+        )
         .join(
             sc.select(F.col("doc").alias("corpus_id"), "shingle"),
             ["corpus_id", "shingle"],

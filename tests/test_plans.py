@@ -264,7 +264,12 @@ def test_headline_shuffle_budgets(spark, sf_dir):
         # round-4 pins (r3 verdict item 8): the new/fixed surface
         "unigram_logprob_quality": 3,     # token explode agg + vocab join + per-doc agg
         "dedup_incremental_batch": 14,    # fp distinct/join + shingle aggs + sizes + union-distinct
-        "dedup_incremental_lsh": 12,      # two signature aggs + band join + candidate verify + sizes
+        # two signature aggs + band join + candidate verify + sizes; +1 in
+        # r8: the explicit batch-side broadcasts in _lsh_admission_tail
+        # (which pin the corpus band/postings tables to the scanned side
+        # for stats-free streaming frames) forgo one exchange reuse on the
+        # batch-bounded side
+        "dedup_incremental_lsh": 13,
         "join_point_in_time": 1,          # one user_id exchange shared by window + join
         "join_point_in_time_asof": 2,     # union+window + tie-dedupe window
         "table_checksum_grouped": 1,      # one partial-combined hash agg
