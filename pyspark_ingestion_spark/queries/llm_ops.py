@@ -1766,63 +1766,12 @@ def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     localCheckpointed between rounds so round k's plan never re-derives
     round k−1. Returns (merge_round, left_sym, right_sym, pair_count).
     """
-    from pyspark_ingestion_spark.functions.text import words
-
-    SEP = "\x01"
-    d = load_table(spark, sf_dir, "documents")
-    docs = (
-        d.filter(F.trim("text") != "")
-        .select(F.array_join(words(F.lower(F.col("text"))), SEP).alias("s"))
-    )
-
-    def pair_best(docs_df: DataFrame) -> DataFrame:
-        arr = F.split(F.col("s"), SEP)
-        idx = F.when(
-            F.size(arr) >= 2, F.sequence(F.lit(1), F.size(arr) - 1)
-        ).otherwise(F.array().cast("array<int>"))
-        pairs = docs_df.select(
-            F.explode(
-                F.transform(
-                    idx,
-                    lambda i: F.struct(
-                        F.get(arr, i - 1).alias("x"), F.get(arr, i).alias("y")
-                    ),
-                )
-            ).alias("p")
-        ).select("p.x", "p.y")
-        pc = pairs.groupBy("x", "y").agg(F.count(F.lit(1)).alias("cnt"))
-        mx = pc.agg(F.max("cnt").alias("mx"))
-        # argmax with the deterministic (cnt DESC, x ASC, y ASC) boundary:
-        # filter to the max count (one-row broadcast), lexicographic
-        # struct-min picks the pair
-        return (
-            pc.join(F.broadcast(mx), F.col("cnt") == F.col("mx"))
-            .agg(F.min(F.struct("x", "y")).alias("b"), F.max("cnt").alias("cnt"))
-            .select(F.col("b.x").alias("x"), F.col("b.y").alias("y"), "cnt")
-        )
-
-    def apply_merge(docs_df: DataFrame, best: DataFrame) -> DataFrame:
-        arr = F.split(F.col("s"), SEP)
-        tail = F.when(
-            F.size(arr) >= 2, F.slice(arr, 2, F.size(arr) - 1)
-        ).otherwise(F.array().cast("array<string>"))
-        fold = F.aggregate(
-            tail,
-            F.get(arr, 0),
-            lambda acc, cur: F.when(
-                ((acc == F.col("x"))
-                 | acc.endswith(F.concat(F.lit(SEP), F.col("x"))))
-                & (cur == F.col("y")),
-                F.concat(acc, F.lit(" "), cur),
-            ).otherwise(F.concat(acc, F.lit(SEP), cur)),
-        )
-        return docs_df.crossJoin(F.broadcast(best)).select(fold.alias("s"))
-
+    docs = _bpe_symbol_docs(spark, sf_dir)
     out = None
     for r in range(1, 4):
         # tiny (one row); feeds both the output union and the rewrite —
         # cut lineage so neither re-runs the pair aggregate
-        best = pair_best(docs).localCheckpoint(eager=False)
+        best = _bpe_pair_best(docs).localCheckpoint(eager=False)
         row = best.select(
             F.lit(r).alias("merge_round"),
             F.col("x").alias("left_sym"),
@@ -1831,8 +1780,158 @@ def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         out = row if out is None else out.unionByName(row)
         if r < 3:
-            docs = apply_merge(docs, best).localCheckpoint(eager=False)
+            docs = _bpe_apply_merge(docs, best).localCheckpoint(eager=False)
     return out
+
+
+_BPE_SEP = "\x01"
+
+
+def _bpe_symbol_docs(spark: SparkSession, sf_dir: str, with_id: bool = False):
+    """documents → (``doc_id``?, ``s``): symbols = lowercase whitespace
+    words joined by chr(1) — the BPE working representation shared by
+    training and encoding."""
+    from pyspark_ingestion_spark.functions.text import words
+
+    d = load_table(spark, sf_dir, "documents").filter(F.trim("text") != "")
+    cols = (["doc_id"] if with_id else []) + [
+        F.array_join(words(F.lower(F.col("text"))), _BPE_SEP).alias("s")
+    ]
+    return d.select(*cols)
+
+
+def _bpe_pair_best(docs_df: DataFrame) -> DataFrame:
+    """One-row (x, y, cnt) argmax of adjacent symbol-pair counts with
+    the deterministic (cnt DESC, x ASC, y ASC) boundary: filter to the
+    max count (one-row broadcast), lexicographic struct-min picks the
+    pair."""
+    arr = F.split(F.col("s"), _BPE_SEP)
+    idx = F.when(
+        F.size(arr) >= 2, F.sequence(F.lit(1), F.size(arr) - 1)
+    ).otherwise(F.array().cast("array<int>"))
+    pairs = docs_df.select(
+        F.explode(
+            F.transform(
+                idx,
+                lambda i: F.struct(
+                    F.get(arr, i - 1).alias("x"), F.get(arr, i).alias("y")
+                ),
+            )
+        ).alias("p")
+    ).select("p.x", "p.y")
+    pc = pairs.groupBy("x", "y").agg(F.count(F.lit(1)).alias("cnt"))
+    mx = pc.agg(F.max("cnt").alias("mx"))
+    return (
+        pc.join(F.broadcast(mx), F.col("cnt") == F.col("mx"))
+        .agg(F.min(F.struct("x", "y")).alias("b"), F.max("cnt").alias("cnt"))
+        .select(F.col("b.x").alias("x"), F.col("b.y").alias("y"), "cnt")
+    )
+
+
+def _bpe_apply_merge(docs_df: DataFrame, best: DataFrame) -> DataFrame:
+    """Greedy non-overlapping left-to-right merge of the (x, y) pair in
+    every document — the document-local string-accumulator fold (chr(1)
+    element boundaries, space-joined merged symbols, so a just-merged
+    element can never immediately re-merge). Preserves every column of
+    ``docs_df`` except ``s``, which it rewrites."""
+    arr = F.split(F.col("s"), _BPE_SEP)
+    tail = F.when(
+        F.size(arr) >= 2, F.slice(arr, 2, F.size(arr) - 1)
+    ).otherwise(F.array().cast("array<string>"))
+    fold = F.aggregate(
+        tail,
+        F.get(arr, 0),
+        lambda acc, cur: F.when(
+            ((acc == F.col("x"))
+             | acc.endswith(F.concat(F.lit(_BPE_SEP), F.col("x"))))
+            & (cur == F.col("y")),
+            F.concat(acc, F.lit(" "), cur),
+        ).otherwise(F.concat(acc, F.lit(_BPE_SEP), cur)),
+    )
+    keep = [c for c in docs_df.columns if c != "s"]
+    return docs_df.crossJoin(F.broadcast(best)).select(*keep, fold.alias("s"))
+
+
+def _bpe_oracle_docs_cte(n_rounds: int) -> str:
+    r"""The ``_bpe_oracle`` CTE chain with ``doc_id`` carried through
+    every merge fold, ending in ``enc(doc_id, s0, s{n})`` — raw symbols
+    next to the fully-encoded symbols. The merges come from the SAME
+    corpus-wide pair counts as training (doc_id is ignored by pc/best)."""
+    ctes = [
+        r"""docs0 AS (
+      SELECT doc_id,
+             array_to_string(string_split_regex(trim(lower(text)), '\s+'),
+                             chr(1)) AS s
+      FROM documents WHERE trim(text) <> '')"""
+    ]
+    for r in range(1, n_rounds + 1):
+        ctes.append(f"""pc{r} AS (
+      SELECT ws[i] AS x, ws[i+1] AS y, CAST(count(*) AS BIGINT) AS cnt
+      FROM (SELECT string_split(s, chr(1)) AS ws FROM docs{r - 1}),
+           LATERAL (SELECT unnest(range(1, len(ws))) AS i)
+      GROUP BY x, y)""")
+        ctes.append(f"""best{r} AS (
+      SELECT x, y, cnt FROM pc{r}
+      WHERE cnt = (SELECT max(cnt) FROM pc{r})
+      ORDER BY x, y LIMIT 1)""")
+        ctes.append(f"""docs{r} AS (
+      SELECT doc_id, list_reduce(string_split(s, chr(1)), (acc, cur) ->
+          CASE WHEN (acc = b.x OR ends_with(acc, chr(1) || b.x))
+                AND cur = b.y
+               THEN acc || ' ' || cur
+               ELSE acc || chr(1) || cur END) AS s
+      FROM docs{r - 1} CROSS JOIN best{r} b)""")
+    ctes.append(f"""enc AS (
+      SELECT d0.doc_id, d0.s AS s0, d{n_rounds}.s AS s{n_rounds}
+      FROM docs0 d0 JOIN docs{n_rounds} d{n_rounds} USING (doc_id))""")
+    return "WITH " + ",\n    ".join(ctes)
+
+
+@query(
+    "bpe_encode_corpus",
+    oracle=f"""
+    {_bpe_oracle_docs_cte(3)}
+    SELECT doc_id,
+           CAST(len(string_split(s0, chr(1))) AS BIGINT) AS n_tokens_raw,
+           CAST(len(string_split(s3, chr(1))) AS BIGINT) AS n_tokens_encoded,
+           ROUND(len(string_split(s3, chr(1)))
+                 / (1.0 * len(string_split(s0, chr(1)))), 6) AS compression
+    FROM enc
+    """,
+)
+def bpe_encode_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ENCODE side of the tokenizer story (r8): apply the 3 trained BPE
+    merges (``bpe_train_merges``' exact argmax sequence) to every
+    document and report per-doc token counts before/after plus the
+    compression ratio — training and application together make the
+    engine's tokenizer path end-to-end, all arithmetic hash-checked (the
+    oracle unrolls the same train CTEs and carries doc_id through the
+    same ``list_reduce`` folds). Same scale shape as training, plus a
+    final scan-side per-doc count."""
+    docs = _bpe_symbol_docs(spark, sf_dir, with_id=True)
+    raw = F.size(F.split(F.col("s"), _BPE_SEP))
+    encoded = docs
+    for _ in range(3):
+        best = _bpe_pair_best(encoded.select("s")).localCheckpoint(eager=False)
+        encoded = _bpe_apply_merge(encoded, best).localCheckpoint(eager=False)
+    enc_n = F.size(F.split(F.col("s"), _BPE_SEP))
+    return (
+        docs.select("doc_id", raw.cast("long").alias("n_tokens_raw"))
+        .join(
+            encoded.select(
+                "doc_id", enc_n.cast("long").alias("n_tokens_encoded")
+            ),
+            "doc_id",
+        )
+        .select(
+            "doc_id",
+            "n_tokens_raw",
+            "n_tokens_encoded",
+            F.round(
+                F.col("n_tokens_encoded") / F.col("n_tokens_raw"), 6
+            ).alias("compression"),
+        )
+    )
 
 
 @query(

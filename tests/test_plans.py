@@ -577,6 +577,7 @@ _BNLJ_OK = {
     "corpus_token_entropy",  # one-row (total, types) scalar crossJoin
     "copurchase_lift",       # one-row basket-count crossJoin
     "bpe_train_merges",      # one-row argmax-pair crossJoin per merge round
+    "bpe_encode_corpus",     # same argmax crossJoins, applied per document
 }
 
 
