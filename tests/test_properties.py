@@ -1963,3 +1963,122 @@ def test_calibration_report_invariants(spark, sf_dir):
     weighted = sum(r["pos_rate"] * r["n"] for r in rows) / total
     # hi_q is 'strictly above the median' -> base rate just under 0.5
     assert 0.3 <= weighted <= 0.5, weighted
+
+
+def _bpe_merge_py(tokens: list[str], x: str, y: str) -> list[str]:
+    """Independent Python model of the greedy non-overlapping
+    left-to-right BPE merge (scan; on (x, y) emit the space-joined
+    merged symbol and advance TWO positions, so a just-merged element
+    can never immediately re-merge)."""
+    out, i = [], 0
+    while i < len(tokens):
+        if i + 1 < len(tokens) and tokens[i] == x and tokens[i + 1] == y:
+            out.append(f"{x} {y}")
+            i += 2
+        else:
+            out.append(tokens[i])
+            i += 1
+    return out
+
+
+@settings(max_examples=5, deadline=None)
+@given(
+    st.lists(
+        st.lists(st.sampled_from(["a", "b", "c"]), min_size=1, max_size=12),
+        min_size=1,
+        max_size=6,
+    ),
+    st.sampled_from([("a", "a"), ("a", "b"), ("b", "a"), ("c", "c")]),
+)
+def test_bpe_merge_fold_matches_python_model(spark, docs, pair):
+    """The chr(1)-boundary string-accumulator fold
+    (queries.llm_ops._bpe_apply_merge) equals an independent Python
+    scan-and-skip model on random token sequences — including the
+    (x, x) repeated-symbol case ("a a a" → ["a a", "a"]) and x == a
+    suffix traps the fold's endswith test must not confuse."""
+    from pyspark_ingestion_spark.queries.llm_ops import (
+        _BPE_SEP,
+        _bpe_apply_merge,
+    )
+
+    x, y = pair
+    df = spark.createDataFrame(
+        [(i, _BPE_SEP.join(toks)) for i, toks in enumerate(docs)],
+        "doc_id INT, s STRING",
+    )
+    best = spark.createDataFrame([(x, y, 1)], "x STRING, y STRING, cnt INT")
+    got = {
+        r["doc_id"]: r["s"].split(_BPE_SEP)
+        for r in _bpe_apply_merge(df, best).collect()
+    }
+    want = {i: _bpe_merge_py(toks, x, y) for i, toks in enumerate(docs)}
+    assert got == want
+
+
+def _image_dhash_py(data: bytes, width: int) -> tuple[int, int]:
+    """Independent Python model of operators.multimodal.image_dhash for
+    the BMP-synthesizer geometry: 24-bit pixels from the byte triples
+    (B,G,R weights 114/587/299), rows zero-padded to width, BOTTOM-UP
+    storage (text row y is stored row h-1-y), 9×8 block-mean grid,
+    bit k = cy*8+cx set iff cell mean > right neighbour's via integer
+    cross-multiplication."""
+    row = width * 3
+    h = max(1, -(-len(data) // row))
+    padded = data.ljust(h * row, b"\x00")
+    s = [[0] * 9 for _ in range(8)]
+    c = [[0] * 9 for _ in range(8)]
+    for ys in range(h):          # stored rows, bottom-up
+        yt = h - 1 - ys          # text row that landed here
+        for xpix in range(width):
+            b0 = padded[yt * row + xpix * 3]
+            g0 = padded[yt * row + xpix * 3 + 1]
+            r0 = padded[yt * row + xpix * 3 + 2]
+            lm = 114 * b0 + 587 * g0 + 299 * r0
+            cx, cy = xpix * 9 // width, ys * 8 // h
+            s[cy][cx] += lm
+            c[cy][cx] += 1
+    hi = lo = 0
+    for cy in range(8):
+        for cx in range(8):
+            if s[cy][cx] * c[cy][cx + 1] > s[cy][cx + 1] * c[cy][cx]:
+                k = cy * 8 + cx
+                if k < 32:
+                    lo |= 1 << k
+                else:
+                    hi |= 1 << (k - 32)
+    return hi, lo
+
+
+@settings(max_examples=5, deadline=None)
+@given(
+    st.lists(
+        st.text(
+            alphabet=st.characters(min_codepoint=32, max_codepoint=126),
+            min_size=36,
+            max_size=200,
+        ),
+        min_size=1,
+        max_size=4,
+    )
+)
+def test_image_dhash_matches_python_model(spark, texts):
+    """image_dhash over really-synthesized BMPs equals an independent
+    Python reimplementation on random ASCII payloads — pinning the
+    pixel/row/cell arithmetic (incl. the bottom-up row mirror and the
+    zero-padded final row) beyond the fixture-oracle cases."""
+    from pyspark_ingestion_spark.operators.multimodal import (
+        image_dhash,
+        synthesize_bmp_payload,
+    )
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id LONG, text STRING"
+    )
+    got = {
+        r["doc_id"]: (r["dh_hi"], r["dh_lo"])
+        for r in image_dhash(
+            synthesize_bmp_payload(df, "doc_id", "text", width=12)
+        ).collect()
+    }
+    want = {i: _image_dhash_py(t.encode(), 12) for i, t in enumerate(texts)}
+    assert got == want
