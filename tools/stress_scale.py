@@ -239,6 +239,63 @@ def stream_substring_batches(spark, corpus_n, n_batches=4, batch_rows=200, seed=
         shutil.rmtree(tmp, ignore_errors=True)
 
 
+def stream_semantic_batches(spark, corpus_n, n_batches=4, batch_rows=200,
+                            n_dims=8, seed=37):
+    """Mean steady-state per-batch seconds of INDEXED
+    stream_semantic_admission at a given corpus size (sign-bucket index,
+    threshold 0.9, cluster-structured vectors so true rejects exist).
+    Batch 0 (bootstrap bucketing) excluded. The claim under test: the
+    per-batch plan's only corpus-sized input is the SCAN of the buckets
+    index through the batch-broadcast bucket equi-join."""
+    import shutil
+    import tempfile
+
+    from pyspark_ingestion_spark.streaming.pipeline import (
+        _admit_semantic_batch_indexed,
+    )
+
+    rnd = random.Random(seed)
+    dim = 32
+
+    def rows(n, start):
+        out = []
+        for i in range(start, start + n):
+            center = [rnd.gauss(0, 1) for _ in range(dim)]
+            out.append((i, [x + rnd.gauss(0, 0.05) for x in center]))
+            if rnd.random() < 0.1:  # occasional near-dup of the previous
+                out.append((i + 10_000_000,
+                            [x + rnd.gauss(0, 0.02) for x in center]))
+        return out
+
+    tmp = tempfile.mkdtemp(prefix="stress_semstream_")
+    try:
+        spark.createDataFrame(
+            rows(corpus_n, 0), "vec_id long, embedding array<double>"
+        ).repartition(32).write.mode("overwrite").parquet(f"{tmp}/base")
+        base = spark.read.parquet(f"{tmp}/base")
+        args = dict(id_col="vec_id", vec_col="embedding", threshold=0.9,
+                    n_dims=n_dims)
+        times = []
+        for bid in range(n_batches):
+            bdf = spark.createDataFrame(
+                rows(batch_rows, corpus_n + bid * 100_000),
+                "vec_id long, embedding array<double>",
+            ).coalesce(2)
+            t0 = time.perf_counter()
+            _admit_semantic_batch_indexed(
+                bdf, bid, base, f"{tmp}/out", f"{tmp}/index", **args
+            )
+            times.append(time.perf_counter() - t0)
+        steady = times[1:]
+        dt = sum(steady) / len(steady)
+        print(f"  stream_semantic_admission (corpus {corpus_n:>7,})        "
+              f"per-batch mean {dt:7.2f}s  (batches: "
+              f"{', '.join(f'{t:.2f}' for t in times)})", flush=True)
+        return dt
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 def timed(label, thunk):
     """Times the WHOLE operator: call (some operators run eager jobs
     inside) + count of the returned frame."""
@@ -376,7 +433,8 @@ def main():
     for n in (small_n, big_n):
         print(f"== streaming corpus n={n:,}", flush=True)
         results[("stream", n)] = {
-            "substring_batch": stream_substring_batches(spark, n)
+            "substring_batch": stream_substring_batches(spark, n),
+            "semantic_batch": stream_semantic_batches(spark, n),
         }
 
     ratio = big_n / small_n
