@@ -228,6 +228,57 @@ def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "multimodal_decode_real",
+    oracle="""
+    WITH d AS (SELECT doc_id, octet_length(encode(text)) AS nb FROM documents
+               WHERE octet_length(encode(text)) = length(text)),
+    bmp AS (SELECT doc_id,
+                   CAST(54 + h * 12 AS BIGINT) AS n_bytes,
+                   4 AS width, CAST(h AS INT) AS height, 1 AS n_frames
+            FROM (SELECT doc_id,
+                         greatest(CAST(ceil(nb / 12.0) AS BIGINT), 1) AS h
+                  FROM d)),
+    wav AS (SELECT doc_id + 1000000 AS doc_id,
+                   CAST(44 + nb + (nb % 2) AS BIGINT) AS n_bytes,
+                   1 AS width, 8 AS height, CAST(nb AS INT) AS n_frames
+            FROM d)
+    SELECT doc_id, n_bytes, CAST(width AS INT) AS width,
+           CAST(height AS INT) AS height, CAST(n_frames AS INT) AS n_frames
+    FROM bmp
+    UNION ALL
+    SELECT doc_id, n_bytes, CAST(width AS INT), CAST(height AS INT),
+           CAST(n_frames AS INT)
+    FROM wav
+    """,
+)
+def multimodal_decode_real(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL header-metadata decode under the driver's oracle gate (r8):
+    documents' bytes become genuine BMP files (width 4 → height =
+    padded byte rows) and genuine 8-bit PCM WAVs (doc_id offset by 1e6;
+    frames = data bytes, RIFF odd-length pad included in n_bytes), and
+    ``decode_media(fake=False)`` walks the actual BITMAPFILEHEADER/DIB
+    and RIFF fmt/data chunks. The oracle recomputes every field from
+    the container math — the header-parse path was previously
+    pytest-only (``multimodal_decode`` keeps validating the plumbing
+    scaffold on opaque payloads)."""
+    from pyspark_ingestion_spark.operators.multimodal import (
+        synthesize_bmp_payload,
+        synthesize_wav_payload,
+    )
+
+    d = load_table(spark, sf_dir, "documents").filter(
+        F.octet_length("text") == F.length("text")
+    )
+    bmp = synthesize_bmp_payload(d, "doc_id", "text")
+    wav = synthesize_wav_payload(
+        d.select((F.col("doc_id") + 1000000).alias("doc_id"), "text"),
+        "doc_id",
+        "text",
+    )
+    return decode_media(bmp.unionByName(wav), fake=False)
+
+
+@query(
     "multimodal_frame_sample",
     oracle="""
     WITH decoded AS (

@@ -22,7 +22,8 @@ from pyspark_ingestion_spark.queries import all_queries
 _REGISTRY = all_queries()
 
 #: queries that intentionally cross into Python (Arrow-batched decode)
-_PANDAS_OK = {"multimodal_decode", "multimodal_frame_sample",
+_PANDAS_OK = {"multimodal_decode", "multimodal_decode_real",
+              "multimodal_frame_sample",
               "multimodal_features", "multimodal_resize",
               "multimodal_ann_pipeline", "dedup_image_phash",
               "multimodal_bmp_pixel_stats", "multimodal_wav_sample_stats",
