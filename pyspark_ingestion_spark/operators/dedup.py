@@ -779,6 +779,7 @@ def _lsh_admission_tail(
     band_size: int,
     threshold_num: int,
     threshold_den: int,
+    broadcast_verify: bool = False,
 ) -> DataFrame:
     """Shared admission core: batch shingles ``sb`` + corpus shingles
     ``sc`` (both already df-capped over the SAME hot-shingle set) +
@@ -787,14 +788,25 @@ def _lsh_admission_tail(
     recompute form (:func:`incremental_lsh_rejects`, which derives
     ``bands_c`` from ``sc`` per call) and by the incremental index form
     (``streaming.pipeline``, which maintains ``bands_c`` as a persisted
-    table and passes the postings index as ``sc``)."""
+    table and passes the postings index as ``sc``).
+
+    ``broadcast_verify``: force the VERIFY join's build side
+    (batch shingles × band-collision candidates) to broadcast. Only the
+    streaming call sites set it — they guarantee bounded micro-batches
+    and pass a bucket-capped band table, so the build side cannot
+    exceed the broadcast limit, while their stats-free checkpoint
+    frames would otherwise risk a size guess that sort-merge-shuffles
+    the whole postings table per batch (measured ~25 %/batch,
+    SCALING.md r8). The batch recompute form leaves it False so the
+    planner keeps its shuffle fallback for large batches or hot bands
+    (uncapped ``max_bucket_size``) instead of failing the job on an
+    oversized broadcast."""
     bands_b = _bands_from_wide(_wide_signatures(sb, num_hashes), num_hashes, band_size)
-    # batch sides are EXPLICIT broadcasts: the streaming sink feeds this
-    # with stats-free micro-batch frames, and a size guess here would
-    # sort-merge-shuffle the corpus band table (candidate join) or the
-    # whole postings table on (doc, shingle) (verify join) — per batch.
-    # bands_b is batch docs × n_bands; the verify's build side is batch
-    # shingles × band-collision candidates, bounded by the bucket caps.
+    # batch-bounded sides are EXPLICIT broadcasts: the streaming sink
+    # feeds this with stats-free micro-batch frames, and a size guess
+    # here would sort-merge-shuffle the corpus band table per batch.
+    # bands_b is batch docs × n_bands and cands is batch docs ×
+    # band-collision partners — both bounded by the batch.
     cands = (
         F.broadcast(bands_b.select(F.col("doc").alias("batch_id"), "band", "band_key"))
         .join(
@@ -805,12 +817,13 @@ def _lsh_admission_tail(
         .distinct()
     )
 
+    verify_build = F.broadcast(cands).join(
+        sb.select(F.col("doc").alias("batch_id"), "shingle"), "batch_id"
+    )
+    if broadcast_verify:
+        verify_build = F.broadcast(verify_build)
     inter = (
-        F.broadcast(
-            F.broadcast(cands).join(
-                sb.select(F.col("doc").alias("batch_id"), "shingle"), "batch_id"
-            )
-        )
+        verify_build
         .join(
             sc.select(F.col("doc").alias("corpus_id"), "shingle"),
             ["corpus_id", "shingle"],

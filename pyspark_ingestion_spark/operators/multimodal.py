@@ -260,7 +260,12 @@ def _pixel_features(payload: bytes, dim: int) -> list[float]:
     return [c / n for c in counts]
 
 
-def extract_features(media: DataFrame, dim: int = 8, mode: str = "pixel") -> DataFrame:
+def extract_features(
+    media: DataFrame,
+    dim: int = 8,
+    mode: str = "pixel",
+    fake: bool | None = None,
+) -> DataFrame:
     """Binary payload → fixed-dim feature vector, Arrow-batched.
 
     ``mode="pixel"`` (default): REAL content features — a normalised
@@ -273,7 +278,26 @@ def extract_features(media: DataFrame, dim: int = 8, mode: str = "pixel") -> Dat
     gate (NotImplementedError without a model runtime). The output
     feeds ``operators.similarity`` directly: decode → features →
     near-dup / ANN is the full multimodal dedup path.
+
+    .. deprecated:: r9
+       The pre-r8 boolean ``fake=`` kwarg still works (``fake=True`` →
+       ``mode="fake"``, ``fake=False`` → ``mode="model"``, the two
+       behaviors it used to select) but warns; callers should pass an
+       explicit ``mode``. NOTE the r8 default-behavior change: the old
+       default worked on any opaque payload; ``mode="pixel"`` raises
+       for payloads that are not decodable BMP/PNG/GIF/JPEG/WAV
+       containers.
     """
+    if fake is not None:
+        import warnings
+
+        warnings.warn(
+            "extract_features(fake=...) is deprecated; pass "
+            "mode='fake' or mode='model'",
+            DeprecationWarning,
+            stacklevel=2,
+        )
+        mode = "fake" if fake else "model"
     if mode not in ("pixel", "fake", "model"):
         raise ValueError(f"unknown feature mode {mode!r}")
     fn = {

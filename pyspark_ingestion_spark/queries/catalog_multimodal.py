@@ -238,7 +238,7 @@ def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
             FROM (SELECT doc_id,
                          greatest(CAST(ceil(nb / 12.0) AS BIGINT), 1) AS h
                   FROM d)),
-    wav AS (SELECT doc_id + 1000000 AS doc_id,
+    wav AS (SELECT -doc_id - 1 AS doc_id,
                    CAST(44 + nb + (nb % 2) AS BIGINT) AS n_bytes,
                    1 AS width, 8 AS height, CAST(nb AS INT) AS n_frames
             FROM d)
@@ -254,13 +254,15 @@ def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 def multimodal_decode_real(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL header-metadata decode under the driver's oracle gate (r8):
     documents' bytes become genuine BMP files (width 4 → height =
-    padded byte rows) and genuine 8-bit PCM WAVs (doc_id offset by 1e6;
-    frames = data bytes, RIFF odd-length pad included in n_bytes), and
-    ``decode_media(fake=False)`` walks the actual BITMAPFILEHEADER/DIB
-    and RIFF fmt/data chunks. The oracle recomputes every field from
-    the container math — the header-parse path was previously
-    pytest-only (``multimodal_decode`` keeps validating the plumbing
-    scaffold on opaque payloads)."""
+    padded byte rows) and genuine 8-bit PCM WAVs (ids mapped to
+    ``-doc_id - 1`` — the negative half-line can never collide with a
+    real non-negative doc_id at ANY scale factor, unlike the previous
+    fixed ``+1e6`` offset; frames = data bytes, RIFF odd-length pad
+    included in n_bytes), and ``decode_media(fake=False)`` walks the
+    actual BITMAPFILEHEADER/DIB and RIFF fmt/data chunks. The oracle
+    recomputes every field from the container math — the header-parse
+    path was previously pytest-only (``multimodal_decode`` keeps
+    validating the plumbing scaffold on opaque payloads)."""
     from pyspark_ingestion_spark.operators.multimodal import (
         synthesize_bmp_payload,
         synthesize_wav_payload,
@@ -271,7 +273,7 @@ def multimodal_decode_real(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     bmp = synthesize_bmp_payload(d, "doc_id", "text")
     wav = synthesize_wav_payload(
-        d.select((F.col("doc_id") + 1000000).alias("doc_id"), "text"),
+        d.select((-F.col("doc_id") - 1).alias("doc_id"), "text"),
         "doc_id",
         "text",
     )
@@ -453,7 +455,7 @@ def multimodal_ann_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
                  AND length(text) >= 36),
     uni AS (SELECT doc_id, text FROM d
             UNION ALL
-            SELECT doc_id + 1000000 AS doc_id,
+            SELECT -doc_id - 1 AS doc_id,
                    'zzz' || substr(text, 4) AS text FROM d),
     dims AS (SELECT doc_id, text, octet_length(encode(text)) AS nb,
                     greatest(CAST(ceil(octet_length(encode(text)) / 36.0)
@@ -529,8 +531,11 @@ def dedup_image_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("doc_id", "text")
     )
+    # variant ids live on the negative half-line (-doc_id - 1): disjoint
+    # from real non-negative ids at ANY scale factor, where a fixed
+    # +1e6 offset collides once documents.doc_id reaches 1e6
     variants = d.select(
-        (F.col("doc_id") + 1000000).alias("doc_id"),
+        (-F.col("doc_id") - 1).alias("doc_id"),
         F.concat(F.lit("zzz"), F.expr("substring(text, 4)")).alias("text"),
     )
     uni = d.unionByName(variants)

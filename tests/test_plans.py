@@ -269,7 +269,10 @@ def test_headline_shuffle_budgets(spark, sf_dir):
         # r8: the explicit batch-side broadcasts in _lsh_admission_tail
         # (which pin the corpus band/postings tables to the scanned side
         # for stats-free streaming frames) forgo one exchange reuse on the
-        # batch-bounded side
+        # batch-bounded side. r9: the verify-join build-side broadcast is
+        # now gated to the streaming call sites (broadcast_verify=True);
+        # the batch form here lets the planner choose, so it keeps a
+        # shuffle fallback for hot bands — the cap stays as the ceiling.
         "dedup_incremental_lsh": 13,
         "join_point_in_time": 1,          # one user_id exchange shared by window + join
         "join_point_in_time_asof": 2,     # union+window + tie-dedupe window
