@@ -106,6 +106,66 @@ def kmeans_centroids(
     )
 
 
+def centroid_rows_of(centroids) -> list[tuple[int, list[float]]]:
+    """Normalize a centroid table to a bounded driver-side list of
+    ``(centroid_id, cvec)`` sorted by id — the input of the scan-side
+    cell expressions below. Accepts the ``kmeans_centroids`` DataFrame
+    (K rows — trivially collectable by construction, the same driver
+    materialization ``kmeans_centroids`` itself performs) or an already
+    collected list (passed through, sorted)."""
+    if isinstance(centroids, DataFrame):
+        rows = [
+            (int(r["centroid_id"]), [float(x) for x in r["cvec"]])
+            for r in centroids.collect()
+        ]
+    else:
+        rows = [(int(c), [float(x) for x in v]) for c, v in centroids]
+    return sorted(rows)
+
+
+def _ivf_score_structs(vec_col, centroid_rows) -> F.Column:
+    """array<struct<s,n>> of (6-dp cosine vs centroid, -centroid_id) —
+    the struct-max of this array IS ``assign_ivf_cells``' deterministic
+    argmax (max rounded sim, ties toward the lowest centroid id), but as
+    a pure scan-side expression: no crossJoin, no aggregate, no shuffle.
+    Centroids enter as array literals (one node per centroid, not one
+    per component), so the expression stays compact for the K ≤ a few
+    thousand of a trained coarse quantizer."""
+    return F.array(
+        *[
+            F.struct(
+                F.round(cosine_similarity(vec_col, F.lit(cvec)), 6).alias("s"),
+                F.lit(-cid).alias("n"),
+            )
+            for cid, cvec in centroid_rows
+        ]
+    )
+
+
+def ivf_cell_expr(vec_col, centroid_rows) -> F.Column:
+    """Scan-side nearest-centroid cell id (int) for one vector column.
+
+    Semantics identical to ``assign_ivf_cells(..., nprobe=1)`` — max
+    over (rounded cosine, -centroid_id) — proven by the shared property
+    test; use THIS form when the assignment must not add an exchange to
+    the plan (the streaming admission sink's per-batch plan pins)."""
+    best = F.array_max(_ivf_score_structs(vec_col, centroid_rows))
+    return (-best["n"]).cast("int")
+
+
+def ivf_probe_cells_expr(vec_col, centroid_rows, nprobe: int = 1) -> F.Column:
+    """Scan-side array<int> of the vector's ``nprobe`` nearest cells in
+    probe order — the query-side recall/compute dial of an IVF index,
+    shuffle-free. ``nprobe=1`` yields a one-element array holding
+    ``ivf_cell_expr``'s cell."""
+    if nprobe < 1:
+        raise ValueError(f"nprobe must be >= 1, got {nprobe}")
+    ordered = F.sort_array(_ivf_score_structs(vec_col, centroid_rows), asc=False)
+    return F.transform(
+        F.slice(ordered, 1, nprobe), lambda x: (-x["n"]).cast("int")
+    )
+
+
 def assign_ivf_cells(
     df: DataFrame,
     centroids: DataFrame,
@@ -385,9 +445,11 @@ def embedding_batch_rejects(
     vec_col: str = "embedding",
     threshold: float = 0.3,
     n_dims: int = 4,
+    centroids=None,
+    nprobe: int = 1,
 ) -> DataFrame:
     """Semantic batch admission: batch vectors whose cosine against ANY
-    corpus vector in their sign bucket meets ``threshold`` — the
+    corpus vector in their bucket meets ``threshold`` — the
     embedding-space member of the incremental-admission trio
     (``incremental_near_rejects`` = exact shingles,
     ``incremental_lsh_rejects`` = MinHash bands, this = embeddings).
@@ -397,22 +459,48 @@ def embedding_batch_rejects(
     corpus id). Caller contract: corpus and batch ids are disjoint (a
     shared id would match itself at sim 1).
 
+    The bucket is the ``n_dims``-bit sign pattern by default; with
+    ``centroids`` (a trained quantizer — ``kmeans_centroids`` DataFrame
+    or a collected (centroid_id, cvec) list) it is the nearest-centroid
+    IVF cell, and ``nprobe`` widens the BATCH side to each vector's n
+    nearest cells (corpus vectors stay in exactly one cell, so probed
+    candidate pairs never double-count). This is the recompute twin of
+    the indexed ``streaming.pipeline.stream_semantic_admission`` — both
+    derive buckets from the same scan-side expression.
+
     Scale shape: the corpus is scanned once with scan-side bucket/norm
     expressions and NEVER reshuffles — the (small) batch broadcasts into
     a bucket equi-join, exactly the admission economics of the shingle
-    forms; at 100 TB the bucketed corpus layout (or trained IVF cells)
-    is precomputed once and maintained incrementally. The final
+    forms; at 100 TB the bucketed corpus layout (trained IVF cells) is
+    precomputed once and maintained incrementally. The final
     aggregate groups on batch keys only.
     """
-    def prep(df):
+    if nprobe < 1:
+        raise ValueError(f"nprobe must be >= 1, got {nprobe}")
+    rows_c = centroid_rows_of(centroids) if centroids is not None else None
+    if nprobe > 1 and not rows_c:
+        raise ValueError(
+            "nprobe > 1 requires trained centroids (sign buckets have no "
+            "probe order)"
+        )
+
+    def prep(df, probe: int = 1):
+        if rows_c:
+            bucket = (
+                F.explode(ivf_probe_cells_expr(vec_col, rows_c, probe))
+                if probe > 1
+                else ivf_cell_expr(vec_col, rows_c)
+            )
+        else:
+            bucket = sign_bucket(vec_col, n_dims)
         return df.select(
             F.col(id_col).alias("__id"),
             F.col(vec_col).cast("array<double>").alias("__vec"),
-            sign_bucket(vec_col, n_dims).alias("__bucket"),
+            bucket.alias("__bucket"),
             l2_norm(vec_col).alias("__norm"),
         )
 
-    c, b = prep(corpus), prep(batch)
+    c, b = prep(corpus), prep(batch, probe=nprobe)
     denom = F.col("b.__norm") * F.col("c.__norm")
     cos = F.when(
         denom != 0, dot_product(F.col("b.__vec"), F.col("c.__vec")) / denom

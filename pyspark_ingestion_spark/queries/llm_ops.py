@@ -1136,6 +1136,99 @@ def ann_ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("semantic_ivf_recall_eval", oracle=None)
+def semantic_ivf_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Candidate-budget/recall scorecard for the semantic admission
+    bucket functions (r9, VERDICT r8 item 1): on a bounded embedding
+    sample, ground truth = all pairs with 6-dp cosine ≥ 0.3 (brute
+    force), then each bucketing — ``sign_b4`` (4 fixed hyperplanes, 16
+    nominal buckets), ``ivf_k16`` (trained quantizer, equal nominal
+    bucket count) and ``ivf_k24`` (trained, sized to UNDERCUT the sign
+    tier's candidate count) — is scored by how many true pairs share a
+    bucket. One row per method: (method, n_true, n_candidates, n_found,
+    recall). Measured on the test corpus: trained cells roughly DOUBLE
+    sign-bucket recall at equal nominal width, and still beat it with a
+    ~20 % smaller candidate budget at K=24 — the quantitative case for
+    ``stream_semantic_admission(centroids=...)``.
+
+    No SQL oracle — KMeans isn't SQL-expressible — so the driver records
+    a rows-only check; the ivf-beats-sign ordering is pinned in
+    tests/test_similarity.py. The sample cap (vec_id < 1000) is the
+    diagnostic's own budget: at production scale this eval runs on a
+    hash-sample, never the full corpus.
+    """
+    from pyspark_ingestion_spark.functions.vectors import (
+        cosine_similarity,
+        sign_bucket,
+    )
+    from pyspark_ingestion_spark.operators.similarity import (
+        centroid_rows_of,
+        ivf_cell_expr,
+        kmeans_centroids,
+    )
+
+    corpus = (
+        load_table(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") < 1000)
+        .select("vec_id", "embedding")
+    )
+    a = corpus.select(F.col("vec_id").alias("ia"), F.col("embedding").alias("va"))
+    b = corpus.select(F.col("vec_id").alias("ib"), F.col("embedding").alias("vb"))
+    # bounded (≤1000 vectors → ≤499.5k scored pairs); checkpointed so the
+    # six counts below don't re-run the brute-force scoring
+    true_pairs = (
+        a.join(b, F.col("ia") < F.col("ib"))
+        .filter(F.round(cosine_similarity("va", "vb"), 6) >= 0.3)
+        .select("ia", "ib")
+        .localCheckpoint(eager=False)
+    )
+    n_true = true_pairs.agg(F.count(F.lit(1)).alias("n_true"))
+
+    def method_row(name: str, bucketed: DataFrame) -> DataFrame:
+        x = bucketed.select(F.col("vec_id").alias("ia"), F.col("bk").alias("ba"))
+        y = bucketed.select(F.col("vec_id").alias("ib"), F.col("bk").alias("bb"))
+        cands = (
+            x.join(y, F.col("ba") == F.col("bb"))
+            .filter(F.col("ia") < F.col("ib"))
+            .select("ia", "ib")
+            .localCheckpoint(eager=False)
+        )
+        n_cand = cands.agg(F.count(F.lit(1)).alias("n_candidates"))
+        n_found = true_pairs.join(cands, ["ia", "ib"]).agg(
+            F.count(F.lit(1)).alias("n_found")
+        )
+        return (
+            n_true.crossJoin(n_cand)  # audited one-row scalar crossJoins
+            .crossJoin(n_found)
+            .select(
+                F.lit(name).alias("method"),
+                "n_true",
+                "n_candidates",
+                "n_found",
+                F.round(
+                    F.col("n_found") / F.greatest(F.col("n_true"), F.lit(1)), 6
+                ).alias("recall"),
+            )
+        )
+
+    out = method_row(
+        "sign_b4", corpus.select("vec_id", sign_bucket("embedding", 4).alias("bk"))
+    )
+    for k in (16, 24):
+        rows_c = centroid_rows_of(
+            kmeans_centroids(corpus, n_centroids=k, seed=42)
+        )
+        out = out.unionByName(
+            method_row(
+                f"ivf_k{k}",
+                corpus.select(
+                    "vec_id", ivf_cell_expr("embedding", rows_c).alias("bk")
+                ),
+            )
+        )
+    return out
+
+
 @query(
     "corpus_clean_pipeline",
     oracle=r"""
@@ -1825,6 +1918,10 @@ def _bpe_pair_best(docs_df: DataFrame) -> DataFrame:
         pc.join(F.broadcast(mx), F.col("cnt") == F.col("mx"))
         .agg(F.min(F.struct("x", "y")).alias("b"), F.max("cnt").alias("cnt"))
         .select(F.col("b.x").alias("x"), F.col("b.y").alias("y"), "cnt")
+        # a corpus with no adjacent pair (all docs single-token) must
+        # yield ZERO rows — matching the oracle's ORDER BY … LIMIT 1 —
+        # not one all-NULL row from the global aggregate
+        .filter(F.col("cnt").isNotNull())
     )
 
 

@@ -780,7 +780,7 @@ def _indexed_rejects(
     )
     rejects = _lsh_admission_tail(
         sb, capped_c, bands_c, id_col, num_hashes, band_size,
-        threshold_num, threshold_den,
+        threshold_num, threshold_den, broadcast_verify=True,
     )
     return rejects, sb, stale_rows
 
@@ -877,7 +877,7 @@ def _indexed_rejects_hotlog(
     )
     rejects = _lsh_admission_tail(
         sb, capped_c, bands_c, id_col, num_hashes, band_size,
-        threshold_num, threshold_den,
+        threshold_num, threshold_den, broadcast_verify=True,
     )
     return rejects, sb
 
@@ -2156,19 +2156,59 @@ def compact_substring_index(
 #: one row per corpus vector (dim doubles + 16 bytes).
 _IDX_BUCKETS = "buckets"
 
+#: the trained coarse quantizer (centroid_id, cvec), persisted beside
+#: the buckets table at bootstrap. Its PRESENCE selects the bucket
+#: function for the whole index lifetime: every read and write derives
+#: buckets from these stored centroids (never from whatever the caller
+#: passes later), so the bucket column's meaning — part of the index
+#: signature, like the substring index's window params — can never
+#: drift between producer and consumer. Absent → sign buckets.
+_IDX_CENTROIDS = "centroids"
+
 
 def _bucket_rows(
-    df: DataFrame, id_col: str, vec_col: str, n_dims: int
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    n_dims: int,
+    centroid_rows: list | None = None,
 ) -> DataFrame:
-    """Sign-bucketed embedding rows: (doc, bucket, vec, norm)."""
+    """Bucketed embedding rows: (doc, bucket, vec, norm). The bucket is
+    the trained-IVF cell when ``centroid_rows`` is given (scan-side
+    nearest-centroid expression — no shuffle, the per-batch plan pins
+    hold unchanged), else the sign bucket of the first ``n_dims``
+    components. Same output schema either way: the index layout,
+    replay contract and compaction are bucket-function-agnostic."""
     from pyspark_ingestion_spark.functions.vectors import l2_norm, sign_bucket
+    from pyspark_ingestion_spark.operators.similarity import ivf_cell_expr
 
+    bucket = (
+        ivf_cell_expr(vec_col, centroid_rows)
+        if centroid_rows
+        else sign_bucket(vec_col, n_dims)
+    )
     return df.select(
         F.col(id_col).alias("doc"),
-        sign_bucket(vec_col, n_dims).alias("bucket"),
+        bucket.alias("bucket"),
         F.col(vec_col).cast("array<double>").alias("vec"),
         l2_norm(vec_col).alias("norm"),
     )
+
+
+def _load_semantic_centroid_rows(
+    spark: SparkSession, index_path: str
+) -> list | None:
+    """The index's persisted quantizer as a driver-side list (K rows —
+    bounded by construction), or None for a sign-bucket index."""
+    from pyspark.errors import AnalysisException
+
+    from pyspark_ingestion_spark.operators.similarity import centroid_rows_of
+
+    try:
+        df = spark.read.parquet(f"{index_path}/{_IDX_CENTROIDS}")
+    except AnalysisException:
+        return None
+    return centroid_rows_of(df)
 
 
 def init_semantic_admission_index(
@@ -2177,15 +2217,28 @@ def init_semantic_admission_index(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     n_dims: int = 4,
+    centroids: DataFrame | None = None,
 ) -> None:
     """One-time bootstrap of the semantic admission index: bucket the
     base corpus ONCE into ``__batch_id=-1``. The only time the indexed
     path ever scans base embeddings. Idempotent (dynamic partition
-    overwrite). ``n_dims`` is baked into the persisted buckets and must
-    match the consuming ``stream_semantic_admission`` call."""
+    overwrite). With ``centroids`` (a trained (centroid_id, cvec)
+    table, normally ``operators.similarity.kmeans_centroids``) the
+    quantizer is persisted beside the buckets and buckets are its IVF
+    cells — the production bucket width at large corpus sizes; without
+    it the bucket is the ``n_dims``-bit sign pattern. Whichever is
+    baked here is what every subsequent batch uses."""
+    from pyspark_ingestion_spark.operators.similarity import centroid_rows_of
     from pyspark_ingestion_spark.sources.writers import overwrite_partitions
 
-    rows = _bucket_rows(base_corpus, id_col, vec_col, n_dims)
+    rows_c = None
+    if centroids is not None:
+        rows_c = centroid_rows_of(centroids)
+        spark = base_corpus.sparkSession
+        spark.createDataFrame(
+            rows_c, "centroid_id int, cvec array<double>"
+        ).write.mode("overwrite").parquet(f"{index_path}/{_IDX_CENTROIDS}")
+    rows = _bucket_rows(base_corpus, id_col, vec_col, n_dims, rows_c)
     overwrite_partitions(
         rows.withColumn("__batch_id", F.lit(-1)),
         f"{index_path}/{_IDX_BUCKETS}",
@@ -2202,6 +2255,7 @@ def _semantic_rejects_indexed(
     vec_col: str,
     threshold: float,
     n_dims: int,
+    nprobe: int = 1,
 ):
     """Index-driven semantic admission for one micro-batch. Returns
     ``(rejects, bb)`` — the distinct batch ids to drop, and the batch's
@@ -2210,33 +2264,54 @@ def _semantic_rejects_indexed(
     Equivalence with ``operators.similarity.embedding_batch_rejects``
     over (base ∪ admitted-so-far): the index holds exactly
     ``_bucket_rows(corpus)`` persisted at admission, the candidate join
-    keys on the same sign bucket, and the cosine verify computes on the
-    STORED vector and norm — bit-identical inputs, same 6-dp round, same
-    ≥ threshold filter. Module-level so tests can pin the plan property:
-    NO input of this computation is a corpus embedding source — only the
-    buckets index and the batch. Replay self-exclusion mirrors the other
-    indexed sinks: the read drops the current batch id's partition.
+    keys on the same bucket function (the PERSISTED quantizer's IVF
+    cells when the index has one, else the sign bucket), and the cosine
+    verify computes on the STORED vector and norm — bit-identical
+    inputs, same 6-dp round, same ≥ threshold filter. Module-level so
+    tests can pin the plan property: NO input of this computation is a
+    corpus embedding source — only the buckets index and the batch.
+    Replay self-exclusion mirrors the other indexed sinks: the read
+    drops the current batch id's partition.
+
+    ``nprobe`` (trained-quantizer indexes only) probes each batch
+    vector's n nearest cells on the CANDIDATE side — the standard IVF
+    recall dial; stored rows always carry exactly their nearest cell,
+    so probed cells are disjoint and no pair double-counts.
 
     Per-batch cost: one SCAN of the buckets index with the batch
     broadcast into the bucket equi-join + candidates-only cosine — zero
     corpus-sized shuffles, zero corpus-wide aggregates (there is no df
-    cap in embedding space; bucket population control is ``n_dims``,
-    chosen by ``operators.similarity.sign_bits_for``)."""
-    from pyspark_ingestion_spark.functions.vectors import dot_product
+    cap in embedding space; bucket population control is the quantizer:
+    trained centroids sized to the corpus, or ``n_dims`` sign bits via
+    ``operators.similarity.sign_bits_for``)."""
+    from pyspark_ingestion_spark.functions.vectors import dot_product, l2_norm
+    from pyspark_ingestion_spark.operators.similarity import ivf_probe_cells_expr
 
+    rows_c = _load_semantic_centroid_rows(spark, index_path)
     idx = (
         spark.read.parquet(f"{index_path}/{_IDX_BUCKETS}")
         .filter(F.col("__batch_id").cast("long") != batch_id)
         .select("doc", "bucket", "vec", "norm")
     )
-    bb = _bucket_rows(batch, id_col, vec_col, n_dims)
+    bb = _bucket_rows(batch, id_col, vec_col, n_dims, rows_c)
+    if rows_c and nprobe > 1:
+        probe = batch.select(
+            F.col(id_col).alias("doc"),
+            F.explode(
+                ivf_probe_cells_expr(vec_col, rows_c, nprobe)
+            ).alias("bucket"),
+            F.col(vec_col).cast("array<double>").alias("vec"),
+            l2_norm(vec_col).alias("norm"),
+        )
+    else:
+        probe = bb
     denom = F.col("b.norm") * F.col("c.norm")
     cos = F.when(
         denom != 0, dot_product(F.col("b.vec"), F.col("c.vec")) / denom
     )
     rejects = (
         idx.alias("c")
-        .join(F.broadcast(bb.alias("b")), F.col("b.bucket") == F.col("c.bucket"))
+        .join(F.broadcast(probe.alias("b")), F.col("b.bucket") == F.col("c.bucket"))
         .filter(F.round(cos, 6) >= threshold)
         .select(F.col("b.doc").alias(id_col))
         .distinct()
@@ -2254,12 +2329,17 @@ def _admit_semantic_batch_indexed(
     vec_col: str,
     threshold: float,
     n_dims: int,
+    centroids: DataFrame | None = None,
+    nprobe: int = 1,
 ) -> None:
     """One micro-batch of indexed ``stream_semantic_admission``: admit
     via :func:`_semantic_rejects_indexed`, then append the admitted
     vectors and their bucket rows — each to its own ``__batch_id``
     partition under the shared replay-overwrite contract. Module-level
-    for direct replay testability."""
+    for direct replay testability. ``centroids`` only matters on the
+    bootstrap batch (it is persisted into the index's signature there);
+    afterwards the PERSISTED quantizer governs every bucket, so a
+    restart that passes different centroids cannot corrupt the index."""
     from pyspark.errors import AnalysisException
 
     from pyspark_ingestion_spark.sources.writers import overwrite_partitions
@@ -2276,12 +2356,13 @@ def _admit_semantic_batch_indexed(
     if not has_base:
         init_semantic_admission_index(
             base_corpus, index_path, id_col=id_col, vec_col=vec_col,
-            n_dims=n_dims,
+            n_dims=n_dims, centroids=centroids,
         )
 
     batch = batch_df.select(id_col, vec_col)
     rejects, bb = _semantic_rejects_indexed(
-        spark, batch, index_path, batch_id, id_col, vec_col, threshold, n_dims
+        spark, batch, index_path, batch_id, id_col, vec_col, threshold,
+        n_dims, nprobe=nprobe,
     )
     # batch-sized; the out and buckets writes both derive from it — cut
     # lineage once so neither re-runs the candidate join
@@ -2313,6 +2394,8 @@ def stream_semantic_admission(
     index_path: str | None = None,
     compact_every: int | None = None,
     compact_major_every: int | None = None,
+    centroids: DataFrame | None = None,
+    nprobe: int = 1,
 ) -> None:
     """Continuous SEMANTIC admission — the embedding member completing
     the indexed streaming admission trio (LSH:
@@ -2325,7 +2408,7 @@ def stream_semantic_admission(
     same batches (equivalence pinned in tests/test_streaming.py,
     including restart + replay).
 
-    With ``index_path`` (the PRODUCTION form) the corpus's sign-bucketed
+    With ``index_path`` (the PRODUCTION form) the corpus's bucketed
     embedding table is maintained incrementally — vectors, norms and
     buckets stored at admission — so no micro-batch ever re-buckets or
     even reads a corpus embedding source (plan-proved in tests); without
@@ -2335,14 +2418,30 @@ def stream_semantic_admission(
     same in-sink LSM policy (:func:`compact_semantic_index` — plain
     concatenation, the index has no staleness or versioning).
 
-    100 TB shape: widen ``n_dims`` with corpus size
-    (``sign_bits_for``) or swap the sign bucket for trained IVF cells —
-    the index schema is the same either way."""
+    ``centroids`` (r9, the 100 TB bucket width): a trained coarse
+    quantizer (``operators.similarity.kmeans_centroids``) whose IVF
+    cells replace the sign bucket — candidate sets sized by K (chosen
+    per corpus generation), not by 2^n_dims fixed hyperplanes. Persisted
+    into the index at bootstrap as part of its signature: after the
+    first batch the STORED quantizer governs both sides of every join,
+    and the sink's schema/replay/compaction contracts are unchanged.
+    ``nprobe`` probes each batch vector's n nearest cells (candidate
+    side only) — the recall dial; with sign buckets it must stay 1."""
     from pyspark.errors import AnalysisException
 
-    from pyspark_ingestion_spark.operators.similarity import embedding_batch_rejects
+    from pyspark_ingestion_spark.operators.similarity import (
+        centroid_rows_of,
+        embedding_batch_rejects,
+    )
     from pyspark_ingestion_spark.sources.writers import overwrite_partitions
 
+    if nprobe < 1:
+        raise ValueError(f"nprobe must be >= 1, got {nprobe}")
+    if nprobe > 1 and centroids is None:
+        raise ValueError(
+            "nprobe > 1 requires trained centroids (sign buckets have no "
+            "probe order)"
+        )
     if compact_every is not None and (index_path is None or compact_every < 1):
         raise ValueError("compact_every requires index_path and a positive interval")
     if compact_major_every is not None and (
@@ -2359,6 +2458,10 @@ def stream_semantic_admission(
         if compact_major_every is not None
         else (compact_every * 8 if compact_every else None)
     )
+
+    # the recompute form applies the quantizer per batch — normalize it
+    # ONCE here (K bounded rows), not inside every micro-batch
+    rows_c = centroid_rows_of(centroids) if centroids is not None else None
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
         if index_path is not None:
@@ -2377,7 +2480,7 @@ def stream_semantic_admission(
             _admit_semantic_batch_indexed(
                 batch_df, batch_id, base_corpus, out_path, index_path,
                 id_col=id_col, vec_col=vec_col, threshold=threshold,
-                n_dims=n_dims,
+                n_dims=n_dims, centroids=centroids, nprobe=nprobe,
             )
             return
         spark = batch_df.sparkSession
@@ -2395,7 +2498,8 @@ def stream_semantic_admission(
         except AnalysisException:  # first batch: nothing admitted yet
             pass
         rejects = embedding_batch_rejects(
-            corpus, batch, id_col, vec_col, threshold=threshold, n_dims=n_dims
+            corpus, batch, id_col, vec_col, threshold=threshold,
+            n_dims=n_dims, centroids=rows_c, nprobe=nprobe,
         ).select(id_col)
         admitted = batch.join(F.broadcast(rejects), id_col, "left_anti")
         overwrite_partitions(

@@ -1347,7 +1347,10 @@ def test_substring_admission_indexed_replay_cap_and_min_len(spark, tmp_path):
     assert want == {20}
 
 
-def test_stream_semantic_admission_matches_recompute_and_restarts(spark, tmp_path):
+@pytest.mark.parametrize("quantizer", ["sign", "ivf"])
+def test_stream_semantic_admission_matches_recompute_and_restarts(
+    spark, tmp_path, quantizer
+):
     """The semantic streaming sink — the embedding member completing the
     indexed admission trio: indexed form ≡ recompute form ≡ a sequential
     embedding_batch_rejects loop on the same micro-batches (growing
@@ -1356,7 +1359,13 @@ def test_stream_semantic_admission_matches_recompute_and_restarts(spark, tmp_pat
     micro-batch reproduces (never erases) output and index rows. Plan
     property: the indexed rejects read ONLY the buckets index — no
     corpus embedding source appears anywhere in the plan, because the
-    index stores the vectors and norms the cosine verify needs."""
+    index stores the vectors and norms the cosine verify needs.
+
+    Parametrized over the bucket function (r9): ``sign`` = fixed
+    hyperplanes; ``ivf`` = a trained coarse quantizer persisted into
+    the index at bootstrap, probed at nprobe=2 — every contract
+    (restart, replay, compaction folding, plan pins) must hold
+    identically, because the index layout is bucket-function-agnostic."""
     from pyspark_ingestion_spark.operators.similarity import (
         embedding_batch_rejects,
     )
@@ -1385,6 +1394,20 @@ def test_stream_semantic_admission_matches_recompute_and_restarts(spark, tmp_pat
     schema = "vec_id long, embedding array<float>"
     base_corpus = spark.createDataFrame(base_rows, schema)
     kwargs = dict(id_col="vec_id", vec_col="embedding", threshold=0.3, n_dims=4)
+    if quantizer == "ivf":
+        # a hand-built quantizer (any (centroid_id, cvec) table is legal;
+        # kmeans_centroids needs a bigger corpus than this fixture) with
+        # cells roughly along the test directions, probed at nprobe=2
+        centroids = spark.createDataFrame(
+            [
+                (0, vec(1, 1, -1, -1)),
+                (1, vec(-1, 1, 1, -1)),
+                (2, vec(1, -1, 1, -1)),
+                (3, vec(-1, -1, -1, 1)),
+            ],
+            "centroid_id int, cvec array<double>",
+        )
+        kwargs.update(centroids=centroids, nprobe=2)
 
     src = str(tmp_path / "src")
     _mk_admission_files(spark, tmp_path, src, [("a", file_a), ("b", file_b)],
@@ -1426,7 +1449,9 @@ def test_stream_semantic_admission_matches_recompute_and_restarts(spark, tmp_pat
         rej = {
             r["vec_id"]
             for r in embedding_batch_rejects(
-                corpus, batch, "vec_id", "embedding", threshold=0.3, n_dims=4
+                corpus, batch, "vec_id", "embedding", threshold=0.3, n_dims=4,
+                centroids=kwargs.get("centroids"),
+                nprobe=kwargs.get("nprobe", 1),
             ).collect()
         }
         keep = [r for r in rows if r[0] not in rej]
@@ -1461,15 +1486,24 @@ def test_stream_semantic_admission_matches_recompute_and_restarts(spark, tmp_pat
 
     want = snap()
     batch_c = spark.createDataFrame(file_c, schema)
+    replay_kwargs = dict(kwargs)
+    if quantizer == "ivf":
+        # a replay/restart that passes DIFFERENT centroids must not
+        # matter: past bootstrap the PERSISTED quantizer governs buckets
+        replay_kwargs["centroids"] = spark.createDataFrame(
+            [(0, vec(9, 9, 9, 9))], "centroid_id int, cvec array<double>"
+        )
     _admit_semantic_batch_indexed(
-        batch_c, 2, base_corpus, out_i, index, **kwargs
+        batch_c, 2, base_corpus, out_i, index, **replay_kwargs
     )
     assert snap() == want
 
     # plan property: the indexed rejects read NO embedding source path
+    # (the persisted quantizer enters driver-side, never as a plan input)
     probe = spark.createDataFrame([(99, vec(1, 1, -1, -1))], schema)
     rejects, _bb = _semantic_rejects_indexed(
-        spark, probe, index, 99, "vec_id", "embedding", 0.3, 4
+        spark, probe, index, 99, "vec_id", "embedding", 0.3, 4,
+        nprobe=kwargs.get("nprobe", 1),
     )
     files = rejects.inputFiles()
     assert files and all("/buckets/" in f for f in files), files
@@ -1957,3 +1991,122 @@ def test_compact_token_cms_preserves_sketch(spark, tmp_path):
     assert parts == {-1}
     assert cells() == want
     assert compact_token_cms(spark, cms) == 0  # idempotent no-op
+
+
+@pytest.mark.parametrize("quantizer", ["sign", "ivf"])
+def test_semantic_in_sink_compaction_commit_guard(spark, tmp_path, quantizer):
+    """The semantic member of the in-sink auto-compaction pin (VERDICT
+    r8 item 8): the LSH/substring sinks already prove the commit-guard
+    interaction; the semantic index's compaction is plain concatenation,
+    but the guard must behave identically — a skip-mode compaction run
+    while the LAST batch's partitions sit on disk UNCOMMITTED (the
+    crash-before-commit window) folds everything EXCEPT that partition,
+    and replaying the batch afterwards reproduces the exact effective
+    state. Parametrized over both bucket functions; for ivf the
+    persisted quantizer must also survive compaction untouched."""
+    import os as _os
+
+    from pyspark_ingestion_spark.streaming.pipeline import (
+        _admit_semantic_batch_indexed,
+        compact_semantic_index,
+        stream_semantic_admission,
+    )
+
+    def vec(*xs):
+        return [float(x) for x in xs]
+
+    base_rows = [(0, vec(1, 1, -1, -1))]
+    file_a = [(10, vec(0.9, 1.1, -1, -1)), (11, vec(-1, 1, 1, -1))]
+    file_b = [(12, vec(-0.9, 1.2, 1.0, -1.1)), (13, vec(1, -1, 1, -1))]
+    file_c = [(14, vec(1.1, -0.9, 1, -1)), (15, vec(-1, -1, -1, 1))]
+    schema = "vec_id long, embedding array<float>"
+    base_corpus = spark.createDataFrame(base_rows, schema)
+    kwargs = dict(id_col="vec_id", vec_col="embedding", threshold=0.3, n_dims=4)
+    if quantizer == "ivf":
+        kwargs["centroids"] = spark.createDataFrame(
+            [
+                (0, vec(1, 1, -1, -1)),
+                (1, vec(-1, 1, 1, -1)),
+                (2, vec(1, -1, 1, -1)),
+                (3, vec(-1, -1, -1, 1)),
+            ],
+            "centroid_id int, cvec array<double>",
+        )
+
+    src = str(tmp_path / "src")
+    out, index = str(tmp_path / "out"), str(tmp_path / "index")
+    ckpt = str(tmp_path / "ckpt")
+    _mk_admission_files(
+        spark, tmp_path, src,
+        [("a", file_a), ("b", file_b), ("c", file_c)], schema=schema,
+    )
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    stream_semantic_admission(
+        stream, base_corpus, out, ckpt, index_path=index,
+        compact_every=1, compact_major_every=1, **kwargs,
+    )
+
+    def snap():
+        return (
+            frozenset(
+                (int(r["__batch_id"]), r["vec_id"])
+                for r in spark.read.parquet(out).collect()
+            ),
+            frozenset(
+                (r["doc"], r["bucket"], int(r["__batch_id"]))
+                for r in spark.read.parquet(f"{index}/buckets").collect()
+            ),
+        )
+
+    want = snap()
+    assert {d for _, d in want[0]} == {11, 13, 15}
+
+    # crash window: batch 2's partitions on disk, its commit marker
+    # absent → skip-mode compaction must leave them out of the fold
+    fake_ckpt = str(tmp_path / "fake_ckpt")
+    _os.makedirs(_os.path.join(fake_ckpt, "commits"), exist_ok=True)
+    for b in range(2):
+        with open(_os.path.join(fake_ckpt, "commits", str(b)), "w") as f:
+            f.write("v1")
+    compact_semantic_index(spark, index, checkpoint=fake_ckpt,
+                           on_uncommitted="skip")
+    parts = {
+        int(r["__batch_id"])
+        for r in spark.read.parquet(f"{index}/buckets")
+        .select("__batch_id").distinct().collect()
+    }
+    assert parts <= {-1, 2}, parts
+
+    # replay the uncommitted batch → identical effective state
+    batch_c = spark.createDataFrame(file_c, schema)
+    _admit_semantic_batch_indexed(batch_c, 2, base_corpus, out, index, **kwargs)
+    assert snap() == want
+
+    # full commit + major: everything folds to the base partition with
+    # (doc, bucket, vec, norm) rows preserved exactly, and the quantizer
+    # (when present) survives verbatim
+    compact_semantic_index(spark, index)
+    parts = {
+        int(r["__batch_id"])
+        for r in spark.read.parquet(f"{index}/buckets")
+        .select("__batch_id").distinct().collect()
+    }
+    assert parts == {-1}
+    folded = frozenset(
+        (r["doc"], r["bucket"])
+        for r in spark.read.parquet(f"{index}/buckets").collect()
+    )
+    assert folded == frozenset((d, b) for d, b, _ in want[1])
+    if quantizer == "ivf":
+        cents = {
+            (r["centroid_id"], tuple(r["cvec"]))
+            for r in spark.read.parquet(f"{index}/centroids").collect()
+        }
+        assert cents == {
+            (r["centroid_id"], tuple(r["cvec"]))
+            for r in kwargs["centroids"].collect()
+        }
