@@ -91,8 +91,10 @@ def _priority(name: str) -> tuple:
 #: proof would attest different semantics, so they re-verify as if never
 #: checked (ahead of the LRV rotation).
 _CHANGED_THIS_ROUND = {
-    "multimodal_features",      # r8: real pixel luma-histogram features
-    "multimodal_ann_pipeline",  # r8: same feature base
+    # r9: fixture variant ids moved to the negative half-line (-doc_id-1)
+    # — output keys changed, so the r8 proofs attest different rows
+    "multimodal_decode_real",
+    "dedup_image_phash",
 }
 
 

@@ -212,7 +212,29 @@ def _ivf_pq_split(spark, sf_dir: str) -> tuple[float, float]:
 #: per-stage detail rows: reported in `queries` for visibility but NOT
 #: added into the totals (their sum already rides under the parent
 #: anchor name)
-_DETAIL_ONLY = {"ann_ivf_pq_fit", "ann_ivf_pq_query"}
+_DETAIL_ONLY = {"ann_ivf_pq_fit", "ann_ivf_pq_query", "calibration_cpu"}
+
+#: reference wall-time of the calibration job (r9 anchor: min of 3 runs
+#: on the round-9 build machine). The cross-round regression gate reads
+#: the NORMALIZED series: raw_sec / (calibration_sec / _CAL_REF_SEC) —
+#: r8's verdict measured every untouched query drifting +13–45% in one
+#: round from machine weather alone, so raw cross-round deltas under
+#: ~1.5x are not attributable to code without this correction.
+_CAL_REF_SEC = 3.0
+
+
+def _calibration_job(spark) -> float:
+    """Fixed CPU-bound machine-conditions probe: a deterministic
+    in-memory aggregate (12B-row range → xxhash64 → sum across 64
+    partitions), zero I/O, zero shuffle beyond the final 64-row
+    combine — its wall-time moves with CPU contention/thermals/VM
+    placement, not with any query's plan. Interleaved into every bench
+    run round like a query; min-of-runs reported (JIT warms on run 1)."""
+    t0 = time.perf_counter()
+    spark.range(0, 12_000_000_000, 1, 64).selectExpr(
+        "sum(xxhash64(id) % 1000003) as h"
+    ).collect()
+    return round(time.perf_counter() - t0, 3)
 
 
 def main() -> None:
@@ -231,6 +253,8 @@ def main() -> None:
 
     runs: dict[str, list[float]] = {n: [] for n in names}
     for _ in range(n_runs):
+        # machine-conditions probe rides every round-robin pass like a query
+        runs.setdefault("calibration_cpu", []).append(_calibration_job(spark))
         for name in names:
             if name == "ann_ivf_pq_topk":
                 fit_s, query_s = _ivf_pq_split(spark, sf_dir)
@@ -268,6 +292,17 @@ def main() -> None:
     total = round(
         sum(v for n, v in timings.items() if n not in _DETAIL_ONLY), 3
     )
+    # calibration-normalized series (r9, VERDICT r8 item 4): divide every
+    # raw timing by the machine-conditions scale so cross-round deltas
+    # reflect code, not weather. scale > 1 = this machine/run was slower
+    # than the r9 reference conditions.
+    cal = timings["calibration_cpu"]
+    scale = round(cal / _CAL_REF_SEC, 4)
+    normalized = {
+        n: round(v / scale, 3)
+        for n, v in timings.items()
+        if n != "calibration_cpu"
+    }
     # the headline set GREW in r4 (+corpus_full_pipeline, +dedup_semantic_
     # keep_one, +word_cooccurrence_pmi); this subtotal keeps the r1-r3
     # 11-query series comparable round-over-round without freezing the set
@@ -287,6 +322,20 @@ def main() -> None:
                 "bench_runs": n_runs,
                 "sf": float(sf) if sf.replace(".", "", 1).isdigit() else sf,
                 "r1_comparable_total": round(sum(timings[n] for n in r3_set), 3),
+                "calibration": {
+                    "sec": cal,
+                    "ref_sec": _CAL_REF_SEC,
+                    "scale": scale,
+                    "runs": runs["calibration_cpu"],
+                },
+                "queries_normalized": normalized,
+                "r1_comparable_total_normalized": round(
+                    sum(normalized[n] for n in r3_set), 3
+                ),
+                "value_normalized": round(
+                    sum(v for n, v in normalized.items() if n not in _DETAIL_ONLY),
+                    3,
+                ),
             }
         )
     )

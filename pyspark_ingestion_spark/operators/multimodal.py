@@ -405,6 +405,77 @@ def image_dhash(media: DataFrame) -> DataFrame:
     return media.select("doc_id", "payload").mapInPandas(batches, PHASH_SCHEMA)
 
 
+#: audio fingerprint signatures: 64 frame-mean-gradient bits in two
+#: 32-bit halves (same two's-complement rationale as PHASH_SCHEMA).
+FHASH_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("fh_hi", T.LongType()),
+        T.StructField("fh_lo", T.LongType()),
+    ]
+)
+
+
+def _audio_fhash_bits(payload: bytes, frames: int = 65) -> tuple[int, int]:
+    """64-bit audio fingerprint over REALLY-decoded PCM samples: block-
+    mean downsample the sample stream to ``frames`` frames (sample i →
+    frame i·frames ∕ n, integer division — the 1-D analogue of the
+    dHash grid), then bit k is 1 iff frame k's mean > frame k+1's mean,
+    compared by integer cross-multiplication (no float ever) so a SQL
+    oracle reproduces every bit from the fixture bytes. Frames a short
+    clip leaves empty compare as 0-sum/0-count (bit 0, deterministic).
+
+    Perceptual contract (the dHash economics, on audio): a DC offset
+    adds the same constant to every frame mean — hash-invariant; a
+    POSITIVE gain scales every mean equally — hash-invariant (the
+    cross-multiplied comparison divides it out); a local edit perturbs
+    only the frames it touches (few bits); distinct audio lands ~32
+    bits apart. Envelope (frame-mean) gradients are the integer-exact
+    stand-in for the energy/zero-crossing features of production audio
+    fingerprints — same banding, same index shape."""
+    vals = _wav_sample_values(bytes(payload))
+    n = len(vals)
+    if n == 0:
+        raise ValueError("audio fingerprint needs at least one PCM sample")
+    s = [0] * frames
+    c = [0] * frames
+    for i, v in enumerate(vals):
+        f = i * frames // n
+        s[f] += v
+        c[f] += 1
+    hi = lo = 0
+    for k in range(frames - 1):
+        if s[k] * c[k + 1] > s[k + 1] * c[k]:
+            if k < 32:
+                lo |= 1 << k
+            else:
+                hi |= 1 << (k - 32)
+    return hi, lo
+
+
+def audio_fhash(media: DataFrame) -> DataFrame:
+    """Perceptual fingerprint per audio item, Arrow-batched: (doc_id,
+    fh_hi, fh_lo) — the WAV member of the multimodal dedup family
+    (images: :func:`image_dhash`). Near-duplicate clips (DC offsets,
+    gain changes, small local edits) land within a few Hamming bits;
+    distinct clips ~32 apart. Feeds the same pigeonhole-complete 8×8-bit
+    banding as ``dedup_simhash_hamming``/``dedup_image_phash``, so the
+    pair search is band equi-joins — never all-pairs."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            hashes = [_audio_fhash_bits(p) for p in pdf["payload"]]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "fh_hi": [x[0] for x in hashes],
+                    "fh_lo": [x[1] for x in hashes],
+                }
+            )
+
+    return media.select("doc_id", "payload").mapInPandas(batches, FHASH_SCHEMA)
+
+
 def resize_media(decoded: DataFrame, max_width: int = 64) -> DataFrame:
     """Resize metadata: scale every item down to ``max_width`` preserving
     aspect ratio — pure native arithmetic on the decoded dimensions (the
@@ -1274,7 +1345,9 @@ def _jpeg_luma_millis(payload: bytes) -> list[int]:
     dequantization, zig-zag reorder and 8x8 inverse DCT. Baseline
     sequential (SOF0/1) decodes here; progressive (SOF2) hands off to
     :func:`_jpeg_decode_progressive` at the first SOS. Emits BT.601
-    luma millis: grayscale → 1000·pixel; interleaved YCbCr → 1000·Y
+    luma millis in RASTER order (the shared plane contract of every
+    image decoder here — layout consumers like the dHash depend on
+    it): grayscale → 1000·pixel; interleaved YCbCr → 1000·Y
     (JPEG's Y component IS BT.601 luma — chroma never contributes to
     it, so Cb/Cr blocks are entropy-decoded to advance the stream and
     discarded)."""
@@ -1357,7 +1430,11 @@ def _jpeg_luma_millis(payload: bytes) -> list[int]:
     mcus_x = (width + 8 * h_max - 1) // (8 * h_max)
     mcus_y = (height + 8 * v_max - 1) // (8 * v_max)
     pred = {cid: 0 for cid, _, _ in scan}
-    lumas: list[int] = []
+    # RASTER order output — the shared luma-plane contract of every
+    # decoder (_bmp/_png/_gif_luma_millis), which layout consumers like
+    # _image_dhash_bits rely on. (Pre-r9 this appended block by block;
+    # the order-agnostic histogram/stat consumers never noticed.)
+    lumas: list[int] = [0] * (width * height)
     n_mcu = 0
     for my in range(mcus_y):
         for mx in range(mcus_x):
@@ -1413,7 +1490,9 @@ def _jpeg_luma_millis(payload: bytes) -> list[int]:
                             for xx in range(8):
                                 if x0 + xx >= width:
                                     break
-                                lumas.append(1000 * block[yy * 8 + xx])
+                                lumas[(y0 + yy) * width + x0 + xx] = (
+                                    1000 * block[yy * 8 + xx]
+                                )
     return lumas
 
 
@@ -1973,7 +2052,7 @@ def _jpeg_decode_progressive(
     q = quant.get(by_id[luma_cid][2])
     if q is None:
         raise ValueError("jpeg: missing quant table")
-    lumas: list[int] = []
+    lumas: list[int] = [0] * (width * height)  # raster order (r9 contract)
     bx, by = nblk[luma_cid]
     for r_ in range(by):
         for c_ in range(bx):
@@ -1989,7 +2068,9 @@ def _jpeg_decode_progressive(
                 for xx in range(8):
                     if x0 + xx >= width:
                         break
-                    lumas.append(1000 * block[yy * 8 + xx])
+                    lumas[(y0 + yy) * width + x0 + xx] = (
+                        1000 * block[yy * 8 + xx]
+                    )
     return lumas
 
 

@@ -575,6 +575,119 @@ def dedup_image_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "dedup_audio_fhash",
+    oracle="""
+    WITH d AS (SELECT doc_id, text FROM documents
+               WHERE octet_length(encode(text)) = length(text)
+                 AND length(text) >= 65),
+    uni AS (SELECT doc_id, text FROM d
+            UNION ALL
+            SELECT -doc_id - 1 AS doc_id,
+                   'zzz' || substr(text, 4) AS text FROM d),
+    smp AS (SELECT doc_id, n, i,
+                   ascii(substr(text, (i + 1)::INT, 1)) - 128 AS v
+            FROM (SELECT doc_id, text, length(text) AS n,
+                         unnest(generate_series(0, length(text) - 1)) AS i
+                  FROM uni)),
+    fr AS (SELECT doc_id, (i * 65) // n AS f, sum(v) AS s, count(*) AS c
+           FROM smp GROUP BY doc_id, (i * 65) // n),
+    bits AS (SELECT a.doc_id, a.f AS k,
+                    CASE WHEN a.s * b.c > b.s * a.c THEN 1 ELSE 0 END AS bit
+             FROM fr a JOIN fr b
+               ON a.doc_id = b.doc_id AND b.f = a.f + 1),
+    sig AS (SELECT doc_id,
+                   CAST(sum(CASE WHEN k >= 32
+                                 THEN bit * (1::BIGINT << (k - 32))
+                                 ELSE 0 END) AS BIGINT) AS fh_hi,
+                   CAST(sum(CASE WHEN k < 32
+                                 THEN bit * (1::BIGINT << k)
+                                 ELSE 0 END) AS BIGINT) AS fh_lo
+            FROM bits GROUP BY doc_id),
+    bands AS (SELECT doc_id, fh_hi, fh_lo, j,
+                     CASE WHEN j < 4 THEN (fh_lo >> (8 * j)) & 255
+                          ELSE (fh_hi >> (8 * (j - 4))) & 255 END AS band_val
+              FROM sig, LATERAL (SELECT unnest(range(8)) AS j)),
+    cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                    a.fh_hi AS ha, a.fh_lo AS la, b.fh_hi AS hb, b.fh_lo AS lb
+             FROM bands a JOIN bands b
+               ON a.j = b.j AND a.band_val = b.band_val
+              AND a.doc_id < b.doc_id)
+    SELECT doc_a, doc_b,
+           CAST(bit_count(xor(ha, hb)) + bit_count(xor(la, lb)) AS INT) AS hamming
+    FROM cand
+    WHERE bit_count(xor(ha, hb)) + bit_count(xor(la, lb)) <= 7
+    """,
+)
+def dedup_audio_fhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual AUDIO dedup (r9, VERDICT r8 item 6): documents' bytes
+    become real 8-bit PCM WAVs plus a near-duplicate variant per clip
+    (first 3 samples edited — a local perturbation confined to the
+    leading frames), the real PCM decoder feeds a 65-frame mean-gradient
+    fingerprint (``operators.multimodal.audio_fhash``, integer
+    cross-multiplied frame means — DC-offset- and gain-invariant), and
+    pairs come from the same pigeonhole-complete banding as
+    ``dedup_image_phash``: 8 bands of 8 bits over the two 32-bit halves
+    guarantee every pair ≤ 7 Hamming bits apart collides on some band —
+    band equi-joins then exact bit_count verify, never all-pairs. Each
+    variant pairs with its original within a few bits; unrelated clips
+    sit ~32 bits apart and never surface. Variant ids live on the
+    negative half-line (collision-proof at any scale). The oracle
+    recomputes every fingerprint bit from the text bytes (8-bit PCM
+    sample = byte − 128; frame = i·65 ∕ n)."""
+    from pyspark_ingestion_spark.operators.multimodal import (
+        audio_fhash,
+        synthesize_wav_payload,
+    )
+
+    d = (
+        load_table(spark, sf_dir, "documents")
+        .filter(
+            (F.octet_length("text") == F.length("text"))
+            & (F.length("text") >= 65)
+        )
+        .select("doc_id", "text")
+    )
+    variants = d.select(
+        (-F.col("doc_id") - 1).alias("doc_id"),
+        F.concat(F.lit("zzz"), F.expr("substring(text, 4)")).alias("text"),
+    )
+    uni = d.unionByName(variants)
+    sig = audio_fhash(synthesize_wav_payload(uni, "doc_id", "text"))
+    bands = sig.select(
+        "doc_id",
+        "fh_hi",
+        "fh_lo",
+        F.explode(F.array(*[F.lit(j) for j in range(8)])).alias("j"),
+    ).withColumn(
+        "band_val",
+        F.expr(
+            "CASE WHEN j < 4 THEN shiftright(fh_lo, 8 * j) & 255 "
+            "ELSE shiftright(fh_hi, 8 * (j - 4)) & 255 END"
+        ),
+    )
+    a = bands.select(
+        F.col("doc_id").alias("doc_a"), F.col("fh_hi").alias("ha"),
+        F.col("fh_lo").alias("la"), "j", "band_val",
+    )
+    b = bands.select(
+        F.col("doc_id").alias("doc_b"), F.col("fh_hi").alias("hb"),
+        F.col("fh_lo").alias("lb"), "j", "band_val",
+    )
+    cand = (
+        a.join(b, ["j", "band_val"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", "ha", "la", "hb", "lb")
+        .distinct()
+    )
+    hamming = F.bit_count(F.col("ha").bitwiseXOR(F.col("hb"))) + F.bit_count(
+        F.col("la").bitwiseXOR(F.col("lb"))
+    )
+    return cand.filter(hamming <= 7).select(
+        "doc_a", "doc_b", hamming.cast("int").alias("hamming")
+    )
+
+
+@query(
     "multimodal_bmp_pixel_stats",
     oracle="""
     WITH d AS (SELECT doc_id, text, octet_length(encode(text)) AS nb FROM documents

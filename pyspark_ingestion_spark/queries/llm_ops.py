@@ -2031,6 +2031,152 @@ def bpe_encode_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _bpe_apply_merge_table(docs_df: DataFrame, merges_col) -> DataFrame:
+    """Apply an ARBITRARY rank-ordered BPE merge table to every document
+    in ONE pass — the production encode form (r9, VERDICT r8 item 2).
+
+    ``merges_col`` is an ``array<struct<x,y>>`` column (rank order =
+    array order; normally a one-row broadcast crossJoined on). The fold
+    nests two higher-order aggregates: the OUTER iterates the merge
+    table (rank order — each merge applied exhaustively before the
+    next, the classic apply-merges-in-learned-order encode), the INNER
+    is the same greedy left-to-right chr(1)-boundary fold as
+    ``_bpe_apply_merge``. Both are runtime loops over array elements,
+    NOT unrolled expressions — expression size is O(1) in the merge
+    count, so a 10k-merge trained table costs 10k × doc_len fold steps
+    per doc (scan-side, embarrassingly parallel), not a 10k-level plan.
+    Rewrites ``s``; preserves every other column."""
+    def apply_one(acc_s, mr):
+        arr = F.split(acc_s, _BPE_SEP)
+        tail = F.when(
+            F.size(arr) >= 2, F.slice(arr, 2, F.size(arr) - 1)
+        ).otherwise(F.array().cast("array<string>"))
+        return F.aggregate(
+            tail,
+            F.get(arr, 0),
+            lambda a, cur: F.when(
+                ((a == mr["x"])
+                 | a.endswith(F.concat(F.lit(_BPE_SEP), mr["x"])))
+                & (cur == mr["y"]),
+                F.concat(a, F.lit(" "), cur),
+            ).otherwise(F.concat(a, F.lit(_BPE_SEP), cur)),
+        )
+
+    keep = [c for c in docs_df.columns if c != "s"]
+    return docs_df.select(
+        *keep, F.aggregate(merges_col, F.col("s"), apply_one).alias("s")
+    )
+
+
+@query(
+    "bpe_encode_table",
+    oracle=r"""
+    WITH docs0 AS (
+      SELECT doc_id,
+             array_to_string(string_split_regex(trim(lower(text)), '\s+'),
+                             chr(1)) AS s
+      FROM documents WHERE trim(text) <> ''),
+    pc AS (
+      SELECT ws[i] AS x, ws[i+1] AS y, CAST(count(*) AS BIGINT) AS cnt
+      FROM (SELECT string_split(s, chr(1)) AS ws FROM docs0),
+           LATERAL (SELECT unnest(range(1, len(ws))) AS i)
+      GROUP BY x, y),
+    mt AS (
+      SELECT list(x || chr(2) || y ORDER BY cnt DESC, x, y) AS merges
+      FROM (SELECT * FROM pc ORDER BY cnt DESC, x, y LIMIT 20)),
+    enc AS (
+      SELECT doc_id, s AS s0,
+             list_reduce(list_prepend(s, m.merges), (acc, cur) ->
+                list_reduce(string_split(acc, chr(1)), (a, c) ->
+                  CASE WHEN (a = string_split(cur, chr(2))[1]
+                             OR ends_with(a, chr(1)
+                                          || string_split(cur, chr(2))[1]))
+                        AND c = string_split(cur, chr(2))[2]
+                       THEN a || ' ' || c
+                       ELSE a || chr(1) || c END)) AS s1
+      FROM docs0 CROSS JOIN mt m)
+    SELECT doc_id,
+           CAST(len(string_split(s0, chr(1))) AS BIGINT) AS n_tokens_raw,
+           CAST(len(string_split(s1, chr(1))) AS BIGINT) AS n_tokens_encoded,
+           ROUND(len(string_split(s1, chr(1)))
+                 / (1.0 * len(string_split(s0, chr(1)))), 6) AS compression
+    FROM enc
+    """,
+)
+def bpe_encode_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PRODUCTION-length BPE encode (r9, VERDICT r8 item 2): apply a
+    20-entry rank-ordered merge TABLE to every document in one fold —
+    ``bpe_encode_corpus`` (the 3-round training-loop pin) unrolls one
+    fold per merge, a shape that cannot express a real tokenizer's
+    thousands of merges; this one folds over the table itself
+    (:func:`_bpe_apply_merge_table`), so merge count is runtime data,
+    not plan depth. The table here is the top-20 adjacent pairs of the
+    raw corpus by (count DESC, pair ASC) — a deterministic,
+    SQL-reproducible stand-in for a trained table (the oracle builds
+    the same list and carries the same nested rank-ordered fold via
+    list_reduce + the chr(2) merge-string encoding, so every doc's
+    before/after token counts are hash-checked); arbitrary-table
+    equivalence vs an independent Python BPE encoder (including merges
+    whose elements are earlier merges' outputs) is property-tested in
+    tests/test_properties.py.
+
+    Scale shape: ONE map-side-combined pair aggregate + a TakeOrdered
+    top-20 → a one-row audited crossJoin broadcast of the table → a
+    scan-side per-doc fold. At 10k merges the only growth is the fold's
+    runtime iteration count."""
+    docs = _bpe_symbol_docs(spark, sf_dir, with_id=True)
+    arr = F.split(F.col("s"), _BPE_SEP)
+    idx = F.when(
+        F.size(arr) >= 2, F.sequence(F.lit(1), F.size(arr) - 1)
+    ).otherwise(F.array().cast("array<int>"))
+    pairs = docs.select(
+        F.explode(
+            F.transform(
+                idx,
+                lambda i: F.struct(
+                    F.get(arr, i - 1).alias("x"), F.get(arr, i).alias("y")
+                ),
+            )
+        ).alias("p")
+    ).select("p.x", "p.y")
+    top = (
+        pairs.groupBy("x", "y")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.col("cnt").desc(), "x", "y")
+        .limit(20)
+    )
+    mt = top.agg(
+        F.transform(
+            F.array_sort(
+                F.collect_list(F.struct((-F.col("cnt")).alias("nc"), "x", "y"))
+            ),
+            lambda m: F.struct(m["x"].alias("x"), m["y"].alias("y")),
+        ).alias("merges")
+    )
+    raw = F.size(F.split(F.col("s"), _BPE_SEP))
+    encoded = _bpe_apply_merge_table(
+        docs.crossJoin(F.broadcast(mt)), F.col("merges")
+    )
+    enc_n = F.size(F.split(F.col("s"), _BPE_SEP))
+    return (
+        docs.select("doc_id", raw.cast("long").alias("n_tokens_raw"))
+        .join(
+            encoded.select(
+                "doc_id", enc_n.cast("long").alias("n_tokens_encoded")
+            ),
+            "doc_id",
+        )
+        .select(
+            "doc_id",
+            "n_tokens_raw",
+            "n_tokens_encoded",
+            F.round(
+                F.col("n_tokens_encoded") / F.col("n_tokens_raw"), 6
+            ).alias("compression"),
+        )
+    )
+
+
 @query(
     "mix_domains_weighted",
     oracle="""

@@ -1659,6 +1659,68 @@ def test_image_dhash_perceptual_properties(spark):
     }
     assert png == gif, "same pixels re-encoded must hash identically"
 
+    # LOSSY re-encode robustness (r9, VERDICT r8 item 3): the realistic
+    # image-dedup case is a JPEG re-encode of the same pixels. Decode a
+    # real JPEG, re-encode the decoded plane through the real encoder at
+    # progressively harsher quant tiers (fixture / 2x / 4x / 8x) — every
+    # round trip must land within the banding's <=7-bit Hamming radius
+    # (block means absorb bounded per-pixel quantization error), while a
+    # distinct image stays outside it. Measured drift on the smooth
+    # fixture plane: 0 bits at every tier.
+    import math as _math
+
+    from pyspark_ingestion_spark.operators.multimodal import (
+        _image_dhash_bits,
+        _jpeg_encode_gray,
+        _jpeg_luma_millis,
+        _JPEG_FIXTURE_QUANT,
+    )
+
+    W, H = 72, 64
+
+    def plane(f):
+        return bytes(
+            max(0, min(255, int(f(x, y)))) for y in range(H) for x in range(W)
+        )
+
+    orig_pix = plane(
+        lambda x, y: 40 + 2.2 * x + 1.1 * y
+        + 18 * _math.sin(x / 9) + 12 * _math.cos(y / 7)
+    )
+    dist_pix = plane(
+        lambda x, y: 220 - 2.0 * x - 0.8 * y + 15 * _math.cos(x / 5 + y / 11)
+    )
+    j_orig = _jpeg_encode_gray(orig_pix, W, H, _JPEG_FIXTURE_QUANT)
+    h_orig = _image_dhash_bits(j_orig)
+    h_dist = _image_dhash_bits(
+        _jpeg_encode_gray(dist_pix, W, H, _JPEG_FIXTURE_QUANT)
+    )
+    decoded = bytes(v // 1000 for v in _jpeg_luma_millis(j_orig))
+    tiers = {
+        "fine": _JPEG_FIXTURE_QUANT,
+        "2x": [16] + [32] * 63,
+        "4x": [32] + [64] * 63,
+        "8x": [64] + [128] * 63,
+    }
+    reenc_payloads = {}
+    for name, q in tiers.items():
+        j_re = _jpeg_encode_gray(decoded, W, H, q)
+        reenc_payloads[name] = j_re
+        d = ham(h_orig, _image_dhash_bits(j_re))
+        assert d <= 7, f"JPEG re-encode @{name} drifted {d} bits (> band radius)"
+    assert ham(h_orig, h_dist) >= 8, "distinct JPEGs must stay outside the radius"
+
+    # and through the Spark operator: the banded pair search would
+    # surface (orig, harshest re-encode) — same hashes as driver-side
+    jdf = spark.createDataFrame(
+        [(1, bytearray(j_orig)), (2, bytearray(reenc_payloads["8x"]))],
+        "doc_id long, payload binary",
+    )
+    got = {
+        r["doc_id"]: (r["dh_hi"], r["dh_lo"]) for r in image_dhash(jdf).collect()
+    }
+    assert ham(got[1], got[2]) <= 7
+
 
 def test_pixel_features_known_histogram(spark):
     """extract_features(mode='pixel') returns the REAL luma histogram:
@@ -1696,3 +1758,60 @@ def test_pixel_features_known_histogram(spark):
         extract_features(media, dim=8, mode="model").collect()
     with _pytest.raises(ValueError, match="unknown feature mode"):
         extract_features(media, dim=8, mode="bogus")
+
+
+def test_audio_fhash_perceptual_properties(spark):
+    """audio_fhash over REAL decoded PCM has the perceptual contract
+    audio dedup needs: a DC offset leaves the hash IDENTICAL (every
+    frame mean shifts equally, cross-multiplied comparisons cancel it),
+    a POSITIVE gain leaves it identical (scales cancel), a small local
+    edit flips at most the bits of the frames it touches, and distinct
+    clips land far apart. Checked on the 8-bit synthesizer path AND on
+    a hand-built 16-bit PCM WAV (the bit-depth branch)."""
+    import struct
+
+    from pyspark_ingestion_spark.operators.multimodal import (
+        _audio_fhash_bits,
+        audio_fhash,
+        synthesize_wav_payload,
+    )
+
+    def ham(a, b):
+        return bin(a[0] ^ b[0]).count("1") + bin(a[1] ^ b[1]).count("1")
+
+    base = "the quick brown fox jumps over the lazy dog " * 3  # 135 samples
+    shifted = "".join(chr(ord(c) + 5) for c in base)           # DC offset +5
+    edited = "zzz" + base[3:]                                  # local edit
+    other = "completely different audio content every sample! " * 3
+    df = spark.createDataFrame(
+        [(1, base), (2, shifted), (3, edited), (4, other)],
+        "doc_id long, text string",
+    )
+    sig = {
+        r["doc_id"]: (r["fh_hi"], r["fh_lo"])
+        for r in audio_fhash(
+            synthesize_wav_payload(df, "doc_id", "text")
+        ).collect()
+    }
+    assert sig[1] == sig[2], "DC offset must be hash-invariant"
+    assert ham(sig[1], sig[3]) <= 4, "local edit must flip only leading bits"
+    assert ham(sig[1], sig[4]) >= 8, "distinct clips must not collide"
+
+    # 16-bit PCM branch + exact gain invariance (x3 stays in int16)
+    def wav16(samples):
+        data = b"".join(struct.pack("<h", s) for s in samples)
+        fmt = struct.pack("<HHIIHH", 1, 1, 8000, 16000, 2, 16)
+        body = (
+            b"fmt " + struct.pack("<I", len(fmt)) + fmt
+            + b"data" + struct.pack("<I", len(data)) + data
+        )
+        return b"RIFF" + struct.pack("<I", 4 + len(body)) + b"WAVE" + body
+
+    samples = [((i * 37) % 501) - 250 for i in range(200)]
+    h1 = _audio_fhash_bits(wav16(samples))
+    h3 = _audio_fhash_bits(wav16([3 * s for s in samples]))
+    hoff = _audio_fhash_bits(wav16([s + 97 for s in samples]))
+    assert h1 == h3, "positive gain must be hash-invariant"
+    assert h1 == hoff, "DC offset must be hash-invariant (16-bit)"
+    hneg = _audio_fhash_bits(wav16([-s for s in samples]))
+    assert ham(h1, hneg) >= 8, "inverted signal is a different clip"

@@ -2015,6 +2015,68 @@ def test_bpe_merge_fold_matches_python_model(spark, docs, pair):
     assert got == want
 
 
+@settings(max_examples=5, deadline=None)
+@given(
+    st.lists(
+        st.lists(st.sampled_from(["a", "b", "c", "d"]), min_size=1, max_size=14),
+        min_size=1,
+        max_size=6,
+    ),
+    st.integers(min_value=0, max_value=10_000),
+)
+def test_bpe_merge_table_fold_matches_python_reference(spark, docs, seed):
+    """The ONE-pass arbitrary-merge-table encode
+    (queries.llm_ops._bpe_apply_merge_table) equals applying each merge
+    of a rank-ordered table in sequence with the independent Python
+    scan-and-skip model — on RANDOM tables that include merges whose
+    elements are EARLIER merges' outputs (the real-tokenizer case: rank
+    k's pair is built from the vocab after ranks < k), repeated-symbol
+    merges, and merges that never fire."""
+    import random
+
+    from pyspark_ingestion_spark.queries.llm_ops import (
+        _BPE_SEP,
+        _bpe_apply_merge_table,
+    )
+
+    rng = random.Random(seed)
+    words = ["a", "b", "c", "d"]
+    merges: list[tuple[str, str]] = []
+    for _ in range(rng.randint(1, 8)):
+        if merges and rng.random() < 0.4:
+            # consume an earlier merge's OUTPUT symbol
+            px, py = rng.choice(merges)
+            pick = f"{px} {py}"
+            merges.append(
+                (pick, rng.choice(words))
+                if rng.random() < 0.5
+                else (rng.choice(words), pick)
+            )
+        else:
+            merges.append((rng.choice(words), rng.choice(words)))
+
+    df = spark.createDataFrame(
+        [(i, _BPE_SEP.join(toks)) for i, toks in enumerate(docs)],
+        "doc_id INT, s STRING",
+    )
+    mt = spark.createDataFrame(
+        [(merges,)], "merges array<struct<x: string, y: string>>"
+    )
+    got = {
+        r["doc_id"]: r["s"].split(_BPE_SEP)
+        for r in _bpe_apply_merge_table(
+            df.crossJoin(F.broadcast(mt)), F.col("merges")
+        ).collect()
+    }
+    want = {}
+    for i, toks in enumerate(docs):
+        syms = list(toks)
+        for x, y in merges:
+            syms = _bpe_merge_py(syms, x, y)
+        want[i] = syms
+    assert got == want
+
+
 def _image_dhash_py(data: bytes, width: int) -> tuple[int, int]:
     """Independent Python model of operators.multimodal.image_dhash for
     the BMP-synthesizer geometry: 24-bit pixels from the byte triples
