@@ -128,17 +128,37 @@ def _ivf_score_structs(vec_col, centroid_rows) -> F.Column:
     the struct-max of this array IS ``assign_ivf_cells``' deterministic
     argmax (max rounded sim, ties toward the lowest centroid id), but as
     a pure scan-side expression: no crossJoin, no aggregate, no shuffle.
-    Centroids enter as array literals (one node per centroid, not one
-    per component), so the expression stays compact for the K ≤ a few
-    thousand of a trained coarse quantizer."""
-    return F.array(
-        *[
-            F.struct(
-                F.round(cosine_similarity(vec_col, F.lit(cvec)), 6).alias("s"),
-                F.lit(-cid).alias("n"),
-            )
+
+    Plan-size discipline (r9, measured twice): centroids enter as ONE
+    literal array of (cid, cvec) structs built from a SINGLE SQL string
+    (``F.expr``), and the cosine is computed inside a single
+    ``transform`` lambda — the scoring subtree appears ONCE in the plan
+    and runs K times at runtime. Two naive forms both failed at K=256:
+    one unrolled cosine subtree per centroid put K×dims aggregate nodes
+    into the plan (~60 s of Catalyst analysis per micro-batch), and
+    per-element ``F.lit`` calls cost one py4j round trip EACH (~6.5 s
+    just to BUILD the column). The SQL string parses in ~10 ms; double
+    literals use ``repr(x)D``, whose shortest-round-trip text parses
+    back to the exact same IEEE double, so equivalence with
+    ``assign_ivf_cells`` (which reads the same values through a
+    DataFrame) is bit-exact. A quantizer beyond a few thousand cells
+    belongs in the ingest-time ``assign_ivf_cells`` stored-cell layout
+    instead."""
+    cents = F.expr(
+        "array("
+        + ",".join(
+            f"named_struct('cid',{int(cid)},'cvec',"
+            f"array({','.join(f'{float(x)!r}D' for x in cvec)}))"
             for cid, cvec in centroid_rows
-        ]
+        )
+        + ")"
+    )
+    return F.transform(
+        cents,
+        lambda c: F.struct(
+            F.round(cosine_similarity(vec_col, c["cvec"]), 6).alias("s"),
+            (-c["cid"]).alias("n"),
+        ),
     )
 
 

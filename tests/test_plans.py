@@ -26,6 +26,7 @@ _PANDAS_OK = {"multimodal_decode", "multimodal_decode_real",
               "multimodal_frame_sample",
               "multimodal_features", "multimodal_resize",
               "multimodal_ann_pipeline", "dedup_image_phash",
+              "dedup_audio_fhash",
               "multimodal_bmp_pixel_stats", "multimodal_wav_sample_stats",
               "multimodal_png_pixel_stats", "multimodal_gif_pixel_stats",
               "multimodal_jpeg_pixel_stats", "multimodal_jpeg420_pixel_stats",

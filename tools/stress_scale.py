@@ -240,13 +240,15 @@ def stream_substring_batches(spark, corpus_n, n_batches=4, batch_rows=200, seed=
 
 
 def stream_semantic_batches(spark, corpus_n, n_batches=4, batch_rows=200,
-                            n_dims=8, seed=37):
+                            n_dims=8, seed=37, quantizer="sign", nprobe=1):
     """Mean steady-state per-batch seconds of INDEXED
-    stream_semantic_admission at a given corpus size (sign-bucket index,
-    threshold 0.9, cluster-structured vectors so true rejects exist).
-    Batch 0 (bootstrap bucketing) excluded. The claim under test: the
+    stream_semantic_admission at a given corpus size (threshold 0.9,
+    cluster-structured vectors so true rejects exist). Batch 0
+    (bootstrap bucketing — and for ``quantizer="ivf"`` the one-off
+    KMeans fit + centroid persist) excluded. The claim under test: the
     per-batch plan's only corpus-sized input is the SCAN of the buckets
-    index through the batch-broadcast bucket equi-join."""
+    index through the batch-broadcast bucket equi-join — for BOTH bucket
+    functions (r9: trained-IVF cells share the sign form's economics)."""
     import shutil
     import tempfile
 
@@ -275,6 +277,18 @@ def stream_semantic_batches(spark, corpus_n, n_batches=4, batch_rows=200,
         base = spark.read.parquet(f"{tmp}/base")
         args = dict(id_col="vec_id", vec_col="embedding", threshold=0.9,
                     n_dims=n_dims)
+        if quantizer == "ivf":
+            from pyspark_ingestion_spark.operators.similarity import (
+                kmeans_centroids,
+            )
+
+            # K sized like the sign form's 2^n_dims nominal buckets;
+            # trained once (ingest-time economics), persisted at bootstrap
+            args["centroids"] = kmeans_centroids(
+                base, id_col="vec_id", vec_col="embedding",
+                n_centroids=2 ** n_dims, seed=42,
+            )
+            args["nprobe"] = nprobe
         times = []
         for bid in range(n_batches):
             bdf = spark.createDataFrame(
@@ -288,7 +302,7 @@ def stream_semantic_batches(spark, corpus_n, n_batches=4, batch_rows=200,
             times.append(time.perf_counter() - t0)
         steady = times[1:]
         dt = sum(steady) / len(steady)
-        print(f"  stream_semantic_admission (corpus {corpus_n:>7,})        "
+        print(f"  stream_semantic_admission[{quantizer}] (corpus {corpus_n:>7,}) "
               f"per-batch mean {dt:7.2f}s  (batches: "
               f"{', '.join(f'{t:.2f}' for t in times)})", flush=True)
         return dt
@@ -435,6 +449,11 @@ def main():
         results[("stream", n)] = {
             "substring_batch": stream_substring_batches(spark, n),
             "semantic_batch": stream_semantic_batches(spark, n),
+            # r9: trained-IVF cells, nprobe=2 — must share the sign
+            # form's flat per-batch economics
+            "semantic_batch_ivf": stream_semantic_batches(
+                spark, n, quantizer="ivf", nprobe=2
+            ),
         }
 
     ratio = big_n / small_n
