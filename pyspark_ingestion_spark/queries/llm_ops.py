@@ -1143,13 +1143,17 @@ def semantic_ivf_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     sample, ground truth = all pairs with 6-dp cosine ≥ 0.3 (brute
     force), then each bucketing — ``sign_b4`` (4 fixed hyperplanes, 16
     nominal buckets), ``ivf_k16`` (trained quantizer, equal nominal
-    bucket count) and ``ivf_k24`` (trained, sized to UNDERCUT the sign
-    tier's candidate count) — is scored by how many true pairs share a
-    bucket. One row per method: (method, n_true, n_candidates, n_found,
-    recall). Measured on the test corpus: trained cells roughly DOUBLE
-    sign-bucket recall at equal nominal width, and still beat it with a
-    ~20 % smaller candidate budget at K=24 — the quantitative case for
-    ``stream_semantic_admission(centroids=...)``.
+    bucket count), ``ivf_k24`` (trained, sized to UNDERCUT the sign
+    tier's candidate count) and ``ivf_k24_p2`` (same cells, nprobe=2 on
+    one side — the recall dial) — is scored by how many true pairs
+    share a bucket (for the probed row: a's cell ∈ b's probed cells or
+    vice versa). One row per method: (method, n_true, n_candidates,
+    n_found, recall). Measured on the test corpus: trained cells
+    roughly DOUBLE sign-bucket recall at equal nominal width, still
+    beat it with a ~20 % smaller candidate budget at K=24, and nprobe=2
+    buys further recall at proportional candidate cost — the
+    quantitative case for ``stream_semantic_admission(centroids=...,
+    nprobe=...)``.
 
     No SQL oracle — KMeans isn't SQL-expressible — so the driver records
     a rows-only check; the ivf-beats-sign ordering is pinned in
@@ -1218,14 +1222,59 @@ def semantic_ivf_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         rows_c = centroid_rows_of(
             kmeans_centroids(corpus, n_centroids=k, seed=42)
         )
-        out = out.unionByName(
-            method_row(
-                f"ivf_k{k}",
-                corpus.select(
-                    "vec_id", ivf_cell_expr("embedding", rows_c).alias("bk")
-                ),
-            )
+        cells = corpus.select(
+            "vec_id", ivf_cell_expr("embedding", rows_c).alias("bk")
         )
+        out = out.unionByName(method_row(f"ivf_k{k}", cells))
+        if k == 24:
+            # the nprobe dial: one side probes its 2 nearest cells, the
+            # other keeps its stored cell — exactly the admission join's
+            # asymmetry (batch probed, index stored)
+            from pyspark_ingestion_spark.operators.similarity import (
+                ivf_probe_cells_expr,
+            )
+
+            probed = corpus.select(
+                "vec_id",
+                F.explode(
+                    ivf_probe_cells_expr("embedding", rows_c, 2)
+                ).alias("bk"),
+            )
+            x = probed.select(
+                F.col("vec_id").alias("ia"), F.col("bk").alias("ba")
+            )
+            y = cells.select(
+                F.col("vec_id").alias("ib"), F.col("bk").alias("bb")
+            )
+            cands = (
+                x.join(y, F.col("ba") == F.col("bb"))
+                .filter(F.col("ia") != F.col("ib"))
+                .select(
+                    F.least("ia", "ib").alias("ia"),
+                    F.greatest("ia", "ib").alias("ib"),
+                )
+                .distinct()
+                .localCheckpoint(eager=False)
+            )
+            n_cand = cands.agg(F.count(F.lit(1)).alias("n_candidates"))
+            n_found = true_pairs.join(cands, ["ia", "ib"]).agg(
+                F.count(F.lit(1)).alias("n_found")
+            )
+            out = out.unionByName(
+                n_true.crossJoin(n_cand)
+                .crossJoin(n_found)
+                .select(
+                    F.lit("ivf_k24_p2").alias("method"),
+                    "n_true",
+                    "n_candidates",
+                    "n_found",
+                    F.round(
+                        F.col("n_found")
+                        / F.greatest(F.col("n_true"), F.lit(1)),
+                        6,
+                    ).alias("recall"),
+                )
+            )
     return out
 
 

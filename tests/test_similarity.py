@@ -609,10 +609,13 @@ def test_semantic_ivf_recall_beats_sign_buckets(spark, sf_dir):
         r["method"]: r
         for r in semantic_ivf_recall_eval(spark, sf_dir).collect()
     }
-    assert set(rows) == {"sign_b4", "ivf_k16", "ivf_k24"}
+    assert set(rows) == {"sign_b4", "ivf_k16", "ivf_k24", "ivf_k24_p2"}
     sign = rows["sign_b4"]
     assert all(r["n_true"] == sign["n_true"] for r in rows.values())
     assert sign["n_true"] > 0, "fixture must contain true near pairs"
     assert rows["ivf_k16"]["recall"] >= sign["recall"]
     assert rows["ivf_k24"]["recall"] >= sign["recall"]
     assert rows["ivf_k24"]["n_candidates"] <= sign["n_candidates"]
+    # the nprobe dial: strictly more candidates, at-least-equal recall
+    assert rows["ivf_k24_p2"]["recall"] >= rows["ivf_k24"]["recall"]
+    assert rows["ivf_k24_p2"]["n_candidates"] >= rows["ivf_k24"]["n_candidates"]
