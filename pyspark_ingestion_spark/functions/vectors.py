@@ -36,6 +36,28 @@ def cosine_similarity(a: Column | str, b: Column | str) -> Column:
     return F.when(denom != 0, dot_product(a, b) / denom)
 
 
+def sign_pack(a: Column | str, start: int = 0, n_bits: int = 32) -> Column:
+    """Pack the sign bits of components [start, start+n_bits) into one
+    BIGINT: bit i = 1 iff component start+i ≥ 0. The binary-quantized
+    embedding representation (32× smaller than float32) scored by
+    Hamming distance — a scan-side fold (high→low, acc·2 + bit), no
+    shift-by-column needed, so both the packing and the downstream
+    ``bit_count(xor(...))`` scoring stay in whole-stage codegen and are
+    SQL-oracle-reproducible. Keep n_bits ≤ 32 and split wider vectors
+    into (lo, hi) halves: bit 63 of a single long would need
+    two's-complement wraparound SQL cannot express (the PHASH_SCHEMA
+    rationale)."""
+    if not 1 <= n_bits <= 32:
+        raise ValueError(f"n_bits must be in [1, 32], got {n_bits}")
+    arr = _dcol(a)
+    return F.aggregate(
+        F.sequence(F.lit(n_bits - 1), F.lit(0), F.lit(-1)),
+        F.lit(0).cast("long"),
+        lambda acc, i: acc * 2
+        + F.when(F.element_at(arr, i + start + 1) >= 0, 1).otherwise(0),
+    )
+
+
 def sign_bucket(a: Column | str, n_dims: int = 8) -> Column:
     """Deterministic coarse bucket: the sign pattern of the first ``n_dims``
     components, packed into an int. A fixed-hyperplane LSH — vectors can

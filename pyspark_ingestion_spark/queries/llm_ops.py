@@ -633,6 +633,81 @@ def ann_sign_bucket_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "ann_hamming_topk",
+    oracle="""
+    WITH b AS (SELECT vec_id,
+                      CAST(list_sum(list_transform(range(32), i ->
+                          CASE WHEN embedding[i + 1] >= 0
+                               THEN (1::BIGINT << i) ELSE 0 END)) AS BIGINT) AS lo,
+                      CAST(list_sum(list_transform(range(32), i ->
+                          CASE WHEN embedding[i + 33] >= 0
+                               THEN (1::BIGINT << i) ELSE 0 END)) AS BIGINT) AS hi
+               FROM embeddings),
+    q AS (SELECT vec_id AS query_id, lo AS qlo, hi AS qhi FROM b
+          WHERE vec_id < 10),
+    scored AS (SELECT q.query_id, e.vec_id AS neighbor_id,
+                      CAST(bit_count(xor(e.lo, q.qlo))
+                         + bit_count(xor(e.hi, q.qhi)) AS INT) AS hamming
+               FROM b e CROSS JOIN q WHERE e.vec_id <> q.query_id)
+    SELECT query_id, neighbor_id, hamming, CAST(rank AS INT) AS rank FROM (
+        SELECT *, row_number() OVER (PARTITION BY query_id
+                                     ORDER BY hamming, neighbor_id) AS rank
+        FROM scored)
+    WHERE rank <= 5
+    """,
+)
+def ann_hamming_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-quantized ANN — the memory tier below IVF-PQ (r9): each
+    64-dim float32 vector becomes 64 SIGN BITS in two BIGINT halves
+    (``functions.vectors.sign_pack`` — 32× smaller than float32, the
+    standard binary-embedding trick), and top-5 neighbors rank by exact
+    Hamming distance (``bit_count(xor())``, ties by id). Fully
+    SQL-oracle-checkable — no training — unlike the PQ tier, and the
+    whole path (packing fold, xor, popcount, window top-k) is
+    whole-stage-codegen JVM arithmetic on 16 bytes per vector.
+
+    100 TB shape: the packed table is the only thing scanned (0.8 GB
+    per billion vectors); queries broadcast; rerank survivors against
+    the float vectors when cosine precision matters (the
+    ``ivf_pq_topk(rerank=)`` pattern applies unchanged)."""
+    from pyspark_ingestion_spark.functions.vectors import sign_pack
+
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        sign_pack("embedding", 0, 32).alias("lo"),
+        sign_pack("embedding", 32, 32).alias("hi"),
+    )
+    q = e.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("lo").alias("qlo"),
+        F.col("hi").alias("qhi"),
+    )
+    hamming = (
+        F.bit_count(F.col("lo").bitwiseXOR(F.col("qlo")))
+        + F.bit_count(F.col("hi").bitwiseXOR(F.col("qhi")))
+    ).cast("int")
+    scored = (
+        e.crossJoin(F.broadcast(q))
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            hamming.alias("hamming"),
+        )
+    )
+    from pyspark_ingestion_spark.operators.relational import topk_per_group
+
+    return topk_per_group(
+        scored,
+        group_cols=["query_id"],
+        order_cols=[F.asc("hamming"), F.asc("neighbor_id")],
+        k=5,
+        keep_rank=True,
+        rank_col="rank",
+    )
+
+
+@query(
     "vector_ops",
     oracle="""
     SELECT vec_id,
