@@ -570,6 +570,7 @@ def test_leakage_pairs_broadcast_against_splits(spark, sf_dir):
 _BNLJ_OK = {
     "agg_equidepth_histogram", "agg_theta_set_overlap",
     "ann_bruteforce_topk", "ann_cosine_range_search", "ann_ivf_kmeans_topk",
+    "ann_hamming_topk",  # ≤10-row packed query set broadcast into the scan
     "ann_ivf_nprobe_topk", "ann_ivf_pq_topk", "ann_ivf_topk", "ann_recall_eval",
     "ann_ivf_pq_adc_fixture",  # same ivf_pq_topk broadcast-centroid shape
     "dedup_substring_sampling_eval",  # one-row scalar agg crossJoin (broadcast)
@@ -583,6 +584,8 @@ _BNLJ_OK = {
     "copurchase_lift",       # one-row basket-count crossJoin
     "bpe_train_merges",      # one-row argmax-pair crossJoin per merge round
     "bpe_encode_corpus",     # same argmax crossJoins, applied per document
+    "bpe_encode_table",      # one-row merge-TABLE crossJoin broadcast
+    "semantic_ivf_recall_eval",  # ≤1000-vector diagnostic sample, ia<ib pair joins
 }
 
 
