@@ -476,6 +476,71 @@ def audio_fhash(media: DataFrame) -> DataFrame:
     return media.select("doc_id", "payload").mapInPandas(batches, FHASH_SCHEMA)
 
 
+#: the shared 8-band × 8-bit split of a 64-bit perceptual hash held as
+#: two 32-bit halves. Pigeonhole-complete for Hamming radius ≤ 7: a pair
+#: differing in ≤ 7 bits cannot differ in all 8 bands, so band
+#: equi-joins find EVERY in-radius pair — banding is a pure perf device,
+#: never a recall tradeoff (the dedup_simhash_hamming argument).
+_FP_BAND_VAL = (
+    "CASE WHEN j < 4 THEN shiftright({lo}, 8 * j) & 255 "
+    "ELSE shiftright({hi}, 8 * (j - 4)) & 255 END"
+)
+
+
+def fingerprint_bands(
+    fp: DataFrame, id_col: str = "doc", hi_col: str = "hi", lo_col: str = "lo"
+) -> DataFrame:
+    """Explode (id, hi, lo) fingerprint rows into their 8 band rows
+    (doc, hi, lo, j, band_val) — the candidate-join key space shared by
+    every 64-bit perceptual-hash family member (image dHash, audio
+    fHash, SimHash)."""
+    return fp.select(
+        F.col(id_col).alias("doc"),
+        F.col(hi_col).alias("hi"),
+        F.col(lo_col).alias("lo"),
+        F.explode(F.array(*[F.lit(j) for j in range(8)])).alias("j"),
+    ).withColumn(
+        "band_val", F.expr(_FP_BAND_VAL.format(hi="hi", lo="lo"))
+    )
+
+
+def fingerprint_batch_rejects(
+    corpus_fp: DataFrame,
+    batch_fp: DataFrame,
+    radius: int = 7,
+) -> DataFrame:
+    """Batch-mode perceptual admission: ids of ``batch_fp`` rows whose
+    64-bit fingerprint sits within ``radius`` Hamming bits of ANY
+    ``corpus_fp`` row. Both inputs are normalized (doc, hi, lo) frames
+    (``image_dhash`` / ``audio_fhash`` output with the halves renamed).
+
+    Scale shape — the admission economics of ``_lsh_admission_tail``
+    applied to fingerprints: the batch's band rows are EXPLICITLY
+    broadcast into a band equi-join against the corpus bands (the only
+    corpus-proportional term is that scan, embarrassingly parallel),
+    then exact ``bit_count(xor())`` verifies candidates only — never
+    all-pairs. ``radius`` must stay ≤ 7: the 8×8-bit banding is
+    pigeonhole-complete exactly up to 7 differing bits, so results are
+    EXACT (equal to a brute-force Hamming scan), not approximate."""
+    if not 0 <= radius <= 7:
+        raise ValueError(
+            f"radius must be in [0, 7] (8-band pigeonhole bound), got {radius}"
+        )
+    c = fingerprint_bands(corpus_fp).select(
+        F.col("hi").alias("chi"), F.col("lo").alias("clo"), "j", "band_val"
+    )
+    b = fingerprint_bands(batch_fp)
+    hamming = F.bit_count(F.col("hi").bitwiseXOR(F.col("chi"))) + F.bit_count(
+        F.col("lo").bitwiseXOR(F.col("clo"))
+    )
+    return (
+        c.join(F.broadcast(b), ["j", "band_val"])
+        .filter(hamming <= radius)
+        .select("doc")
+        .distinct()
+    )
+
+
 def resize_media(decoded: DataFrame, max_width: int = 64) -> DataFrame:
     """Resize metadata: scale every item down to ``max_width`` preserving
     aspect ratio — pure native arithmetic on the decoded dimensions (the

@@ -688,6 +688,153 @@ def dedup_audio_fhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "dedup_incremental_image",
+    oracle="""
+    WITH d AS (SELECT doc_id, text FROM documents
+               WHERE octet_length(encode(text)) = length(text)
+                 AND length(text) >= 36),
+    uni AS (SELECT doc_id, text FROM d
+            UNION ALL
+            SELECT -doc_id - 1 AS doc_id,
+                   'zzz' || substr(text, 4) AS text FROM d),
+    dims AS (SELECT doc_id, text, octet_length(encode(text)) AS nb,
+                    greatest(CAST(ceil(octet_length(encode(text)) / 36.0)
+                                  AS BIGINT), 1) AS h
+             FROM uni),
+    byt AS (SELECT doc_id, h, i,
+                   CASE WHEN i < nb THEN ascii(substr(text, (i + 1)::INT, 1))
+                        ELSE 0 END AS b,
+                   CASE i % 3 WHEN 0 THEN 114 WHEN 1 THEN 587 ELSE 299 END AS wgt
+            FROM (SELECT doc_id, text, nb, h,
+                         unnest(generate_series(0, h * 36 - 1)) AS i
+                  FROM dims)),
+    lum AS (SELECT doc_id, h, i // 3 AS px, sum(b * wgt) AS lm
+            FROM byt GROUP BY doc_id, h, i // 3),
+    cagg AS (SELECT doc_id,
+                    ((h - 1 - px // 12) * 8) // h AS cy,
+                    ((px % 12) * 9) // 12 AS cx,
+                    sum(lm) AS s, count(*) AS c
+             FROM lum GROUP BY doc_id, cy, cx),
+    bits AS (SELECT a.doc_id, a.cy * 8 + a.cx AS k,
+                    CASE WHEN a.s * b.c > b.s * a.c THEN 1 ELSE 0 END AS bit
+             FROM cagg a JOIN cagg b
+               ON a.doc_id = b.doc_id AND a.cy = b.cy AND b.cx = a.cx + 1),
+    sig AS (SELECT doc_id,
+                   CAST(sum(CASE WHEN k >= 32
+                                 THEN bit * (1::BIGINT << (k - 32))
+                                 ELSE 0 END) AS BIGINT) AS dh_hi,
+                   CAST(sum(CASE WHEN k < 32
+                                 THEN bit * (1::BIGINT << k)
+                                 ELSE 0 END) AS BIGINT) AS dh_lo
+            FROM bits GROUP BY doc_id),
+    -- the oracle's admission is brute-force Hamming: banding is exact
+    -- (pigeonhole-complete at radius 7), so all-pairs IS the semantics
+    b0 AS (SELECT * FROM sig WHERE doc_id >= 0 AND doc_id % 2 = 0),
+    s1 AS (SELECT * FROM sig WHERE (doc_id >= 0 AND doc_id % 2 = 1)
+                                OR (doc_id < 0 AND (-doc_id - 1) % 2 = 0)),
+    s2 AS (SELECT * FROM sig WHERE doc_id < 0 AND (-doc_id - 1) % 2 = 1),
+    rej1 AS (SELECT DISTINCT s.doc_id FROM s1 s JOIN b0 c
+              ON bit_count(xor(s.dh_hi, c.dh_hi))
+               + bit_count(xor(s.dh_lo, c.dh_lo)) <= 7),
+    adm1 AS (SELECT * FROM s1
+             WHERE doc_id NOT IN (SELECT doc_id FROM rej1)),
+    c2 AS (SELECT dh_hi, dh_lo FROM b0
+           UNION ALL SELECT dh_hi, dh_lo FROM adm1),
+    rej2 AS (SELECT DISTINCT s.doc_id FROM s2 s JOIN c2 c
+              ON bit_count(xor(s.dh_hi, c.dh_hi))
+               + bit_count(xor(s.dh_lo, c.dh_lo)) <= 7)
+    SELECT doc_id, 1 AS batch,
+           CAST(doc_id NOT IN (SELECT doc_id FROM rej1) AS INT) AS admitted
+    FROM s1
+    UNION ALL
+    SELECT doc_id, 2 AS batch,
+           CAST(doc_id NOT IN (SELECT doc_id FROM rej2) AS INT) AS admitted
+    FROM s2
+    """,
+)
+def dedup_incremental_image(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental PERCEPTUAL admission — the image member of the
+    ``dedup_incremental_*`` family (exact shingles / MinHash LSH /
+    embeddings / substrings), and the batch face of
+    ``streaming.pipeline.stream_fingerprint_admission``: documents'
+    bytes become real BMPs, evens seed the corpus, batch 1 streams in
+    the odd images plus near-duplicate variants of the evens (local
+    3-byte edit, negative-half-line ids), batch 2 streams variants of
+    the odds — rejected ONLY because batch 1 admitted their originals
+    (the order-dependent greedy-admission property every incremental
+    member pins). Admission = within 7 Hamming bits of ANY
+    corpus-so-far dHash, computed by
+    ``operators.multimodal.fingerprint_batch_rejects`` — batch bands
+    broadcast into a band equi-join against corpus bands (exact:
+    8×8-bit banding is pigeonhole-complete at radius 7; the oracle
+    proves it by brute-force all-pairs Hamming), decode runs once per
+    frame, never per batch pair. Output: (doc_id, batch, admitted) for
+    both streamed batches, every hash bit and admission decision
+    value-checked."""
+    from pyspark_ingestion_spark.operators.multimodal import (
+        fingerprint_batch_rejects,
+        image_dhash,
+        synthesize_bmp_payload,
+    )
+
+    d = (
+        load_table(spark, sf_dir, "documents")
+        .filter(
+            (F.octet_length("text") == F.length("text"))
+            & (F.length("text") >= 36)
+        )
+        .select("doc_id", "text")
+    )
+    variants = d.select(
+        (-F.col("doc_id") - 1).alias("doc_id"),
+        F.concat(F.lit("zzz"), F.expr("substring(text, 4)")).alias("text"),
+    )
+    uni = d.unionByName(variants)
+    # decode + hash ONCE for every frame below (stats-free after the
+    # checkpoint — every join against batch slices broadcasts)
+    sig = (
+        image_dhash(synthesize_bmp_payload(uni, "doc_id", "text", width=12))
+        .select(
+            F.col("doc_id").alias("doc"),
+            F.col("dh_hi").alias("hi"),
+            F.col("dh_lo").alias("lo"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    is_variant = F.col("doc") < 0
+    orig_id = F.when(is_variant, -F.col("doc") - 1).otherwise(F.col("doc"))
+    b0 = sig.filter(~is_variant & (orig_id % 2 == 0))
+    s1 = sig.filter(
+        (~is_variant & (orig_id % 2 == 1)) | (is_variant & (orig_id % 2 == 0))
+    )
+    s2 = sig.filter(is_variant & (orig_id % 2 == 1))
+
+    def admit(batch: DataFrame, corpus: DataFrame, n: int) -> DataFrame:
+        rej = fingerprint_batch_rejects(corpus, batch, radius=7)
+        return batch.join(
+            F.broadcast(rej.withColumnRenamed("doc", "__rej")),
+            F.col("doc") == F.col("__rej"),
+            "left",
+        ).select(
+            F.col("doc").alias("doc_id"),
+            F.lit(n).alias("batch"),
+            F.col("__rej").isNull().cast("int").alias("admitted"),
+        )
+
+    out1 = admit(s1, b0, 1)
+    adm1 = s1.join(
+        F.broadcast(
+            out1.filter(F.col("admitted") == 1).select(
+                F.col("doc_id").alias("doc")
+            )
+        ),
+        "doc",
+    )
+    out2 = admit(s2, b0.unionByName(adm1), 2)
+    return out1.unionByName(out2)
+
+
+@query(
     "multimodal_bmp_pixel_stats",
     oracle="""
     WITH d AS (SELECT doc_id, text, octet_length(encode(text)) AS nb FROM documents

@@ -708,6 +708,113 @@ def ann_hamming_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "ann_hamming_rerank_topk",
+    oracle="""
+    WITH b AS (SELECT vec_id,
+                      CAST(list_sum(list_transform(range(32), i ->
+                          CASE WHEN embedding[i + 1] >= 0
+                               THEN (1::BIGINT << i) ELSE 0 END)) AS BIGINT) AS lo,
+                      CAST(list_sum(list_transform(range(32), i ->
+                          CASE WHEN embedding[i + 33] >= 0
+                               THEN (1::BIGINT << i) ELSE 0 END)) AS BIGINT) AS hi
+               FROM embeddings),
+    q AS (SELECT vec_id AS query_id, lo AS qlo, hi AS qhi FROM b
+          WHERE vec_id < 10),
+    shortlist AS (SELECT query_id, neighbor_id FROM (
+        SELECT q.query_id, e.vec_id AS neighbor_id,
+               row_number() OVER (PARTITION BY q.query_id
+                                  ORDER BY bit_count(xor(e.lo, q.qlo))
+                                         + bit_count(xor(e.hi, q.qhi)),
+                                           e.vec_id) AS hrn
+        FROM b e CROSS JOIN q WHERE e.vec_id <> q.query_id)
+        WHERE hrn <= 20),
+    scored AS (SELECT s.query_id, s.neighbor_id,
+                      ROUND(list_dot_product(nv.embedding::DOUBLE[],
+                                             qv.embedding::DOUBLE[])
+                            / (sqrt(list_dot_product(nv.embedding::DOUBLE[],
+                                                     nv.embedding::DOUBLE[]))
+                             * sqrt(list_dot_product(qv.embedding::DOUBLE[],
+                                                     qv.embedding::DOUBLE[]))),
+                            6) AS cosine
+               FROM shortlist s
+               JOIN embeddings nv ON nv.vec_id = s.neighbor_id
+               JOIN embeddings qv ON qv.vec_id = s.query_id)
+    SELECT query_id, neighbor_id, cosine, CAST(rank AS INT) AS rank FROM (
+        SELECT *, row_number() OVER (PARTITION BY query_id
+                                     ORDER BY cosine DESC, neighbor_id) AS rank
+        FROM scored)
+    WHERE rank <= 5
+    """,
+)
+def ann_hamming_rerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary tier + exact rerank (r9): the production form the
+    ``ann_hamming_topk`` docstring promises — Hamming distance over
+    sign-packed codes shortlists 20 candidates per query (the only
+    corpus-wide scan touches 16 bytes/vector), then the float vectors
+    are fetched for the SHORTLIST ONLY (a ~200-row broadcast semi-join
+    into the embedding scan — at 100 TB the float table is read through
+    a pushed id filter, never scanned for scoring) and exact 6-dp
+    cosine re-ranks the survivors to top-5. Ties break by id at both
+    stages, so the whole path is deterministic and fully SQL-mirrored —
+    unlike the PQ tier, the rerank ladder here is hash-checkable
+    end-to-end."""
+    from pyspark_ingestion_spark.functions.vectors import (
+        cosine_similarity,
+        sign_pack,
+    )
+    from pyspark_ingestion_spark.operators.relational import topk_per_group
+
+    e = load_table(spark, sf_dir, "embeddings")
+    packed = e.select(
+        "vec_id",
+        sign_pack("embedding", 0, 32).alias("lo"),
+        sign_pack("embedding", 32, 32).alias("hi"),
+    )
+    q = packed.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("lo").alias("qlo"),
+        F.col("hi").alias("qhi"),
+    )
+    hamming = (
+        F.bit_count(F.col("lo").bitwiseXOR(F.col("qlo")))
+        + F.bit_count(F.col("hi").bitwiseXOR(F.col("qhi")))
+    ).cast("int")
+    shortlist = topk_per_group(
+        packed.crossJoin(F.broadcast(q))
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            hamming.alias("hamming"),
+        ),
+        group_cols=["query_id"],
+        order_cols=[F.asc("hamming"), F.asc("neighbor_id")],
+        k=20,
+    ).select("query_id", "neighbor_id")
+    nv = e.select(F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("nv"))
+    qv = e.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+    )
+    scored = (
+        nv.join(F.broadcast(shortlist), "neighbor_id")
+        .join(F.broadcast(qv), "query_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(cosine_similarity("nv", "qv"), 6).alias("cosine"),
+        )
+    )
+    return topk_per_group(
+        scored,
+        group_cols=["query_id"],
+        order_cols=[F.desc("cosine"), F.asc("neighbor_id")],
+        k=5,
+        keep_rank=True,
+        rank_col="rank",
+    )
+
+
+@query(
     "vector_ops",
     oracle="""
     SELECT vec_id,

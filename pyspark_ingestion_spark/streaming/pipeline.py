@@ -2542,3 +2542,268 @@ def compact_semantic_index(
         on_uncommitted,
         mode,
     )
+
+
+# --------------------------------------------- fingerprint admission sink
+#
+# The MULTIMODAL member of the indexed streaming admission family (LSH
+# text: stream_dedup_admission; exact substring:
+# stream_substring_admission; embeddings: stream_semantic_admission):
+# continuous perceptual dedup over opaque media payloads. The index
+# stores one row per admitted item — its 64-bit perceptual hash in two
+# 32-bit halves — and, like the semantic sink's buckets, the stored row
+# is a pure function of the payload alone: NO staleness is possible,
+# compaction is plain concatenation, and no micro-batch ever re-decodes
+# a corpus payload (decode runs once per batch, on the batch).
+
+#: (doc, hi, lo) — 64-bit perceptual hash halves, appended per batch.
+_IDX_FPRINTS = "fprints"
+
+
+def _fp_rows(hashed: DataFrame, hash_cols: tuple[str, str]) -> DataFrame:
+    """Normalize a hash operator's output (``image_dhash`` → (doc_id,
+    dh_hi, dh_lo), ``audio_fhash`` → (doc_id, fh_hi, fh_lo)) to the
+    index layout (doc, hi, lo)."""
+    return hashed.select(
+        F.col("doc_id").alias("doc"),
+        F.col(hash_cols[0]).alias("hi"),
+        F.col(hash_cols[1]).alias("lo"),
+    )
+
+
+def init_fingerprint_admission_index(
+    base_fp: DataFrame, index_path: str
+) -> None:
+    """One-time bootstrap: persist the base corpus's normalized
+    fingerprint rows (doc, hi, lo) into ``__batch_id=-1`` — the only
+    time the indexed path ever decodes base payloads. Idempotent."""
+    from pyspark_ingestion_spark.sources.writers import overwrite_partitions
+
+    overwrite_partitions(
+        base_fp.withColumn("__batch_id", F.lit(-1)),
+        f"{index_path}/{_IDX_FPRINTS}",
+        ["__batch_id"],
+    )
+
+
+def _fingerprint_rejects_indexed(
+    spark: SparkSession,
+    batch_fp: DataFrame,
+    index_path: str,
+    batch_id: int,
+    radius: int,
+) -> DataFrame:
+    """Index-driven perceptual admission for one micro-batch: batch ids
+    within ``radius`` Hamming bits of any stored corpus fingerprint.
+    Semantics ≡ ``operators.multimodal.fingerprint_batch_rejects``
+    against hash rows of (base ∪ admitted-so-far) — the index holds
+    exactly those rows, and the verify computes on STORED halves.
+    Module-level so tests pin the plan property: the only file input is
+    the fprints index (never a payload source), the batch bands
+    broadcast into the band equi-join, and banding is exact for
+    radius ≤ 7 (pigeonhole). Replay self-excludes the current batch id."""
+    from pyspark_ingestion_spark.operators.multimodal import (
+        fingerprint_batch_rejects,
+    )
+
+    idx = (
+        spark.read.parquet(f"{index_path}/{_IDX_FPRINTS}")
+        .filter(F.col("__batch_id").cast("long") != batch_id)
+        .select("doc", "hi", "lo")
+    )
+    return fingerprint_batch_rejects(idx, batch_fp, radius=radius)
+
+
+def _admit_fingerprint_batch_indexed(
+    batch_df: DataFrame,
+    batch_id: int,
+    base_media: DataFrame,
+    out_path: str,
+    index_path: str,
+    hash_fn,
+    hash_cols: tuple[str, str],
+    id_col: str,
+    radius: int,
+) -> None:
+    """One micro-batch of indexed ``stream_fingerprint_admission``:
+    decode + hash the batch ONCE (localCheckpoint — every join against
+    it broadcasts, per the stats-free-frame rule), reject via
+    :func:`_fingerprint_rejects_indexed`, append admitted media rows and
+    their fingerprint rows under the shared ``__batch_id``
+    replay-overwrite contract. Module-level for replay testability."""
+    from pyspark.errors import AnalysisException
+
+    from pyspark_ingestion_spark.sources.writers import overwrite_partitions
+
+    spark = batch_df.sparkSession
+    try:  # bootstrap once; cheap existence probe afterwards
+        has_base = bool(
+            spark.read.parquet(f"{index_path}/{_IDX_FPRINTS}")
+            .filter(F.col("__batch_id").cast("long") == -1)
+            .head(1)
+        )
+    except AnalysisException:
+        has_base = False
+    if not has_base:
+        init_fingerprint_admission_index(
+            _fp_rows(hash_fn(base_media), hash_cols), index_path
+        )
+
+    batch_fp = _fp_rows(hash_fn(batch_df), hash_cols).localCheckpoint(eager=False)
+    rejects = _fingerprint_rejects_indexed(
+        spark, batch_fp, index_path, batch_id, radius
+    ).withColumnRenamed("doc", id_col)
+    admitted = batch_df.join(F.broadcast(rejects), id_col, "left_anti").localCheckpoint(
+        eager=False
+    )
+    overwrite_partitions(
+        admitted.withColumn("__batch_id", F.lit(batch_id)), out_path, ["__batch_id"]
+    )
+    adm_fp = batch_fp.join(
+        F.broadcast(admitted.select(F.col(id_col).alias("doc"))), "doc"
+    )
+    overwrite_partitions(
+        adm_fp.withColumn("__batch_id", F.lit(batch_id)),
+        f"{index_path}/{_IDX_FPRINTS}",
+        ["__batch_id"],
+    )
+
+
+def stream_fingerprint_admission(
+    stream_df: DataFrame,
+    base_media: DataFrame,
+    out_path: str,
+    checkpoint: str,
+    hash_fn=None,
+    hash_cols: tuple[str, str] = ("dh_hi", "dh_lo"),
+    id_col: str = "doc_id",
+    radius: int = 7,
+    index_path: str | None = None,
+    compact_every: int | None = None,
+    compact_major_every: int | None = None,
+) -> None:
+    """Continuous PERCEPTUAL admission over media payloads — the
+    multimodal member of the indexed streaming admission family: each
+    micro-batch decodes + hashes its own payloads (``hash_fn``:
+    ``operators.multimodal.image_dhash`` by default; pass
+    ``audio_fhash`` + ``hash_cols=("fh_hi", "fh_lo")`` for WAV clips —
+    ONE sink serves every 64-bit fingerprint family member), rejects
+    items within ``radius`` Hamming bits of the growing corpus (base +
+    everything admitted so far — exact, banding is pigeonhole-complete
+    at radius ≤ 7), and appends the surviving media rows.
+
+    With ``index_path`` (the PRODUCTION form) the corpus's fingerprint
+    table is maintained incrementally — 16 bytes per admitted item —
+    so no micro-batch ever re-decodes or even reads a corpus payload
+    (plan-proved in tests); without it, the recompute form re-hashes
+    (base ∪ admitted) each batch. Exactly-once via the same
+    ``__batch_id`` dynamic-overwrite contract as the other sinks;
+    ``compact_every`` / ``compact_major_every``: same in-sink LSM
+    policy (:func:`compact_fingerprint_index` — plain concatenation,
+    stored rows are pure payload functions, no staleness)."""
+    from pyspark.errors import AnalysisException
+
+    from pyspark_ingestion_spark.operators.multimodal import (
+        fingerprint_batch_rejects,
+        image_dhash,
+    )
+    from pyspark_ingestion_spark.sources.writers import overwrite_partitions
+
+    if hash_fn is None:
+        hash_fn = image_dhash
+    if not 0 <= radius <= 7:
+        raise ValueError(
+            f"radius must be in [0, 7] (8-band pigeonhole bound), got {radius}"
+        )
+    if compact_every is not None and (index_path is None or compact_every < 1):
+        raise ValueError("compact_every requires index_path and a positive interval")
+    if compact_major_every is not None and (
+        compact_every is None
+        or compact_major_every < compact_every
+        or compact_major_every % compact_every != 0
+    ):
+        raise ValueError(
+            "compact_major_every requires compact_every and must be a "
+            "positive multiple of it (majors run on compaction batches)"
+        )
+    major_every = (
+        compact_major_every
+        if compact_major_every is not None
+        else (compact_every * 8 if compact_every else None)
+    )
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        if index_path is not None:
+            if compact_every and batch_id > 0 and batch_id % compact_every == 0:
+                compact_fingerprint_index(
+                    batch_df.sparkSession,
+                    index_path,
+                    checkpoint=checkpoint,
+                    on_uncommitted="skip",
+                    mode=(
+                        "major"
+                        if major_every and batch_id % major_every == 0
+                        else "minor"
+                    ),
+                )
+            _admit_fingerprint_batch_indexed(
+                batch_df, batch_id, base_media, out_path, index_path,
+                hash_fn=hash_fn, hash_cols=hash_cols, id_col=id_col,
+                radius=radius,
+            )
+            return
+        spark = batch_df.sparkSession
+        corpus = base_media.select(id_col, "payload")
+        try:
+            prev = (
+                spark.read.parquet(out_path)
+                .filter(F.col("__batch_id").cast("long") != batch_id)
+                .select(id_col, "payload")
+            )
+            corpus = corpus.unionByName(prev)
+        except AnalysisException:  # first batch: nothing admitted yet
+            pass
+        rejects = fingerprint_batch_rejects(
+            _fp_rows(hash_fn(corpus), hash_cols),
+            _fp_rows(hash_fn(batch_df), hash_cols),
+            radius=radius,
+        ).withColumnRenamed("doc", id_col)
+        admitted = batch_df.join(F.broadcast(rejects), id_col, "left_anti")
+        overwrite_partitions(
+            admitted.withColumn("__batch_id", F.lit(batch_id)),
+            out_path,
+            ["__batch_id"],
+        )
+
+    q = (
+        stream_df.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
+def compact_fingerprint_index(
+    spark: SparkSession,
+    index_path: str,
+    checkpoint: str | None = None,
+    on_uncommitted: str = "raise",
+    mode: str = "major",
+) -> int:
+    """Fold the fingerprint index's per-batch partitions — plain
+    concatenation (an item is admitted once and its hash never changes).
+    Same write-ahead staging, commit guard and LSM minor/major tiers as
+    the other sinks; returns partitions removed."""
+    return _compact_versioned_table(
+        spark,
+        f"{index_path}/{_IDX_FPRINTS}",
+        lambda path, ids: (
+            spark.read.parquet(path)
+            .filter(F.col("__batch_id").cast("long").isin(ids))
+            .select("doc", "hi", "lo")
+        ),
+        checkpoint,
+        on_uncommitted,
+        mode,
+    )

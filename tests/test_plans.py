@@ -26,7 +26,7 @@ _PANDAS_OK = {"multimodal_decode", "multimodal_decode_real",
               "multimodal_frame_sample",
               "multimodal_features", "multimodal_resize",
               "multimodal_ann_pipeline", "dedup_image_phash",
-              "dedup_audio_fhash",
+              "dedup_audio_fhash", "dedup_incremental_image",
               "multimodal_bmp_pixel_stats", "multimodal_wav_sample_stats",
               "multimodal_png_pixel_stats", "multimodal_gif_pixel_stats",
               "multimodal_jpeg_pixel_stats", "multimodal_jpeg420_pixel_stats",
@@ -571,6 +571,7 @@ _BNLJ_OK = {
     "agg_equidepth_histogram", "agg_theta_set_overlap",
     "ann_bruteforce_topk", "ann_cosine_range_search", "ann_ivf_kmeans_topk",
     "ann_hamming_topk",  # ≤10-row packed query set broadcast into the scan
+    "ann_hamming_rerank_topk",  # same broadcast query set + shortlist rerank
     "ann_ivf_nprobe_topk", "ann_ivf_pq_topk", "ann_ivf_topk", "ann_recall_eval",
     "ann_ivf_pq_adc_fixture",  # same ivf_pq_topk broadcast-centroid shape
     "dedup_substring_sampling_eval",  # one-row scalar agg crossJoin (broadcast)

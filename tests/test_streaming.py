@@ -1520,6 +1520,176 @@ def test_stream_semantic_admission_matches_recompute_and_restarts(
     assert {r["vec_id"] for r in rejects.collect()} == {99}  # ~base → reject
 
 
+@pytest.mark.parametrize("medium", ["image", "audio"])
+def test_stream_fingerprint_admission_matches_recompute_and_restarts(
+    spark, tmp_path, medium
+):
+    """The fingerprint streaming sink — the MULTIMODAL member of the
+    indexed admission family, one sink serving both 64-bit perceptual
+    hash kinds (parametrized: image dHash over real BMP pixels / audio
+    fHash over real PCM samples): indexed form ≡ recompute form ≡ a
+    sequential fingerprint_batch_rejects loop on the same micro-batches
+    (growing corpus: batch 2's reject exists only because batch 1
+    admitted), across a checkpoint restart with in-sink majors
+    interleaved. Replay reproduces (never erases) output and index
+    rows. Plan property: the indexed rejects read ONLY the fprints
+    index — no payload source appears, because the index stores the
+    hash halves the Hamming verify needs (decode runs once per batch,
+    on the batch)."""
+    from pyspark_ingestion_spark.operators.multimodal import (
+        audio_fhash,
+        fingerprint_batch_rejects,
+        image_dhash,
+        synthesize_bmp_payload,
+        synthesize_wav_payload,
+    )
+    from pyspark_ingestion_spark.streaming.pipeline import (
+        _admit_fingerprint_batch_indexed,
+        _fingerprint_rejects_indexed,
+        _fp_rows,
+        stream_fingerprint_admission,
+    )
+
+    if medium == "image":
+        synth = lambda df: synthesize_bmp_payload(df, "doc_id", "text", width=12)
+        hash_fn, hash_cols = image_dhash, ("dh_hi", "dh_lo")
+    else:
+        synth = lambda df: synthesize_wav_payload(df, "doc_id", "text")
+        hash_fn, hash_cols = audio_fhash, ("fh_hi", "fh_lo")
+
+    t_base = "the quick brown fox jumps over the lazy dog " * 8
+    t_b = "completely different pixel content everywhere!! " * 8
+    t_c = "third unrelated signal plane with other bytes... " * 8
+    t_d = "and a fourth independent payload, nothing alike! " * 8
+
+    def near(t):  # local edit: a few Hamming bits, well inside radius 7
+        return "zzz" + t[3:]
+
+    def media_rows(pairs):
+        df = spark.createDataFrame(pairs, "doc_id long, text string")
+        return [
+            (r["doc_id"], bytearray(r["payload"]))
+            for r in synth(df).collect()
+        ]
+
+    schema = "doc_id long, payload binary"
+    base_media = spark.createDataFrame(media_rows([(0, t_base)]), schema)
+    file_a = media_rows([(10, near(t_base)), (11, t_b)])  # reject 10, admit 11
+    file_b = media_rows([(12, near(t_b)), (13, t_c)])  # 12 rejects ONLY via 11
+    file_c = media_rows([(14, near(t_c)), (15, t_d)])  # reject 14, admit 15
+    kwargs = dict(hash_fn=hash_fn, hash_cols=hash_cols, id_col="doc_id", radius=7)
+
+    src = str(tmp_path / "src")
+    _mk_admission_files(spark, tmp_path, src, [("a", file_a), ("b", file_b)],
+                        schema=schema)
+
+    def run(out, ckpt, index_path):
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src)
+        )
+        extra = (
+            dict(compact_every=1, compact_major_every=1) if index_path else {}
+        )
+        stream_fingerprint_admission(
+            stream, base_media, out, ckpt, index_path=index_path, **kwargs,
+            **extra
+        )
+
+    out_r, out_i = str(tmp_path / "out_r"), str(tmp_path / "out_i")
+    index, ckpt_i = str(tmp_path / "index"), str(tmp_path / "ckpt_i")
+    run(out_r, str(tmp_path / "ckpt_r"), None)
+    run(out_i, ckpt_i, index)
+
+    def admitted(path):
+        return {
+            (int(r["__batch_id"]), r["doc_id"])
+            for r in spark.read.parquet(path).select("__batch_id", "doc_id").collect()
+        }
+
+    assert admitted(out_i) == admitted(out_r)
+    assert {d for _, d in admitted(out_i)} == {11, 13}
+
+    # sequential batch-mode model agrees
+    corpus_rows, model = list(media_rows([(0, t_base)])), set()
+    for rows in [file_a, file_b]:
+        corpus = spark.createDataFrame(corpus_rows, schema)
+        batch = spark.createDataFrame(rows, schema)
+        rej = {
+            r["doc"]
+            for r in fingerprint_batch_rejects(
+                _fp_rows(hash_fn(corpus), hash_cols),
+                _fp_rows(hash_fn(batch), hash_cols),
+                radius=7,
+            ).collect()
+        }
+        keep = [r for r in rows if r[0] not in rej]
+        model |= {r[0] for r in keep}
+        corpus_rows += keep
+    assert {d for _, d in admitted(out_i)} == model
+
+    # restart continues the same checkpoint + index
+    _mk_admission_files(spark, tmp_path, src, [("c", file_c)], schema=schema)
+    run(out_r, str(tmp_path / "ckpt_r"), None)
+    run(out_i, ckpt_i, index)
+    assert admitted(out_i) == admitted(out_r)
+    assert {d for _, d in admitted(out_i)} == {11, 13, 15}
+
+    # the mid-stream majors really folded: only {-1, last batch} survive
+    parts = {
+        int(r["__batch_id"])
+        for r in spark.read.parquet(f"{index}/fprints")
+        .select("__batch_id").distinct().collect()
+    }
+    assert parts <= {-1, 2}, parts
+
+    # REPLAY of the last batch reproduces output + index rows exactly
+    def snap():
+        return (
+            admitted(out_i),
+            frozenset(
+                (r["doc"], r["hi"], r["lo"], int(r["__batch_id"]))
+                for r in spark.read.parquet(f"{index}/fprints").collect()
+            ),
+        )
+
+    want = snap()
+    batch_c = spark.createDataFrame(file_c, schema)
+    _admit_fingerprint_batch_indexed(
+        batch_c, 2, base_media, out_i, index, **kwargs
+    )
+    assert snap() == want
+
+    # plan property: the indexed rejects read NO payload source — only
+    # the fprints index; the band equi-join broadcasts the batch bands
+    # and the single shuffle is the batch-bounded rejects distinct
+    probe_fp = _fp_rows(
+        hash_fn(spark.createDataFrame(media_rows([(99, t_base)]), schema)),
+        hash_cols,
+    ).localCheckpoint(eager=False)
+    rejects = _fingerprint_rejects_indexed(spark, probe_fp, index, 99, 7)
+    files = rejects.inputFiles()
+    assert files and all("/fprints/" in f for f in files), files
+    from pyspark_ingestion_spark.plans.explain import (
+        formatted_plan,
+        shuffle_count,
+    )
+
+    fp_plan = formatted_plan(rejects)
+    assert shuffle_count(rejects) <= 1, fp_plan
+    assert "SortMergeJoin" not in fp_plan
+    assert {r["doc"] for r in rejects.collect()} == {99}  # ~base → reject
+
+    # radius beyond the pigeonhole bound fails loud on both surfaces
+    with pytest.raises(ValueError, match="radius"):
+        fingerprint_batch_rejects(probe_fp, probe_fp, radius=8)
+    with pytest.raises(ValueError, match="radius"):
+        stream_fingerprint_admission(
+            None, base_media, out_i, ckpt_i, radius=9
+        )
+
+
 def test_substring_dfcnt_ledger_plan_parity_and_backfill(spark, tmp_path):
     """r8 (clears the r7 weak flag): the substring index's window-df cap
     resolves from the incrementally-maintained ``dfcnt`` ledger, never a
