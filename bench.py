@@ -175,6 +175,71 @@ def _stream_substring_batches(
         shutil.rmtree(tmp, ignore_errors=True)
 
 
+def _stream_fingerprint_batches(
+    spark, corpus_n: int = 5_000, n_batches: int = 4, batch_rows: int = 200,
+) -> list[float]:
+    """Per-batch wall-clock of INDEXED perceptual fingerprint streaming
+    admission (image dHash, radius 7) on a fixed deterministic workload
+    — the sink body of ``stream_fingerprint_admission(index_path=...)``,
+    which equivalence tests pin to the recompute form. ~5% of each
+    batch's images are near-duplicates of corpus images (3-char local
+    edit) so the Hamming verify really rejects. Returns steady-state
+    batch times (batch 0 pays the one-time base decode bootstrap and is
+    dropped)."""
+    import random
+    import shutil
+    import tempfile
+
+    from pyspark_ingestion_spark.operators.multimodal import (
+        image_dhash,
+        synthesize_bmp_payload,
+    )
+    from pyspark_ingestion_spark.streaming.pipeline import (
+        _admit_fingerprint_batch_indexed,
+    )
+
+    def texts(n, seed, start=0):
+        rnd = random.Random(seed)
+        return [
+            (start + i,
+             "".join(chr(rnd.randrange(32, 127)) for _ in range(360)))
+            for i in range(n)
+        ]
+
+    corpus_texts = texts(corpus_n, seed=5)
+
+    def synth(rows, parts):
+        return synthesize_bmp_payload(
+            spark.createDataFrame(rows, "doc_id long, text string"),
+            "doc_id", "text", width=12,
+        ).coalesce(parts)
+
+    tmp = tempfile.mkdtemp(prefix="bench_fpstream_")
+    try:
+        synth(corpus_texts, 8).write.mode("overwrite").parquet(f"{tmp}/base")
+        base = spark.read.parquet(f"{tmp}/base")
+        times = []
+        for bid in range(n_batches):
+            rnd = random.Random(100 + bid)
+            rows = texts(batch_rows, 100 + bid, start=corpus_n + bid * 10_000)
+            rows += [
+                (corpus_n + bid * 10_000 + batch_rows + i,
+                 "@@@" + corpus_texts[rnd.randrange(corpus_n)][1][3:])
+                for i in range(batch_rows // 20)
+            ]
+            bdf = synth(rows, 2)
+            t0 = time.perf_counter()
+            _admit_fingerprint_batch_indexed(
+                bdf, bid, base, f"{tmp}/out", f"{tmp}/index",
+                hash_fn=image_dhash, hash_cols=("dh_hi", "dh_lo"),
+                id_col="doc_id", radius=7,
+            )
+            times.append(round(time.perf_counter() - t0, 3))
+        return times[1:]
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 def _ivf_pq_split(spark, sf_dir: str) -> tuple[float, float]:
     """ann_ivf_pq_topk with the FIT (KMeans centroid + 8 PQ codebook
     trainings — an ingest-time one-off in production) timed separately
@@ -278,6 +343,9 @@ def main() -> None:
     # now that its hot-window lookup rides the dfcnt ledger instead of a
     # corpus-wide aggregate (anchor round r8)
     runs["stream_substring_ledger_batch"] = _stream_substring_batches(spark)
+    # r9: the multimodal member's steady-state batch (image dHash
+    # admission on the fprints index; anchor round r9)
+    runs["stream_fingerprint_batch"] = _stream_fingerprint_batches(spark)
 
     timings = {n: min(rs) for n, rs in runs.items()}
     detail = {
@@ -310,7 +378,8 @@ def main() -> None:
         "corpus_full_pipeline", "dedup_semantic_keep_one", "word_cooccurrence_pmi",
         "dedup_substring_spans", "ann_ivf_pq_topk",
         "pagerank_copurchase", "entity_canonical_keep_one",
-        "stream_admission_hotlog_batch", "stream_substring_ledger_batch")]
+        "stream_admission_hotlog_batch", "stream_substring_ledger_batch",
+        "stream_fingerprint_batch")]
     print(
         json.dumps(
             {
