@@ -2144,3 +2144,48 @@ def test_image_dhash_matches_python_model(spark, texts):
     }
     want = {i: _image_dhash_py(t.encode(), 12) for i, t in enumerate(texts)}
     assert got == want
+
+
+_HASH32 = st.integers(0, 2**32 - 1)
+
+
+@settings(max_examples=5, deadline=None)
+@given(
+    st.lists(st.tuples(_HASH32, _HASH32), min_size=1, max_size=20),
+    st.lists(st.tuples(_HASH32, _HASH32), min_size=1, max_size=12),
+    st.integers(0, 7),
+)
+def test_fingerprint_batch_rejects_equals_bruteforce(
+    spark, corpus, batch, radius
+):
+    """fingerprint_batch_rejects (the banded admission core shared by
+    the image/audio dedup queries and stream_fingerprint_admission)
+    equals a brute-force Python Hamming scan on RANDOM 64-bit hashes —
+    pinning the band-split shiftright/mask arithmetic and the
+    pigeonhole-completeness claim (banding at radius ≤ 7 loses no pair)
+    beyond the structured-payload oracle cases."""
+    from pyspark_ingestion_spark.operators.multimodal import (
+        fingerprint_batch_rejects,
+    )
+
+    cdf = spark.createDataFrame(
+        [(i, hi, lo) for i, (hi, lo) in enumerate(corpus)],
+        "doc long, hi long, lo long",
+    )
+    bdf = spark.createDataFrame(
+        [(1000 + i, hi, lo) for i, (hi, lo) in enumerate(batch)],
+        "doc long, hi long, lo long",
+    )
+    got = {
+        r["doc"]
+        for r in fingerprint_batch_rejects(cdf, bdf, radius=radius).collect()
+    }
+    want = {
+        1000 + i
+        for i, (bh, bl) in enumerate(batch)
+        if any(
+            bin((bh ^ ch)).count("1") + bin((bl ^ cl)).count("1") <= radius
+            for ch, cl in corpus
+        )
+    }
+    assert got == want
