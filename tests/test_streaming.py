@@ -2280,3 +2280,114 @@ def test_semantic_in_sink_compaction_commit_guard(spark, tmp_path, quantizer):
             (r["centroid_id"], tuple(r["cvec"]))
             for r in kwargs["centroids"].collect()
         }
+
+
+def test_fingerprint_in_sink_compaction_commit_guard(spark, tmp_path):
+    """The fingerprint member of the in-sink auto-compaction pin — the
+    same commit-guard contract the other three sinks prove: a skip-mode
+    compaction run while the LAST batch's partitions sit on disk
+    UNCOMMITTED (the crash-before-commit window) folds everything
+    EXCEPT that partition, replaying the batch afterwards reproduces
+    the exact effective state, and a full-commit major folds to the
+    base partition with (doc, hi, lo) rows preserved exactly."""
+    import os as _os
+
+    from pyspark_ingestion_spark.operators.multimodal import (
+        image_dhash,
+        synthesize_bmp_payload,
+    )
+    from pyspark_ingestion_spark.streaming.pipeline import (
+        _admit_fingerprint_batch_indexed,
+        compact_fingerprint_index,
+        stream_fingerprint_admission,
+    )
+
+    t0 = "the quick brown fox jumps over the lazy dog " * 8
+    t1 = "completely different pixel content everywhere!! " * 8
+    t2 = "third unrelated signal plane with other bytes... " * 8
+    t3 = "and a fourth independent payload, nothing alike! " * 8
+
+    def media_rows(pairs):
+        df = spark.createDataFrame(pairs, "doc_id long, text string")
+        return [
+            (r["doc_id"], bytearray(r["payload"]))
+            for r in synthesize_bmp_payload(df, "doc_id", "text", width=12).collect()
+        ]
+
+    schema = "doc_id long, payload binary"
+    base_media = spark.createDataFrame(media_rows([(0, t0)]), schema)
+    file_a = media_rows([(10, "zzz" + t0[3:]), (11, t1)])
+    file_b = media_rows([(12, "zzz" + t1[3:]), (13, t2)])
+    file_c = media_rows([(14, "zzz" + t2[3:]), (15, t3)])
+    kwargs = dict(hash_fn=image_dhash, hash_cols=("dh_hi", "dh_lo"),
+                  id_col="doc_id", radius=7)
+
+    src = str(tmp_path / "src")
+    out, index = str(tmp_path / "out"), str(tmp_path / "index")
+    ckpt = str(tmp_path / "ckpt")
+    _mk_admission_files(
+        spark, tmp_path, src,
+        [("a", file_a), ("b", file_b), ("c", file_c)], schema=schema,
+    )
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    stream_fingerprint_admission(
+        stream, base_media, out, ckpt, index_path=index,
+        compact_every=1, compact_major_every=1, **kwargs,
+    )
+
+    def snap():
+        return (
+            frozenset(
+                (int(r["__batch_id"]), r["doc_id"])
+                for r in spark.read.parquet(out)
+                .select("__batch_id", "doc_id").collect()
+            ),
+            frozenset(
+                (r["doc"], r["hi"], r["lo"], int(r["__batch_id"]))
+                for r in spark.read.parquet(f"{index}/fprints").collect()
+            ),
+        )
+
+    want = snap()
+    assert {d for _, d in want[0]} == {11, 13, 15}
+
+    # crash window: batch 2's partitions on disk, its commit marker
+    # absent → skip-mode compaction must leave them out of the fold
+    fake_ckpt = str(tmp_path / "fake_ckpt")
+    _os.makedirs(_os.path.join(fake_ckpt, "commits"), exist_ok=True)
+    for b in range(2):
+        with open(_os.path.join(fake_ckpt, "commits", str(b)), "w") as f:
+            f.write("v1")
+    compact_fingerprint_index(spark, index, checkpoint=fake_ckpt,
+                              on_uncommitted="skip")
+    parts = {
+        int(r["__batch_id"])
+        for r in spark.read.parquet(f"{index}/fprints")
+        .select("__batch_id").distinct().collect()
+    }
+    assert parts <= {-1, 2}, parts
+
+    # replay the uncommitted batch → identical effective state
+    batch_c = spark.createDataFrame(file_c, schema)
+    _admit_fingerprint_batch_indexed(batch_c, 2, base_media, out, index,
+                                     **kwargs)
+    assert snap() == want
+
+    # full commit + major: everything folds to the base partition with
+    # (doc, hi, lo) rows preserved exactly
+    compact_fingerprint_index(spark, index)
+    parts = {
+        int(r["__batch_id"])
+        for r in spark.read.parquet(f"{index}/fprints")
+        .select("__batch_id").distinct().collect()
+    }
+    assert parts == {-1}
+    folded = frozenset(
+        (r["doc"], r["hi"], r["lo"])
+        for r in spark.read.parquet(f"{index}/fprints").collect()
+    )
+    assert folded == frozenset((d, h, l) for d, h, l, _ in want[1])
