@@ -22,8 +22,13 @@ dominant camera/web form, full interleaved-MCU geometry) plus
 PROGRESSIVE (SOF2, full annex G: spectral selection, successive
 approximation with G.1.2.3 correction bits, EOB runs) — all decoded
 by ``media_signal_features`` into oracle-checked luma/RMS statistics.
+VIDEO is real too (round-9): MJPEG-in-AVI — the RIFF chunk grammar
+walked for real (hdrl/strl stream headers validated, movi frames
+extracted) with every frame decoded through the same JPEG pipeline
+(``video_frame_stats``, per-frame oracle-checked).
 What remains behind ``NotImplementedError``, stated just as plainly:
-arithmetic-coded and lossless JPEG, video containers, and LEARNED
+arithmetic-coded and lossless JPEG, INTER-FRAME video codecs
+(H.264/VP9 — a codec runtime, not container work), and LEARNED
 feature extraction (needs a model runtime);
 the deterministic fake path exercises the exact same schema,
 partitioning, UDF signature and batch shape, so those swaps stay
@@ -961,8 +966,9 @@ def media_signal_features(media: DataFrame) -> DataFrame:
                         "subsampling (pure-python Huffman + dequant + IDCT) "
                         "and PCM WAV; JPEG covers baseline (grayscale/"
                         "4:4:4/4:2:0/4:2:2), progressive (SOF2) and both "
-                        "DQT precisions; the remaining gate is arithmetic-"
-                        "coded JPEG and video containers"
+                        "DQT precisions; MJPEG-in-AVI video decodes via "
+                        "video_frame_stats; the remaining gate is "
+                        "arithmetic-coded JPEG and inter-frame codecs"
                     )
                 n = len(vals)
                 s1 = sum(vals)
@@ -1181,8 +1187,9 @@ def synthesize_wav_payload(df: DataFrame, id_col: str, text_col: str) -> DataFra
 # run-length AC entropy decode, dequantization, 8x8 inverse DCT, level
 # shift — for baseline sequential (SOF0/1, grayscale/4:4:4/4:2:0/4:2:2)
 # AND progressive (SOF2, full annex G), with 8- and 16-bit quant
-# tables. What stays honestly gated: arithmetic-coded/lossless JPEG,
-# video, learned feature extraction.
+# tables. MJPEG-in-AVI video rides the same pipeline per frame. What
+# stays honestly gated: arithmetic-coded/lossless JPEG, inter-frame
+# video codecs, learned feature extraction.
 
 #: JPEG Annex K example luminance Huffman specs (public ITU T.81 tables):
 #: (BITS counts for lengths 1..16, HUFFVAL symbol list)
@@ -2344,5 +2351,230 @@ def synthesize_jpeg_progressive_payload(
         df, id_col, text_col,
         lambda pix, w, h: _jpeg_encode_gray_progressive(
             pix, w, h, _JPEG_FIXTURE_QUANT
+        ),
+    )
+
+
+# ---------------------------------------------------------- video (MJPEG/AVI)
+#
+# Video joins the REAL tier (r9): MJPEG-in-AVI is a RIFF container — the
+# same chunk grammar the WAV reader already walks — around per-frame
+# baseline JPEGs, which the engine genuinely decodes. What stays behind
+# the honest gate after this: INTER-FRAME codecs (H.264/VP9/AV1 need a
+# codec runtime), not "video" wholesale.
+
+#: fixture frame geometry: one 32-block row per frame → every frame of
+#: every doc is 256×8 px, so a single AVI stream header describes all.
+_AVI_FRAME_BYTES = 32
+
+
+def _avi_build(frames: list[bytes], width: int, height: int,
+               fps: int = 10) -> bytes:
+    """A REAL, well-formed RIFF AVI wrapping MJPEG frames: 'hdrl' LIST
+    (avih main header + one 'strl' video stream: strh fourcc 'vids'/
+    handler 'MJPG' + strf BITMAPINFOHEADER), 'movi' LIST of '00dc'
+    chunks (word-aligned per RIFF), and the idx1 index players expect.
+    Pure struct packing — byte-exact and deterministic."""
+    import struct
+
+    def chunk(fourcc: bytes, body: bytes) -> bytes:
+        pad = b"\x00" if len(body) & 1 else b""
+        return fourcc + struct.pack("<I", len(body)) + body + pad
+
+    def lst(kind: bytes, body: bytes) -> bytes:
+        return chunk(b"LIST", kind + body)
+
+    usec_per_frame = 1_000_000 // fps
+    max_bytes = max((len(f) for f in frames), default=0)
+    avih = struct.pack(
+        "<IIIIIIIIIIIIII",
+        usec_per_frame, max_bytes * fps, 0, 0x10,  # AVIF_HASINDEX
+        len(frames), 0, 1, max_bytes, width, height, 0, 0, 0, 0,
+    )
+    strh = struct.pack(
+        "<4s4sIHHIIIIIIIIhhhh",
+        b"vids", b"MJPG", 0, 0, 0, 0, 1, fps, 0, len(frames),
+        max_bytes, 0, 0, 0, 0, width, height,
+    )
+    strf = struct.pack(
+        "<IiiHH4sIiiII", 40, width, height, 1, 24, b"MJPG",
+        width * height * 3, 0, 0, 0, 0,
+    )
+    hdrl = lst(b"hdrl", chunk(b"avih", avih)
+               + lst(b"strl", chunk(b"strh", strh) + chunk(b"strf", strf)))
+    movi_body = b"movi"
+    idx_entries = []
+    for f in frames:
+        # idx1 offsets point at the chunk fourcc, relative to 'movi'
+        idx_entries.append((len(movi_body), len(f)))
+        movi_body += chunk(b"00dc", f)
+    movi = chunk(b"LIST", movi_body)
+    idx1 = chunk(
+        b"idx1",
+        b"".join(
+            b"00dc" + struct.pack("<III", 0x10, off, size)  # AVIIF_KEYFRAME
+            for off, size in idx_entries
+        ),
+    )
+    riff_body = b"AVI " + hdrl + movi + idx1
+    return b"RIFF" + struct.pack("<I", len(riff_body)) + riff_body
+
+
+def _avi_frame_payloads(payload: bytes) -> tuple[int, int, list[bytes]]:
+    """Walk a RIFF AVI and return (width, height, [mjpeg frame bytes]).
+    Validates the grammar it relies on — RIFF/'AVI ' magic, a 'vids'
+    stream handled by 'MJPG', a BITMAPINFOHEADER, the 'movi' LIST —
+    and raises ValueError on anything malformed or non-MJPEG (the
+    honest-gate contract: fail loud, never guess)."""
+    import struct
+
+    p = bytes(payload)
+    if len(p) < 12 or p[:4] != b"RIFF" or p[8:12] != b"AVI ":
+        raise ValueError("not a RIFF AVI payload")
+    (riff_size,) = struct.unpack_from("<I", p, 4)
+    if 8 + riff_size > len(p):
+        raise ValueError("truncated RIFF payload")
+
+    def chunks(buf: bytes, pos: int, end: int):
+        while pos + 8 <= end:
+            fourcc = buf[pos:pos + 4]
+            (size,) = struct.unpack_from("<I", buf, pos + 4)
+            body_start = pos + 8
+            if body_start + size > end:
+                raise ValueError("truncated RIFF chunk")
+            yield fourcc, body_start, size
+            pos = body_start + size + (size & 1)
+
+    width = height = None
+    fourcc_ok = False
+    frames: list[bytes] = []
+    n_declared = None
+    for fourcc, start, size in chunks(p, 12, 8 + riff_size):
+        if fourcc != b"LIST":
+            continue
+        kind = p[start:start + 4]
+        if kind == b"hdrl":
+            for fc2, s2, sz2 in chunks(p, start + 4, start + size):
+                if fc2 == b"LIST" and p[s2:s2 + 4] == b"strl":
+                    for fc3, s3, sz3 in chunks(p, s2 + 4, s2 + sz2):
+                        if fc3 == b"strh":
+                            if p[s3:s3 + 4] != b"vids":
+                                raise ValueError("first stream is not video")
+                            if p[s3 + 4:s3 + 8] != b"MJPG":
+                                raise ValueError(
+                                    "only MJPG video streams decode natively"
+                                )
+                            (n_declared,) = struct.unpack_from("<I", p, s3 + 32)
+                            fourcc_ok = True
+                        elif fc3 == b"strf":
+                            width, height = struct.unpack_from("<ii", p, s3 + 4)
+        elif kind == b"movi":
+            for fc2, s2, sz2 in chunks(p, start + 4, start + size):
+                if fc2[2:4] in (b"dc", b"db"):
+                    frames.append(p[s2:s2 + sz2])
+    if not fourcc_ok or width is None:
+        raise ValueError("missing AVI stream headers")
+    if n_declared is not None and n_declared != len(frames):
+        raise ValueError(
+            f"stream header declares {n_declared} frames, movi has {len(frames)}"
+        )
+    return width, abs(height), frames
+
+
+#: per-frame decoded statistics rows.
+VIDEO_FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("frame_idx", T.IntegerType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("n_values", T.LongType()),
+        T.StructField("mean_val", T.DoubleType()),
+        T.StructField("rms", T.DoubleType()),
+    ]
+)
+
+
+def video_frame_stats(media: DataFrame) -> DataFrame:
+    """REAL per-frame video decode, Arrow-batched: walk each AVI's RIFF
+    structure, JPEG-decode every MJPEG frame through the engine's own
+    entropy+DCT pipeline, and emit one row per (doc, frame) with
+    integer-exact luma statistics — the video analogue of
+    ``media_signal_features``. Sums are exact int64 over luma millis
+    with one float division at the end, so a SQL oracle reproduces the
+    values from the fixture bytes."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out = {k: [] for k in ("doc_id", "frame_idx", "width", "height",
+                                   "n_values", "mean_val", "rms")}
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                w, h, frames = _avi_frame_payloads(payload)
+                for fi, fb in enumerate(frames):
+                    lm = _jpeg_luma_millis(fb)
+                    n = len(lm)
+                    if n != w * h:
+                        raise ValueError(
+                            f"frame {fi}: decoded {n} px, header says {w}x{h}"
+                        )
+                    s = sum(lm)
+                    s2 = sum(v * v for v in lm)
+                    out["doc_id"].append(doc_id)
+                    out["frame_idx"].append(fi)
+                    out["width"].append(w)
+                    out["height"].append(h)
+                    out["n_values"].append(n)
+                    out["mean_val"].append(round(s / (1000.0 * n), 6))
+                    out["rms"].append(round((s2 / (1e6 * n)) ** 0.5, 6))
+            yield pd.DataFrame(out)
+
+    return media.select("doc_id", "payload").mapInPandas(
+        batches, VIDEO_FRAME_SCHEMA
+    )
+
+
+def synthesize_avi_payload(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Deterministic REAL MJPEG-AVI payloads from a text column: the
+    UTF-8 bytes split into 32-byte frames (≥1; last frame zero-padded),
+    each frame one constant-8x8-block row (256×8 px) genuinely encoded
+    by the baseline JPEG encoder, wrapped in a well-formed RIFF AVI
+    (hdrl/strl headers, word-aligned movi chunks, idx1). Constant
+    blocks survive quantization exactly, so a SQL oracle computes every
+    frame's decoded statistics from the text bytes — same fixture
+    contract as ``synthesize_jpeg_payload``, extended to the time
+    axis."""
+    fb = _AVI_FRAME_BYTES
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            payloads = []
+            for t in pdf["__text"]:
+                data = t.encode("utf-8")
+                n_frames = max(1, -(-len(data) // fb))
+                padded = data.ljust(n_frames * fb, b"\x00")
+                frames = []
+                for f in range(n_frames):
+                    pix = bytearray(fb * 8 * 8)
+                    for bi in range(fb):
+                        val = padded[f * fb + bi]
+                        for yy in range(8):
+                            base = yy * fb * 8 + bi * 8
+                            pix[base:base + 8] = bytes([val]) * 8
+                    frames.append(
+                        _jpeg_encode_gray(bytes(pix), fb * 8, 8,
+                                          _JPEG_FIXTURE_QUANT)
+                    )
+                payloads.append(_avi_build(frames, fb * 8, 8))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+    return df.select(
+        F.col(id_col).alias("doc_id"), F.col(text_col).alias("__text")
+    ).mapInPandas(
+        batches,
+        T.StructType(
+            [
+                T.StructField("doc_id", T.LongType()),
+                T.StructField("payload", T.BinaryType()),
+            ]
         ),
     )

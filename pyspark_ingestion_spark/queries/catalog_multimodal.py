@@ -1054,9 +1054,9 @@ def multimodal_jpeg_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     and per-image mean luma / RMS come from integer-exact sums.
     Constant blocks survive quantization exactly (DC = 8·(v−128), DC
     step 8), so the oracle recomputes the identical statistics from the
-    text bytes. This query covers grayscale baseline; the 4:2:0 and
-    progressive companions extend it, leaving arithmetic-coded JPEG
-    and video as the honest codec remainder."""
+    text bytes. This query covers grayscale baseline; the 4:2:0, progressive and
+    MJPEG-video companions extend it, leaving arithmetic-coded JPEG
+    and inter-frame video codecs as the honest remainder."""
     from pyspark_ingestion_spark.operators.multimodal import (
         media_signal_features,
         synthesize_jpeg_payload,
@@ -1156,7 +1156,8 @@ def multimodal_jpeg_progressive_pixel_stats(spark: SparkSession, sf_dir: str) ->
     full-band refinement passes); progressive ≡ sequential decode is
     pinned bit-for-bit in pytest, and constant blocks keep the exact
     byte-arithmetic oracle. This closes the progressive gate — the
-    codec remainder is arithmetic-coded JPEG and video containers."""
+    codec remainder is arithmetic-coded JPEG and inter-frame video
+    codecs (MJPEG-in-AVI decodes for real: multimodal_video_frame_stats)."""
     from pyspark_ingestion_spark.operators.multimodal import (
         media_signal_features,
         synthesize_jpeg_progressive_payload,
@@ -1175,3 +1176,51 @@ def multimodal_jpeg_progressive_pixel_stats(spark: SparkSession, sf_dir: str) ->
         F.round("mean_val", 6).alias("mean_val"),
         F.round("rms", 6).alias("rms"),
     )
+
+
+@query(
+    "multimodal_video_frame_stats",
+    oracle="""
+    WITH d AS (SELECT doc_id, text, octet_length(encode(text)) AS nb FROM documents
+               WHERE octet_length(encode(text)) = length(text)),
+    dims AS (SELECT doc_id, text, nb,
+                    greatest(CAST(ceil(nb / 32.0) AS BIGINT), 1) AS n_frames
+             FROM d),
+    byt AS (SELECT doc_id, i // 32 AS f,
+                   CASE WHEN i < nb THEN ascii(substr(text, (i + 1)::INT, 1))
+                        ELSE 0 END AS b
+            FROM (SELECT doc_id, text, nb, n_frames,
+                         unnest(generate_series(0, n_frames * 32 - 1)) AS i
+                  FROM dims))
+    -- each byte is one constant 8x8 block: the 64x replication cancels
+    -- out of mean and rms but not n_values (32 blocks x 64 px per frame)
+    SELECT doc_id, CAST(f AS INT) AS frame_idx,
+           256 AS width, 8 AS height, CAST(2048 AS BIGINT) AS n_values,
+           ROUND(sum(b) / 32.0, 6) AS mean_val,
+           ROUND(sqrt(sum(b * b) / 32.0), 6) AS rms
+    FROM byt GROUP BY doc_id, f
+    """,
+)
+def multimodal_video_frame_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL VIDEO decode in pure Python (r9 — video leaves the honest
+    gate): documents' bytes become MJPEG-in-AVI clips — 32-byte frames,
+    each a constant-8x8-block row genuinely encoded by the baseline
+    JPEG encoder, wrapped in a well-formed RIFF AVI (hdrl/strl stream
+    headers, word-aligned movi '00dc' chunks, idx1) by
+    ``synthesize_avi_payload`` — and ``video_frame_stats`` walks the
+    container (the WAV reader's RIFF grammar), JPEG-decodes EVERY frame
+    through the engine's own entropy+DCT pipeline, and emits per-frame
+    integer-exact luma statistics. Constant blocks survive quantization
+    exactly, so the oracle recomputes every frame's mean/RMS from the
+    text bytes. The remaining honest codec gate is INTER-FRAME video
+    (H.264/VP9 — needs a codec runtime) and arithmetic-coded JPEG, not
+    'video' wholesale."""
+    from pyspark_ingestion_spark.operators.multimodal import (
+        synthesize_avi_payload,
+        video_frame_stats,
+    )
+
+    d = load_table(spark, sf_dir, "documents").filter(
+        F.octet_length("text") == F.length("text")  # ASCII ⇒ byte i = char i
+    )
+    return video_frame_stats(synthesize_avi_payload(d, "doc_id", "text"))

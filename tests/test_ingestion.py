@@ -1815,3 +1815,87 @@ def test_audio_fhash_perceptual_properties(spark):
     assert h1 == hoff, "DC offset must be hash-invariant (16-bit)"
     hneg = _audio_fhash_bits(wav16([-s for s in samples]))
     assert ham(h1, hneg) >= 8, "inverted signal is a different clip"
+
+
+def test_avi_mjpeg_video_decode_real(spark):
+    """Video's honest-gate exit (r9): synthesize_avi_payload builds
+    WELL-FORMED RIFF AVIs (hdrl/strl headers, word-aligned movi chunks,
+    an idx1 whose offsets really point at the frame chunks) around
+    genuinely-encoded MJPEG frames, and video_frame_stats decodes every
+    frame through the real JPEG pipeline. Pins: (1) per-frame stats
+    equal an independent Python model of the byte→frame split;
+    (2) the idx1/movi cross-check — offsets and sizes match the chunks
+    the walker finds; (3) the container walker fails LOUD on truncated
+    payloads, non-AVI RIFF, non-MJPG streams, and a stream header whose
+    declared frame count disagrees with movi."""
+    import math
+    import struct
+
+    import pytest as _pytest
+
+    from pyspark_ingestion_spark.operators.multimodal import (
+        _avi_frame_payloads,
+        synthesize_avi_payload,
+        video_frame_stats,
+    )
+
+    texts = [
+        (1, "hello world, this is a forty-seven byte string!"),  # 2 frames
+        (2, "x"),                                                # 1 frame, padded
+        (3, "A" * 96),                                           # exactly 3 frames
+        (4, "".join(chr(32 + (i * 7) % 95) for i in range(200))),  # 7 frames
+    ]
+    df = spark.createDataFrame(texts, "doc_id long, text string")
+    media = synthesize_avi_payload(df, "doc_id", "text")
+    got = {
+        (r["doc_id"], r["frame_idx"]): (
+            r["width"], r["height"], r["n_values"], r["mean_val"], r["rms"]
+        )
+        for r in video_frame_stats(media).collect()
+    }
+
+    want = {}
+    for doc_id, t in texts:
+        data = t.encode()
+        n_frames = max(1, -(-len(data) // 32))
+        padded = data.ljust(n_frames * 32, b"\x00")
+        for f in range(n_frames):
+            b = list(padded[f * 32:(f + 1) * 32])
+            want[(doc_id, f)] = (
+                256, 8, 2048,
+                round(sum(b) / 32.0, 6),
+                round(math.sqrt(sum(x * x for x in b) / 32.0), 6),
+            )
+    assert got == want
+
+    # idx1 really indexes the movi chunks the walker returns
+    payload = bytes(media.filter("doc_id = 4").collect()[0]["payload"])
+    _w, _h, frames = _avi_frame_payloads(payload)
+    i1 = payload.index(b"idx1")
+    (isz,) = struct.unpack_from("<I", payload, i1 + 4)
+    entries = [
+        struct.unpack_from("<4sIII", payload, i1 + 8 + 16 * k)
+        for k in range(isz // 16)
+    ]
+    movi = payload.index(b"movi")
+    assert len(entries) == len(frames) == 7
+    for (fcc, flags, off, size), frame in zip(entries, frames):
+        assert fcc == b"00dc" and flags == 0x10
+        assert payload[movi + off:movi + off + 4] == b"00dc"
+        (csz,) = struct.unpack_from("<I", payload, movi + off + 4)
+        assert csz == size == len(frame)
+        assert payload[movi + off + 8:movi + off + 8 + csz] == frame
+
+    # fail-loud grammar: truncation, wrong form type, wrong codec,
+    # frame-count mismatch between strh and movi
+    with _pytest.raises(ValueError, match="truncated"):
+        _avi_frame_payloads(payload[:40])
+    with _pytest.raises(ValueError, match="not a RIFF AVI"):
+        _avi_frame_payloads(b"RIFF\x04\x00\x00\x00WAVE")
+    with _pytest.raises(ValueError, match="MJPG"):
+        _avi_frame_payloads(payload.replace(b"MJPG", b"H264", 1))
+    strh_at = payload.index(b"strh")
+    doctored = bytearray(payload)
+    struct.pack_into("<I", doctored, strh_at + 8 + 32, 99)  # declared frames
+    with _pytest.raises(ValueError, match="declares 99 frames"):
+        _avi_frame_payloads(bytes(doctored))
