@@ -2111,6 +2111,45 @@ def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
 _BPE_SEP = "\x01"
 
 
+def bpe_train_merges_iter(docs_df: DataFrame, n_rounds: int) -> DataFrame:
+    """N-round distributed BPE training — ``bpe_train_merges``' loop
+    with the round count as RUNTIME data (the registry query pins 3
+    rounds because its SQL oracle must unroll; this operator is the
+    production trainer the docs' 'round count' scale note points at).
+    Per round: one map-side-combined pair aggregate, a one-row argmax,
+    a scan-side greedy rewrite; docs are localCheckpointed between
+    rounds so plan depth stays CONSTANT in the round count — the cost
+    of 10k merges is 10k sequential jobs (per-round latency, the
+    inherent price of any iterative algorithm on Spark), never a
+    10k-deep plan. Stops early when no adjacent pair remains (the
+    one-row ``isEmpty`` probe is bounded). Returns (merge_round,
+    left_sym, right_sym, pair_count) — the rank-ordered merge table
+    ``bpe_encode_table``'s fold applies. Property-pinned against an
+    independent Python BPE trainer in tests/test_properties.py."""
+    if n_rounds < 1:
+        raise ValueError(f"n_rounds must be >= 1, got {n_rounds}")
+    out, docs = None, docs_df
+    for r in range(1, n_rounds + 1):
+        best = _bpe_pair_best(docs).localCheckpoint(eager=False)
+        if best.isEmpty():
+            break
+        row = best.select(
+            F.lit(r).alias("merge_round"),
+            F.col("x").alias("left_sym"),
+            F.col("y").alias("right_sym"),
+            F.col("cnt").alias("pair_count"),
+        )
+        out = row if out is None else out.unionByName(row)
+        if r < n_rounds:
+            docs = _bpe_apply_merge(docs, best).localCheckpoint(eager=False)
+    if out is None:
+        return docs_df.sparkSession.createDataFrame(
+            [], "merge_round int, left_sym string, right_sym string, "
+                "pair_count bigint"
+        )
+    return out
+
+
 def _bpe_symbol_docs(spark: SparkSession, sf_dir: str, with_id: bool = False):
     """documents → (``doc_id``?, ``s``): symbols = lowercase whitespace
     words joined by chr(1) — the BPE working representation shared by

@@ -2189,3 +2189,71 @@ def test_fingerprint_batch_rejects_equals_bruteforce(
         )
     }
     assert got == want
+
+
+def _py_bpe_train(docs_words, n_rounds):
+    """Independent Python BPE trainer: (cnt DESC, pair ASC) argmax,
+    greedy left-to-right non-overlapping merge, merged symbols joined
+    with spaces — the exact contract of bpe_train_merges_iter."""
+    from collections import Counter
+
+    docs = [list(ws) for ws in docs_words]
+    merges = []
+    for _ in range(n_rounds):
+        cnt = Counter()
+        for d in docs:
+            for a, b in zip(d, d[1:]):
+                cnt[(a, b)] += 1
+        if not cnt:
+            break
+        mx = max(cnt.values())
+        best = min(p for p, c in cnt.items() if c == mx)
+        merges.append((best[0], best[1], mx))
+        for i, d in enumerate(docs):
+            nd, j = [], 0
+            while j < len(d):
+                if j + 1 < len(d) and (d[j], d[j + 1]) == best:
+                    nd.append(d[j] + " " + d[j + 1])
+                    j += 2
+                else:
+                    nd.append(d[j])
+                    j += 1
+            docs[i] = nd
+    return merges
+
+
+@settings(max_examples=4, deadline=None)
+@given(
+    st.lists(
+        st.lists(st.sampled_from(["a", "b", "c", "ab", "bc"]),
+                 min_size=1, max_size=12),
+        min_size=1,
+        max_size=8,
+    ),
+    st.integers(1, 10),
+)
+def test_bpe_train_merges_iter_matches_python_model(spark, docs, n_rounds):
+    """The N-round BPE trainer (round count as runtime data — the
+    production form behind the 3-round oracle-pinned registry query)
+    equals an independent Python trainer on random small-alphabet
+    corpora: same (cnt DESC, pair ASC) argmax boundary, same greedy
+    non-overlapping merges, same early stop when the corpus runs out of
+    adjacent pairs."""
+    from pyspark_ingestion_spark.queries.llm_ops import (
+        _BPE_SEP,
+        bpe_train_merges_iter,
+    )
+
+    df = spark.createDataFrame(
+        [(_BPE_SEP.join(ws),) for ws in docs], "s string"
+    )
+    got = [
+        (r["merge_round"], r["left_sym"], r["right_sym"], r["pair_count"])
+        for r in bpe_train_merges_iter(df, n_rounds)
+        .orderBy("merge_round").collect()
+    ]
+    want = [
+        (i + 1, x, y, c)
+        for i, (x, y, c) in enumerate(_py_bpe_train(docs, n_rounds))
+    ]
+    assert got == want
