@@ -2495,14 +2495,22 @@ VIDEO_FRAME_SCHEMA = T.StructType(
 )
 
 
-def video_frame_stats(media: DataFrame) -> DataFrame:
+def video_frame_stats(media: DataFrame, every_k: int | None = None) -> DataFrame:
     """REAL per-frame video decode, Arrow-batched: walk each AVI's RIFF
     structure, JPEG-decode every MJPEG frame through the engine's own
     entropy+DCT pipeline, and emit one row per (doc, frame) with
     integer-exact luma statistics — the video analogue of
     ``media_signal_features``. Sums are exact int64 over luma millis
     with one float division at the end, so a SQL oracle reproduces the
-    values from the fixture bytes."""
+    values from the fixture bytes.
+
+    ``every_k`` samples frames BEFORE decoding: the container walk is
+    cheap byte parsing, so only every k-th frame pays the JPEG cost —
+    at real video lengths this is the order-of-magnitude lever (a
+    1-in-30 keyframe sample decodes 3 % of the stream), which is why
+    sampling belongs inside the decode pass, not after it."""
+    if every_k is not None and every_k < 1:
+        raise ValueError(f"every_k must be >= 1, got {every_k}")
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
@@ -2511,6 +2519,8 @@ def video_frame_stats(media: DataFrame) -> DataFrame:
             for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
                 w, h, frames = _avi_frame_payloads(payload)
                 for fi, fb in enumerate(frames):
+                    if every_k is not None and fi % every_k:
+                        continue
                     lm = _jpeg_luma_millis(fb)
                     n = len(lm)
                     if n != w * h:

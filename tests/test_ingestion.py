@@ -1899,3 +1899,35 @@ def test_avi_mjpeg_video_decode_real(spark):
     struct.pack_into("<I", doctored, strh_at + 8 + 32, 99)  # declared frames
     with _pytest.raises(ValueError, match="declares 99 frames"):
         _avi_frame_payloads(bytes(doctored))
+
+
+def test_video_frame_sample_decodes_only_sampled_frames(spark):
+    """video_frame_stats(every_k=3) equals the full decode filtered to
+    frame_idx % 3 == 0 — and the sampling happens BEFORE the JPEG
+    stage (the container walk yields frame bytes; skipped frames are
+    never entropy-decoded), which is the whole point of sampling at
+    real video lengths. every_k=0 fails loud."""
+    import pytest as _pytest
+
+    from pyspark_ingestion_spark.operators.multimodal import (
+        synthesize_avi_payload,
+        video_frame_stats,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "".join(chr(32 + (i * 11) % 95) for i in range(250))),  # 8 frames
+         (2, "short clip")],                                         # 1 frame
+        "doc_id long, text string",
+    )
+    media = synthesize_avi_payload(df, "doc_id", "text")
+
+    def rows(d):
+        return sorted(tuple(r) for r in d.collect())
+
+    full = video_frame_stats(media)
+    sampled = video_frame_stats(media, every_k=3)
+    assert rows(sampled) == rows(full.filter("frame_idx % 3 = 0"))
+    assert {r["frame_idx"] for r in sampled.filter("doc_id = 1").collect()} \
+        == {0, 3, 6}
+    with _pytest.raises(ValueError, match="every_k"):
+        video_frame_stats(media, every_k=0)
