@@ -2543,6 +2543,49 @@ def video_frame_stats(media: DataFrame, every_k: int | None = None) -> DataFrame
     )
 
 
+def video_temporal_dhash(media: DataFrame) -> DataFrame:
+    """Perceptual VIDEO dedup signature, Arrow-batched: (doc_id, dh_hi,
+    dh_lo) — a 64-bit TEMPORAL hash in the dHash family: 8 frames
+    sampled evenly across the clip (slot f → frame f·n∕8 — temporal
+    coverage, the production shape for video fingerprints), byte f =
+    the top-grid-row horizontal-gradient bits of that frame's block-
+    mean dHash (integer cross-multiplied, no floats — SQL-reproducible
+    from fixture bytes). Gradients make each byte gain/brightness-
+    invariant per frame; sampling across time distinguishes clips that
+    merely share an opening frame. Only the ≤8 sampled frames pay the
+    JPEG decode cost (the container walk is byte parsing), and the
+    output feeds the exact same pigeonhole banding as ``image_dhash``
+    (``fingerprint_bands``/``fingerprint_batch_rejects``) — video plugs
+    into every existing dedup surface, batch pair search and streaming
+    admission alike, with zero new join machinery."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            his, los = [], []
+            for p in pdf["payload"]:
+                _w, _h, frames = _avi_frame_payloads(p)
+                n = len(frames)
+                if n == 0:
+                    raise ValueError("temporal hash needs at least one frame")
+                hi = lo = 0
+                rows: dict[int, int] = {}  # decode each sampled frame once
+                for f in range(8):
+                    g = f * n // 8
+                    if g not in rows:
+                        rows[g] = _image_dhash_bits(frames[g])[1] & 0xFF
+                    if f < 4:
+                        lo |= rows[g] << (8 * f)
+                    else:
+                        hi |= rows[g] << (8 * (f - 4))
+                his.append(hi)
+                los.append(lo)
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"], "dh_hi": his, "dh_lo": los}
+            )
+
+    return media.select("doc_id", "payload").mapInPandas(batches, PHASH_SCHEMA)
+
+
 def synthesize_avi_payload(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """Deterministic REAL MJPEG-AVI payloads from a text column: the
     UTF-8 bytes split into 32-byte frames (≥1; last frame zero-padded),

@@ -1224,3 +1224,116 @@ def multimodal_video_frame_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.octet_length("text") == F.length("text")  # ASCII ⇒ byte i = char i
     )
     return video_frame_stats(synthesize_avi_payload(d, "doc_id", "text"))
+
+
+@query(
+    "dedup_video_temporal",
+    oracle="""
+    WITH d AS (SELECT doc_id, text, octet_length(encode(text)) AS nb
+               FROM documents
+               WHERE octet_length(encode(text)) = length(text)
+                 AND length(text) >= 256
+                 AND regexp_matches(text, '^[ -~]+$')),
+    -- variant = whole-clip BRIGHTNESS SHIFT (+1 on every byte): every
+    -- frame's block means move equally, so each sampled frame's
+    -- cross-multiplied gradient byte is invariant — the re-encode
+    -- pairs with its original within the banding radius
+    uni AS (SELECT doc_id, text, nb, 0 AS shift FROM d
+            UNION ALL
+            SELECT -doc_id - 1 AS doc_id, text, nb, 1 AS shift FROM d),
+    fr AS (SELECT doc_id, text, nb, shift,
+                  greatest(CAST(ceil(nb / 32.0) AS BIGINT), 1) AS n_frames
+           FROM uni),
+    -- 8 evenly-sampled frame slots (slot f -> frame f*n/8), 256 px each
+    px AS (SELECT doc_id, f, (x * 9) // 256 AS cx,
+                  CASE WHEN (f * n_frames // 8) * 32 + x // 8 < nb
+                       THEN ascii(substr(text,
+                                ((f * n_frames // 8) * 32 + x // 8 + 1)::INT,
+                                1)) + shift
+                       ELSE 0 END AS b
+           FROM fr, LATERAL (SELECT unnest(range(8)) AS f),
+                    LATERAL (SELECT unnest(range(256)) AS x)),
+    cagg AS (SELECT doc_id, f, cx, sum(b) AS s, count(*) AS c
+             FROM px GROUP BY doc_id, f, cx),
+    bits AS (SELECT a.doc_id, a.f, a.cx,
+                    CASE WHEN a.s * b.c > b.s * a.c THEN 1 ELSE 0 END AS bit
+             FROM cagg a JOIN cagg b
+               ON a.doc_id = b.doc_id AND a.f = b.f AND b.cx = a.cx + 1),
+    sig AS (SELECT doc_id,
+                   CAST(sum(CASE WHEN f >= 4
+                                 THEN bit * (1::BIGINT << (8 * (f - 4) + cx))
+                                 ELSE 0 END) AS BIGINT) AS dh_hi,
+                   CAST(sum(CASE WHEN f < 4
+                                 THEN bit * (1::BIGINT << (8 * f + cx))
+                                 ELSE 0 END) AS BIGINT) AS dh_lo
+            FROM bits GROUP BY doc_id)
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(bit_count(xor(a.dh_hi, b.dh_hi))
+              + bit_count(xor(a.dh_lo, b.dh_lo)) AS INT) AS hamming
+    FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.dh_hi, b.dh_hi))
+        + bit_count(xor(a.dh_lo, b.dh_lo)) <= 7
+    """,
+)
+def dedup_video_temporal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual VIDEO dedup (r9 — the third medium joins the image/
+    audio perceptual family): documents' bytes become real MJPEG-AVI
+    clips plus, per clip, a brightness-shifted re-encode (+1 on every
+    byte — the canonical gain-change near-dup; every frame's block
+    means move equally, so the cross-multiplied gradient bits are
+    invariant), ``video_temporal_dhash`` container-walks each clip,
+    JPEG-decodes only the 8 evenly-sampled frames, and builds the
+    64-bit temporal signature; pairs come from the same pigeonhole-
+    complete 8×8-bit banding as every fingerprint member
+    (``fingerprint_bands`` — band equi-joins + exact bit_count verify,
+    never all-pairs; the oracle proves exactness by brute-force
+    all-pairs Hamming). Variant ids live on the negative half-line.
+    Each shifted re-encode pairs with its original (Hamming 0 when all
+    sampled frames are full; a sampled zero-padded tail frame can cost
+    a few bits — mirrored exactly); unrelated clips differ in time as
+    well as space, so collisions need 8 matching sampled frames."""
+    from pyspark_ingestion_spark.operators.multimodal import (
+        fingerprint_bands,
+        synthesize_avi_payload,
+        video_temporal_dhash,
+    )
+
+    d = (
+        load_table(spark, sf_dir, "documents")
+        .filter(
+            (F.octet_length("text") == F.length("text"))
+            & (F.length("text") >= 256)
+            & F.col("text").rlike("^[ -~]+$")
+        )
+        .select("doc_id", "text")
+    )
+    variants = d.select(
+        (-F.col("doc_id") - 1).alias("doc_id"),
+        F.expr(
+            "array_join(transform(split(text, ''),"
+            " c -> char(ascii(c) + 1)), '')"
+        ).alias("text"),
+    )
+    uni = d.unionByName(variants)
+    sig = video_temporal_dhash(synthesize_avi_payload(uni, "doc_id", "text"))
+    bands = fingerprint_bands(sig, "doc_id", "dh_hi", "dh_lo")
+    a = bands.select(
+        F.col("doc").alias("doc_a"), F.col("hi").alias("ha"),
+        F.col("lo").alias("la"), "j", "band_val",
+    )
+    b = bands.select(
+        F.col("doc").alias("doc_b"), F.col("hi").alias("hb"),
+        F.col("lo").alias("lb"), "j", "band_val",
+    )
+    cand = (
+        a.join(b, ["j", "band_val"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", "ha", "la", "hb", "lb")
+        .distinct()
+    )
+    hamming = F.bit_count(F.col("ha").bitwiseXOR(F.col("hb"))) + F.bit_count(
+        F.col("la").bitwiseXOR(F.col("lb"))
+    )
+    return cand.filter(hamming <= 7).select(
+        "doc_a", "doc_b", hamming.cast("int").alias("hamming")
+    )

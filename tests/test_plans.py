@@ -31,7 +31,7 @@ _PANDAS_OK = {"multimodal_decode", "multimodal_decode_real",
               "multimodal_png_pixel_stats", "multimodal_gif_pixel_stats",
               "multimodal_jpeg_pixel_stats", "multimodal_jpeg420_pixel_stats",
               "multimodal_jpeg_progressive_pixel_stats",
-              "multimodal_video_frame_stats",
+              "multimodal_video_frame_stats", "dedup_video_temporal",
               "udf_pandas_quality", "udtf_split_words",
               "udtf_ngrams_polymorphic",
               "udf_grouped_map_order_gaps"}

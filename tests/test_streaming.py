@@ -1520,28 +1520,31 @@ def test_stream_semantic_admission_matches_recompute_and_restarts(
     assert {r["vec_id"] for r in rejects.collect()} == {99}  # ~base → reject
 
 
-@pytest.mark.parametrize("medium", ["image", "audio"])
+@pytest.mark.parametrize("medium", ["image", "audio", "video"])
 def test_stream_fingerprint_admission_matches_recompute_and_restarts(
     spark, tmp_path, medium
 ):
     """The fingerprint streaming sink — the MULTIMODAL member of the
-    indexed admission family, one sink serving both 64-bit perceptual
-    hash kinds (parametrized: image dHash over real BMP pixels / audio
-    fHash over real PCM samples): indexed form ≡ recompute form ≡ a
-    sequential fingerprint_batch_rejects loop on the same micro-batches
-    (growing corpus: batch 2's reject exists only because batch 1
-    admitted), across a checkpoint restart with in-sink majors
-    interleaved. Replay reproduces (never erases) output and index
-    rows. Plan property: the indexed rejects read ONLY the fprints
-    index — no payload source appears, because the index stores the
-    hash halves the Hamming verify needs (decode runs once per batch,
-    on the batch)."""
+    indexed admission family, one sink serving every 64-bit perceptual
+    hash kind (parametrized: image dHash over real BMP pixels / audio
+    fHash over real PCM samples / video temporal dHash over real
+    MJPEG-AVI frames): indexed form ≡ recompute form ≡ a sequential
+    fingerprint_batch_rejects loop on the same micro-batches (growing
+    corpus: batch 2's reject exists only because batch 1 admitted),
+    across a checkpoint restart with in-sink majors interleaved.
+    Replay reproduces (never erases) output and index rows. Plan
+    property: the indexed rejects read ONLY the fprints index — no
+    payload source appears, because the index stores the hash halves
+    the Hamming verify needs (decode runs once per batch, on the
+    batch)."""
     from pyspark_ingestion_spark.operators.multimodal import (
         audio_fhash,
         fingerprint_batch_rejects,
         image_dhash,
+        synthesize_avi_payload,
         synthesize_bmp_payload,
         synthesize_wav_payload,
+        video_temporal_dhash,
     )
     from pyspark_ingestion_spark.streaming.pipeline import (
         _admit_fingerprint_batch_indexed,
@@ -1550,20 +1553,28 @@ def test_stream_fingerprint_admission_matches_recompute_and_restarts(
         stream_fingerprint_admission,
     )
 
+    def local_edit(t):  # a few Hamming bits, well inside radius 7
+        return "zzz" + t[3:]
+
+    def gain_shift(t):  # brightness shift: provably hash-invariant
+        return "".join(chr(ord(c) + 1) for c in t)
+
     if medium == "image":
         synth = lambda df: synthesize_bmp_payload(df, "doc_id", "text", width=12)
-        hash_fn, hash_cols = image_dhash, ("dh_hi", "dh_lo")
-    else:
+        hash_fn, hash_cols, near = image_dhash, ("dh_hi", "dh_lo"), local_edit
+    elif medium == "audio":
         synth = lambda df: synthesize_wav_payload(df, "doc_id", "text")
-        hash_fn, hash_cols = audio_fhash, ("fh_hi", "fh_lo")
+        hash_fn, hash_cols, near = audio_fhash, ("fh_hi", "fh_lo"), local_edit
+    else:
+        synth = lambda df: synthesize_avi_payload(df, "doc_id", "text")
+        hash_fn, hash_cols, near = (
+            video_temporal_dhash, ("dh_hi", "dh_lo"), gain_shift,
+        )
 
     t_base = "the quick brown fox jumps over the lazy dog " * 8
     t_b = "completely different pixel content everywhere!! " * 8
     t_c = "third unrelated signal plane with other bytes... " * 8
     t_d = "and a fourth independent payload, nothing alike! " * 8
-
-    def near(t):  # local edit: a few Hamming bits, well inside radius 7
-        return "zzz" + t[3:]
 
     def media_rows(pairs):
         df = spark.createDataFrame(pairs, "doc_id long, text string")
