@@ -546,6 +546,46 @@ def fingerprint_batch_rejects(
     )
 
 
+def fingerprint_pairs(
+    fp: DataFrame,
+    id_col: str = "doc",
+    hi_col: str = "hi",
+    lo_col: str = "lo",
+    radius: int = 7,
+) -> DataFrame:
+    """Banded within-corpus near-dup PAIR search over (id, hi, lo)
+    fingerprint rows: (doc_a, doc_b, hamming) for every pair within
+    ``radius`` Hamming bits — band equi-joins (:func:`fingerprint_
+    bands`) then exact bit_count verify, never all-pairs; EXACT for
+    radius ≤ 7 (pigeonhole). The shared tail of every perceptual dedup
+    query (image dHash / audio fHash / video temporal dHash)."""
+    if not 0 <= radius <= 7:
+        raise ValueError(
+            f"radius must be in [0, 7] (8-band pigeonhole bound), got {radius}"
+        )
+    bands = fingerprint_bands(fp, id_col, hi_col, lo_col)
+    a = bands.select(
+        F.col("doc").alias("doc_a"), F.col("hi").alias("ha"),
+        F.col("lo").alias("la"), "j", "band_val",
+    )
+    b = bands.select(
+        F.col("doc").alias("doc_b"), F.col("hi").alias("hb"),
+        F.col("lo").alias("lb"), "j", "band_val",
+    )
+    cand = (
+        a.join(b, ["j", "band_val"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", "ha", "la", "hb", "lb")
+        .distinct()
+    )
+    hamming = F.bit_count(F.col("ha").bitwiseXOR(F.col("hb"))) + F.bit_count(
+        F.col("la").bitwiseXOR(F.col("lb"))
+    )
+    return cand.filter(hamming <= radius).select(
+        "doc_a", "doc_b", hamming.cast("int").alias("hamming")
+    )
+
+
 def resize_media(decoded: DataFrame, max_width: int = 64) -> DataFrame:
     """Resize metadata: scale every item down to ``max_width`` preserving
     aspect ratio — pure native arithmetic on the decoded dimensions (the
@@ -2454,8 +2494,15 @@ def _avi_frame_payloads(payload: bytes) -> tuple[int, int, list[bytes]]:
             continue
         kind = p[start:start + 4]
         if kind == b"hdrl":
+            seen_strl = False
             for fc2, s2, sz2 in chunks(p, start + 4, start + size):
                 if fc2 == b"LIST" and p[s2:s2 + 4] == b"strl":
+                    if seen_strl:
+                        # secondary streams (audio '01wb', subtitles, …)
+                        # are ignored: the movi walk already filters to
+                        # the video stream's '00dc'/'00db' chunks
+                        continue
+                    seen_strl = True
                     for fc3, s3, sz3 in chunks(p, s2 + 4, s2 + sz2):
                         if fc3 == b"strh":
                             if p[s3:s3 + 4] != b"vids":

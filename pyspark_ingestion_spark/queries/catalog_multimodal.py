@@ -519,6 +519,7 @@ def dedup_image_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
     recomputes every hash bit from the text bytes (mirrored bottom-up
     rows, cross-multiplied integer cell means)."""
     from pyspark_ingestion_spark.operators.multimodal import (
+        fingerprint_pairs,
         image_dhash,
         synthesize_bmp_payload,
     )
@@ -540,38 +541,7 @@ def dedup_image_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     uni = d.unionByName(variants)
     sig = image_dhash(synthesize_bmp_payload(uni, "doc_id", "text", width=12))
-    bands = sig.select(
-        "doc_id",
-        "dh_hi",
-        "dh_lo",
-        F.explode(F.array(*[F.lit(j) for j in range(8)])).alias("j"),
-    ).withColumn(
-        "band_val",
-        F.expr(
-            "CASE WHEN j < 4 THEN shiftright(dh_lo, 8 * j) & 255 "
-            "ELSE shiftright(dh_hi, 8 * (j - 4)) & 255 END"
-        ),
-    )
-    a = bands.select(
-        F.col("doc_id").alias("doc_a"), F.col("dh_hi").alias("ha"),
-        F.col("dh_lo").alias("la"), "j", "band_val",
-    )
-    b = bands.select(
-        F.col("doc_id").alias("doc_b"), F.col("dh_hi").alias("hb"),
-        F.col("dh_lo").alias("lb"), "j", "band_val",
-    )
-    cand = (
-        a.join(b, ["j", "band_val"])
-        .filter(F.col("doc_a") < F.col("doc_b"))
-        .select("doc_a", "doc_b", "ha", "la", "hb", "lb")
-        .distinct()
-    )
-    hamming = F.bit_count(F.col("ha").bitwiseXOR(F.col("hb"))) + F.bit_count(
-        F.col("la").bitwiseXOR(F.col("lb"))
-    )
-    return cand.filter(hamming <= 7).select(
-        "doc_a", "doc_b", hamming.cast("int").alias("hamming")
-    )
+    return fingerprint_pairs(sig, "doc_id", "dh_hi", "dh_lo", radius=7)
 
 
 @query(
@@ -636,6 +606,7 @@ def dedup_audio_fhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     sample = byte − 128; frame = i·65 ∕ n)."""
     from pyspark_ingestion_spark.operators.multimodal import (
         audio_fhash,
+        fingerprint_pairs,
         synthesize_wav_payload,
     )
 
@@ -653,38 +624,7 @@ def dedup_audio_fhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     uni = d.unionByName(variants)
     sig = audio_fhash(synthesize_wav_payload(uni, "doc_id", "text"))
-    bands = sig.select(
-        "doc_id",
-        "fh_hi",
-        "fh_lo",
-        F.explode(F.array(*[F.lit(j) for j in range(8)])).alias("j"),
-    ).withColumn(
-        "band_val",
-        F.expr(
-            "CASE WHEN j < 4 THEN shiftright(fh_lo, 8 * j) & 255 "
-            "ELSE shiftright(fh_hi, 8 * (j - 4)) & 255 END"
-        ),
-    )
-    a = bands.select(
-        F.col("doc_id").alias("doc_a"), F.col("fh_hi").alias("ha"),
-        F.col("fh_lo").alias("la"), "j", "band_val",
-    )
-    b = bands.select(
-        F.col("doc_id").alias("doc_b"), F.col("fh_hi").alias("hb"),
-        F.col("fh_lo").alias("lb"), "j", "band_val",
-    )
-    cand = (
-        a.join(b, ["j", "band_val"])
-        .filter(F.col("doc_a") < F.col("doc_b"))
-        .select("doc_a", "doc_b", "ha", "la", "hb", "lb")
-        .distinct()
-    )
-    hamming = F.bit_count(F.col("ha").bitwiseXOR(F.col("hb"))) + F.bit_count(
-        F.col("la").bitwiseXOR(F.col("lb"))
-    )
-    return cand.filter(hamming <= 7).select(
-        "doc_a", "doc_b", hamming.cast("int").alias("hamming")
-    )
+    return fingerprint_pairs(sig, "doc_id", "fh_hi", "fh_lo", radius=7)
 
 
 @query(
@@ -1293,7 +1233,7 @@ def dedup_video_temporal(spark: SparkSession, sf_dir: str) -> DataFrame:
     a few bits — mirrored exactly); unrelated clips differ in time as
     well as space, so collisions need 8 matching sampled frames."""
     from pyspark_ingestion_spark.operators.multimodal import (
-        fingerprint_bands,
+        fingerprint_pairs,
         synthesize_avi_payload,
         video_temporal_dhash,
     )
@@ -1316,24 +1256,4 @@ def dedup_video_temporal(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     uni = d.unionByName(variants)
     sig = video_temporal_dhash(synthesize_avi_payload(uni, "doc_id", "text"))
-    bands = fingerprint_bands(sig, "doc_id", "dh_hi", "dh_lo")
-    a = bands.select(
-        F.col("doc").alias("doc_a"), F.col("hi").alias("ha"),
-        F.col("lo").alias("la"), "j", "band_val",
-    )
-    b = bands.select(
-        F.col("doc").alias("doc_b"), F.col("hi").alias("hb"),
-        F.col("lo").alias("lb"), "j", "band_val",
-    )
-    cand = (
-        a.join(b, ["j", "band_val"])
-        .filter(F.col("doc_a") < F.col("doc_b"))
-        .select("doc_a", "doc_b", "ha", "la", "hb", "lb")
-        .distinct()
-    )
-    hamming = F.bit_count(F.col("ha").bitwiseXOR(F.col("hb"))) + F.bit_count(
-        F.col("la").bitwiseXOR(F.col("lb"))
-    )
-    return cand.filter(hamming <= 7).select(
-        "doc_a", "doc_b", hamming.cast("int").alias("hamming")
-    )
+    return fingerprint_pairs(sig, "doc_id", "dh_hi", "dh_lo", radius=7)

@@ -2121,33 +2121,33 @@ def bpe_train_merges_iter(docs_df: DataFrame, n_rounds: int) -> DataFrame:
     rounds so plan depth stays CONSTANT in the round count — the cost
     of 10k merges is 10k sequential jobs (per-round latency, the
     inherent price of any iterative algorithm on Spark), never a
-    10k-deep plan. Stops early when no adjacent pair remains (the
-    one-row ``isEmpty`` probe is bounded). Returns (merge_round,
+    10k-deep plan. Stops early when no adjacent pair remains (each
+    round's one-row argmax is collected driver-side — bounded, and it
+    doubles as the early-stop probe). Returns (merge_round,
     left_sym, right_sym, pair_count) — the rank-ordered merge table
     ``bpe_encode_table``'s fold applies. Property-pinned against an
     independent Python BPE trainer in tests/test_properties.py."""
     if n_rounds < 1:
         raise ValueError(f"n_rounds must be >= 1, got {n_rounds}")
-    out, docs = None, docs_df
+    # each round's argmax is ONE row and is materialized anyway (the
+    # early-stop probe); collecting it keeps the result a flat
+    # n_rounds-row local DataFrame instead of an n_rounds-deep Union
+    # chain, whose analysis cost would grow quadratically and overflow
+    # the driver stack at the docstring's own 10k-merge scale
+    merges, docs = [], docs_df
     for r in range(1, n_rounds + 1):
         best = _bpe_pair_best(docs).localCheckpoint(eager=False)
-        if best.isEmpty():
+        head = best.head(1)
+        if not head:
             break
-        row = best.select(
-            F.lit(r).alias("merge_round"),
-            F.col("x").alias("left_sym"),
-            F.col("y").alias("right_sym"),
-            F.col("cnt").alias("pair_count"),
-        )
-        out = row if out is None else out.unionByName(row)
+        merges.append((r, head[0]["x"], head[0]["y"], head[0]["cnt"]))
         if r < n_rounds:
             docs = _bpe_apply_merge(docs, best).localCheckpoint(eager=False)
-    if out is None:
-        return docs_df.sparkSession.createDataFrame(
-            [], "merge_round int, left_sym string, right_sym string, "
-                "pair_count bigint"
-        )
-    return out
+    return docs_df.sparkSession.createDataFrame(
+        merges,
+        "merge_round int, left_sym string, right_sym string, "
+        "pair_count bigint",
+    )
 
 
 def _bpe_symbol_docs(spark: SparkSession, sf_dir: str, with_id: bool = False):

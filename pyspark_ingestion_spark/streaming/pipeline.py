@@ -2571,6 +2571,18 @@ def _fp_rows(hashed: DataFrame, hash_cols: tuple[str, str]) -> DataFrame:
     )
 
 
+def _hash_rows(
+    hash_fn, media: DataFrame, hash_cols: tuple[str, str], id_col: str
+) -> DataFrame:
+    """Hash a media frame into normalized (doc, hi, lo) rows. The hash
+    operators read fixed (doc_id, payload) columns, so a caller-chosen
+    ``id_col`` is aliased in HERE — the one place the rename can't be
+    forgotten (a non-default id_col used to crash inside hash_fn)."""
+    if id_col != "doc_id":
+        media = media.select(F.col(id_col).alias("doc_id"), "payload")
+    return _fp_rows(hash_fn(media), hash_cols)
+
+
 def init_fingerprint_admission_index(
     base_fp: DataFrame, index_path: str
 ) -> None:
@@ -2601,16 +2613,23 @@ def _fingerprint_rejects_indexed(
     Module-level so tests pin the plan property: the only file input is
     the fprints index (never a payload source), the batch bands
     broadcast into the band equi-join, and banding is exact for
-    radius ≤ 7 (pigeonhole). Replay self-excludes the current batch id."""
+    radius ≤ 7 (pigeonhole). Replay self-excludes the current batch id.
+    A missing/empty index (bootstrap-from-nothing: an EMPTY base corpus
+    writes zero partitions) means an empty corpus — nothing to reject."""
+    from pyspark.errors import AnalysisException
+
     from pyspark_ingestion_spark.operators.multimodal import (
         fingerprint_batch_rejects,
     )
 
-    idx = (
-        spark.read.parquet(f"{index_path}/{_IDX_FPRINTS}")
-        .filter(F.col("__batch_id").cast("long") != batch_id)
-        .select("doc", "hi", "lo")
-    )
+    try:
+        idx = (
+            spark.read.parquet(f"{index_path}/{_IDX_FPRINTS}")
+            .filter(F.col("__batch_id").cast("long") != batch_id)
+            .select("doc", "hi", "lo")
+        )
+    except AnalysisException:  # no index partitions yet: empty corpus
+        return spark.createDataFrame([], "doc long")
     return fingerprint_batch_rejects(idx, batch_fp, radius=radius)
 
 
@@ -2646,10 +2665,12 @@ def _admit_fingerprint_batch_indexed(
         has_base = False
     if not has_base:
         init_fingerprint_admission_index(
-            _fp_rows(hash_fn(base_media), hash_cols), index_path
+            _hash_rows(hash_fn, base_media, hash_cols, id_col), index_path
         )
 
-    batch_fp = _fp_rows(hash_fn(batch_df), hash_cols).localCheckpoint(eager=False)
+    batch_fp = _hash_rows(hash_fn, batch_df, hash_cols, id_col).localCheckpoint(
+        eager=False
+    )
     rejects = _fingerprint_rejects_indexed(
         spark, batch_fp, index_path, batch_id, radius
     ).withColumnRenamed("doc", id_col)
@@ -2665,6 +2686,54 @@ def _admit_fingerprint_batch_indexed(
     overwrite_partitions(
         adm_fp.withColumn("__batch_id", F.lit(batch_id)),
         f"{index_path}/{_IDX_FPRINTS}",
+        ["__batch_id"],
+    )
+
+
+def _admit_fingerprint_batch_recompute(
+    batch_df: DataFrame,
+    batch_id: int,
+    base_media: DataFrame,
+    out_path: str,
+    hash_fn,
+    hash_cols: tuple[str, str],
+    id_col: str,
+    radius: int,
+) -> None:
+    """One micro-batch of the RECOMPUTE form of
+    ``stream_fingerprint_admission`` (no index): re-decode and re-hash
+    (base ∪ admitted-so-far) payloads, reject the batch against them,
+    append survivors. Module-level so the sink, the A/B harness
+    (tools/fingerprint_ab.py) and tests all measure/exercise the SAME
+    code — an inline copy in the harness could silently diverge from
+    the sink it claims to benchmark."""
+    from pyspark.errors import AnalysisException
+
+    from pyspark_ingestion_spark.operators.multimodal import (
+        fingerprint_batch_rejects,
+    )
+    from pyspark_ingestion_spark.sources.writers import overwrite_partitions
+
+    spark = batch_df.sparkSession
+    corpus = base_media.select(id_col, "payload")
+    try:
+        prev = (
+            spark.read.parquet(out_path)
+            .filter(F.col("__batch_id").cast("long") != batch_id)
+            .select(id_col, "payload")
+        )
+        corpus = corpus.unionByName(prev)
+    except AnalysisException:  # first batch: nothing admitted yet
+        pass
+    rejects = fingerprint_batch_rejects(
+        _hash_rows(hash_fn, corpus, hash_cols, id_col),
+        _hash_rows(hash_fn, batch_df, hash_cols, id_col),
+        radius=radius,
+    ).withColumnRenamed("doc", id_col)
+    admitted = batch_df.join(F.broadcast(rejects), id_col, "left_anti")
+    overwrite_partitions(
+        admitted.withColumn("__batch_id", F.lit(batch_id)),
+        out_path,
         ["__batch_id"],
     )
 
@@ -2701,13 +2770,7 @@ def stream_fingerprint_admission(
     ``compact_every`` / ``compact_major_every``: same in-sink LSM
     policy (:func:`compact_fingerprint_index` — plain concatenation,
     stored rows are pure payload functions, no staleness)."""
-    from pyspark.errors import AnalysisException
-
-    from pyspark_ingestion_spark.operators.multimodal import (
-        fingerprint_batch_rejects,
-        image_dhash,
-    )
-    from pyspark_ingestion_spark.sources.writers import overwrite_partitions
+    from pyspark_ingestion_spark.operators.multimodal import image_dhash
 
     if hash_fn is None:
         hash_fn = image_dhash
@@ -2752,27 +2815,10 @@ def stream_fingerprint_admission(
                 radius=radius,
             )
             return
-        spark = batch_df.sparkSession
-        corpus = base_media.select(id_col, "payload")
-        try:
-            prev = (
-                spark.read.parquet(out_path)
-                .filter(F.col("__batch_id").cast("long") != batch_id)
-                .select(id_col, "payload")
-            )
-            corpus = corpus.unionByName(prev)
-        except AnalysisException:  # first batch: nothing admitted yet
-            pass
-        rejects = fingerprint_batch_rejects(
-            _fp_rows(hash_fn(corpus), hash_cols),
-            _fp_rows(hash_fn(batch_df), hash_cols),
+        _admit_fingerprint_batch_recompute(
+            batch_df, batch_id, base_media, out_path,
+            hash_fn=hash_fn, hash_cols=hash_cols, id_col=id_col,
             radius=radius,
-        ).withColumnRenamed("doc", id_col)
-        admitted = batch_df.join(F.broadcast(rejects), id_col, "left_anti")
-        overwrite_partitions(
-            admitted.withColumn("__batch_id", F.lit(batch_id)),
-            out_path,
-            ["__batch_id"],
         )
 
     q = (

@@ -1886,6 +1886,28 @@ def test_avi_mjpeg_video_decode_real(spark):
         assert csz == size == len(frame)
         assert payload[movi + off + 8:movi + off + 8 + csz] == frame
 
+    # a SECONDARY stream (the common MJPEG+PCM camera layout) must NOT
+    # reject the file: splice an 'auds' strl into hdrl after the video
+    # strl and re-walk — same dims, same frames (review fix: the walker
+    # used to validate every strl as vids/MJPG)
+    hdrl_kind = payload.index(b"hdrl")
+    (hdrl_sz,) = struct.unpack_from("<I", payload, hdrl_kind - 4)
+    strh_a = struct.pack("<4s4sIHHIIIIIIIIhhhh", b"auds", b"\x01\x00\x00\x00",
+                         0, 0, 0, 0, 1, 8000, 0, 8000, 8000, 0, 0, 0, 0, 0, 0)
+    wf = struct.pack("<HHIIHH", 1, 1, 8000, 8000, 1, 8)
+    astrl = (b"LIST"
+             + struct.pack("<I", 4 + 8 + len(strh_a) + 8 + len(wf))
+             + b"strl"
+             + b"strh" + struct.pack("<I", len(strh_a)) + strh_a
+             + b"strf" + struct.pack("<I", len(wf)) + wf)
+    ins = hdrl_kind + hdrl_sz  # end of hdrl body
+    with_audio = bytearray(payload[:ins] + astrl + payload[ins:])
+    struct.pack_into("<I", with_audio, 4,
+                     struct.unpack_from("<I", with_audio, 4)[0] + len(astrl))
+    struct.pack_into("<I", with_audio, hdrl_kind - 4, hdrl_sz + len(astrl))
+    w2, h2, frames2 = _avi_frame_payloads(bytes(with_audio))
+    assert (w2, h2) == (_w, _h) and frames2 == frames
+
     # fail-loud grammar: truncation, wrong form type, wrong codec,
     # frame-count mismatch between strh and movi
     with _pytest.raises(ValueError, match="truncated"):

@@ -2402,3 +2402,68 @@ def test_fingerprint_in_sink_compaction_commit_guard(spark, tmp_path):
         for r in spark.read.parquet(f"{index}/fprints").collect()
     )
     assert folded == frozenset((d, h, l) for d, h, l, _ in want[1])
+
+
+def test_fingerprint_sink_empty_base_and_custom_id(spark, tmp_path):
+    """Two review fixes pinned: (1) bootstrap-from-NOTHING — an empty
+    base corpus writes zero index partitions, and the indexed read path
+    must treat the missing index as an empty corpus (it used to raise
+    'unable to infer schema' on every batch, permanently wedging the
+    stream); (2) a caller-chosen id column actually works — the hash
+    operators read fixed (doc_id, payload) columns, so the sink aliases
+    ``id_col`` in before hashing (a non-default id_col used to crash
+    inside hash_fn on batch 0)."""
+    from pyspark_ingestion_spark.operators.multimodal import (
+        image_dhash,
+        synthesize_bmp_payload,
+    )
+    from pyspark_ingestion_spark.streaming.pipeline import (
+        stream_fingerprint_admission,
+    )
+
+    t_a = "the quick brown fox jumps over the lazy dog " * 8
+    t_b = "completely different pixel content everywhere!! " * 8
+
+    def media_rows(pairs):
+        df = spark.createDataFrame(pairs, "doc_id long, text string")
+        return [
+            (r["doc_id"], bytearray(r["payload"]))
+            for r in synthesize_bmp_payload(df, "doc_id", "text", width=12).collect()
+        ]
+
+    schema = "img_id long, payload binary"
+    empty_base = spark.createDataFrame([], schema)
+    # batch: two distinct images + a near-dup of the first — with an
+    # empty base, 10 and 11 admit and 12 rejects against 10 (admitted
+    # THE SAME BATCH run earlier... batches are sequential files, so
+    # put the near-dup in file b to exercise corpus growth from zero)
+    file_a = media_rows([(10, t_a), (11, t_b)])
+    file_b = media_rows([(12, "zzz" + t_a[3:])])  # ~10 → reject
+
+    src = str(tmp_path / "src")
+    _mk_admission_files(spark, tmp_path, src, [("a", file_a), ("b", file_b)],
+                        schema=schema)
+
+    def run(out, ckpt, index_path):
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src)
+        )
+        stream_fingerprint_admission(
+            stream, empty_base, out, ckpt, hash_fn=image_dhash,
+            hash_cols=("dh_hi", "dh_lo"), id_col="img_id", radius=7,
+            index_path=index_path,
+        )
+
+    out_i, out_r = str(tmp_path / "out_i"), str(tmp_path / "out_r")
+    run(out_i, str(tmp_path / "ckpt_i"), str(tmp_path / "index"))
+    run(out_r, str(tmp_path / "ckpt_r"), None)
+
+    def admitted(path):
+        return {
+            (int(r["__batch_id"]), r["img_id"])
+            for r in spark.read.parquet(path).select("__batch_id", "img_id").collect()
+        }
+
+    assert admitted(out_i) == admitted(out_r) == {(0, 10), (0, 11)}

@@ -67,15 +67,13 @@ def main():
     from pyspark.sql import functions as F
 
     from pyspark_ingestion_spark.operators.multimodal import (
-        fingerprint_batch_rejects,
         image_dhash,
         synthesize_bmp_payload,
     )
     from pyspark_ingestion_spark.session import get_spark_session
-    from pyspark_ingestion_spark.sources.writers import overwrite_partitions
     from pyspark_ingestion_spark.streaming.pipeline import (
         _admit_fingerprint_batch_indexed,
-        _fp_rows,
+        _admit_fingerprint_batch_recompute,
     )
 
     spark = get_spark_session(app_name="fingerprint-ab")
@@ -87,32 +85,6 @@ def main():
         return synthesize_bmp_payload(
             spark.createDataFrame(rows, "doc_id long, text string"),
             "doc_id", "text", width=12,
-        )
-
-    def admit_recompute(batch_df, batch_id, base, out_path):
-        # the sink's index_path=None arm, inlined (it lives in a closure)
-        from pyspark.errors import AnalysisException
-
-        corpus = base.select("doc_id", "payload")
-        try:
-            prev = (
-                spark.read.parquet(out_path)
-                .filter(F.col("__batch_id").cast("long") != batch_id)
-                .select("doc_id", "payload")
-            )
-            corpus = corpus.unionByName(prev)
-        except AnalysisException:
-            pass
-        rejects = fingerprint_batch_rejects(
-            _fp_rows(image_dhash(corpus), hash_cols),
-            _fp_rows(image_dhash(batch_df), hash_cols),
-            radius=7,
-        ).withColumnRenamed("doc", "doc_id")
-        admitted = batch_df.join(F.broadcast(rejects), "doc_id", "left_anti")
-        overwrite_partitions(
-            admitted.withColumn("__batch_id", F.lit(batch_id)),
-            out_path,
-            ["__batch_id"],
         )
 
     for corpus_n in (small, big):
@@ -146,7 +118,13 @@ def main():
         out_r = f"{base_dir}/out_recompute"
         for bid, bdf in enumerate(batches):
             t0 = time.perf_counter()
-            admit_recompute(bdf, bid, base, out_r)
+            # the SAME module-level recompute arm the sink runs — an
+            # inline copy here could silently diverge from what it
+            # claims to benchmark
+            _admit_fingerprint_batch_recompute(
+                bdf, bid, base, out_r, hash_fn=image_dhash,
+                hash_cols=hash_cols, id_col="doc_id", radius=7,
+            )
             print(f"  recompute batch {bid}: {time.perf_counter() - t0:6.2f}s",
                   flush=True)
 
