@@ -49,6 +49,10 @@ def sign_pack(a: Column | str, start: int = 0, n_bits: int = 32) -> Column:
     rationale)."""
     if not 1 <= n_bits <= 32:
         raise ValueError(f"n_bits must be in [1, 32], got {n_bits}")
+    if start < 0:
+        # a negative start would make element_at index from the array
+        # END silently — fail loud like the n_bits check does.
+        raise ValueError(f"start must be >= 0, got {start}")
     arr = _dcol(a)
     return F.aggregate(
         F.sequence(F.lit(n_bits - 1), F.lit(0), F.lit(-1)),

@@ -2499,8 +2499,8 @@ def _avi_frame_payloads(payload: bytes) -> tuple[int, int, list[bytes]]:
                 if fc2 == b"LIST" and p[s2:s2 + 4] == b"strl":
                     if seen_strl:
                         # secondary streams (audio '01wb', subtitles, …)
-                        # are ignored: the movi walk already filters to
-                        # the video stream's '00dc'/'00db' chunks
+                        # are ignored: the movi walk below keeps only
+                        # stream 0's '00dc'/'00db' chunks
                         continue
                     seen_strl = True
                     for fc3, s3, sz3 in chunks(p, s2 + 4, s2 + sz2):
@@ -2517,7 +2517,10 @@ def _avi_frame_payloads(payload: bytes) -> tuple[int, int, list[bytes]]:
                             width, height = struct.unpack_from("<ii", p, s3 + 4)
         elif kind == b"movi":
             for fc2, s2, sz2 in chunks(p, start + 4, start + size):
-                if fc2[2:4] in (b"dc", b"db"):
+                # only stream 0 (the validated video stream): a
+                # multi-stream AVI interleaves '01wb' audio etc. whose
+                # payloads must not reach the JPEG decoder.
+                if fc2[:2] == b"00" and fc2[2:4] in (b"dc", b"db"):
                     frames.append(p[s2:s2 + sz2])
     if not fourcc_ok or width is None:
         raise ValueError("missing AVI stream headers")

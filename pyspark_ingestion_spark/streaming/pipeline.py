@@ -2288,6 +2288,17 @@ def _semantic_rejects_indexed(
     from pyspark_ingestion_spark.operators.similarity import ivf_probe_cells_expr
 
     rows_c = _load_semantic_centroid_rows(spark, index_path)
+    if nprobe > 1 and not rows_c:
+        # the PERSISTED index signature governs, not the caller's args:
+        # an index bootstrapped with sign buckets has no quantizer, so
+        # nprobe cannot probe anything — degrading the recall dial
+        # silently would hide a real config bug. Mirror the fail-loud
+        # contract of stream_semantic_admission's own validation.
+        raise ValueError(
+            f"nprobe={nprobe} requires a trained-quantizer index, but "
+            f"{index_path!r} was built with sign buckets (no centroids "
+            "persisted); rebuild the index with centroids or use nprobe=1"
+        )
     idx = (
         spark.read.parquet(f"{index_path}/{_IDX_BUCKETS}")
         .filter(F.col("__batch_id").cast("long") != batch_id)

@@ -1908,6 +1908,25 @@ def test_avi_mjpeg_video_decode_real(spark):
     w2, h2, frames2 = _avi_frame_payloads(bytes(with_audio))
     assert (w2, h2) == (_w, _h) and frames2 == frames
 
+    # interleaved AUDIO DATA in movi ('01wb' chunks, the real camera
+    # layout) must be excluded from the frame list — only stream 0's
+    # '00dc'/'00db' chunks are video (review fix: the walker used to
+    # take any '??dc'/'??db' chunk, so a hypothetical '01dc' second
+    # video stream would have polluted the decode)
+    movi2 = bytes(with_audio).index(b"movi")
+    (movi_sz,) = struct.unpack_from("<I", with_audio, movi2 - 4)
+    audio_chunk = b"01wb" + struct.pack("<I", 6) + b"\x80" * 6
+    ins2 = movi2 + 4  # right after the 'movi' kind tag
+    interleaved = bytearray(
+        bytes(with_audio)[:ins2] + audio_chunk + bytes(with_audio)[ins2:]
+    )
+    struct.pack_into("<I", interleaved, 4,
+                     struct.unpack_from("<I", interleaved, 4)[0]
+                     + len(audio_chunk))
+    struct.pack_into("<I", interleaved, movi2 - 4, movi_sz + len(audio_chunk))
+    w3, h3, frames3 = _avi_frame_payloads(bytes(interleaved))
+    assert (w3, h3) == (_w, _h) and frames3 == frames
+
     # fail-loud grammar: truncation, wrong form type, wrong codec,
     # frame-count mismatch between strh and movi
     with _pytest.raises(ValueError, match="truncated"):

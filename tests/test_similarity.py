@@ -619,3 +619,27 @@ def test_semantic_ivf_recall_beats_sign_buckets(spark, sf_dir):
     # the nprobe dial: strictly more candidates, at-least-equal recall
     assert rows["ivf_k24_p2"]["recall"] >= rows["ivf_k24"]["recall"]
     assert rows["ivf_k24_p2"]["n_candidates"] >= rows["ivf_k24"]["n_candidates"]
+
+
+def test_sign_pack_rejects_bad_start_and_n_bits(spark):
+    """sign_pack fail-loud contract (ADVICE r9): a negative start would
+    make element_at index from the array END silently, and start past
+    the vector length packs zero bits — both must raise like the
+    existing n_bits guard, not degrade."""
+    import pytest
+
+    from pyspark_ingestion_spark.functions.vectors import sign_pack
+
+    with pytest.raises(ValueError, match="start must be >= 0"):
+        sign_pack("embedding", start=-1, n_bits=8)
+    with pytest.raises(ValueError, match=r"n_bits must be in \[1, 32\]"):
+        sign_pack("embedding", n_bits=0)
+    with pytest.raises(ValueError, match=r"n_bits must be in \[1, 32\]"):
+        sign_pack("embedding", n_bits=33)
+    # the valid surface still packs as documented
+    df = spark.createDataFrame(
+        [(1, [1.0, -1.0, 1.0, 1.0])], "vec_id long, embedding array<float>"
+    )
+    got = df.select(sign_pack("embedding", start=0, n_bits=4).alias("h"))
+    # bit i = 1 iff component start+i >= 0: signs 1,0,1,1 -> 0b1101
+    assert got.collect()[0]["h"] == 0b1101

@@ -2467,3 +2467,38 @@ def test_fingerprint_sink_empty_base_and_custom_id(spark, tmp_path):
         }
 
     assert admitted(out_i) == admitted(out_r) == {(0, 10), (0, 11)}
+
+
+def test_semantic_indexed_nprobe_requires_persisted_quantizer(spark, tmp_path):
+    """ADVICE r9: the PERSISTED index signature governs nprobe, not the
+    caller's centroids argument. An index bootstrapped with sign
+    buckets (no quantizer on disk) restarted with nprobe>1 must fail
+    loud in _semantic_rejects_indexed instead of silently degrading the
+    recall dial to nprobe=1."""
+    import pytest
+
+    from pyspark_ingestion_spark.streaming.pipeline import (
+        _semantic_rejects_indexed,
+        init_semantic_admission_index,
+    )
+
+    base = spark.createDataFrame(
+        [(0, [1.0, 1.0, -1.0, -1.0])], "vec_id long, embedding array<float>"
+    )
+    index = str(tmp_path / "index")
+    init_semantic_admission_index(base, index, n_dims=4)  # sign buckets
+
+    batch = spark.createDataFrame(
+        [(10, [0.9, 1.1, -1.0, -1.0])], "vec_id long, embedding array<float>"
+    )
+    with pytest.raises(ValueError, match="trained-quantizer index"):
+        _semantic_rejects_indexed(
+            spark, batch, index, batch_id=0, id_col="vec_id",
+            vec_col="embedding", threshold=0.3, n_dims=4, nprobe=2,
+        )
+    # nprobe=1 against the same sign-bucket index still works
+    rejects, _ = _semantic_rejects_indexed(
+        spark, batch, index, batch_id=0, id_col="vec_id",
+        vec_col="embedding", threshold=0.3, n_dims=4, nprobe=1,
+    )
+    assert {r["vec_id"] for r in rejects.collect()} == {10}
