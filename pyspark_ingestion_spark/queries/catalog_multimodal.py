@@ -33,6 +33,24 @@ from pyspark_ingestion_spark.sources.readers import load_table
 from pyspark_ingestion_spark.sources.writers import write_partitioned
 
 
+def _spread(df: DataFrame) -> DataFrame:
+    """Decouple DECODE parallelism from SCAN splits for the CPU-heavy
+    multimodal queries. The documents scan is a few MB — one file split,
+    one task — but the downstream synthesize/decode ``mapInPandas``
+    costs ~10⁴ CPU cycles per input byte, so leaving it on the scan's
+    partitioning serializes the whole pipeline on one core (measured:
+    ``multimodal_video_frame_stats`` at sf0.1 ran 258 s on a 32-core
+    box ≈ 2 effective cores). Round-robin the LIGHTWEIGHT text rows
+    across ``defaultParallelism`` partitions BEFORE payload synthesis —
+    shuffling text is pennies; repartitioning after synthesis would
+    move the heavy binary payloads instead. The same sizing logic holds
+    on a 1000-executor cluster at 100 TB: a CPU-bound decode stage
+    wants its partition count set by the fleet's cores, not by
+    ``maxPartitionBytes`` over a byte-light input table."""
+    sc = df.sparkSession.sparkContext
+    return df.repartition(sc.defaultParallelism)
+
+
 @query(
     "ddl_ctas_roundtrip",
     oracle="""
@@ -268,9 +286,9 @@ def multimodal_decode_real(spark: SparkSession, sf_dir: str) -> DataFrame:
         synthesize_wav_payload,
     )
 
-    d = load_table(spark, sf_dir, "documents").filter(
+    d = _spread(load_table(spark, sf_dir, "documents").filter(
         F.octet_length("text") == F.length("text")
-    )
+    ))
     bmp = synthesize_bmp_payload(d, "doc_id", "text")
     wav = synthesize_wav_payload(
         d.select((-F.col("doc_id") - 1).alias("doc_id"), "text"),
@@ -337,9 +355,9 @@ def _pixel_hist_features(spark: SparkSession, sf_dir: str):
         synthesize_bmp_payload,
     )
 
-    d = load_table(spark, sf_dir, "documents").filter(
+    d = _spread(load_table(spark, sf_dir, "documents").filter(
         F.octet_length("text") == F.length("text")  # ASCII ⇒ byte i = char i
-    )
+    ))
     return extract_features(
         synthesize_bmp_payload(d, "doc_id", "text"), dim=8, mode="pixel"
     )
@@ -539,7 +557,7 @@ def dedup_image_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
         (-F.col("doc_id") - 1).alias("doc_id"),
         F.concat(F.lit("zzz"), F.expr("substring(text, 4)")).alias("text"),
     )
-    uni = d.unionByName(variants)
+    uni = _spread(d.unionByName(variants))
     sig = image_dhash(synthesize_bmp_payload(uni, "doc_id", "text", width=12))
     return fingerprint_pairs(sig, "doc_id", "dh_hi", "dh_lo", radius=7)
 
@@ -622,7 +640,7 @@ def dedup_audio_fhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         (-F.col("doc_id") - 1).alias("doc_id"),
         F.concat(F.lit("zzz"), F.expr("substring(text, 4)")).alias("text"),
     )
-    uni = d.unionByName(variants)
+    uni = _spread(d.unionByName(variants))
     sig = audio_fhash(synthesize_wav_payload(uni, "doc_id", "text"))
     return fingerprint_pairs(sig, "doc_id", "fh_hi", "fh_lo", radius=7)
 
@@ -729,7 +747,7 @@ def dedup_incremental_image(spark: SparkSession, sf_dir: str) -> DataFrame:
         (-F.col("doc_id") - 1).alias("doc_id"),
         F.concat(F.lit("zzz"), F.expr("substring(text, 4)")).alias("text"),
     )
-    uni = d.unionByName(variants)
+    uni = _spread(d.unionByName(variants))
     # decode + hash ONCE for every frame below (stats-free after the
     # checkpoint — every join against batch slices broadcasts)
     sig = (
@@ -809,9 +827,9 @@ def multimodal_bmp_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         synthesize_bmp_payload,
     )
 
-    d = load_table(spark, sf_dir, "documents").filter(
+    d = _spread(load_table(spark, sf_dir, "documents").filter(
         F.octet_length("text") == F.length("text")  # ASCII ⇒ byte i = char i
-    )
+    ))
     stats = media_signal_features(synthesize_bmp_payload(d, "doc_id", "text"))
     return stats.select(
         "doc_id",
@@ -854,9 +872,9 @@ def multimodal_wav_sample_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         synthesize_wav_payload,
     )
 
-    d = load_table(spark, sf_dir, "documents").filter(
+    d = _spread(load_table(spark, sf_dir, "documents").filter(
         F.octet_length("text") == F.length("text")
-    )
+    ))
     stats = media_signal_features(synthesize_wav_payload(d, "doc_id", "text"))
     return stats.select(
         "doc_id",
@@ -901,9 +919,9 @@ def multimodal_png_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         synthesize_png_payload,
     )
 
-    d = load_table(spark, sf_dir, "documents").filter(
+    d = _spread(load_table(spark, sf_dir, "documents").filter(
         F.octet_length("text") == F.length("text")  # ASCII ⇒ byte i = char i
-    )
+    ))
     stats = media_signal_features(synthesize_png_payload(d, "doc_id", "text"))
     return stats.select(
         "doc_id",
@@ -948,9 +966,9 @@ def multimodal_gif_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         synthesize_gif_payload,
     )
 
-    d = load_table(spark, sf_dir, "documents").filter(
+    d = _spread(load_table(spark, sf_dir, "documents").filter(
         F.octet_length("text") == F.length("text")  # ASCII ⇒ byte i = char i
-    )
+    ))
     stats = media_signal_features(synthesize_gif_payload(d, "doc_id", "text"))
     return stats.select(
         "doc_id",
@@ -1002,9 +1020,9 @@ def multimodal_jpeg_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         synthesize_jpeg_payload,
     )
 
-    d = load_table(spark, sf_dir, "documents").filter(
+    d = _spread(load_table(spark, sf_dir, "documents").filter(
         F.octet_length("text") == F.length("text")  # ASCII ⇒ byte i = char i
-    )
+    ))
     stats = media_signal_features(synthesize_jpeg_payload(d, "doc_id", "text"))
     return stats.select(
         "doc_id",
@@ -1052,9 +1070,9 @@ def multimodal_jpeg420_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFram
         synthesize_jpeg420_payload,
     )
 
-    d = load_table(spark, sf_dir, "documents").filter(
+    d = _spread(load_table(spark, sf_dir, "documents").filter(
         F.octet_length("text") == F.length("text")  # ASCII ⇒ byte i = char i
-    )
+    ))
     stats = media_signal_features(synthesize_jpeg420_payload(d, "doc_id", "text"))
     return stats.select(
         "doc_id",
@@ -1103,9 +1121,9 @@ def multimodal_jpeg_progressive_pixel_stats(spark: SparkSession, sf_dir: str) ->
         synthesize_jpeg_progressive_payload,
     )
 
-    d = load_table(spark, sf_dir, "documents").filter(
+    d = _spread(load_table(spark, sf_dir, "documents").filter(
         F.octet_length("text") == F.length("text")  # ASCII ⇒ byte i = char i
-    )
+    ))
     stats = media_signal_features(
         synthesize_jpeg_progressive_payload(d, "doc_id", "text")
     )
@@ -1160,9 +1178,9 @@ def multimodal_video_frame_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         video_frame_stats,
     )
 
-    d = load_table(spark, sf_dir, "documents").filter(
+    d = _spread(load_table(spark, sf_dir, "documents").filter(
         F.octet_length("text") == F.length("text")  # ASCII ⇒ byte i = char i
-    )
+    ))
     return video_frame_stats(synthesize_avi_payload(d, "doc_id", "text"))
 
 
@@ -1254,6 +1272,6 @@ def dedup_video_temporal(spark: SparkSession, sf_dir: str) -> DataFrame:
             " c -> char(ascii(c) + 1)), '')"
         ).alias("text"),
     )
-    uni = d.unionByName(variants)
+    uni = _spread(d.unionByName(variants))
     sig = video_temporal_dhash(synthesize_avi_payload(uni, "doc_id", "text"))
     return fingerprint_pairs(sig, "doc_id", "dh_hi", "dh_lo", radius=7)

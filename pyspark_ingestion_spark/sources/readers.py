@@ -183,6 +183,39 @@ def read_jdbc(
     return reader.load()
 
 
+def jdbc_watermark_predicate(
+    ref_column: str,
+    last_value: str,
+    dialect: str = "oracle",
+    quote: str = '"',
+) -> str:
+    """Render an incremental watermark as ONE remote-side predicate for
+    :func:`read_jdbc`'s ``predicates`` — the SURVEY §4 O-GAP1 surface:
+    the reference (ingestion.py:16-103) filtered new rows AFTER a full
+    table scan crossed the wire; pushing ``ref > watermark`` into the
+    remote WHERE ships only the new rows.
+
+    ``last_value`` is the sync-file string (``format_watermark``'s
+    ``yyyy-MM-ddTHH:mm:ss.ffffffZ``) or any plain literal for numeric
+    refs. Timestamp literals are dialect-specific — Oracle takes the
+    ANSI ``TIMESTAMP '...'`` literal, Derby only its ``TIMESTAMP('...')``
+    function, SQL Server converts a plain quoted string — so the dialect
+    dispatch mirrors :data:`DBMS_TO_URL`. Identifiers are quoted
+    (``quote``) because Spark's JDBC writer creates exact-case quoted
+    columns; pass ``quote=""`` for unquoted legacy schemas."""
+    col = f"{quote}{ref_column}{quote}" if quote else ref_column
+    iso = last_value.replace("T", " ").rstrip("Z")
+    if "T" not in last_value and ":" not in last_value:
+        return f"{col} > {last_value}"  # numeric ref: plain literal
+    if dialect == "derby":
+        return f"{col} > TIMESTAMP('{iso}')"
+    if dialect == "sqlserver":
+        return f"{col} > '{iso}'"
+    if dialect == "oracle":
+        return f"{col} > TIMESTAMP '{iso}'"
+    raise ValueError(f"unknown JDBC dialect {dialect!r}")
+
+
 def get_jdbc_oracle_url(host: str, port: int | str, service: str) -> str:
     """Oracle thin URL (parity: reference spark.py:78-82, minus inline creds)."""
     return f"jdbc:oracle:thin:@//{host}:{port}/{service}"

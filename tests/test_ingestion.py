@@ -403,26 +403,79 @@ def test_cli_parse_dd_and_file_ingest(spark, tmp_path):
     assert os.path.exists(str(lake / "lims" / "S.T1" / "sync.json"))
 
 
-def test_lake_schema_evolution_merge_schema(spark, tmp_path):
-    """A later batch adding a column must not break the lake: mergeSchema
-    read surfaces the union schema with NULLs for early batches."""
-    from pyspark_ingestion_spark.sources.readers import read_file
-    from pyspark_ingestion_spark.sources.writers import write_partitioned
-
-    out = str(tmp_path / "evolving")
-    v1 = spark.createDataFrame([(1, "a", "2020")], "id long, val string, YEAR string")
-    write_partitioned(v1, out, partition_columns=["YEAR"], mode="append",
-                      compression="snappy")
-    v2 = spark.createDataFrame(
-        [(2, "b", 9.5, "2021")], "id long, val string, score double, YEAR string"
+def test_jdbc_derby_incremental_ingest(spark, tmp_path):
+    """S1 executed against a REAL JDBC source — embedded Derby (the
+    jars ship with pyspark, no network): the watermark predicate is
+    pushed into the REMOTE WHERE via read_jdbc(predicates=...), proven
+    by (a) the executed plan containing no Spark-side Filter while the
+    scan still returns only above-watermark rows (the drop happened in
+    the DBMS) and (b) one scan partition per predicate. Three
+    ingest_table batches mirror reference ingestion.py:16-103 through
+    spark.py:119-133: initial load, a late source row crossing alone,
+    then an empty batch that moves nothing. (This replaces a duplicate
+    of test_lake_schema_evolution_merge_schema that shadowed it.)"""
+    from pyspark_ingestion_spark.sources.readers import (
+        jdbc_watermark_predicate,
+        read_jdbc,
     )
-    write_partitioned(v2, out, partition_columns=["YEAR"], mode="append",
-                      compression="snappy")
 
-    back = read_file(spark, out, mergeSchema=True)
-    assert set(back.columns) == {"id", "val", "score", "YEAR"}
-    rows = {r["id"]: r for r in back.collect()}
-    assert rows[1]["score"] is None and rows[2]["score"] == 9.5
+    # unit surface: the dialect dispatch mirrors DBMS_TO_URL
+    assert jdbc_watermark_predicate("m", "2020-01-02T03:04:05.000000Z",
+                                    dialect="oracle") \
+        == "\"m\" > TIMESTAMP '2020-01-02 03:04:05.000000'"
+    assert jdbc_watermark_predicate("m", "2020-01-02T03:04:05.000000Z",
+                                    dialect="sqlserver", quote="") \
+        == "m > '2020-01-02 03:04:05.000000'"
+    assert jdbc_watermark_predicate("seq", "42", dialect="derby") == '"seq" > 42'
+    with pytest.raises(ValueError, match="dialect"):
+        jdbc_watermark_predicate("m", "2020-01-02T03:04:05Z", dialect="db2")
+
+    # keep derby.log inside the test tmpdir, not the repo cwd
+    spark._jvm.System.setProperty("derby.system.home", str(tmp_path))
+    url = f"jdbc:derby:{tmp_path}/db;create=true"
+    drv = "org.apache.derby.jdbc.EmbeddedDriver"
+    schema = "sample_id long, payload string, modified_on timestamp"
+    spark.createDataFrame(
+        [(1, "a", dt.datetime(2020, 1, 1, 10)),
+         (2, "b", dt.datetime(2020, 2, 1, 11))], schema,
+    ).write.format("jdbc").option("url", url).option("dbtable", "SRC") \
+        .option("driver", drv).save()
+
+    settings = TableSettings(ref_column="modified_on")
+    lake = str(tmp_path / "lake")
+
+    def batch():
+        wm = read_watermark(lake, "lims", "SRC", settings.ref_column,
+                            settings.ref_first_value, spark=spark)
+        pred = jdbc_watermark_predicate(
+            "modified_on", wm.ref_last_value, dialect="derby")
+        df = read_jdbc(spark, url, "SRC", driver=drv, predicates=[pred])
+        return df, ingest_table(df, "lims", "SRC", lake, settings)
+
+    df1, r1 = batch()
+    assert r1.moved_something and r1.n_rows == 2
+    assert r1.watermark.ref_last_value == "2020-02-01T11:00:00.000000Z"
+    # pushdown proof on the RAW scan (before prep's defensive re-filter):
+    # no Filter node anywhere, one partition per predicate, rows already
+    # bounded — the watermark only exists inside the remote query
+    assert df1.rdd.getNumPartitions() == 1
+    assert " Filter " not in df1._jdf.queryExecution().executedPlan().toString()
+
+    # a late row lands in the source after batch 1
+    spark.createDataFrame(
+        [(3, "c", dt.datetime(2020, 3, 1, 12))], schema,
+    ).write.format("jdbc").option("url", url).option("dbtable", "SRC") \
+        .option("driver", drv).mode("append").save()
+
+    df2, r2 = batch()
+    assert df2.count() == 1  # ONLY the late row crossed the wire
+    assert r2.moved_something and r2.n_rows == 1
+    assert r2.watermark.ref_last_value == "2020-03-01T12:00:00.000000Z"
+
+    df3, r3 = batch()
+    assert df3.count() == 0  # remote WHERE excluded everything
+    assert not r3.moved_something and r3.n_rows == 0
+    assert spark.read.parquet(lake).count() == 3
 
 
 def test_profile_columns_counts_nulls_and_distinct(spark):
@@ -1333,6 +1386,73 @@ def test_snapshot_diff_keys_only_added_removed(spark):
     got = {(r["k"], r["change_type"], tuple(r["changed_cols"]))
            for r in snapshot_diff(old, new, ["k"], []).collect()}
     assert got == {(3, "added", ()), (1, "removed", ())}
+
+
+def test_jpeg_fast_path_bit_exact(spark):
+    """The r10 vectorized decode (prescan unstuff + 16-bit Huffman LUT +
+    batched numpy IDCT) is BIT-IDENTICAL to the pure bit-by-bit loop on
+    every baseline shape: constant grids (DC-only path), random noise
+    (full IDCT, every AC size), mixed constant/noise, restart markers,
+    non-trivial quant tables, and 4:2:0/4:2:2 chroma interleaving.
+    Float accumulation order is preserved term-for-term in the batch
+    IDCT, so equality is exact, not approximate. Also pins the array
+    surface (_jpeg_luma_array == the list, as int64) and that corrupt
+    streams still raise ValueError under the fast path."""
+    import random
+
+    import pyspark_ingestion_spark.operators.multimodal as M
+
+    rnd = random.Random(1234)
+
+    def grid(data, bpr=32):
+        nblk = max(1, len(data))
+        rows = -(-nblk // bpr)
+        padded = data.ljust(rows * bpr, b"\x00")
+        w, h = bpr * 8, rows * 8
+        arr = bytearray(w * h)
+        for bi, val in enumerate(padded):
+            by, bx = divmod(bi, bpr)
+            for yy in range(8):
+                base = (by * 8 + yy) * w + bx * 8
+                arr[base : base + 8] = bytes([val]) * 8
+        return bytes(arr), w, h
+
+    cases = []
+    g, w, h = grid(bytes(range(256)))
+    for dri in (0, 3, 7):
+        cases.append(M._jpeg_encode_gray(g, w, h, M._JPEG_FIXTURE_QUANT,
+                                         restart_interval=dri))
+    for (w2, h2) in ((8, 8), (16, 16), (24, 8), (64, 48)):
+        for quant in ([1] * 64, M._JPEG_FIXTURE_QUANT, [3] + [7] * 63):
+            pix = bytes(rnd.randrange(256) for _ in range(w2 * h2))
+            cases.append(M._jpeg_encode_gray(pix, w2, h2, quant))
+            cases.append(M._jpeg_encode_gray(pix, w2, h2, quant,
+                                             restart_interval=2))
+    # mixed: half constant (DC-only), half noise (full IDCT) in one image
+    pix = bytes([77] * 128 + [rnd.randrange(256) for _ in range(128)])
+    cases.append(M._jpeg_encode_gray(pix, 16, 16, M._JPEG_FIXTURE_QUANT))
+    for sampling in ((2, 2), (2, 1), (1, 1)):
+        pix = bytes(rnd.randrange(256) for _ in range(32 * 32))
+        cases.append(M._jpeg_encode_ycbcr_neutral(
+            pix, 32, 32, M._JPEG_FIXTURE_QUANT, sampling))
+    assert M._JPEG_FAST and M.np is not None
+    try:
+        for i, jp in enumerate(cases):
+            fast = M._jpeg_luma_millis(jp)
+            arr = M._jpeg_luma_array(jp)
+            M._JPEG_FAST = False
+            pure = M._jpeg_luma_millis(jp)
+            M._JPEG_FAST = True
+            assert fast == pure, f"case {i}: fast != pure"
+            assert arr.dtype == M.np.int64 and arr.tolist() == pure, i
+        # corrupt inputs keep the ValueError contract on the fast path
+        whole = cases[0]
+        for bad in (whole[: len(whole) // 2],          # truncated entropy
+                    whole[:-20] + b"\xff\xd5" + whole[-20:]):  # stray RST
+            with pytest.raises(ValueError):
+                M._jpeg_luma_millis(bad)
+    finally:
+        M._JPEG_FAST = True
 
 
 def test_jpeg_codec_real_decode(spark):
