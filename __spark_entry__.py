@@ -91,10 +91,20 @@ def _priority(name: str) -> tuple:
 #: proof would attest different semantics, so they re-verify as if never
 #: checked (ahead of the LRV rotation).
 _CHANGED_THIS_ROUND = {
-    # r9: fixture variant ids moved to the negative half-line (-doc_id-1)
-    # — output keys changed, so the r8 proofs attest different rows
-    "multimodal_decode_real",
+    # r10: the JPEG codec gained the numpy fast path (bit-exact-pinned
+    # vs the pure loop, but the decode code these rows attest is new)
+    # and the heavy multimodal queries gained the _spread repartition —
+    # same semantics, new plan; re-prove the whole touched family first
+    "multimodal_video_frame_stats",
+    "multimodal_jpeg_pixel_stats",
+    "multimodal_jpeg420_pixel_stats",
+    "multimodal_jpeg_progressive_pixel_stats",
+    "dedup_video_temporal",
     "dedup_image_phash",
+    "dedup_audio_fhash",
+    "dedup_incremental_image",
+    "multimodal_decode_real",
+    "multimodal_features",
 }
 
 

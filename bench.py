@@ -60,6 +60,12 @@ HEADLINE = [
     # pagerank but ~2× its cost, low extra regression signal per second)
     "pagerank_copurchase",
     "entity_canonical_keep_one",
+    # round-10 multimodal decode anchor (anchor round r10, excluded from
+    # r1_comparable_total): full MJPEG-in-AVI synth + per-frame JPEG
+    # decode — the engine's heaviest CPU-bound scan stage, newly on the
+    # numpy fast path + core-count partitioning; a codec or parallelism
+    # regression shows up here first
+    "multimodal_video_frame_stats",
 ]
 
 
@@ -378,6 +384,7 @@ def main() -> None:
         "corpus_full_pipeline", "dedup_semantic_keep_one", "word_cooccurrence_pmi",
         "dedup_substring_spans", "ann_ivf_pq_topk",
         "pagerank_copurchase", "entity_canonical_keep_one",
+        "multimodal_video_frame_stats",
         "stream_admission_hotlog_batch", "stream_substring_ledger_batch",
         "stream_fingerprint_batch")]
     print(

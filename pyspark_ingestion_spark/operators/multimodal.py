@@ -540,10 +540,45 @@ def fingerprint_bands(
     )
 
 
+def _fp_drop_big_buckets(
+    bands: DataFrame, max_bucket_size: int | None
+) -> DataFrame:
+    """Band-key-skew guard for the fingerprint tiers — the
+    ``_drop_big_buckets`` of ``operators.dedup``, keyed on (j,
+    band_val): drop band buckets holding more rows than the cap via a
+    broadcast anti-join on the (tiny by construction) oversized-bucket
+    list. The skew this guards is DEGENERATE MEDIA: flat images and
+    silent audio all hash to the same fingerprint, so one (j, band_val)
+    bucket holds the whole degenerate population and the band equi-join
+    goes quadratic in it (the SCALING.md watch-item).
+
+    Exactness cost, stated precisely: below the cap NOTHING is dropped
+    and the pigeonhole guarantee is intact (results ≡ brute force). A
+    dropped bucket loses a pair only if EVERY band the pair shares is
+    in a dropped bucket — for near-dups that share one odd band the
+    other shared bands still match them; the pairs genuinely lost are
+    the degenerate-media ones whose every shared bucket is oversized
+    (e.g. thousands of identical flat frames). Those are exactly the
+    pairs exact/hash dedup upstream already catches — run exact dedup
+    first, or size the cap above the expected benign multiplicity."""
+    if max_bucket_size is None:
+        return bands
+    if max_bucket_size < 1:
+        raise ValueError(f"max_bucket_size must be >= 1, got {max_bucket_size}")
+    big = (
+        bands.groupBy("j", "band_val")
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .filter(F.col("__n") > max_bucket_size)
+        .select("j", "band_val")
+    )
+    return bands.join(F.broadcast(big), ["j", "band_val"], "left_anti")
+
+
 def fingerprint_batch_rejects(
     corpus_fp: DataFrame,
     batch_fp: DataFrame,
     radius: int = 7,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """Batch-mode perceptual admission: ids of ``batch_fp`` rows whose
     64-bit fingerprint sits within ``radius`` Hamming bits of ANY
@@ -557,12 +592,20 @@ def fingerprint_batch_rejects(
     then exact ``bit_count(xor())`` verifies candidates only — never
     all-pairs. ``radius`` must stay ≤ 7: the 8×8-bit banding is
     pigeonhole-complete exactly up to 7 differing bits, so results are
-    EXACT (equal to a brute-force Hamming scan), not approximate."""
+    EXACT (equal to a brute-force Hamming scan), not approximate.
+
+    ``max_bucket_size`` (optional) caps CORPUS band buckets against
+    degenerate-media skew (see :func:`_fp_drop_big_buckets` for the
+    exactness trade); the batch side stays uncapped — it is broadcast-
+    small, and capping only the corpus bounds the join at
+    cap × batch_rows per bucket."""
     if not 0 <= radius <= 7:
         raise ValueError(
             f"radius must be in [0, 7] (8-band pigeonhole bound), got {radius}"
         )
-    c = fingerprint_bands(corpus_fp).select(
+    c = _fp_drop_big_buckets(
+        fingerprint_bands(corpus_fp), max_bucket_size
+    ).select(
         F.col("hi").alias("chi"), F.col("lo").alias("clo"), "j", "band_val"
     )
     b = fingerprint_bands(batch_fp)
@@ -583,18 +626,26 @@ def fingerprint_pairs(
     hi_col: str = "hi",
     lo_col: str = "lo",
     radius: int = 7,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """Banded within-corpus near-dup PAIR search over (id, hi, lo)
     fingerprint rows: (doc_a, doc_b, hamming) for every pair within
     ``radius`` Hamming bits — band equi-joins (:func:`fingerprint_
     bands`) then exact bit_count verify, never all-pairs; EXACT for
     radius ≤ 7 (pigeonhole). The shared tail of every perceptual dedup
-    query (image dHash / audio fHash / video temporal dHash)."""
+    query (image dHash / audio fHash / video temporal dHash).
+
+    ``max_bucket_size`` (optional) caps band buckets so degenerate
+    media (flat images / silent audio — every one the same fingerprint)
+    cannot send the self-join quadratic; exactness trade documented on
+    :func:`_fp_drop_big_buckets`."""
     if not 0 <= radius <= 7:
         raise ValueError(
             f"radius must be in [0, 7] (8-band pigeonhole bound), got {radius}"
         )
-    bands = fingerprint_bands(fp, id_col, hi_col, lo_col)
+    bands = _fp_drop_big_buckets(
+        fingerprint_bands(fp, id_col, hi_col, lo_col), max_bucket_size
+    )
     a = bands.select(
         F.col("doc").alias("doc_a"), F.col("hi").alias("ha"),
         F.col("lo").alias("la"), "j", "band_val",
@@ -1327,7 +1378,7 @@ def _jpeg_canonical_codes(bits: list[int], vals: list[int]) -> dict:
 #: cache keeps every table alive; the two caches are bounded and
 #: cleared TOGETHER so an id can never go stale.
 _JPEG_TABLE_CACHE: dict[bytes, dict] = {}
-_JPEG_LUT_CACHE: dict[int, list] = {}
+_JPEG_LUT_CACHE: dict[int, tuple[dict, list]] = {}
 
 
 def _jpeg_decode_table(bits: list[int], vals: list[int]) -> dict:
@@ -1353,17 +1404,22 @@ def _jpeg_lut(table: dict) -> list[int]:
     Huffman half of the fast decode path. Canonical prefix codes make
     every 16-bit word sharing a valid prefix map to the same entry, so
     peeking past the true symbol end (even into padding) is harmless;
-    the caller bounds actual CONSUMPTION against the stream length."""
+    the caller bounds actual CONSUMPTION against the stream length.
+
+    The cache entry holds a strong reference to ``table`` itself, so an
+    id() key can never be reused while its entry exists — even if the
+    table cache was cleared underneath an in-flight decode."""
     got = _JPEG_LUT_CACHE.get(id(table))
-    if got is None:
-        lut = [0] * 65536
-        for (length, code), sym in table.items():
-            base = code << (16 - length)
-            entry = (length << 8) | sym
-            for i in range(base, base + (1 << (16 - length))):
-                lut[i] = entry
-        got = _JPEG_LUT_CACHE[id(table)] = lut
-    return got
+    if got is not None:
+        return got[1]
+    lut = [0] * 65536
+    for (length, code), sym in table.items():
+        base = code << (16 - length)
+        entry = (length << 8) | sym
+        for i in range(base, base + (1 << (16 - length))):
+            lut[i] = entry
+    _JPEG_LUT_CACHE[id(table)] = (table, lut)
+    return lut
 
 
 class _JpegBitReader:

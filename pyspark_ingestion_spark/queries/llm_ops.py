@@ -2150,6 +2150,82 @@ def bpe_train_merges_iter(docs_df: DataFrame, n_rounds: int) -> DataFrame:
     )
 
 
+def bpe_train_merges_batched(
+    docs_df: DataFrame, n_rounds: int, batch_k: int = 8
+) -> DataFrame:
+    """Batched BPE training — the production-scale form of
+    :func:`bpe_train_merges_iter`: sequential training runs one Spark
+    job chain PER MERGE (measured flat ~3 s/round at sf0.1, so a
+    10k-merge vocabulary is ~10k sequential jobs — per-round LATENCY,
+    not throughput, is the wall). Each Spark round here selects the
+    top-``batch_k`` pairs by the same deterministic (cnt DESC, x, y)
+    order, keeps the rank-greedy SYMBOL-DISJOINT subset (the conflict
+    re-check: a pair is dropped from the batch when it shares a left or
+    right symbol with a higher-ranked accepted pair — merging disjoint
+    pairs cannot change each other's counts or overlap in a document),
+    and applies ALL accepted merges in ONE scan pass via the same
+    rank-ordered table fold the encoder uses
+    (:func:`_bpe_apply_merge_table`), cutting job count ~batch_k×.
+
+    Exactness, stated plainly: ``batch_k=1`` is EXACTLY
+    ``bpe_train_merges_iter`` (property-pinned). For ``batch_k>1``
+    every accepted pair's count is exact AT SELECTION TIME and
+    unchanged by its batch-mates (disjointness), but a merge can SPAWN
+    a new pair (one involving the merged symbol) whose count exceeds a
+    later accepted pair's — strict sequential BPE would pick the
+    spawned pair first. That rank drift is the standard batched-BPE
+    trade; the registry's oracle-checked 3-round pin stays on the
+    sequential trainer. Returns the ``bpe_train_merges_iter`` schema
+    (merge_round numbers the merges in applied order)."""
+    if n_rounds < 1:
+        raise ValueError(f"n_rounds must be >= 1, got {n_rounds}")
+    if batch_k < 1:
+        raise ValueError(f"batch_k must be >= 1, got {batch_k}")
+    if "merges" in docs_df.columns:
+        # the batch apply joins a broadcast 'merges' table column in and
+        # drops it after — a caller column of that name would be eaten
+        raise ValueError("docs_df must not carry a 'merges' column (reserved)")
+    spark = docs_df.sparkSession
+    merges, docs = [], docs_df
+    while len(merges) < n_rounds:
+        take = min(batch_k, n_rounds - len(merges))
+        top = (
+            _bpe_adjacent_pair_counts(docs)
+            .orderBy(F.col("cnt").desc(), "x", "y")
+            .limit(take)
+            .collect()
+        )
+        if not top:
+            break
+        used: set[str] = set()
+        batch = []
+        for row in top:
+            if row["x"] in used or row["y"] in used:
+                continue  # conflict re-check: shared symbol with a
+                # higher-ranked batch-mate → defer to a later round
+            used.add(row["x"])
+            used.add(row["y"])
+            batch.append(row)
+            merges.append((len(merges) + 1, row["x"], row["y"], row["cnt"]))
+        if len(merges) < n_rounds:
+            mt = spark.createDataFrame(
+                [([(b["x"], b["y"]) for b in batch],)],
+                "merges array<struct<x:string,y:string>>",
+            )
+            docs = (
+                _bpe_apply_merge_table(
+                    docs.crossJoin(F.broadcast(mt)), F.col("merges")
+                )
+                .drop("merges")
+                .localCheckpoint(eager=False)
+            )
+    return spark.createDataFrame(
+        merges,
+        "merge_round int, left_sym string, right_sym string, "
+        "pair_count bigint",
+    )
+
+
 def _bpe_symbol_docs(spark: SparkSession, sf_dir: str, with_id: bool = False):
     """documents → (``doc_id``?, ``s``): symbols = lowercase whitespace
     words joined by chr(1) — the BPE working representation shared by
@@ -2163,11 +2239,11 @@ def _bpe_symbol_docs(spark: SparkSession, sf_dir: str, with_id: bool = False):
     return d.select(*cols)
 
 
-def _bpe_pair_best(docs_df: DataFrame) -> DataFrame:
-    """One-row (x, y, cnt) argmax of adjacent symbol-pair counts with
-    the deterministic (cnt DESC, x ASC, y ASC) boundary: filter to the
-    max count (one-row broadcast), lexicographic struct-min picks the
-    pair."""
+def _bpe_adjacent_pair_counts(docs_df: DataFrame) -> DataFrame:
+    """(x, y, cnt) adjacent symbol-pair counts over the ``s`` symbol
+    column — the map-side-combined aggregate shared by the sequential
+    argmax (:func:`_bpe_pair_best`) and the batched top-k selection
+    (:func:`bpe_train_merges_batched`)."""
     arr = F.split(F.col("s"), _BPE_SEP)
     idx = F.when(
         F.size(arr) >= 2, F.sequence(F.lit(1), F.size(arr) - 1)
@@ -2182,7 +2258,15 @@ def _bpe_pair_best(docs_df: DataFrame) -> DataFrame:
             )
         ).alias("p")
     ).select("p.x", "p.y")
-    pc = pairs.groupBy("x", "y").agg(F.count(F.lit(1)).alias("cnt"))
+    return pairs.groupBy("x", "y").agg(F.count(F.lit(1)).alias("cnt"))
+
+
+def _bpe_pair_best(docs_df: DataFrame) -> DataFrame:
+    """One-row (x, y, cnt) argmax of adjacent symbol-pair counts with
+    the deterministic (cnt DESC, x ASC, y ASC) boundary: filter to the
+    max count (one-row broadcast), lexicographic struct-min picks the
+    pair."""
+    pc = _bpe_adjacent_pair_counts(docs_df)
     mx = pc.agg(F.max("cnt").alias("mx"))
     return (
         pc.join(F.broadcast(mx), F.col("cnt") == F.col("mx"))

@@ -226,8 +226,19 @@ def get_jdbc_sqlserver_url(server: str, port: int | str, database: str) -> str:
     return f"jdbc:sqlserver://{server}:{port};databaseName={database}"
 
 
-#: dialect → URL-builder dispatch (parity: reference config.py:95-99)
+def get_jdbc_derby_url(host: str, port: int | str, service: str) -> str:
+    """Embedded Derby URL — the in-process dialect (its jars ship with
+    pyspark) that lets the whole JDBC ingest path run in integration
+    tests and local smoke runs without a network DBMS. ``service`` is
+    the database directory; host/port are unused (same-JVM embedded
+    driver) but kept for the shared builder signature."""
+    return f"jdbc:derby:{service}"
+
+
+#: dialect → URL-builder dispatch (parity: reference config.py:95-99,
+#: plus the embedded-derby test/local dialect)
 DBMS_TO_URL = {
     "oracle": get_jdbc_oracle_url,
     "sqlserver": get_jdbc_sqlserver_url,
+    "derby": get_jdbc_derby_url,
 }

@@ -2615,6 +2615,7 @@ def _fingerprint_rejects_indexed(
     index_path: str,
     batch_id: int,
     radius: int,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """Index-driven perceptual admission for one micro-batch: batch ids
     within ``radius`` Hamming bits of any stored corpus fingerprint.
@@ -2641,7 +2642,9 @@ def _fingerprint_rejects_indexed(
         )
     except AnalysisException:  # no index partitions yet: empty corpus
         return spark.createDataFrame([], "doc long")
-    return fingerprint_batch_rejects(idx, batch_fp, radius=radius)
+    return fingerprint_batch_rejects(
+        idx, batch_fp, radius=radius, max_bucket_size=max_bucket_size
+    )
 
 
 def _admit_fingerprint_batch_indexed(
@@ -2654,6 +2657,7 @@ def _admit_fingerprint_batch_indexed(
     hash_cols: tuple[str, str],
     id_col: str,
     radius: int,
+    max_bucket_size: int | None = None,
 ) -> None:
     """One micro-batch of indexed ``stream_fingerprint_admission``:
     decode + hash the batch ONCE (localCheckpoint — every join against
@@ -2683,7 +2687,8 @@ def _admit_fingerprint_batch_indexed(
         eager=False
     )
     rejects = _fingerprint_rejects_indexed(
-        spark, batch_fp, index_path, batch_id, radius
+        spark, batch_fp, index_path, batch_id, radius,
+        max_bucket_size=max_bucket_size,
     ).withColumnRenamed("doc", id_col)
     admitted = batch_df.join(F.broadcast(rejects), id_col, "left_anti").localCheckpoint(
         eager=False
@@ -2710,6 +2715,7 @@ def _admit_fingerprint_batch_recompute(
     hash_cols: tuple[str, str],
     id_col: str,
     radius: int,
+    max_bucket_size: int | None = None,
 ) -> None:
     """One micro-batch of the RECOMPUTE form of
     ``stream_fingerprint_admission`` (no index): re-decode and re-hash
@@ -2740,6 +2746,7 @@ def _admit_fingerprint_batch_recompute(
         _hash_rows(hash_fn, corpus, hash_cols, id_col),
         _hash_rows(hash_fn, batch_df, hash_cols, id_col),
         radius=radius,
+        max_bucket_size=max_bucket_size,
     ).withColumnRenamed("doc", id_col)
     admitted = batch_df.join(F.broadcast(rejects), id_col, "left_anti")
     overwrite_partitions(
@@ -2761,6 +2768,7 @@ def stream_fingerprint_admission(
     index_path: str | None = None,
     compact_every: int | None = None,
     compact_major_every: int | None = None,
+    max_bucket_size: int | None = None,
 ) -> None:
     """Continuous PERCEPTUAL admission over media payloads — the
     multimodal member of the indexed streaming admission family: each
@@ -2780,7 +2788,11 @@ def stream_fingerprint_admission(
     ``__batch_id`` dynamic-overwrite contract as the other sinks;
     ``compact_every`` / ``compact_major_every``: same in-sink LSM
     policy (:func:`compact_fingerprint_index` — plain concatenation,
-    stored rows are pure payload functions, no staleness)."""
+    stored rows are pure payload functions, no staleness).
+    ``max_bucket_size`` (optional) caps corpus band buckets against
+    degenerate-media skew — flat images / silent audio collapsing to
+    one band value; exactness trade documented on
+    ``operators.multimodal._fp_drop_big_buckets``."""
     from pyspark_ingestion_spark.operators.multimodal import image_dhash
 
     if hash_fn is None:
@@ -2823,13 +2835,13 @@ def stream_fingerprint_admission(
             _admit_fingerprint_batch_indexed(
                 batch_df, batch_id, base_media, out_path, index_path,
                 hash_fn=hash_fn, hash_cols=hash_cols, id_col=id_col,
-                radius=radius,
+                radius=radius, max_bucket_size=max_bucket_size,
             )
             return
         _admit_fingerprint_batch_recompute(
             batch_df, batch_id, base_media, out_path,
             hash_fn=hash_fn, hash_cols=hash_cols, id_col=id_col,
-            radius=radius,
+            radius=radius, max_bucket_size=max_bucket_size,
         )
 
     q = (

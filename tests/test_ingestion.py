@@ -403,6 +403,49 @@ def test_cli_parse_dd_and_file_ingest(spark, tmp_path):
     assert os.path.exists(str(lake / "lims" / "S.T1" / "sync.json"))
 
 
+def test_cli_ingest_all_derby_jdbc(spark, tmp_path):
+    """The ingest-all CLI over a LIVE JDBC source (embedded Derby, the
+    reference's batch-all-tables-ingestion.py flow end-to-end): every
+    table of the system ingests from the DBMS through the settings
+    catalog's dbms→URL dispatch, watermarks advance per table, and a
+    SECOND invocation moves nothing — the reference's 'moving_something'
+    loop contract without a network database."""
+    from pyspark_ingestion_spark.cli import main
+
+    spark._jvm.System.setProperty("derby.system.home", str(tmp_path))
+    url = f"jdbc:derby:{tmp_path}/db;create=true"
+    drv = "org.apache.derby.jdbc.EmbeddedDriver"
+    seeds = {
+        "T1": [(1, dt.datetime(2020, 5, 1, 10))],
+        "T2": [(2, dt.datetime(2020, 6, 2, 11)),
+               (3, dt.datetime(2020, 7, 3, 12))],
+    }
+    for t, rows in seeds.items():
+        spark.createDataFrame(rows, "id long, modified_on timestamp") \
+            .write.format("jdbc").option("url", url).option("dbtable", t) \
+            .option("driver", drv).save()
+
+    ts = {"ref_column": "modified_on",
+          "ref_first_value": "2019-01-01T00:00:00.000000Z"}
+    settings_doc = {"connection": {"lims": {
+        "dbms": "derby", "service": f"{tmp_path}/db", "driver": drv,
+        "table-settings": {"T1": dict(ts), "T2": dict(ts)},
+    }}}
+    sp = tmp_path / "settings.json"
+    sp.write_text(json.dumps(settings_doc))
+    lake = tmp_path / "lake"
+    args = ["ingest-all", "--settings", str(sp), "--system", "lims",
+            "--base-path", str(lake)]
+
+    assert main(args) == 0
+    assert spark.read.parquet(str(lake / "lims" / "T1")).count() == 1
+    assert spark.read.parquet(str(lake / "lims" / "T2")).count() == 2
+
+    assert main(args) == 0  # watermarks advanced: nothing moves
+    assert spark.read.parquet(str(lake / "lims" / "T1")).count() == 1
+    assert spark.read.parquet(str(lake / "lims" / "T2")).count() == 2
+
+
 def test_jdbc_derby_incremental_ingest(spark, tmp_path):
     """S1 executed against a REAL JDBC source — embedded Derby (the
     jars ship with pyspark, no network): the watermark predicate is

@@ -2191,6 +2191,66 @@ def test_fingerprint_batch_rejects_equals_bruteforce(
     assert got == want
 
 
+def test_fingerprint_bucket_cap_guards_degenerate_media(spark):
+    """The r10 band-key-skew guard (max_bucket_size on fingerprint_pairs /
+    fingerprint_batch_rejects): (1) a degenerate corpus — every item the
+    SAME fingerprint, the flat-image/silent-audio collapse — produces
+    ZERO candidate pairs under the cap instead of the quadratic n² band
+    join (sub-quadratic by construction: every bucket is dropped before
+    the self-join); (2) on a corpus where no bucket exceeds the cap the
+    results are IDENTICAL to the uncapped run (exactness below the cap);
+    (3) near-dups sharing several bands survive one oversized bucket,
+    because only pairs whose EVERY shared band is oversized are lost."""
+    from pyspark_ingestion_spark.operators.multimodal import (
+        fingerprint_batch_rejects,
+        fingerprint_pairs,
+    )
+
+    # (1) degenerate: 40 identical fingerprints, cap 8
+    flat = spark.createDataFrame(
+        [(i, 0, 0) for i in range(40)], "doc long, hi long, lo long"
+    )
+    assert fingerprint_pairs(flat, max_bucket_size=8).count() == 0
+    assert fingerprint_pairs(flat).count() == 40 * 39 // 2  # uncapped: all
+    assert fingerprint_batch_rejects(flat, flat, max_bucket_size=8).count() == 0
+    import pytest
+
+    with pytest.raises(ValueError, match="max_bucket_size"):
+        fingerprint_pairs(flat, max_bucket_size=0)
+
+    # (2) no oversized bucket → capped ≡ uncapped, exactly
+    import random
+
+    rnd = random.Random(99)
+    mixed = [(i, rnd.getrandbits(32), rnd.getrandbits(32)) for i in range(30)]
+    mixed += [(100 + i, mixed[i][1], mixed[i][2] ^ 1) for i in range(5)]  # near-dups
+    mdf = spark.createDataFrame(mixed, "doc long, hi long, lo long")
+    uncapped = {
+        (r["doc_a"], r["doc_b"], r["hamming"])
+        for r in fingerprint_pairs(mdf).collect()
+    }
+    capped = {
+        (r["doc_a"], r["doc_b"], r["hamming"])
+        for r in fingerprint_pairs(mdf, max_bucket_size=29).collect()
+    }
+    assert capped == uncapped and len(uncapped) >= 5
+
+    # (3) one oversized bucket: pairs sharing OTHER bands still found.
+    # 20 docs share band j=0 value 0 (low byte zero) but differ wildly
+    # elsewhere; two docs are near-dups via their remaining bands.
+    rows = [(i, rnd.getrandbits(32), (rnd.getrandbits(24) << 8))
+            for i in range(20)]
+    rows.append((500, rows[0][1], rows[0][2] ^ (3 << 8)))  # 2 bits, band j=1
+    rdf = spark.createDataFrame(rows, "doc long, hi long, lo long")
+    got = {
+        (r["doc_a"], r["doc_b"])
+        for r in fingerprint_pairs(rdf, max_bucket_size=21 - 1).collect()
+    }
+    # the j=0 bucket (21 rows) is dropped by cap 20, but (0, 500) share
+    # bands j=2,3 and the hi bands too — the pair survives
+    assert (0, 500) in got
+
+
 def _py_bpe_train(docs_words, n_rounds):
     """Independent Python BPE trainer: (cnt DESC, pair ASC) argmax,
     greedy left-to-right non-overlapping merge, merged symbols joined
@@ -2257,3 +2317,93 @@ def test_bpe_train_merges_iter_matches_python_model(spark, docs, n_rounds):
         for i, (x, y, c) in enumerate(_py_bpe_train(docs, n_rounds))
     ]
     assert got == want
+
+
+def _py_bpe_train_batched(docs_words, n_rounds, batch_k):
+    """Independent Python model of bpe_train_merges_batched: per round,
+    top-min(batch_k, remaining) pairs by (cnt DESC, pair ASC), greedy
+    rank-order symbol-disjoint filter, merges applied sequentially in
+    rank order (greedy left-to-right non-overlapping each)."""
+    from collections import Counter
+
+    docs = [list(ws) for ws in docs_words]
+
+    def apply(best):
+        for i, d in enumerate(docs):
+            nd, j = [], 0
+            while j < len(d):
+                if j + 1 < len(d) and (d[j], d[j + 1]) == best:
+                    nd.append(d[j] + " " + d[j + 1])
+                    j += 2
+                else:
+                    nd.append(d[j])
+                    j += 1
+            docs[i] = nd
+
+    merges = []
+    while len(merges) < n_rounds:
+        cnt = Counter()
+        for d in docs:
+            for a, b in zip(d, d[1:]):
+                cnt[(a, b)] += 1
+        if not cnt:
+            break
+        take = min(batch_k, n_rounds - len(merges))
+        top = sorted(cnt.items(), key=lambda kv: (-kv[1], kv[0]))[:take]
+        used, batch = set(), []
+        for (x, y), c in top:
+            if x in used or y in used:
+                continue
+            used.update((x, y))
+            batch.append((x, y, c))
+            merges.append((x, y, c))
+        if len(merges) < n_rounds:
+            for x, y, _ in batch:
+                apply((x, y))
+    return merges
+
+
+@settings(max_examples=4, deadline=None)
+@given(
+    st.lists(
+        st.lists(st.sampled_from(["a", "b", "c", "ab", "bc"]),
+                 min_size=1, max_size=12),
+        min_size=1,
+        max_size=8,
+    ),
+    st.integers(1, 10),
+    st.integers(1, 4),
+)
+def test_bpe_train_merges_batched_matches_python_model(
+    spark, docs, n_rounds, batch_k
+):
+    """The batched top-k BPE trainer (r10 — cuts the sequential
+    trainer's one-job-chain-per-merge latency ~batch_k×) equals an
+    independent Python model of the same algorithm on random corpora —
+    including batch_k=1, where both collapse to exactly the sequential
+    trainer's contract (iter-equivalence is implied transitively via
+    the models: _py_bpe_train_batched(k=1) reduces to _py_bpe_train)."""
+    from pyspark_ingestion_spark.queries.llm_ops import (
+        _BPE_SEP,
+        bpe_train_merges_batched,
+    )
+
+    df = spark.createDataFrame(
+        [(_BPE_SEP.join(ws),) for ws in docs], "s string"
+    )
+    got = [
+        (r["merge_round"], r["left_sym"], r["right_sym"], r["pair_count"])
+        for r in bpe_train_merges_batched(df, n_rounds, batch_k=batch_k)
+        .orderBy("merge_round").collect()
+    ]
+    want = [
+        (i + 1, x, y, c)
+        for i, (x, y, c) in enumerate(
+            _py_bpe_train_batched(docs, n_rounds, batch_k)
+        )
+    ]
+    assert got == want
+    if batch_k == 1:
+        assert [(x, y, c) for _, x, y, c in got] == _py_bpe_train(
+            docs, n_rounds
+        )

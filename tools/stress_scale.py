@@ -454,6 +454,14 @@ def main():
             "semantic_batch_ivf": stream_semantic_batches(
                 spark, n, quantizer="ivf", nprobe=2
             ),
+            # r10 (VERDICT r9 item 7): the recall dial's COST slope —
+            # doubling nprobe doubles the candidate budget (recall
+            # 0.29→0.51 at nprobe 2 per semantic_ivf_recall_eval); this
+            # second sweep point makes a per-batch cost regression in
+            # the dial visible round-over-round, not just its recall
+            "semantic_batch_ivf_np4": stream_semantic_batches(
+                spark, n, quantizer="ivf", nprobe=4
+            ),
         }
 
     ratio = big_n / small_n
