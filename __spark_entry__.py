@@ -105,6 +105,12 @@ _CHANGED_THIS_ROUND = {
     "dedup_incremental_image",
     "multimodal_decode_real",
     "multimodal_features",
+    # these four also got _spread AND flow through media_signal_features'
+    # new vectorized int64 sum branch (r10 review finding)
+    "multimodal_bmp_pixel_stats",
+    "multimodal_wav_sample_stats",
+    "multimodal_png_pixel_stats",
+    "multimodal_gif_pixel_stats",
 }
 
 

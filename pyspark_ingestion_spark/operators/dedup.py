@@ -404,20 +404,27 @@ def lsh_candidate_pairs(
     return _candidates_from_bands(_bands_from_wide(wide, num_hashes, band_size))
 
 
-def _drop_big_buckets(bands: DataFrame, max_bucket_size: int | None) -> DataFrame:
+def _drop_big_buckets(
+    bands: DataFrame,
+    max_bucket_size: int | None,
+    keys: tuple[str, ...] = ("band", "band_key"),
+) -> DataFrame:
     """Drop band buckets holding more docs than the cap — a broadcast
     anti-join on the (tiny by construction) oversized-bucket list. The
-    single implementation behind every LSH band consumer, so the guard
-    can't drift between the self-join and batch-admission paths."""
+    single implementation behind every band-bucket consumer — the LSH
+    self-join and batch-admission paths here, and (via ``keys=("j",
+    "band_val")``) the perceptual-fingerprint tiers in
+    ``operators.multimodal`` — so the guard can't drift between them."""
     if max_bucket_size is None:
         return bands
+    ks = list(keys)
     big = (
-        bands.groupBy("band", "band_key")
+        bands.groupBy(*ks)
         .agg(F.count(F.lit(1)).alias("__n"))
         .filter(F.col("__n") > max_bucket_size)
-        .select("band", "band_key")
+        .select(*ks)
     )
-    return bands.join(F.broadcast(big), ["band", "band_key"], "left_anti")
+    return bands.join(F.broadcast(big), ks, "left_anti")
 
 
 def _jaccard_reject_ids(

@@ -565,13 +565,9 @@ def _fp_drop_big_buckets(
         return bands
     if max_bucket_size < 1:
         raise ValueError(f"max_bucket_size must be >= 1, got {max_bucket_size}")
-    big = (
-        bands.groupBy("j", "band_val")
-        .agg(F.count(F.lit(1)).alias("__n"))
-        .filter(F.col("__n") > max_bucket_size)
-        .select("j", "band_val")
-    )
-    return bands.join(F.broadcast(big), ["j", "band_val"], "left_anti")
+    from pyspark_ingestion_spark.operators.dedup import _drop_big_buckets
+
+    return _drop_big_buckets(bands, max_bucket_size, keys=("j", "band_val"))
 
 
 def fingerprint_batch_rejects(
@@ -706,6 +702,14 @@ def resize_media(decoded: DataFrame, max_width: int = 64) -> DataFrame:
 # runtime: JPEG (DCT + entropy coding).
 
 #: schema of pixel/sample signal statistics (media_signal_features)
+#: per-item value-count bound for the vectorized int64 Σv² fast path:
+#: luma millis reach 255 000, so Σv² stays under 2⁶³ only while
+#: n < 2⁶³ / 255 000² ≈ 1.418e8 values. numpy would wrap SILENTLY past
+#: it (the scalar Python sums it replaces were arbitrary-precision), so
+#: the stats consumers fall back to exact Python sums above the bound —
+#: a ~140-megapixel single item, where the decode already dwarfs the sum.
+_INT64_SQSUM_SAFE_N = (1 << 63) // (255_000 * 255_000)
+
 SIGNAL_SCHEMA = T.StructType(
     [
         T.StructField("doc_id", T.LongType()),
@@ -1096,9 +1100,11 @@ def media_signal_features(media: DataFrame) -> DataFrame:
                         "arithmetic-coded JPEG and inter-frame codecs"
                     )
                 n = len(vals)
-                if np is not None:
+                if np is not None and n < _INT64_SQSUM_SAFE_N:
                     # identical exact-int64 sums, vectorized (the JPEG
-                    # branch already hands the plane over as an array)
+                    # branch already hands the plane over as an array);
+                    # above the bound Σv² could wrap int64 SILENTLY, so
+                    # huge items keep Python's arbitrary-precision sum
                     a = (vals if isinstance(vals, np.ndarray)
                          else np.asarray(vals, dtype=np.int64))
                     s1 = int(a.sum())
@@ -1357,12 +1363,21 @@ _JPEG_ZIGZAG = [
 
 
 def _jpeg_canonical_codes(bits: list[int], vals: list[int]) -> dict:
-    """Canonical Huffman assignment (T.81 C.2): symbol -> (code, length)."""
+    """Canonical Huffman assignment (T.81 C.2): symbol -> (code, length).
+    Rejects OVER-SUBSCRIBED tables (a code ≥ 2^length — more codes at a
+    length than the prefix space holds, impossible from a valid encoder,
+    T.81 C.2's counts must satisfy Kraft): without the check a crafted
+    DHT passes the parser's pure length checks and later indexes the
+    fast path's 65536-entry peek LUT out of range (raw IndexError
+    instead of the decoders' ValueError contract), while the pure
+    reader would silently decode the self-contradictory table."""
     codes = {}
     code = 0
     k = 0
     for length in range(1, 17):
         for _ in range(bits[length - 1]):
+            if code >= 1 << length:
+                raise ValueError("jpeg: over-subscribed Huffman table")
             codes[vals[k]] = (code, length)
             code += 1
             k += 1
@@ -3023,16 +3038,18 @@ def video_frame_stats(media: DataFrame, every_k: int | None = None) -> DataFrame
                 for fi, fb in enumerate(frames):
                     if every_k is not None and fi % every_k:
                         continue
+                    lm = None
                     if np is not None:
-                        # array surface: int64 sums stay exact (luma
-                        # millis ≤ 255000 → Σv² fits int64 below ~140
-                        # megapixels/frame) and skip the list round-trip
+                        # array surface: skips the list round-trip; the
+                        # size guard keeps Σv² exact (it would wrap
+                        # int64 SILENTLY past the bound)
                         lm = _jpeg_luma_array(fb)
                         n = lm.size
+                    if lm is not None and n < _INT64_SQSUM_SAFE_N:
                         s = int(lm.sum())
                         s2 = int((lm * lm).sum())
                     else:
-                        lm = _jpeg_luma_millis(fb)
+                        lm = _jpeg_luma_millis(fb) if lm is None else lm.tolist()
                         n = len(lm)
                         s = sum(lm)
                         s2 = sum(v * v for v in lm)

@@ -203,17 +203,36 @@ def jdbc_watermark_predicate(
     dispatch mirrors :data:`DBMS_TO_URL`. Identifiers are quoted
     (``quote``) because Spark's JDBC writer creates exact-case quoted
     columns; pass ``quote=""`` for unquoted legacy schemas."""
+    import re
+
+    if dialect not in ("oracle", "sqlserver", "derby"):
+        raise ValueError(f"unknown JDBC dialect {dialect!r}")
     col = f"{quote}{ref_column}{quote}" if quote else ref_column
     iso = last_value.replace("T", " ").rstrip("Z")
-    if "T" not in last_value and ":" not in last_value:
+    # literal classification is by SHAPE, not by 'contains a colon':
+    # a date-only watermark like '2020-01-01' must render as a DATE
+    # literal — treated as "numeric" it would reach the DBMS as the
+    # integer arithmetic 2020-01-01 = 2018 and silently compare wrong
+    if re.fullmatch(r"-?\d+(\.\d+)?", last_value):
         return f"{col} > {last_value}"  # numeric ref: plain literal
+    if re.fullmatch(r"\d{4}-\d{2}-\d{2}", last_value):
+        if dialect == "derby":
+            return f"{col} > DATE('{last_value}')"
+        if dialect == "sqlserver":
+            return f"{col} > '{last_value}'"
+        return f"{col} > DATE '{last_value}'"  # oracle / ANSI
+    if not re.fullmatch(r"\d{4}-\d{2}-\d{2}[T ]\d{2}:\d{2}:\d{2}(\.\d+)?Z?",
+                        last_value):
+        raise ValueError(
+            f"unrecognized watermark literal {last_value!r}: expected a "
+            "number, a yyyy-MM-dd date, or a yyyy-MM-ddTHH:mm:ss[.ffffff]Z "
+            "timestamp (format_watermark's shape)"
+        )
     if dialect == "derby":
         return f"{col} > TIMESTAMP('{iso}')"
     if dialect == "sqlserver":
         return f"{col} > '{iso}'"
-    if dialect == "oracle":
-        return f"{col} > TIMESTAMP '{iso}'"
-    raise ValueError(f"unknown JDBC dialect {dialect!r}")
+    return f"{col} > TIMESTAMP '{iso}'"  # oracle / ANSI
 
 
 def get_jdbc_oracle_url(host: str, port: int | str, service: str) -> str:

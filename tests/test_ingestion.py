@@ -470,8 +470,18 @@ def test_jdbc_derby_incremental_ingest(spark, tmp_path):
                                     dialect="sqlserver", quote="") \
         == "m > '2020-01-02 03:04:05.000000'"
     assert jdbc_watermark_predicate("seq", "42", dialect="derby") == '"seq" > 42'
+    # r10 review: a date-only watermark is a DATE literal, never the
+    # integer arithmetic 2020-01-01 = 2018
+    assert jdbc_watermark_predicate("d", "2020-01-01", dialect="oracle") \
+        == "\"d\" > DATE '2020-01-01'"
+    assert jdbc_watermark_predicate("d", "2020-01-01", dialect="derby") \
+        == "\"d\" > DATE('2020-01-01')"
     with pytest.raises(ValueError, match="dialect"):
         jdbc_watermark_predicate("m", "2020-01-02T03:04:05Z", dialect="db2")
+    with pytest.raises(ValueError, match="dialect"):
+        jdbc_watermark_predicate("seq", "42", dialect="db2")  # numeric too
+    with pytest.raises(ValueError, match="unrecognized"):
+        jdbc_watermark_predicate("m", "not-a-literal'; DROP TABLE x--")
 
     # keep derby.log inside the test tmpdir, not the repo cwd
     spark._jvm.System.setProperty("derby.system.home", str(tmp_path))
@@ -1603,6 +1613,14 @@ def test_jpeg_header_truncation_contract(spark):
             + seg(0xDA, b"\x01\x07\x00" + b"\x00\x3f\x00"),
         "scan references missing DHT":
             soi + dqt + sof + seg(0xDA, b"\x01\x01\x33" + b"\x00\x3f\x00"),
+        # r10 review: 3 codes declared at length 1 overflow the prefix
+        # space (canonical code 2 needs 2 bits) — an over-subscribed
+        # table must raise at parse, not IndexError in the peek LUT
+        "over-subscribed DHT":
+            soi + dqt
+            + seg(0xC4, b"\x00" + bytes([3] + [0] * 15) + bytes([0, 1, 2])
+                  + b"\x10" + bytes([1] + [0] * 15) + bytes([0]))
+            + sof + sos,
     }
     for name, payload in cases.items():
         with pytest.raises(ValueError):
