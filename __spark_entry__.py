@@ -111,6 +111,12 @@ _CHANGED_THIS_ROUND = {
     "multimodal_wav_sample_stats",
     "multimodal_png_pixel_stats",
     "multimodal_gif_pixel_stats",
+    # r10 late: spread_input rewired the text-CPU-heavy plans
+    "dedup_substring_spans",
+    "dedup_substring_pairs",
+    "corpus_substring_scrub",
+    "dedup_incremental_substring",
+    "word_cooccurrence_pmi",
 }
 
 

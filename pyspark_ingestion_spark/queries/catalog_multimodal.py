@@ -46,9 +46,13 @@ def _spread(df: DataFrame) -> DataFrame:
     move the heavy binary payloads instead. The same sizing logic holds
     on a 1000-executor cluster at 100 TB: a CPU-bound decode stage
     wants its partition count set by the fleet's cores, not by
-    ``maxPartitionBytes`` over a byte-light input table."""
-    sc = df.sparkSession.sparkContext
-    return df.repartition(sc.defaultParallelism)
+    ``maxPartitionBytes`` over a byte-light input table. Delegates to
+    ``sources.readers.spread_input`` (shared with the text-heavy
+    llm_ops queries), which is a NO-OP when the scan already has enough
+    splits — at real scale nothing reshuffles."""
+    from pyspark_ingestion_spark.sources.readers import spread_input
+
+    return spread_input(df)
 
 
 @query(

@@ -977,8 +977,11 @@ def dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``operators/dedup.repeated_substring_spans``). Output is one row per
     maximal shared span with 1-based positions and char length."""
     from pyspark_ingestion_spark.operators.dedup import repeated_substring_spans
+    from pyspark_ingestion_spark.sources.readers import spread_input
 
-    d = load_table(spark, sf_dir, "documents")
+    # the per-char window explode is CPU-bound on the scan's few splits
+    # at small SF — spread_input is a no-op once the scan has real splits
+    d = spread_input(load_table(spark, sf_dir, "documents"))
     return repeated_substring_spans(d, "doc_id", "text", k=20, max_window_df=10)
 
 
@@ -1000,8 +1003,9 @@ def dedup_substring_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     chars — the dedup-actionable view (threshold on max_len, close pairs
     into clusters with ``connected_components``)."""
     from pyspark_ingestion_spark.operators.dedup import repeated_substring_pairs
+    from pyspark_ingestion_spark.sources.readers import spread_input
 
-    d = load_table(spark, sf_dir, "documents")
+    d = spread_input(load_table(spark, sf_dir, "documents"))
     return repeated_substring_pairs(d, "doc_id", "text", k=20, max_window_df=10)
 
 
@@ -1105,8 +1109,9 @@ def corpus_substring_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
         remove_duplicate_spans,
         repeated_substring_spans,
     )
+    from pyspark_ingestion_spark.sources.readers import spread_input
 
-    d = load_table(spark, sf_dir, "documents")
+    d = spread_input(load_table(spark, sf_dir, "documents"))
     spans = repeated_substring_spans(d, "doc_id", "text", k=20, max_window_df=10)
     return remove_duplicate_spans(d, spans, "doc_id", "text")
 
@@ -1153,8 +1158,9 @@ def dedup_incremental_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-batch cost is O(batch windows ⋈ corpus windows) like the LSH
     band admission."""
     from pyspark_ingestion_spark.operators.dedup import incremental_substring_rejects
+    from pyspark_ingestion_spark.sources.readers import spread_input
 
-    d = load_table(spark, sf_dir, "documents")
+    d = spread_input(load_table(spark, sf_dir, "documents"))
     batch = d.filter(F.col("source") == "src19").select("doc_id", "text")
     corpus = d.filter(F.col("source") != "src19").select("doc_id", "text")
     rejects = incremental_substring_rejects(
@@ -2845,8 +2851,9 @@ def word_cooccurrence_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
     (ranking never touches the float, same policy as tfidf_top_terms).
     """
     from pyspark_ingestion_spark.functions.text import words
+    from pyspark_ingestion_spark.sources.readers import spread_input
 
-    d = load_table(spark, sf_dir, "documents")
+    d = spread_input(load_table(spark, sf_dir, "documents"))
     w = d.select(words(F.lower(F.col("text"))).alias("ws")).filter(F.size("ws") >= 1)
 
     tok = w.select(F.explode("ws").alias("word"))

