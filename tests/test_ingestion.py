@@ -403,6 +403,30 @@ def test_cli_parse_dd_and_file_ingest(spark, tmp_path):
     assert os.path.exists(str(lake / "lims" / "S.T1" / "sync.json"))
 
 
+def test_spread_input_guard(spark):
+    """spread_input (r10) is a NO-OP — same DataFrame object, no added
+    shuffle — whenever the input already has at least the target
+    partition count, and a round-robin repartition to exactly the
+    target otherwise, with rows preserved. The guard is what makes the
+    small-SF parallelism fix free at real scale, so it gets its own
+    pin."""
+    from pyspark_ingestion_spark.sources.readers import spread_input
+
+    wide = spark.range(0, 1000, 1, 16)
+    assert spread_input(wide, min_partitions=16) is wide
+    assert spread_input(wide, min_partitions=8) is wide  # above target
+
+    narrow = spark.range(0, 1000, 1, 1)
+    out = spread_input(narrow, min_partitions=8)
+    assert out is not narrow
+    assert out.rdd.getNumPartitions() == 8
+    assert sorted(r["id"] for r in out.collect()) == list(range(1000))
+
+    # default target: the cluster's defaultParallelism
+    dp = spark.sparkContext.defaultParallelism
+    assert spread_input(narrow).rdd.getNumPartitions() == dp
+
+
 def test_cli_ingest_all_derby_jdbc(spark, tmp_path):
     """The ingest-all CLI over a LIVE JDBC source (embedded Derby, the
     reference's batch-all-tables-ingestion.py flow end-to-end): every
