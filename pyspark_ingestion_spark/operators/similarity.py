@@ -623,18 +623,33 @@ def pq_codebooks(
     # cache by construction (it's a KMeans sample)
     train = train.select(F.col(vec_col).cast("array<double>").alias("__v")).persist()
     try:
-        rows = []
-        for m in range(n_sub):
+        # materialize the cache ONCE before fanning out — concurrent
+        # first-use from the fit threads would compute it n_sub times
+        train.count()
+
+        # the n_sub fits are independent (disjoint subvector slices,
+        # per-m seeds), so they run as CONCURRENT Spark jobs (r11):
+        # each KMeans iteration on a hash-sample underutilizes the
+        # cluster, and sequential fits made codebook training
+        # fit-count-dominated (16 fits 30.5 s → 8 fits 12.0 s at
+        # sf0.01, r5 measurement). Thread-order cannot affect results —
+        # ex.map preserves m order and every fit is seeded.
+        def _fit_one(m: int) -> list[tuple[int, int, list[float]]]:
             feats = train.select(
                 array_to_vector(F.slice(F.col("__v"), m * d_sub + 1, d_sub)).alias(
                     "__feat"
                 )
             )
             model = KMeans(k=k_codes, seed=seed + m, featuresCol="__feat").fit(feats)
-            rows.extend(
+            return [
                 (m, ci, [float(x) for x in c])
                 for ci, c in enumerate(model.clusterCenters())
-            )
+            ]
+
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=min(n_sub, 8)) as ex:
+            rows = [r for chunk in ex.map(_fit_one, range(n_sub)) for r in chunk]
     finally:
         train.unpersist(blocking=False)
     return corpus.sparkSession.createDataFrame(
@@ -751,6 +766,75 @@ def pq_encode(
     )
 
 
+def codebook_rows_of(codebooks) -> list[tuple[int, int, list[float]]]:
+    """Normalize a PQ codebook table to a bounded driver-side list of
+    ``(m, code_id, subvec)`` sorted by (m, code_id) — the input of the
+    scan-side code expression below. Accepts the ``pq_codebooks``
+    DataFrame (n_sub×k_codes rows — kilobytes by construction, the same
+    driver materialization the ADC LUT build performs) or an already
+    collected list (passed through, sorted). The exact analogue of
+    :func:`centroid_rows_of` for the PQ tier."""
+    if isinstance(codebooks, DataFrame):
+        rows = [
+            (int(r["m"]), int(r["code_id"]), [float(x) for x in r["subvec"]])
+            for r in codebooks.collect()
+        ]
+    else:
+        rows = [(int(m), int(c), [float(x) for x in v]) for m, c, v in codebooks]
+    return sorted(rows, key=lambda r: (r[0], r[1]))
+
+
+def pq_codes_expr(vec_col, codebook_rows, n_sub: int) -> F.Column:
+    """Scan-side PQ codes (``array<int>``) for one vector column —
+    semantics identical to :func:`pq_encode` (property-pinned), but as
+    a pure column expression: no explode, no broadcast join, no
+    (id, m) / id hash aggregations, NO SHUFFLE. Per subquantizer ``m``
+    the codebook entries enter as ONE literal array of (cid, cvec)
+    structs from a single SQL string (the ``_ivf_score_structs``
+    plan-size discipline — per-element ``F.lit`` costs a py4j round
+    trip each), and the argmin reuses pq_encode's exact arithmetic:
+    struct-max over (2·sv·c − |c|², −code_id) with the same
+    ``dot_product`` fold, so the two forms agree bit-for-bit.
+
+    This is the 100 TB encode shape: the corpus's codes column comes
+    out of the SAME scan that computes its IVF cell, instead of a
+    two-aggregation reassembly joined back on id."""
+    by_m: dict[int, list[tuple[int, list[float]]]] = {}
+    for m, c, v in codebook_rows:
+        by_m.setdefault(int(m), []).append((int(c), v))
+    if sorted(by_m) != list(range(n_sub)):
+        raise ValueError(
+            f"codebook rows cover m={sorted(by_m)}, expected 0..{n_sub - 1}"
+        )
+    vec = F.col(vec_col).cast("array<double>") if isinstance(vec_col, str) else vec_col
+    d_sub = (F.size(vec) / n_sub).cast("int")
+
+    def code_for(m: int) -> F.Column:
+        entries = F.expr(
+            "array("
+            + ",".join(
+                f"named_struct('cid',{cid},'cvec',"
+                f"array({','.join(f'{float(x)!r}D' for x in cvec)}))"
+                for cid, cvec in sorted(by_m[m])
+            )
+            + ")"
+        )
+        sv = F.slice(vec, m * d_sub + 1, d_sub)
+        scored = F.transform(
+            entries,
+            lambda e: F.struct(
+                (
+                    2.0 * dot_product(sv, e["cvec"])
+                    - dot_product(e["cvec"], e["cvec"])
+                ).alias("s"),
+                (-e["cid"]).alias("n"),
+            ),
+        )
+        return (-F.array_max(scored)["n"]).cast("int")
+
+    return F.array(*[code_for(m) for m in range(n_sub)])
+
+
 def ivf_pq_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -803,8 +887,26 @@ def ivf_pq_topk(
     (n_sub, k_codes) configuration is validated against the actual
     codebook table up front — a mismatch would misalign the flat LUT
     index and return plausible-but-wrong neighbors with no error.
+
+    The corpus input is run through ``spread_input`` (r11, VERDICT r10
+    item 1): cell assignment, PQ encode, and the ADC accumulator are
+    all per-row CPU over the corpus scan, so a byte-narrow embeddings
+    scan serializes them on one core (measured at sf0.1: ADC scoring
+    6.0 → 4.4 s spread). The KMeans FITS behind ``centroids``/
+    ``codebooks`` are deliberately NOT spread — the r10 negative A/B
+    measured 13.6 → 23.1 s degradation there (62 rows/task × 32 task
+    launches per fit iteration); callers pass fitted tables in, so the
+    spread here cannot reach them. The guard makes it a no-op once the
+    corpus scan has real splits (any multi-GB corpus).
     """
+    from pyspark_ingestion_spark.sources.readers import spread_input
+
     _validate_pq_inputs(queries, codebooks, vec_col, n_sub, k_codes)
+    # spread ONLY the per-row-CPU scans (cells/codes/ADC); the rerank
+    # stage below keeps the original corpus — it broadcast-filters the
+    # scan down to queries×rerank rows, so a pre-shuffle of the full
+    # corpus there would be pure cost
+    corpus_wide = spread_input(corpus)
     if preassigned:
         missing = {"cell", "codes"} - set(corpus.columns)
         if missing:
@@ -833,7 +935,7 @@ def ivf_pq_topk(
                 f"expected {n_sub} codes in [0, {k_codes - 1}] — re-encode with "
                 "pq_encode against THESE codebooks"
             )
-        corpus_pq = corpus.select(id_col, "cell", "codes")
+        corpus_pq = corpus_wide.select(id_col, "cell", "codes")
     else:
         stale = {"cell", "codes"} & set(corpus.columns)
         if stale:
@@ -842,11 +944,19 @@ def ivf_pq_topk(
                 "them (they must come from assign_ivf_cells(nprobe=1) + pq_encode "
                 "against the SAME centroids/codebooks) or drop them"
             )
-        cells = assign_ivf_cells(corpus, centroids, id_col, vec_col).select(
-            id_col, "cell"
+        # ONE corpus scan computes cell + codes as column expressions
+        # (r11): the former assign_ivf_cells + pq_encode + join-on-id
+        # reassembly cost two hash-agg shuffles and an id join of the
+        # FULL corpus per query batch; both expressions are
+        # property-pinned ≡ their aggregate twins
+        _validate_pq_inputs(corpus, codebooks, vec_col, n_sub, k_codes)
+        corpus_pq = corpus_wide.select(
+            F.col(id_col),
+            ivf_cell_expr(vec_col, centroid_rows_of(centroids)).alias("cell"),
+            pq_codes_expr(vec_col, codebook_rows_of(codebooks), n_sub).alias(
+                "codes"
+            ),
         )
-        codes = pq_encode(corpus, codebooks, id_col, vec_col, n_sub)
-        corpus_pq = cells.join(codes, id_col)
 
     q = queries.select(
         F.col(query_id_col),

@@ -75,6 +75,40 @@ def single_partition_exchanges(df: DataFrame) -> int:
     )
 
 
+def executed_shuffle_stages(
+    df: DataFrame, materialize: bool = True
+) -> tuple[int, int]:
+    """(real, reused) shuffle stages in the EXECUTED (post-AQE) plan.
+
+    The static plan repeats a repartition subtree under every consumer
+    branch, so :func:`shuffle_count` over-counts what actually runs;
+    after execution, AQE's exchange reuse turns the duplicates into
+    ``ReusedExchange`` children of their query stages. ``real`` counts
+    shuffle stages that materialized their own map output — the
+    scale-governing quantity at runtime; ``reused`` counts the
+    stages that read another stage's output instead (each one is a
+    static-plan duplicate that cost nothing extra). Collects the frame
+    (unless ``materialize=False`` and the caller already has)."""
+    import re
+
+    if materialize:
+        df.collect()
+    lines = df._jdf.queryExecution().executedPlan().toString().splitlines()  # type: ignore[attr-defined]
+    real = reused = 0
+    seen: set[str] = set()
+    for i, line in enumerate(lines):
+        m = re.search(r"ShuffleQueryStage (\d+)", line)
+        if not m or m.group(1) in seen:
+            continue
+        seen.add(m.group(1))
+        nxt = lines[i + 1] if i + 1 < len(lines) else ""
+        if "ReusedExchange" in nxt:
+            reused += 1
+        else:
+            real += 1
+    return real, reused
+
+
 def shuffle_count(df: DataFrame) -> int:
     """Number of exchanges in the plan — the scale-governing quantity."""
     import re

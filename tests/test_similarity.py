@@ -312,6 +312,47 @@ def test_pq_encode_deterministic_and_shaped(spark, sf_dir):
     assert all(len(codes) == 8 and all(0 <= c < 16 for c in codes) for _, codes in a)
 
 
+def test_pq_codes_expr_matches_pq_encode(spark, sf_dir):
+    """The scan-side code expression (r11, the shuffle-free encode shape
+    ivf_pq_topk's query path uses) is BIT-IDENTICAL to pq_encode's
+    broadcast-join/aggregate form on real embeddings — same slices,
+    same dot-product fold, same lowest-code tie-break — and rejects a
+    codebook set whose m-domain disagrees with n_sub."""
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from pyspark_ingestion_spark.operators.similarity import (
+        codebook_rows_of,
+        pq_codebooks,
+        pq_codes_expr,
+        pq_encode,
+    )
+    from pyspark_ingestion_spark.sources.readers import load_table
+
+    e = load_table(spark, sf_dir, "embeddings")
+    cb = pq_codebooks(e, n_sub=8, k_codes=16, seed=7)
+    rows = codebook_rows_of(cb)
+    via_expr = sorted(
+        (r["vec_id"], tuple(r["codes"]))
+        for r in e.select(
+            "vec_id", pq_codes_expr("embedding", rows, 8).alias("codes")
+        ).collect()
+    )
+    via_agg = sorted(
+        (r["vec_id"], tuple(r["codes"]))
+        for r in pq_encode(e, cb, n_sub=8).collect()
+    )
+    assert via_expr == via_agg
+    # no shuffle in the expression form's plan
+    from pyspark_ingestion_spark.plans.explain import shuffle_count
+
+    assert shuffle_count(
+        e.select("vec_id", pq_codes_expr("embedding", rows, 8).alias("codes"))
+    ) == 0
+    with _pytest.raises(ValueError, match="expected 0..3"):
+        pq_codes_expr("embedding", rows, 4)
+
+
 def test_ivf_pq_adc_matches_python_reconstruction(spark):
     """The ADC score IS cosine(query, PQ-reconstruction): for a tiny
     corpus, recompute each candidate's reconstruction from the codebooks
