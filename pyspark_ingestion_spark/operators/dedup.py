@@ -427,6 +427,57 @@ def _drop_big_buckets(
     return bands.join(F.broadcast(big), ks, "left_anti")
 
 
+def _salt_big_buckets(
+    bands: DataFrame,
+    max_bucket_size: int | None,
+    keys: tuple[str, ...] = ("band", "band_key"),
+    doc_col: str = "doc",
+) -> DataFrame:
+    """Bounded salt-split of oversized band buckets — the
+    recall-preserving alternative to :func:`_drop_big_buckets` for
+    SELF-JOIN pair search (r11, VERDICT r10 item 6). Dropping a bucket
+    loses a pair only when every shared band is oversized — fine for
+    flat/silent degenerate media, but a legitimately popular near-dup
+    cluster (memes, boilerplate intros) would silently lose recall.
+    Salting keeps bounded work AND partial recall inside the hot
+    bucket: rows in a bucket of ``n > cap`` docs split deterministically
+    (``xxhash64(doc)``) into ``ceil(n/cap)`` sub-buckets, and pairs
+    WITHIN a sub-bucket survive, so every doc keeps ~cap candidate
+    partners (work per bucket n·cap, never n²); rows in buckets at or
+    below the cap get salt 0 and are untouched. Recall is ≥ drop mode
+    by construction and every surviving pair is a genuine band
+    collision (subset of the uncapped candidates — property-pinned).
+
+    Adds a ``__salt`` int column; self-join consumers must include it
+    in their equi-join keys. Hash-based splitting keeps sub-bucket
+    sizes EXPECTED ≤ cap (concentrated; an exact row_number split would
+    need a window that lands the whole hot bucket in one task — the
+    very skew this guards). Cross-side ADMISSION joins (batch vs
+    corpus) cannot use salting — a batch doc can't know its corpus
+    partner's salt — so those paths keep the drop-mode guard."""
+    if max_bucket_size is None:
+        return bands.withColumn("__salt", F.lit(0))
+    if max_bucket_size < 1:
+        raise ValueError(f"max_bucket_size must be >= 1, got {max_bucket_size}")
+    ks = list(keys)
+    big = (
+        bands.groupBy(*ks)
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .filter(F.col("__n") > max_bucket_size)
+    )
+    n_salts = F.ceil(F.col("__n") / F.lit(max_bucket_size)).cast("int")
+    return (
+        bands.join(F.broadcast(big), ks, "left")
+        .withColumn(
+            "__salt",
+            F.when(F.col("__n").isNull(), F.lit(0)).otherwise(
+                F.pmod(F.xxhash64(F.col(doc_col)), n_salts).cast("int")
+            ),
+        )
+        .drop("__n")
+    )
+
+
 def _jaccard_reject_ids(
     cand: DataFrame,
     sc: DataFrame,

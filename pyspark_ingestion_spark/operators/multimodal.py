@@ -273,13 +273,17 @@ def _pixel_features(payload: bytes, dim: int) -> list[float]:
         # IEEE float64 division — bit-equal to the scalar loop below
         a = np.asarray(vals, dtype=np.int64)
         b = (a + off) * dim // span
-        np.minimum(b, dim - 1, out=b)
+        # clamp BOTH ends: current decoders keep values in range, but
+        # an out-of-range value must land in an edge bin identically on
+        # both paths (bincount raises on negatives; a negative list
+        # index would silently wrap in the scalar loop below)
+        np.clip(b, 0, dim - 1, out=b)
         counts = np.bincount(b, minlength=dim)
         return (counts / n).tolist()
     counts = [0] * dim
     for v in vals:
         b = (v + off) * dim // span
-        counts[b if b < dim else dim - 1] += 1
+        counts[min(max(b, 0), dim - 1)] += 1
     return [c / n for c in counts]
 
 
@@ -623,6 +627,7 @@ def fingerprint_pairs(
     lo_col: str = "lo",
     radius: int = 7,
     max_bucket_size: int | None = None,
+    bucket_cap_mode: str = "drop",
 ) -> DataFrame:
     """Banded within-corpus near-dup PAIR search over (id, hi, lo)
     fingerprint rows: (doc_a, doc_b, hamming) for every pair within
@@ -633,25 +638,44 @@ def fingerprint_pairs(
 
     ``max_bucket_size`` (optional) caps band buckets so degenerate
     media (flat images / silent audio — every one the same fingerprint)
-    cannot send the self-join quadratic; exactness trade documented on
-    :func:`_fp_drop_big_buckets`."""
+    cannot send the self-join quadratic. ``bucket_cap_mode`` picks the
+    trade inside an oversized bucket (r11): ``"drop"`` loses the whole
+    bucket (exactness trade on :func:`_fp_drop_big_buckets` — right for
+    degenerate media exact dedup already catches), ``"salt"``
+    salt-splits it into bounded sub-buckets so a legitimately POPULAR
+    near-dup cluster (memes, boilerplate) keeps ~cap candidate partners
+    per doc instead of losing all recall — work per bucket n·cap, never
+    n²; recall ≥ drop mode and every surviving pair is a genuine band
+    collision (property-pinned; see ``dedup._salt_big_buckets``)."""
     if not 0 <= radius <= 7:
         raise ValueError(
             f"radius must be in [0, 7] (8-band pigeonhole bound), got {radius}"
         )
-    bands = _fp_drop_big_buckets(
-        fingerprint_bands(fp, id_col, hi_col, lo_col), max_bucket_size
-    )
+    if bucket_cap_mode not in ("drop", "salt"):
+        raise ValueError(
+            f"bucket_cap_mode must be 'drop' or 'salt', got {bucket_cap_mode!r}"
+        )
+    raw = fingerprint_bands(fp, id_col, hi_col, lo_col)
+    if bucket_cap_mode == "salt" and max_bucket_size is not None:
+        from pyspark_ingestion_spark.operators.dedup import _salt_big_buckets
+
+        bands = _salt_big_buckets(
+            raw, max_bucket_size, keys=("j", "band_val"), doc_col="doc"
+        )
+        join_keys = ["j", "band_val", "__salt"]
+    else:
+        bands = _fp_drop_big_buckets(raw, max_bucket_size)
+        join_keys = ["j", "band_val"]
     a = bands.select(
         F.col("doc").alias("doc_a"), F.col("hi").alias("ha"),
-        F.col("lo").alias("la"), "j", "band_val",
+        F.col("lo").alias("la"), *join_keys,
     )
     b = bands.select(
         F.col("doc").alias("doc_b"), F.col("hi").alias("hb"),
-        F.col("lo").alias("lb"), "j", "band_val",
+        F.col("lo").alias("lb"), *join_keys,
     )
     cand = (
-        a.join(b, ["j", "band_val"])
+        a.join(b, join_keys)
         .filter(F.col("doc_a") < F.col("doc_b"))
         .select("doc_a", "doc_b", "ha", "la", "hb", "lb")
         .distinct()
@@ -1389,9 +1413,11 @@ def _jpeg_canonical_codes(bits: list[int], vals: list[int]) -> dict:
 #: MJPEG stream repeats identical tables in every frame, so canonical-
 #: code construction — and the fast path's 16-bit peek LUT below —
 #: happens once per DISTINCT table, not once per frame. The LUT cache
-#: keys on id() of the table dict, which is safe exactly because this
-#: cache keeps every table alive; the two caches are bounded and
-#: cleared TOGETHER so an id can never go stale.
+#: keys on id() of the table dict, which is safe because every LUT
+#: entry holds a strong ref to its own table; eviction is single-entry
+#: FIFO (oldest spec first) so a workload cycling through >64 distinct
+#: DHT specs never rebuilds tables IN ACTIVE USE — wholesale clearing
+#: would re-derive 65536-entry LUTs for the hot tables on every cycle.
 _JPEG_TABLE_CACHE: dict[bytes, dict] = {}
 _JPEG_LUT_CACHE: dict[int, tuple[dict, list]] = {}
 
@@ -1402,8 +1428,10 @@ def _jpeg_decode_table(bits: list[int], vals: list[int]) -> dict:
     got = _JPEG_TABLE_CACHE.get(key)
     if got is None:
         if len(_JPEG_TABLE_CACHE) > 64:
-            _JPEG_TABLE_CACHE.clear()
-            _JPEG_LUT_CACHE.clear()
+            # FIFO-evict ONE oldest spec (dicts iterate in insert
+            # order) and its LUT; never clear tables in active use
+            oldest = _JPEG_TABLE_CACHE.pop(next(iter(_JPEG_TABLE_CACHE)))
+            _JPEG_LUT_CACHE.pop(id(oldest), None)
         got = _JPEG_TABLE_CACHE[key] = {
             (length, code): sym
             for sym, (code, length) in _jpeg_canonical_codes(bits, vals).items()

@@ -427,6 +427,40 @@ def test_spread_input_guard(spark):
     assert spread_input(narrow).rdd.getNumPartitions() == dp
 
 
+def test_spread_input_no_rdd_probe_for_file_scans(spark, tmp_path):
+    """r11 verdict nit: for FILE-backed input the guard decides from
+    FileIndex + catalyst stats — building the wired queries must NOT
+    convert the plan to an RDD graph (full physical planning per query
+    build). Pinned by poisoning DataFrame.rdd for the duration."""
+    from pyspark.sql import DataFrame
+
+    from pyspark_ingestion_spark.sources.readers import (
+        _estimated_scan_splits,
+        spread_input,
+    )
+
+    path = str(tmp_path / "t")
+    spark.range(0, 5000).selectExpr(
+        "id", "repeat('x', 100) AS pad"
+    ).coalesce(1).write.parquet(path)
+    df = spark.read.parquet(path)
+
+    est = _estimated_scan_splits(df)
+    assert est is not None and est >= 1
+
+    orig = DataFrame.rdd
+    try:
+        DataFrame.rdd = property(lambda self: (_ for _ in ()).throw(
+            AssertionError("RDD conversion during spread_input build")))
+        out = spread_input(df, min_partitions=8)
+    finally:
+        DataFrame.rdd = orig
+    # the tiny single-file scan estimates narrow -> round-robin spread
+    assert out is not df
+    assert out.rdd.getNumPartitions() == 8
+    assert out.count() == 5000
+
+
 def test_cli_ingest_all_derby_jdbc(spark, tmp_path):
     """The ingest-all CLI over a LIVE JDBC source (embedded Derby, the
     reference's batch-all-tables-ingestion.py flow end-to-end): every
@@ -490,9 +524,16 @@ def test_jdbc_derby_incremental_ingest(spark, tmp_path):
     assert jdbc_watermark_predicate("m", "2020-01-02T03:04:05.000000Z",
                                     dialect="oracle") \
         == "\"m\" > TIMESTAMP '2020-01-02 03:04:05.000000'"
+    # r11 advice: SQL Server literals must be language-invariant —
+    # ISO 8601 WITH the T for timestamps, unseparated yyyyMMdd for
+    # dates; the space-separated form is parsed per SET DATEFORMAT and
+    # can silently under-fetch (month/day swap) at the source
     assert jdbc_watermark_predicate("m", "2020-01-02T03:04:05.000000Z",
                                     dialect="sqlserver", quote="") \
-        == "m > '2020-01-02 03:04:05.000000'"
+        == "m > '2020-01-02T03:04:05.000000'"
+    assert jdbc_watermark_predicate("d", "2020-01-02",
+                                    dialect="sqlserver", quote="") \
+        == "d > '20200102'"
     assert jdbc_watermark_predicate("seq", "42", dialect="derby") == '"seq" > 42'
     # r10 review: a date-only watermark is a DATE literal, never the
     # integer arithmetic 2020-01-01 = 2018
@@ -1925,6 +1966,89 @@ def test_image_dhash_perceptual_properties(spark):
         r["doc_id"]: (r["dh_hi"], r["dh_lo"]) for r in image_dhash(jdf).collect()
     }
     assert ham(got[1], got[2]) <= 7
+
+
+def test_fingerprint_salted_bucket_fallback(spark):
+    """bucket_cap_mode='salt' (r11): a planted POPULAR near-dup cluster
+    (60 identical fingerprints — every shared band bucket oversized at
+    cap=8) loses ALL recall under drop mode but keeps bounded partial
+    recall under salt mode, while below-cap buckets behave identically
+    and every surviving pair is a genuine uncapped candidate."""
+    import pytest as _pytest
+
+    from pyspark_ingestion_spark.operators.multimodal import fingerprint_pairs
+
+    cluster = [(i, 0x0123456789ABCDE0, 0x0FEDCBA987654321) for i in range(60)]
+    trio = [(100 + i, 0x7070707070707070, 0x0101010101010101) for i in range(3)]
+    lone = [  # pairwise Hamming far above radius=7 (dense xor patterns)
+        (200, 0x5555555555555555, 0x3333333333333333),
+        (201, 0x0F0F0F0F0F0F0F0F, 0x00FF00FF00FF00FF),
+        (202, 0x7777000077770000, 0x0000777700007777),
+        (203, 0x1248124812481248, 0x7C007C007C007C00),
+        (204, 0x0000FFFF0000FFFF, 0x6666666666666666),
+    ]
+    fp = spark.createDataFrame(cluster + trio + lone, "doc long, hi long, lo long")
+
+    def pairs(**kw):
+        return {
+            (r["doc_a"], r["doc_b"])
+            for r in fingerprint_pairs(fp, **kw).collect()
+        }
+
+    uncapped = pairs()
+    dropped = pairs(max_bucket_size=8)
+    salted = pairs(max_bucket_size=8, bucket_cap_mode="salt")
+
+    assert len(uncapped) == 60 * 59 // 2 + 3
+    # drop mode: the whole popular cluster is gone; the below-cap trio survives
+    assert dropped == {(100, 101), (100, 102), (101, 102)}
+    # monotone: drop ⊆ salt ⊆ uncapped — salt only ADDS genuine candidates
+    assert dropped <= salted <= uncapped
+    # real recall recovered inside the hot bucket...
+    cluster_salted = {p for p in salted if p[0] < 100}
+    assert len(cluster_salted) >= 50
+    # ...but bounded sub-quadratically: ceil(60/8)=8 sub-buckets of ~7.5
+    # docs cap the pair count far below the full 1770
+    assert len(cluster_salted) <= 60 * 8  # n·cap bound
+    # per-doc candidate work stays ~cap, not n
+    from collections import Counter
+
+    per_doc = Counter()
+    for a, b in cluster_salted:
+        per_doc[a] += 1
+        per_doc[b] += 1
+    assert max(per_doc.values()) <= 3 * 8
+
+    with _pytest.raises(ValueError, match="bucket_cap_mode"):
+        fingerprint_pairs(fp, max_bucket_size=8, bucket_cap_mode="bogus")
+
+
+def test_jpeg_table_cache_fifo_eviction():
+    """Cache overflow evicts ONE oldest DHT spec (with its peek LUT),
+    never the whole cache: a workload cycling through >64 distinct
+    tables keeps its recent tables cached by identity instead of
+    rebuilding 65536-entry LUTs on every frame (r11 advice)."""
+    from pyspark_ingestion_spark.operators import multimodal as mm
+
+    mm._JPEG_TABLE_CACHE.clear()
+    mm._JPEG_LUT_CACHE.clear()
+
+    def spec(i):
+        bits = [0] * 16
+        bits[7] = 1  # one 8-bit code whose symbol makes the spec unique
+        return bits, [i & 0xFF]
+
+    t0 = mm._jpeg_decode_table(*spec(0))
+    mm._jpeg_lut(t0)
+    tables = [mm._jpeg_decode_table(*spec(i)) for i in range(1, 70)]
+    # single-entry FIFO keeps the cache at its 65-entry steady state
+    assert len(mm._JPEG_TABLE_CACHE) == 65
+    # the oldest spec (and only it) lost its LUT alongside its table
+    assert id(t0) not in mm._JPEG_LUT_CACHE
+    # recent tables are still cached BY IDENTITY — no rebuild
+    assert mm._jpeg_decode_table(*spec(69)) is tables[-1]
+    lut = mm._jpeg_lut(tables[-1])
+    assert mm._jpeg_lut(tables[-1]) is lut
 
 
 def test_pixel_features_known_histogram(spark):
