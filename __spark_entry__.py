@@ -91,11 +91,30 @@ def _priority(name: str) -> tuple:
 #: proof would attest different semantics, so they re-verify as if never
 #: checked (ahead of the LRV rotation).
 _CHANGED_THIS_ROUND = {
-    # r10: the JPEG codec gained the numpy fast path (bit-exact-pinned
-    # vs the pure loop, but the decode code these rows attest is new)
-    # and the heavy multimodal queries gained the _spread repartition —
-    # same semantics, new plan; re-prove the whole touched family first
+    # r11: ivf_pq_topk's query path rewired (spread_input + the one-scan
+    # pq_codes_expr encode replacing assign+encode+join) — re-prove the
+    # fixture oracle twin and the rows-only fitted variant on the new plan
+    "ann_ivf_pq_topk",
+    "ann_ivf_pq_adc_fixture",
+    "ann_pq_encode_fixture",
+    # r11: spread_input's guard probe changed (FileIndex+stats estimate
+    # replacing df.rdd) — re-prove every spread-wired query on it
+    "dedup_substring_spans",
+    "dedup_substring_pairs",
+    "corpus_substring_scrub",
+    "dedup_incremental_substring",
+    "word_cooccurrence_pmi",
     "multimodal_video_frame_stats",
+    # r11: _pixel_features gained the two-sided histogram clamp and the
+    # JPEG decode-table cache moved to FIFO eviction; the fingerprint
+    # tier gained bucket_cap_mode threading — re-prove the decode +
+    # fingerprint families whose code these rows attest
+    "multimodal_decode_real",
+    "multimodal_features",
+    "multimodal_bmp_pixel_stats",
+    "multimodal_wav_sample_stats",
+    "multimodal_png_pixel_stats",
+    "multimodal_gif_pixel_stats",
     "multimodal_jpeg_pixel_stats",
     "multimodal_jpeg420_pixel_stats",
     "multimodal_jpeg_progressive_pixel_stats",
@@ -103,20 +122,6 @@ _CHANGED_THIS_ROUND = {
     "dedup_image_phash",
     "dedup_audio_fhash",
     "dedup_incremental_image",
-    "multimodal_decode_real",
-    "multimodal_features",
-    # these four also got _spread AND flow through media_signal_features'
-    # new vectorized int64 sum branch (r10 review finding)
-    "multimodal_bmp_pixel_stats",
-    "multimodal_wav_sample_stats",
-    "multimodal_png_pixel_stats",
-    "multimodal_gif_pixel_stats",
-    # r10 late: spread_input rewired the text-CPU-heavy plans
-    "dedup_substring_spans",
-    "dedup_substring_pairs",
-    "corpus_substring_scrub",
-    "dedup_incremental_substring",
-    "word_cooccurrence_pmi",
 }
 
 
