@@ -1455,6 +1455,13 @@ def _jpeg_lut(table: dict) -> list[int]:
     got = _JPEG_LUT_CACHE.get(id(table))
     if got is not None:
         return got[1]
+    if len(_JPEG_LUT_CACHE) > 64:
+        # independent FIFO bound: a LUT can outlive its table-cache
+        # entry (an in-flight decode holds the table after eviction),
+        # so orphaned entries must age out here too — evicting a live
+        # one only costs a rebuild, never correctness (the id key stays
+        # valid while the caller holds the table)
+        _JPEG_LUT_CACHE.pop(next(iter(_JPEG_LUT_CACHE)))
     lut = [0] * 65536
     for (length, code), sym in table.items():
         base = code << (16 - length)

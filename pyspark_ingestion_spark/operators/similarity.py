@@ -948,14 +948,31 @@ def ivf_pq_topk(
         # (r11): the former assign_ivf_cells + pq_encode + join-on-id
         # reassembly cost two hash-agg shuffles and an id join of the
         # FULL corpus per query batch; both expressions are
-        # property-pinned ≡ their aggregate twins
-        _validate_pq_inputs(corpus, codebooks, vec_col, n_sub, k_codes)
+        # property-pinned ≡ their aggregate twins. Driver-side work is
+        # ONE corpus dim probe + one codebook collect (reused by the
+        # expression) — the codebook table's structure was already
+        # validated by the queries-side _validate_pq_inputs above, so
+        # only the corpus's own dim needs checking here (a silent
+        # corpus/codebook dim mismatch would misalign every slice)
+        cfirst = corpus.select(F.size(F.col(vec_col)).alias("d")).first()
+        if cfirst is None:
+            raise ValueError("empty corpus: nothing to index/score")
+        cdim = cfirst["d"]
+        if cdim is None or cdim % n_sub:
+            raise ValueError(
+                f"corpus vector dim {cdim} not divisible by n_sub={n_sub}"
+            )
+        cb_rows = codebook_rows_of(codebooks)
+        bad = [(m, c) for m, c, v in cb_rows if len(v) != cdim // n_sub]
+        if bad:
+            raise ValueError(
+                f"codebook subvector length != corpus dim/n_sub = "
+                f"{cdim // n_sub} for (m, code) {bad[:3]} — dim mismatch"
+            )
         corpus_pq = corpus_wide.select(
             F.col(id_col),
             ivf_cell_expr(vec_col, centroid_rows_of(centroids)).alias("cell"),
-            pq_codes_expr(vec_col, codebook_rows_of(codebooks), n_sub).alias(
-                "codes"
-            ),
+            pq_codes_expr(vec_col, cb_rows, n_sub).alias("codes"),
         )
 
     q = queries.select(

@@ -218,8 +218,16 @@ def _estimated_scan_splits(df: DataFrame) -> int | None:
     max_pb = byte_conf("spark.sql.files.maxPartitionBytes", 128 << 20)
     open_cost = byte_conf("spark.sql.files.openCostInBytes", 4 << 20)
     try:
-        size = int(df._jdf.queryExecution().optimizedPlan().stats()
-                   .sizeInBytes())
+        # sum LEAF relation stats, not the root's: operators between
+        # scan and root rescale sizeInBytes (Project by row-width
+        # ratio, non-CBO Join by the product of its children), which
+        # would flip the guard both ways; the leaves' sizeInBytes IS
+        # the file-size sum the split planner actually sees
+        leaves = df._jdf.queryExecution().optimizedPlan().collectLeaves()
+        size = sum(
+            int(leaves.apply(i).stats().sizeInBytes())
+            for i in range(leaves.size())
+        )
     except Exception:
         return None
     total = size + open_cost * len(files)
@@ -311,8 +319,17 @@ def jdbc_watermark_predicate(
     if dialect == "derby":
         return f"{col} > TIMESTAMP('{iso}')"
     if dialect == "sqlserver":
-        # ISO 8601 WITH the T: language-invariant even for datetime
-        return f"{col} > '{last_value.rstrip('Z')}'"
+        # ISO 8601 WITH the T (normalized even when the caller passed a
+        # space): language-invariant even for datetime. Fractional
+        # seconds truncate to 3 digits — legacy datetime raises Msg 241
+        # on longer fractions, and truncating DOWN only widens the
+        # predicate (over-fetch, which the Spark-side defensive
+        # re-filter drops; never under-fetch)
+        lit = last_value.rstrip("Z").replace(" ", "T")
+        if "." in lit:
+            head, frac = lit.split(".", 1)
+            lit = f"{head}.{frac[:3]}" if frac[:3] else head
+        return f"{col} > '{lit}'"
     return f"{col} > TIMESTAMP '{iso}'"  # oracle / ANSI
 
 

@@ -528,9 +528,15 @@ def test_jdbc_derby_incremental_ingest(spark, tmp_path):
     # ISO 8601 WITH the T for timestamps, unseparated yyyyMMdd for
     # dates; the space-separated form is parsed per SET DATEFORMAT and
     # can silently under-fetch (month/day swap) at the source
+    # fractions truncate to 3 digits (legacy datetime raises Msg 241 on
+    # more; truncation only widens the predicate -> safe over-fetch),
+    # and a space-separated input is normalized back to the T form
     assert jdbc_watermark_predicate("m", "2020-01-02T03:04:05.000000Z",
                                     dialect="sqlserver", quote="") \
-        == "m > '2020-01-02T03:04:05.000000'"
+        == "m > '2020-01-02T03:04:05.000'"
+    assert jdbc_watermark_predicate("m", "2020-01-02 03:04:05",
+                                    dialect="sqlserver", quote="") \
+        == "m > '2020-01-02T03:04:05'"
     assert jdbc_watermark_predicate("d", "2020-01-02",
                                     dialect="sqlserver", quote="") \
         == "d > '20200102'"
