@@ -308,6 +308,49 @@ def _calibration_job(spark) -> float:
     return round(time.perf_counter() - t0, 3)
 
 
+#: reference wall-time of the IO/shuffle calibration job (r11 anchor:
+#: warm min of 4 runs on the round-11 build machine). The streaming
+#: batch metrics are dominated by many small Spark jobs + ledger
+#: parquet writes — a machine-sensitivity profile the CPU-only probe
+#: provably misses: the r10 hotlog '+39 % regression' reproduced with
+#: UNCHANGED r9 code on the r11 machine (16 s fresh / 12.8 s warm vs
+#: the r9 driver's 9.0 s) while the CPU probe read near-flat, so the
+#: drift was environment, not code (SCALING.md r11). This probe times
+#: the same work shape (partitioned parquet write + read + shuffled
+#: aggregate, 3×) so the stream tier normalizes by the resource class
+#: it actually stresses.
+_IO_CAL_REF_SEC = 1.6
+
+
+def _calibration_io_job(spark) -> float:
+    """IO/shuffle machine-conditions probe for the streaming tier: three
+    rounds of partitioned parquet write → read → shuffled aggregate on
+    deterministic synthetic rows (~24 MB total) — the hotlog batch's
+    work profile in miniature, zero dependence on the sf dir."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    tmp = tempfile.mkdtemp(prefix="bench_cal_io_")
+    try:
+        t0 = time.perf_counter()
+        for i in range(3):
+            (
+                spark.range(0, 1_000_000, 1, 8)
+                .select((F.col("id") % 1000).alias("k"), F.col("id").alias("v"))
+                .repartition(8, "k")
+                .write.mode("overwrite")
+                .parquet(f"{tmp}/t{i}")
+            )
+            spark.read.parquet(f"{tmp}/t{i}").groupBy("k").agg(
+                F.sum("v")
+            ).collect()
+        return round(time.perf_counter() - t0, 3)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
@@ -345,8 +388,11 @@ def main() -> None:
     # bootstrap) is excluded; the reported number is the min over the
     # steady-state batches, consistent with the min-of-runs convention.
     # the batch loops run AFTER the query passes, so the streaming
-    # section gets its own weather reading (r11 — see normalization)
-    stream_cal = _calibration_job(spark)
+    # section gets its own weather reading (r11) — on the IO/shuffle
+    # probe, the resource class the batch loops actually stress (the
+    # CPU probe provably missed the r10 machine drift; see
+    # _IO_CAL_REF_SEC)
+    stream_cal = _calibration_io_job(spark)
     runs["stream_admission_hotlog_batch"] = _stream_admission_batches(spark)
     # r8: the substring member's steady-state batch enters the gate too,
     # now that its hot-window lookup rides the dfcnt ledger instead of a
@@ -384,7 +430,7 @@ def main() -> None:
     cal_runs = runs["calibration_cpu"]
     scales = [c / _CAL_REF_SEC for c in cal_runs]
     med_scale = statistics.median(scales)
-    stream_scale = stream_cal / _CAL_REF_SEC
+    stream_scale = stream_cal / _IO_CAL_REF_SEC
     stream_names = {
         "stream_admission_hotlog_batch",
         "stream_substring_ledger_batch",
@@ -432,6 +478,8 @@ def main() -> None:
                     "scale": scale,
                     "runs": runs["calibration_cpu"],
                     "per_pass_scales": [round(s, 4) for s in scales],
+                    "stream_io_sec": stream_cal,
+                    "stream_io_ref_sec": _IO_CAL_REF_SEC,
                     "stream_scale": round(stream_scale, 4),
                     "mode": "per-pass (r11)",
                 },

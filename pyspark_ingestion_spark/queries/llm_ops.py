@@ -2931,7 +2931,10 @@ def word_cooccurrence_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     tok = w.select(F.explode("ws").alias("word"))
     cw = tok.groupBy("word").agg(F.count(F.lit(1)).alias("c"))
-    tot = tok.agg(F.count(F.lit(1)).alias("t"))
+    # total tokens = Σ word counts: aggregate the (small) word table —
+    # reusing cw's exchange — instead of a second full pass over the
+    # token explode (r11: one fewer real shuffle stage)
+    tot = cw.agg(F.sum("c").alias("t"))
 
     ws = F.col("ws")
     pair_struct = lambda i, j: F.struct(  # noqa: E731 — local expression builder

@@ -309,7 +309,7 @@ def test_headline_shuffle_budgets(spark, sf_dir):
         # static duplicates, not extra physical work — the TIGHT pin on
         # what actually runs is test_spread_queries_executed_shuffles
         # below, which counts post-AQE ShuffleQueryStages per query.
-        "word_cooccurrence_pmi": 11,      # token+pair aggs, scalar totals, count joins
+        "word_cooccurrence_pmi": 12,      # token+pair aggs, scalar totals, count joins (r11: +1 static — tot derives from the word table, saving a full explode pass; tight pin = executed test)
         "dedup_minhash_lsh": 4,           # shingle aggs + signature agg + verify join
         "knn_label_vote": 1,              # one query_id exchange shared by rank + vote
         "dedup_incremental_semantic": 1,  # broadcast batch->bucket join + one batch-key agg
@@ -368,7 +368,10 @@ def test_spread_queries_executed_shuffles(spark, sf_dir):
         "dedup_substring_pairs": (4, 1),
         "corpus_substring_scrub": (6, 1),
         "dedup_incremental_substring": (7, 0),
-        "word_cooccurrence_pmi": (7, 2),
+        # r11: +1 real stage = the tiny distinct-word-table aggregate
+        # that now derives total tokens, TRADED for one fewer full pass
+        # over the token explode (tot used to re-scan it)
+        "word_cooccurrence_pmi": (8, 2),
         "ann_ivf_pq_topk": (5, 0),
     }
     qs = all_queries()
