@@ -1035,47 +1035,69 @@ def _admit_dedup_batch_indexed(
             threshold_num, threshold_den, max_doc_freq, max_bucket_size,
             text_col=text_col,
         )
-    # materialize once (batch-sized): three writes derive from it, and
-    # the LogicalRDD plan keeps the text write from re-running the LSH
+    # materialize once (batch-sized, EAGER): three writes derive from
+    # it, the LogicalRDD plan keeps the text write from re-running the
+    # LSH, and eager materialization makes the frame safe to consume
+    # from the overlap thread below (lazy first-use is not a
+    # single-materialization point under concurrency)
     admitted = batch.join(F.broadcast(rejects), id_col, "left_anti").localCheckpoint(
-        eager=False
+        eager=True
     )
-    overwrite_partitions(
-        admitted.withColumn("__batch_id", F.lit(batch_id)), out_path, ["__batch_id"]
-    )
-    adm_posts = _shingle_table(admitted, id_col, text_col, n)
-    overwrite_partitions(
-        adm_posts.withColumn("__batch_id", F.lit(batch_id)),
-        f"{index_path}/{_IDX_POSTINGS}",
-        ["__batch_id"],
-    )
-    admitted_ids = admitted.select(F.col(id_col).alias("doc"))
-    band_rows = _index_band_rows(
-        sb.join(admitted_ids, "doc"), admitted_ids, num_hashes, band_size
-    )
-    if index_mode == "hotlog":
-        # runs after the postings write on purpose: transition probing and
-        # the stale re-bands must see this batch's own admitted postings
-        stale_rows = _apply_hot_transitions(
-            spark, index_path, batch_id, adm_posts, num_hashes, band_size,
-            int(max_doc_freq) if max_doc_freq is not None else None,
+    # the admitted-TEXT write is independent of the index maintenance
+    # chain (postings → hot transitions → bands all live under
+    # index_path; nothing reads out_path here), so it overlaps as a
+    # concurrent Spark job (r11: each write is mostly fixed per-job
+    # overhead at batch size — the dominant cost on IO-bound machines,
+    # see SCALING.md r11 hotlog root cause). The future is joined
+    # before returning, so the replay-overwrite contract and failure
+    # semantics are unchanged: the batch completes only when every
+    # write has.
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=1) as _ex:
+        _text_write = _ex.submit(
+            overwrite_partitions,
+            admitted.withColumn("__batch_id", F.lit(batch_id)),
+            out_path,
+            ["__batch_id"],
         )
+        adm_posts = _shingle_table(admitted, id_col, text_col, n)
+        overwrite_partitions(
+            adm_posts.withColumn("__batch_id", F.lit(batch_id)),
+            f"{index_path}/{_IDX_POSTINGS}",
+            ["__batch_id"],
+        )
+        admitted_ids = admitted.select(F.col(id_col).alias("doc"))
+        band_rows = _index_band_rows(
+            sb.join(admitted_ids, "doc"), admitted_ids, num_hashes, band_size
+        )
+        if index_mode == "hotlog":
+            # runs after the postings write on purpose: transition
+            # probing and the stale re-bands must see this batch's own
+            # admitted postings
+            stale_rows = _apply_hot_transitions(
+                spark, index_path, batch_id, adm_posts, num_hashes, band_size,
+                int(max_doc_freq) if max_doc_freq is not None else None,
+            )
+            if stale_rows is not None:
+                # the re-bands REPLACE this partition's fresh rows for
+                # any of the batch's own docs that the crossing
+                # invalidated — both versions would land in the same
+                # partition, where latest-wins cannot break the tie
+                band_rows = band_rows.join(
+                    F.broadcast(stale_rows.select("doc").distinct()),
+                    "doc",
+                    "left_anti",
+                ).unionByName(stale_rows)
+                stale_rows = None
         if stale_rows is not None:
-            # the re-bands REPLACE this partition's fresh rows for any of
-            # the batch's own docs that the crossing invalidated — both
-            # versions would land in the same partition, where latest-wins
-            # cannot break the tie
-            band_rows = band_rows.join(
-                F.broadcast(stale_rows.select("doc").distinct()), "doc", "left_anti"
-            ).unionByName(stale_rows)
-            stale_rows = None
-    if stale_rows is not None:
-        band_rows = band_rows.unionByName(stale_rows)
-    overwrite_partitions(
-        band_rows.withColumn("__batch_id", F.lit(batch_id)),
-        f"{index_path}/{_IDX_BANDS}",
-        ["__batch_id"],
-    )
+            band_rows = band_rows.unionByName(stale_rows)
+        overwrite_partitions(
+            band_rows.withColumn("__batch_id", F.lit(batch_id)),
+            f"{index_path}/{_IDX_BANDS}",
+            ["__batch_id"],
+        )
+        _text_write.result()
 
 
 _GUARD_FILE = "_partition_guard.json"
