@@ -1963,31 +1963,44 @@ def _admit_substring_batch_indexed(
         max_window_df, sample_mod, use_dfcnt_ledger=use_dfcnt_ledger,
     )
     # batch-sized; the out/windows/dfcnt writes all derive from it — cut
-    # lineage once so none of them re-runs the candidate join
+    # lineage once (EAGER: a lazy first-use is not a single-
+    # materialization point under the write overlap below) so none of
+    # them re-runs the candidate join
     admitted = batch.join(F.broadcast(rejects), id_col, "left_anti").localCheckpoint(
-        eager=False
+        eager=True
     )
-    overwrite_partitions(
-        admitted.withColumn("__batch_id", F.lit(batch_id)), out_path, ["__batch_id"]
-    )
-    adm_windows = wb.join(
-        F.broadcast(admitted.select(F.col(id_col).alias("doc"))), "doc"
-    ).localCheckpoint(eager=False)  # feeds the windows write AND the ledger delta
-    overwrite_partitions(
-        adm_windows.withColumn("__batch_id", F.lit(batch_id)),
-        f"{index_path}/{_IDX_WINDOWS}",
-        ["__batch_id"],
-    )
-    # the batch's window-df delta: distinct docs per hash WITHIN this
-    # partition (docs are disjoint across partitions, so read-side SUM
-    # over partitions is the exact corpus df). Deterministic from the
-    # batch → a replay overwrites it in lockstep with the windows rows.
-    delta = adm_windows.groupBy("wh").agg(F.count_distinct("doc").alias("cnt"))
-    overwrite_partitions(
-        delta.withColumn("__batch_id", F.lit(batch_id)),
-        f"{index_path}/{_IDX_WDFCNT}",
-        ["__batch_id"],
-    )
+    # the admitted-TEXT write shares nothing with the windows/ledger
+    # index maintenance, so it overlaps as a concurrent Spark job
+    # (r11, same pattern + A/B as the hotlog sink); joined before
+    # returning — replay contract and failure semantics unchanged
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=1) as _ex:
+        _text_write = _ex.submit(
+            overwrite_partitions,
+            admitted.withColumn("__batch_id", F.lit(batch_id)),
+            out_path,
+            ["__batch_id"],
+        )
+        adm_windows = wb.join(
+            F.broadcast(admitted.select(F.col(id_col).alias("doc"))), "doc"
+        ).localCheckpoint(eager=True)  # feeds the windows write AND the ledger delta
+        overwrite_partitions(
+            adm_windows.withColumn("__batch_id", F.lit(batch_id)),
+            f"{index_path}/{_IDX_WINDOWS}",
+            ["__batch_id"],
+        )
+        # the batch's window-df delta: distinct docs per hash WITHIN this
+        # partition (docs are disjoint across partitions, so read-side SUM
+        # over partitions is the exact corpus df). Deterministic from the
+        # batch → a replay overwrites it in lockstep with the windows rows.
+        delta = adm_windows.groupBy("wh").agg(F.count_distinct("doc").alias("cnt"))
+        overwrite_partitions(
+            delta.withColumn("__batch_id", F.lit(batch_id)),
+            f"{index_path}/{_IDX_WDFCNT}",
+            ["__batch_id"],
+        )
+        _text_write.result()
 
 
 def stream_substring_admission(
@@ -2712,20 +2725,31 @@ def _admit_fingerprint_batch_indexed(
         spark, batch_fp, index_path, batch_id, radius,
         max_bucket_size=max_bucket_size,
     ).withColumnRenamed("doc", id_col)
+    # EAGER: single materialization point for the write overlap below
     admitted = batch_df.join(F.broadcast(rejects), id_col, "left_anti").localCheckpoint(
-        eager=False
+        eager=True
     )
-    overwrite_partitions(
-        admitted.withColumn("__batch_id", F.lit(batch_id)), out_path, ["__batch_id"]
-    )
-    adm_fp = batch_fp.join(
-        F.broadcast(admitted.select(F.col(id_col).alias("doc"))), "doc"
-    )
-    overwrite_partitions(
-        adm_fp.withColumn("__batch_id", F.lit(batch_id)),
-        f"{index_path}/{_IDX_FPRINTS}",
-        ["__batch_id"],
-    )
+    # the admitted-MEDIA write is independent of the fprints index
+    # write, so it overlaps as a concurrent Spark job (r11, same
+    # pattern + A/B as the hotlog sink); joined before returning
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=1) as _ex:
+        _media_write = _ex.submit(
+            overwrite_partitions,
+            admitted.withColumn("__batch_id", F.lit(batch_id)),
+            out_path,
+            ["__batch_id"],
+        )
+        adm_fp = batch_fp.join(
+            F.broadcast(admitted.select(F.col(id_col).alias("doc"))), "doc"
+        )
+        overwrite_partitions(
+            adm_fp.withColumn("__batch_id", F.lit(batch_id)),
+            f"{index_path}/{_IDX_FPRINTS}",
+            ["__batch_id"],
+        )
+        _media_write.result()
 
 
 def _admit_fingerprint_batch_recompute(
