@@ -309,7 +309,11 @@ def _calibration_job(spark) -> float:
 
 
 #: reference wall-time of the IO/shuffle calibration job (r11 anchor:
-#: warm min of 4 runs on the round-11 build machine). The streaming
+#: the in-context reading on the round-11 build machine — the probe
+#: runs once after the query passes, where it reads ~2.3 s; a
+#: dedicated tight loop warms to ~1.6 s, but the anchor must match the
+#: context the probe actually runs in or same-machine runs would show
+#: a phantom 1.45x scale). The streaming
 #: batch metrics are dominated by many small Spark jobs + ledger
 #: parquet writes — a machine-sensitivity profile the CPU-only probe
 #: provably misses: the r10 hotlog '+39 % regression' reproduced with
@@ -319,7 +323,7 @@ def _calibration_job(spark) -> float:
 #: the same work shape (partitioned parquet write + read + shuffled
 #: aggregate, 3×) so the stream tier normalizes by the resource class
 #: it actually stresses.
-_IO_CAL_REF_SEC = 1.6
+_IO_CAL_REF_SEC = 2.3
 
 
 def _calibration_io_job(spark) -> float:
