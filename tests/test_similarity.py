@@ -312,6 +312,27 @@ def test_pq_encode_deterministic_and_shaped(spark, sf_dir):
     assert all(len(codes) == 8 and all(0 <= c < 16 for c in codes) for _, codes in a)
 
 
+def test_pq_codebooks_concurrent_fits_deterministic(spark, sf_dir):
+    """pq_codebooks fits its subquantizers as CONCURRENT Spark jobs
+    (r11) — two invocations must still produce bit-identical codebooks
+    (per-m seeds, order-independent assembly), or the concurrency would
+    silently break the train-once/broadcast-everywhere contract."""
+    from pyspark_ingestion_spark.operators.similarity import pq_codebooks
+    from pyspark_ingestion_spark.sources.readers import load_table
+
+    e = load_table(spark, sf_dir, "embeddings")
+
+    def fit():
+        return sorted(
+            (r["m"], r["code_id"], tuple(r["subvec"]))
+            for r in pq_codebooks(e, n_sub=8, k_codes=8, seed=11).collect()
+        )
+
+    a, b = fit(), fit()
+    assert a == b
+    assert len(a) == 8 * 8
+
+
 def test_pq_codes_expr_matches_pq_encode(spark, sf_dir):
     """The scan-side code expression (r11, the shuffle-free encode shape
     ivf_pq_topk's query path uses) is BIT-IDENTICAL to pq_encode's
