@@ -784,7 +784,20 @@ def codebook_rows_of(codebooks) -> list[tuple[int, int, list[float]]]:
     return sorted(rows, key=lambda r: (r[0], r[1]))
 
 
-def pq_codes_expr(vec_col, codebook_rows, n_sub: int) -> F.Column:
+#: cap on the total double literals ivf_pq_topk will inline as SQL text
+#: (codebook entries for pq_codes_expr + centroids for ivf_cell_expr)
+#: before falling back to the aggregate+join encode. Each double
+#: renders ~20 chars, so 65536 ≈ 1.3 MB of expression string — well
+#: inside sane parse/analysis budgets; a realistic big-PQ config
+#: (k_codes=256, d=768, n_sub=16 → 196k codebook doubles alone) lands
+#: in the fallback (r12, ADVICE: plan-size dependence the join form
+#: does not have).
+_PQ_EXPR_MAX_LITERALS = 65536
+
+
+def pq_codes_expr(
+    vec_col, codebook_rows, n_sub: int, expected_dim: int | None = None
+) -> F.Column:
     """Scan-side PQ codes (``array<int>``) for one vector column —
     semantics identical to :func:`pq_encode` (property-pinned), but as
     a pure column expression: no explode, no broadcast join, no
@@ -798,7 +811,22 @@ def pq_codes_expr(vec_col, codebook_rows, n_sub: int) -> F.Column:
 
     This is the 100 TB encode shape: the corpus's codes column comes
     out of the SAME scan that computes its IVF cell, instead of a
-    two-aggregation reassembly joined back on id."""
+    two-aggregation reassembly joined back on id. The flip side of
+    inlining is plan-size dependence — the expression carries
+    ``n_sub·k_codes·d_sub`` double literals of SQL text — so callers
+    with large codebooks must prefer the join form;
+    :func:`ivf_pq_topk` guards on :data:`_PQ_EXPR_MAX_LITERALS` (r12,
+    ADVICE).
+
+    ``expected_dim`` (r12, ADVICE): without it, ``d_sub`` is computed
+    PER ROW from ``size(vec)`` — a corpus with mixed vector dims would
+    slice misaligned subvectors and emit plausible-but-wrong codes for
+    the off-dim rows. With it, ``d_sub`` is a constant-folded literal
+    and every row carries an ``assert_true(size(vec) = expected_dim)``
+    guard, so dim drift raises AT EXECUTION instead of corrupting
+    codes — per-row and scan-side, i.e. free at 100 TB, where a
+    build-time min/max-size aggregate would cost one extra full pass
+    over the vector column."""
     by_m: dict[int, list[tuple[int, list[float]]]] = {}
     for m, c, v in codebook_rows:
         by_m.setdefault(int(m), []).append((int(c), v))
@@ -807,7 +835,14 @@ def pq_codes_expr(vec_col, codebook_rows, n_sub: int) -> F.Column:
             f"codebook rows cover m={sorted(by_m)}, expected 0..{n_sub - 1}"
         )
     vec = F.col(vec_col).cast("array<double>") if isinstance(vec_col, str) else vec_col
-    d_sub = (F.size(vec) / n_sub).cast("int")
+    if expected_dim is not None:
+        if expected_dim % n_sub:
+            raise ValueError(
+                f"expected_dim {expected_dim} not divisible by n_sub={n_sub}"
+            )
+        d_sub = expected_dim // n_sub
+    else:
+        d_sub = (F.size(vec) / n_sub).cast("int")
 
     def code_for(m: int) -> F.Column:
         entries = F.expr(
@@ -832,7 +867,20 @@ def pq_codes_expr(vec_col, codebook_rows, n_sub: int) -> F.Column:
         )
         return (-F.array_max(scored)["n"]).cast("int")
 
-    return F.array(*[code_for(m) for m in range(n_sub)])
+    codes = F.array(*[code_for(m) for m in range(n_sub)])
+    if expected_dim is None:
+        return codes
+    # per-row dim guard: assert_true returns NULL on success (taking
+    # the when-branch) and raises on the first off-dim row
+    guard = F.assert_true(
+        F.size(vec) == expected_dim,
+        F.concat(
+            F.lit("pq_codes_expr: row vector dim "),
+            F.size(vec).cast("string"),
+            F.lit(f" != codebook dim {expected_dim}"),
+        ),
+    )
+    return F.when(guard.isNull(), codes)
 
 
 def ivf_pq_topk(
@@ -969,11 +1017,44 @@ def ivf_pq_topk(
                 f"codebook subvector length != corpus dim/n_sub = "
                 f"{cdim // n_sub} for (m, code) {bad[:3]} — dim mismatch"
             )
-        corpus_pq = corpus_wide.select(
-            F.col(id_col),
-            ivf_cell_expr(vec_col, centroid_rows_of(centroids)).alias("cell"),
-            pq_codes_expr(vec_col, cb_rows, n_sub).alias("codes"),
-        )
+        c_rows = centroid_rows_of(centroids)
+        # plan-size guard (r12, ADVICE): the scan-side expressions
+        # inline every codebook/centroid double as SQL text — megabytes
+        # of expression string at realistic PQ configs, inflating
+        # parse/analysis time and driver memory. Past the budget, take
+        # the aggregate+join encode (two corpus shuffles — the pre-r11
+        # shape) whose plan size is O(1) in the codebook.
+        n_literals = (len(cb_rows) * (cdim // n_sub)) + len(c_rows) * cdim
+        if n_literals > _PQ_EXPR_MAX_LITERALS:
+            cells = assign_ivf_cells(
+                corpus_wide.select(id_col, vec_col),
+                centroids,
+                id_col,
+                vec_col,
+                nprobe=1,
+            ).select(id_col, "cell")
+            corpus_pq = cells.join(
+                pq_encode(
+                    corpus_wide, codebooks, id_col=id_col, vec_col=vec_col,
+                    n_sub=n_sub,
+                ),
+                id_col,
+            )
+        else:
+            # expected_dim=cdim: d_sub constant-folds and every row
+            # carries a scan-side dim assert — a mixed-dim corpus
+            # raises at execution instead of emitting misaligned,
+            # plausible-but-wrong codes for the off-dim rows (r12,
+            # ADVICE; the one-row probe above cannot see row-level
+            # drift, and a min/max aggregate would cost a full extra
+            # pass over the vector column at query-build time)
+            corpus_pq = corpus_wide.select(
+                F.col(id_col),
+                ivf_cell_expr(vec_col, c_rows).alias("cell"),
+                pq_codes_expr(
+                    vec_col, cb_rows, n_sub, expected_dim=cdim
+                ).alias("codes"),
+            )
 
     q = queries.select(
         F.col(query_id_col),

@@ -197,7 +197,19 @@ def _estimated_scan_splits(df: DataFrame) -> int | None:
     callers fall back to the RDD probe, which is cheap exactly there.
     Bin packing makes the true count differ by ±1ish; the only cost of
     an under-estimate is a round-robin shuffle of a table small enough
-    that the estimate COULD be low, so the guard stays safe at scale."""
+    that the estimate COULD be low, so the guard stays safe at scale.
+
+    The estimate is only trusted for SINGLE-SCAN-shaped plans (r12,
+    ADVICE): summing leaf stats reasons about the under-estimate
+    direction only, so a join-shaped frame (partition count set by the
+    shuffle, not the scans) or one carrying a repartition/coalesce
+    (partition count set by the operator) could OVER-estimate and
+    silently skip the repartition the RDD probe would have triggered —
+    re-serializing a CPU-heavy stage on few cores, the 20x lever this
+    repo's own benchmarks document. More than one leaf, or any
+    Repartition/Rebalance node in the optimized plan, → ``None``
+    (exchanges never appear in the logical plan; they come FROM joins
+    and repartitions, which this covers)."""
     import math
 
     try:
@@ -218,16 +230,30 @@ def _estimated_scan_splits(df: DataFrame) -> int | None:
     max_pb = byte_conf("spark.sql.files.maxPartitionBytes", 128 << 20)
     open_cost = byte_conf("spark.sql.files.openCostInBytes", 4 << 20)
     try:
-        # sum LEAF relation stats, not the root's: operators between
-        # scan and root rescale sizeInBytes (Project by row-width
-        # ratio, non-CBO Join by the product of its children), which
-        # would flip the guard both ways; the leaves' sizeInBytes IS
-        # the file-size sum the split planner actually sees
-        leaves = df._jdf.queryExecution().optimizedPlan().collectLeaves()
-        size = sum(
-            int(leaves.apply(i).stats().sizeInBytes())
-            for i in range(leaves.size())
-        )
+        plan = df._jdf.queryExecution().optimizedPlan()
+        leaves = plan.collectLeaves()
+        if leaves.size() != 1:
+            return None
+        # walk the plan for partition-setting operators; any hit means
+        # the scan's split count is NOT the frame's partition count
+        stack = [plan]
+        while stack:
+            node = stack.pop()
+            if node.nodeName() in (
+                "Repartition",              # repartition(n) AND coalesce(n)
+                "RepartitionByExpression",  # repartition(cols) / DISTRIBUTE BY
+                "RebalancePartitions",      # hint/AQE rebalance
+            ):
+                return None
+            children = node.children()
+            for i in range(children.size()):
+                stack.append(children.apply(i))
+        # use the LEAF relation's stats, not the root's: operators
+        # between scan and root rescale sizeInBytes (Project by
+        # row-width ratio), which would flip the guard both ways; the
+        # leaf's sizeInBytes IS the file-size sum the split planner
+        # actually sees
+        size = int(leaves.apply(0).stats().sizeInBytes())
     except Exception:
         return None
     total = size + open_cost * len(files)

@@ -417,6 +417,84 @@ def test_ivf_pq_adc_matches_python_reconstruction(spark):
         assert abs(r["sim"] - want) <= 1e-6, (r, want)
 
 
+def test_ivf_pq_expr_literal_budget_fallback(spark, monkeypatch):
+    """Past ``_PQ_EXPR_MAX_LITERALS`` the corpus-side encode falls back
+    to the aggregate+join form (r12, ADVICE): the scan-side expression
+    inlines every codebook/centroid double as SQL text — megabytes of
+    expression string at realistic PQ configs (k_codes=256, d=768),
+    inflating parse/analysis time and driver memory, a plan-size
+    dependence the join form does not have. Pinned by dropping the
+    budget to 1 and checking the two forms return identical rows."""
+    import random
+
+    from pyspark_ingestion_spark.operators import similarity as sim
+
+    rng = random.Random(9)
+    dim, n_sub, k_codes = 16, 4, 4
+    corpus = spark.createDataFrame(
+        [(i, [rng.gauss(0, 1) for _ in range(dim)]) for i in range(40)],
+        "vec_id long, embedding array<double>",
+    )
+    cents = corpus.filter("vec_id < 2").selectExpr(
+        "CAST(vec_id AS INT) AS centroid_id", "embedding AS cvec"
+    )
+    cb = sim.pq_codebooks(corpus, n_sub=n_sub, k_codes=k_codes, seed=1)
+    queries = corpus.filter("vec_id < 3").select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+
+    def run():
+        return sorted(
+            (r["query_id"], r["neighbor_id"], r["sim"], r["rank"])
+            for r in sim.ivf_pq_topk(
+                corpus, queries, cents, cb, k=5, nprobe=2,
+                n_sub=n_sub, k_codes=k_codes,
+            ).collect()
+        )
+
+    via_expr = run()
+    monkeypatch.setattr(sim, "_PQ_EXPR_MAX_LITERALS", 1)
+    via_join = run()
+    assert via_expr == via_join
+    assert via_expr, "no results"
+
+
+def test_ivf_pq_mixed_dim_corpus_raises(spark):
+    """A corpus with ROW-LEVEL dim drift must raise, not return
+    plausible-but-wrong neighbors (r12, ADVICE): pq_codes_expr used to
+    compute d_sub per row from size(vec), so an off-dim row sliced
+    misaligned subvectors silently. The expected_dim guard asserts
+    every row's dim scan-side."""
+    import pytest
+
+    from pyspark_ingestion_spark.operators.similarity import (
+        ivf_pq_topk,
+        pq_codebooks,
+    )
+
+    good = [(i, [float(i % 7), float(i % 5), float(i % 3), 1.0] * 4)
+            for i in range(40)]
+    corpus_ok = spark.createDataFrame(
+        good, "vec_id long, embedding array<double>"
+    )
+    cents = corpus_ok.filter("vec_id < 2").selectExpr(
+        "CAST(vec_id AS INT) AS centroid_id", "embedding AS cvec"
+    )
+    cb = pq_codebooks(corpus_ok, n_sub=4, k_codes=8, seed=1)
+    q = corpus_ok.filter("vec_id < 2").select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    # one 12-dim row among 16-dim rows; 12 % n_sub == 0, so the old
+    # per-row d_sub (=3) would happily emit misaligned codes for it
+    mixed = spark.createDataFrame(
+        good + [(99, [1.0] * 12)], "vec_id long, embedding array<double>"
+    )
+    with pytest.raises(Exception, match="row vector dim"):
+        ivf_pq_topk(
+            mixed, q, cents, cb, k=3, nprobe=2, n_sub=4, k_codes=8
+        ).collect()
+
+
 def test_pq_config_mismatches_fail_fast(spark):
     """PQ config mismatches produce silently-wrong results if trusted, so
     they must raise: k_codes disagreeing with the codebooks (misaligned
