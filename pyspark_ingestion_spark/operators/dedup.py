@@ -427,11 +427,56 @@ def _drop_big_buckets(
     return bands.join(F.broadcast(big), ks, "left_anti")
 
 
+def _salt_hash_col(doc_col: str, salt_hash: str) -> F.Column:
+    """The deterministic per-doc hash the salt arithmetic splits on.
+    ``xxhash64`` (default) is the fast JVM path; ``md5`` derives a
+    non-negative int from the first 7 hex chars of md5 of the id's
+    decimal string — arithmetically identical in DuckDB
+    (``('0x' || substr(md5(CAST(doc AS VARCHAR)), 1, 7))::BIGINT``, the
+    ``minhash_signatures`` oracle trick), so fixture queries can
+    hash-check the full salt arithmetic against an oracle (r12, VERDICT
+    r11 item 4; xxhash64 itself is not DuckDB-expressible). Non-negative
+    by construction (< 2^28), so pmod ≡ ``%`` cross-engine."""
+    if salt_hash == "xxhash64":
+        return F.xxhash64(F.col(doc_col))
+    if salt_hash == "md5":
+        return F.conv(
+            F.substring(F.md5(F.col(doc_col).cast("string")), 1, 7), 16, 10
+        ).cast("long")
+    raise ValueError(f"salt_hash must be 'xxhash64' or 'md5', got {salt_hash!r}")
+
+
+def _oversized_bucket_salts(
+    bands: DataFrame,
+    max_bucket_size: int,
+    keys: tuple[str, ...] = ("band", "band_key"),
+) -> DataFrame:
+    """The (tiny by construction) oversized-bucket list with each
+    bucket's sub-bucket count: (keys..., __nsalts = ceil(n / cap)) for
+    every bucket holding n > cap rows. Shared by the self-join salt
+    split (:func:`_salt_big_buckets`) and the cross-side admission
+    probe (:func:`_probe_salted_buckets`) so the two sides can never
+    disagree on a bucket's salt domain."""
+    ks = list(keys)
+    return (
+        bands.groupBy(*ks)
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .filter(F.col("__n") > max_bucket_size)
+        .select(
+            *ks,
+            F.ceil(F.col("__n") / F.lit(max_bucket_size))
+            .cast("int")
+            .alias("__nsalts"),
+        )
+    )
+
+
 def _salt_big_buckets(
     bands: DataFrame,
     max_bucket_size: int | None,
     keys: tuple[str, ...] = ("band", "band_key"),
     doc_col: str = "doc",
+    salt_hash: str = "xxhash64",
 ) -> DataFrame:
     """Bounded salt-split of oversized band buckets — the
     recall-preserving alternative to :func:`_drop_big_buckets` for
@@ -453,28 +498,98 @@ def _salt_big_buckets(
     sizes EXPECTED ≤ cap (concentrated; an exact row_number split would
     need a window that lands the whole hot bucket in one task — the
     very skew this guards). Cross-side ADMISSION joins (batch vs
-    corpus) cannot use salting — a batch doc can't know its corpus
-    partner's salt — so those paths keep the drop-mode guard."""
+    corpus) can't join salt-to-salt blindly — a batch doc doesn't know
+    its corpus partner's salt — but CAN probe a bounded number of
+    sub-buckets per oversized bucket: :func:`_probe_salted_buckets`
+    (r12, VERDICT r11 item 3).
+
+    ``salt_hash`` picks the per-doc split hash — see
+    :func:`_salt_hash_col` (``md5`` exists so fixture queries can
+    oracle-check the full salt arithmetic)."""
     if max_bucket_size is None:
         return bands.withColumn("__salt", F.lit(0))
     if max_bucket_size < 1:
         raise ValueError(f"max_bucket_size must be >= 1, got {max_bucket_size}")
-    ks = list(keys)
-    big = (
-        bands.groupBy(*ks)
-        .agg(F.count(F.lit(1)).alias("__n"))
-        .filter(F.col("__n") > max_bucket_size)
+    return _salt_corpus_bands(
+        bands,
+        _oversized_bucket_salts(bands, max_bucket_size, keys),
+        keys=keys,
+        doc_col=doc_col,
+        salt_hash=salt_hash,
     )
-    n_salts = F.ceil(F.col("__n") / F.lit(max_bucket_size)).cast("int")
+
+
+def _salt_corpus_bands(
+    bands: DataFrame,
+    big_salts: DataFrame,
+    keys: tuple[str, ...] = ("band", "band_key"),
+    doc_col: str = "doc",
+    salt_hash: str = "xxhash64",
+) -> DataFrame:
+    """Assign each band row its deterministic sub-bucket against a
+    precomputed oversized-bucket list (``_oversized_bucket_salts``
+    output): rows in buckets at or below the cap get salt 0; rows in an
+    oversized bucket get ``hash(doc) mod __nsalts``. Split out of
+    :func:`_salt_big_buckets` so cross-side admission can salt the
+    corpus side and probe the batch side from the SAME bucket list."""
+    ks = list(keys)
     return (
-        bands.join(F.broadcast(big), ks, "left")
+        bands.join(F.broadcast(big_salts), ks, "left")
         .withColumn(
             "__salt",
-            F.when(F.col("__n").isNull(), F.lit(0)).otherwise(
-                F.pmod(F.xxhash64(F.col(doc_col)), n_salts).cast("int")
+            F.when(F.col("__nsalts").isNull(), F.lit(0)).otherwise(
+                F.pmod(
+                    _salt_hash_col(doc_col, salt_hash), F.col("__nsalts")
+                ).cast("int")
             ),
         )
-        .drop("__n")
+        .drop("__nsalts")
+    )
+
+
+def _probe_salted_buckets(
+    bands: DataFrame,
+    big_salts: DataFrame,
+    probe_salts: int,
+    keys: tuple[str, ...] = ("band", "band_key"),
+    doc_col: str = "doc",
+    salt_hash: str = "xxhash64",
+) -> DataFrame:
+    """BATCH side of cross-side salted admission (r12, VERDICT r11
+    item 3): replicate each batch band row into ``min(__nsalts, R)``
+    DISTINCT sub-buckets of an oversized corpus bucket — salts
+    ``(hash(doc) + j) mod __nsalts`` for ``j`` in ``0..min−1`` — and
+    leave rows in non-oversized buckets at salt 0 untouched. Joining
+    the result to a :func:`_salt_corpus_bands` corpus on
+    ``keys + ('__salt',)`` recovers ~R·cap candidate partners per batch
+    doc inside a popular bucket (drop mode recovered ZERO there) at
+    O(batch·R) replication cost — the corpus side still never exceeds
+    ~cap rows per joined sub-bucket, so the per-bucket join work is
+    bounded at R·cap·(batch rows in the bucket), never n².
+
+    Recall: ≥ drop mode by construction (drop loses the whole bucket);
+    ≤ the uncapped join (probing fewer sub-buckets than exist loses the
+    partners salted elsewhere — the bounded-work trade, exactly the
+    self-join salt's semantics applied cross-side)."""
+    if probe_salts < 1:
+        raise ValueError(f"probe_salts must be >= 1, got {probe_salts}")
+    ks = list(keys)
+    reps = F.when(F.col("__nsalts").isNull(), F.lit(1)).otherwise(
+        F.least(F.col("__nsalts"), F.lit(probe_salts))
+    )
+    return (
+        bands.join(F.broadcast(big_salts), ks, "left")
+        .withColumn("__j", F.explode(F.sequence(F.lit(0), reps - 1)))
+        .withColumn(
+            "__salt",
+            F.when(F.col("__nsalts").isNull(), F.lit(0)).otherwise(
+                F.pmod(
+                    _salt_hash_col(doc_col, salt_hash) + F.col("__j"),
+                    F.col("__nsalts"),
+                ).cast("int")
+            ),
+        )
+        .drop("__nsalts", "__j")
     )
 
 
@@ -785,6 +900,8 @@ def incremental_lsh_rejects(
     threshold_den: int = 2,
     max_doc_freq: int | float | None = None,
     max_bucket_size: int | None = None,
+    bucket_cap_mode: str = "drop",
+    probe_salts: int = 4,
 ) -> DataFrame:
     """LSH-accelerated batch admission: batch doc ids whose MinHash bands
     collide with ANY corpus doc and whose exact Jaccard (verified on
@@ -810,21 +927,46 @@ def incremental_lsh_rejects(
     ``max_doc_freq`` is corpus-measured and strips BOTH sides before
     signatures — without it, boilerplate-only docs collapse onto
     identical signatures and pile into one bucket (the same guard as
-    ``minhash_lsh_dedup_pairs``); ``max_bucket_size`` drops oversized
-    corpus-side band buckets outright.
+    ``minhash_lsh_dedup_pairs``); ``max_bucket_size`` guards oversized
+    corpus-side band buckets. ``bucket_cap_mode`` picks the trade
+    inside an oversized bucket (r12, VERDICT r11 item 3): ``"drop"``
+    loses the whole bucket — a batch doc near a legitimately POPULAR
+    corpus cluster (memes, boilerplate intros) silently loses admission
+    recall when every shared band is oversized; ``"salt"`` splits the
+    bucket into ``ceil(n/cap)`` deterministic sub-buckets
+    (``_salt_big_buckets`` arithmetic) and replicates each batch band
+    row into ``min(n_salts, probe_salts)`` of them — recovering
+    ~probe_salts·cap candidate partners per batch doc at
+    O(batch·probe_salts) replication cost, with the per-sub-bucket join
+    still bounded at ~cap corpus rows. Recall: drop ⊆ salt ⊆ uncapped
+    (property-pinned).
     """
+    if bucket_cap_mode not in ("drop", "salt"):
+        raise ValueError(
+            f"bucket_cap_mode must be 'drop' or 'salt', got {bucket_cap_mode!r}"
+        )
     sb, sc = _cross_shingle_tables(
         corpus, batch, id_col, text_col, n, max_doc_freq
     )
     sc = sc.localCheckpoint(eager=False)
 
-    bands_c = _drop_big_buckets(
-        _bands_from_wide(_wide_signatures(sc, num_hashes), num_hashes, band_size),
-        max_bucket_size,
+    raw_bands = _bands_from_wide(
+        _wide_signatures(sc, num_hashes), num_hashes, band_size
     )
+    if bucket_cap_mode == "salt" and max_bucket_size is not None:
+        if max_bucket_size < 1:
+            raise ValueError(
+                f"max_bucket_size must be >= 1, got {max_bucket_size}"
+            )
+        big_salts = _oversized_bucket_salts(raw_bands, max_bucket_size)
+        bands_c = _salt_corpus_bands(raw_bands, big_salts)
+        salt_probe = (big_salts, probe_salts)
+    else:
+        bands_c = _drop_big_buckets(raw_bands, max_bucket_size)
+        salt_probe = None
     return _lsh_admission_tail(
         sb, sc, bands_c, id_col, num_hashes, band_size,
-        threshold_num, threshold_den,
+        threshold_num, threshold_den, salt_probe=salt_probe,
     )
 
 
@@ -838,6 +980,7 @@ def _lsh_admission_tail(
     threshold_num: int,
     threshold_den: int,
     broadcast_verify: bool = False,
+    salt_probe: tuple[DataFrame, int] | None = None,
 ) -> DataFrame:
     """Shared admission core: batch shingles ``sb`` + corpus shingles
     ``sc`` (both already df-capped over the SAME hot-shingle set) +
@@ -858,18 +1001,33 @@ def _lsh_admission_tail(
     SCALING.md r8). The batch recompute form leaves it False so the
     planner keeps its shuffle fallback for large batches or hot bands
     (uncapped ``max_bucket_size``) instead of failing the job on an
-    oversized broadcast."""
+    oversized broadcast.
+
+    ``salt_probe``: ``(big_salts, probe_salts)`` when the corpus band
+    table came SALTED from ``_salt_corpus_bands`` (carries ``__salt``);
+    the batch bands are replicated into ``min(n_salts, probe_salts)``
+    sub-buckets per oversized bucket (``_probe_salted_buckets``) and
+    ``__salt`` joins the two sides. ``None`` = drop-mode/uncapped
+    corpus bands with no salt column (r12, VERDICT r11 item 3)."""
     bands_b = _bands_from_wide(_wide_signatures(sb, num_hashes), num_hashes, band_size)
+    join_keys = ["band", "band_key"]
+    if salt_probe is not None:
+        big_salts, probe_salts = salt_probe
+        bands_b = _probe_salted_buckets(bands_b, big_salts, probe_salts)
+        join_keys.append("__salt")
     # batch-bounded sides are EXPLICIT broadcasts: the streaming sink
     # feeds this with stats-free micro-batch frames, and a size guess
     # here would sort-merge-shuffle the corpus band table per batch.
-    # bands_b is batch docs × n_bands and cands is batch docs ×
-    # band-collision partners — both bounded by the batch.
+    # bands_b is batch docs × n_bands (× ≤ probe_salts when salted) and
+    # cands is batch docs × band-collision partners — both bounded by
+    # the batch.
     cands = (
-        F.broadcast(bands_b.select(F.col("doc").alias("batch_id"), "band", "band_key"))
+        F.broadcast(
+            bands_b.select(F.col("doc").alias("batch_id"), *join_keys)
+        )
         .join(
-            bands_c.select(F.col("doc").alias("corpus_id"), "band", "band_key"),
-            ["band", "band_key"],
+            bands_c.select(F.col("doc").alias("corpus_id"), *join_keys),
+            join_keys,
         )
         .select("batch_id", "corpus_id")
         .distinct()

@@ -579,6 +579,8 @@ def fingerprint_batch_rejects(
     batch_fp: DataFrame,
     radius: int = 7,
     max_bucket_size: int | None = None,
+    bucket_cap_mode: str = "drop",
+    probe_salts: int = 4,
 ) -> DataFrame:
     """Batch-mode perceptual admission: ids of ``batch_fp`` rows whose
     64-bit fingerprint sits within ``radius`` Hamming bits of ANY
@@ -598,22 +600,61 @@ def fingerprint_batch_rejects(
     degenerate-media skew (see :func:`_fp_drop_big_buckets` for the
     exactness trade); the batch side stays uncapped — it is broadcast-
     small, and capping only the corpus bounds the join at
-    cap × batch_rows per bucket."""
+    cap × batch_rows per bucket.
+
+    ``bucket_cap_mode`` (r12, VERDICT r11 item 3) picks the trade
+    inside an oversized corpus bucket: ``"drop"`` loses the whole
+    bucket — a batch item near a legitimately POPULAR corpus cluster
+    (meme reposts, watermarked variants) silently loses admission
+    recall when every shared band bucket is oversized; ``"salt"``
+    splits the bucket into ``ceil(n/cap)`` deterministic sub-buckets
+    and replicates each batch band row into ``min(n_salts,
+    probe_salts)`` of them (``dedup._probe_salted_buckets``),
+    recovering ~probe_salts·cap candidate partners per batch item at
+    O(batch·probe_salts) cost — the per-sub-bucket join stays bounded
+    at ~cap corpus rows. Rejects: drop ⊆ salt ⊆ uncapped
+    (property-pinned); banding exactness for the SURVIVING candidates
+    is untouched (the Hamming verify is exact either way)."""
     if not 0 <= radius <= 7:
         raise ValueError(
             f"radius must be in [0, 7] (8-band pigeonhole bound), got {radius}"
         )
-    c = _fp_drop_big_buckets(
-        fingerprint_bands(corpus_fp), max_bucket_size
-    ).select(
-        F.col("hi").alias("chi"), F.col("lo").alias("clo"), "j", "band_val"
-    )
+    if bucket_cap_mode not in ("drop", "salt"):
+        raise ValueError(
+            f"bucket_cap_mode must be 'drop' or 'salt', got {bucket_cap_mode!r}"
+        )
+    raw_c = fingerprint_bands(corpus_fp)
     b = fingerprint_bands(batch_fp)
+    join_keys = ["j", "band_val"]
+    if bucket_cap_mode == "salt" and max_bucket_size is not None:
+        from pyspark_ingestion_spark.operators.dedup import (
+            _oversized_bucket_salts,
+            _probe_salted_buckets,
+            _salt_corpus_bands,
+        )
+
+        if max_bucket_size < 1:
+            raise ValueError(
+                f"max_bucket_size must be >= 1, got {max_bucket_size}"
+            )
+        big_salts = _oversized_bucket_salts(
+            raw_c, max_bucket_size, keys=("j", "band_val")
+        )
+        c = _salt_corpus_bands(raw_c, big_salts, keys=("j", "band_val"))
+        b = _probe_salted_buckets(
+            b, big_salts, probe_salts, keys=("j", "band_val")
+        )
+        join_keys.append("__salt")
+    else:
+        c = _fp_drop_big_buckets(raw_c, max_bucket_size)
+    c = c.select(
+        F.col("hi").alias("chi"), F.col("lo").alias("clo"), *join_keys
+    )
     hamming = F.bit_count(F.col("hi").bitwiseXOR(F.col("chi"))) + F.bit_count(
         F.col("lo").bitwiseXOR(F.col("clo"))
     )
     return (
-        c.join(F.broadcast(b), ["j", "band_val"])
+        c.join(F.broadcast(b), join_keys)
         .filter(hamming <= radius)
         .select("doc")
         .distinct()
@@ -628,6 +669,7 @@ def fingerprint_pairs(
     radius: int = 7,
     max_bucket_size: int | None = None,
     bucket_cap_mode: str = "drop",
+    salt_hash: str = "xxhash64",
 ) -> DataFrame:
     """Banded within-corpus near-dup PAIR search over (id, hi, lo)
     fingerprint rows: (doc_a, doc_b, hamming) for every pair within
@@ -646,7 +688,10 @@ def fingerprint_pairs(
     near-dup cluster (memes, boilerplate) keeps ~cap candidate partners
     per doc instead of losing all recall — work per bucket n·cap, never
     n²; recall ≥ drop mode and every surviving pair is a genuine band
-    collision (property-pinned; see ``dedup._salt_big_buckets``)."""
+    collision (property-pinned; see ``dedup._salt_big_buckets``).
+    ``salt_hash`` picks the per-doc split hash (``"md5"`` is the
+    DuckDB-expressible variant fixture queries oracle-check the salt
+    arithmetic with — r12; see ``dedup._salt_hash_col``)."""
     if not 0 <= radius <= 7:
         raise ValueError(
             f"radius must be in [0, 7] (8-band pigeonhole bound), got {radius}"
@@ -660,7 +705,8 @@ def fingerprint_pairs(
         from pyspark_ingestion_spark.operators.dedup import _salt_big_buckets
 
         bands = _salt_big_buckets(
-            raw, max_bucket_size, keys=("j", "band_val"), doc_col="doc"
+            raw, max_bucket_size, keys=("j", "band_val"), doc_col="doc",
+            salt_hash=salt_hash,
         )
         join_keys = ["j", "band_val", "__salt"]
     else:
@@ -1415,9 +1461,11 @@ def _jpeg_canonical_codes(bits: list[int], vals: list[int]) -> dict:
 #: happens once per DISTINCT table, not once per frame. The LUT cache
 #: keys on id() of the table dict, which is safe because every LUT
 #: entry holds a strong ref to its own table; eviction is single-entry
-#: FIFO (oldest spec first) so a workload cycling through >64 distinct
-#: DHT specs never rebuilds tables IN ACTIVE USE — wholesale clearing
-#: would re-derive 65536-entry LUTs for the hot tables on every cycle.
+#: LRU (r12 — a hit re-inserts the entry, so insert order IS
+#: recency order and the evictee is the coldest spec, not the oldest:
+#: under FIFO a workload cycling through exactly >64 hot specs still
+#: evicted in-use tables one at a time) — wholesale clearing would
+#: re-derive 65536-entry LUTs for the hot tables on every cycle.
 _JPEG_TABLE_CACHE: dict[bytes, dict] = {}
 _JPEG_LUT_CACHE: dict[int, tuple[dict, list]] = {}
 
@@ -1425,17 +1473,20 @@ _JPEG_LUT_CACHE: dict[int, tuple[dict, list]] = {}
 def _jpeg_decode_table(bits: list[int], vals: list[int]) -> dict:
     """Decoder view of the same canonical table: (length, code) -> symbol."""
     key = bytes(bits) + bytes(vals)
-    got = _JPEG_TABLE_CACHE.get(key)
+    got = _JPEG_TABLE_CACHE.pop(key, None)
     if got is None:
         if len(_JPEG_TABLE_CACHE) > 64:
-            # FIFO-evict ONE oldest spec (dicts iterate in insert
-            # order) and its LUT; never clear tables in active use
-            oldest = _JPEG_TABLE_CACHE.pop(next(iter(_JPEG_TABLE_CACHE)))
-            _JPEG_LUT_CACHE.pop(id(oldest), None)
-        got = _JPEG_TABLE_CACHE[key] = {
+            # LRU-evict ONE coldest spec (hits re-insert below, so
+            # dict order is recency order) and its LUT; never clear
+            # tables in active use
+            coldest = _JPEG_TABLE_CACHE.pop(next(iter(_JPEG_TABLE_CACHE)))
+            _JPEG_LUT_CACHE.pop(id(coldest), None)
+        got = {
             (length, code): sym
             for sym, (code, length) in _jpeg_canonical_codes(bits, vals).items()
         }
+    # (re-)insert puts the entry at the end — move-to-end on hit
+    _JPEG_TABLE_CACHE[key] = got
     return got
 
 
@@ -1452,11 +1503,12 @@ def _jpeg_lut(table: dict) -> list[int]:
     The cache entry holds a strong reference to ``table`` itself, so an
     id() key can never be reused while its entry exists — even if the
     table cache was cleared underneath an in-flight decode."""
-    got = _JPEG_LUT_CACHE.get(id(table))
+    got = _JPEG_LUT_CACHE.pop(id(table), None)
     if got is not None:
+        _JPEG_LUT_CACHE[id(table)] = got  # move-to-end: LRU, not FIFO
         return got[1]
     if len(_JPEG_LUT_CACHE) > 64:
-        # independent FIFO bound: a LUT can outlive its table-cache
+        # independent LRU bound: a LUT can outlive its table-cache
         # entry (an in-flight decode holds the table after eviction),
         # so orphaned entries must age out here too — evicting a live
         # one only costs a rebuild, never correctness (the id key stays

@@ -567,6 +567,74 @@ def dedup_image_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "dedup_fingerprint_salted_fixture",
+    oracle="""
+    WITH fp AS (SELECT doc_id AS doc,
+                       CASE WHEN doc_id % 5 = 0 THEN 2863311530
+                            ELSE (doc_id * 40503) % 4294967296 END AS hi,
+                       CASE WHEN doc_id % 10 = 0 THEN 1431655764
+                            WHEN doc_id % 5 = 0 THEN 1431655765
+                            ELSE (doc_id * 2654435761) % 4294967296 END AS lo
+                FROM documents),
+    bands AS (SELECT doc, hi, lo, j,
+                     CASE WHEN j < 4 THEN (lo >> (8 * j)) & 255
+                          ELSE (hi >> (8 * (j - 4))) & 255 END AS band_val
+              FROM fp, LATERAL (SELECT unnest(range(8)) AS j)),
+    sizes AS (SELECT j, band_val, count(*) AS n FROM bands GROUP BY j, band_val),
+    salted AS (SELECT b.doc, b.hi, b.lo, b.j, b.band_val,
+                      CASE WHEN s.n > 8 THEN
+                        (('0x' || substr(md5(CAST(b.doc AS VARCHAR)), 1, 7))::BIGINT)
+                          % CAST(ceil(s.n / 8.0) AS BIGINT)
+                      ELSE 0 END AS salt
+               FROM bands b JOIN sizes s
+                 ON b.j = s.j AND b.band_val = s.band_val),
+    cand AS (SELECT DISTINCT a.doc AS doc_a, b.doc AS doc_b,
+                    a.hi AS ha, a.lo AS la, b.hi AS hb, b.lo AS lb
+             FROM salted a JOIN salted b
+               ON a.j = b.j AND a.band_val = b.band_val AND a.salt = b.salt
+              AND a.doc < b.doc)
+    SELECT doc_a, doc_b,
+           CAST(bit_count(xor(ha, hb)) + bit_count(xor(la, lb)) AS INT) AS hamming
+    FROM cand
+    WHERE bit_count(xor(ha, hb)) + bit_count(xor(la, lb)) <= 3
+    """,
+)
+def dedup_fingerprint_salted_fixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Oracle-checked twin for the SALT bucket-cap arithmetic (r12,
+    VERDICT r11 item 4): ``_salt_big_buckets`` is property-tested
+    (drop ⊆ salt ⊆ uncapped) but its default xxhash64 split isn't
+    DuckDB-expressible, so this fixture runs the SAME grouping /
+    ceil(n/cap) / pmod sub-bucket arithmetic with the md5-derived salt
+    hash (``dedup._salt_hash_col('md5')`` — the ``minhash_signatures``
+    oracle trick) over a PLANTED popular cluster: every 5th documents
+    id shares one fingerprint (every band bucket oversized at cap=8,
+    ~100 docs at sf0.01), every 10th flips its low lo-bit (in-cluster
+    Hamming-1 pairs), the rest get spread doc_id-derived fingerprints.
+    The oracle recomputes banding, bucket counts, salts and the full
+    surviving pair list — so the salt path's arithmetic is
+    driver-hash-green like the PQ/BPE fixtures, not only
+    property-pinned."""
+    from pyspark_ingestion_spark.operators.multimodal import fingerprint_pairs
+
+    d = load_table(spark, sf_dir, "documents")
+    m32 = F.lit(4294967296)
+    fp = d.select(
+        F.col("doc_id").alias("doc"),
+        F.when(F.col("doc_id") % 5 == 0, F.lit(2863311530))
+        .otherwise((F.col("doc_id") * 40503) % m32)
+        .alias("hi"),
+        F.when(F.col("doc_id") % 10 == 0, F.lit(1431655764))
+        .when(F.col("doc_id") % 5 == 0, F.lit(1431655765))
+        .otherwise((F.col("doc_id") * 2654435761) % m32)
+        .alias("lo"),
+    )
+    return fingerprint_pairs(
+        fp, radius=3, max_bucket_size=8, bucket_cap_mode="salt",
+        salt_hash="md5",
+    )
+
+
+@query(
     "dedup_audio_fhash",
     oracle="""
     WITH d AS (SELECT doc_id, text FROM documents

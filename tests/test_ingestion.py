@@ -461,6 +461,42 @@ def test_spread_input_no_rdd_probe_for_file_scans(spark, tmp_path):
     assert out.count() == 5000
 
 
+def test_estimated_scan_splits_single_scan_shapes_only(spark, tmp_path):
+    """r12 ADVICE: the metadata estimate only reasons about the
+    UNDER-estimate direction, so it must refuse (None -> rdd probe) any
+    plan whose partition count is not set by one scan's splits: joins
+    (count set by the shuffle), repartition/coalesce (set by the
+    operator). A caller-supplied corpus shaped like either would
+    otherwise over-estimate and silently skip the spread that keeps a
+    CPU-heavy stage parallel."""
+    from pyspark_ingestion_spark.sources.readers import _estimated_scan_splits
+
+    pa = str(tmp_path / "a")
+    pb = str(tmp_path / "b")
+    spark.range(0, 5000).selectExpr("id", "repeat('x', 100) AS pad").coalesce(
+        1
+    ).write.parquet(pa)
+    spark.range(0, 500).selectExpr("id", "id * 2 AS v").coalesce(1).write.parquet(pb)
+    a = spark.read.parquet(pa)
+    b = spark.read.parquet(pb)
+
+    # single scan (+ narrow ops): trusted
+    assert _estimated_scan_splits(a) is not None
+    assert _estimated_scan_splits(a.select("id").filter("id > 10")) is not None
+    # join-shaped (two leaves): refused
+    assert _estimated_scan_splits(a.join(b, "id")) is None
+    assert _estimated_scan_splits(a.unionByName(a)) is None
+    # explicit partition-count operators: refused
+    assert _estimated_scan_splits(a.coalesce(1)) is None
+    assert _estimated_scan_splits(a.repartition(4)) is None
+    assert _estimated_scan_splits(a.repartition(4, "id")) is None
+    # and spread_input still spreads such a frame (rdd-probe fallback)
+    from pyspark_ingestion_spark.sources.readers import spread_input
+
+    out = spread_input(a.coalesce(1), min_partitions=8)
+    assert out.rdd.getNumPartitions() == 8
+
+
 def test_cli_ingest_all_derby_jdbc(spark, tmp_path):
     """The ingest-all CLI over a LIVE JDBC source (embedded Derby, the
     reference's batch-all-tables-ingestion.py flow end-to-end): every
@@ -2029,11 +2065,154 @@ def test_fingerprint_salted_bucket_fallback(spark):
         fingerprint_pairs(fp, max_bucket_size=8, bucket_cap_mode="bogus")
 
 
-def test_jpeg_table_cache_fifo_eviction():
-    """Cache overflow evicts ONE oldest DHT spec (with its peek LUT),
-    never the whole cache: a workload cycling through >64 distinct
-    tables keeps its recent tables cached by identity instead of
-    rebuilding 65536-entry LUTs on every frame (r11 advice)."""
+def test_probe_salted_buckets_bounded_replication(spark):
+    """The cross-side salt probe (r12, VERDICT r11 item 3) replicates a
+    band row into min(n_salts, probe_salts) DISTINCT sub-buckets of an
+    oversized bucket and leaves non-oversized rows at one copy, salt 0
+    — the O(batch·R) bound and the salt-domain agreement with the
+    corpus side, pinned directly on the helper."""
+    from pyspark_ingestion_spark.operators.dedup import (
+        _oversized_bucket_salts,
+        _probe_salted_buckets,
+        _salt_corpus_bands,
+    )
+
+    # one oversized bucket (hot: 20 rows > cap 4 -> 5 salts) + one small
+    corpus = spark.createDataFrame(
+        [(i, 0, "hot") for i in range(20)] + [(100 + i, 0, "cold") for i in range(3)],
+        "doc long, band int, band_key string",
+    )
+    big = _oversized_bucket_salts(corpus, 4)
+    assert {(r["band"], r["band_key"], r["__nsalts"]) for r in big.collect()} == {
+        (0, "hot", 5)
+    }
+
+    batch = spark.createDataFrame(
+        [(1000, 0, "hot"), (1001, 0, "cold"), (1002, 1, "elsewhere")],
+        "doc long, band int, band_key string",
+    )
+    probed = _probe_salted_buckets(batch, big, probe_salts=3).collect()
+    by_doc: dict[int, list[int]] = {}
+    for r in probed:
+        by_doc.setdefault(r["doc"], []).append(r["__salt"])
+    # oversized bucket: exactly min(5, 3) = 3 DISTINCT salts in domain
+    assert len(by_doc[1000]) == 3 == len(set(by_doc[1000]))
+    assert all(0 <= s < 5 for s in by_doc[1000])
+    # non-oversized rows: one copy, salt 0
+    assert by_doc[1001] == [0] and by_doc[1002] == [0]
+
+    # the corpus side's salts live in the same domain from the same list
+    salted_corpus = _salt_corpus_bands(corpus, big).collect()
+    assert all(0 <= r["__salt"] < 5 for r in salted_corpus if r["band_key"] == "hot")
+    assert all(r["__salt"] == 0 for r in salted_corpus if r["band_key"] == "cold")
+    # probe_salts >= n_salts degenerates to probing EVERY sub-bucket —
+    # the full uncapped candidate set for that bucket
+    full = _probe_salted_buckets(
+        batch.filter("band_key = 'hot'"), big, probe_salts=99
+    ).collect()
+    assert sorted(r["__salt"] for r in full) == [0, 1, 2, 3, 4]
+
+
+def test_incremental_lsh_salted_admission_recall(spark):
+    """Cross-side admission salting (r12, VERDICT r11 item 3): a batch
+    doc near-duplicating a POPULAR corpus cluster (every shared band
+    bucket oversized) is silently ADMITTED under drop mode but rejected
+    under salt mode — recall(salt) ⊇ recall(drop), ⊆ recall(uncapped),
+    on a planted cluster with deterministic seeded hashes."""
+    from pyspark_ingestion_spark.operators.dedup import incremental_lsh_rejects
+
+    cluster_text = "the quick brown fox jumps over the lazy dog again and again"
+    distinct = [
+        (100 + i, f"unique document number {i} with entirely different words "
+                  f"alpha{i} beta{i} gamma{i} delta{i} epsilon{i}")
+        for i in range(10)
+    ]
+    corpus = spark.createDataFrame(
+        [(i, cluster_text) for i in range(40)] + distinct,
+        "doc_id long, text string",
+    )
+    batch = spark.createDataFrame(
+        [(1000, cluster_text), (1001, cluster_text)]
+        + [(1002, "novel content zeta eta theta iota kappa that matches nothing")],
+        "doc_id long, text string",
+    )
+
+    def rejects(**kw):
+        return {
+            r["doc_id"]
+            for r in incremental_lsh_rejects(
+                corpus, batch, "doc_id", "text", n=3, num_hashes=8,
+                band_size=2, threshold_num=1, threshold_den=2, **kw
+            ).collect()
+        }
+
+    uncapped = rejects()
+    assert uncapped == {1000, 1001}
+    # drop mode: the cluster fills EVERY band bucket past cap=4, so its
+    # near-dups sail through admission — the silent recall loss
+    dropped = rejects(max_bucket_size=4)
+    assert dropped == set()
+    # salt mode: each batch doc probes 4 sub-buckets per band (~cap
+    # partners each) and the exact Jaccard verify fires at 1.0
+    salted = rejects(max_bucket_size=4, bucket_cap_mode="salt")
+    assert dropped <= salted <= uncapped
+    assert salted == {1000, 1001}
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="bucket_cap_mode"):
+        rejects(bucket_cap_mode="bogus")
+
+
+def test_fingerprint_batch_rejects_salted_admission(spark):
+    """The fingerprint cross-side face of the same r12 property: batch
+    items within radius of a planted popular fingerprint cluster are
+    missed by drop mode (every band bucket oversized) and recovered by
+    salt mode, with drop ⊆ salt ⊆ uncapped; threaded through the
+    streaming sink's reject helper signature."""
+    from pyspark_ingestion_spark.operators.multimodal import (
+        fingerprint_batch_rejects,
+    )
+
+    cluster = [(i, 0x0123456789ABCDE0, 0x0FEDCBA987654321) for i in range(30)]
+    lone = [
+        (200, 0x5555555555555555, 0x3333333333333333),
+        (201, 0x0F0F0F0F0F0F0F0F, 0x00FF00FF00FF00FF),
+    ]
+    corpus = spark.createDataFrame(cluster + lone, "doc long, hi long, lo long")
+    batch = spark.createDataFrame(
+        [
+            (1000, 0x0123456789ABCDE0, 0x0FEDCBA987654321),  # in-cluster
+            (1001, 0x0123456789ABCDE0, 0x0FEDCBA987654323),  # 1 bit off
+            (1002, 0x7777000077770000, 0x0000777700007777),  # novel
+        ],
+        "doc long, hi long, lo long",
+    )
+
+    def rejects(**kw):
+        return {
+            r["doc"]
+            for r in fingerprint_batch_rejects(
+                corpus, batch, radius=7, **kw
+            ).collect()
+        }
+
+    uncapped = rejects()
+    assert uncapped == {1000, 1001}
+    dropped = rejects(max_bucket_size=4)
+    assert dropped == set()
+    salted = rejects(max_bucket_size=4, bucket_cap_mode="salt")
+    assert dropped <= salted <= uncapped
+    assert salted == {1000, 1001}
+
+
+def test_jpeg_table_cache_lru_eviction():
+    """Cache overflow evicts ONE least-recently-USED DHT spec (with its
+    peek LUT), never the whole cache: a workload cycling through >64
+    distinct tables keeps its HOT tables cached by identity instead of
+    rebuilding 65536-entry LUTs on every frame (r11 advice made the
+    eviction single-entry; r12 made it LRU — under FIFO a >64-spec
+    cyclic workload still evicted in-use tables one at a time)."""
     from pyspark_ingestion_spark.operators import multimodal as mm
 
     mm._JPEG_TABLE_CACHE.clear()
@@ -2046,15 +2225,31 @@ def test_jpeg_table_cache_fifo_eviction():
 
     t0 = mm._jpeg_decode_table(*spec(0))
     mm._jpeg_lut(t0)
-    tables = [mm._jpeg_decode_table(*spec(i)) for i in range(1, 70)]
-    # single-entry FIFO keeps the cache at its 65-entry steady state
+    tables = [mm._jpeg_decode_table(*spec(i)) for i in range(1, 65)]
+    assert len(mm._JPEG_TABLE_CACHE) == 65  # 0..64, no eviction yet
+
+    # HIT the oldest-inserted spec: under LRU this moves it to the
+    # recency tail, so the next overflow must evict spec 1 instead
+    assert mm._jpeg_decode_table(*spec(0)) is t0
+    t65 = mm._jpeg_decode_table(*spec(65))  # overflow -> evict coldest
     assert len(mm._JPEG_TABLE_CACHE) == 65
-    # the oldest spec (and only it) lost its LUT alongside its table
-    assert id(t0) not in mm._JPEG_LUT_CACHE
-    # recent tables are still cached BY IDENTITY — no rebuild
-    assert mm._jpeg_decode_table(*spec(69)) is tables[-1]
-    lut = mm._jpeg_lut(tables[-1])
-    assert mm._jpeg_lut(tables[-1]) is lut
+    # the eviction-order pin: spec 0 (recently hit) survived, spec 1
+    # (the true LRU entry) was the one evicted and now rebuilds
+    assert mm._jpeg_decode_table(*spec(0)) is t0
+    assert mm._jpeg_decode_table(*spec(1)) is not tables[0]
+    # ... and t0's LUT survived alongside it
+    assert id(t0) in mm._JPEG_LUT_CACHE
+
+    # LUT cache is LRU too: a hit re-inserts, so the hit entry is not
+    # the next evictee
+    lut0 = mm._jpeg_lut(t0)
+    for t in tables[:64]:
+        mm._jpeg_lut(t)  # fill to the 65-entry bound (t0 + 64)
+    assert mm._jpeg_lut(t0) is lut0          # hit: move-to-end
+    mm._jpeg_lut(t65)                        # overflow -> evicts tables[0]
+    assert id(t0) in mm._JPEG_LUT_CACHE
+    assert id(tables[0]) not in mm._JPEG_LUT_CACHE
+    assert mm._jpeg_lut(t0) is lut0
 
 
 def test_pixel_features_known_histogram(spark):
