@@ -18,6 +18,43 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 
+import contextlib
+
+
+@contextlib.contextmanager
+def _overlapped_write(fn, *args):
+    """Run ``fn(*args)`` (an admitted-text/media write) as a concurrent
+    Spark job overlapping the with-body — the index-maintenance chain,
+    which shares nothing with it — and JOIN it before returning, so the
+    replay-overwrite contract and failure semantics are unchanged: the
+    batch completes only when every write has (r11 overlap pattern).
+
+    Error surfacing (r12, ADVICE): if the body raises, the write's
+    outcome is still joined and reported — under the bare
+    ThreadPoolExecutor form, executor shutdown waited for the write but
+    DISCARDED its outcome, so a concurrent write failure was silently
+    masked by the index error (and a write success left a committed
+    out_path partition for a failed batch — recoverable by the replay
+    overwrite, but the batch's error report named the wrong failing
+    sink). Here a write failure rides along as ``__context__`` of the
+    body's error, so both surface in the traceback."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=1) as ex:
+        fut = ex.submit(fn, *args)
+        try:
+            yield fut
+        except BaseException as body_err:
+            try:
+                fut.result()
+            except Exception:
+                # both failed: re-raise the body's error from inside
+                # this handler — the write error chains implicitly
+                raise body_err
+            raise
+        fut.result()
+
+
 def read_stream_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """File-source stream over one testdata parquet table.
 
@@ -267,6 +304,8 @@ def stream_dedup_admission(
     index_mode: str = "fingerprint",
     compact_every: int | None = None,
     compact_major_every: int | None = None,
+    bucket_cap_mode: str = "drop",
+    probe_salts: int = 4,
 ) -> None:
     """Continuous dedup admission: each micro-batch is LSH-checked
     against a GROWING corpus (base + everything admitted so far) and the
@@ -341,6 +380,16 @@ def stream_dedup_admission(
     LENGTH; amortized write cost is O(batch) from minors plus
     O(corpus / major interval) from majors, the standard LSM trade and
     the only shape that survives a never-pausing 100 TB stream.
+
+    ``bucket_cap_mode="salt"`` (r12): inside an oversized corpus band
+    bucket, salt-split instead of drop — each batch doc probes
+    ``min(n_salts, probe_salts)`` sub-buckets, recovering
+    ~probe_salts·cap candidate partners near a POPULAR corpus cluster
+    that drop mode silently admits past. Same per-batch cost shape as
+    drop (both pay the one corpus-band aggregate for the oversized
+    list); the probe replicates only batch rows. Threaded through both
+    indexed modes and the recompute form, so the equivalence pins hold
+    per mode.
     """
     _validate_index_mode(index_mode, max_doc_freq)
     if compact_every is not None and (
@@ -399,6 +448,8 @@ def stream_dedup_admission(
                 max_doc_freq=max_doc_freq,
                 max_bucket_size=max_bucket_size,
                 index_mode=index_mode,
+                bucket_cap_mode=bucket_cap_mode,
+                probe_salts=probe_salts,
             )
             return
         _admit_dedup_batch(
@@ -415,6 +466,8 @@ def stream_dedup_admission(
             threshold_den=threshold_den,
             max_doc_freq=max_doc_freq,
             max_bucket_size=max_bucket_size,
+            bucket_cap_mode=bucket_cap_mode,
+            probe_salts=probe_salts,
         )
 
     q = (
@@ -440,6 +493,8 @@ def _admit_dedup_batch(
     threshold_den: int,
     max_doc_freq: int | float | None,
     max_bucket_size: int | None,
+    bucket_cap_mode: str = "drop",
+    probe_salts: int = 4,
 ) -> None:
     """One micro-batch of ``stream_dedup_admission`` — module-level so
     the replay path is directly testable: calling it twice with the same
@@ -485,6 +540,8 @@ def _admit_dedup_batch(
             threshold_den=threshold_den,
             max_doc_freq=max_doc_freq,
             max_bucket_size=max_bucket_size,
+            bucket_cap_mode=bucket_cap_mode,
+            probe_salts=probe_salts,
         )
         admitted = batch.join(F.broadcast(rejects), id_col, "left_anti")
         overwrite_partitions(
@@ -677,6 +734,40 @@ def _validate_index_mode(index_mode: str, max_doc_freq: int | float | None) -> N
             )
 
 
+def _corpus_bands_capped(
+    band_rows: DataFrame,
+    max_bucket_size: int | None,
+    bucket_cap_mode: str,
+    probe_salts: int,
+):
+    """Shared bucket-cap dispatch for the indexed LSH read paths:
+    returns ``(bands_c, salt_probe)`` for ``_lsh_admission_tail``.
+    Drop mode anti-joins the oversized-bucket list away (the r7 guard);
+    salt mode (r12, VERDICT r11 item 3) salts the corpus rows and hands
+    the tail the bucket list so the batch side probes
+    ``min(n_salts, probe_salts)`` sub-buckets. Both modes pay the SAME
+    one corpus-band aggregate per batch (the oversized list) — salt
+    adds only O(batch·probe_salts) replication on the broadcast-small
+    batch side, so the sinks' O(batch) shape is unchanged."""
+    from pyspark_ingestion_spark.operators.dedup import (
+        _drop_big_buckets,
+        _oversized_bucket_salts,
+        _salt_corpus_bands,
+    )
+
+    if bucket_cap_mode not in ("drop", "salt"):
+        raise ValueError(
+            f"bucket_cap_mode must be 'drop' or 'salt', got {bucket_cap_mode!r}"
+        )
+    if bucket_cap_mode == "salt" and max_bucket_size is not None:
+        big_salts = _oversized_bucket_salts(band_rows, max_bucket_size)
+        return (
+            _salt_corpus_bands(band_rows, big_salts),
+            (big_salts, probe_salts),
+        )
+    return _drop_big_buckets(band_rows, max_bucket_size), None
+
+
 def _indexed_rejects(
     spark: SparkSession,
     batch: DataFrame,
@@ -691,6 +782,8 @@ def _indexed_rejects(
     max_doc_freq: int | float | None,
     max_bucket_size: int | None,
     text_col: str = "text",
+    bucket_cap_mode: str = "drop",
+    probe_salts: int = 4,
 ):
     """Index-driven admission for one micro-batch. Returns
     ``(rejects, sb, stale_rows)``:
@@ -728,7 +821,6 @@ def _indexed_rejects(
     table + hot-transition log) that removes the postings aggregate too.
     """
     from pyspark_ingestion_spark.operators.dedup import (
-        _drop_big_buckets,
         _hot_shingles,
         _lsh_admission_tail,
         _shingle_table,
@@ -774,13 +866,14 @@ def _indexed_rejects(
         ).localCheckpoint(eager=False)
         cur_bands = stored.join(stale_ids, "doc", "left_anti").unionByName(stale_rows)
 
-    bands_c = _drop_big_buckets(
+    bands_c, salt_probe = _corpus_bands_capped(
         cur_bands.filter(F.col("band") >= 0).select("doc", "band", "band_key"),
-        max_bucket_size,
+        max_bucket_size, bucket_cap_mode, probe_salts,
     )
     rejects = _lsh_admission_tail(
         sb, capped_c, bands_c, id_col, num_hashes, band_size,
         threshold_num, threshold_den, broadcast_verify=True,
+        salt_probe=salt_probe,
     )
     return rejects, sb, stale_rows
 
@@ -821,6 +914,8 @@ def _indexed_rejects_hotlog(
     max_doc_freq: int | None,
     max_bucket_size: int | None,
     text_col: str = "text",
+    bucket_cap_mode: str = "drop",
+    probe_salts: int = 4,
 ):
     """Hot-log admission for one micro-batch — the rung above
     :func:`_indexed_rejects`: the read path runs ZERO corpus-wide
@@ -854,7 +949,6 @@ def _indexed_rejects_hotlog(
     entry points).
     """
     from pyspark_ingestion_spark.operators.dedup import (
-        _drop_big_buckets,
         _lsh_admission_tail,
         _shingle_table,
     )
@@ -871,13 +965,14 @@ def _indexed_rejects_hotlog(
         capped_c = posts.join(hot, "shingle", "left_anti")
         sb = sb.join(hot, "shingle", "left_anti")
     stored = _read_latest_bands(spark, f"{index_path}/{_IDX_BANDS}", batch_id)
-    bands_c = _drop_big_buckets(
+    bands_c, salt_probe = _corpus_bands_capped(
         stored.filter(F.col("band") >= 0).select("doc", "band", "band_key"),
-        max_bucket_size,
+        max_bucket_size, bucket_cap_mode, probe_salts,
     )
     rejects = _lsh_admission_tail(
         sb, capped_c, bands_c, id_col, num_hashes, band_size,
         threshold_num, threshold_den, broadcast_verify=True,
+        salt_probe=salt_probe,
     )
     return rejects, sb
 
@@ -979,6 +1074,8 @@ def _admit_dedup_batch_indexed(
     max_doc_freq: int | float | None,
     max_bucket_size: int | None,
     index_mode: str = "fingerprint",
+    bucket_cap_mode: str = "drop",
+    probe_salts: int = 4,
 ) -> None:
     """One micro-batch of indexed ``stream_dedup_admission``: admit via
     :func:`_indexed_rejects` (or :func:`_indexed_rejects_hotlog` when
@@ -1027,6 +1124,7 @@ def _admit_dedup_batch_indexed(
             threshold_num, threshold_den,
             int(max_doc_freq) if max_doc_freq is not None else None,
             max_bucket_size, text_col=text_col,
+            bucket_cap_mode=bucket_cap_mode, probe_salts=probe_salts,
         )
         stale_rows = None
     else:
@@ -1034,6 +1132,7 @@ def _admit_dedup_batch_indexed(
             spark, batch, index_path, batch_id, id_col, n, num_hashes, band_size,
             threshold_num, threshold_den, max_doc_freq, max_bucket_size,
             text_col=text_col,
+            bucket_cap_mode=bucket_cap_mode, probe_salts=probe_salts,
         )
     # materialize once (batch-sized, EAGER): three writes derive from
     # it, the LogicalRDD plan keeps the text write from re-running the
@@ -1048,19 +1147,15 @@ def _admit_dedup_batch_indexed(
     # index_path; nothing reads out_path here), so it overlaps as a
     # concurrent Spark job (r11: each write is mostly fixed per-job
     # overhead at batch size — the dominant cost on IO-bound machines,
-    # see SCALING.md r11 hotlog root cause). The future is joined
-    # before returning, so the replay-overwrite contract and failure
-    # semantics are unchanged: the batch completes only when every
-    # write has.
-    from concurrent.futures import ThreadPoolExecutor
-
-    with ThreadPoolExecutor(max_workers=1) as _ex:
-        _text_write = _ex.submit(
-            overwrite_partitions,
-            admitted.withColumn("__batch_id", F.lit(batch_id)),
-            out_path,
-            ["__batch_id"],
-        )
+    # see SCALING.md r11 hotlog root cause). _overlapped_write joins it
+    # before returning — and surfaces its outcome even when the index
+    # chain raises (r12, ADVICE).
+    with _overlapped_write(
+        overwrite_partitions,
+        admitted.withColumn("__batch_id", F.lit(batch_id)),
+        out_path,
+        ["__batch_id"],
+    ):
         adm_posts = _shingle_table(admitted, id_col, text_col, n)
         overwrite_partitions(
             adm_posts.withColumn("__batch_id", F.lit(batch_id)),
@@ -1097,7 +1192,6 @@ def _admit_dedup_batch_indexed(
             f"{index_path}/{_IDX_BANDS}",
             ["__batch_id"],
         )
-        _text_write.result()
 
 
 _GUARD_FILE = "_partition_guard.json"
@@ -1972,16 +2066,13 @@ def _admit_substring_batch_indexed(
     # the admitted-TEXT write shares nothing with the windows/ledger
     # index maintenance, so it overlaps as a concurrent Spark job
     # (r11, same pattern + A/B as the hotlog sink); joined before
-    # returning — replay contract and failure semantics unchanged
-    from concurrent.futures import ThreadPoolExecutor
-
-    with ThreadPoolExecutor(max_workers=1) as _ex:
-        _text_write = _ex.submit(
-            overwrite_partitions,
-            admitted.withColumn("__batch_id", F.lit(batch_id)),
-            out_path,
-            ["__batch_id"],
-        )
+    # returning, with both-failure surfacing (r12, ADVICE)
+    with _overlapped_write(
+        overwrite_partitions,
+        admitted.withColumn("__batch_id", F.lit(batch_id)),
+        out_path,
+        ["__batch_id"],
+    ):
         adm_windows = wb.join(
             F.broadcast(admitted.select(F.col(id_col).alias("doc"))), "doc"
         ).localCheckpoint(eager=True)  # feeds the windows write AND the ledger delta
@@ -2000,7 +2091,6 @@ def _admit_substring_batch_indexed(
             f"{index_path}/{_IDX_WDFCNT}",
             ["__batch_id"],
         )
-        _text_write.result()
 
 
 def stream_substring_admission(
@@ -2651,6 +2741,8 @@ def _fingerprint_rejects_indexed(
     batch_id: int,
     radius: int,
     max_bucket_size: int | None = None,
+    bucket_cap_mode: str = "drop",
+    probe_salts: int = 4,
 ) -> DataFrame:
     """Index-driven perceptual admission for one micro-batch: batch ids
     within ``radius`` Hamming bits of any stored corpus fingerprint.
@@ -2678,7 +2770,8 @@ def _fingerprint_rejects_indexed(
     except AnalysisException:  # no index partitions yet: empty corpus
         return spark.createDataFrame([], "doc long")
     return fingerprint_batch_rejects(
-        idx, batch_fp, radius=radius, max_bucket_size=max_bucket_size
+        idx, batch_fp, radius=radius, max_bucket_size=max_bucket_size,
+        bucket_cap_mode=bucket_cap_mode, probe_salts=probe_salts,
     )
 
 
@@ -2693,6 +2786,8 @@ def _admit_fingerprint_batch_indexed(
     id_col: str,
     radius: int,
     max_bucket_size: int | None = None,
+    bucket_cap_mode: str = "drop",
+    probe_salts: int = 4,
 ) -> None:
     """One micro-batch of indexed ``stream_fingerprint_admission``:
     decode + hash the batch ONCE (localCheckpoint — every join against
@@ -2723,7 +2818,8 @@ def _admit_fingerprint_batch_indexed(
     )
     rejects = _fingerprint_rejects_indexed(
         spark, batch_fp, index_path, batch_id, radius,
-        max_bucket_size=max_bucket_size,
+        max_bucket_size=max_bucket_size, bucket_cap_mode=bucket_cap_mode,
+        probe_salts=probe_salts,
     ).withColumnRenamed("doc", id_col)
     # EAGER: single materialization point for the write overlap below
     admitted = batch_df.join(F.broadcast(rejects), id_col, "left_anti").localCheckpoint(
@@ -2731,16 +2827,14 @@ def _admit_fingerprint_batch_indexed(
     )
     # the admitted-MEDIA write is independent of the fprints index
     # write, so it overlaps as a concurrent Spark job (r11, same
-    # pattern + A/B as the hotlog sink); joined before returning
-    from concurrent.futures import ThreadPoolExecutor
-
-    with ThreadPoolExecutor(max_workers=1) as _ex:
-        _media_write = _ex.submit(
-            overwrite_partitions,
-            admitted.withColumn("__batch_id", F.lit(batch_id)),
-            out_path,
-            ["__batch_id"],
-        )
+    # pattern + A/B as the hotlog sink); joined before returning, with
+    # both-failure surfacing (r12, ADVICE)
+    with _overlapped_write(
+        overwrite_partitions,
+        admitted.withColumn("__batch_id", F.lit(batch_id)),
+        out_path,
+        ["__batch_id"],
+    ):
         adm_fp = batch_fp.join(
             F.broadcast(admitted.select(F.col(id_col).alias("doc"))), "doc"
         )
@@ -2749,7 +2843,6 @@ def _admit_fingerprint_batch_indexed(
             f"{index_path}/{_IDX_FPRINTS}",
             ["__batch_id"],
         )
-        _media_write.result()
 
 
 def _admit_fingerprint_batch_recompute(
@@ -2762,6 +2855,8 @@ def _admit_fingerprint_batch_recompute(
     id_col: str,
     radius: int,
     max_bucket_size: int | None = None,
+    bucket_cap_mode: str = "drop",
+    probe_salts: int = 4,
 ) -> None:
     """One micro-batch of the RECOMPUTE form of
     ``stream_fingerprint_admission`` (no index): re-decode and re-hash
@@ -2793,6 +2888,8 @@ def _admit_fingerprint_batch_recompute(
         _hash_rows(hash_fn, batch_df, hash_cols, id_col),
         radius=radius,
         max_bucket_size=max_bucket_size,
+        bucket_cap_mode=bucket_cap_mode,
+        probe_salts=probe_salts,
     ).withColumnRenamed("doc", id_col)
     admitted = batch_df.join(F.broadcast(rejects), id_col, "left_anti")
     overwrite_partitions(
@@ -2815,6 +2912,8 @@ def stream_fingerprint_admission(
     compact_every: int | None = None,
     compact_major_every: int | None = None,
     max_bucket_size: int | None = None,
+    bucket_cap_mode: str = "drop",
+    probe_salts: int = 4,
 ) -> None:
     """Continuous PERCEPTUAL admission over media payloads — the
     multimodal member of the indexed streaming admission family: each
@@ -2838,11 +2937,24 @@ def stream_fingerprint_admission(
     ``max_bucket_size`` (optional) caps corpus band buckets against
     degenerate-media skew — flat images / silent audio collapsing to
     one band value; exactness trade documented on
-    ``operators.multimodal._fp_drop_big_buckets``."""
+    ``operators.multimodal._fp_drop_big_buckets``.
+    ``bucket_cap_mode="salt"`` (r12) keeps bounded work AND partial
+    recall inside an oversized bucket: the corpus bands salt-split into
+    ``ceil(n/cap)`` sub-buckets and each batch item probes
+    ``min(n_salts, probe_salts)`` of them — a batch item near a
+    POPULAR corpus cluster (meme reposts) keeps ~probe_salts·cap
+    candidate partners instead of losing all of them to the drop. The
+    per-batch cost shape is unchanged: both modes pay the same one
+    corpus-band aggregate per batch (the oversized-bucket list), and
+    the probe replicates only batch rows (O(batch·probe_salts))."""
     from pyspark_ingestion_spark.operators.multimodal import image_dhash
 
     if hash_fn is None:
         hash_fn = image_dhash
+    if bucket_cap_mode not in ("drop", "salt"):
+        raise ValueError(
+            f"bucket_cap_mode must be 'drop' or 'salt', got {bucket_cap_mode!r}"
+        )
     if not 0 <= radius <= 7:
         raise ValueError(
             f"radius must be in [0, 7] (8-band pigeonhole bound), got {radius}"
@@ -2882,12 +2994,14 @@ def stream_fingerprint_admission(
                 batch_df, batch_id, base_media, out_path, index_path,
                 hash_fn=hash_fn, hash_cols=hash_cols, id_col=id_col,
                 radius=radius, max_bucket_size=max_bucket_size,
+                bucket_cap_mode=bucket_cap_mode, probe_salts=probe_salts,
             )
             return
         _admit_fingerprint_batch_recompute(
             batch_df, batch_id, base_media, out_path,
             hash_fn=hash_fn, hash_cols=hash_cols, id_col=id_col,
             radius=radius, max_bucket_size=max_bucket_size,
+            bucket_cap_mode=bucket_cap_mode, probe_salts=probe_salts,
         )
 
     q = (

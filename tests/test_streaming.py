@@ -2502,3 +2502,244 @@ def test_semantic_indexed_nprobe_requires_persisted_quantizer(spark, tmp_path):
         vec_col="embedding", threshold=0.3, n_dims=4, nprobe=1,
     )
     assert {r["vec_id"] for r in rejects.collect()} == {10}
+
+
+def test_overlapped_write_surfaces_both_failures():
+    """r12 ADVICE: when the index-maintenance chain raises inside the
+    overlap block, the concurrent admitted-text write's outcome must
+    still surface — under the bare executor form a write failure was
+    silently masked by the index error (executor shutdown discards the
+    future's outcome), so the batch's error report could name the
+    wrong failing sink. Pure-Python pin on the shared context manager
+    all three sinks (hotlog/substring/fingerprint) now route through."""
+    import pytest
+
+    from pyspark_ingestion_spark.streaming.pipeline import _overlapped_write
+
+    def bad_write():
+        raise OSError("disk full in text write")
+
+    # both failed: the index error is primary, the write error rides
+    # along as __context__ (both visible in the traceback)
+    with pytest.raises(RuntimeError, match="index chain broke") as exc:
+        with _overlapped_write(bad_write):
+            raise RuntimeError("index chain broke")
+    assert isinstance(exc.value.__context__, OSError)
+    assert "disk full" in str(exc.value.__context__)
+
+    # write failed, chain fine: the write error raises (r11 contract)
+    with pytest.raises(OSError, match="disk full"):
+        with _overlapped_write(bad_write):
+            pass
+
+    # write fine, chain failed: chain error raises; the write still ran
+    # to completion (the batch's committed out_path partition is the
+    # documented replay-overwrite-recoverable case)
+    done = []
+    with pytest.raises(RuntimeError, match="index chain broke"):
+        with _overlapped_write(done.append, 1):
+            raise RuntimeError("index chain broke")
+    assert done == [1]
+
+    # both fine: write joined before the block returns
+    done2 = []
+    with _overlapped_write(done2.append, 2):
+        pass
+    assert done2 == [2]
+
+
+def test_sink_rejects_executed_shuffle_stages(spark, tmp_path):
+    """r12 (VERDICT r11 item 7): the three admission sinks' per-batch
+    READ paths get executed-plan (post-AQE) shuffle-stage pins, like the
+    six spread batch queries already have — the O(batch) claims were
+    pinned via inputFiles()/count invariants only, so an accidental
+    corpus-wide shuffle in a future sink edit (e.g. a broadcast hint
+    dropped from the verify join — the measured r8 ~25%/batch incident)
+    would surface in a bench round, not a test. Measured steady-state
+    ceilings: hotlog 0 real stages (broadcast-only read path), substring
+    1 (the batch window aggregate), fingerprint 0. The write side stays
+    covered by the replay/inputFiles pins."""
+    import random
+
+    from pyspark_ingestion_spark.operators.multimodal import (
+        image_dhash,
+        synthesize_bmp_payload,
+    )
+    from pyspark_ingestion_spark.plans.explain import executed_shuffle_stages
+    from pyspark_ingestion_spark.streaming.pipeline import (
+        _admit_dedup_batch_indexed,
+        _admit_fingerprint_batch_indexed,
+        _admit_substring_batch_indexed,
+        _fingerprint_rejects_indexed,
+        _hash_rows,
+        _indexed_rejects_hotlog,
+        _substring_rejects_indexed,
+    )
+
+    tmp = str(tmp_path)
+    words = [f"w{i}" for i in range(2000)]
+
+    def rows(nn, seed, start):
+        rnd = random.Random(seed)
+        return [
+            (i, " ".join(rnd.choices(words, k=30)))
+            for i in range(start, start + nn)
+        ]
+
+    # hotlog LSH sink: batch 0 bootstraps base + index, batch 1's read
+    # path is the steady state the pin measures
+    spark.createDataFrame(rows(300, 5, 0), "doc_id long, text string").repartition(
+        4
+    ).write.mode("overwrite").parquet(f"{tmp}/hbase")
+    hb = spark.read.parquet(f"{tmp}/hbase")
+    kw = dict(id_col="doc_id", text_col="text", n=3, num_hashes=8, band_size=2,
+              threshold_num=1, threshold_den=2, max_doc_freq=25,
+              max_bucket_size=None, index_mode="hotlog")
+    b0 = spark.createDataFrame(
+        rows(40, 100, 10_000), "doc_id long, text string"
+    ).coalesce(2)
+    _admit_dedup_batch_indexed(b0, 0, hb, f"{tmp}/hout", f"{tmp}/hidx", **kw)
+    b1 = spark.createDataFrame(
+        rows(40, 101, 20_000), "doc_id long, text string"
+    ).coalesce(2)
+    rej_hot, _sb = _indexed_rejects_hotlog(
+        spark, b1, f"{tmp}/hidx", 1, "doc_id", 3, 8, 2, 1, 2, 25, None
+    )
+    real, _ = executed_shuffle_stages(rej_hot)
+    assert real <= 0, f"hotlog read path grew a shuffle stage: {real}"
+
+    # substring dfcnt-ledger sink
+    spark.createDataFrame(rows(200, 6, 0), "doc_id long, text string").repartition(
+        4
+    ).write.mode("overwrite").parquet(f"{tmp}/sbase")
+    sB = spark.read.parquet(f"{tmp}/sbase")
+    sargs = dict(id_col="doc_id", text_col="text", k=20, min_len=20,
+                 max_window_df=10, sample_mod=None)
+    s0 = spark.createDataFrame(
+        rows(30, 100, 10_000), "doc_id long, text string"
+    ).coalesce(2)
+    _admit_substring_batch_indexed(s0, 0, sB, f"{tmp}/sout", f"{tmp}/sidx", **sargs)
+    s1 = spark.createDataFrame(
+        rows(30, 101, 20_000), "doc_id long, text string"
+    ).coalesce(2)
+    rej_sub, _wb = _substring_rejects_indexed(
+        spark, s1, f"{tmp}/sidx", 1, "doc_id", "text", 20, 20, 10, None
+    )
+    real, _ = executed_shuffle_stages(rej_sub)
+    assert real <= 1, f"substring read path grew shuffle stages: {real}"
+
+    # perceptual fingerprint sink
+    def texts(nn, seed, start=0):
+        rnd = random.Random(seed)
+        return [
+            (start + i, "".join(chr(rnd.randrange(32, 127)) for _ in range(360)))
+            for i in range(nn)
+        ]
+
+    def synth(rws, parts):
+        return synthesize_bmp_payload(
+            spark.createDataFrame(rws, "doc_id long, text string"),
+            "doc_id", "text", width=12,
+        ).coalesce(parts)
+
+    synth(texts(200, 5), 4).write.mode("overwrite").parquet(f"{tmp}/fbase")
+    fB = spark.read.parquet(f"{tmp}/fbase")
+    _admit_fingerprint_batch_indexed(
+        synth(texts(20, 100, 10_000), 2), 0, fB, f"{tmp}/fout", f"{tmp}/fidx",
+        hash_fn=image_dhash, hash_cols=("dh_hi", "dh_lo"),
+        id_col="doc_id", radius=7,
+    )
+    fp1 = _hash_rows(
+        image_dhash, synth(texts(20, 101, 20_000), 2), ("dh_hi", "dh_lo"),
+        "doc_id",
+    ).localCheckpoint(eager=False)
+    rej_fp = _fingerprint_rejects_indexed(spark, fp1, f"{tmp}/fidx", 1, 7)
+    real, _ = executed_shuffle_stages(rej_fp)
+    assert real <= 0, f"fingerprint read path grew a shuffle stage: {real}"
+
+
+def test_indexed_salted_admission_matches_recompute(spark, tmp_path):
+    """r12: bucket_cap_mode='salt' threads through BOTH indexed LSH
+    read paths (fingerprint + hotlog) and matches the recompute form
+    (`incremental_lsh_rejects`) on a planted popular cluster — the
+    indexed band table holds exactly the recompute form's rows, so the
+    oversized-bucket lists, the per-doc salts and the probed sub-bucket
+    sets agree. Drop mode misses the planted near-dups on every face;
+    salt mode recovers them on every face."""
+    import pytest
+
+    from pyspark_ingestion_spark.operators.dedup import (
+        incremental_lsh_rejects,
+        release_shingle_caches,
+    )
+    from pyspark_ingestion_spark.streaming.pipeline import (
+        _admit_dedup_batch_indexed,
+        _indexed_rejects,
+        _indexed_rejects_hotlog,
+    )
+
+    cluster_text = "the quick brown fox jumps over the lazy dog again and again"
+    corpus_rows = [(i, cluster_text) for i in range(40)] + [
+        (100 + i, f"unique document number {i} with entirely different words "
+                  f"alpha{i} beta{i} gamma{i} delta{i} epsilon{i}")
+        for i in range(10)
+    ]
+    corpus = spark.createDataFrame(corpus_rows, "doc_id long, text string")
+    batch = spark.createDataFrame(
+        [(1000, cluster_text),
+         (1001, "novel content zeta eta theta iota kappa matching nothing")],
+        "doc_id long, text string",
+    )
+    args = (3, 8, 2, 1, 2)  # n, num_hashes, band_size, threshold num/den
+
+    def recompute(**kw):
+        return {
+            r["doc_id"]
+            for r in incremental_lsh_rejects(
+                corpus, batch, "doc_id", "text", n=3, num_hashes=8,
+                band_size=2, threshold_num=1, threshold_den=2,
+                max_doc_freq=None, **kw
+            ).collect()
+        }
+
+    for index_mode, helper in (
+        ("fingerprint", _indexed_rejects),
+        ("hotlog", _indexed_rejects_hotlog),
+    ):
+        root = str(tmp_path / index_mode)
+        # batch 0 bootstraps the index from the base corpus; we then
+        # read batch 1's rejects directly off the read-path helpers
+        b0 = spark.createDataFrame(
+            [(5000, "warmup words one two three four five six seven")],
+            "doc_id long, text string",
+        )
+        _admit_dedup_batch_indexed(
+            b0, 0, corpus, f"{root}/out", f"{root}/idx",
+            id_col="doc_id", text_col="text", n=3, num_hashes=8, band_size=2,
+            threshold_num=1, threshold_den=2, max_doc_freq=None,
+            max_bucket_size=None, index_mode=index_mode,
+        )
+        release_shingle_caches()
+
+        def indexed(**kw):
+            out = helper(
+                spark, batch, f"{root}/idx", 1, "doc_id", *args,
+                max_doc_freq=None, **kw
+            )
+            rej = out[0] if isinstance(out, tuple) else out
+            return {r["doc_id"] for r in rej.collect()}
+
+        for kw in (
+            dict(max_bucket_size=None),
+            dict(max_bucket_size=4),
+            dict(max_bucket_size=4, bucket_cap_mode="salt"),
+        ):
+            assert indexed(**kw) == recompute(**kw), (index_mode, kw)
+        assert indexed(max_bucket_size=4) == set()
+        assert indexed(max_bucket_size=4, bucket_cap_mode="salt") == {1000}
+
+    with pytest.raises(ValueError, match="bucket_cap_mode"):
+        _indexed_rejects_hotlog(
+            spark, batch, str(tmp_path / "hotlog/idx"), 1, "doc_id", *args,
+            max_doc_freq=None, max_bucket_size=4, bucket_cap_mode="bogus",
+        )
