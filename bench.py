@@ -9,13 +9,25 @@ De-noising (round 5): each query runs ``$SPARK_GRAFT_BENCH_RUNS``
 times (default 3) interleaved round-robin — run 1 of every query,
 then run 2 of every query, ... — so a transient machine-load spike
 hits one *run* of each query rather than all runs of one query.
-The reported per-query number is the MIN across runs (closest to the
+The RAW per-query number is the MIN across runs (closest to the
 code's intrinsic cost; OS noise only ever adds time), with median and
 the raw runs carried alongside in ``queries_detail`` so the judge can
 see the spread. Totals (``value`` and ``r1_comparable_total``) are
 sums of the per-query mins, comparable to the single-run totals of
 rounds 1-4 (a single run is an unbiased draw >= the min, so earlier
 rounds' totals are upper bounds of the same quantity).
+
+Calibration (r12, VERDICT r11 items 1+2 — the estimator-bias fix):
+machine weather is corrected PER PASS, with the probes sampled at
+BOTH fences of each pass's query block (CPU probe) / batch block (IO
+probe) and averaged, so one bursty ~3 s probe reading cannot set a
+pass's scale. The NORMALIZED headline per query is the **median** of
+(run_i / pass-scale_i) — min-of-ratios ≤ ratio-of-mins by
+construction, so the old min-of-normalized headline systematically
+picked the pass whose probe read most unfavorably and could only err
+optimistic (the r11 driver run's pass-2 scale of 1.74 turned an
+8.7 s raw min into a reported 5.0). Min-normalized and raw series
+stay in the output as diagnostics.
 """
 
 from __future__ import annotations
@@ -69,18 +81,18 @@ HEADLINE = [
 ]
 
 
-def _stream_admission_batches(
-    spark, corpus_n: int = 5_000, n_batches: int = 4, batch_rows: int = 200,
+def _stream_admission_ctx(
+    spark, tmp: str, corpus_n: int = 5_000, batch_rows: int = 200,
     words_per_doc: int = 40,
-) -> list[float]:
-    """Per-batch wall-clock of hotlog indexed streaming admission on a
-    fixed deterministic workload — the sink body of
+):
+    """Per-batch hotlog indexed streaming admission on a fixed
+    deterministic workload — the sink body of
     ``stream_dedup_admission(index_mode="hotlog")``, which equivalence
-    tests pin to the recompute form. Returns the steady-state batch
-    times (batch 0 pays the one-time bootstrap and is dropped)."""
+    tests pin to the recompute form. Returns ``run(bid) -> sec`` so the
+    main loop can interleave the three stream families into per-batch
+    PASSES with IO-probe fences (r12); batch 0 pays the one-time
+    bootstrap and is dropped by the caller."""
     import random
-    import shutil
-    import tempfile
 
     from pyspark_ingestion_spark.operators.dedup import release_shingle_caches
     from pyspark_ingestion_spark.streaming.pipeline import _admit_dedup_batch_indexed
@@ -94,47 +106,42 @@ def _stream_admission_batches(
             for i in range(start, start + n)
         ]
 
-    tmp = tempfile.mkdtemp(prefix="bench_stream_")
-    try:
-        spark.createDataFrame(
-            rows(corpus_n, seed=5, start=0), "doc_id long, text string"
-        ).repartition(8).write.mode("overwrite").parquet(f"{tmp}/base")
-        base = spark.read.parquet(f"{tmp}/base")
-        kwargs = dict(id_col="doc_id", text_col="text", n=3, num_hashes=8,
-                      band_size=2, threshold_num=1, threshold_den=2,
-                      max_doc_freq=25, max_bucket_size=None,
-                      index_mode="hotlog")
-        times = []
-        for bid in range(n_batches):
-            bdf = spark.createDataFrame(
-                rows(batch_rows, seed=100 + bid, start=corpus_n + bid * 10_000),
-                "doc_id long, text string",
-            ).coalesce(2)
-            t0 = time.perf_counter()
-            _admit_dedup_batch_indexed(
-                bdf, bid, base, f"{tmp}/out", f"{tmp}/index", **kwargs
-            )
-            release_shingle_caches()
-            times.append(round(time.perf_counter() - t0, 3))
-        return times[1:]
-    finally:
-        shutil.rmtree(tmp, ignore_errors=True)
+    spark.createDataFrame(
+        rows(corpus_n, seed=5, start=0), "doc_id long, text string"
+    ).repartition(8).write.mode("overwrite").parquet(f"{tmp}/base")
+    base = spark.read.parquet(f"{tmp}/base")
+    kwargs = dict(id_col="doc_id", text_col="text", n=3, num_hashes=8,
+                  band_size=2, threshold_num=1, threshold_den=2,
+                  max_doc_freq=25, max_bucket_size=None,
+                  index_mode="hotlog")
+
+    def run(bid: int) -> float:
+        bdf = spark.createDataFrame(
+            rows(batch_rows, seed=100 + bid, start=corpus_n + bid * 10_000),
+            "doc_id long, text string",
+        ).coalesce(2)
+        t0 = time.perf_counter()
+        _admit_dedup_batch_indexed(
+            bdf, bid, base, f"{tmp}/out", f"{tmp}/index", **kwargs
+        )
+        release_shingle_caches()
+        return round(time.perf_counter() - t0, 3)
+
+    return run
 
 
-def _stream_substring_batches(
-    spark, corpus_n: int = 3_000, n_batches: int = 4, batch_rows: int = 150,
+def _stream_substring_ctx(
+    spark, tmp: str, corpus_n: int = 3_000, batch_rows: int = 150,
     words_per_doc: int = 40,
-) -> list[float]:
-    """Per-batch wall-clock of INDEXED substring streaming admission
-    (dfcnt ledger, k=20, cap=10) on a fixed deterministic workload — the
-    sink body of ``stream_substring_admission(index_path=...)``, which
-    equivalence tests pin to the recompute form. ~30% of docs carry a
-    boilerplate sentence so the df cap (and therefore the r8 ledger
-    read path) is actually exercised. Returns steady-state batch times
-    (batch 0 pays the one-time windowing bootstrap and is dropped)."""
+):
+    """Per-batch INDEXED substring streaming admission (dfcnt ledger,
+    k=20, cap=10) on a fixed deterministic workload — the sink body of
+    ``stream_substring_admission(index_path=...)``, which equivalence
+    tests pin to the recompute form. ~30% of docs carry a boilerplate
+    sentence so the df cap (and therefore the r8 ledger read path) is
+    actually exercised. Returns ``run(bid) -> sec``; batch 0 pays the
+    one-time windowing bootstrap and is dropped by the caller."""
     import random
-    import shutil
-    import tempfile
 
     from pyspark_ingestion_spark.streaming.pipeline import (
         _admit_substring_batch_indexed,
@@ -157,44 +164,39 @@ def _stream_substring_batches(
             out.append((i, " ".join(ws)))
         return out
 
-    tmp = tempfile.mkdtemp(prefix="bench_substream_")
-    try:
-        spark.createDataFrame(
-            rows(corpus_n, seed=5, start=0), "doc_id long, text string"
-        ).repartition(8).write.mode("overwrite").parquet(f"{tmp}/base")
-        base = spark.read.parquet(f"{tmp}/base")
-        args = dict(id_col="doc_id", text_col="text", k=20, min_len=20,
-                    max_window_df=10, sample_mod=None)
-        times = []
-        for bid in range(n_batches):
-            bdf = spark.createDataFrame(
-                rows(batch_rows, seed=100 + bid, start=corpus_n + bid * 10_000),
-                "doc_id long, text string",
-            ).coalesce(2)
-            t0 = time.perf_counter()
-            _admit_substring_batch_indexed(
-                bdf, bid, base, f"{tmp}/out", f"{tmp}/index", **args
-            )
-            times.append(round(time.perf_counter() - t0, 3))
-        return times[1:]
-    finally:
-        shutil.rmtree(tmp, ignore_errors=True)
+    spark.createDataFrame(
+        rows(corpus_n, seed=5, start=0), "doc_id long, text string"
+    ).repartition(8).write.mode("overwrite").parquet(f"{tmp}/base")
+    base = spark.read.parquet(f"{tmp}/base")
+    args = dict(id_col="doc_id", text_col="text", k=20, min_len=20,
+                max_window_df=10, sample_mod=None)
+
+    def run(bid: int) -> float:
+        bdf = spark.createDataFrame(
+            rows(batch_rows, seed=100 + bid, start=corpus_n + bid * 10_000),
+            "doc_id long, text string",
+        ).coalesce(2)
+        t0 = time.perf_counter()
+        _admit_substring_batch_indexed(
+            bdf, bid, base, f"{tmp}/out", f"{tmp}/index", **args
+        )
+        return round(time.perf_counter() - t0, 3)
+
+    return run
 
 
-def _stream_fingerprint_batches(
-    spark, corpus_n: int = 5_000, n_batches: int = 4, batch_rows: int = 200,
-) -> list[float]:
-    """Per-batch wall-clock of INDEXED perceptual fingerprint streaming
-    admission (image dHash, radius 7) on a fixed deterministic workload
-    — the sink body of ``stream_fingerprint_admission(index_path=...)``,
+def _stream_fingerprint_ctx(
+    spark, tmp: str, corpus_n: int = 5_000, batch_rows: int = 200,
+):
+    """Per-batch INDEXED perceptual fingerprint streaming admission
+    (image dHash, radius 7) on a fixed deterministic workload — the
+    sink body of ``stream_fingerprint_admission(index_path=...)``,
     which equivalence tests pin to the recompute form. ~5% of each
     batch's images are near-duplicates of corpus images (3-char local
-    edit) so the Hamming verify really rejects. Returns steady-state
-    batch times (batch 0 pays the one-time base decode bootstrap and is
-    dropped)."""
+    edit) so the Hamming verify really rejects. Returns
+    ``run(bid) -> sec``; batch 0 pays the one-time base decode
+    bootstrap and is dropped by the caller."""
     import random
-    import shutil
-    import tempfile
 
     from pyspark_ingestion_spark.operators.multimodal import (
         image_dhash,
@@ -220,33 +222,36 @@ def _stream_fingerprint_batches(
             "doc_id", "text", width=12,
         ).coalesce(parts)
 
-    tmp = tempfile.mkdtemp(prefix="bench_fpstream_")
-    try:
-        synth(corpus_texts, 8).write.mode("overwrite").parquet(f"{tmp}/base")
-        base = spark.read.parquet(f"{tmp}/base")
-        times = []
-        for bid in range(n_batches):
-            rnd = random.Random(100 + bid)
-            rows = texts(batch_rows, 100 + bid, start=corpus_n + bid * 10_000)
-            rows += [
-                (corpus_n + bid * 10_000 + batch_rows + i,
-                 "@@@" + corpus_texts[rnd.randrange(corpus_n)][1][3:])
-                for i in range(batch_rows // 20)
-            ]
-            bdf = synth(rows, 2)
-            t0 = time.perf_counter()
-            _admit_fingerprint_batch_indexed(
-                bdf, bid, base, f"{tmp}/out", f"{tmp}/index",
-                hash_fn=image_dhash, hash_cols=("dh_hi", "dh_lo"),
-                id_col="doc_id", radius=7,
-            )
-            times.append(round(time.perf_counter() - t0, 3))
-        return times[1:]
-    finally:
-        shutil.rmtree(tmp, ignore_errors=True)
+    synth(corpus_texts, 8).write.mode("overwrite").parquet(f"{tmp}/base")
+    base = spark.read.parquet(f"{tmp}/base")
+
+    def run(bid: int) -> float:
+        rnd = random.Random(100 + bid)
+        rows = texts(batch_rows, 100 + bid, start=corpus_n + bid * 10_000)
+        rows += [
+            (corpus_n + bid * 10_000 + batch_rows + i,
+             "@@@" + corpus_texts[rnd.randrange(corpus_n)][1][3:])
+            for i in range(batch_rows // 20)
+        ]
+        bdf = synth(rows, 2)
+        t0 = time.perf_counter()
+        _admit_fingerprint_batch_indexed(
+            bdf, bid, base, f"{tmp}/out", f"{tmp}/index",
+            hash_fn=image_dhash, hash_cols=("dh_hi", "dh_lo"),
+            id_col="doc_id", radius=7,
+        )
+        return round(time.perf_counter() - t0, 3)
+
+    return run
 
 
-def _ivf_pq_split(spark, sf_dir: str) -> tuple[float, float]:
+#: memo for the preassigned-corpus parquet (one ingest-time encode per
+#: bench process — exactly the production amortization the detail row
+#: below exists to measure); cleaned up at the end of main()
+_PREASSIGNED_CORPUS: dict[str, str] = {}
+
+
+def _ivf_pq_split(spark, sf_dir: str) -> tuple[float, float, float]:
     """ann_ivf_pq_topk with the FIT (KMeans centroid + 8 PQ codebook
     trainings — an ingest-time one-off in production) timed separately
     from the QUERY path (ADC scoring + exact rerank — the part that runs
@@ -254,11 +259,24 @@ def _ivf_pq_split(spark, sf_dir: str) -> tuple[float, float]:
     parameters as the registry query; both stages' sum is reported under
     the original anchor name for series continuity (r8, VERDICT r7
     item 7). The fits are eager (MLlib .fit + driver-side codebook rows),
-    so timing the calls captures the full fit cost."""
+    so timing the calls captures the full fit cost.
+
+    r12 (VERDICT r11 item 5): ALSO times the PRODUCTION query shape —
+    ``preassigned=True`` over a corpus whose ``cell``/``codes`` columns
+    were written at ingest (here: once per bench process into a temp
+    parquet, exactly the production amortization) — as the
+    ``ann_ivf_pq_preassigned_query`` detail row, so regressions in the
+    shape users actually run at scale are gated, not only the ad-hoc
+    re-encode-per-call shape (SCALING.md r11 measured the two ~10×
+    apart at 100k vectors). Anchor round: r12."""
     from pyspark_ingestion_spark.operators.similarity import (
+        centroid_rows_of,
+        codebook_rows_of,
+        ivf_cell_expr,
         ivf_pq_topk,
         kmeans_centroids,
         pq_codebooks,
+        pq_codes_expr,
     )
     from pyspark_ingestion_spark.sources.readers import load_table
 
@@ -277,13 +295,44 @@ def _ivf_pq_split(spark, sf_dir: str) -> tuple[float, float]:
         e, queries, cents, cb, k=5, nprobe=8, n_sub=8, k_codes=32, rerank=20
     ).collect()
     query_s = round(time.perf_counter() - t1, 3)
-    return fit_s, query_s
+
+    # production layout: ingest-time cell+codes columns (deterministic
+    # across passes — seed-fixed fits), built once and reused
+    path = _PREASSIGNED_CORPUS.get(sf_dir)
+    if path is None:
+        import tempfile
+
+        path = tempfile.mkdtemp(prefix="bench_pqpre_") + "/corpus"
+        dim = e.select(F.size("embedding").alias("d")).first()["d"]
+        e.select(
+            "vec_id",
+            "embedding",
+            ivf_cell_expr("embedding", centroid_rows_of(cents)).alias("cell"),
+            pq_codes_expr(
+                "embedding", codebook_rows_of(cb), 8, expected_dim=dim
+            ).alias("codes"),
+        ).write.mode("overwrite").parquet(path)
+        _PREASSIGNED_CORPUS[sf_dir] = path
+    pre_corpus = spark.read.parquet(path)
+    t2 = time.perf_counter()
+    ivf_pq_topk(
+        pre_corpus, queries, cents, cb, k=5, nprobe=8, n_sub=8, k_codes=32,
+        rerank=20, preassigned=True,
+    ).collect()
+    pre_s = round(time.perf_counter() - t2, 3)
+    return fit_s, query_s, pre_s
 
 
 #: per-stage detail rows: reported in `queries` for visibility but NOT
 #: added into the totals (their sum already rides under the parent
-#: anchor name)
-_DETAIL_ONLY = {"ann_ivf_pq_fit", "ann_ivf_pq_query", "calibration_cpu"}
+#: anchor name; the preassigned row is a SEPARATE query shape gated on
+#: its own r12 anchor, not a stage of the ad-hoc anchor)
+_DETAIL_ONLY = {
+    "ann_ivf_pq_fit",
+    "ann_ivf_pq_query",
+    "ann_ivf_pq_preassigned_query",
+    "calibration_cpu",
+}
 
 #: reference wall-time of the calibration job (r9 anchor: min of 3 runs
 #: on the round-9 build machine). The cross-round regression gate reads
@@ -370,41 +419,76 @@ def main() -> None:
     registry[names[0]].fn(spark, sf_dir).collect()
 
     runs: dict[str, list[float]] = {n: [] for n in names}
+    probe_pairs: list[tuple[float, float]] = []
     for _ in range(n_runs):
-        # machine-conditions probe rides every round-robin pass like a query
-        runs.setdefault("calibration_cpu", []).append(_calibration_job(spark))
+        # machine-conditions probe samples BOTH fences of the pass's
+        # query block (r12): the pass scale is the average of the two
+        # readings, so one bursty ~3 s probe cannot set it alone
+        pre_cal = _calibration_job(spark)
+        runs.setdefault("calibration_cpu", []).append(pre_cal)
         for name in names:
             if name == "ann_ivf_pq_topk":
-                fit_s, query_s = _ivf_pq_split(spark, sf_dir)
+                fit_s, query_s, pre_s = _ivf_pq_split(spark, sf_dir)
                 runs.setdefault("ann_ivf_pq_fit", []).append(fit_s)
                 runs.setdefault("ann_ivf_pq_query", []).append(query_s)
+                runs.setdefault("ann_ivf_pq_preassigned_query", []).append(pre_s)
                 runs[name].append(round(fit_s + query_s, 3))
                 continue
             t0 = time.perf_counter()
             registry[name].fn(spark, sf_dir).collect()
             runs[name].append(round(time.perf_counter() - t0, 3))
+        post_cal = _calibration_job(spark)
+        runs["calibration_cpu"].append(post_cal)
+        probe_pairs.append((pre_cal, post_cal))
 
-    # streaming steady-state (r7): hotlog indexed admission seconds/BATCH
-    # at FIXED corpus/batch sizes (deterministic synthetic docs — the
+    # streaming steady-state (r7): indexed admission seconds/BATCH at
+    # FIXED corpus/batch sizes (deterministic synthetic docs — the
     # metric tracks the read/write path's cost, not the sf dir), so a
     # regression in the streaming tier is visible to the driver instead
     # of living only in one-off SCALING.md A/Bs. Batch 0 (one-time index
-    # bootstrap) is excluded; the reported number is the min over the
-    # steady-state batches, consistent with the min-of-runs convention.
-    # the batch loops run AFTER the query passes, so the streaming
-    # section gets its own weather reading (r11) — on the IO/shuffle
-    # probe, the resource class the batch loops actually stress (the
-    # CPU probe provably missed the r10 machine drift; see
-    # _IO_CAL_REF_SEC)
-    stream_cal = _calibration_io_job(spark)
-    runs["stream_admission_hotlog_batch"] = _stream_admission_batches(spark)
-    # r8: the substring member's steady-state batch enters the gate too,
-    # now that its hot-window lookup rides the dfcnt ledger instead of a
-    # corpus-wide aggregate (anchor round r8)
-    runs["stream_substring_ledger_batch"] = _stream_substring_batches(spark)
-    # r9: the multimodal member's steady-state batch (image dHash
-    # admission on the fprints index; anchor round r9)
-    runs["stream_fingerprint_batch"] = _stream_fingerprint_batches(spark)
+    # bootstrap) is excluded. The three families run INTERLEAVED as
+    # per-batch passes with the IO/shuffle probe at each fence (r12,
+    # VERDICT r11 item 2): each steady-state batch is normalized by ITS
+    # OWN pass's scale (avg of the two fence readings), the same
+    # burstiness discipline as the CPU probe — the single post-hoc IO
+    # reading of r11 had one-shot exposure. The IO probe (not the CPU
+    # one) is the resource class these batch loops actually stress: the
+    # r10 '+39 %' hotlog drift reproduced on unchanged r9 code while
+    # the CPU probe read near-flat (see _IO_CAL_REF_SEC).
+    import shutil
+    import tempfile
+
+    stream_tmp = tempfile.mkdtemp(prefix="bench_stream_")
+    n_batches = 4
+    io_probes: list[float] = []
+    try:
+        stream_fams = {
+            "stream_admission_hotlog_batch": _stream_admission_ctx(
+                spark, f"{stream_tmp}/hot"
+            ),
+            "stream_substring_ledger_batch": _stream_substring_ctx(
+                spark, f"{stream_tmp}/sub"
+            ),
+            "stream_fingerprint_batch": _stream_fingerprint_ctx(
+                spark, f"{stream_tmp}/fp"
+            ),
+        }
+        stream_batches: dict[str, list[float]] = {n: [] for n in stream_fams}
+        for bid in range(n_batches):
+            io_probes.append(_calibration_io_job(spark))
+            for name, run_batch in stream_fams.items():
+                stream_batches[name].append(run_batch(bid))
+        io_probes.append(_calibration_io_job(spark))
+    finally:
+        shutil.rmtree(stream_tmp, ignore_errors=True)
+    for name, batch_times in stream_batches.items():
+        runs[name] = batch_times[1:]  # drop the bootstrap batch
+    # per-pass IO scales for the steady-state batches (batch i's fences
+    # are probes i and i+1); batch 0's pair is dropped with its batch
+    stream_pass_scales = [
+        ((io_probes[i] + io_probes[i + 1]) / 2) / _IO_CAL_REF_SEC
+        for i in range(1, n_batches)
+    ]
 
     timings = {n: min(rs) for n, rs in runs.items()}
     detail = {
@@ -419,39 +503,41 @@ def main() -> None:
     total = round(
         sum(v for n, v in timings.items() if n not in _DETAIL_ONLY), 3
     )
-    # calibration-normalized series (r9, VERDICT r8 item 4; r11 made it
-    # PER-PASS, VERDICT r10 item 2): the r10 driver run showed bursty
-    # weather that a single min-of-runs scale under-corrects (its
-    # calibration MEDIANS were 11% slower than r9's while the min-based
-    # scale moved 1.6%, and every untouched query drifted +14–39%). The
-    # calibration job already rides every round-robin pass, so each
-    # query RUN is now divided by ITS OWN pass's scale before the min —
-    # a slow pass inflates its calibration reading and its query runs
-    # together, and the min picks the best weather-corrected run. The
-    # streaming batch loops execute after the passes and get their own
-    # probe (stream_cal). Lists not aligned to passes fall back to the
-    # median scale. scale > 1 = slower conditions than the r9 reference.
-    cal_runs = runs["calibration_cpu"]
-    scales = [c / _CAL_REF_SEC for c in cal_runs]
+    # calibration-normalized series (r9, VERDICT r8 item 4; per-pass
+    # since r11; r12 fixes the ESTIMATOR, VERDICT r11 items 1+2): each
+    # pass's scale is the average of its two fence probes (one bursty
+    # probe reading cannot set a scale), each run is divided by ITS OWN
+    # pass's scale, and the reported per-query figure is the MEDIAN of
+    # the normalized runs — the r11 min-of-normalized headline obeyed
+    # min(r_i/s_i) <= min(r_i)/median(s_i), i.e. it systematically
+    # selected the pass whose probe read most unfavorably and could
+    # only err in the flattering direction. Min-normalized and raw
+    # minima stay in the output as diagnostics. Lists not aligned to
+    # passes fall back to the median scale. scale > 1 = slower
+    # conditions than the reference machine.
+    scales = [((a + b) / 2) / _CAL_REF_SEC for a, b in probe_pairs]
     med_scale = statistics.median(scales)
-    stream_scale = stream_cal / _IO_CAL_REF_SEC
-    stream_names = {
-        "stream_admission_hotlog_batch",
-        "stream_substring_ledger_batch",
-        "stream_fingerprint_batch",
-    }
+    med_stream_scale = statistics.median(stream_pass_scales)
+    stream_names = set(stream_batches)
 
-    def _norm(name: str, rs: list[float]) -> float:
+    def _norm_runs(name: str, rs: list[float]) -> list[float]:
         if name in stream_names:
-            return min(r / stream_scale for r in rs)
+            if len(rs) == len(stream_pass_scales):
+                return [r / s for r, s in zip(rs, stream_pass_scales)]
+            return [r / med_stream_scale for r in rs]
         if len(rs) == len(scales):
-            return min(r / s for r, s in zip(rs, scales))
-        return min(rs) / med_scale
+            return [r / s for r, s in zip(rs, scales)]
+        return [r / med_scale for r in rs]
 
     cal = timings["calibration_cpu"]
     scale = round(med_scale, 4)
     normalized = {
-        n: round(_norm(n, rs), 3)
+        n: round(statistics.median(_norm_runs(n, rs)), 3)
+        for n, rs in runs.items()
+        if n != "calibration_cpu"
+    }
+    normalized_min = {
+        n: round(min(_norm_runs(n, rs)), 3)
         for n, rs in runs.items()
         if n != "calibration_cpu"
     }
@@ -481,13 +567,20 @@ def main() -> None:
                     "ref_sec": _CAL_REF_SEC,
                     "scale": scale,
                     "runs": runs["calibration_cpu"],
+                    "per_pass_probe_pairs": [
+                        [a, b] for a, b in probe_pairs
+                    ],
                     "per_pass_scales": [round(s, 4) for s in scales],
-                    "stream_io_sec": stream_cal,
+                    "stream_io_runs": io_probes,
                     "stream_io_ref_sec": _IO_CAL_REF_SEC,
-                    "stream_scale": round(stream_scale, 4),
-                    "mode": "per-pass (r11)",
+                    "per_pass_stream_scales": [
+                        round(s, 4) for s in stream_pass_scales
+                    ],
+                    "stream_scale": round(med_stream_scale, 4),
+                    "mode": "per-pass median, dual-fence probes (r12)",
                 },
                 "queries_normalized": normalized,
+                "queries_normalized_min": normalized_min,
                 "r1_comparable_total_normalized": round(
                     sum(normalized[n] for n in r3_set), 3
                 ),
@@ -498,6 +591,8 @@ def main() -> None:
             }
         )
     )
+    for path in _PREASSIGNED_CORPUS.values():
+        shutil.rmtree(os.path.dirname(path), ignore_errors=True)
     spark.stop()
 
 
