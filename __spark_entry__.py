@@ -91,36 +91,26 @@ def _priority(name: str) -> tuple:
 #: proof would attest different semantics, so they re-verify as if never
 #: checked (ahead of the LRV rotation).
 _CHANGED_THIS_ROUND = {
-    # r11: ivf_pq_topk's query path rewired (spread_input + the one-scan
-    # pq_codes_expr encode replacing assign+encode+join) — re-prove the
-    # fixture oracle twin and the rows-only fitted variant on the new plan
+    # r12: ivf_pq_topk's corpus-side encode gained the per-row
+    # expected_dim guard (assert_true wrapping the codes expression) and
+    # the literal-budget fallback branch — re-prove the fitted variant
+    # and its ADC fixture twin on the new plan (pq_encode itself is
+    # untouched, so ann_pq_encode_fixture stays in the LRV rotation)
     "ann_ivf_pq_topk",
     "ann_ivf_pq_adc_fixture",
-    "ann_pq_encode_fixture",
-    # r11: spread_input's guard probe changed (FileIndex+stats estimate
-    # replacing df.rdd) — re-prove every spread-wired query on it
-    "dedup_substring_spans",
-    "dedup_substring_pairs",
-    "corpus_substring_scrub",
-    "dedup_incremental_substring",
-    "word_cooccurrence_pmi",
-    "multimodal_video_frame_stats",
-    # r11: _pixel_features gained the two-sided histogram clamp and the
-    # JPEG decode-table cache moved to FIFO eviction; the fingerprint
-    # tier gained bucket_cap_mode threading — re-prove the decode +
-    # fingerprint families whose code these rows attest
-    "multimodal_decode_real",
-    "multimodal_features",
-    "multimodal_bmp_pixel_stats",
-    "multimodal_wav_sample_stats",
-    "multimodal_png_pixel_stats",
-    "multimodal_gif_pixel_stats",
+    # r12: the JPEG decode-table/LUT caches moved FIFO -> LRU
+    # (move-to-end on hit) — re-prove the rows that attest the JPEG
+    # decode path
     "multimodal_jpeg_pixel_stats",
     "multimodal_jpeg420_pixel_stats",
     "multimodal_jpeg_progressive_pixel_stats",
-    "dedup_video_temporal",
-    "dedup_image_phash",
-    "dedup_audio_fhash",
+    "multimodal_video_frame_stats",
+    # r12: cross-side admission gained bucket_cap_mode="salt"
+    # (incremental_lsh_rejects and fingerprint_batch_rejects were
+    # restructured around the salt/drop branch; drop-mode defaults
+    # re-proven here) — the new salted fixture itself is never-verified
+    # and enters ahead of the rotation automatically
+    "dedup_incremental_lsh",
     "dedup_incremental_image",
 }
 
