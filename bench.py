@@ -270,13 +270,10 @@ def _ivf_pq_split(spark, sf_dir: str) -> tuple[float, float, float]:
     re-encode-per-call shape (SCALING.md r11 measured the two ~10×
     apart at 100k vectors). Anchor round: r12."""
     from pyspark_ingestion_spark.operators.similarity import (
-        centroid_rows_of,
-        codebook_rows_of,
-        ivf_cell_expr,
+        ivf_pq_assign,
         ivf_pq_topk,
         kmeans_centroids,
         pq_codebooks,
-        pq_codes_expr,
     )
     from pyspark_ingestion_spark.sources.readers import load_table
 
@@ -303,14 +300,8 @@ def _ivf_pq_split(spark, sf_dir: str) -> tuple[float, float, float]:
         import tempfile
 
         path = tempfile.mkdtemp(prefix="bench_pqpre_") + "/corpus"
-        dim = e.select(F.size("embedding").alias("d")).first()["d"]
-        e.select(
-            "vec_id",
-            "embedding",
-            ivf_cell_expr("embedding", centroid_rows_of(cents)).alias("cell"),
-            pq_codes_expr(
-                "embedding", codebook_rows_of(cb), 8, expected_dim=dim
-            ).alias("codes"),
+        ivf_pq_assign(
+            e.select("vec_id", "embedding"), cents, cb, n_sub=8
         ).write.mode("overwrite").parquet(path)
         _PREASSIGNED_CORPUS[sf_dir] = path
     pre_corpus = spark.read.parquet(path)
@@ -404,6 +395,37 @@ def _calibration_io_job(spark) -> float:
         shutil.rmtree(tmp, ignore_errors=True)
 
 
+def _calibration_smalljobs_job(spark) -> float:
+    """DIAGNOSTIC probe (r12, unanchored): eight tiny Spark jobs, each
+    a ~200-row partitioned parquet write → read → count — pure
+    job-scheduling + filesystem-metadata latency, the cost profile of
+    the admission sinks' many-small-writes batches. Motivation: the r12
+    scratch-clone A/B caught a window where stream batches ran ~30 %
+    slow while the bulk-throughput IO probe read near its anchor — this
+    drift mode (scheduler/FS latency, not bandwidth) needs its own
+    series. Reported per stream pass in the calibration block; r13 can
+    anchor it once a cross-round baseline exists (anchoring a probe on
+    its first-round reading is how the CPU/IO anchors were set)."""
+    import shutil
+    import tempfile
+
+    tmp = tempfile.mkdtemp(prefix="bench_cal_sj_")
+    try:
+        t0 = time.perf_counter()
+        for i in range(8):
+            (
+                spark.range(0, 200, 1, 2)
+                .selectExpr("id", "id % 7 AS k")
+                .write.mode("overwrite")
+                .partitionBy("k")
+                .parquet(f"{tmp}/t{i}")
+            )
+            spark.read.parquet(f"{tmp}/t{i}").count()
+        return round(time.perf_counter() - t0, 3)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
@@ -461,6 +483,7 @@ def main() -> None:
     stream_tmp = tempfile.mkdtemp(prefix="bench_stream_")
     n_batches = 4
     io_probes: list[float] = []
+    smalljobs_probes: list[float] = []
     try:
         stream_fams = {
             "stream_admission_hotlog_batch": _stream_admission_ctx(
@@ -476,9 +499,11 @@ def main() -> None:
         stream_batches: dict[str, list[float]] = {n: [] for n in stream_fams}
         for bid in range(n_batches):
             io_probes.append(_calibration_io_job(spark))
+            smalljobs_probes.append(_calibration_smalljobs_job(spark))
             for name, run_batch in stream_fams.items():
                 stream_batches[name].append(run_batch(bid))
         io_probes.append(_calibration_io_job(spark))
+        smalljobs_probes.append(_calibration_smalljobs_job(spark))
     finally:
         shutil.rmtree(stream_tmp, ignore_errors=True)
     for name, batch_times in stream_batches.items():
@@ -572,6 +597,7 @@ def main() -> None:
                     ],
                     "per_pass_scales": [round(s, 4) for s in scales],
                     "stream_io_runs": io_probes,
+                    "smalljobs_runs": smalljobs_probes,
                     "stream_io_ref_sec": _IO_CAL_REF_SEC,
                     "per_pass_stream_scales": [
                         round(s, 4) for s in stream_pass_scales

@@ -883,6 +883,70 @@ def pq_codes_expr(
     return F.when(guard.isNull(), codes)
 
 
+def ivf_pq_assign(
+    corpus: DataFrame,
+    centroids: DataFrame,
+    codebooks: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_sub: int = 8,
+) -> DataFrame:
+    """Ingest-time IVF-PQ layout (r12): the corpus frame plus its
+    ``cell`` (nearest IVF centroid, ``assign_ivf_cells(nprobe=1)``
+    semantics) and ``codes`` (PQ codes, ``pq_encode`` semantics)
+    columns — exactly the production columns
+    ``ivf_pq_topk(preassigned=True)`` queries against. Store the result
+    next to the corpus once per centroid/codebook generation; the
+    bench's preassigned row and SCALING.md's 100k receipt both measure
+    this layout at ~2.5–10× under the ad-hoc re-encode-per-query shape.
+
+    Physical form picks itself: ONE scan-side projection (zero
+    shuffles — ``ivf_cell_expr`` + ``pq_codes_expr`` with a
+    constant-folded ``d_sub`` and a per-row dim assert) while the
+    inlined centroid+codebook literals fit :data:`_PQ_EXPR_MAX_LITERALS`;
+    past that budget, the aggregate+join twins (plan size O(1) in the
+    codebook — the r12 ADVICE trade). Both forms are property-pinned
+    identical. Raises on an empty corpus, a corpus/codebook dim
+    mismatch, or existing cell/codes columns (a stale generation must
+    be dropped explicitly, never silently overwritten)."""
+    stale = {"cell", "codes"} & set(corpus.columns)
+    if stale:
+        raise ValueError(
+            f"corpus already has {sorted(stale)} — drop the previous "
+            "generation's columns before re-assigning"
+        )
+    cfirst = corpus.select(F.size(F.col(vec_col)).alias("d")).first()
+    if cfirst is None:
+        raise ValueError("empty corpus: nothing to index/score")
+    cdim = cfirst["d"]
+    if cdim is None or cdim % n_sub:
+        raise ValueError(
+            f"corpus vector dim {cdim} not divisible by n_sub={n_sub}"
+        )
+    cb_rows = codebook_rows_of(codebooks)
+    bad = [(m, c) for m, c, v in cb_rows if len(v) != cdim // n_sub]
+    if bad:
+        raise ValueError(
+            f"codebook subvector length != corpus dim/n_sub = "
+            f"{cdim // n_sub} for (m, code) {bad[:3]} — dim mismatch"
+        )
+    c_rows = centroid_rows_of(centroids)
+    n_literals = (len(cb_rows) * (cdim // n_sub)) + len(c_rows) * cdim
+    if n_literals > _PQ_EXPR_MAX_LITERALS:
+        return assign_ivf_cells(
+            corpus, centroids, id_col, vec_col, nprobe=1
+        ).join(
+            pq_encode(corpus, codebooks, id_col=id_col, vec_col=vec_col,
+                      n_sub=n_sub),
+            id_col,
+        )
+    return corpus.select(
+        "*",
+        ivf_cell_expr(vec_col, c_rows).alias("cell"),
+        pq_codes_expr(vec_col, cb_rows, n_sub, expected_dim=cdim).alias("codes"),
+    )
+
+
 def ivf_pq_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -993,68 +1057,17 @@ def ivf_pq_topk(
                 "against the SAME centroids/codebooks) or drop them"
             )
         # ONE corpus scan computes cell + codes as column expressions
-        # (r11): the former assign_ivf_cells + pq_encode + join-on-id
-        # reassembly cost two hash-agg shuffles and an id join of the
-        # FULL corpus per query batch; both expressions are
-        # property-pinned ≡ their aggregate twins. Driver-side work is
-        # ONE corpus dim probe + one codebook collect (reused by the
-        # expression) — the codebook table's structure was already
-        # validated by the queries-side _validate_pq_inputs above, so
-        # only the corpus's own dim needs checking here (a silent
-        # corpus/codebook dim mismatch would misalign every slice)
-        cfirst = corpus.select(F.size(F.col(vec_col)).alias("d")).first()
-        if cfirst is None:
-            raise ValueError("empty corpus: nothing to index/score")
-        cdim = cfirst["d"]
-        if cdim is None or cdim % n_sub:
-            raise ValueError(
-                f"corpus vector dim {cdim} not divisible by n_sub={n_sub}"
-            )
-        cb_rows = codebook_rows_of(codebooks)
-        bad = [(m, c) for m, c, v in cb_rows if len(v) != cdim // n_sub]
-        if bad:
-            raise ValueError(
-                f"codebook subvector length != corpus dim/n_sub = "
-                f"{cdim // n_sub} for (m, code) {bad[:3]} — dim mismatch"
-            )
-        c_rows = centroid_rows_of(centroids)
-        # plan-size guard (r12, ADVICE): the scan-side expressions
-        # inline every codebook/centroid double as SQL text — megabytes
-        # of expression string at realistic PQ configs, inflating
-        # parse/analysis time and driver memory. Past the budget, take
-        # the aggregate+join encode (two corpus shuffles — the pre-r11
-        # shape) whose plan size is O(1) in the codebook.
-        n_literals = (len(cb_rows) * (cdim // n_sub)) + len(c_rows) * cdim
-        if n_literals > _PQ_EXPR_MAX_LITERALS:
-            cells = assign_ivf_cells(
-                corpus_wide.select(id_col, vec_col),
-                centroids,
-                id_col,
-                vec_col,
-                nprobe=1,
-            ).select(id_col, "cell")
-            corpus_pq = cells.join(
-                pq_encode(
-                    corpus_wide, codebooks, id_col=id_col, vec_col=vec_col,
-                    n_sub=n_sub,
-                ),
-                id_col,
-            )
-        else:
-            # expected_dim=cdim: d_sub constant-folds and every row
-            # carries a scan-side dim assert — a mixed-dim corpus
-            # raises at execution instead of emitting misaligned,
-            # plausible-but-wrong codes for the off-dim rows (r12,
-            # ADVICE; the one-row probe above cannot see row-level
-            # drift, and a min/max aggregate would cost a full extra
-            # pass over the vector column at query-build time)
-            corpus_pq = corpus_wide.select(
-                F.col(id_col),
-                ivf_cell_expr(vec_col, c_rows).alias("cell"),
-                pq_codes_expr(
-                    vec_col, cb_rows, n_sub, expected_dim=cdim
-                ).alias("codes"),
-            )
+        # (r11; shared with the ingest path as ivf_pq_assign since
+        # r12): the former assign+encode+join reassembly cost two
+        # hash-agg shuffles and an id join of the FULL corpus per query
+        # batch. ivf_pq_assign carries the r12 ADVICE guards — the
+        # per-row dim assert (a mixed-dim corpus raises instead of
+        # emitting misaligned codes) and the literal-budget fallback to
+        # the aggregate+join form for big codebooks.
+        corpus_pq = ivf_pq_assign(
+            corpus_wide, centroids, codebooks,
+            id_col=id_col, vec_col=vec_col, n_sub=n_sub,
+        ).select(id_col, "cell", "codes")
 
     q = queries.select(
         F.col(query_id_col),

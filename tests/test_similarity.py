@@ -459,6 +459,77 @@ def test_ivf_pq_expr_literal_budget_fallback(spark, monkeypatch):
     assert via_expr, "no results"
 
 
+def test_ivf_pq_assign_layout_and_equivalence(spark, monkeypatch):
+    """ivf_pq_assign (r12) is the public ingest-time layout builder the
+    preassigned query path documents: keeps every corpus column, adds
+    cell+codes identical to the assign_ivf_cells + pq_encode twins on
+    BOTH physical forms (scan-side expression and the over-budget
+    aggregate+join fallback), round-trips through
+    ivf_pq_topk(preassigned=True) with results equal to the ad-hoc
+    path, and refuses to overwrite an existing generation."""
+    import random
+
+    from pyspark.sql import functions as F2
+
+    from pyspark_ingestion_spark.operators import similarity as sim
+
+    rng = random.Random(3)
+    dim, n_sub, k_codes = 16, 4, 4
+    corpus = spark.createDataFrame(
+        [(i, [rng.gauss(0, 1) for _ in range(dim)], f"s{i % 3}")
+         for i in range(40)],
+        "vec_id long, embedding array<double>, source string",
+    )
+    cents = corpus.filter("vec_id < 2").selectExpr(
+        "CAST(vec_id AS INT) AS centroid_id", "embedding AS cvec"
+    )
+    cb = sim.pq_codebooks(corpus, n_sub=n_sub, k_codes=k_codes, seed=1)
+
+    want = sorted(
+        (r["vec_id"], r["source"], r["cell"], tuple(r["codes"]))
+        for r in sim.assign_ivf_cells(corpus, cents, "vec_id", "embedding")
+        .join(sim.pq_encode(corpus, cb, n_sub=n_sub), "vec_id")
+        .collect()
+    )
+
+    def got():
+        out = sim.ivf_pq_assign(corpus, cents, cb, n_sub=n_sub)
+        assert set(out.columns) == {"vec_id", "embedding", "source", "cell",
+                                    "codes"}
+        return sorted(
+            (r["vec_id"], r["source"], r["cell"], tuple(r["codes"]))
+            for r in out.collect()
+        )
+
+    assert got() == want  # scan-side expression form
+    monkeypatch.setattr(sim, "_PQ_EXPR_MAX_LITERALS", 1)
+    assert got() == want  # aggregate+join fallback form
+    monkeypatch.undo()
+
+    # the layout round-trips through the production query path
+    queries = corpus.filter("vec_id < 3").select(
+        F2.col("vec_id").alias("query_id"), "embedding"
+    )
+    pre = sim.ivf_pq_topk(
+        sim.ivf_pq_assign(corpus, cents, cb, n_sub=n_sub), queries, cents, cb,
+        k=5, nprobe=2, n_sub=n_sub, k_codes=k_codes, preassigned=True,
+    )
+    adhoc = sim.ivf_pq_topk(
+        corpus, queries, cents, cb, k=5, nprobe=2, n_sub=n_sub,
+        k_codes=k_codes,
+    )
+    key = lambda rows: sorted(map(tuple, rows))  # noqa: E731
+    assert key(pre.collect()) == key(adhoc.collect())
+
+    import pytest
+
+    with pytest.raises(ValueError, match="already has"):
+        sim.ivf_pq_assign(
+            sim.ivf_pq_assign(corpus, cents, cb, n_sub=n_sub), cents, cb,
+            n_sub=n_sub,
+        )
+
+
 def test_ivf_pq_mixed_dim_corpus_raises(spark):
     """A corpus with ROW-LEVEL dim drift must raise, not return
     plausible-but-wrong neighbors (r12, ADVICE): pq_codes_expr used to
