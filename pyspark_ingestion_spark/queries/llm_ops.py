@@ -4556,9 +4556,12 @@ def ann_pq_encode_fixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "ann_ivf_pq_adc_fixture",
-    oracle=f"""
+#: shared by ann_ivf_pq_adc_fixture and ann_ivf_pq_preassigned_fixture:
+#: the preassigned query path must return EXACTLY what the ad-hoc path
+#: returns when its cell/codes columns come from ivf_pq_assign against
+#: the same centroids/codebooks, so both fixtures hash against one
+#: oracle that reproduces every stage.
+_IVF_PQ_ADC_FIXTURE_ORACLE = f"""
     WITH {_PQ_FIXTURE_CB_CTE},
     cent AS (SELECT cl, list(CAST((cl*29 + j*13) % 17 - 8 AS DOUBLE)
                              ORDER BY j) AS cvec
@@ -4610,8 +4613,10 @@ def ann_pq_encode_fixture(spark: SparkSession, sf_dir: str) -> DataFrame:
                                            DESC NULLS LAST, neighbor_id) AS rank
         FROM adc)
     WHERE rank <= 5
-    """,
-)
+    """
+
+
+@query("ann_ivf_pq_adc_fixture", oracle=_IVF_PQ_ADC_FIXTURE_ORACLE)
 def ann_ivf_pq_adc_fixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The FULL IVF-PQ scoring chain — cell assignment, PQ encode, the
     per-query ADC lookup table, the flat m·k_codes+code gather, cosine-
@@ -4639,6 +4644,46 @@ def ann_ivf_pq_adc_fixture(spark: SparkSession, sf_dir: str) -> DataFrame:
         nprobe=1,
         n_sub=8,
         k_codes=4,
+    )
+
+
+@query("ann_ivf_pq_preassigned_fixture", oracle=_IVF_PQ_ADC_FIXTURE_ORACLE)
+def ann_ivf_pq_preassigned_fixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PRODUCTION IVF-PQ query path (r12): ``ivf_pq_assign`` writes
+    the ingest-time cell/codes columns, ``ivf_pq_topk(preassigned=True)``
+    queries against them — hash-checked against the SAME oracle as
+    ``ann_ivf_pq_adc_fixture``, because the preassigned path's contract
+    is bit-equality with the ad-hoc path when the stored columns come
+    from the same centroids/codebooks. This turns the shape users run
+    at 100 TB (encode once at ingest, query against codes — the bench's
+    ``ann_ivf_pq_preassigned_query`` row, ~2.5–10× cheaper measured)
+    from a pytest-only pin into a driver-green row."""
+    from pyspark_ingestion_spark.operators.similarity import (
+        ivf_pq_assign,
+        ivf_pq_topk,
+    )
+
+    qv = _quantized_embeddings(spark, sf_dir)
+    cents = _ivf_fixture_centroids(spark)
+    cb = _pq_fixture_codebooks(spark)
+    assigned = ivf_pq_assign(
+        qv, cents, cb, id_col="vec_id", vec_col="embedding", n_sub=8
+    )
+    queries = qv.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return ivf_pq_topk(
+        assigned,
+        queries,
+        cents,
+        cb,
+        id_col="vec_id",
+        vec_col="embedding",
+        k=5,
+        nprobe=1,
+        n_sub=8,
+        k_codes=4,
+        preassigned=True,
     )
 
 

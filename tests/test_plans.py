@@ -623,6 +623,7 @@ _BNLJ_OK = {
     "ann_hamming_rerank_topk",  # same broadcast query set + shortlist rerank
     "ann_ivf_nprobe_topk", "ann_ivf_pq_topk", "ann_ivf_topk", "ann_recall_eval",
     "ann_ivf_pq_adc_fixture",  # same ivf_pq_topk broadcast-centroid shape
+    "ann_ivf_pq_preassigned_fixture",  # same shape on the preassigned path
     "dedup_substring_sampling_eval",  # one-row scalar agg crossJoin (broadcast)
     "corpus_topic_clusters",  # broadcast K-row centroid table (IVF assignment)
     "dedup_lsh_recall_eval", "dq_checks", "embedding_bucket_profile",
