@@ -91,26 +91,19 @@ def _priority(name: str) -> tuple:
 #: proof would attest different semantics, so they re-verify as if never
 #: checked (ahead of the LRV rotation).
 _CHANGED_THIS_ROUND = {
-    # r12: ivf_pq_topk's corpus-side encode gained the per-row
-    # expected_dim guard (assert_true wrapping the codes expression) and
-    # the literal-budget fallback branch — re-prove the fitted variant
-    # and its ADC fixture twin on the new plan (pq_encode itself is
-    # untouched, so ann_pq_encode_fixture stays in the LRV rotation)
-    "ann_ivf_pq_topk",
-    "ann_ivf_pq_adc_fixture",
-    # r12: the JPEG decode-table/LUT caches moved FIFO -> LRU
-    # (move-to-end on hit) — re-prove the rows that attest the JPEG
-    # decode path
-    "multimodal_jpeg_pixel_stats",
-    "multimodal_jpeg420_pixel_stats",
-    "multimodal_jpeg_progressive_pixel_stats",
-    "multimodal_video_frame_stats",
-    # r12: cross-side admission gained bucket_cap_mode="salt"
-    # (incremental_lsh_rejects and fingerprint_batch_rejects were
-    # restructured around the salt/drop branch; drop-mode defaults
-    # re-proven here) — the new salted fixture itself is never-verified
-    # and enters ahead of the rotation automatically
-    "dedup_incremental_lsh",
+    # r13: pq_encode gained the expected_dim per-row guard (ADVICE) —
+    # the default no-guard path's expressions are identical, but the
+    # encode body was restructured, so re-prove its two direct callers
+    "ann_pq_encode_fixture",
+    "pq_reconstruction_error",
+    # r13: embedding_batch_rejects gained max_bucket_size /
+    # bucket_cap_mode / probe_salts (VERDICT r12 item 3; uncapped
+    # default re-proven here)
+    "dedup_incremental_semantic",
+    # r13: fingerprint_batch_rejects gained salt_hash threading
+    # (VERDICT r12 item 4; drop-mode default re-proven here) — the new
+    # cross-side admission fixture itself is never-verified and enters
+    # ahead of the rotation automatically
     "dedup_incremental_image",
 }
 

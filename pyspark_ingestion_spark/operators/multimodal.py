@@ -581,6 +581,7 @@ def fingerprint_batch_rejects(
     max_bucket_size: int | None = None,
     bucket_cap_mode: str = "drop",
     probe_salts: int = 4,
+    salt_hash: str = "xxhash64",
 ) -> DataFrame:
     """Batch-mode perceptual admission: ids of ``batch_fp`` rows whose
     64-bit fingerprint sits within ``radius`` Hamming bits of ANY
@@ -614,7 +615,13 @@ def fingerprint_batch_rejects(
     O(batch·probe_salts) cost — the per-sub-bucket join stays bounded
     at ~cap corpus rows. Rejects: drop ⊆ salt ⊆ uncapped
     (property-pinned); banding exactness for the SURVIVING candidates
-    is untouched (the Hamming verify is exact either way)."""
+    is untouched (the Hamming verify is exact either way).
+
+    ``salt_hash`` (r13, VERDICT r12 item 4) picks the per-doc split
+    hash for BOTH sides — ``"md5"`` exists so an admission-shaped
+    fixture query can oracle-check the full cross-side salt arithmetic
+    (``dedup._salt_hash_col``); the default xxhash64 stays the
+    production path."""
     if not 0 <= radius <= 7:
         raise ValueError(
             f"radius must be in [0, 7] (8-band pigeonhole bound), got {radius}"
@@ -640,9 +647,12 @@ def fingerprint_batch_rejects(
         big_salts = _oversized_bucket_salts(
             raw_c, max_bucket_size, keys=("j", "band_val")
         )
-        c = _salt_corpus_bands(raw_c, big_salts, keys=("j", "band_val"))
+        c = _salt_corpus_bands(
+            raw_c, big_salts, keys=("j", "band_val"), salt_hash=salt_hash
+        )
         b = _probe_salted_buckets(
-            b, big_salts, probe_salts, keys=("j", "band_val")
+            b, big_salts, probe_salts, keys=("j", "band_val"),
+            salt_hash=salt_hash,
         )
         join_keys.append("__salt")
     else:

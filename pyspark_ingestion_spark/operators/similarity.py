@@ -467,6 +467,10 @@ def embedding_batch_rejects(
     n_dims: int = 4,
     centroids=None,
     nprobe: int = 1,
+    max_bucket_size: int | None = None,
+    bucket_cap_mode: str = "drop",
+    probe_salts: int = 4,
+    salt_hash: str = "xxhash64",
 ) -> DataFrame:
     """Semantic batch admission: batch vectors whose cosine against ANY
     corpus vector in their bucket meets ``threshold`` — the
@@ -494,9 +498,30 @@ def embedding_batch_rejects(
     forms; at 100 TB the bucketed corpus layout (trained IVF cells) is
     precomputed once and maintained incrementally. The final
     aggregate groups on batch keys only.
+
+    ``max_bucket_size`` (r13, VERDICT r12 item 3) caps CORPUS bucket
+    population against degenerate skew — post-ReLU/biased embeddings
+    collapse most of the corpus into the all-ones sign bucket, making
+    the candidate join O(batch·corpus) there. ``bucket_cap_mode``
+    picks the trade inside an oversized bucket, exactly the
+    fingerprint-sink semantics (``dedup._probe_salted_buckets``):
+    ``"drop"`` loses the whole bucket (a batch vector near a POPULAR
+    semantic cluster silently loses admission recall); ``"salt"``
+    splits the bucket into ``ceil(n/cap)`` deterministic sub-buckets
+    and replicates each batch row into ``min(n_salts, probe_salts)``
+    of them, recovering ~probe_salts·cap candidate partners per batch
+    vector at O(batch·probe_salts) replication — the per-sub-bucket
+    join stays bounded at ~cap corpus rows. Rejects: drop ⊆ salt ⊆
+    uncapped (property-pinned). The durable fix for biased embeddings
+    remains a trained quantizer sized to the corpus; the cap guards
+    the residue.
     """
     if nprobe < 1:
         raise ValueError(f"nprobe must be >= 1, got {nprobe}")
+    if bucket_cap_mode not in ("drop", "salt"):
+        raise ValueError(
+            f"bucket_cap_mode must be 'drop' or 'salt', got {bucket_cap_mode!r}"
+        )
     rows_c = centroid_rows_of(centroids) if centroids is not None else None
     if nprobe > 1 and not rows_c:
         raise ValueError(
@@ -521,13 +546,41 @@ def embedding_batch_rejects(
         )
 
     c, b = prep(corpus), prep(batch, probe=nprobe)
+    on = F.col("b.__bucket") == F.col("c.__bucket")
+    if max_bucket_size is not None:
+        if max_bucket_size < 1:
+            raise ValueError(
+                f"max_bucket_size must be >= 1, got {max_bucket_size}"
+            )
+        from pyspark_ingestion_spark.operators.dedup import (
+            _drop_big_buckets,
+            _oversized_bucket_salts,
+            _probe_salted_buckets,
+            _salt_corpus_bands,
+        )
+
+        if bucket_cap_mode == "salt":
+            big_salts = _oversized_bucket_salts(
+                c, max_bucket_size, keys=("__bucket",)
+            )
+            c = _salt_corpus_bands(
+                c, big_salts, keys=("__bucket",), doc_col="__id",
+                salt_hash=salt_hash,
+            )
+            b = _probe_salted_buckets(
+                b, big_salts, probe_salts, keys=("__bucket",),
+                doc_col="__id", salt_hash=salt_hash,
+            )
+            on = on & (F.col("b.__salt") == F.col("c.__salt"))
+        else:
+            c = _drop_big_buckets(c, max_bucket_size, keys=("__bucket",))
     denom = F.col("b.__norm") * F.col("c.__norm")
     cos = F.when(
         denom != 0, dot_product(F.col("b.__vec"), F.col("c.__vec")) / denom
     )
     matches = (
         c.alias("c")
-        .join(F.broadcast(b.alias("b")), F.col("b.__bucket") == F.col("c.__bucket"))
+        .join(F.broadcast(b.alias("b")), on)
         .select(
             F.col("b.__id").alias("__bid"),
             F.col("c.__id").alias("__cid"),
@@ -717,6 +770,7 @@ def pq_encode(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     n_sub: int = 8,
+    expected_dim: int | None = None,
 ) -> DataFrame:
     """Encode vectors against PQ codebooks → (id, codes array<int>).
 
@@ -731,18 +785,45 @@ def pq_encode(
     Validates dim % n_sub == 0 and the codebooks' m-domain/subvector
     lengths up front (a mismatch would silently truncate trailing
     dimensions out of every code).
+
+    ``expected_dim`` (r13, ADVICE): without it, ``d_sub`` comes from
+    ``size(vec)`` PER ROW — a mixed-dim corpus row slices misaligned
+    subvectors and emits plausible-but-wrong (or null) codes silently,
+    exactly the failure :func:`pq_codes_expr` closed in r12. With it,
+    ``d_sub`` is a constant-folded literal and every row carries an
+    ``assert_true(size(vec) = expected_dim)`` guard, so dim drift
+    raises at execution. :func:`ivf_pq_assign`'s aggregate+join
+    fallback (the branch big production codebooks take) passes the
+    corpus dim here, making both physical forms raise identically.
     """
     _validate_pq_inputs(df, codebooks, vec_col, n_sub)
-    d_sub = (F.size(F.col(vec_col)) / n_sub).cast("int")
+    vec = F.col(vec_col).cast("array<double>")
+    if expected_dim is not None:
+        if expected_dim % n_sub:
+            raise ValueError(
+                f"expected_dim {expected_dim} not divisible by n_sub={n_sub}"
+            )
+        d_sub = expected_dim // n_sub
+        guard = F.assert_true(
+            F.size(vec) == expected_dim,
+            F.concat(
+                F.lit("pq_encode: row vector dim "),
+                F.size(vec).cast("string"),
+                F.lit(f" != codebook dim {expected_dim}"),
+            ),
+        )
+        # assert_true is NULL on success: the when-branch passes the
+        # vector through unchanged, the first off-dim row raises
+        vec = F.when(guard.isNull(), vec)
+    else:
+        d_sub = (F.size(vec) / n_sub).cast("int")
     sub = df.select(
         F.col(id_col),
         F.explode(
             F.array(*[
                 F.struct(
                     F.lit(m).alias("m"),
-                    F.slice(
-                        F.col(vec_col).cast("array<double>"), m * d_sub + 1, d_sub
-                    ).alias("__sv"),
+                    F.slice(vec, m * d_sub + 1, d_sub).alias("__sv"),
                 )
                 for m in range(n_sub)
             ])
@@ -906,7 +987,9 @@ def ivf_pq_assign(
     inlined centroid+codebook literals fit :data:`_PQ_EXPR_MAX_LITERALS`;
     past that budget, the aggregate+join twins (plan size O(1) in the
     codebook — the r12 ADVICE trade). Both forms are property-pinned
-    identical. Raises on an empty corpus, a corpus/codebook dim
+    identical, and BOTH carry the per-row dim assert (r13, ADVICE: the
+    fallback used to compute d_sub per row, so only the expression
+    form raised on mixed-dim corpora). Raises on an empty corpus, a corpus/codebook dim
     mismatch, or existing cell/codes columns (a stale generation must
     be dropped explicitly, never silently overwritten)."""
     stale = {"cell", "codes"} & set(corpus.columns)
@@ -937,7 +1020,7 @@ def ivf_pq_assign(
             corpus, centroids, id_col, vec_col, nprobe=1
         ).join(
             pq_encode(corpus, codebooks, id_col=id_col, vec_col=vec_col,
-                      n_sub=n_sub),
+                      n_sub=n_sub, expected_dim=cdim),
             id_col,
         )
     return corpus.select(

@@ -635,6 +635,104 @@ def dedup_fingerprint_salted_fixture(spark: SparkSession, sf_dir: str) -> DataFr
 
 
 @query(
+    "dedup_fingerprint_salted_admission_fixture",
+    oracle="""
+    WITH cfp AS (SELECT doc_id AS doc,
+                        CASE WHEN doc_id % 5 = 0 THEN 2863311530
+                             ELSE (doc_id * 40503) % 4294967296 END AS hi,
+                        CASE WHEN doc_id % 5 = 0 THEN 1431655765
+                             ELSE (doc_id * 2654435761) % 4294967296 END AS lo
+                 FROM documents),
+    bfp AS (SELECT -doc_id - 1 AS doc,
+                   CASE WHEN doc_id % 14 = 0 THEN 2863311530
+                        ELSE (doc_id * 40503) % 4294967296 END AS hi,
+                   CASE WHEN doc_id % 14 = 0 THEN 1431655764
+                        ELSE (doc_id * 2654435761) % 4294967296 END AS lo
+            FROM documents WHERE doc_id % 7 = 0),
+    cb AS (SELECT doc, hi, lo, j,
+                  CASE WHEN j < 4 THEN (lo >> (8 * j)) & 255
+                       ELSE (hi >> (8 * (j - 4))) & 255 END AS band_val
+           FROM cfp, LATERAL (SELECT unnest(range(8)) AS j)),
+    bb AS (SELECT doc, hi, lo, j,
+                  CASE WHEN j < 4 THEN (lo >> (8 * j)) & 255
+                       ELSE (hi >> (8 * (j - 4))) & 255 END AS band_val
+           FROM bfp, LATERAL (SELECT unnest(range(8)) AS j)),
+    bigs AS (SELECT j, band_val, CAST(ceil(count(*) / 8.0) AS BIGINT) AS nsalts
+             FROM cb GROUP BY j, band_val HAVING count(*) > 8),
+    csalt AS (SELECT c.hi, c.lo, c.j, c.band_val,
+                     CASE WHEN g.nsalts IS NOT NULL THEN
+                       (('0x' || substr(md5(CAST(c.doc AS VARCHAR)), 1, 7))::BIGINT)
+                         % g.nsalts
+                     ELSE 0 END AS salt
+              FROM cb c LEFT JOIN bigs g
+                ON c.j = g.j AND c.band_val = g.band_val),
+    bprobe AS (SELECT b.doc, b.hi, b.lo, b.j, b.band_val,
+                      CASE WHEN g.nsalts IS NOT NULL THEN
+                        ((('0x' || substr(md5(CAST(b.doc AS VARCHAR)), 1, 7))::BIGINT)
+                          + p.k) % g.nsalts
+                      ELSE 0 END AS salt
+               FROM bb b LEFT JOIN bigs g
+                 ON b.j = g.j AND b.band_val = g.band_val,
+                    LATERAL (SELECT unnest(range(
+                      coalesce(least(g.nsalts, 2), 1))) AS k) p)
+    SELECT DISTINCT b.doc
+    FROM csalt c JOIN bprobe b
+      ON c.j = b.j AND c.band_val = b.band_val AND c.salt = b.salt
+    WHERE bit_count(xor(c.hi, b.hi)) + bit_count(xor(c.lo, b.lo)) <= 3
+    """,
+)
+def dedup_fingerprint_salted_admission_fixture(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Oracle-checked twin for the CROSS-SIDE salted admission (r13,
+    VERDICT r12 item 4): ``dedup_fingerprint_salted_fixture`` (r12)
+    hash-checks the self-join face of the salt arithmetic; this one
+    hash-checks the ADMISSION face — ``_probe_salted_buckets``'s batch
+    replication into ``min(n_salts, probe_salts)`` sub-buckets of an
+    oversized CORPUS bucket, joined against ``_salt_corpus_bands``'s
+    split. Planted shape: every 5th documents id shares one corpus
+    fingerprint (a popular cluster — every band bucket oversized at
+    cap=8), the batch is every 7th id on the negative half-line, and
+    every 14th carries the cluster fingerprint with one lo-bit flipped
+    (Hamming 1): in drop mode those batch items lose ALL their cluster
+    partners (every shared bucket oversized); with probe_salts=2 each
+    probes 2 of the ceil(n/8) md5-derived sub-buckets and is rejected
+    iff a probed sub-bucket holds a cluster doc — exactly what the
+    oracle recomputes end-to-end (banding, corpus bucket counts, both
+    sides' salts, the hamming verify, the distinct reject list). The
+    remaining batch items self-match their corpus twin through normal
+    salt-0 buckets, covering the non-oversized path in the same run."""
+    from pyspark_ingestion_spark.operators.multimodal import (
+        fingerprint_batch_rejects,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    m32 = F.lit(4294967296)
+    cfp = d.select(
+        F.col("doc_id").alias("doc"),
+        F.when(F.col("doc_id") % 5 == 0, F.lit(2863311530))
+        .otherwise((F.col("doc_id") * 40503) % m32)
+        .alias("hi"),
+        F.when(F.col("doc_id") % 5 == 0, F.lit(1431655765))
+        .otherwise((F.col("doc_id") * 2654435761) % m32)
+        .alias("lo"),
+    )
+    bfp = d.filter(F.col("doc_id") % 7 == 0).select(
+        (-F.col("doc_id") - 1).alias("doc"),
+        F.when(F.col("doc_id") % 14 == 0, F.lit(2863311530))
+        .otherwise((F.col("doc_id") * 40503) % m32)
+        .alias("hi"),
+        F.when(F.col("doc_id") % 14 == 0, F.lit(1431655764))
+        .otherwise((F.col("doc_id") * 2654435761) % m32)
+        .alias("lo"),
+    )
+    return fingerprint_batch_rejects(
+        cfp, bfp, radius=3, max_bucket_size=8, bucket_cap_mode="salt",
+        probe_salts=2, salt_hash="md5",
+    )
+
+
+@query(
     "dedup_audio_fhash",
     oracle="""
     WITH d AS (SELECT doc_id, text FROM documents

@@ -199,17 +199,20 @@ def _estimated_scan_splits(df: DataFrame) -> int | None:
     an under-estimate is a round-robin shuffle of a table small enough
     that the estimate COULD be low, so the guard stays safe at scale.
 
-    The estimate is only trusted for SINGLE-SCAN-shaped plans (r12,
-    ADVICE): summing leaf stats reasons about the under-estimate
-    direction only, so a join-shaped frame (partition count set by the
-    shuffle, not the scans) or one carrying a repartition/coalesce
-    (partition count set by the operator) could OVER-estimate and
-    silently skip the repartition the RDD probe would have triggered —
-    re-serializing a CPU-heavy stage on few cores, the 20x lever this
-    repo's own benchmarks document. More than one leaf, or any
-    Repartition/Rebalance node in the optimized plan, → ``None``
-    (exchanges never appear in the logical plan; they come FROM joins
-    and repartitions, which this covers)."""
+    The estimate is only trusted for NARROW single-scan plans (r12
+    ADVICE, tightened r13): the stats sum reasons about the
+    under-estimate direction only, so any operator that sets the
+    frame's partition count itself — a join or repartition, but ALSO a
+    shuffle-exchange-inserting Aggregate / global Sort / Window /
+    Deduplicate (partition count = spark.sql.shuffle.partitions or
+    AQE-coalesced) — could OVER-estimate and silently skip the
+    repartition the RDD probe would have triggered, re-serializing a
+    CPU-heavy stage on few cores (the 20x lever this repo's own
+    benchmarks document). Rather than enumerate every wide node, the
+    walk WHITELISTS the narrow, partition-preserving ones (Project /
+    Filter / LocalLimit / Generate over a single relation leaf) and
+    returns ``None`` for anything else — unknown shapes fall back to
+    the RDD probe, which is correct there, just not metadata-free."""
     import math
 
     try:
@@ -234,18 +237,20 @@ def _estimated_scan_splits(df: DataFrame) -> int | None:
         leaves = plan.collectLeaves()
         if leaves.size() != 1:
             return None
-        # walk the plan for partition-setting operators; any hit means
-        # the scan's split count is NOT the frame's partition count
+        # whitelist walk (r13, ADVICE): every non-leaf node must be
+        # narrow/partition-preserving, else the frame's partition count
+        # is set by a shuffle exchange (Aggregate/Sort/Window/Join/
+        # Deduplicate) or an explicit operator (Repartition/Rebalance/
+        # coalesce) and the scan-split estimate does not apply
+        narrow = ("Project", "Filter", "LocalLimit", "Generate")
         stack = [plan]
         while stack:
             node = stack.pop()
-            if node.nodeName() in (
-                "Repartition",              # repartition(n) AND coalesce(n)
-                "RepartitionByExpression",  # repartition(cols) / DISTRIBUTE BY
-                "RebalancePartitions",      # hint/AQE rebalance
-            ):
-                return None
             children = node.children()
+            if children.size() == 0:
+                continue  # the (single) relation leaf
+            if node.nodeName() not in narrow:
+                return None
             for i in range(children.size()):
                 stack.append(children.apply(i))
         # use the LEAF relation's stats, not the root's: operators

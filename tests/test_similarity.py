@@ -566,6 +566,42 @@ def test_ivf_pq_mixed_dim_corpus_raises(spark):
         ).collect()
 
 
+def test_ivf_pq_mixed_dim_raises_in_fallback_branch(spark, monkeypatch):
+    """The aggregate+join fallback of ivf_pq_assign — the branch big
+    production codebooks take — must ALSO raise on row-level dim drift
+    (r13, ADVICE: pq_encode used to compute d_sub per row, so only the
+    expression form raised). Forcing _PQ_EXPR_MAX_LITERALS to 1 routes
+    the same mixed corpus through the fallback."""
+    import pytest
+
+    from pyspark_ingestion_spark.operators import similarity as sim
+
+    good = [(i, [float(i % 7), float(i % 5), float(i % 3), 1.0] * 4)
+            for i in range(40)]
+    corpus_ok = spark.createDataFrame(
+        good, "vec_id long, embedding array<double>"
+    )
+    cents = corpus_ok.filter("vec_id < 2").selectExpr(
+        "CAST(vec_id AS INT) AS centroid_id", "embedding AS cvec"
+    )
+    cb = sim.pq_codebooks(corpus_ok, n_sub=4, k_codes=8, seed=1)
+    mixed = spark.createDataFrame(
+        good + [(99, [1.0] * 12)], "vec_id long, embedding array<double>"
+    )
+    monkeypatch.setattr(sim, "_PQ_EXPR_MAX_LITERALS", 1)
+    with pytest.raises(Exception, match="row vector dim"):
+        sim.ivf_pq_assign(mixed, cents, cb, n_sub=4).collect()
+    # and the guarded fallback still matches the expression form on a
+    # clean corpus (the existing property pin, re-run under the guard)
+    fb = sim.ivf_pq_assign(corpus_ok, cents, cb, n_sub=4)
+    monkeypatch.setattr(sim, "_PQ_EXPR_MAX_LITERALS", 65536)
+    ex = sim.ivf_pq_assign(corpus_ok, cents, cb, n_sub=4)
+    key = lambda df: sorted(  # noqa: E731
+        (r["vec_id"], r["cell"], tuple(r["codes"])) for r in df.collect()
+    )
+    assert key(fb) == key(ex)
+
+
 def test_pq_config_mismatches_fail_fast(spark):
     """PQ config mismatches produce silently-wrong results if trusted, so
     they must raise: k_codes disagreeing with the codebooks (misaligned
@@ -854,3 +890,82 @@ def test_sign_pack_rejects_bad_start_and_n_bits(spark):
     got = df.select(sign_pack("embedding", start=0, n_bits=4).alias("h"))
     # bit i = 1 iff component start+i >= 0: signs 1,0,1,1 -> 0b1101
     assert got.collect()[0]["h"] == 0b1101
+
+
+def test_embedding_batch_rejects_salted_admission(spark):
+    """Semantic cross-side admission salting (r13, VERDICT r12 item 3):
+    a batch vector near a planted POPULAR semantic cluster (its sign
+    bucket oversized at the cap) is silently admitted under drop mode
+    but rejected under salt mode — recall(drop) ⊆ recall(salt) ⊆
+    recall(uncapped) — while a vector matching a lone corpus vector in
+    a small bucket (salt 0) is rejected in EVERY mode. Replication cost
+    of the probe side is bounded at batch_rows × probe_salts."""
+    import pytest
+
+    from pyspark_ingestion_spark.operators.dedup import (
+        _oversized_bucket_salts,
+        _probe_salted_buckets,
+    )
+    from pyspark_ingestion_spark.operators.similarity import (
+        embedding_batch_rejects,
+    )
+
+    cluster = [(i, [1.0, 2.0, 3.0, 4.0]) for i in range(30)]
+    lone = [(200, [-1.0, 2.0, -3.0, 4.0]), (201, [1.0, -2.0, 3.0, -4.0])]
+    corpus = spark.createDataFrame(
+        cluster + lone, "vec_id long, embedding array<double>"
+    )
+    batch = spark.createDataFrame(
+        [
+            (1000, [1.0, 2.0, 3.0, 4.1]),    # near-cluster (oversized bucket)
+            (1001, [-1.0, 2.0, -3.0, 4.05]),  # near lone 200 (small bucket)
+            (1002, [-0.5, -0.5, -0.5, -0.5]),  # novel bucket, matches nothing
+        ],
+        "vec_id long, embedding array<double>",
+    )
+
+    def rejects(**kw):
+        return {
+            r["vec_id"]
+            for r in embedding_batch_rejects(
+                corpus, batch, threshold=0.95, n_dims=4, **kw
+            ).collect()
+        }
+
+    uncapped = rejects()
+    assert uncapped == {1000, 1001}
+    # drop mode: the cluster fills its sign bucket past cap=4, so the
+    # near-cluster batch vector sails through admission silently; the
+    # small-bucket match is untouched
+    dropped = rejects(max_bucket_size=4)
+    assert dropped == {1001}
+    # salt mode: the batch probes min(ceil(30/4), 4) = 4 of 8
+    # sub-buckets of ~4 identical cluster vectors each -> recovered
+    salted = rejects(max_bucket_size=4, bucket_cap_mode="salt")
+    assert dropped <= salted <= uncapped
+    assert salted == {1000, 1001}
+
+    with pytest.raises(ValueError, match="bucket_cap_mode"):
+        rejects(max_bucket_size=4, bucket_cap_mode="bogus")
+    with pytest.raises(ValueError, match="max_bucket_size"):
+        rejects(max_bucket_size=0, bucket_cap_mode="salt")
+
+    # bounded replication: each batch bucket row probes at most
+    # probe_salts sub-buckets, so the probe side is <= rows x salts
+    from pyspark.sql import functions as F
+
+    from pyspark_ingestion_spark.functions.vectors import sign_bucket
+
+    bb = batch.select(
+        F.col("vec_id").alias("__id"),
+        sign_bucket("embedding", 4).alias("__bucket"),
+    )
+    cb = corpus.select(
+        F.col("vec_id").alias("__id"),
+        sign_bucket("embedding", 4).alias("__bucket"),
+    )
+    big = _oversized_bucket_salts(cb, 4, keys=("__bucket",))
+    probed = _probe_salted_buckets(
+        bb, big, probe_salts=4, keys=("__bucket",), doc_col="__id"
+    )
+    assert probed.count() <= bb.count() * 4

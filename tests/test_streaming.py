@@ -2520,12 +2520,21 @@ def test_overlapped_write_surfaces_both_failures():
         raise OSError("disk full in text write")
 
     # both failed: the index error is primary, the write error rides
-    # along as __context__ (both visible in the traceback)
+    # along as a NOTE (r13 ADVICE: the r12 form re-raised inside the
+    # handler, overwriting body_err.__context__ — an index error that
+    # was itself chained lost part of its traceback). The index error's
+    # ORIGINAL chain must survive intact.
     with pytest.raises(RuntimeError, match="index chain broke") as exc:
         with _overlapped_write(bad_write):
-            raise RuntimeError("index chain broke")
-    assert isinstance(exc.value.__context__, OSError)
-    assert "disk full" in str(exc.value.__context__)
+            try:
+                raise KeyError("original inner cause")
+            except KeyError:
+                raise RuntimeError("index chain broke")
+    assert isinstance(exc.value.__context__, KeyError), (
+        "the index error's pre-existing __context__ was overwritten"
+    )
+    notes = "\n".join(getattr(exc.value, "__notes__", []))
+    assert "disk full" in notes and "OSError" in notes
 
     # write failed, chain fine: the write error raises (r11 contract)
     with pytest.raises(OSError, match="disk full"):
@@ -2742,4 +2751,190 @@ def test_indexed_salted_admission_matches_recompute(spark, tmp_path):
         _indexed_rejects_hotlog(
             spark, batch, str(tmp_path / "hotlog/idx"), 1, "doc_id", *args,
             max_doc_freq=None, max_bucket_size=4, bucket_cap_mode="bogus",
+        )
+
+
+def test_semantic_indexed_salted_admission_matches_recompute(spark, tmp_path):
+    """r13 (VERDICT r12 item 3): bucket_cap_mode='salt' threads through
+    the SEMANTIC indexed read path and matches the recompute form
+    (`embedding_batch_rejects`) on a planted popular embedding cluster
+    — the index's bucket table holds exactly the recompute form's
+    bucket rows, so the oversized-bucket lists, per-doc salts and
+    probed sub-bucket sets agree. Drop mode misses the near-cluster
+    batch vector on both faces; salt mode recovers it on both."""
+    import pytest
+
+    from pyspark_ingestion_spark.operators.similarity import (
+        embedding_batch_rejects,
+    )
+    from pyspark_ingestion_spark.streaming.pipeline import (
+        _admit_semantic_batch_indexed,
+        _semantic_rejects_indexed,
+    )
+
+    cluster = [(i, [1.0, 2.0, 3.0, 4.0]) for i in range(30)]
+    lone = [(200, [-1.0, 2.0, -3.0, 4.0]), (201, [1.0, -2.0, 3.0, -4.0])]
+    base = spark.createDataFrame(
+        cluster + lone, "vec_id long, embedding array<double>"
+    )
+    batch = spark.createDataFrame(
+        [
+            (1000, [1.0, 2.0, 3.0, 4.1]),
+            (1001, [-1.0, 2.0, -3.0, 4.05]),
+            (1002, [-0.5, -0.5, -0.5, -0.5]),
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    root = str(tmp_path / "sem")
+    # batch 0 bootstraps the index from the base corpus and admits a
+    # novel warmup vector; batch 1's rejects then come off the index
+    warmup = spark.createDataFrame(
+        [(5000, [-9.0, -9.0, 9.0, 9.0])], "vec_id long, embedding array<double>"
+    )
+    _admit_semantic_batch_indexed(
+        warmup, 0, base, f"{root}/out", f"{root}/idx",
+        id_col="vec_id", vec_col="embedding", threshold=0.95, n_dims=4,
+    )
+    corpus = base.unionByName(warmup)  # what the recompute form sees
+
+    def recompute(**kw):
+        return {
+            r["vec_id"]
+            for r in embedding_batch_rejects(
+                corpus, batch, threshold=0.95, n_dims=4, **kw
+            ).collect()
+        }
+
+    def indexed(**kw):
+        rej, _ = _semantic_rejects_indexed(
+            spark, batch, f"{root}/idx", 1, "vec_id", "embedding",
+            threshold=0.95, n_dims=4, **kw
+        )
+        return {r["vec_id"] for r in rej.collect()}
+
+    for kw in (
+        dict(max_bucket_size=None),
+        dict(max_bucket_size=4),
+        dict(max_bucket_size=4, bucket_cap_mode="salt"),
+    ):
+        assert indexed(**kw) == recompute(**kw), kw
+    assert indexed(max_bucket_size=4) == {1001}
+    assert indexed(max_bucket_size=4, bucket_cap_mode="salt") == {1000, 1001}
+
+    with pytest.raises(ValueError, match="max_bucket_size"):
+        indexed(max_bucket_size=0, bucket_cap_mode="salt")
+    from pyspark_ingestion_spark.streaming.pipeline import (
+        stream_semantic_admission,
+    )
+
+    with pytest.raises(ValueError, match="bucket_cap_mode"):
+        stream_semantic_admission(
+            batch, base, f"{root}/out2", f"{root}/ckpt2",
+            bucket_cap_mode="bogus",
+        )
+
+
+def test_stream_ivf_pq_assign_maintains_layout(spark, tmp_path):
+    """r13 (VERDICT r12 item 5): the IVF-PQ layout gets streaming
+    maintenance like every other index this engine maintains
+    incrementally. Pins: (1) the streamed layout's union equals one
+    batch ``ivf_pq_assign`` over the same rows (cells/codes are pure
+    per-row functions of the generation, so batching cannot change
+    them); (2) replay-overwrite idempotence; (3) the PERSISTED
+    generation governs after bootstrap — different tables passed on a
+    restart are ignored; (4) the per-batch read path is O(batch):
+    inputFiles touches the batch file (+ the bounded generation
+    tables) only, never the assigned layout; (5) loud bootstrap
+    failures for a missing generation and an n_sub/codebook mismatch."""
+    import glob
+    import shutil
+    import time
+
+    from pyspark_ingestion_spark.operators.similarity import (
+        ivf_pq_assign,
+        pq_codebooks,
+    )
+    from pyspark_ingestion_spark.streaming.pipeline import (
+        _assign_pq_batch,
+        _load_pq_generation,
+        stream_ivf_pq_assign,
+    )
+
+    rows = [(i, [float(i % 7), float(i % 5), float(i % 3), 1.0] * 4)
+            for i in range(60)]
+    schema = "vec_id long, embedding array<double>"
+    all_df = spark.createDataFrame(rows, schema)
+    cents = all_df.filter("vec_id < 2").selectExpr(
+        "CAST(vec_id AS INT) AS centroid_id", "embedding AS cvec"
+    )
+    cb = pq_codebooks(all_df, n_sub=4, k_codes=8, seed=1)
+
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+
+    def write_file(name, lo, hi):
+        stage = str(tmp_path / ("stage_" + name))
+        spark.createDataFrame(rows[lo:hi], schema).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(stage)
+        part = glob.glob(stage + "/part-*.parquet")[0]
+        shutil.copy(part, os.path.join(src, name + ".parquet"))
+        time.sleep(1.1)  # distinct mtimes -> deterministic batch order
+
+    write_file("a", 0, 30)
+    write_file("b", 30, 60)
+    layout = str(tmp_path / "layout")
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    stream_ivf_pq_assign(
+        stream, layout, str(tmp_path / "ckpt"), cents, cb, n_sub=4
+    )
+
+    key = lambda df: sorted(  # noqa: E731
+        (r["vec_id"], r["cell"], tuple(r["codes"])) for r in df.collect()
+    )
+    got = spark.read.parquet(f"{layout}/assigned").drop("__batch_id")
+    want = ivf_pq_assign(all_df, cents, cb, n_sub=4)
+    assert got.count() == 60
+    assert key(got) == key(want)
+
+    # replay idempotence: re-running batch 1 overwrites, never duplicates
+    b1 = spark.createDataFrame(rows[30:60], schema)
+    _assign_pq_batch(b1, 1, layout, None, None, "vec_id", "embedding", 4)
+    assert key(spark.read.parquet(f"{layout}/assigned").drop("__batch_id")) == key(want)
+
+    # the persisted generation governs: a restart passing DIFFERENT
+    # centroids cannot mix generations into the layout
+    bogus = all_df.filter("vec_id >= 58").selectExpr(
+        "CAST(vec_id AS INT) AS centroid_id", "embedding AS cvec"
+    )
+    _assign_pq_batch(b1, 1, layout, bogus, cb, "vec_id", "embedding", 4)
+    assert key(spark.read.parquet(f"{layout}/assigned").drop("__batch_id")) == key(want)
+
+    # O(batch) read path: the per-batch plan never scans the layout or
+    # any corpus-sized table — only the batch file (the generation
+    # tables are collected to bounded literals on the expr path)
+    batch_b = spark.read.parquet(os.path.join(src, "b.parquet"))
+    g_cents, g_cbs = _load_pq_generation(spark, layout)
+    plan = ivf_pq_assign(batch_b, g_cents, g_cbs, n_sub=4)
+    files = plan.inputFiles()
+    assert files, "expected a batch scan in the plan"
+    assert not any("/assigned/" in f for f in files), files
+    assert all(
+        "b.parquet" in f or "/centroids/" in f or "/codebooks/" in f
+        for f in files
+    ), files
+
+    # loud bootstrap failures
+    with pytest.raises(ValueError, match="bootstrap needs"):
+        _assign_pq_batch(
+            b1, 0, str(tmp_path / "nogen"), None, cb, "vec_id", "embedding", 4
+        )
+    with pytest.raises(ValueError, match="n_sub"):
+        _assign_pq_batch(
+            b1, 0, str(tmp_path / "badnsub"), cents, cb,
+            "vec_id", "embedding", 8,
         )
