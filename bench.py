@@ -250,6 +250,11 @@ def _stream_fingerprint_ctx(
 #: below exists to measure); cleaned up at the end of main()
 _PREASSIGNED_CORPUS: dict[str, str] = {}
 
+#: which physical encode form the bench's IVF-PQ config takes (r13,
+#: VERDICT r12 item 1: a silent literal-budget fallback flip must be
+#: visible in the JSON, not masquerade as cross-round drift)
+_PQ_ENCODE_BRANCH: dict[str, object] = {}
+
 
 def _ivf_pq_split(spark, sf_dir: str) -> tuple[float, float, float]:
     """ann_ivf_pq_topk with the FIT (KMeans centroid + 8 PQ codebook
@@ -284,6 +289,26 @@ def _ivf_pq_split(spark, sf_dir: str) -> tuple[float, float, float]:
     cents = kmeans_centroids(e, n_centroids=16, seed=42)
     cb = pq_codebooks(e, n_sub=8, k_codes=32, seed=42)
     fit_s = round(time.perf_counter() - t0, 3)
+
+    if not _PQ_ENCODE_BRANCH:
+        # record which encode form this config takes — the SAME literal
+        # arithmetic ivf_pq_assign branches on (similarity.py), so a
+        # budget change or a dim change flips this field, not silently
+        # the timings
+        from pyspark_ingestion_spark.operators import similarity as _sim
+
+        cdim = e.select(F.size("embedding").alias("d")).first()["d"]
+        n_lit = len(_sim.codebook_rows_of(cb)) * (cdim // 8) + len(
+            _sim.centroid_rows_of(cents)
+        ) * cdim
+        _PQ_ENCODE_BRANCH.update(
+            branch=(
+                "expr" if n_lit <= _sim._PQ_EXPR_MAX_LITERALS
+                else "aggregate_join"
+            ),
+            n_literals=n_lit,
+            budget=_sim._PQ_EXPR_MAX_LITERALS,
+        )
     queries = e.filter(F.col("vec_id") < 20).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
@@ -395,17 +420,38 @@ def _calibration_io_job(spark) -> float:
         shutil.rmtree(tmp, ignore_errors=True)
 
 
+#: reference wall-time of the small-jobs probe (r13 anchor, VERDICT
+#: r12 item 2: set from the in-context r12 reading, the same rule the
+#: CPU/IO anchors used — BENCH_r12 smalljobs_runs were [6.816, 6.418,
+#: 3.878, 4.049, 2.954]; the first two fences carry scheduler/JIT
+#: warmup, the steady in-context readings are [3.878, 4.049, 2.954],
+#: median 3.9).
+#:
+#: DECISION RULE — which probe governs the streaming rows: the IO
+#: probe (bulk write/shuffle throughput) remains the NORMALIZER for
+#: `per_pass_stream_scales` and the stream rows' normalized figures,
+#: keeping the r12→r13 normalized series comparable. The smalljobs
+#: scale is the cross-round ADJUDICATOR for the drift mode the IO
+#: probe provably misses (r12: stream batches ~30 % slow while the IO
+#: probe read near-anchor — scheduler/FS-metadata latency, not
+#: bandwidth): when the raw stream series drifts across rounds but the
+#: IO scales are flat, read `per_pass_smalljobs_scales` BEFORE
+#: suspecting code — smalljobs also flat ⇒ treat as code and
+#: scratch-clone A/B it; smalljobs elevated ⇒ machine-tier drift,
+#: covered. Both per-pass series ship in the JSON so either estimator
+#: is recomputable post hoc.
+_SMALLJOBS_CAL_REF_SEC = 3.9
+
+
 def _calibration_smalljobs_job(spark) -> float:
-    """DIAGNOSTIC probe (r12, unanchored): eight tiny Spark jobs, each
-    a ~200-row partitioned parquet write → read → count — pure
-    job-scheduling + filesystem-metadata latency, the cost profile of
-    the admission sinks' many-small-writes batches. Motivation: the r12
-    scratch-clone A/B caught a window where stream batches ran ~30 %
-    slow while the bulk-throughput IO probe read near its anchor — this
-    drift mode (scheduler/FS latency, not bandwidth) needs its own
-    series. Reported per stream pass in the calibration block; r13 can
-    anchor it once a cross-round baseline exists (anchoring a probe on
-    its first-round reading is how the CPU/IO anchors were set)."""
+    """Scheduler-latency probe (r12 diagnostic; ANCHORED r13): eight
+    tiny Spark jobs, each a ~200-row partitioned parquet write → read
+    → count — pure job-scheduling + filesystem-metadata latency, the
+    cost profile of the admission sinks' many-small-writes batches.
+    Motivation: the r12 scratch-clone A/B caught a window where stream
+    batches ran ~30 % slow while the bulk-throughput IO probe read
+    near its anchor — this drift mode needs its own series. Anchor and
+    governing rule: :data:`_SMALLJOBS_CAL_REF_SEC`."""
     import shutil
     import tempfile
 
@@ -514,6 +560,14 @@ def main() -> None:
         ((io_probes[i] + io_probes[i + 1]) / 2) / _IO_CAL_REF_SEC
         for i in range(1, n_batches)
     ]
+    # per-pass smalljobs scales (r13, VERDICT r12 item 2): same fence
+    # pairing as the IO scales; adjudication-only — see the decision
+    # rule on _SMALLJOBS_CAL_REF_SEC
+    smalljobs_pass_scales = [
+        ((smalljobs_probes[i] + smalljobs_probes[i + 1]) / 2)
+        / _SMALLJOBS_CAL_REF_SEC
+        for i in range(1, n_batches)
+    ]
 
     timings = {n: min(rs) for n, rs in runs.items()}
     detail = {
@@ -599,12 +653,23 @@ def main() -> None:
                     "stream_io_runs": io_probes,
                     "smalljobs_runs": smalljobs_probes,
                     "stream_io_ref_sec": _IO_CAL_REF_SEC,
+                    "smalljobs_ref_sec": _SMALLJOBS_CAL_REF_SEC,
                     "per_pass_stream_scales": [
                         round(s, 4) for s in stream_pass_scales
                     ],
+                    "per_pass_smalljobs_scales": [
+                        round(s, 4) for s in smalljobs_pass_scales
+                    ],
                     "stream_scale": round(med_stream_scale, 4),
-                    "mode": "per-pass median, dual-fence probes (r12)",
+                    "smalljobs_scale": round(
+                        statistics.median(smalljobs_pass_scales), 4
+                    ),
+                    "mode": (
+                        "per-pass median, dual-fence probes (r12); "
+                        "smalljobs anchored r13 (adjudication-only)"
+                    ),
                 },
+                "ivf_pq_encode_branch": _PQ_ENCODE_BRANCH or None,
                 "queries_normalized": normalized,
                 "queries_normalized_min": normalized_min,
                 "r1_comparable_total_normalized": round(
