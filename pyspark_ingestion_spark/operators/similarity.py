@@ -304,6 +304,8 @@ def embedding_near_dup_pairs(
     threshold: float = 0.3,
     n_dims: int = 4,
     max_bucket_size: int | None = None,
+    bucket_cap_mode: str = "drop",
+    salt_hash: str = "xxhash64",
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs, blocked by sign-bucket.
 
@@ -325,7 +327,20 @@ def embedding_near_dup_pairs(
     anti-join on the tiny oversized-bucket list) and fails the pipeline
     toward skipped comparisons rather than a runaway join; the durable
     fix is centering the embeddings or switching to trained IVF cells.
+
+    ``bucket_cap_mode="salt"`` (r13): the recall-preserving trade the
+    LSH/fingerprint pair searches already have — an oversized bucket
+    salt-splits into ``ceil(n/cap)`` deterministic sub-buckets
+    (``dedup._salt_big_buckets``) and pairs WITHIN a sub-bucket
+    survive, so a legitimately POPULAR semantic cluster keeps ~cap
+    candidate partners per vector (work per bucket n·cap, never n²)
+    instead of losing all in-cluster recall to the drop. Surviving
+    pairs ⊆ the uncapped set and ⊇ the drop set by construction.
     """
+    if bucket_cap_mode not in ("drop", "salt"):
+        raise ValueError(
+            f"bucket_cap_mode must be 'drop' or 'salt', got {bucket_cap_mode!r}"
+        )
     # The norm is computed ONCE PER ROW here, not once per candidate
     # pair: higher-order-function aggregates are interpreted (no
     # whole-stage codegen), so evaluating cosine as dot/(|a||b|) with
@@ -339,22 +354,33 @@ def embedding_near_dup_pairs(
         sign_bucket(vec_col, n_dims).alias("__bucket"),
         l2_norm(vec_col).alias("__norm"),
     )
+    join_on = F.col("a.__bucket") == F.col("b.__bucket")
     if max_bucket_size is not None:
-        big = (
-            b.groupBy("__bucket")
-            .agg(F.count(F.lit(1)).alias("__n"))
-            .filter(F.col("__n") > max_bucket_size)
-            .select("__bucket")
-        )
-        b = b.join(F.broadcast(big), "__bucket", "left_anti")
+        if bucket_cap_mode == "salt":
+            from pyspark_ingestion_spark.operators.dedup import (
+                _salt_big_buckets,
+            )
+
+            b = _salt_big_buckets(
+                b, max_bucket_size, keys=("__bucket",), doc_col="__id",
+                salt_hash=salt_hash,
+            )
+            join_on = join_on & (F.col("a.__salt") == F.col("b.__salt"))
+        else:
+            big = (
+                b.groupBy("__bucket")
+                .agg(F.count(F.lit(1)).alias("__n"))
+                .filter(F.col("__n") > max_bucket_size)
+                .select("__bucket")
+            )
+            b = b.join(F.broadcast(big), "__bucket", "left_anti")
     a, c = b.alias("a"), b.alias("b")
     denom = F.col("a.__norm") * F.col("b.__norm")
     cos = F.when(denom != 0, dot_product(F.col("a.__vec"), F.col("b.__vec")) / denom)
     return (
         a.join(
             c,
-            (F.col("a.__bucket") == F.col("b.__bucket"))
-            & (F.col("a.__id") < F.col("b.__id")),
+            join_on & (F.col("a.__id") < F.col("b.__id")),
         )
         .select(
             F.col("a.__id").alias("id_a"),

@@ -674,7 +674,8 @@ def dedup_fingerprint_salted_fixture(spark: SparkSession, sf_dir: str) -> DataFr
                FROM bb b LEFT JOIN bigs g
                  ON b.j = g.j AND b.band_val = g.band_val,
                     LATERAL (SELECT unnest(range(
-                      coalesce(least(g.nsalts, 2), 1))) AS k) p)
+                      CASE WHEN g.nsalts IS NULL THEN 1
+                           ELSE least(g.nsalts, 2) END)) AS k) p)
     SELECT DISTINCT b.doc
     FROM csalt c JOIN bprobe b
       ON c.j = b.j AND c.band_val = b.band_val AND c.salt = b.salt

@@ -4306,6 +4306,75 @@ def dedup_incremental_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "dedup_semantic_salted_admission_fixture",
+    oracle=f"""
+    WITH b AS (SELECT vec_id, embedding::DOUBLE[] AS v,
+                      CAST({_BUCKET4} AS INT) AS bucket
+               FROM embeddings),
+    c AS (SELECT * FROM b WHERE vec_id % 17 != 0),
+    q AS (SELECT * FROM b WHERE vec_id % 17 = 0),
+    bigs AS (SELECT bucket, CAST(ceil(count(*) / 32.0) AS BIGINT) AS nsalts
+             FROM c GROUP BY bucket HAVING count(*) > 32),
+    cs AS (SELECT c.vec_id, c.v, c.bucket,
+                  CASE WHEN g.nsalts IS NOT NULL THEN
+                    (('0x' || substr(md5(CAST(c.vec_id AS VARCHAR)), 1, 7))::BIGINT)
+                      % g.nsalts
+                  ELSE 0 END AS salt
+           FROM c LEFT JOIN bigs g ON c.bucket = g.bucket),
+    qp AS (SELECT q.vec_id, q.v, q.bucket,
+                  CASE WHEN g.nsalts IS NOT NULL THEN
+                    ((('0x' || substr(md5(CAST(q.vec_id AS VARCHAR)), 1, 7))::BIGINT)
+                      + p.k) % g.nsalts
+                  ELSE 0 END AS salt
+           FROM q LEFT JOIN bigs g ON q.bucket = g.bucket,
+                LATERAL (SELECT unnest(range(
+                  CASE WHEN g.nsalts IS NULL THEN 1
+                       ELSE least(g.nsalts, 2) END)) AS k) p),
+    m AS (SELECT a.vec_id AS bid, b.vec_id AS cid, ROUND({_PAIR_COSINE}, 6) AS sim
+          FROM qp a JOIN cs b ON a.bucket = b.bucket AND a.salt = b.salt
+          WHERE ROUND({_PAIR_COSINE}, 6) >= 0.3),
+    g AS (SELECT bid, count(*) AS n_matches, max(sim) AS best_sim
+          FROM m GROUP BY bid)
+    SELECT g.bid AS vec_id, CAST(g.n_matches AS BIGINT) AS n_matches,
+           g.best_sim, min(m.cid) AS best_match_id
+    FROM g JOIN m ON m.bid = g.bid AND m.sim = g.best_sim
+    GROUP BY 1, 2, 3
+    """,
+)
+def dedup_semantic_salted_admission_fixture(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Oracle-checked twin for the SEMANTIC salted admission (r13,
+    completing VERDICT r12 items 3+4's arc): ``dedup_incremental_
+    semantic``'s exact shape — sign-bucket cosine admission over the
+    embeddings table's %17 corpus/batch split — but with
+    ``max_bucket_size=32`` in ``bucket_cap_mode="salt"`` and the
+    md5-derived salt hash, so the DuckDB oracle recomputes the WHOLE
+    semantic salt arithmetic end-to-end: corpus bucket counts,
+    ceil(n/32) sub-bucket domains, both sides' salts (corpus
+    ``h(id) % nsalts``, batch probing ``(h(id)+j) % nsalts`` for
+    ``j < min(nsalts, 2)``), the salted candidate join, the 6-dp
+    cosine verify, and the per-reject n_matches/best_sim/
+    best_match_id aggregate. At sf0.01 the natural bucket populations
+    put 5 of the 16 sign buckets past the cap (populations 33-41 vs
+    the rest <= 32), so the salted AND the untouched salt-0 paths both
+    carry rows in the same run. The fingerprint twin
+    (``dedup_fingerprint_salted_admission_fixture``) checks the same
+    shared arithmetic on (j, band_val) keys; this one checks it on
+    the embedding tier's single-bucket keys and the semantic
+    aggregate tail."""
+    from pyspark_ingestion_spark.operators.similarity import embedding_batch_rejects
+
+    e = load_table(spark, sf_dir, "embeddings")
+    corpus = e.filter(F.col("vec_id") % 17 != 0)
+    batch = e.filter(F.col("vec_id") % 17 == 0)
+    return embedding_batch_rejects(
+        corpus, batch, threshold=0.3, n_dims=4, max_bucket_size=32,
+        bucket_cap_mode="salt", probe_salts=2, salt_hash="md5",
+    )
+
+
+@query(
     "bm25_scores",
     oracle=r"""
     WITH w AS (SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\s+')) AS term

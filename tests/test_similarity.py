@@ -969,3 +969,41 @@ def test_embedding_batch_rejects_salted_admission(spark):
         bb, big, probe_salts=4, keys=("__bucket",), doc_col="__id"
     )
     assert probed.count() <= bb.count() * 4
+
+
+def test_embedding_near_dup_pairs_salt_mode(spark):
+    """Self-join face of the semantic salt (r13): a planted popular
+    cluster whose sign bucket exceeds the cap loses ALL in-cluster
+    pairs under drop mode; salt mode keeps each vector ~cap partners
+    (pairs within a sub-bucket), with drop ⊆ salt ⊆ uncapped and every
+    surviving pair a genuine bucket collision."""
+    import pytest
+
+    from pyspark_ingestion_spark.operators.similarity import (
+        embedding_near_dup_pairs,
+    )
+
+    rows = [(i, [1.0 + i / 1000.0, 2.0, 3.0, 4.0]) for i in range(60)]
+    rows += [(200, [-1.0, 2.0, -3.0, 4.0]), (201, [-1.0, 2.0, -3.0, 4.05])]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    def pairs(**kw):
+        return {
+            (r["id_a"], r["id_b"])
+            for r in embedding_near_dup_pairs(
+                df, threshold=0.95, n_dims=4, **kw
+            ).collect()
+        }
+
+    uncapped = pairs()
+    assert (200, 201) in uncapped
+    assert len(uncapped) == 60 * 59 // 2 + 1  # full cluster + the lone pair
+    dropped = pairs(max_bucket_size=10)
+    assert dropped == {(200, 201)}  # all in-cluster recall lost
+    salted = pairs(max_bucket_size=10, bucket_cap_mode="salt")
+    assert dropped <= salted <= uncapped
+    in_cluster = {p for p in salted if p != (200, 201)}
+    assert in_cluster, "salt mode kept no in-cluster pairs"
+    assert len(in_cluster) < 60 * 59 // 2  # bounded, not the full quadratic
+    with pytest.raises(ValueError, match="bucket_cap_mode"):
+        pairs(max_bucket_size=10, bucket_cap_mode="bogus")

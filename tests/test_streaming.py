@@ -2938,3 +2938,62 @@ def test_stream_ivf_pq_assign_maintains_layout(spark, tmp_path):
             b1, 0, str(tmp_path / "badnsub"), cents, cb,
             "vec_id", "embedding", 8,
         )
+
+
+def test_admission_chained_into_ivf_pq_layout(spark, tmp_path):
+    """Integration pin for the documented chaining shape (r13): a
+    semantic admission sink's out_path re-streamed as a file source
+    into `stream_ivf_pq_assign` — the ANN layout ends up holding
+    exactly the admitted vectors, with the cells/codes one batch
+    `ivf_pq_assign` over the admitted set would produce."""
+    from pyspark_ingestion_spark.operators.similarity import (
+        ivf_pq_assign,
+        pq_codebooks,
+    )
+    from pyspark_ingestion_spark.streaming.pipeline import (
+        stream_ivf_pq_assign,
+        stream_semantic_admission,
+    )
+
+    base = spark.createDataFrame(
+        [(i, [1.0 + i / 100.0, 2.0, -3.0, 4.0]) for i in range(10)],
+        "vec_id long, embedding array<double>",
+    )
+    # two stream rows: one near-dup of the base cluster (rejected), one
+    # novel vector (admitted)
+    feed = str(tmp_path / "feed")
+    spark.createDataFrame(
+        [(100, [1.05, 2.0, -3.0, 4.0]), (101, [-5.0, -6.0, 7.0, -8.0])],
+        "vec_id long, embedding array<double>",
+    ).coalesce(1).write.parquet(feed)
+    out = str(tmp_path / "admitted")
+    stream = spark.readStream.schema(
+        "vec_id long, embedding array<double>"
+    ).parquet(feed)
+    stream_semantic_admission(
+        stream, base, out, str(tmp_path / "ck1"),
+        threshold=0.95, n_dims=4, index_path=str(tmp_path / "semidx"),
+    )
+    admitted = spark.read.parquet(out).select("vec_id", "embedding")
+    assert {r["vec_id"] for r in admitted.collect()} == {101}
+
+    # chain: admitted out_path -> file stream -> IVF-PQ layout
+    cents = base.filter("vec_id < 2").selectExpr(
+        "CAST(vec_id AS INT) AS centroid_id", "embedding AS cvec"
+    )
+    cb = pq_codebooks(base, n_sub=4, k_codes=4, seed=1)
+    layout = str(tmp_path / "layout")
+    stream2 = spark.readStream.schema(
+        "vec_id long, embedding array<double>, __batch_id int"
+    ).parquet(out)
+    stream_ivf_pq_assign(
+        stream2, layout, str(tmp_path / "ck2"), cents, cb, n_sub=4
+    )
+    key = lambda df: sorted(  # noqa: E731
+        (r["vec_id"], r["cell"], tuple(r["codes"])) for r in df.collect()
+    )
+    got = spark.read.parquet(f"{layout}/assigned").select(
+        "vec_id", "cell", "codes"
+    )
+    want = ivf_pq_assign(admitted, cents, cb, n_sub=4)
+    assert key(got) == key(want)
