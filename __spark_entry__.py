@@ -105,6 +105,12 @@ _CHANGED_THIS_ROUND = {
     # cross-side admission fixture itself is never-verified and enters
     # ahead of the rotation automatically
     "dedup_incremental_image",
+    # r13: containment_pairs gained the bloom_bits prefilter branch
+    # (default bloom_bits=None path re-proven here; the armed path's
+    # own row, bloom_prefilter_decontaminate, is never-verified and
+    # enters ahead of the rotation automatically)
+    "contamination_check",
+    "corpus_decontaminate",
 }
 
 

@@ -730,6 +730,8 @@ def containment_pairs(
     threshold_num: int = 1,
     threshold_den: int = 2,
     max_doc_freq: int | float | None = None,
+    bloom_bits: int | None = None,
+    bloom_hashes: int = 4,
 ) -> DataFrame:
     """Cross-corpus contamination: benchmark docs whose n-grams appear in
     the training corpus.
@@ -748,6 +750,16 @@ def containment_pairs(
     frequency is meaningful) and the resulting hot-shingle set is
     dropped from BOTH sides — including the ``bench_size`` denominator —
     so containment stays a ratio over the same shingle universe.
+
+    ``bloom_bits`` arms the 100 TB prefilter: a Bloom sketch of the
+    bench-side shingles (``operators/bloom.py``) is built (one extra
+    aggregation over the SMALL side + an O(bits/64) collect) and applied
+    as a scan-side predicate on the corpus shingle stream BEFORE the
+    equi-join, so corpus shingles that cannot possibly collide with the
+    bench never enter the exchange. Zero false negatives by the shared
+    hash contract; false positives are removed by the exact join — the
+    result is bit-identical to ``bloom_bits=None`` (property-pinned),
+    only the shuffled volume changes.
     """
     # NOTE: the bench side is small by definition (it's the benchmark /
     # new batch), so it is NOT persisted — recomputing its shingle
@@ -755,6 +767,17 @@ def containment_pairs(
     # the CacheManager per invocation (persist() here is never paired
     # with an unpersist because the result is returned lazily).
     sb, sc = _cross_shingle_tables(corpus, bench, id_col, text_col, n, max_doc_freq)
+    if bloom_bits is not None:
+        from pyspark_ingestion_spark.operators.bloom import (
+            bloom_build,
+            bloom_might_contain,
+            bloom_words,
+        )
+
+        words = bloom_words(
+            bloom_build(sb, "shingle", bloom_bits, bloom_hashes), bloom_bits
+        )
+        sc = sc.filter(bloom_might_contain("shingle", words, bloom_bits, bloom_hashes))
     bsz = sb.groupBy("doc").agg(F.count(F.lit(1)).alias("bench_size"))
     inter = (
         sb.select(F.col("doc").alias("bench_id"), "shingle")

@@ -1625,6 +1625,88 @@ def corpus_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", "source")
 
 
+@query(
+    "bloom_prefilter_decontaminate",
+    # the oracle is EXACT decontamination, verbatim from
+    # corpus_decontaminate — the whole point: the Bloom prefilter prunes
+    # shuffle volume without changing one output row (no false negatives
+    # by the shared hash contract; false positives die in the exact join)
+    oracle=r"""
+    WITH wb AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS ws
+                FROM documents WHERE source = 'src0'),
+    shb AS (SELECT DISTINCT doc_id AS bench_id, array_to_string(ws[i:i+2], ' ') AS shingle
+            FROM wb, LATERAL (SELECT unnest(range(1, greatest(len(ws)-2, 1) + 1)) AS i)),
+    wc AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS ws
+           FROM documents WHERE source != 'src0'),
+    shc AS (SELECT DISTINCT doc_id AS corpus_id, array_to_string(ws[i:i+2], ' ') AS shingle
+            FROM wc, LATERAL (SELECT unnest(range(1, greatest(len(ws)-2, 1) + 1)) AS i)),
+    bsz AS (SELECT bench_id, count(*) AS bench_size FROM shb GROUP BY 1),
+    inter AS (SELECT b.bench_id, c.corpus_id, count(*) AS overlap
+              FROM shb b JOIN shc c ON b.shingle = c.shingle GROUP BY 1, 2),
+    dirty AS (SELECT DISTINCT i.corpus_id
+              FROM inter i JOIN bsz s ON i.bench_id = s.bench_id
+              WHERE 2 * i.overlap >= s.bench_size)
+    SELECT d.doc_id, d.source
+    FROM documents d ANTI JOIN dirty ON d.doc_id = dirty.corpus_id
+    WHERE d.source != 'src0'
+    """,
+)
+def bloom_prefilter_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decontamination with the Bloom scan-side prefilter armed.
+
+    Identical semantics to ``corpus_decontaminate`` — the oracle IS the
+    exact decontamination SQL — but the corpus shingle stream is pruned
+    by a 2^16-bit Bloom of the bench shingles BEFORE the containment
+    join's exchange. At 100 TB that exchange is the query's dominant
+    cost and the Bloom is 8 KB of plan literal: the corpus never
+    shuffles shingles that cannot collide with the eval set. The
+    hash-green driver row proves the prefilter admits no false drops
+    end-to-end (a single false negative would change the output set).
+    """
+    d = load_table(spark, sf_dir, "documents")
+    bench = d.filter(F.col("source") == "src0")
+    corpus = d.filter(F.col("source") != "src0")
+    dirty = (
+        containment_pairs(
+            corpus,
+            bench,
+            "doc_id",
+            "text",
+            n=3,
+            threshold_num=1,
+            threshold_den=2,
+            bloom_bits=1 << 16,
+        )
+        .select("corpus_id")
+        .distinct()
+    )
+    return corpus.join(
+        F.broadcast(dirty), corpus["doc_id"] == dirty["corpus_id"], "left_anti"
+    ).select("doc_id", "source")
+
+
+@query("agg_bloom_sketch", oracle=None)  # sketch bitset → rows-only + pytest pins
+def agg_bloom_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Bloom sketch as a first-class value: the 2^12-bit bitset of
+    benchmark-doc shingles, as (word_idx, word) rows — persistable,
+    mergeable (bitwise-OR, map-side combinable like the HLL/KLL/theta
+    sketches), and broadcastable as a scan-side membership prefilter.
+    Deterministic (xxhash64) but not DuckDB-mirrorable → rows-only;
+    zero-false-negative, merge-exactness and FP-rate bounds are pinned
+    in tests/test_bloom.py, and the composed end-to-end proof is the
+    hash-green ``bloom_prefilter_decontaminate`` row.
+    """
+    from pyspark_ingestion_spark.operators.bloom import bloom_build
+    from pyspark_ingestion_spark.operators.dedup import _shingle_table
+
+    d = load_table(spark, sf_dir, "documents")
+    bench = d.filter(F.col("source") == "src0")
+    sh = _shingle_table(bench, "doc_id", "text", 3)
+    return bloom_build(sh, "shingle", num_bits=1 << 12, num_hashes=4).orderBy(
+        "word_idx"
+    )
+
+
 @query("agg_approx_percentile", oracle=None)  # sketch → rows-only + pytest bound
 def agg_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mergeable quantile sketch (approx_percentile) — the scalable form
