@@ -1056,6 +1056,106 @@ def ivf_pq_assign(
     )
 
 
+def ivf_cell_residual_stats(
+    assigned: DataFrame,
+    centroids: DataFrame,
+    cell_col: str = "cell",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Per-cell residual statistics of an IVF layout — the health signal
+    that decides when a centroid generation needs retraining.
+
+    For each vector, the L2 residual to its ASSIGNED centroid is
+    ``sqrt(v·v − 2·v·c + c·c)`` (three ``dot_product`` folds — the same
+    index-order float arithmetic a SQL mirror computes, so the per-row
+    residual is cross-engine exact at 6 dp). Per cell:
+    ``(cell, n_vectors, sum_residual, avg_residual, max_residual)``.
+    ``sum_residual`` is left unrounded and makes the stats MERGEABLE
+    (``n``/``sum`` re-aggregate across batches/partitions exactly like
+    the sketch family; ``avg = sum/n`` derives at read time);
+    avg/max are rounded (4/6 dp) for oracle-stable display.
+
+    Scale shape: the centroid table broadcasts (K rows), the layout
+    streams past it with one map-side-combinable aggregation — no
+    corpus shuffle beyond the K-cell rollup.
+    """
+    cents = centroids.select(
+        F.col("centroid_id").alias(cell_col), F.col("cvec")
+    )
+    rr = assigned.join(F.broadcast(cents), cell_col).select(
+        cell_col,
+        F.round(
+            F.sqrt(
+                F.greatest(
+                    dot_product(vec_col, vec_col)
+                    - F.lit(2.0) * dot_product(vec_col, "cvec")
+                    + dot_product("cvec", "cvec"),
+                    F.lit(0.0),
+                )
+            ),
+            6,
+        ).alias("__r"),
+    )
+    return rr.groupBy(cell_col).agg(
+        F.count(F.lit(1)).alias("n_vectors"),
+        F.sum("__r").alias("sum_residual"),
+        F.round(F.avg("__r"), 4).alias("avg_residual"),
+        F.round(F.max("__r"), 6).alias("max_residual"),
+    )
+
+
+def ivf_drift_flags(
+    current: DataFrame,
+    baseline: DataFrame,
+    cell_col: str = "cell",
+    min_rows: int = 1,
+    max_ratio: float = 1.05,
+) -> DataFrame:
+    """Retrain trigger: cells whose newly-admitted vectors sit measurably
+    farther from their centroid than the train-time population did.
+
+    ``current`` / ``baseline`` are :func:`ivf_cell_residual_stats`
+    frames (current = the post-training window, e.g. the streaming
+    stats table's rollup; baseline = the corpus the generation was
+    trained on). Per current cell:
+    ``drift_ratio = round(avg_current / avg_baseline, 4)`` and
+    ``retrain = n_vectors >= min_rows AND (ratio > max_ratio OR no
+    baseline)`` — a cell that had no training mass receiving vectors is
+    drift by definition. Ratios divide the already-rounded averages, so
+    the flag is deterministic cross-engine. Both inputs are K-row
+    tables; the join broadcasts trivially.
+    """
+    cur = current.select(
+        cell_col,
+        "n_vectors",
+        "avg_residual",
+    )
+    base = baseline.select(
+        F.col(cell_col),
+        F.col("avg_residual").alias("baseline_avg"),
+    )
+    ratio = F.round(F.col("avg_residual") / F.col("baseline_avg"), 4)
+    return (
+        cur.join(F.broadcast(base), cell_col, "left")
+        .select(
+            cell_col,
+            "n_vectors",
+            "avg_residual",
+            "baseline_avg",
+            ratio.alias("drift_ratio"),
+            (
+                (F.col("n_vectors") >= F.lit(min_rows))
+                & (
+                    F.col("baseline_avg").isNull()
+                    | (ratio > F.lit(max_ratio))
+                )
+            )
+            .cast("int")
+            .alias("retrain"),
+        )
+    )
+
+
 def ivf_pq_topk(
     corpus: DataFrame,
     queries: DataFrame,

@@ -1292,6 +1292,90 @@ def ann_ivf_kmeans_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_topk(e, queries, k=5, centroids=cents, nprobe=8)
 
 
+@query(
+    "ann_ivf_drift_monitor",
+    oracle="""
+    WITH c AS (SELECT CAST(vec_id AS INT) AS cid, embedding::DOUBLE[] AS cv
+               FROM embeddings WHERE vec_id < 8),
+    assigned AS (
+        SELECT vec_id, v, cell FROM (
+            SELECT e.vec_id, e.v, c.cid AS cell,
+                   row_number() OVER (
+                       PARTITION BY e.vec_id
+                       ORDER BY ROUND(list_dot_product(e.v, c.cv)
+                                / (sqrt(list_dot_product(e.v, e.v))
+                                 * sqrt(list_dot_product(c.cv, c.cv))), 6) DESC,
+                                c.cid ASC) AS rn
+            FROM (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings) e
+            CROSS JOIN c)
+        WHERE rn = 1),
+    rr AS (SELECT a.vec_id, a.cell,
+                  ROUND(sqrt(greatest(list_dot_product(a.v, a.v)
+                        - 2 * list_dot_product(a.v, c.cv)
+                        + list_dot_product(c.cv, c.cv), 0)), 6) AS r
+           FROM assigned a JOIN c ON a.cell = c.cid),
+    cur AS (SELECT cell, COUNT(*) AS n_new, ROUND(avg(r), 4) AS avg_residual
+            FROM rr WHERE vec_id % 5 = 0 GROUP BY cell),
+    base AS (SELECT cell, ROUND(avg(r), 4) AS baseline_avg
+             FROM rr WHERE vec_id % 5 != 0 GROUP BY cell)
+    SELECT cur.cell, cur.n_new, cur.avg_residual, base.baseline_avg,
+           ROUND(cur.avg_residual / base.baseline_avg, 4) AS drift_ratio,
+           CAST(cur.n_new >= 5 AND (base.baseline_avg IS NULL
+                OR ROUND(cur.avg_residual / base.baseline_avg, 4) > 1.02)
+                AS INT) AS retrain
+    FROM cur LEFT JOIN base ON cur.cell = base.cell
+    """,
+)
+def ann_ivf_drift_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Centroid-drift monitor for an IVF(-PQ) generation — the retrain
+    trigger the streaming layout maintenance needs (a frozen centroid
+    generation silently degrades recall as the admitted distribution
+    moves; residual growth is the observable).
+
+    A 20 % "newly admitted" slice (vec_id % 5 == 0) is compared against
+    the "train-time" population (the rest) per assigned cell: L2
+    residual to the assigned centroid (v·v − 2·v·c + c·c, cross-engine
+    exact at 6 dp), averaged per cell, ratioed against the baseline,
+    flagged when the rounded ratio exceeds 1.05× — here 1.02 so the
+    fixture data exercises both flag values. Full SQL oracle over the
+    stub 8-centroid quantizer (same assignment mirror as
+    ``ann_ivf_topk``); the streaming stats feed is
+    ``stream_ivf_pq_assign(stats_path=...)``, equivalence pinned in
+    tests/test_streaming.py.
+    """
+    from pyspark_ingestion_spark.operators.similarity import (
+        assign_ivf_cells,
+        ivf_cell_residual_stats,
+        ivf_drift_flags,
+    )
+
+    e = load_table(spark, sf_dir, "embeddings")
+    cents = e.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").cast("int").alias("centroid_id"),
+        F.col("embedding").cast("array<double>").alias("cvec"),
+    )
+    cur = ivf_cell_residual_stats(
+        assign_ivf_cells(
+            e.filter(F.col("vec_id") % 5 == 0), cents, "vec_id", "embedding"
+        ),
+        cents,
+    )
+    base = ivf_cell_residual_stats(
+        assign_ivf_cells(
+            e.filter(F.col("vec_id") % 5 != 0), cents, "vec_id", "embedding"
+        ),
+        cents,
+    )
+    return ivf_drift_flags(cur, base, min_rows=5, max_ratio=1.02).select(
+        "cell",
+        F.col("n_vectors").alias("n_new"),
+        "avg_residual",
+        "baseline_avg",
+        "drift_ratio",
+        "retrain",
+    )
+
+
 @query("ann_ivf_pq_topk", oracle=None)
 def ann_ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-PQ: trained IVF cells + product-quantization codes, asymmetric

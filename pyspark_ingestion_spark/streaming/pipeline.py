@@ -3157,6 +3157,7 @@ def _assign_pq_batch(
     id_col: str,
     vec_col: str,
     n_sub: int,
+    stats_path: str | None = None,
 ) -> None:
     """One micro-batch of :func:`stream_ivf_pq_assign`: bootstrap the
     generation if absent, run ``ivf_pq_assign`` over ONLY the batch's
@@ -3213,6 +3214,22 @@ def _assign_pq_batch(
         f"{layout_path}/{_PQ_LAYOUT_ASSIGNED}",
         ["__batch_id"],
     )
+    if stats_path is not None:
+        from pyspark_ingestion_spark.operators.similarity import (
+            ivf_cell_residual_stats,
+        )
+
+        # mergeable per-batch residual stats (the drift-monitor feed):
+        # n/sum re-aggregate exactly, avg derives at read time — same
+        # replay-overwrite idempotence as the layout itself
+        stats = ivf_cell_residual_stats(assigned, cents, vec_col=vec_col).select(
+            "cell", "n_vectors", "sum_residual", "max_residual"
+        )
+        overwrite_partitions(
+            stats.withColumn("__batch_id", F.lit(batch_id)),
+            stats_path,
+            ["__batch_id"],
+        )
 
 
 def stream_ivf_pq_assign(
@@ -3224,6 +3241,7 @@ def stream_ivf_pq_assign(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     n_sub: int = 8,
+    stats_path: str | None = None,
 ) -> None:
     """Streaming maintenance for the IVF-PQ layout (r13, VERDICT r12
     item 5): each micro-batch of vectors gets its ``cell`` and
@@ -3247,12 +3265,21 @@ def stream_ivf_pq_assign(
     shuffle anywhere in the batch plan (inputFiles-pinned in tests).
     Exactly-once via the shared ``__batch_id`` dynamic-overwrite
     replay contract. Chain after an admission sink by streaming its
-    ``out_path`` (file source) into this one."""
+    ``out_path`` (file source) into this one.
+
+    ``stats_path`` (r13) additionally appends per-batch MERGEABLE
+    residual stats ``(cell, n_vectors, sum_residual, max_residual)``
+    against the generation's centroids — the drift-monitor feed:
+    roll the stats table up (sum n/sum, max max; avg = sum/n) and pass
+    it with the train-time baseline to
+    ``operators.similarity.ivf_drift_flags`` to get per-cell retrain
+    triggers without ever rescanning the corpus. Same O(batch) and
+    replay-overwrite contract as the layout write."""
     q = (
         stream_df.writeStream.foreachBatch(
             lambda batch_df, batch_id: _assign_pq_batch(
                 batch_df, batch_id, layout_path, centroids, codebooks,
-                id_col, vec_col, n_sub,
+                id_col, vec_col, n_sub, stats_path,
             )
         )
         .option("checkpointLocation", checkpoint)

@@ -1007,3 +1007,83 @@ def test_embedding_near_dup_pairs_salt_mode(spark):
     assert len(in_cluster) < 60 * 59 // 2  # bounded, not the full quadratic
     with pytest.raises(ValueError, match="bucket_cap_mode"):
         pairs(max_bucket_size=10, bucket_cap_mode="bogus")
+
+
+def test_ivf_drift_monitor_flags_planted_drift(spark):
+    """r13: the retrain trigger. A generation trained on tight clusters
+    around two centroids; the 'newly admitted' window drifts away from
+    centroid 1 only — its cell must flag retrain, the stable cell must
+    not, and a cell with no training baseline must flag by definition."""
+    from pyspark_ingestion_spark.operators.similarity import (
+        assign_ivf_cells,
+        ivf_cell_residual_stats,
+        ivf_drift_flags,
+    )
+
+    cents = spark.createDataFrame(
+        [(0, [10.0, 0.0, 0.0, 0.0]), (1, [0.0, 10.0, 0.0, 0.0]),
+         (2, [0.0, 0.0, 10.0, 0.0])],
+        "centroid_id int, cvec array<double>",
+    )
+    # baseline: tight around centroids 0 and 1 (cell 2 has NO baseline)
+    base_rows = [(i, [10.0, 0.1 * (i % 3), 0.0, 0.0]) for i in range(20)]
+    base_rows += [(100 + i, [0.1 * (i % 3), 10.0, 0.0, 0.0]) for i in range(20)]
+    base = spark.createDataFrame(base_rows, "vec_id long, embedding array<double>")
+    # current: cell 0 stays tight, cell 1 drifts far, cell 2 appears
+    cur_rows = [(200 + i, [10.0, 0.1 * (i % 3), 0.0, 0.0]) for i in range(10)]
+    cur_rows += [(300 + i, [0.0, 10.0, 6.0, 0.0]) for i in range(10)]
+    cur_rows += [(400 + i, [0.0, 0.0, 10.0, 1.0]) for i in range(10)]
+    cur = spark.createDataFrame(cur_rows, "vec_id long, embedding array<double>")
+
+    stats = lambda df: ivf_cell_residual_stats(  # noqa: E731
+        assign_ivf_cells(df, cents, "vec_id", "embedding"), cents
+    )
+    flags = {
+        r["cell"]: r
+        for r in ivf_drift_flags(stats(cur), stats(base), min_rows=5).collect()
+    }
+    assert flags[0]["retrain"] == 0  # stable cell
+    assert flags[1]["retrain"] == 1 and flags[1]["drift_ratio"] > 1.05  # drifted
+    assert flags[2]["retrain"] == 1 and flags[2]["baseline_avg"] is None  # no baseline
+    # min_rows gates thin evidence: nothing flags at min_rows > window size
+    thin = ivf_drift_flags(stats(cur), stats(base), min_rows=11).collect()
+    assert all(r["retrain"] == 0 for r in thin)
+
+
+def test_ivf_residual_stats_are_mergeable(spark):
+    """n/sum re-aggregate across splits to the whole-frame stats — the
+    property that lets per-batch streaming stats roll up into the
+    drift monitor without rescanning vectors."""
+    import pyspark.sql.functions as F
+
+    from pyspark_ingestion_spark.operators.similarity import (
+        assign_ivf_cells,
+        ivf_cell_residual_stats,
+    )
+
+    cents = spark.createDataFrame(
+        [(0, [5.0, 1.0, 0.0, 0.0]), (1, [0.0, 1.0, 5.0, 0.0])],
+        "centroid_id int, cvec array<double>",
+    )
+    rows = [(i, [float(i % 7), 1.0, float(i % 4), 0.5]) for i in range(40)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    stats = lambda d: ivf_cell_residual_stats(  # noqa: E731
+        assign_ivf_cells(d, cents, "vec_id", "embedding"), cents
+    )
+    whole = {r["cell"]: r for r in stats(df).collect()}
+    parts = (
+        stats(df.filter("vec_id < 17"))
+        .unionByName(stats(df.filter("vec_id >= 17")))
+        .groupBy("cell")
+        .agg(
+            F.sum("n_vectors").alias("n"),
+            F.sum("sum_residual").alias("s"),
+            F.max("max_residual").alias("mx"),
+        )
+    )
+    for r in parts.collect():
+        w = whole[r["cell"]]
+        assert r["n"] == w["n_vectors"]
+        assert abs(r["s"] - w["sum_residual"]) < 1e-9
+        assert r["mx"] == w["max_residual"]
+        assert round(r["s"] / r["n"], 4) == w["avg_residual"]

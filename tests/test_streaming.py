@@ -2997,3 +2997,76 @@ def test_admission_chained_into_ivf_pq_layout(spark, tmp_path):
     )
     want = ivf_pq_assign(admitted, cents, cb, n_sub=4)
     assert key(got) == key(want)
+
+
+def test_stream_ivf_pq_assign_stats_feed(spark, tmp_path):
+    """r13: the drift-monitor feed. stats_path appends per-batch
+    MERGEABLE residual stats next to the layout. Pins: (1) the rolled-up
+    stats table equals one batch ivf_cell_residual_stats over all
+    streamed vectors; (2) replay-overwrite idempotence (re-running a
+    batch never double-counts its stats); (3) the rollup chains into
+    ivf_drift_flags against a baseline without touching vectors."""
+    from pyspark_ingestion_spark.operators.similarity import (
+        ivf_cell_residual_stats,
+        ivf_drift_flags,
+        ivf_pq_assign,
+        pq_codebooks,
+    )
+    from pyspark_ingestion_spark.streaming.pipeline import _assign_pq_batch
+
+    rows = [(i, [float(i % 7), float(i % 5), float(i % 3), 1.0] * 4)
+            for i in range(60)]
+    schema = "vec_id long, embedding array<double>"
+    all_df = spark.createDataFrame(rows, schema)
+    cents = all_df.filter("vec_id < 2").selectExpr(
+        "CAST(vec_id AS INT) AS centroid_id", "embedding AS cvec"
+    )
+    cb = pq_codebooks(all_df, n_sub=4, k_codes=8, seed=1)
+    layout = str(tmp_path / "layout")
+    stats_path = str(tmp_path / "stats")
+
+    for bid, (lo, hi) in enumerate([(0, 30), (30, 60)]):
+        _assign_pq_batch(
+            spark.createDataFrame(rows[lo:hi], schema), bid, layout,
+            cents, cb, "vec_id", "embedding", 4, stats_path,
+        )
+
+    def rollup():
+        return (
+            spark.read.parquet(stats_path)
+            .groupBy("cell")
+            .agg(
+                F.sum("n_vectors").alias("n_vectors"),
+                F.sum("sum_residual").alias("sum_residual"),
+                F.round(F.sum("sum_residual") / F.sum("n_vectors"), 4).alias(
+                    "avg_residual"
+                ),
+                F.max("max_residual").alias("max_residual"),
+            )
+        )
+
+    want = {
+        r["cell"]: r
+        for r in ivf_cell_residual_stats(
+            ivf_pq_assign(all_df, cents, cb, n_sub=4), cents
+        ).collect()
+    }
+    def check():
+        got = {r["cell"]: r for r in rollup().collect()}
+        assert set(got) == set(want)
+        for c, g in got.items():
+            assert g["n_vectors"] == want[c]["n_vectors"]
+            assert abs(g["sum_residual"] - want[c]["sum_residual"]) < 1e-9
+            assert g["avg_residual"] == want[c]["avg_residual"]
+            assert g["max_residual"] == want[c]["max_residual"]
+
+    check()
+    # replay idempotence: re-running batch 1 must not double-count
+    _assign_pq_batch(
+        spark.createDataFrame(rows[30:60], schema), 1, layout,
+        None, None, "vec_id", "embedding", 4, stats_path,
+    )
+    check()
+    # the feed chains into the retrain trigger with no vector rescan
+    flags = ivf_drift_flags(rollup(), rollup(), min_rows=1).collect()
+    assert flags and all(r["retrain"] == 0 for r in flags)  # self vs self: stable
