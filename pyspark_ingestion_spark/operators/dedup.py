@@ -732,6 +732,7 @@ def containment_pairs(
     max_doc_freq: int | float | None = None,
     bloom_bits: int | None = None,
     bloom_hashes: int = 4,
+    bloom_state: list[int] | None = None,
 ) -> DataFrame:
     """Cross-corpus contamination: benchmark docs whose n-grams appear in
     the training corpus.
@@ -760,6 +761,12 @@ def containment_pairs(
     hash contract; false positives are removed by the exact join — the
     result is bit-identical to ``bloom_bits=None`` (property-pinned),
     only the shuffled volume changes.
+
+    ``bloom_state`` (a pre-densified word list of the SAME bits/hashes
+    shape) skips the build+collect — the streaming decontamination sink
+    computes it once per sink, not per micro-batch. A superset state
+    (e.g. built before a ``max_doc_freq`` hot-drop) is safe: extra set
+    bits only admit false positives, which the exact join removes.
     """
     # NOTE: the bench side is small by definition (it's the benchmark /
     # new batch), so it is NOT persisted — recomputing its shingle
@@ -774,8 +781,12 @@ def containment_pairs(
             bloom_words,
         )
 
-        words = bloom_words(
-            bloom_build(sb, "shingle", bloom_bits, bloom_hashes), bloom_bits
+        words = (
+            bloom_state
+            if bloom_state is not None
+            else bloom_words(
+                bloom_build(sb, "shingle", bloom_bits, bloom_hashes), bloom_bits
+            )
         )
         sc = sc.filter(bloom_might_contain("shingle", words, bloom_bits, bloom_hashes))
     bsz = sb.groupBy("doc").agg(F.count(F.lit(1)).alias("bench_size"))

@@ -1169,6 +1169,60 @@ def dedup_incremental_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
     return batch.join(F.broadcast(rejects), "doc_id", "left_anti").select("doc_id")
 
 
+@query(
+    "dedup_incremental_decontaminate",
+    oracle=r"""
+    WITH wb AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS ws
+                FROM documents WHERE source = 'src0'),
+    shb AS (SELECT DISTINCT doc_id AS bench_id, array_to_string(ws[i:i+2], ' ') AS shingle
+            FROM wb, LATERAL (SELECT unnest(range(1, greatest(len(ws)-2, 1) + 1)) AS i)),
+    wc AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS ws
+           FROM documents WHERE source = 'src19'),
+    shc AS (SELECT DISTINCT doc_id AS batch_id, array_to_string(ws[i:i+2], ' ') AS shingle
+            FROM wc, LATERAL (SELECT unnest(range(1, greatest(len(ws)-2, 1) + 1)) AS i)),
+    bsz AS (SELECT bench_id, count(*) AS bench_size FROM shb GROUP BY 1),
+    inter AS (SELECT b.bench_id, c.batch_id, count(*) AS overlap
+              FROM shb b JOIN shc c ON b.shingle = c.shingle GROUP BY 1, 2),
+    dirty AS (SELECT DISTINCT i.batch_id
+              FROM inter i JOIN bsz s ON i.bench_id = s.bench_id
+              WHERE 2 * i.overlap >= s.bench_size)
+    SELECT d.doc_id FROM documents d ANTI JOIN dirty ON d.doc_id = dirty.batch_id
+    WHERE d.source = 'src19'
+    """,
+)
+def dedup_incremental_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch admission by eval-set DECONTAMINATION — the per-micro-batch
+    arithmetic of ``streaming.pipeline.stream_decontaminate_admission``
+    (the admission family's one gate with a FIXED reference set): src19
+    docs ≥50 % shingle-containing any src0 (eval) doc are rejected; the
+    admitted survivors return. Runs with the eval-shingle Bloom
+    prefilter armed — the hash-green row proves end-to-end that the
+    scan-side prune admits no false drops (oracle = the exact
+    containment SQL, no Bloom anywhere in it)."""
+    from pyspark_ingestion_spark.operators.dedup import containment_pairs
+
+    d = load_table(spark, sf_dir, "documents")
+    batch = d.filter(F.col("source") == "src19").select("doc_id", "text")
+    evals = d.filter(F.col("source") == "src0")
+    dirty = (
+        containment_pairs(
+            batch,
+            evals,
+            "doc_id",
+            "text",
+            n=3,
+            threshold_num=1,
+            threshold_den=2,
+            bloom_bits=1 << 16,
+        )
+        .select("corpus_id")
+        .distinct()
+    )
+    return batch.join(
+        F.broadcast(dirty), batch["doc_id"] == dirty["corpus_id"], "left_anti"
+    ).select("doc_id")
+
+
 _IVF_ASSIGN = """
     c AS (SELECT vec_id AS cid, embedding::DOUBLE[] AS cv
           FROM embeddings WHERE vec_id < 8),

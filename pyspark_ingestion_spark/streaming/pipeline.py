@@ -3287,3 +3287,130 @@ def stream_ivf_pq_assign(
         .start()
     )
     q.awaitTermination()
+
+
+def _decontaminate_batch(
+    batch_df: DataFrame,
+    batch_id: int,
+    eval_df: DataFrame,
+    out_path: str,
+    id_col: str,
+    text_col: str,
+    n: int,
+    threshold_num: int,
+    threshold_den: int,
+    max_doc_freq: int | float | None,
+    bloom_bits: int | None,
+    bloom_hashes: int,
+    bloom_state: list[int] | None,
+) -> None:
+    """One micro-batch of :func:`stream_decontaminate_admission`:
+    reject batch docs that contain ≥ threshold of ANY eval doc's
+    shingles (``dedup.containment_pairs`` with the batch on the corpus
+    side), write the survivors under ``__batch_id=N`` (replay
+    idempotent). Module-level for direct replay testability.
+
+    O(batch): the eval set is FIXED and small by definition, the
+    batch-side shingle stream is pruned scan-side by the per-sink
+    precomputed Bloom of the eval shingles, and there is no growing
+    state — batches are independent, so the admitted union equals one
+    batch decontamination over the same rows."""
+    from pyspark_ingestion_spark.operators.dedup import containment_pairs
+    from pyspark_ingestion_spark.sources.writers import overwrite_partitions
+
+    batch = batch_df.select(id_col, text_col)
+    if batch.isEmpty():
+        return
+    dirty = (
+        containment_pairs(
+            batch,
+            eval_df,
+            id_col,
+            text_col,
+            n=n,
+            threshold_num=threshold_num,
+            threshold_den=threshold_den,
+            max_doc_freq=max_doc_freq,
+            bloom_bits=bloom_bits,
+            bloom_hashes=bloom_hashes,
+            bloom_state=bloom_state,
+        )
+        .select("corpus_id")
+        .distinct()
+    )
+    admitted = batch.join(
+        F.broadcast(dirty), batch[id_col] == dirty["corpus_id"], "left_anti"
+    )
+    overwrite_partitions(
+        admitted.withColumn("__batch_id", F.lit(batch_id)),
+        out_path,
+        ["__batch_id"],
+    )
+
+
+def stream_decontaminate_admission(
+    stream_df: DataFrame,
+    eval_df: DataFrame,
+    out_path: str,
+    checkpoint: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    threshold_num: int = 1,
+    threshold_den: int = 2,
+    max_doc_freq: int | float | None = None,
+    bloom_bits: int | None = 1 << 16,
+    bloom_hashes: int = 4,
+) -> None:
+    """Continuous DECONTAMINATION admission (r13): each micro-batch of
+    training docs drops those ≥ threshold shingle-contained in ANY doc
+    of a FIXED eval/benchmark set, and appends the survivors — eval-set
+    hygiene enforced at ingest time instead of by a periodic corpus
+    sweep. Completes the admission family (exact / LSH near-dup /
+    substring / semantic / fingerprint — all vs the GROWING corpus)
+    with the one gate whose reference set never grows.
+
+    The fixed reference set is what makes this sink cheap: no index to
+    maintain, no compaction, no replay-sensitive state. The eval
+    shingle Bloom (``operators/bloom.py``) is densified ONCE at sink
+    creation (an O(eval) aggregation + an O(bits/64) collect) and
+    embedded as a scan-side predicate in every micro-batch plan, so
+    batch shingles that cannot collide with the eval set never enter
+    the containment join's exchange; false positives die in the exact
+    join, so admission is bit-identical to ``bloom_bits=None``
+    (equivalence + prune both pinned in tests). Per-batch cost is
+    O(batch shingles) scan + a join against the bounded eval shingle
+    table. Exactly-once via the shared ``__batch_id``
+    dynamic-overwrite replay contract. Batch-face driver row:
+    ``dedup_incremental_decontaminate`` (full SQL oracle).
+    """
+    bloom_state = None
+    if bloom_bits is not None:
+        from pyspark_ingestion_spark.operators.bloom import (
+            bloom_build,
+            bloom_words,
+        )
+        from pyspark_ingestion_spark.operators.dedup import _shingle_table
+
+        bloom_state = bloom_words(
+            bloom_build(
+                _shingle_table(eval_df, id_col, text_col, n),
+                "shingle",
+                bloom_bits,
+                bloom_hashes,
+            ),
+            bloom_bits,
+        )
+    q = (
+        stream_df.writeStream.foreachBatch(
+            lambda batch_df, batch_id: _decontaminate_batch(
+                batch_df, batch_id, eval_df, out_path, id_col, text_col,
+                n, threshold_num, threshold_den, max_doc_freq,
+                bloom_bits, bloom_hashes, bloom_state,
+            )
+        )
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

@@ -3070,3 +3070,101 @@ def test_stream_ivf_pq_assign_stats_feed(spark, tmp_path):
     # the feed chains into the retrain trigger with no vector rescan
     flags = ivf_drift_flags(rollup(), rollup(), min_rows=1).collect()
     assert flags and all(r["retrain"] == 0 for r in flags)  # self vs self: stable
+
+
+def test_stream_decontaminate_admission(spark, tmp_path):
+    """r13: the fixed-reference-set admission gate. Pins: (1) the
+    streamed admitted union equals the batch containment face over the
+    same rows (batches are independent — no growing state); (2) docs
+    verbatim-containing an eval doc are rejected, clean docs admitted;
+    (3) replay-overwrite idempotence; (4) Bloom on/off produce identical
+    admission; (5) the per-batch plan reads the batch file + the bounded
+    eval source only — never out_path."""
+    import glob
+    import shutil
+    import time
+
+    from pyspark_ingestion_spark.operators.dedup import containment_pairs
+    from pyspark_ingestion_spark.streaming.pipeline import (
+        _decontaminate_batch,
+        stream_decontaminate_admission,
+    )
+
+    evals = spark.createDataFrame(
+        [(1000 + i, f"secret benchmark passage number {i} alpha beta gamma delta")
+         for i in range(5)],
+        "doc_id long, text string",
+    )
+    # batch docs: i % 3 == 0 embed a full eval doc (contaminated)
+    rows = []
+    for i in range(30):
+        if i % 3 == 0:
+            text = (f"prefix words here secret benchmark passage number {i % 5} "
+                    f"alpha beta gamma delta and a long clean tail {i}")
+        else:
+            text = f"perfectly original training document {i} with its own words"
+        rows.append((i, text))
+    schema = "doc_id long, text string"
+
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+
+    def write_file(name, lo, hi):
+        stage = str(tmp_path / ("stage_" + name))
+        spark.createDataFrame(rows[lo:hi], schema).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(stage)
+        part = glob.glob(stage + "/part-*.parquet")[0]
+        shutil.copy(part, os.path.join(src, name + ".parquet"))
+        time.sleep(1.1)
+
+    write_file("a", 0, 15)
+    write_file("b", 15, 30)
+    out = str(tmp_path / "admitted")
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    stream_decontaminate_admission(
+        stream, evals, out, str(tmp_path / "ckpt"), n=3, bloom_bits=1 << 12
+    )
+
+    got = sorted(
+        r["doc_id"] for r in spark.read.parquet(out).select("doc_id").collect()
+    )
+    # batch face over the same rows (independent batches => same union)
+    all_df = spark.createDataFrame(rows, schema)
+    dirty = (
+        containment_pairs(all_df, evals, "doc_id", "text", n=3)
+        .select("corpus_id").distinct()
+    )
+    want = sorted(
+        r["doc_id"]
+        for r in all_df.join(
+            dirty, all_df["doc_id"] == dirty["corpus_id"], "left_anti"
+        ).select("doc_id").collect()
+    )
+    assert got == want
+    assert got, "everything rejected — fixture broken"
+    assert all(i % 3 != 0 for i in got)  # contaminated docs rejected
+    assert set(got) == {i for i in range(30) if i % 3 != 0}  # clean admitted
+
+    # replay idempotence: re-running batch 1 overwrites, never duplicates
+    b1 = spark.createDataFrame(rows[15:30], schema)
+    _decontaminate_batch(
+        b1, 1, evals, out, "doc_id", "text", 3, 1, 2, None, None, 4, None
+    )
+    again = sorted(
+        r["doc_id"] for r in spark.read.parquet(out).select("doc_id").collect()
+    )
+    assert again == want  # also proves bloom-off == bloom-on admission
+
+    # O(batch) read path: the per-batch plan touches the batch file and
+    # the (bounded) eval source only — never the admitted output
+    dirty_plan = containment_pairs(
+        spark.read.parquet(os.path.join(src, "b.parquet")), evals,
+        "doc_id", "text", n=3, bloom_bits=1 << 12,
+    )
+    files = dirty_plan.inputFiles()
+    assert files and not any("/admitted/" in f for f in files), files
