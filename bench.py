@@ -78,6 +78,12 @@ HEADLINE = [
     # numpy fast path + core-count partitioning; a codec or parallelism
     # regression shows up here first
     "multimodal_video_frame_stats",
+    # round-13 Bloom-prefiltered decontamination (anchor round r13,
+    # excluded from r1_comparable_total): the containment join behind
+    # corpus_decontaminate with the eval-shingle Bloom pruning the
+    # corpus shingle stream scan-side — a prefilter regression (or a
+    # plan flip back to the unpruned exchange) shows up here first
+    "bloom_prefilter_decontaminate",
 ]
 
 
@@ -627,7 +633,7 @@ def main() -> None:
         "corpus_full_pipeline", "dedup_semantic_keep_one", "word_cooccurrence_pmi",
         "dedup_substring_spans", "ann_ivf_pq_topk",
         "pagerank_copurchase", "entity_canonical_keep_one",
-        "multimodal_video_frame_stats",
+        "multimodal_video_frame_stats", "bloom_prefilter_decontaminate",
         "stream_admission_hotlog_batch", "stream_substring_ledger_batch",
         "stream_fingerprint_batch")]
     print(

@@ -3289,6 +3289,72 @@ def stream_ivf_pq_assign(
     q.awaitTermination()
 
 
+def rotate_pq_layout(
+    corpus: DataFrame,
+    new_layout_path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_centroids: int = 8,
+    n_sub: int = 8,
+    k_codes: int = 16,
+    seed: int = 42,
+    sample_fraction: float | None = None,
+) -> None:
+    """Rotate the IVF-PQ generation — the ACTION the drift monitor's
+    retrain flags exist to trigger (monitor: ``ivf_drift_flags`` over
+    ``stream_ivf_pq_assign(stats_path=...)`` rollups; this closes the
+    loop). Fits fresh centroids + PQ codebooks on ``corpus`` (typically
+    base ∪ everything admitted under the old generation, optionally
+    hash-sampled), persists them under ``new_layout_path`` and writes
+    the corpus's full re-assignment as the ``__batch_id=-1`` bootstrap
+    partition — so a `stream_ivf_pq_assign` sink pointed at the new
+    path (fresh checkpoint; its batches number from 0) continues
+    incrementally under the NEW generation, while queries cut over by
+    path. The old layout is left untouched: rotation is
+    publish-then-switch, never in-place (an in-place centroid swap
+    would silently mix generations — exactly what the assign sink's
+    persisted-generation discipline forbids).
+
+    Cost: two seeded KMeans fits on the (sampled) corpus + ONE
+    assignment pass — the same one-pass layout build ``ivf_pq_assign``
+    always is; nothing here is per-batch."""
+    from pyspark_ingestion_spark.operators.similarity import (
+        ivf_pq_assign,
+        kmeans_centroids,
+        pq_codebooks,
+    )
+    from pyspark_ingestion_spark.sources.writers import overwrite_partitions
+
+    cents = kmeans_centroids(
+        corpus, id_col=id_col, vec_col=vec_col, n_centroids=n_centroids,
+        seed=seed, sample_fraction=sample_fraction,
+    )
+    cbs = pq_codebooks(
+        corpus, id_col=id_col, vec_col=vec_col, n_sub=n_sub,
+        k_codes=k_codes, seed=seed, sample_fraction=sample_fraction,
+    )
+    cents.write.mode("error").parquet(
+        f"{new_layout_path}/{_PQ_LAYOUT_CENTROIDS}"
+    )
+    cbs.write.mode("error").parquet(
+        f"{new_layout_path}/{_PQ_LAYOUT_CODEBOOKS}"
+    )
+    # re-read the persisted generation so the bootstrap assignment is a
+    # function of exactly what future batches will load (not the
+    # in-memory fit frames)
+    gen = _load_pq_generation(corpus.sparkSession, new_layout_path)
+    assert gen is not None
+    cents_p, cbs_p = gen
+    assigned = ivf_pq_assign(
+        corpus, cents_p, cbs_p, id_col=id_col, vec_col=vec_col, n_sub=n_sub
+    )
+    overwrite_partitions(
+        assigned.withColumn("__batch_id", F.lit(-1)),
+        f"{new_layout_path}/{_PQ_LAYOUT_ASSIGNED}",
+        ["__batch_id"],
+    )
+
+
 def _decontaminate_batch(
     batch_df: DataFrame,
     batch_id: int,

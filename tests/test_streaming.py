@@ -3168,3 +3168,98 @@ def test_stream_decontaminate_admission(spark, tmp_path):
     )
     files = dirty_plan.inputFiles()
     assert files and not any("/admitted/" in f for f in files), files
+
+
+def test_rotate_pq_layout_closes_drift_loop(spark, tmp_path):
+    """r13: monitor -> trigger -> rotation, end to end. A generation
+    trained on one regime drifts when the admitted window moves; pins:
+    (1) the drift monitor flags the drifted cells against the OLD
+    generation; (2) rotate_pq_layout publishes a fresh generation whose
+    re-fit clears the flags on the SAME window; (3) the new layout's
+    bootstrap assignment equals ivf_pq_assign under the persisted new
+    generation, and the old layout is untouched; (4) the assign sink
+    continues under the new path with the persisted generation
+    governing; (5) rotation refuses to overwrite an existing layout."""
+    from pyspark_ingestion_spark.operators.similarity import (
+        ivf_cell_residual_stats,
+        ivf_drift_flags,
+        ivf_pq_assign,
+        pq_codebooks,
+    )
+    from pyspark_ingestion_spark.streaming.pipeline import (
+        _assign_pq_batch,
+        _load_pq_generation,
+        rotate_pq_layout,
+    )
+
+    schema = "vec_id long, embedding array<double>"
+    # old regime: two tight clusters; new window: a third, far regime
+    base_rows = [(i, [10.0, 0.1 * (i % 3), 0.0, 0.0]) for i in range(20)]
+    base_rows += [(100 + i, [0.1 * (i % 3), 10.0, 0.0, 0.0]) for i in range(20)]
+    new_rows = [(200 + i, [0.0, 0.5, 9.0, 3.0 + 0.1 * (i % 2)]) for i in range(12)]
+    base = spark.createDataFrame(base_rows, schema)
+    new = spark.createDataFrame(new_rows, schema)
+    both = base.unionByName(new)
+
+    old_layout = str(tmp_path / "gen_old")
+    cents_old = spark.createDataFrame(
+        [(0, [10.0, 0.0, 0.0, 0.0]), (1, [0.0, 10.0, 0.0, 0.0])],
+        "centroid_id int, cvec array<double>",
+    )
+    cb_old = pq_codebooks(base, n_sub=4, k_codes=4, seed=7)
+    _assign_pq_batch(base, 0, old_layout, cents_old, cb_old,
+                     "vec_id", "embedding", 4)
+    _assign_pq_batch(new, 1, old_layout, None, None, "vec_id", "embedding", 4)
+    old_assigned_before = sorted(
+        (r["vec_id"], r["cell"])
+        for r in spark.read.parquet(f"{old_layout}/assigned").collect()
+    )
+
+    # (1) the monitor flags: new window vs train-time baseline, old gen
+    stats = lambda df, cents: ivf_cell_residual_stats(  # noqa: E731
+        ivf_pq_assign(df, cents, cb_old, n_sub=4).select(
+            "vec_id", "embedding", "cell"
+        ),
+        cents,
+    )
+    flags_old = ivf_drift_flags(
+        stats(new, cents_old), stats(base, cents_old), min_rows=5
+    ).collect()
+    assert any(r["retrain"] == 1 for r in flags_old), flags_old
+
+    # (2)+(3) rotate on base ∪ admitted-new; drift clears under new gen
+    new_layout = str(tmp_path / "gen_new")
+    rotate_pq_layout(both, new_layout, n_centroids=3, n_sub=4, k_codes=4, seed=11)
+    cents_new, cbs_new = _load_pq_generation(spark, new_layout)
+    flags_new = ivf_drift_flags(
+        stats(new, cents_new), stats(both, cents_new), min_rows=5
+    ).collect()
+    assert all(r["retrain"] == 0 for r in flags_new), flags_new
+
+    key = lambda df: sorted(  # noqa: E731
+        (r["vec_id"], r["cell"], tuple(r["codes"])) for r in df.collect()
+    )
+    got = spark.read.parquet(f"{new_layout}/assigned").drop("__batch_id")
+    assert key(got) == key(ivf_pq_assign(both, cents_new, cbs_new, n_sub=4))
+    # old layout untouched (publish-then-switch, never in-place)
+    assert old_assigned_before == sorted(
+        (r["vec_id"], r["cell"])
+        for r in spark.read.parquet(f"{old_layout}/assigned").collect()
+    )
+
+    # (4) the sink continues under the new path: batches number from 0,
+    # the persisted generation governs (bogus args ignored)
+    more = spark.createDataFrame(
+        [(300 + i, [0.0, 0.5, 9.0, 3.05]) for i in range(5)], schema
+    )
+    _assign_pq_batch(more, 0, new_layout, cents_old, cb_old,
+                     "vec_id", "embedding", 4)
+    after = spark.read.parquet(f"{new_layout}/assigned")
+    assert after.count() == 52 + 5  # 52-row bootstrap + the new batch
+    assert key(after.filter("vec_id >= 300").drop("__batch_id")) == key(
+        ivf_pq_assign(more, cents_new, cbs_new, n_sub=4)
+    )
+
+    # (5) rotation never overwrites an existing generation
+    with pytest.raises(Exception, match="already exists|ERROR"):
+        rotate_pq_layout(both, new_layout, n_centroids=3, n_sub=4, k_codes=4)
