@@ -111,6 +111,12 @@ _CHANGED_THIS_ROUND = {
     # enters ahead of the rotation automatically)
     "contamination_check",
     "corpus_decontaminate",
+    # r13: the AVI walk generalized to _avi_stream_info (BI_RLE8 delta
+    # video) and video_frame_stats gained the codec dispatch — re-prove
+    # the MJPEG rows that ride the refactored path (the RLE8 row itself
+    # is never-verified and enters automatically)
+    "multimodal_video_frame_stats",
+    "dedup_video_temporal",
 }
 
 

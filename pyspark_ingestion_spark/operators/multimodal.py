@@ -25,11 +25,15 @@ by ``media_signal_features`` into oracle-checked luma/RMS statistics.
 VIDEO is real too (round-9): MJPEG-in-AVI — the RIFF chunk grammar
 walked for real (hdrl/strl stream headers validated, movi frames
 extracted) with every frame decoded through the same JPEG pipeline
-(``video_frame_stats``, per-frame oracle-checked).
+(``video_frame_stats``, per-frame oracle-checked). INTER-FRAME video
+is real at its entry level (round-13): BI_RLE8 ('MRLE') delta frames —
+run-length frames whose skipped pixels RETAIN the previous frame, so
+decode carries composed state across the stream (oracle-checked per
+composed frame).
 What remains behind ``NotImplementedError``, stated just as plainly:
-arithmetic-coded and lossless JPEG, INTER-FRAME video codecs
-(H.264/VP9 — a codec runtime, not container work), and LEARNED
-feature extraction (needs a model runtime);
+arithmetic-coded and lossless JPEG, MOTION-COMPENSATED/DCT inter-frame
+codecs (H.264/VP9/AV1 — a codec runtime, not container work), and
+LEARNED feature extraction (needs a model runtime);
 the deterministic fake path exercises the exact same schema,
 partitioning, UDF signature and batch shape, so those swaps stay
 localized.
@@ -1175,9 +1179,10 @@ def media_signal_features(media: DataFrame) -> DataFrame:
                         "subsampling (pure-python Huffman + dequant + IDCT) "
                         "and PCM WAV; JPEG covers baseline (grayscale/"
                         "4:4:4/4:2:0/4:2:2), progressive (SOF2) and both "
-                        "DQT precisions; MJPEG-in-AVI video decodes via "
-                        "video_frame_stats; the remaining gate is "
-                        "arithmetic-coded JPEG and inter-frame codecs"
+                        "DQT precisions; MJPEG-in-AVI and BI_RLE8 delta "
+                        "video decode via video_frame_stats; the remaining "
+                        "gate is arithmetic-coded JPEG and motion-"
+                        "compensated/DCT inter-frame codecs"
                     )
                 n = len(vals)
                 if np is not None and n < _INT64_SQSUM_SAFE_N:
@@ -1406,9 +1411,10 @@ def synthesize_wav_payload(df: DataFrame, id_col: str, text_col: str) -> DataFra
 # run-length AC entropy decode, dequantization, 8x8 inverse DCT, level
 # shift — for baseline sequential (SOF0/1, grayscale/4:4:4/4:2:0/4:2:2)
 # AND progressive (SOF2, full annex G), with 8- and 16-bit quant
-# tables. MJPEG-in-AVI video rides the same pipeline per frame. What
-# stays honestly gated: arithmetic-coded/lossless JPEG, inter-frame
-# video codecs, learned feature extraction.
+# tables. MJPEG-in-AVI video rides the same pipeline per frame; BI_RLE8
+# delta video composes run-length frames statefully (r13). What stays
+# honestly gated: arithmetic-coded/lossless JPEG, motion-compensated/
+# DCT inter-frame codecs, learned feature extraction.
 
 #: JPEG Annex K example luminance Huffman specs (public ITU T.81 tables):
 #: (BITS counts for lengths 1..16, HUFFVAL symbol list)
@@ -2963,9 +2969,10 @@ def synthesize_jpeg_progressive_payload(
 #
 # Video joins the REAL tier (r9): MJPEG-in-AVI is a RIFF container — the
 # same chunk grammar the WAV reader already walks — around per-frame
-# baseline JPEGs, which the engine genuinely decodes. What stays behind
-# the honest gate after this: INTER-FRAME codecs (H.264/VP9/AV1 need a
-# codec runtime), not "video" wholesale.
+# baseline JPEGs, which the engine genuinely decodes. BI_RLE8 delta
+# video follows in r13 (stateful inter-frame composition, below). What
+# stays behind the honest gate after both: MOTION-COMPENSATED/DCT
+# inter-frame codecs (H.264/VP9/AV1 need a codec runtime).
 
 #: fixture frame geometry: one 32-block row per frame → every frame of
 #: every doc is 256×8 px, so a single AVI stream header describes all.
@@ -2973,11 +2980,18 @@ _AVI_FRAME_BYTES = 32
 
 
 def _avi_build(frames: list[bytes], width: int, height: int,
-               fps: int = 10) -> bytes:
-    """A REAL, well-formed RIFF AVI wrapping MJPEG frames: 'hdrl' LIST
-    (avih main header + one 'strl' video stream: strh fourcc 'vids'/
-    handler 'MJPG' + strf BITMAPINFOHEADER), 'movi' LIST of '00dc'
-    chunks (word-aligned per RIFF), and the idx1 index players expect.
+               fps: int = 10, handler: bytes = b"MJPG",
+               compression: bytes = b"MJPG", bit_count: int = 24,
+               palette: bytes = b"",
+               keyframes: list[bool] | None = None) -> bytes:
+    """A REAL, well-formed RIFF AVI wrapping video frames: 'hdrl' LIST
+    (avih main header + one 'strl' video stream: strh fourcc 'vids' +
+    strf BITMAPINFOHEADER, with the palette appended for indexed
+    formats), 'movi' LIST of '00dc' chunks (word-aligned per RIFF), and
+    the idx1 index players expect — AVIIF_KEYFRAME set per frame from
+    ``keyframes`` (default: all, the MJPEG all-intra contract). The
+    defaults build the MJPEG fixture; (handler b'MRLE', compression
+    DWORD 1, bit_count 8, a 256-entry RGBQUAD palette) build BI_RLE8.
     Pure struct packing — byte-exact and deterministic."""
     import struct
 
@@ -2990,6 +3004,7 @@ def _avi_build(frames: list[bytes], width: int, height: int,
 
     usec_per_frame = 1_000_000 // fps
     max_bytes = max((len(f) for f in frames), default=0)
+    n_colors = len(palette) // 4
     avih = struct.pack(
         "<IIIIIIIIIIIIII",
         usec_per_frame, max_bytes * fps, 0, 0x10,  # AVIF_HASINDEX
@@ -2997,13 +3012,14 @@ def _avi_build(frames: list[bytes], width: int, height: int,
     )
     strh = struct.pack(
         "<4s4sIHHIIIIIIIIhhhh",
-        b"vids", b"MJPG", 0, 0, 0, 0, 1, fps, 0, len(frames),
+        b"vids", handler, 0, 0, 0, 0, 1, fps, 0, len(frames),
         max_bytes, 0, 0, 0, 0, width, height,
     )
     strf = struct.pack(
-        "<IiiHH4sIiiII", 40, width, height, 1, 24, b"MJPG",
-        width * height * 3, 0, 0, 0, 0,
-    )
+        "<IiiHH4sIiiII", 40, width, height, 1, bit_count, compression,
+        width * height * (bit_count // 8 if bit_count >= 8 else 1),
+        0, 0, n_colors, 0,
+    ) + palette
     hdrl = lst(b"hdrl", chunk(b"avih", avih)
                + lst(b"strl", chunk(b"strh", strh) + chunk(b"strf", strf)))
     movi_body = b"movi"
@@ -3016,20 +3032,28 @@ def _avi_build(frames: list[bytes], width: int, height: int,
     idx1 = chunk(
         b"idx1",
         b"".join(
-            b"00dc" + struct.pack("<III", 0x10, off, size)  # AVIIF_KEYFRAME
-            for off, size in idx_entries
+            b"00dc" + struct.pack(
+                "<III",
+                0x10 if keyframes is None or keyframes[i] else 0,
+                off, size,
+            )
+            for i, (off, size) in enumerate(idx_entries)
         ),
     )
     riff_body = b"AVI " + hdrl + movi + idx1
     return b"RIFF" + struct.pack("<I", len(riff_body)) + riff_body
 
 
-def _avi_frame_payloads(payload: bytes) -> tuple[int, int, list[bytes]]:
-    """Walk a RIFF AVI and return (width, height, [mjpeg frame bytes]).
+def _avi_stream_info(payload: bytes) -> dict:
+    """Walk a RIFF AVI and return ``{codec, width, height, frames,
+    palette}`` for the first (video) stream — ``codec`` is ``'mjpg'``
+    (all-intra per-frame JPEG) or ``'rle8'`` (BI_RLE8 run-length with
+    INTER-FRAME delta frames; ``palette`` holds its RGBQUAD table).
     Validates the grammar it relies on — RIFF/'AVI ' magic, a 'vids'
-    stream handled by 'MJPG', a BITMAPINFOHEADER, the 'movi' LIST —
-    and raises ValueError on anything malformed or non-MJPEG (the
-    honest-gate contract: fail loud, never guess)."""
+    stream with a handler this engine really decodes, a
+    BITMAPINFOHEADER, the 'movi' LIST — and raises ValueError on
+    anything malformed or any other codec (the honest-gate contract:
+    fail loud, never guess)."""
     import struct
 
     p = bytes(payload)
@@ -3050,7 +3074,8 @@ def _avi_frame_payloads(payload: bytes) -> tuple[int, int, list[bytes]]:
             pos = body_start + size + (size & 1)
 
     width = height = None
-    fourcc_ok = False
+    handler = None
+    strf_raw = b""
     frames: list[bytes] = []
     n_declared = None
     for fourcc, start, size in chunks(p, 12, 8 + riff_size):
@@ -3071,14 +3096,11 @@ def _avi_frame_payloads(payload: bytes) -> tuple[int, int, list[bytes]]:
                         if fc3 == b"strh":
                             if p[s3:s3 + 4] != b"vids":
                                 raise ValueError("first stream is not video")
-                            if p[s3 + 4:s3 + 8] != b"MJPG":
-                                raise ValueError(
-                                    "only MJPG video streams decode natively"
-                                )
+                            handler = p[s3 + 4:s3 + 8]
                             (n_declared,) = struct.unpack_from("<I", p, s3 + 32)
-                            fourcc_ok = True
                         elif fc3 == b"strf":
                             width, height = struct.unpack_from("<ii", p, s3 + 4)
+                            strf_raw = p[s3:s3 + sz3]
         elif kind == b"movi":
             for fc2, s2, sz2 in chunks(p, start + 4, start + size):
                 # only stream 0 (the validated video stream): a
@@ -3086,13 +3108,253 @@ def _avi_frame_payloads(payload: bytes) -> tuple[int, int, list[bytes]]:
                 # payloads must not reach the JPEG decoder.
                 if fc2[:2] == b"00" and fc2[2:4] in (b"dc", b"db"):
                     frames.append(p[s2:s2 + sz2])
-    if not fourcc_ok or width is None:
+    if handler is None or width is None:
         raise ValueError("missing AVI stream headers")
     if n_declared is not None and n_declared != len(frames):
         raise ValueError(
             f"stream header declares {n_declared} frames, movi has {len(frames)}"
         )
-    return width, abs(height), frames
+    palette = b""
+    if handler == b"MJPG":
+        codec = "mjpg"
+    elif handler in (b"MRLE", b"mrle", b"DIB "):
+        if len(strf_raw) < 40:
+            raise ValueError("BI_RLE8 stream without a BITMAPINFOHEADER")
+        (bit_count,) = struct.unpack_from("<H", strf_raw, 14)
+        (compression,) = struct.unpack_from("<I", strf_raw, 16)
+        (clr_used,) = struct.unpack_from("<I", strf_raw, 32)
+        if compression != 1 or bit_count != 8:
+            raise ValueError(
+                "only biCompression=1 (BI_RLE8) 8-bit indexed streams "
+                f"decode under handler {handler!r}"
+            )
+        n_colors = clr_used or 256
+        palette = strf_raw[40:40 + 4 * n_colors]
+        if len(palette) != 4 * n_colors:
+            raise ValueError("truncated RGBQUAD palette")
+        codec = "rle8"
+    else:
+        raise ValueError(
+            "only MJPG and BI_RLE8 video streams decode natively; handler "
+            f"{handler!r} stays behind the honest codec gate "
+            "(motion-compensated/DCT codecs need a codec runtime)"
+        )
+    return {
+        "codec": codec,
+        "width": width,
+        "height": abs(height),
+        "frames": frames,
+        "palette": palette,
+    }
+
+
+def _avi_frame_payloads(payload: bytes) -> tuple[int, int, list[bytes]]:
+    """The MJPEG-expecting walk: (width, height, [mjpeg frame bytes]).
+    Thin wrapper over :func:`_avi_stream_info` that additionally rejects
+    non-MJPEG streams — kept for the per-frame JPEG surfaces
+    (``video_temporal_dhash``, frame sampling), which have no meaning
+    for stateful-codec frames (a delta frame is not an image)."""
+    info = _avi_stream_info(payload)
+    if info["codec"] != "mjpg":
+        raise ValueError("only MJPG video streams decode natively here")
+    return info["width"], info["height"], info["frames"]
+
+
+# ------------------------------------------------ video (BI_RLE8 delta)
+#
+# INTER-FRAME video leaves the honest gate at its entry level (r13):
+# BI_RLE8 ('MRLE') — the Windows run-length video codec — is a REAL,
+# fully-specified format whose delta frames encode only changed runs;
+# every pixel a frame does not write RETAINS its value from the
+# previous frame, so correct decode REQUIRES carrying frame state
+# across the stream (a stateless per-frame decoder cannot produce the
+# composed image). What stays gated after this: motion-compensated /
+# DCT inter-frame codecs (H.264/VP9/AV1 — they need a codec runtime),
+# not "inter-frame video" wholesale.
+
+
+def _rle8_decode_frame(
+    data: bytes, width: int, height: int, prev: bytes
+) -> bytes:
+    """Decode ONE BI_RLE8 frame onto the previous frame's pixels (MRLE
+    inter-frame semantics): encoded runs (count, index), absolute mode
+    (00 n≥3, word-aligned literals), end-of-line (00 00), delta/skip
+    (00 02 dx dy) and end-of-bitmap (00 01); skipped pixels retain
+    ``prev``. Row 0 is the first stored row (the luma statistics this
+    feeds are orientation-invariant, so the BMP bottom-up convention is
+    not re-flipped). Raises on truncation or runs that overflow the
+    bitmap — fail loud, never guess."""
+    out = bytearray(prev)
+    if len(out) != width * height:
+        raise ValueError("previous frame buffer has the wrong size")
+    x = y = 0
+    i, n = 0, len(data)
+    while True:
+        if i + 2 > n:
+            raise ValueError("truncated RLE8 stream (no end-of-bitmap)")
+        c0, c1 = data[i], data[i + 1]
+        i += 2
+        if c0 > 0:  # encoded run
+            if y >= height or x + c0 > width:
+                raise ValueError("RLE8 run overflows the bitmap")
+            base = y * width + x
+            out[base:base + c0] = bytes([c1]) * c0
+            x += c0
+        elif c1 == 0:  # end of line
+            x, y = 0, y + 1
+            if y > height:
+                raise ValueError("RLE8 EOL past the last row")
+        elif c1 == 1:  # end of bitmap
+            return bytes(out)
+        elif c1 == 2:  # delta: skip dx right, dy down (pixels retained)
+            if i + 2 > n:
+                raise ValueError("truncated RLE8 delta escape")
+            x, y = x + data[i], y + data[i + 1]
+            i += 2
+            if x > width or y > height:
+                raise ValueError("RLE8 delta escape past the bitmap")
+        else:  # absolute mode: c1 >= 3 literal palette indices
+            if i + c1 > n:
+                raise ValueError("truncated RLE8 absolute run")
+            if y >= height or x + c1 > width:
+                raise ValueError("RLE8 absolute run overflows the bitmap")
+            base = y * width + x
+            out[base:base + c1] = data[i:i + c1]
+            x += c1
+            i += c1 + (c1 & 1)  # literals pad to a 16-bit boundary
+
+
+def _rle8_encode_frame(
+    cur: bytes, width: int, height: int, prev: bytes | None
+) -> bytes:
+    """The matching REAL MRLE encoder: emits only pixels that differ
+    from ``prev`` (``None`` ⇒ keyframe, full coverage) — changed
+    segments as greedy equal-value runs (count ≤ 255), horizontal
+    skips as delta escapes, rows closed by EOL, the stream by
+    end-of-bitmap. Fixture streams are therefore genuinely delta-coded:
+    the decoder only sees an unchanged pixel's value in the frame that
+    last wrote it."""
+    out = bytearray()
+    for y in range(height):
+        row = cur[y * width:(y + 1) * width]
+        if prev is None:
+            segs = [(0, width)] if width else []
+        else:
+            prow = prev[y * width:(y + 1) * width]
+            segs, sx = [], None
+            for x in range(width):
+                if row[x] != prow[x]:
+                    if sx is None:
+                        sx = x
+                elif sx is not None:
+                    segs.append((sx, x))
+                    sx = None
+            if sx is not None:
+                segs.append((sx, width))
+        x = 0
+        for s, e in segs:
+            dx = s - x
+            while dx > 0:  # horizontal skip: retained pixels
+                step = min(dx, 255)
+                out += bytes([0, 2, step, 0])
+                dx -= step
+            x = s
+            while x < e:
+                v = row[x]
+                run = 1
+                while x + run < e and row[x + run] == v and run < 255:
+                    run += 1
+                out += bytes([run, v])
+                x += run
+        out += bytes([0, 0])  # end of line
+    if not out:
+        return bytes([0, 1])
+    out[-2:] = bytes([0, 1])  # last EOL becomes end-of-bitmap
+    return bytes(out)
+
+
+def _rgbquad_luma_millis(palette: bytes) -> list[int]:
+    """Integer BT.601 luma (per-mille weights 299R+587G+114B — already
+    millis for 8-bit channels) per RGBQUAD palette entry; RGBQUAD byte
+    order is (blue, green, red, reserved)."""
+    return [
+        114 * palette[4 * i] + 587 * palette[4 * i + 1] + 299 * palette[4 * i + 2]
+        for i in range(len(palette) // 4)
+    ]
+
+
+#: RLE8 fixture geometry: 64×4 px, one byte of the doc per frame.
+_RLE8_W, _RLE8_H = 64, 4
+
+
+def synthesize_rle8_avi_payload(
+    df: DataFrame, id_col: str, text_col: str
+) -> DataFrame:
+    """Deterministic REAL BI_RLE8 AVI payloads with genuine INTER-FRAME
+    delta coding: one frame per text byte on a 64×4 grayscale-palette
+    grid — frame 0 (the keyframe) paints every row with byte 0; frame
+    f ≥ 1 is a DELTA frame that rewrites only row ``f % 4`` to byte f,
+    all other pixels skipped (retained from the previous frame). A
+    frame's composed content therefore depends on bytes whose runs
+    appeared ONLY in earlier frames — a stateless decoder cannot
+    reproduce the statistics, which is exactly what the oracle checks.
+    Closed form for frame f, row r:
+    ``lu = f - ((f - r) mod 4); value = byte[lu] if lu >= 1 else
+    byte[0]`` (0 past the text's end)."""
+    import struct
+
+    palette = b"".join(bytes([v, v, v, 0]) for v in range(256))
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            payloads = []
+            for t in pdf["__text"]:
+                data = t.encode("utf-8")
+                n_frames = max(1, len(data))
+
+                def byte(i: int) -> int:
+                    return data[i] if i < len(data) else 0
+
+                frames, prev = [], None
+                composed = bytes([byte(0)]) * (_RLE8_W * _RLE8_H)
+                frames.append(
+                    _rle8_encode_frame(composed, _RLE8_W, _RLE8_H, None)
+                )
+                prev = composed
+                for f in range(1, n_frames):
+                    cur = bytearray(prev)
+                    r = f % _RLE8_H
+                    cur[r * _RLE8_W:(r + 1) * _RLE8_W] = (
+                        bytes([byte(f)]) * _RLE8_W
+                    )
+                    cur = bytes(cur)
+                    frames.append(
+                        _rle8_encode_frame(cur, _RLE8_W, _RLE8_H, prev)
+                    )
+                    prev = cur
+                payloads.append(
+                    _avi_build(
+                        frames, _RLE8_W, _RLE8_H,
+                        handler=b"MRLE",
+                        compression=struct.pack("<I", 1),
+                        bit_count=8,
+                        palette=palette,
+                        keyframes=[f == 0 for f in range(len(frames))],
+                    )
+                )
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+    return df.select(
+        F.col(id_col).alias("doc_id"), F.col(text_col).alias("__text")
+    ).mapInPandas(
+        batches,
+        T.StructType(
+            [
+                T.StructField("doc_id", T.LongType()),
+                T.StructField("payload", T.BinaryType()),
+            ]
+        ),
+    )
 
 
 #: per-frame decoded statistics rows.
@@ -3122,16 +3384,62 @@ def video_frame_stats(media: DataFrame, every_k: int | None = None) -> DataFrame
     cheap byte parsing, so only every k-th frame pays the JPEG cost —
     at real video lengths this is the order-of-magnitude lever (a
     1-in-30 keyframe sample decodes 3 % of the stream), which is why
-    sampling belongs inside the decode pass, not after it."""
+    sampling belongs inside the decode pass, not after it.
+
+    BI_RLE8 streams (r13 — inter-frame delta coding) decode through the
+    same surface: the palette maps indices to integer BT.601 luma
+    millis, so the statistics contract is identical. One honest
+    difference: delta frames make EVERY frame's content depend on its
+    predecessors, so ``every_k`` can only sample what is EMITTED — all
+    frames still decode (true of any stateful codec; the decode is
+    cheap run-length, not per-frame DCT)."""
     if every_k is not None and every_k < 1:
         raise ValueError(f"every_k must be >= 1, got {every_k}")
+
+    def emit(out, doc_id, fi, w, h, n, s, s2):
+        if n != w * h:
+            raise ValueError(
+                f"frame {fi}: decoded {n} px, header says {w}x{h}"
+            )
+        out["doc_id"].append(doc_id)
+        out["frame_idx"].append(fi)
+        out["width"].append(w)
+        out["height"].append(h)
+        out["n_values"].append(n)
+        out["mean_val"].append(round(s / (1000.0 * n), 6))
+        out["rms"].append(round((s2 / (1e6 * n)) ** 0.5, 6))
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
             out = {k: [] for k in ("doc_id", "frame_idx", "width", "height",
                                    "n_values", "mean_val", "rms")}
             for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
-                w, h, frames = _avi_frame_payloads(payload)
+                info = _avi_stream_info(payload)
+                w, h, frames = info["width"], info["height"], info["frames"]
+                if info["codec"] == "rle8":
+                    luma = _rgbquad_luma_millis(info["palette"])
+                    lut = np.asarray(luma, dtype=np.int64) if np is not None else None
+                    prev = bytes(w * h)
+                    for fi, fb in enumerate(frames):
+                        prev = _rle8_decode_frame(fb, w, h, prev)
+                        if every_k is not None and fi % every_k:
+                            continue
+                        if max(prev) >= len(luma):
+                            raise ValueError(
+                                f"frame {fi}: palette index past the "
+                                f"{len(luma)}-entry RGBQUAD table"
+                            )
+                        n = w * h
+                        if lut is not None and n < _INT64_SQSUM_SAFE_N:
+                            lm = lut[np.frombuffer(prev, dtype=np.uint8)]
+                            s = int(lm.sum())
+                            s2 = int((lm * lm).sum())
+                        else:
+                            vals = [luma[b] for b in prev]
+                            s = sum(vals)
+                            s2 = sum(v * v for v in vals)
+                        emit(out, doc_id, fi, w, h, n, s, s2)
+                    continue
                 for fi, fb in enumerate(frames):
                     if every_k is not None and fi % every_k:
                         continue
@@ -3150,17 +3458,7 @@ def video_frame_stats(media: DataFrame, every_k: int | None = None) -> DataFrame
                         n = len(lm)
                         s = sum(lm)
                         s2 = sum(v * v for v in lm)
-                    if n != w * h:
-                        raise ValueError(
-                            f"frame {fi}: decoded {n} px, header says {w}x{h}"
-                        )
-                    out["doc_id"].append(doc_id)
-                    out["frame_idx"].append(fi)
-                    out["width"].append(w)
-                    out["height"].append(h)
-                    out["n_values"].append(n)
-                    out["mean_val"].append(round(s / (1000.0 * n), 6))
-                    out["rms"].append(round((s2 / (1e6 * n)) ** 0.5, 6))
+                    emit(out, doc_id, fi, w, h, n, s, s2)
             yield pd.DataFrame(out)
 
     return media.select("doc_id", "payload").mapInPandas(

@@ -1183,9 +1183,10 @@ def multimodal_jpeg_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     and per-image mean luma / RMS come from integer-exact sums.
     Constant blocks survive quantization exactly (DC = 8·(v−128), DC
     step 8), so the oracle recomputes the identical statistics from the
-    text bytes. This query covers grayscale baseline; the 4:2:0, progressive and
-    MJPEG-video companions extend it, leaving arithmetic-coded JPEG
-    and inter-frame video codecs as the honest remainder."""
+    text bytes. This query covers grayscale baseline; the 4:2:0, progressive,
+    MJPEG-video and RLE8-delta-video companions extend it, leaving
+    arithmetic-coded JPEG and motion-compensated/DCT inter-frame codecs
+    as the honest remainder."""
     from pyspark_ingestion_spark.operators.multimodal import (
         media_signal_features,
         synthesize_jpeg_payload,
@@ -1285,8 +1286,9 @@ def multimodal_jpeg_progressive_pixel_stats(spark: SparkSession, sf_dir: str) ->
     full-band refinement passes); progressive ≡ sequential decode is
     pinned bit-for-bit in pytest, and constant blocks keep the exact
     byte-arithmetic oracle. This closes the progressive gate — the
-    codec remainder is arithmetic-coded JPEG and inter-frame video
-    codecs (MJPEG-in-AVI decodes for real: multimodal_video_frame_stats)."""
+    codec remainder is arithmetic-coded JPEG and motion-compensated/DCT
+    inter-frame codecs (MJPEG-in-AVI and BI_RLE8 delta video decode for
+    real: multimodal_video_{frame,rle8_frame}_stats)."""
     from pyspark_ingestion_spark.operators.multimodal import (
         media_signal_features,
         synthesize_jpeg_progressive_payload,
@@ -1341,7 +1343,9 @@ def multimodal_video_frame_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     through the engine's own entropy+DCT pipeline, and emits per-frame
     integer-exact luma statistics. Constant blocks survive quantization
     exactly, so the oracle recomputes every frame's mean/RMS from the
-    text bytes. The remaining honest codec gate is INTER-FRAME video
+    text bytes. Inter-frame video decodes at its entry level too
+    (``multimodal_video_rle8_frame_stats`` — BI_RLE8 delta frames); the
+    remaining honest codec gate is motion-compensated/DCT video
     (H.264/VP9 — needs a codec runtime) and arithmetic-coded JPEG, not
     'video' wholesale."""
     from pyspark_ingestion_spark.operators.multimodal import (
@@ -1353,6 +1357,58 @@ def multimodal_video_frame_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.octet_length("text") == F.length("text")  # ASCII ⇒ byte i = char i
     ))
     return video_frame_stats(synthesize_avi_payload(d, "doc_id", "text"))
+
+
+@query(
+    "multimodal_video_rle8_frame_stats",
+    oracle="""
+    WITH d AS (SELECT doc_id, text, octet_length(encode(text)) AS nb FROM documents
+               WHERE octet_length(encode(text)) = length(text)),
+    dims AS (SELECT doc_id, text, nb, greatest(nb, 1) AS n_frames FROM d),
+    fr AS (SELECT doc_id, text, nb,
+                  unnest(generate_series(0, n_frames - 1)) AS f
+           FROM dims),
+    -- composed frame f, row r: the row's value is the byte whose delta
+    -- frame last wrote it (lu = f - ((f - r) mod 4)); rows no delta
+    -- frame has touched yet still hold the keyframe's byte 0
+    px AS (SELECT doc_id, f, r.r,
+                  CASE WHEN f - ((((f - r.r) % 4) + 4) % 4) >= 1
+                       THEN ascii(substr(text,
+                                (f - ((((f - r.r) % 4) + 4) % 4) + 1)::INT, 1))
+                       WHEN nb >= 1 THEN ascii(substr(text, 1, 1))
+                       ELSE 0 END AS v
+           FROM fr, LATERAL (SELECT unnest(range(0, 4)) AS r) r)
+    SELECT doc_id, CAST(f AS INT) AS frame_idx, 64 AS width, 4 AS height,
+           CAST(256 AS BIGINT) AS n_values,
+           ROUND(sum(v) / 4.0, 6) AS mean_val,
+           ROUND(sqrt(sum(v * v) / 4.0), 6) AS rms
+    FROM px GROUP BY doc_id, f
+    """,
+)
+def multimodal_video_rle8_frame_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL INTER-FRAME video decode (r13 — the inter-frame gate exits
+    at its entry level): documents' bytes become BI_RLE8 ('MRLE') AVI
+    clips — a keyframe painting the 64×4 grid with byte 0, then one
+    genuine DELTA frame per byte rewriting only row ``f % 4`` and
+    SKIPPING every other pixel (RLE8 delta/EOL escapes: skipped pixels
+    retain the previous frame). ``video_frame_stats`` must therefore
+    carry composed frame state across the stream — frame f's oracle
+    statistics depend on bytes whose runs appeared only in EARLIER
+    frames, so a stateless per-frame decode cannot match. Palette luma
+    is integer BT.601 millis; stats are exact int64 sums with one float
+    division, same contract as every decode fixture. The honest codec
+    gate narrows to motion-compensated/DCT inter-frame codecs
+    (H.264/VP9/AV1 — they need a codec runtime) and arithmetic-coded
+    JPEG."""
+    from pyspark_ingestion_spark.operators.multimodal import (
+        synthesize_rle8_avi_payload,
+        video_frame_stats,
+    )
+
+    d = _spread(load_table(spark, sf_dir, "documents").filter(
+        F.octet_length("text") == F.length("text")  # ASCII ⇒ byte i = char i
+    ))
+    return video_frame_stats(synthesize_rle8_avi_payload(d, "doc_id", "text"))
 
 
 @query(

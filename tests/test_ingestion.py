@@ -2520,3 +2520,123 @@ def test_video_frame_sample_decodes_only_sampled_frames(spark):
         == {0, 3, 6}
     with _pytest.raises(ValueError, match="every_k"):
         video_frame_stats(media, every_k=0)
+
+
+def test_rle8_inter_frame_video_decode_real(spark):
+    """r13: the inter-frame gate exits at its entry level (BI_RLE8).
+    Pins: (1) encode→decode roundtrip over a random delta-coded frame
+    chain (every composed frame reproduced bit-exact); (2) delta frames
+    really are deltas — decoding one WITHOUT its predecessors' state
+    gives the wrong image (statefulness is load-bearing); (3) the full
+    RLE8 escape set decodes (absolute mode with word padding, delta
+    skip retaining previous pixels, EOL, EOB); (4) loud failures on
+    truncation and bitmap overflow; (5) video_frame_stats over a real
+    MRLE AVI equals the composed frames' palette-luma stats, and
+    every_k emits sampled frames whose stats still reflect full
+    inter-frame composition; (6) the per-frame-JPEG surfaces still
+    reject stateful streams."""
+    import random
+    import struct
+
+    from pyspark_ingestion_spark.operators.multimodal import (
+        _avi_build,
+        _avi_frame_payloads,
+        _avi_stream_info,
+        _rgbquad_luma_millis,
+        _rle8_decode_frame,
+        _rle8_encode_frame,
+        synthesize_rle8_avi_payload,
+        video_frame_stats,
+    )
+
+    rnd = random.Random(99)
+    W, H = 32, 6
+    truth = [bytes(rnd.randrange(256) for _ in range(W * H))]
+    for _ in range(7):
+        cur = bytearray(truth[-1])
+        for _ in range(rnd.randrange(1, 4)):
+            y = rnd.randrange(H)
+            x0 = rnd.randrange(W)
+            ln = rnd.randrange(1, W - x0 + 1)
+            cur[y * W + x0:y * W + x0 + ln] = bytes([rnd.randrange(256)]) * ln
+        truth.append(bytes(cur))
+    enc = [_rle8_encode_frame(truth[0], W, H, None)]
+    enc += [_rle8_encode_frame(b, W, H, a) for a, b in zip(truth, truth[1:])]
+
+    prev = bytes(W * H)
+    for i, e in enumerate(enc):
+        prev = _rle8_decode_frame(e, W, H, prev)
+        assert prev == truth[i], f"frame {i} composed wrong"
+
+    # (2) state is load-bearing: a delta frame over a zero buffer is NOT
+    # the composed image (and the delta stream is smaller than the key)
+    assert _rle8_decode_frame(enc[3], W, H, bytes(W * H)) != truth[3]
+    assert len(enc[1]) < len(enc[0])
+
+    # (3) absolute mode (odd count ⇒ pad byte) + delta skip + EOL
+    out = _rle8_decode_frame(
+        bytes([0, 5, 9, 8, 7, 6, 5, 0, 0, 0, 0, 2, 1, 0, 3, 4, 0, 1]),
+        8, 2, bytes([1]) * 16,
+    )
+    assert list(out[:8]) == [9, 8, 7, 6, 5, 1, 1, 1]   # absolute then retained
+    assert list(out[8:]) == [1, 4, 4, 4, 1, 1, 1, 1]   # EOL, skip 1, run 3x4
+
+    # (4) loud failures
+    with pytest.raises(ValueError, match="truncated"):
+        _rle8_decode_frame(bytes([4, 7]), W, H, bytes(W * H))  # no EOB
+    with pytest.raises(ValueError, match="overflows"):
+        _rle8_decode_frame(bytes([255, 1, 0, 1]), 8, 1, bytes(8))
+
+    # (5) the Spark surface: stats == composed palette-luma stats
+    df = spark.createDataFrame(
+        [(1, "inter frame rle"), (2, "x")], "doc_id long, text string"
+    )
+    media = synthesize_rle8_avi_payload(df, "doc_id", "text")
+    payload = {r["doc_id"]: bytes(r["payload"]) for r in media.collect()}[1]
+    info = _avi_stream_info(payload)
+    assert (info["codec"], info["width"], info["height"]) == ("rle8", 64, 4)
+    luma = _rgbquad_luma_millis(info["palette"])
+    data = b"inter frame rle"
+    stats = {
+        (r["doc_id"], r["frame_idx"]): (r["n_values"], r["mean_val"], r["rms"])
+        for r in video_frame_stats(media).collect()
+    }
+    prev = bytes(64 * 4)
+    for fi, fb in enumerate(info["frames"]):
+        prev = _rle8_decode_frame(fb, 64, 4, prev)
+        vals = [luma[b] for b in prev]
+        n, s, s2 = len(vals), sum(vals), sum(v * v for v in vals)
+        assert stats[(1, fi)] == (
+            n, round(s / (1000.0 * n), 6), round((s2 / (1e6 * n)) ** 0.5, 6)
+        )
+        # composed content: row fi%4 holds byte fi, later rows hold what
+        # an EARLIER frame wrote — the inter-frame dependency itself
+        if fi >= 1:
+            r = fi % 4
+            assert prev[r * 64] == data[fi]
+    sampled = {
+        r["frame_idx"]
+        for r in video_frame_stats(media, every_k=3).filter("doc_id = 1").collect()
+    }
+    assert sampled == {f for f in range(len(data)) if f % 3 == 0}
+    got = video_frame_stats(media, every_k=3).filter(
+        "doc_id = 1 AND frame_idx = 6"
+    ).collect()[0]
+    assert (got["n_values"], got["mean_val"], got["rms"]) == stats[(1, 6)]
+
+    # (6) stateful streams never reach the per-frame JPEG surfaces
+    with pytest.raises(ValueError, match="MJPG"):
+        _avi_frame_payloads(payload)
+    # and unknown codecs still fail loud at the walk
+    with pytest.raises(ValueError, match="honest codec gate"):
+        _avi_stream_info(payload.replace(b"MRLE", b"H264", 1))
+    # BI_RLE8 claims are validated, not trusted: MRLE handler with a
+    # non-RLE8 BITMAPINFOHEADER is rejected
+    bogus = _avi_build(
+        [enc[0]], W, H, handler=b"MRLE",
+        compression=struct.pack("<I", 0), bit_count=8,
+        palette=b"\x00\x00\x00\x00" * 256,
+        keyframes=[True],
+    )
+    with pytest.raises(ValueError, match="biCompression"):
+        _avi_stream_info(bogus)
