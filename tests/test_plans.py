@@ -32,6 +32,7 @@ _PANDAS_OK = {"multimodal_decode", "multimodal_decode_real",
               "multimodal_jpeg_pixel_stats", "multimodal_jpeg420_pixel_stats",
               "multimodal_jpeg_progressive_pixel_stats",
               "multimodal_video_frame_stats", "dedup_video_temporal",
+              "multimodal_video_rle8_frame_stats",
               "udf_pandas_quality", "udtf_split_words",
               "udtf_ngrams_polymorphic",
               "udf_grouped_map_order_gaps"}
@@ -626,6 +627,7 @@ _BNLJ_OK = {
     "ann_ivf_pq_preassigned_fixture",  # same shape on the preassigned path
     "dedup_substring_sampling_eval",  # one-row scalar agg crossJoin (broadcast)
     "corpus_topic_clusters",  # broadcast K-row centroid table (IVF assignment)
+    "ann_ivf_drift_monitor",  # same broadcast 8-row stub-centroid assignment
     "dedup_lsh_recall_eval", "dq_checks", "embedding_bucket_profile",
     "interpolate_linear", "knn_label_vote", "mix_temperature_weights",
     "multimodal_ann_pipeline", "perplexity_tail_buckets", "profile_key_skew",
