@@ -330,6 +330,66 @@ def global_ntile(
     )
 
 
+def hilbert_index(
+    df: DataFrame,
+    x_col: str,
+    y_col: str,
+    bits: int = 16,
+    out_col: str = "__h",
+) -> DataFrame:
+    """Hilbert space-filling-curve index of two integer dimensions — the
+    locality-better sibling of the z-order interleave
+    (``zorder_layout_pruning``): consecutive curve positions are always
+    GRID NEIGHBORS (no z-curve jumps), so range-partitioning by the
+    index packs files into tighter bounding boxes and min/max pruning
+    skips more of them. This is the curve behind lakehouse clustering
+    features that outgrew OPTIMIZE ZORDER.
+
+    Standard top-down xy→d walk, one round per bit from ``s = 2^(bits-1)``
+    down to 1: quadrant digit ``(3·rx + ry − 2·rx·ry)`` (the arithmetic
+    form of ``(3·rx) XOR ry`` — portable to engines where ``^`` is not
+    XOR) accumulates into ``d``; the (flip, swap) rotation re-expresses
+    x/y for the next round. Implemented as per-round column
+    REASSIGNMENT (select-chained; the plan grows linearly in ``bits``)
+    — a single nested expression would double per round. Pure integer
+    arithmetic end to end, so a recursive-CTE SQL mirror is bit-exact;
+    bijectivity + the neighbor property are pinned in pytest. Inputs
+    must be non-negative and < 2^bits (values at or past 2^bits would
+    alias quadrants silently — the caller rescales first).
+    """
+    if bits < 1 or bits > 31:
+        raise ValueError(f"bits must be in [1, 31], got {bits}")
+    out = df.select(
+        "*",
+        F.col(x_col).cast("long").alias("__hx"),
+        F.col(y_col).cast("long").alias("__hy"),
+        F.lit(0).cast("long").alias(out_col),
+    )
+    for i in range(bits - 1, -1, -1):
+        s = 1 << i
+        rx = F.when(F.col("__hx").bitwiseAND(F.lit(s)) > 0, 1).otherwise(0)
+        ry = F.when(F.col("__hy").bitwiseAND(F.lit(s)) > 0, 1).otherwise(0)
+        out = out.select("*", rx.alias("__rx"), ry.alias("__ry"))
+        digit = (
+            3 * F.col("__rx") + F.col("__ry")
+            - 2 * F.col("__rx") * F.col("__ry")
+        )
+        flip = (F.col("__ry") == 0) & (F.col("__rx") == 1)
+        swap = F.col("__ry") == 0
+        fx = F.when(flip, F.lit(s - 1) - F.col("__hx")).otherwise(F.col("__hx"))
+        fy = F.when(flip, F.lit(s - 1) - F.col("__hy")).otherwise(F.col("__hy"))
+        out = (
+            out.withColumn(out_col, F.col(out_col) + F.lit(s) * F.lit(s) * digit)
+            .select("*", fx.alias("__fx"), fy.alias("__fy"))
+            .withColumn("__nx", F.when(swap, F.col("__fy")).otherwise(F.col("__fx")))
+            .withColumn("__ny", F.when(swap, F.col("__fx")).otherwise(F.col("__fy")))
+            .drop("__hx", "__hy", "__rx", "__ry", "__fx", "__fy")
+            .withColumnRenamed("__nx", "__hx")
+            .withColumnRenamed("__ny", "__hy")
+        )
+    return out.drop("__hx", "__hy")
+
+
 def snapshot_diff(
     old: "DataFrame",
     new: "DataFrame",

@@ -2857,6 +2857,139 @@ def zorder_layout_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
     return zorder.union(linear)
 
 
+_HILBERT_ORACLE = f"""
+    WITH RECURSIVE hil AS (
+        SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
+               l_partkey::BIGINT AS hx, l_suppkey::BIGINT AS hy,
+               0::BIGINT AS hd, {1 << (_Z_BITS - 1)}::BIGINT AS s
+        FROM lineitem
+        UNION ALL
+        SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
+            CASE WHEN (hy & s) = 0
+                 THEN CASE WHEN (hx & s) > 0 THEN s - 1 - hy ELSE hy END
+                 ELSE hx END,
+            CASE WHEN (hy & s) = 0
+                 THEN CASE WHEN (hx & s) > 0 THEN s - 1 - hx ELSE hx END
+                 ELSE hy END,
+            hd + s * s * (3 * (CASE WHEN (hx & s) > 0 THEN 1 ELSE 0 END)
+                          + (CASE WHEN (hy & s) > 0 THEN 1 ELSE 0 END)
+                          - 2 * (CASE WHEN (hx & s) > 0 THEN 1 ELSE 0 END)
+                              * (CASE WHEN (hy & s) > 0 THEN 1 ELSE 0 END)),
+            s // 2
+        FROM hil WHERE s >= 1
+    ),
+    z AS (SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
+                 hd AS hval, {_Z_SQL} AS zval
+          FROM hil WHERE s = 0),
+    b AS (SELECT min(l_partkey) + CAST(0.4 AS DOUBLE)*(max(l_partkey)-min(l_partkey)) AS plo,
+                 min(l_partkey) + CAST(0.5 AS DOUBLE)*(max(l_partkey)-min(l_partkey)) AS phi,
+                 min(l_suppkey) + CAST(0.4 AS DOUBLE)*(max(l_suppkey)-min(l_suppkey)) AS slo,
+                 min(l_suppkey) + CAST(0.5 AS DOUBLE)*(max(l_suppkey)-min(l_suppkey)) AS shi
+          FROM lineitem),
+    hb AS (SELECT *, ntile({_Z_FILES}) OVER (ORDER BY hval, l_orderkey, l_linenumber,
+                                             l_partkey, l_suppkey) AS f FROM z),
+    zb AS (SELECT *, ntile({_Z_FILES}) OVER (ORDER BY zval, l_orderkey, l_linenumber,
+                                             l_partkey, l_suppkey) AS f FROM z),
+    lb AS (SELECT *, ntile({_Z_FILES}) OVER (ORDER BY l_orderkey, l_linenumber,
+                                             l_partkey, l_suppkey) AS f FROM z),
+    sh AS {_z_stats_sql('hb')},
+    sz AS {_z_stats_sql('zb')},
+    sl AS {_z_stats_sql('lb')}
+    SELECT * FROM {_z_summary_sql('hilbert', 'sh')}
+    UNION ALL SELECT * FROM {_z_summary_sql('zorder', 'sz')}
+    UNION ALL SELECT * FROM {_z_summary_sql('linear', 'sl')}
+    """
+
+
+@query("hilbert_layout_pruning", oracle=_HILBERT_ORACLE)
+def hilbert_layout_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hilbert-curve layout vs z-order vs insertion order, measured by
+    the same min/max file-skipping math as ``zorder_layout_pruning`` —
+    the locality claim behind lakehouse clustering that outgrew
+    OPTIMIZE ZORDER, hash-checked instead of asserted: consecutive
+    Hilbert positions are always grid NEIGHBORS (no z-curve quadrant
+    jumps), so the 32 file groups get tighter bounding boxes and the
+    two-dimensional box predicate scans fewer of them.
+
+    The Spark side computes the curve with
+    ``operators.relational.hilbert_index`` (per-round column
+    reassignment — a linear plan, not an exponential nested
+    expression); the oracle re-derives the identical index with a
+    recursive CTE carrying (x, y, d, s) through the same
+    flip/swap/quadrant arithmetic (the XOR-free ``3·rx + ry − 2·rx·ry``
+    digit form both engines share). Everything downstream — exact
+    global ntile split, per-file min/max stats, overlap math — is the
+    z-order query's machinery verbatim, so the three rows differ ONLY
+    in the ordering key: the layout comparison is apples-to-apples and
+    fully value-checked. Scale shape: the index is a pure per-row
+    integer map (one codegen stage, no shuffle), the split is the
+    sharded range-partition ``global_ntile``, stats are one
+    map-side-combined aggregate — the real OPTIMIZE job's plan.
+    """
+    from pyspark_ingestion_spark.operators.relational import (
+        global_ntile,
+        hilbert_index,
+    )
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_partkey", "l_suppkey"
+    )
+    mm = li.agg(
+        F.min("l_partkey"), F.max("l_partkey"),
+        F.min("l_suppkey"), F.max("l_suppkey"),
+    ).first()
+    plo = mm[0] + 0.4 * (mm[1] - mm[0])
+    phi = mm[0] + 0.5 * (mm[1] - mm[0])
+    slo = mm[2] + 0.4 * (mm[3] - mm[2])
+    shi = mm[2] + 0.5 * (mm[3] - mm[2])
+
+    zcol = None
+    for i in range(_Z_BITS):
+        for col, off in (("l_partkey", 2 * i), ("l_suppkey", 2 * i + 1)):
+            t = F.shiftleft(F.shiftright(F.col(col), i).bitwiseAND(F.lit(1)), off)
+            zcol = t if zcol is None else zcol + t
+    base = hilbert_index(
+        li.withColumn("__z", zcol), "l_partkey", "l_suppkey",
+        bits=_Z_BITS, out_col="__h",
+    )
+
+    in_box = (
+        (F.col("l_partkey") >= plo) & (F.col("l_partkey") <= phi)
+        & (F.col("l_suppkey") >= slo) & (F.col("l_suppkey") <= shi)
+    )
+    overlap = (
+        (F.col("pk_max") >= plo) & (F.col("pk_min") <= phi)
+        & (F.col("sk_max") >= slo) & (F.col("sk_min") <= shi)
+    )
+
+    def layout_summary(order_cols: list, name: str) -> DataFrame:
+        files = global_ntile(base, order_cols, _Z_FILES, out_col="__file")
+        per_file = files.groupBy("__file").agg(
+            F.min("l_partkey").alias("pk_min"), F.max("l_partkey").alias("pk_max"),
+            F.min("l_suppkey").alias("sk_min"), F.max("l_suppkey").alias("sk_max"),
+            F.count(F.lit(1)).alias("rws"),
+            F.sum(in_box.cast("long")).alias("rib"),
+        )
+        return per_file.agg(
+            F.count(F.lit(1)).alias("files_total"),
+            F.sum(overlap.cast("long")).alias("files_scanned"),
+            F.sum(F.when(overlap, F.col("rws")).otherwise(F.lit(0))).alias(
+                "rows_scanned"
+            ),
+            F.sum("rib").alias("rows_in_box"),
+        ).select(
+            F.lit(name).alias("layout"),
+            "files_total", "files_scanned", "rows_scanned", "rows_in_box",
+        )
+
+    tie = ["l_orderkey", "l_linenumber", "l_partkey", "l_suppkey"]
+    return (
+        layout_summary(["__h"] + tie, "hilbert")
+        .union(layout_summary(["__z"] + tie, "zorder"))
+        .union(layout_summary(tie, "linear"))
+    )
+
+
 _TRI_ORACLE = """
     WITH op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
     e AS (SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v

@@ -334,6 +334,7 @@ def test_headline_shuffle_budgets(spark, sf_dir):
         "pagerank_copurchase": 11,        # edge build + 5 unrolled step aggs
         "entity_canonical_keep_one": 3,   # name agg + blocked pair join + entity rollup
         "zorder_layout_pruning": 8,       # 2 layouts × (ntile shard + file stats + rollup)
+        "hilbert_layout_pruning": 12,     # 3 layouts × the same 4-exchange chain (r13)
         "approx_topk_heavy_hitters": 4,   # cms cells + distinct coords + exact agg + topk
         "bigram_logprob_quality": 3,      # bigram agg + left agg + per-doc agg
         "snapshot_table_diff": 2,         # one full-outer key join (2 sides)

@@ -2407,3 +2407,46 @@ def test_bpe_train_merges_batched_matches_python_model(
         assert [(x, y, c) for _, x, y, c in got] == _py_bpe_train(
             docs, n_rounds
         )
+
+
+def test_hilbert_index_is_the_canonical_curve(spark):
+    """r13: hilbert_index equals the canonical xy2d walk on the full
+    16x16 grid, is a bijection, and has the property the layout query
+    sells: consecutive curve positions are GRID NEIGHBORS (|dx|+|dy|=1
+    everywhere - the locality z-order's quadrant jumps break). Also
+    pins the bits guard."""
+    import pytest as _pytest
+
+    from pyspark_ingestion_spark.operators.relational import hilbert_index
+
+    bits, n = 4, 16
+    df = spark.createDataFrame(
+        [(x, y) for x in range(n) for y in range(n)], "x int, y int"
+    )
+    got = {
+        (r["x"], r["y"]): r["__h"]
+        for r in hilbert_index(df, "x", "y", bits=bits).collect()
+    }
+
+    def xy2d(order, x, y):
+        d, s = 0, order // 2
+        while s > 0:
+            rx = 1 if (x & s) > 0 else 0
+            ry = 1 if (y & s) > 0 else 0
+            d += s * s * ((3 * rx) ^ ry)
+            if ry == 0:
+                if rx == 1:
+                    x, y = s - 1 - x, s - 1 - y
+                x, y = y, x
+            s //= 2
+        return d
+
+    assert got == {(x, y): xy2d(n, x, y) for x in range(n) for y in range(n)}
+    inv = {d: xy for xy, d in got.items()}
+    assert len(inv) == n * n  # bijection on the grid
+    assert all(
+        abs(inv[d][0] - inv[d + 1][0]) + abs(inv[d][1] - inv[d + 1][1]) == 1
+        for d in range(n * n - 1)
+    )
+    with _pytest.raises(ValueError, match="bits"):
+        hilbert_index(df, "x", "y", bits=0)
