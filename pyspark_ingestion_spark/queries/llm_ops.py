@@ -147,6 +147,43 @@ def quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "quality_percentile_filter",
+    oracle=r"""
+    WITH q AS (SELECT doc_id, source,
+                      CASE WHEN length(text) = 0 THEN 0.0
+                           ELSE ROUND((len(regexp_extract_all(text, '[A-Za-z]')) / length(text))
+                                * least(1.0, len(string_split_regex(trim(text), '\s+')) / 20.0), 6)
+                      END AS quality
+               FROM documents),
+    r AS (SELECT *, percent_rank() OVER (PARTITION BY source
+                                         ORDER BY quality, doc_id) AS pr
+          FROM q)
+    SELECT doc_id, source, quality, ROUND(pr, 6) AS pr FROM r WHERE pr >= 0.2
+    """,
+)
+def quality_percentile_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RELATIVE quality filtering: drop each source's bottom 20 % by
+    quality score instead of one absolute global cutoff — the per-domain
+    thresholding production pipelines use when sources have different
+    quality baselines (an absolute cutoff either guts a clean source or
+    keeps a dirty one whole). percent_rank is ordered (quality, doc_id)
+    so ties (exact-dup texts share a score) rank deterministically and
+    both engines agree. One window shuffle on source — no global sort
+    at 100 TB; the per-source rank is exactly what a per-domain
+    OPTIMIZE/curation job computes before writing the kept tier."""
+    from pyspark.sql import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    q = d.select("doc_id", "source", quality_score("text").alias("quality"))
+    w = Window.partitionBy("source").orderBy("quality", "doc_id")
+    return (
+        q.withColumn("pr", F.percent_rank().over(w))
+        .filter(F.col("pr") >= 0.2)
+        .select("doc_id", "source", "quality", F.round("pr", 6).alias("pr"))
+    )
+
+
+@query(
     "text_repetition",
     oracle=r"""
     WITH w AS (SELECT doc_id, trim(lower(text)) AS t,
@@ -505,6 +542,72 @@ def corpus_dedup_keep_one(spark: SparkSession, sf_dir: str) -> DataFrame:
         connected_components(pairs)
         .filter(F.col("node") != F.col("component"))
         .select(F.col("node").alias("doc_id"))
+    )
+    return d.join(F.broadcast(dropped), "doc_id", "left_anti").select("doc_id")
+
+
+@query(
+    "dedup_keep_best",
+    oracle=f"""
+    WITH RECURSIVE {{shingles}},
+    inter AS (SELECT a.doc AS doc_a, b.doc AS doc_b, count(*) AS intersection
+              FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc < b.doc
+              GROUP BY 1, 2),
+    pairs AS (SELECT doc_a, doc_b FROM inter
+              JOIN sizes sa ON sa.doc = doc_a
+              JOIN sizes sb ON sb.doc = doc_b
+              WHERE 2 * intersection >= 1 * (sa.sz + sb.sz - intersection)),
+    sym AS (SELECT doc_a AS u, doc_b AS v FROM pairs
+            UNION SELECT doc_b, doc_a FROM pairs),
+    reach(u, v) AS (SELECT u, v FROM sym
+                    UNION SELECT r.u, s.v FROM reach r JOIN sym s ON r.v = s.u),
+    labels AS (SELECT u AS node, least(u, min(v)) AS component
+               FROM reach GROUP BY u),
+    q AS (SELECT doc_id,
+                 CASE WHEN length(text) = 0 THEN 0.0
+                      ELSE ROUND((len(regexp_extract_all(text, '[A-Za-z]')) / length(text))
+                           * least(1.0, len(string_split_regex(trim(text), '\\s+')) / 20.0), 6)
+                 END AS quality
+          FROM documents),
+    keep AS (SELECT node FROM (
+               SELECT l.node,
+                      row_number() OVER (PARTITION BY l.component
+                                         ORDER BY q.quality DESC, l.node ASC) AS rn
+               FROM labels l JOIN q ON q.doc_id = l.node)
+             WHERE rn = 1),
+    dropped AS (SELECT node FROM labels ANTI JOIN keep USING (node))
+    SELECT d.doc_id FROM documents d
+    LEFT JOIN dropped ON d.doc_id = dropped.node
+    WHERE dropped.node IS NULL
+    """.format(shingles=_SHINGLES_CTE),
+)
+def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-aware keeper selection: corpus minus all near-dup cluster
+    members EXCEPT each cluster's highest-quality doc — what production
+    dedup actually ships (``corpus_dedup_keep_one``'s min-id keeper is
+    the arbitrary-but-deterministic baseline; keeping the best copy is
+    why you scored quality in the first place). Ties (exact dups share
+    a quality score) break to the lowest id, so the keeper is
+    deterministic cross-engine. Same scale shape as keep-one: bucketed
+    pair search → connected components → per-component top-1 (the
+    component table is cluster-members-only, a tiny fraction of the
+    corpus) → broadcast anti-join; the corpus itself never shuffles."""
+    from pyspark_ingestion_spark.operators.relational import topk_per_group
+
+    d = load_table(spark, sf_dir, "documents")
+    pairs = jaccard_similar_pairs(
+        d, "doc_id", "text", n=3, threshold_num=1, threshold_den=2
+    ).select("doc_a", "doc_b")
+    labels = connected_components(pairs)
+    q = d.select("doc_id", quality_score("text").alias("quality"))
+    memb = labels.join(q, labels["node"] == q["doc_id"]).select(
+        "node", "component", "quality"
+    )
+    keep = topk_per_group(
+        memb, ["component"], [F.desc("quality"), F.asc("node")], k=1
+    ).select("node")
+    dropped = labels.select("node").join(keep, "node", "left_anti").select(
+        F.col("node").alias("doc_id")
     )
     return d.join(F.broadcast(dropped), "doc_id", "left_anti").select("doc_id")
 
