@@ -1608,3 +1608,75 @@ def remove_duplicate_spans(
             (F.length("__orig") - F.length("text_clean")).cast("long").alias("chars_removed"),
         )
     )
+
+
+def scrub_common_segments(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    words_per_segment: int = 8,
+    max_doc_df: int = 2,
+) -> DataFrame:
+    """Cross-document BOILERPLATE scrub at the segment tier (r13): drop
+    every aligned ``words_per_segment``-word segment that appears
+    verbatim in more than ``max_doc_df`` distinct docs, and reassemble
+    each doc from its surviving segments — the C4/CCNet
+    "remove duplicated lines across the corpus" step, on fixed word
+    windows (the right unit when texts carry no newline structure;
+    swap the segmenter for a line split when they do).
+
+    The cheap tier next to ``corpus_substring_scrub``: aligned segments
+    need ONE explode per doc (no per-character rolling windows, no
+    span verification) — O(words) rows into one distinct-count
+    aggregate, a broadcast hot-set anti-join, and one per-doc
+    reassembly groupBy. At 100 TB this is the pass you run corpus-wide
+    every ingest; the substring scrubber is the forensic tool you aim
+    at what this pass surfaces. Returns (id, text_clean, n_segments,
+    n_scrubbed); docs whose every segment is boilerplate come back as
+    the empty string (kept, so downstream length filters decide their
+    fate explicitly).
+    """
+    if words_per_segment < 1:
+        raise ValueError(f"words_per_segment must be >= 1, got {words_per_segment}")
+    ws = F.split(F.trim(F.col(text_col)), r"\s+")
+    n_seg = F.ceil(F.size(ws) / F.lit(words_per_segment)).cast("int")
+    segs = df.select(
+        F.col(id_col).alias("__doc"),
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), n_seg - 1),
+                lambda i: F.array_join(
+                    F.slice(ws, i * words_per_segment + 1, words_per_segment), " "
+                ),
+            )
+        ).alias("__i", "__seg"),
+    )
+    hot = (
+        segs.groupBy("__seg")
+        .agg(F.count_distinct("__doc").alias("__df"))
+        .filter(F.col("__df") > max_doc_df)
+        .select("__seg")
+    )
+    kept = segs.join(F.broadcast(hot), "__seg", "left_anti")
+    rebuilt = kept.groupBy("__doc").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("__i", "__seg"))),
+                lambda s: s["__seg"],
+            ),
+            " ",
+        ).alias("text_clean"),
+        F.count(F.lit(1)).alias("__kept"),
+    )
+    totals = segs.groupBy("__doc").agg(F.count(F.lit(1)).alias("n_segments"))
+    return (
+        totals.join(rebuilt, "__doc", "left")
+        .select(
+            F.col("__doc").alias(id_col),
+            F.coalesce("text_clean", F.lit("")).alias("text_clean"),
+            "n_segments",
+            (F.col("n_segments") - F.coalesce("__kept", F.lit(0))).alias(
+                "n_scrubbed"
+            ),
+        )
+    )

@@ -184,6 +184,45 @@ def quality_percentile_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "corpus_boilerplate_scrub",
+    oracle=r"""
+    WITH w AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS ws
+               FROM documents),
+    seg AS (SELECT doc_id, i, array_to_string(ws[i*8+1 : i*8+8], ' ') AS s
+            FROM w, LATERAL (SELECT unnest(range(0,
+                     CAST(ceil(len(ws) / 8.0) AS BIGINT))) AS i)),
+    hot AS (SELECT s FROM (SELECT s, count(DISTINCT doc_id) AS df
+                           FROM seg GROUP BY s) WHERE df > 2),
+    kept AS (SELECT * FROM seg ANTI JOIN hot USING (s)),
+    reb AS (SELECT doc_id, string_agg(s, ' ' ORDER BY i) AS text_clean,
+                   count(*) AS kept_n
+            FROM kept GROUP BY doc_id),
+    tot AS (SELECT doc_id, count(*) AS n_segments FROM seg GROUP BY doc_id)
+    SELECT t.doc_id, coalesce(r.text_clean, '') AS text_clean, t.n_segments,
+           t.n_segments - coalesce(r.kept_n, 0) AS n_scrubbed
+    FROM tot t LEFT JOIN reb r ON t.doc_id = r.doc_id
+    """,
+)
+def corpus_boilerplate_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide boilerplate removal at the segment tier — the
+    C4/CCNet "drop lines duplicated across documents" pass, on aligned
+    8-word segments (the right unit for newline-free texts): any
+    segment verbatim in >2 distinct docs is scrubbed from EVERY doc and
+    the survivors reassemble in order. The cheap every-ingest
+    complement to ``corpus_substring_scrub`` (one explode + one
+    distinct-count + a broadcast hot-set anti-join — no rolling
+    windows, no span verification). Fully value-checked: the oracle
+    re-derives segmentation, the hot set and the reassembled
+    ``text_clean`` strings byte-for-byte."""
+    from pyspark_ingestion_spark.operators.dedup import scrub_common_segments
+
+    d = load_table(spark, sf_dir, "documents")
+    return scrub_common_segments(
+        d, "doc_id", "text", words_per_segment=8, max_doc_df=2
+    )
+
+
+@query(
     "text_repetition",
     oracle=r"""
     WITH w AS (SELECT doc_id, trim(lower(text)) AS t,

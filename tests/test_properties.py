@@ -2450,3 +2450,32 @@ def test_hilbert_index_is_the_canonical_curve(spark):
     )
     with _pytest.raises(ValueError, match="bits"):
         hilbert_index(df, "x", "y", bits=0)
+
+
+def test_scrub_common_segments_removes_planted_boilerplate(spark):
+    """r13: the segment-tier boilerplate pass. A shared 8-word header
+    planted across many docs is scrubbed from every one; unique tails
+    survive byte-for-byte in order; a doc that is ALL boilerplate comes
+    back as the empty string (kept, counted); docs with no hot segments
+    pass through untouched; and the guard rejects a degenerate width."""
+    import pytest as _pytest
+
+    from pyspark_ingestion_spark.operators.dedup import scrub_common_segments
+
+    header = "terms of service apply to all content here"  # 8 words
+    rows = [(i, f"{header} unique tail words for document number {i}")
+            for i in range(6)]
+    rows.append((100, header))                      # all boilerplate
+    rows.append((200, "entirely original text with no shared segments at all"))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in scrub_common_segments(
+        df, "doc_id", "text", words_per_segment=8, max_doc_df=2
+    ).collect()}
+    assert len(out) == 8  # every doc kept, including the emptied one
+    for i in range(6):
+        assert out[i]["text_clean"] == f"unique tail words for document number {i}"
+        assert out[i]["n_scrubbed"] == 1 and out[i]["n_segments"] == 2
+    assert out[100]["text_clean"] == "" and out[100]["n_scrubbed"] == 1
+    assert out[200]["text_clean"] == rows[-1][1] and out[200]["n_scrubbed"] == 0
+    with _pytest.raises(ValueError, match="words_per_segment"):
+        scrub_common_segments(df, "doc_id", "text", words_per_segment=0)
