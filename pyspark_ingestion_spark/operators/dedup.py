@@ -1625,16 +1625,18 @@ def scrub_common_segments(
     windows (the right unit when texts carry no newline structure;
     swap the segmenter for a line split when they do).
 
-    The cheap tier next to ``corpus_substring_scrub``: aligned segments
-    need ONE explode per doc (no per-character rolling windows, no
-    span verification) — O(words) rows into one distinct-count
-    aggregate, a broadcast hot-set anti-join, and one per-doc
-    reassembly groupBy. At 100 TB this is the pass you run corpus-wide
-    every ingest; the substring scrubber is the forensic tool you aim
-    at what this pass surfaces. Returns (id, text_clean, n_segments,
-    n_scrubbed); docs whose every segment is boilerplate come back as
-    the empty string (kept, so downstream length filters decide their
-    fate explicitly).
+    The contract next to ``corpus_substring_scrub`` is COVERAGE, not
+    cost (measured at sf0.1 the two are comparable — SCALING.md r13;
+    the substring scrubber's content-defined window sampling skips
+    most windows, this pass explodes every aligned segment): here the
+    document frequency is EXACT for every segment — no sampling to
+    miss a boilerplate unit, no span verification — at the price of
+    only catching duplication aligned to the segment grid. Shape:
+    O(words) rows into one distinct-count aggregate, a broadcast
+    hot-set anti-join, and one per-doc reassembly groupBy. Returns
+    (id, text_clean, n_segments, n_scrubbed); docs whose every segment
+    is boilerplate come back as the empty string (kept, so downstream
+    length filters decide their fate explicitly).
     """
     if words_per_segment < 1:
         raise ValueError(f"words_per_segment must be >= 1, got {words_per_segment}")

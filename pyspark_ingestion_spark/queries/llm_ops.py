@@ -208,10 +208,10 @@ def corpus_boilerplate_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     C4/CCNet "drop lines duplicated across documents" pass, on aligned
     8-word segments (the right unit for newline-free texts): any
     segment verbatim in >2 distinct docs is scrubbed from EVERY doc and
-    the survivors reassemble in order. The cheap every-ingest
-    complement to ``corpus_substring_scrub`` (one explode + one
-    distinct-count + a broadcast hot-set anti-join — no rolling
-    windows, no span verification). Fully value-checked: the oracle
+    the survivors reassemble in order. The FULL-COVERAGE complement to
+    ``corpus_substring_scrub`` (exact df on every aligned segment vs
+    its sampled windows + span verification; measured cost comparable
+    at sf0.1 — SCALING.md r13). Fully value-checked: the oracle
     re-derives segmentation, the hot set and the reassembled
     ``text_clean`` strings byte-for-byte."""
     from pyspark_ingestion_spark.operators.dedup import scrub_common_segments
