@@ -354,15 +354,27 @@ def hilbert_index(
     — a single nested expression would double per round. Pure integer
     arithmetic end to end, so a recursive-CTE SQL mirror is bit-exact;
     bijectivity + the neighbor property are pinned in pytest. Inputs
-    must be non-negative and < 2^bits (values at or past 2^bits would
-    alias quadrants silently — the caller rescales first).
+    must be non-negative and < 2^bits — out-of-range values would
+    alias quadrants silently, so a per-row ``assert_true`` guard makes
+    them RAISE instead (the ``pq_encode`` dim-guard pattern, r12/r13:
+    measured cost nothing against a constant-folded bound; rescale
+    first if your domain is wider).
     """
     if bits < 1 or bits > 31:
         raise ValueError(f"bits must be in [1, 31], got {bits}")
+    lim = 1 << bits
+    x0, y0 = F.col(x_col).cast("long"), F.col(y_col).cast("long")
+    guard = F.assert_true(
+        (x0 >= 0) & (x0 < lim) & (y0 >= 0) & (y0 < lim),
+        F.lit(
+            f"hilbert_index: inputs must be in [0, 2^{bits}) — out-of-range "
+            "values would alias quadrants; rescale first"
+        ),
+    )
     out = df.select(
         "*",
-        F.col(x_col).cast("long").alias("__hx"),
-        F.col(y_col).cast("long").alias("__hy"),
+        F.when(guard.isNull(), x0).alias("__hx"),
+        F.when(guard.isNull(), y0).alias("__hy"),
         F.lit(0).cast("long").alias(out_col),
     )
     for i in range(bits - 1, -1, -1):

@@ -2479,3 +2479,18 @@ def test_scrub_common_segments_removes_planted_boilerplate(spark):
     assert out[200]["text_clean"] == rows[-1][1] and out[200]["n_scrubbed"] == 0
     with _pytest.raises(ValueError, match="words_per_segment"):
         scrub_common_segments(df, "doc_id", "text", words_per_segment=0)
+
+
+def test_hilbert_index_rejects_out_of_range_inputs(spark):
+    """r13: out-of-range coordinates would alias quadrants silently —
+    the per-row guard raises instead (in-range rows still compute)."""
+    import pytest as _pytest
+
+    from pyspark_ingestion_spark.operators.relational import hilbert_index
+
+    ok = spark.createDataFrame([(3, 5)], "x int, y int")
+    assert hilbert_index(ok, "x", "y", bits=4).collect()[0]["__h"] is not None
+    for bad in [(16, 0), (0, 16), (-1, 0)]:
+        df = spark.createDataFrame([bad], "x int, y int")
+        with _pytest.raises(Exception, match="alias quadrants"):
+            hilbert_index(df, "x", "y", bits=4).collect()
