@@ -91,32 +91,25 @@ def _priority(name: str) -> tuple:
 #: proof would attest different semantics, so they re-verify as if never
 #: checked (ahead of the LRV rotation).
 _CHANGED_THIS_ROUND = {
-    # r13: pq_encode gained the expected_dim per-row guard (ADVICE) —
-    # the default no-guard path's expressions are identical, but the
-    # encode body was restructured, so re-prove its two direct callers
-    "ann_pq_encode_fixture",
-    "pq_reconstruction_error",
-    # r13: embedding_batch_rejects gained max_bucket_size /
-    # bucket_cap_mode / probe_salts (VERDICT r12 item 3; uncapped
-    # default re-proven here)
-    "dedup_incremental_semantic",
-    # r13: fingerprint_batch_rejects gained salt_hash threading
-    # (VERDICT r12 item 4; drop-mode default re-proven here) — the new
-    # cross-side admission fixture itself is never-verified and enters
-    # ahead of the rotation automatically
-    "dedup_incremental_image",
-    # r13: containment_pairs gained the bloom_bits prefilter branch
-    # (default bloom_bits=None path re-proven here; the armed path's
-    # own row, bloom_prefilter_decontaminate, is never-verified and
-    # enters ahead of the rotation automatically)
-    "contamination_check",
-    "corpus_decontaminate",
-    # r13: the AVI walk generalized to _avi_stream_info (BI_RLE8 delta
-    # video) and video_frame_stats gained the codec dispatch — re-prove
-    # the MJPEG rows that ride the refactored path (the RLE8 row itself
-    # is never-verified and enters automatically)
-    "multimodal_video_frame_stats",
-    "dedup_video_temporal",
+    # r14: ivf_drift_flags gained the zero-baseline guard (ADVICE r13:
+    # drift_ratio is now NULL instead of Inf/NaN when baseline_avg = 0,
+    # retrain decides directly) — semantics changed on BOTH sides
+    "ann_ivf_drift_monitor",
+    # r14: the hilbert oracle gained the mirrored range guard (ADVICE
+    # r13) — oracle text changed, so the old proof attests a different
+    # SQL string
+    "hilbert_layout_pruning",
+    # r14: bloom_might_contain was rebuilt as a native Column
+    # expression (forall/getbit, Column|str key) and prebuilt states
+    # became shape-validated BloomState — re-prove the rows that run
+    # the ARMED probe path (the md5 fixture twin, bloom_fixture_sketch,
+    # is never-verified and enters ahead of the rotation automatically)
+    "bloom_prefilter_decontaminate",
+    "dedup_incremental_decontaminate",
+    # r14: bloom_build's positions now come from the shared _position
+    # helper (hash_mode dispatch) — expression-identical by design,
+    # re-prove the direct sketch row anyway (cheap, rows-only)
+    "agg_bloom_sketch",
 }
 
 

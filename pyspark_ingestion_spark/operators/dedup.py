@@ -23,9 +23,13 @@ materialized because candidates must collide on a key first.
 from __future__ import annotations
 
 import threading
+from typing import TYPE_CHECKING, Sequence
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+
+if TYPE_CHECKING:  # annotation-only: the bloom import stays lazy at runtime
+    from pyspark_ingestion_spark.operators.bloom import BloomState
 
 from pyspark_ingestion_spark.functions.text import fingerprint, word_shingles, words
 
@@ -732,7 +736,7 @@ def containment_pairs(
     max_doc_freq: int | float | None = None,
     bloom_bits: int | None = None,
     bloom_hashes: int = 4,
-    bloom_state: list[int] | None = None,
+    bloom_state: "BloomState | Sequence[int] | None" = None,
 ) -> DataFrame:
     """Cross-corpus contamination: benchmark docs whose n-grams appear in
     the training corpus.
@@ -762,11 +766,28 @@ def containment_pairs(
     result is bit-identical to ``bloom_bits=None`` (property-pinned),
     only the shuffled volume changes.
 
-    ``bloom_state`` (a pre-densified word list of the SAME bits/hashes
-    shape) skips the build+collect — the streaming decontamination sink
-    computes it once per sink, not per micro-batch. A superset state
-    (e.g. built before a ``max_doc_freq`` hot-drop) is safe: extra set
-    bits only admit false positives, which the exact join removes.
+    WHEN to arm (r14, from the two measured SCALING r13 regimes): the
+    probe costs ~125 ns/row and prunes ``1 − hit_rate`` of the corpus
+    shingle stream, so it wins when the corpus-side hit rate (true
+    overlap + FP) is LOW — measured 135× prune at 0.74 % hit rate, a
+    loss at 38 % (no prefilter prunes below the true-overlap rate).
+    Decide with ``bloom.bloom_arming_estimate`` (seeded-sample hit
+    rate vs a ~20 % threshold; both regime decisions pinned in
+    tests/test_bloom.py) — decontamination against a fixed eval set is
+    the canonical ARM case, dedup of same-distribution corpora the
+    canonical don't.
+
+    ``bloom_state`` (a :class:`~pyspark_ingestion_spark.operators.bloom.
+    BloomState`, or a bare pre-densified word list of the SAME
+    bits/hashes shape) skips the build+collect — the streaming
+    decontamination sink computes it once per sink, not per micro-batch.
+    A ``BloomState``'s recorded shape is VALIDATED against
+    ``bloom_bits``/``bloom_hashes`` (ADVICE r13: a state built with
+    fewer hashes than the probe silently drops true hits; the bare-list
+    form can only check the word count — prefer ``BloomState``). A
+    superset state (e.g. built before a ``max_doc_freq`` hot-drop) is
+    safe: extra set bits only admit false positives, which the exact
+    join removes.
     """
     # NOTE: the bench side is small by definition (it's the benchmark /
     # new batch), so it is NOT persisted — recomputing its shingle
@@ -788,6 +809,8 @@ def containment_pairs(
                 bloom_build(sb, "shingle", bloom_bits, bloom_hashes), bloom_bits
             )
         )
+        # BloomState shape validation (and the bare-list word-count
+        # check) happen inside bloom_might_contain
         sc = sc.filter(bloom_might_contain("shingle", words, bloom_bits, bloom_hashes))
     bsz = sb.groupBy("doc").agg(F.count(F.lit(1)).alias("bench_size"))
     inter = (

@@ -1124,6 +1124,14 @@ def ivf_drift_flags(
     drift by definition. Ratios divide the already-rounded averages, so
     the flag is deterministic cross-engine. Both inputs are K-row
     tables; the join broadcasts trivially.
+
+    Zero-baseline cells (ADVICE r13): a baseline average of exactly 0
+    (every train-time vector ON its centroid — degenerate but legal)
+    has no meaningful ratio, so ``drift_ratio`` is NULL instead of
+    Infinity/NaN (both engines order NaN above everything, which would
+    have flagged a perfectly stable zero-residual cell) and the flag
+    decides directly: current avg > 0 ⇒ drift (any movement off an
+    exactly-converged centroid is growth), current avg = 0 ⇒ stable.
     """
     cur = current.select(
         cell_col,
@@ -1134,7 +1142,10 @@ def ivf_drift_flags(
         F.col(cell_col),
         F.col("avg_residual").alias("baseline_avg"),
     )
-    ratio = F.round(F.col("avg_residual") / F.col("baseline_avg"), 4)
+    ratio = F.when(
+        F.col("baseline_avg") > 0,
+        F.round(F.col("avg_residual") / F.col("baseline_avg"), 4),
+    )
     return (
         cur.join(F.broadcast(base), cell_col, "left")
         .select(
@@ -1147,7 +1158,11 @@ def ivf_drift_flags(
                 (F.col("n_vectors") >= F.lit(min_rows))
                 & (
                     F.col("baseline_avg").isNull()
-                    | (ratio > F.lit(max_ratio))
+                    | (
+                        (F.col("baseline_avg") == 0)
+                        & (F.col("avg_residual") > 0)
+                    )
+                    | F.coalesce(ratio > F.lit(max_ratio), F.lit(False))
                 )
             )
             .cast("int")

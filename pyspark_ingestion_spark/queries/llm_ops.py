@@ -1515,9 +1515,14 @@ def ann_ivf_kmeans_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     base AS (SELECT cell, ROUND(avg(r), 4) AS baseline_avg
              FROM rr WHERE vec_id % 5 != 0 GROUP BY cell)
     SELECT cur.cell, cur.n_new, cur.avg_residual, base.baseline_avg,
-           ROUND(cur.avg_residual / base.baseline_avg, 4) AS drift_ratio,
+           CASE WHEN base.baseline_avg > 0
+                THEN ROUND(cur.avg_residual / base.baseline_avg, 4)
+                END AS drift_ratio,
            CAST(cur.n_new >= 5 AND (base.baseline_avg IS NULL
-                OR ROUND(cur.avg_residual / base.baseline_avg, 4) > 1.02)
+                OR (base.baseline_avg = 0 AND cur.avg_residual > 0)
+                OR COALESCE(CASE WHEN base.baseline_avg > 0
+                    THEN ROUND(cur.avg_residual / base.baseline_avg, 4)
+                    END > 1.02, FALSE))
                 AS INT) AS retrain
     FROM cur LEFT JOIN base ON cur.cell = base.cell
     """,
@@ -1973,8 +1978,11 @@ def agg_bloom_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     sketches), and broadcastable as a scan-side membership prefilter.
     Deterministic (xxhash64) but not DuckDB-mirrorable → rows-only;
     zero-false-negative, merge-exactness and FP-rate bounds are pinned
-    in tests/test_bloom.py, and the composed end-to-end proof is the
-    hash-green ``bloom_prefilter_decontaminate`` row.
+    in tests/test_bloom.py, the composed end-to-end proof is the
+    hash-green ``bloom_prefilter_decontaminate`` row, and the
+    build/merge/probe ARITHMETIC (shared verbatim by both hash modes)
+    is driver-hash-checked by ``bloom_fixture_sketch`` (r14, md5
+    positions — the CMS tier's cross-engine fingerprint trick).
     """
     from pyspark_ingestion_spark.operators.bloom import bloom_build
     from pyspark_ingestion_spark.operators.dedup import _shingle_table
@@ -1985,6 +1993,102 @@ def agg_bloom_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bloom_build(sh, "shingle", num_bits=1 << 12, num_hashes=4).orderBy(
         "word_idx"
     )
+
+
+@query(
+    "bloom_fixture_sketch",
+    oracle=r"""
+    WITH wb AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS ws
+                FROM documents WHERE source = 'src0'),
+    shb AS (SELECT DISTINCT array_to_string(ws[i:i+2], ' ') AS shingle
+            FROM wb, LATERAL (SELECT unnest(range(1, greatest(len(ws)-2, 1) + 1)) AS i)),
+    pos AS (SELECT (('0x' || substr(md5(i || '|' || shingle), 1, 15))::BIGINT) % 4096 AS p
+            FROM shb, LATERAL (SELECT unnest(range(0, 4)) AS i)),
+    words_t AS (SELECT (p // 64)::BIGINT AS k,
+                       bit_or(CASE WHEN p % 64 = 63
+                                   THEN (-9223372036854775807 - 1)::BIGINT
+                                   ELSE 1::BIGINT << (p % 64) END) AS v
+                FROM pos GROUP BY 1),
+    wp AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS ws
+           FROM documents WHERE source IN ('src1', 'src2')),
+    shp AS (SELECT DISTINCT array_to_string(ws[i:i+2], ' ') AS shingle
+            FROM wp, LATERAL (SELECT unnest(range(1, greatest(len(ws)-2, 1) + 1)) AS i)),
+    ppos AS (SELECT shingle,
+                    (('0x' || substr(md5(i || '|' || shingle), 1, 15))::BIGINT) % 4096 AS p
+             FROM shp, LATERAL (SELECT unnest(range(0, 4)) AS i)),
+    probe_t AS (SELECT ('0x' || substr(md5(shingle), 1, 15))::BIGINT AS k,
+                       CAST(bool_and(COALESCE((w.v >> (ppos.p % 64)) & 1, 0) = 1)
+                            AS BIGINT) AS v
+                FROM ppos LEFT JOIN words_t w ON w.k = ppos.p // 64
+                GROUP BY shingle)
+    SELECT 'word' AS section, k, v FROM words_t
+    UNION ALL
+    SELECT 'probe' AS section, k, v FROM probe_t
+    """,
+)
+def bloom_fixture_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hash-green twin for the Bloom tier (r14, VERDICT r13 item 2):
+    the full build → merge → densify → probe chain, driver-hash-checked
+    word by word and probe by probe against an independent SQL mirror.
+
+    The production sketch hashes with ``xxhash64`` (no DuckDB twin), so
+    ``agg_bloom_sketch`` is rows-only; this fixture runs the SAME
+    build/merge/word/bit arithmetic — only the position hash swaps to
+    the CMS tier's cross-engine md5 fingerprint
+    (``conv(substr(md5(i|key),1,15),16,10) % bits``, the
+    ``profiling.token_cms_buckets`` pattern). Output sections:
+
+    * ``word``: every word of the MERGED sketch (two per-parity builds
+      over the src0 benchmark shingles, ``bloom_merge``-d) — the oracle
+      rebuilds the bitset from the distinct shingle union, so a
+      build/merge/bit-layout error anywhere shows as a word mismatch;
+    * ``probe``: every distinct src1/src2 shingle probed through the
+      DENSIFIED :class:`~pyspark_ingestion_spark.operators.bloom.
+      BloomState` literal (``bloom_might_contain``'s native
+      forall/getbit expression), keyed by md5 fingerprint — the oracle
+      recomputes membership by joining positions against its own word
+      table, so densify, literal embedding, and probe arithmetic are
+      all value-checked (zero false negatives shows up here as: every
+      truly-overlapping shingle probes 1 on both sides).
+    """
+    from pyspark_ingestion_spark.operators.bloom import (
+        bloom_build,
+        bloom_merge,
+        bloom_might_contain,
+        bloom_state,
+    )
+    from pyspark_ingestion_spark.operators.dedup import _shingle_table
+
+    bits, k = 1 << 12, 4
+    d = load_table(spark, sf_dir, "documents")
+    sh = _shingle_table(d.filter(F.col("source") == "src0"), "doc_id", "text", 3)
+    merged = bloom_merge(
+        bloom_build(sh.filter(F.col("doc") % 2 == 0), "shingle", bits, k, "md5"),
+        bloom_build(sh.filter(F.col("doc") % 2 == 1), "shingle", bits, k, "md5"),
+    )
+    state = bloom_state(merged, bits, k, "md5")
+    probes = (
+        _shingle_table(
+            d.filter(F.col("source").isin("src1", "src2")), "doc_id", "text", 3
+        )
+        .select("shingle")
+        .distinct()
+    )
+    word_rows = merged.select(
+        F.lit("word").alias("section"),
+        F.col("word_idx").cast("long").alias("k"),
+        F.col("word").alias("v"),
+    )
+    probe_rows = probes.select(
+        F.lit("probe").alias("section"),
+        F.conv(F.substring(F.md5("shingle"), 1, 15), 16, 10)
+        .cast("long")
+        .alias("k"),
+        bloom_might_contain(F.col("shingle"), state, bits, k, "md5")
+        .cast("long")
+        .alias("v"),
+    )
+    return word_rows.unionByName(probe_rows)
 
 
 @query("agg_approx_percentile", oracle=None)  # sketch → rows-only + pytest bound

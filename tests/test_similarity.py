@@ -1050,6 +1050,46 @@ def test_ivf_drift_monitor_flags_planted_drift(spark):
     assert all(r["retrain"] == 0 for r in thin)
 
 
+def test_ivf_drift_flags_zero_baseline_cells(spark):
+    """ADVICE r13: baseline_avg == 0 must not flag a stable cell via an
+    Infinity/NaN ratio (NaN orders above any threshold in both engines).
+    Exactly-on-centroid baseline + exactly-on-centroid current ⇒ stable
+    (ratio NULL, retrain 0); baseline 0 + positive current ⇒ drift."""
+    from pyspark_ingestion_spark.operators.similarity import (
+        assign_ivf_cells,
+        ivf_cell_residual_stats,
+        ivf_drift_flags,
+    )
+
+    cents = spark.createDataFrame(
+        [(0, [10.0, 0.0]), (1, [0.0, 10.0])],
+        "centroid_id int, cvec array<double>",
+    )
+    # both baseline cells sit EXACTLY on their centroid: avg_residual = 0
+    base = spark.createDataFrame(
+        [(i, [10.0, 0.0]) for i in range(10)]
+        + [(100 + i, [0.0, 10.0]) for i in range(10)],
+        "vec_id long, embedding array<double>",
+    )
+    # current: cell 0 still exact (stable), cell 1 moves off (drift)
+    cur = spark.createDataFrame(
+        [(200 + i, [10.0, 0.0]) for i in range(10)]
+        + [(300 + i, [2.0, 10.0]) for i in range(10)],
+        "vec_id long, embedding array<double>",
+    )
+    stats = lambda df: ivf_cell_residual_stats(  # noqa: E731
+        assign_ivf_cells(df, cents, "vec_id", "embedding"), cents
+    )
+    flags = {
+        r["cell"]: r
+        for r in ivf_drift_flags(stats(cur), stats(base), min_rows=5).collect()
+    }
+    assert flags[0]["baseline_avg"] == 0.0
+    assert flags[0]["drift_ratio"] is None and flags[0]["retrain"] == 0
+    assert flags[1]["baseline_avg"] == 0.0
+    assert flags[1]["drift_ratio"] is None and flags[1]["retrain"] == 1
+
+
 def test_ivf_residual_stats_are_mergeable(spark):
     """n/sum re-aggregate across splits to the whole-frame stats — the
     property that lets per-batch streaming stats roll up into the

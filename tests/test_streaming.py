@@ -3169,6 +3169,13 @@ def test_stream_decontaminate_admission(spark, tmp_path):
     files = dirty_plan.inputFiles()
     assert files and not any("/admitted/" in f for f in files), files
 
+    # ADVICE r13: per-micro-batch doc frequencies would make admission
+    # batching-dependent — the sink must refuse max_doc_freq loudly
+    with pytest.raises(ValueError, match="max_doc_freq"):
+        stream_decontaminate_admission(
+            stream, evals, out, str(tmp_path / "ckpt2"), max_doc_freq=2
+        )
+
 
 def test_rotate_pq_layout_closes_drift_loop(spark, tmp_path):
     """r13: monitor -> trigger -> rotation, end to end. A generation
@@ -3263,3 +3270,79 @@ def test_rotate_pq_layout_closes_drift_loop(spark, tmp_path):
     # (5) rotation never overwrites an existing generation
     with pytest.raises(Exception, match="already exists|ERROR"):
         rotate_pq_layout(both, new_layout, n_centroids=3, n_sub=4, k_codes=4)
+
+
+def test_pq_generation_cutover_guard(spark, tmp_path):
+    """r14 (VERDICT r13 item 4): the fresh-checkpoint cutover rule is
+    enforced, not discipline. Pins: (1) a checkpoint binds to the
+    generation it bootstraps against and replays/continues fine;
+    (2) the SAME checkpoint pointed at a rotated layout raises a
+    path-specific error before anything is written; (3) a fresh
+    checkpoint proceeds under the new generation; (4) the real
+    streaming sink threads the guard through foreachBatch."""
+    import glob
+    import shutil
+    import time
+
+    from pyspark_ingestion_spark.operators.similarity import pq_codebooks
+    from pyspark_ingestion_spark.streaming.pipeline import (
+        _assign_pq_batch,
+        rotate_pq_layout,
+        stream_ivf_pq_assign,
+    )
+
+    schema = "vec_id long, embedding array<double>"
+    rows = [(i, [10.0, 0.1 * (i % 3), 0.0, 0.0]) for i in range(10)]
+    rows += [(100 + i, [0.1 * (i % 3), 10.0, 0.0, 0.0]) for i in range(10)]
+    base = spark.createDataFrame(rows, schema)
+    cents = spark.createDataFrame(
+        [(0, [10.0, 0.0, 0.0, 0.0]), (1, [0.0, 10.0, 0.0, 0.0])],
+        "centroid_id int, cvec array<double>",
+    )
+    cbs = pq_codebooks(base, n_sub=4, k_codes=4, seed=7)
+
+    layout_a = str(tmp_path / "genA")
+    ck_a = str(tmp_path / "ckA")
+    _assign_pq_batch(base, 0, layout_a, cents, cbs,
+                     "vec_id", "embedding", 4, None, ck_a)
+    # (1) replay under the SAME (checkpoint, layout) binding proceeds
+    _assign_pq_batch(base, 0, layout_a, None, None,
+                     "vec_id", "embedding", 4, None, ck_a)
+
+    layout_b = str(tmp_path / "genB")
+    rotate_pq_layout(base, layout_b, n_centroids=2, n_sub=4, k_codes=4, seed=11)
+
+    # (2) old checkpoint x rotated path: loud, names both bindings
+    with pytest.raises(ValueError, match="bound to generation") as ei:
+        _assign_pq_batch(base, 1, layout_b, None, None,
+                         "vec_id", "embedding", 4, None, ck_a)
+    assert "genB" in str(ei.value) and "genA" in str(ei.value)
+    assert "FRESH checkpoint" in str(ei.value)
+
+    # (3) fresh checkpoint proceeds under the new generation
+    _assign_pq_batch(base, 0, layout_b, None, None,
+                     "vec_id", "embedding", 4, None, str(tmp_path / "ckB"))
+
+    # (4) the real sink wires the guard through foreachBatch: a stream
+    # driven by the OLD checkpoint against the rotated path must fail
+    # on its first new batch with the same message
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+
+    def write_file(name, lo, hi):
+        stage = str(tmp_path / ("stage_" + name))
+        spark.createDataFrame(rows[lo:hi], schema).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(stage)
+        part = glob.glob(stage + "/part-*.parquet")[0]
+        shutil.copy(part, os.path.join(src, name + ".parquet"))
+        time.sleep(1.1)
+
+    write_file("a", 0, 10)
+    ck_s = str(tmp_path / "ckS")
+    stream = spark.readStream.schema(schema).parquet(src)
+    stream_ivf_pq_assign(stream, layout_a, ck_s)  # binds ck_s -> genA
+    write_file("b", 10, 20)
+    stream2 = spark.readStream.schema(schema).parquet(src)
+    with pytest.raises(Exception, match="bound to generation"):
+        stream_ivf_pq_assign(stream2, layout_b, ck_s)
