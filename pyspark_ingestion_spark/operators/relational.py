@@ -402,6 +402,113 @@ def hilbert_index(
     return out.drop("__hx", "__hy")
 
 
+def hilbert_index_nd(
+    df: DataFrame,
+    cols: list[str],
+    bits: int = 16,
+    out_col: str = "__h",
+) -> DataFrame:
+    """N-dimensional Hilbert index (r14 — the d≥3 generalization of
+    :func:`hilbert_index`, which keeps the classic 2-D walk for the
+    (date, id)-style layouts it models; the two ORIENTATIONS differ, so
+    indexes are not cross-compatible — pick one per table and stay on
+    it).
+
+    Skilling's transpose algorithm (J. Skilling, "Programming the
+    Hilbert curve", AIP Conf. Proc. 707, 2004 — public): the axes walk
+    runs ``(bits−1)·n`` rounds of pure XOR/AND column reassignment
+    (select-chained, plan linear in ``bits·n``), then the Gray decode,
+    then the exchange-fold ``t`` — computed here in CLOSED FORM instead
+    of Skilling's second loop: bit ``j`` of ``t`` is the parity of the
+    set bits of ``X[n−1]`` above position ``j``
+    (``bit_count(x >> (j+1)) % 2``), which both Spark and ANSI SQL
+    mirrors evaluate without recursion. The final index interleaves the
+    transposed bits round-robin, axis 0 most significant. Everything is
+    integer/bitwise arithmetic end to end, so a recursive-CTE SQL
+    mirror is bit-exact (driver row ``hilbert3_index_fixture``);
+    bijectivity + the grid-neighbor property are pinned in pytest for
+    n = 3 over the full cube.
+
+    Same per-row range guard as the 2-D walk: inputs must lie in
+    ``[0, 2^bits)`` or the row RAISES (aliased quadrants would silently
+    interleave wrong); ``bits·n`` must fit a signed 64-bit index.
+    """
+    n = len(cols)
+    if n < 2:
+        raise ValueError(f"need at least 2 dimensions, got {n}")
+    if bits < 1 or bits * n > 63:
+        raise ValueError(
+            f"bits*ndims must be in [1, 63] to fit a BIGINT index, "
+            f"got bits={bits} * n={n} = {bits * n}"
+        )
+    lim = 1 << bits
+    raw = [F.col(c).cast("long") for c in cols]
+    in_range = None
+    for x in raw:
+        ok = (x >= 0) & (x < lim)
+        in_range = ok if in_range is None else (in_range & ok)
+    guard = F.assert_true(
+        in_range,
+        F.lit(
+            f"hilbert_index_nd: inputs must be in [0, 2^{bits}) — "
+            "out-of-range values would alias quadrants; rescale first"
+        ),
+    )
+    xs = [f"__hn{i}" for i in range(n)]
+    out = df.select(
+        "*", *[F.when(guard.isNull(), x).alias(c) for x, c in zip(raw, xs)]
+    )
+    # axes -> transpose: one (Q, i) step per select round
+    q = 1 << (bits - 1)
+    while q > 1:
+        p = q - 1
+        for i in range(n):
+            x0, xi = F.col(xs[0]), F.col(xs[i])
+            cond = xi.bitwiseAND(F.lit(q)) > 0
+            if i == 0:
+                new0 = F.when(cond, x0.bitwiseXOR(F.lit(p))).otherwise(x0)
+                out = (
+                    out.select("*", new0.alias("__n0"))
+                    .drop(xs[0])
+                    .withColumnRenamed("__n0", xs[0])
+                )
+            else:
+                t = x0.bitwiseXOR(xi).bitwiseAND(F.lit(p))
+                new0 = F.when(cond, x0.bitwiseXOR(F.lit(p))).otherwise(
+                    x0.bitwiseXOR(t)
+                )
+                newi = F.when(cond, xi).otherwise(xi.bitwiseXOR(t))
+                out = (
+                    out.select("*", new0.alias("__n0"), newi.alias("__ni"))
+                    .drop(xs[0], xs[i])
+                    .withColumnRenamed("__n0", xs[0])
+                    .withColumnRenamed("__ni", xs[i])
+                )
+        q >>= 1
+    # Gray decode (sequential: each step reads the previous one's value)
+    for i in range(1, n):
+        out = out.withColumn(xs[i], F.col(xs[i]).bitwiseXOR(F.col(xs[i - 1])))
+    # exchange fold, closed form over the last axis
+    last = F.col(xs[n - 1])
+    t = F.lit(0).cast("long")
+    for j in range(bits - 1):
+        t = t + F.shiftleft(
+            F.bit_count(F.shiftright(last, j + 1)).cast("long") % 2, j
+        )
+    out = out.select("*", t.alias("__ht"))
+    for i in range(n):
+        out = out.withColumn(xs[i], F.col(xs[i]).bitwiseXOR(F.col("__ht")))
+    # interleave: bit beta of X[i] -> index bit beta*n + (n-1-i)
+    d = F.lit(0).cast("long")
+    for beta in range(bits):
+        for i in range(n):
+            d = d + F.shiftleft(
+                F.shiftright(F.col(xs[i]), beta).bitwiseAND(F.lit(1)),
+                beta * n + (n - 1 - i),
+            )
+    return out.select("*", d.alias(out_col)).drop("__ht", *xs)
+
+
 def snapshot_diff(
     old: "DataFrame",
     new: "DataFrame",

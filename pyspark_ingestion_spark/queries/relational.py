@@ -2860,7 +2860,16 @@ def zorder_layout_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
 _HILBERT_ORACLE = f"""
     WITH RECURSIVE hil AS (
         SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
-               l_partkey::BIGINT AS hx, l_suppkey::BIGINT AS hy,
+               -- mirror of the Spark side's per-row assert_true range
+               -- guard (ADVICE r13): out-of-range keys must fail LOUD in
+               -- BOTH engines instead of one raising while the other
+               -- silently computes an aliased index
+               CASE WHEN l_partkey < 0 OR l_partkey >= {1 << _Z_BITS}
+                      OR l_suppkey < 0 OR l_suppkey >= {1 << _Z_BITS}
+                    THEN CAST(error('hilbert out of range: inputs must be '
+                                    'in [0, 2^{_Z_BITS})') AS BIGINT)
+                    ELSE l_partkey::BIGINT END AS hx,
+               l_suppkey::BIGINT AS hy,
                0::BIGINT AS hd, {1 << (_Z_BITS - 1)}::BIGINT AS s
         FROM lineitem
         UNION ALL
@@ -2987,6 +2996,90 @@ def hilbert_layout_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
         layout_summary(["__h"] + tie, "hilbert")
         .union(layout_summary(["__z"] + tie, "zorder"))
         .union(layout_summary(tie, "linear"))
+    )
+
+
+# closed-form exchange fold: bit j of t = parity of g2's bits above j
+_H3_BITS = 8
+_H3_T_SQL = " + ".join(
+    f"(((bit_count(g2 >> {j + 1}) % 2)::BIGINT) << {j})"
+    for j in range(_H3_BITS - 1)
+)
+# interleave: bit beta of h_i -> index bit beta*3 + (2 - i)
+_H3_D_SQL = " + ".join(
+    f"(((h{i} >> {beta}) & 1) << {beta * 3 + (2 - i)})"
+    for beta in range(_H3_BITS)
+    for i in range(3)
+)
+
+_HILBERT3_ORACLE = f"""
+    WITH RECURSIVE pts AS (
+        SELECT DISTINCT (l_partkey % 256)::BIGINT AS x,
+                        (l_suppkey % 256)::BIGINT AS y,
+                        (l_orderkey % 256)::BIGINT AS z
+        FROM lineitem),
+    ax AS (
+        SELECT x, y, z, x AS x0, y AS x1, z AS x2,
+               {1 << (_H3_BITS - 1)}::BIGINT AS q, 0 AS i
+        FROM pts
+        UNION ALL
+        SELECT x, y, z,
+          CASE WHEN i = 0 THEN
+                 CASE WHEN (x0 & q) != 0 THEN xor(x0, q - 1) ELSE x0 END
+               WHEN i = 1 THEN
+                 CASE WHEN (x1 & q) != 0 THEN xor(x0, q - 1)
+                      ELSE xor(x0, xor(x0, x1) & (q - 1)) END
+               ELSE
+                 CASE WHEN (x2 & q) != 0 THEN xor(x0, q - 1)
+                      ELSE xor(x0, xor(x0, x2) & (q - 1)) END END AS x0,
+          CASE WHEN i = 1 AND (x1 & q) = 0
+               THEN xor(x1, xor(x0, x1) & (q - 1)) ELSE x1 END AS x1,
+          CASE WHEN i = 2 AND (x2 & q) = 0
+               THEN xor(x2, xor(x0, x2) & (q - 1)) ELSE x2 END AS x2,
+          CASE WHEN i = 2 THEN q // 2 ELSE q END AS q,
+          CASE WHEN i = 2 THEN 0 ELSE i + 1 END AS i
+        FROM ax WHERE q > 1),
+    fin AS (SELECT x, y, z, x0,
+                   xor(x1, x0) AS g1, xor(x2, xor(x1, x0)) AS g2
+            FROM ax WHERE q = 1 AND i = 0),
+    tt AS (SELECT *, {_H3_T_SQL} AS t FROM fin),
+    hx AS (SELECT x, y, z,
+                  xor(x0, t) AS h0, xor(g1, t) AS h1, xor(g2, t) AS h2
+           FROM tt)
+    SELECT x, y, z, {_H3_D_SQL} AS hilbert_pos
+    FROM hx
+    """
+
+
+@query("hilbert3_index_fixture", oracle=_HILBERT3_ORACLE)
+def hilbert3_index_fixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-engine fixture for the d≥3 Hilbert walk (r14, VERDICT r13
+    item 8): every distinct (l_partkey, l_suppkey, l_orderkey) mod-256
+    triple gets its 3-D Hilbert position from
+    ``operators.relational.hilbert_index_nd`` (Skilling's transpose
+    algorithm as ``(bits−1)·n`` rounds of column reassignment + a
+    closed-form exchange fold), hash-checked against a recursive-CTE
+    mirror that steps the SAME (q, i) walk one axis op per recursion
+    row — both engines share the XOR-only arithmetic (DuckDB's ``^``
+    is exponentiation, hence ``xor()``), so the index is bit-exact.
+    Bijectivity + the grid-neighbor property over the full cube are
+    pinned in tests/test_properties.py; the physical file-skipping
+    payoff in 3-D is proven against real parquet footers in
+    tests/test_plans.py."""
+    from pyspark_ingestion_spark.operators.relational import hilbert_index_nd
+
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .select(
+            (F.col("l_partkey") % 256).alias("x"),
+            (F.col("l_suppkey") % 256).alias("y"),
+            (F.col("l_orderkey") % 256).alias("z"),
+        )
+        .distinct()
+    )
+    return hilbert_index_nd(li, ["x", "y", "z"], bits=_H3_BITS,
+                            out_col="hilbert_pos").select(
+        "x", "y", "z", "hilbert_pos"
     )
 
 

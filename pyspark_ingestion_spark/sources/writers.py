@@ -261,6 +261,19 @@ def write_clustered(
     The write costs one range-exchange (sampling pass + shuffle); reads
     on the clustered key repay it every scan. The same layout also
     accelerates the sort side of sort-merge joins on that key.
+
+    WHICH layout key to cluster on (r14): one hot filter column →
+    cluster on it directly (this function, nothing fancier). Two
+    columns filtered together → ``operators.relational.hilbert_index``
+    (the 2-D walk; tighter file bounding boxes than z-order — measured
+    in ``hilbert_layout_pruning``). Three or more →
+    ``operators.relational.hilbert_index_nd`` (Skilling's walk, any
+    d with ``bits·d ≤ 63``; 3-D footer-pruning proof in
+    tests/test_plans.py). The curves' orientations differ (2-D walk vs
+    Skilling), so never mix indexes built by the two across a table's
+    files — pick one per table and stay on it. Beyond ~4 dims the
+    per-file bounding boxes approach the full domain and min-max
+    pruning stops paying; prefer the dominant 2–3 filter dims.
     """
     out = df
     if num_files:

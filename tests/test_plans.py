@@ -795,6 +795,77 @@ def test_hilbert_clustered_files_prune_2d_box(spark, sf_dir, tmp_path):
     assert len(hb) >= 8 and len(lb) >= 8  # range partitioner may merge a few
     assert scanned(lb) == len(lb)  # every linear file spans the box dims
     assert scanned(hb) <= len(hb) // 2, (scanned(hb), len(hb))
+    _assert_hilbert3_prunes(spark, sf_dir, tmp_path)
+
+
+def _assert_hilbert3_prunes(spark, sf_dir, tmp_path):
+    """r14: the 3-D physical proof for hilbert_index_nd — same real
+    parquet-footer min/max machinery, third dimension l_orderkey. With
+    64 curve-ordered files each file's 3-D bounding box has side
+    ~(1/64)^(1/3) of the domain, so a ~10%-per-dim box overlaps only a
+    corner of the files, while every insertion-ordered file spans it."""
+    import pyarrow.parquet as pq
+    from pyspark.sql import functions as F
+
+    from pyspark_ingestion_spark.operators.relational import hilbert_index_nd
+    from pyspark_ingestion_spark.sources.readers import load_table
+    from pyspark_ingestion_spark.sources.writers import write_clustered
+
+    dims = ["l_partkey", "l_suppkey", "l_orderkey"]
+    li = load_table(spark, sf_dir, "lineitem").select(*dims)
+    mm = li.agg(
+        *[f(c) for c in dims for f in (F.min, F.max)]
+    ).first()
+    lo = {c: mm[2 * i] for i, c in enumerate(dims)}
+    hi = {c: mm[2 * i + 1] for i, c in enumerate(dims)}
+    box = {
+        c: (lo[c] + 0.4 * (hi[c] - lo[c]), lo[c] + 0.5 * (hi[c] - lo[c]))
+        for c in dims
+    }
+    bits = max(int(hi[c]).bit_length() for c in dims)
+    assert bits * 3 <= 63
+
+    def file_boxes(path):
+        boxes = []
+        for f in sorted(path.glob("*.parquet")):
+            md = pq.ParquetFile(str(f)).metadata
+            idx = {md.schema.column(i).name: i
+                   for i in range(md.num_columns)
+                   if md.schema.column(i).name in dims}
+            b = {}
+            for c, i in idx.items():
+                mins, maxs = [], []
+                for rg in range(md.num_row_groups):
+                    st = md.row_group(rg).column(i).statistics
+                    assert st is not None
+                    mins.append(st.min)
+                    maxs.append(st.max)
+                b[c] = (min(mins), max(maxs))
+            boxes.append(b)
+        return boxes
+
+    def scanned(boxes):
+        return sum(
+            1 for b in boxes
+            if all(b[c][1] >= box[c][0] and b[c][0] <= box[c][1] for c in dims)
+        )
+
+    h3 = hilbert_index_nd(li, dims, bits=bits, out_col="__h3")
+    hout = tmp_path / "hilbert3"
+    write_clustered(h3, str(hout), ["__h3"], num_files=64, mode="overwrite")
+    lout = tmp_path / "linear3"
+    write_clustered(
+        li.withColumn("__i", F.monotonically_increasing_id()),
+        str(lout), ["__i"], num_files=64, mode="overwrite",
+    )
+    hb, lb = file_boxes(hout), file_boxes(lout)
+    assert len(hb) >= 32 and len(lb) >= 32
+    assert scanned(lb) >= int(0.9 * len(lb))  # insertion order spans the box
+    assert scanned(hb) <= len(hb) // 3, (scanned(hb), len(hb))
+    assert (
+        spark.read.parquet(str(hout)).count()
+        == spark.read.parquet(str(lout)).count()
+    )
     # the data under both layouts is identical
     assert (
         spark.read.parquet(str(hout)).count()
