@@ -165,6 +165,102 @@ def route_quarantine(df, rules) -> "DataFrame":
     return df.withColumn("disposition", disposition)
 
 
+def feature_histogram(
+    df: "DataFrame",
+    col: "str",
+    edges: "list[float]",
+    bucket_col: str = "bucket",
+    cnt_col: str = "cnt",
+) -> "DataFrame":
+    """Fixed-edge histogram counts ``(bucket, cnt)`` of a numeric
+    column — the MERGEABLE feed of the distribution-drift monitor
+    (r14): counts sum across batches/partitions/days exactly (the same
+    re-aggregation contract as the CMS cells and IVF residual stats),
+    so per-batch histograms roll up to the corpus histogram without
+    rescanning rows.
+
+    ``bucket = #{edges e : value >= e}`` — 0 below the first edge,
+    ``len(edges)`` at/above the last; NULLs are dropped (count them
+    via :func:`profile_columns` if they matter). The edges are plan
+    literals fixed BY THE CALLER (drift comparison is only meaningful
+    against a shared binning — deriving edges from the data would make
+    the baseline a moving target), giving O(len(edges)) comparisons
+    per row and one map-side-combined aggregate onto a key space of
+    ``len(edges)+1`` buckets. Deterministic integer bucketing, so an
+    ANSI SQL mirror is exact.
+    """
+    from pyspark.sql import functions as F
+
+    if not edges or sorted(edges) != list(edges):
+        raise ValueError(f"edges must be a non-empty ascending list, got {edges}")
+    v = F.col(col)
+    bucket = None
+    for e in edges:
+        t = (v >= F.lit(e)).cast("int")
+        bucket = t if bucket is None else bucket + t
+    return (
+        df.filter(v.isNotNull())
+        .select(bucket.alias(bucket_col))
+        .groupBy(bucket_col)
+        .agg(F.count(F.lit(1)).alias(cnt_col))
+    )
+
+
+def distribution_drift(
+    current: "DataFrame",
+    baseline: "DataFrame",
+    bucket_col: str = "bucket",
+    cnt_col: str = "cnt",
+    min_frac: float = 1e-4,
+    round_dp: int = 6,
+) -> "DataFrame":
+    """Population Stability Index terms between two histograms over the
+    SAME edges — the quality-tier sibling of ``ivf_drift_flags``: where
+    the IVF monitor watches embedding residuals drift away from a
+    centroid generation, this watches a FEATURE DISTRIBUTION (quality
+    score, doc length, token count ...) drift away from the corpus the
+    filters/thresholds were tuned on.
+
+    Per bucket present in EITHER frame:
+    ``psi_term = (p_cur − p_base) · ln(p_cur / p_base)`` with both
+    proportions floored at ``min_frac`` (the standard PSI stabilizer —
+    an empty bucket would otherwise yield ±Inf; a bucket empty in BOTH
+    frames contributes exactly 0, so restricting to the union domain
+    loses nothing). ``sum(psi_term)`` is the feature's PSI; the usual
+    reading: < 0.1 stable, 0.1–0.25 moderate shift, > 0.25 drifted —
+    act like a retrain flag. Proportions and terms are rounded for
+    cross-engine-stable hashing; the inputs are K-bucket tables, so
+    the join broadcasts and nothing here touches rows.
+    """
+    from pyspark.sql import functions as F
+
+    cur = current.groupBy(bucket_col).agg(F.sum(cnt_col).alias("__cc"))
+    base = baseline.groupBy(bucket_col).agg(F.sum(cnt_col).alias("__cb"))
+    tot_c = cur.agg(F.sum("__cc").alias("__tc"))
+    tot_b = base.agg(F.sum("__cb").alias("__tb"))
+    j = (
+        cur.join(base, bucket_col, "full_outer")
+        .crossJoin(F.broadcast(tot_c))
+        .crossJoin(F.broadcast(tot_b))
+    )
+    p_cur = F.greatest(
+        F.coalesce(F.col("__cc"), F.lit(0)) / F.col("__tc"), F.lit(min_frac)
+    )
+    p_base = F.greatest(
+        F.coalesce(F.col("__cb"), F.lit(0)) / F.col("__tb"), F.lit(min_frac)
+    )
+    return j.select(
+        bucket_col,
+        F.coalesce(F.col("__cc"), F.lit(0)).alias("n_cur"),
+        F.coalesce(F.col("__cb"), F.lit(0)).alias("n_base"),
+        F.round(p_cur, round_dp).alias("p_cur"),
+        F.round(p_base, round_dp).alias("p_base"),
+        F.round((p_cur - p_base) * F.log(p_cur / p_base), round_dp).alias(
+            "psi_term"
+        ),
+    )
+
+
 def token_cms_buckets(
     df: "DataFrame",
     text_col: str = "text",

@@ -509,6 +509,95 @@ def hilbert_index_nd(
     return out.select("*", d.alias(out_col)).drop("__ht", *xs)
 
 
+def pack_sequences(
+    df: DataFrame,
+    id_col: str,
+    tokens_col: str,
+    capacity: int,
+    shards: int | None = None,
+) -> DataFrame:
+    """Concat-and-chunk sequence packing (r14) — the GPT-style
+    pretraining layout: documents are concatenated in ``id_col`` order
+    and the token stream is cut into fixed-``capacity`` training
+    sequences, so every sequence except the last is exactly full (zero
+    padding waste; docs may straddle a boundary, the standard
+    trade against per-sequence padding).
+
+    Output: one row per (document, sequence) FRAGMENT —
+    ``(id, n_tokens, seq_id, doc_off_start, doc_off_end,
+    seq_off_start, seq_off_end)`` with half-open offsets; a doc
+    spanning k boundaries emits k+1 rows, so the writer can slice each
+    doc's token array per target sequence and the attention-mask
+    builder knows every intra-sequence document boundary. Zero-token
+    docs are dropped (nothing to pack).
+
+    Scale shape: the global prefix sum runs SHARDED, never through a
+    single-partition window — range-repartition on the id (disjoint
+    ascending ranges), within-shard cumulative sum, then per-shard
+    prefix offsets from a window over the SHARD-COUNT table (≤ shards
+    rows, bounded by construction) — ``global_ntile``'s exactness
+    machinery, including the non-eager ``localCheckpoint`` that pins
+    both consumers to one physical sharding (repartitionByRange
+    boundaries are sample-seeded and not stable across plan
+    re-evaluations). All arithmetic is 64-bit integer (``DIV``, never
+    float division — exact past 2^53 tokens; 100 TB of text is ~2^44),
+    so an ANSI-SQL window mirror is bit-exact (driver row
+    ``pack_training_sequences``).
+    """
+    if capacity <= 0:
+        raise ValueError(f"capacity must be positive, got {capacity}")
+    capacity = int(capacity)
+    spark = df.sparkSession
+    if shards:
+        shards = int(shards)
+    else:
+        try:
+            shards = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+        except ValueError:
+            shards = spark.sparkContext.defaultParallelism
+    rows = df.select(
+        F.col(id_col), F.col(tokens_col).cast("long").alias("__tok")
+    ).filter(F.col("__tok") > 0)
+    ranged = rows.repartitionByRange(shards, F.col(id_col)).withColumn(
+        "__pid", F.spark_partition_id()
+    )
+    w_in = Window.partitionBy("__pid").orderBy(id_col)
+    t = ranged.withColumn("__cs", F.sum("__tok").over(w_in)).localCheckpoint(
+        eager=False
+    )
+    totals = t.groupBy("__pid").agg(F.sum("__tok").alias("__pt"))
+    w_pre = Window.orderBy("__pid").rowsBetween(Window.unboundedPreceding, -1)
+    offs = totals.select(
+        "__pid", F.coalesce(F.sum("__pt").over(w_pre), F.lit(0)).alias("__off")
+    )
+    j = (
+        t.join(F.broadcast(offs), "__pid")
+        .withColumn("__ca", F.col("__off") + F.col("__cs"))
+        .withColumn("__cb", F.col("__ca") - F.col("__tok"))
+    )
+    # integer DIV (not float /): exact at any corpus size
+    first = F.expr(f"__cb DIV {capacity}")
+    last = F.expr(f"(__ca - 1) DIV {capacity}")
+    frag = j.select(
+        id_col,
+        F.col("__tok").alias("n_tokens"),
+        "__cb",
+        "__ca",
+        F.explode(F.sequence(first, last)).alias("seq_id"),
+    )
+    lo = F.greatest(F.col("__cb"), F.col("seq_id") * capacity)
+    hi = F.least(F.col("__ca"), (F.col("seq_id") + 1) * capacity)
+    return frag.select(
+        id_col,
+        "n_tokens",
+        "seq_id",
+        (lo - F.col("__cb")).alias("doc_off_start"),
+        (hi - F.col("__cb")).alias("doc_off_end"),
+        (lo - F.col("seq_id") * capacity).alias("seq_off_start"),
+        (hi - F.col("seq_id") * capacity).alias("seq_off_end"),
+    )
+
+
 def snapshot_diff(
     old: "DataFrame",
     new: "DataFrame",

@@ -183,6 +183,151 @@ def quality_percentile_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: Fixed PSI binning for quality_drift_psi — shared by the Spark query
+#: and the SQL oracle (drift is only meaningful against a SHARED
+#: binning; see operators.profiling.feature_histogram).
+_PSI_Q_EDGES = [0.70, 0.78, 0.80, 0.81, 0.82, 0.83]
+_PSI_NC_EDGES = [150.0, 250.0, 350.0, 450.0]
+
+
+def _psi_bucket_sql(expr: str, edges: list[float]) -> str:
+    return " + ".join(f"(({expr} >= {e})::INT)" for e in edges)
+
+
+def _psi_feature_sql(name: str, expr: str, edges: list[float]) -> str:
+    return f"""
+    (WITH f AS (SELECT {_psi_bucket_sql(expr, edges)} AS bucket,
+                       (source = 'src0') AS cur
+                FROM q),
+    g AS (SELECT bucket,
+                 sum(CASE WHEN cur THEN 1 ELSE 0 END) AS n_cur,
+                 sum(CASE WHEN cur THEN 0 ELSE 1 END) AS n_base
+          FROM f GROUP BY bucket),
+    t AS (SELECT sum(n_cur) AS tc, sum(n_base) AS tb FROM g),
+    p AS (SELECT bucket, n_cur, n_base,
+                 greatest(n_cur / tc, 0.0001) AS pc,
+                 greatest(n_base / tb, 0.0001) AS pb
+          FROM g, t)
+    SELECT '{name}' AS feature, bucket, n_cur, n_base,
+           ROUND(pc, 6) AS p_cur, ROUND(pb, 6) AS p_base,
+           ROUND((pc - pb) * ln(pc / pb), 6) AS psi_term
+    FROM p)
+    """
+
+
+_PSI_QUALITY_EXPR = """
+    CASE WHEN length(text) = 0 THEN 0.0
+         ELSE ROUND((len(regexp_extract_all(text, '[A-Za-z]')) / length(text))
+              * least(1.0, len(string_split_regex(trim(text), '\\s+')) / 20.0), 6)
+    END
+    """
+
+
+@query(
+    "quality_drift_psi",
+    oracle=f"""
+    WITH q AS (SELECT source, {_PSI_QUALITY_EXPR} AS qs,
+                      n_chars::DOUBLE AS nc
+               FROM documents)
+    SELECT * FROM {_psi_feature_sql('quality', 'qs', _PSI_Q_EDGES)}
+    UNION ALL
+    SELECT * FROM {_psi_feature_sql('n_chars', 'nc', _PSI_NC_EDGES)}
+    """,
+)
+def quality_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution-drift monitor for the curation tier (r14): PSI of
+    the quality-score and doc-length distributions of an incoming
+    slice (source src0) against the corpus the filters were tuned on
+    (everything else) — the quality-tier sibling of the IVF residual
+    drift loop. Quality thresholds, percentile filters and mixing
+    weights are all tuned against a reference distribution; when a new
+    source/day drifts, those knobs silently mis-filter. PSI over
+    fixed, shared bin edges is the standard observable (< 0.1 stable,
+    0.1–0.25 moderate, > 0.25 act), and its per-bucket terms say
+    WHERE the mass moved, not just that it did.
+
+    Scale shape: ``operators.profiling.feature_histogram`` is one
+    map-side-combined aggregate per feature onto ≤ ``len(edges)+1``
+    buckets (and its counts are MERGEABLE — per-batch histograms roll
+    up to the corpus histogram without rescanning, the streaming-feed
+    contract the CMS/IVF-stats tiers share);
+    ``operators.profiling.distribution_drift`` then works on K-row
+    tables only. Full SQL oracle: deterministic integer bucketing,
+    epsilon-floored proportions, ln + rounding mirrored exactly.
+    """
+    from pyspark_ingestion_spark.operators.profiling import (
+        distribution_drift,
+        feature_histogram,
+    )
+
+    d = load_table(spark, sf_dir, "documents").select(
+        "source",
+        quality_score("text").alias("qs"),
+        F.col("n_chars").cast("double").alias("nc"),
+    )
+    cur = d.filter(F.col("source") == "src0")
+    base = d.filter(F.col("source") != "src0")
+    parts = []
+    for name, col, edges in (
+        ("quality", "qs", _PSI_Q_EDGES),
+        ("n_chars", "nc", _PSI_NC_EDGES),
+    ):
+        parts.append(
+            distribution_drift(
+                feature_histogram(cur, col, edges),
+                feature_histogram(base, col, edges),
+            ).select(F.lit(name).alias("feature"), "*")
+        )
+    return parts[0].unionByName(parts[1])
+
+
+@query(
+    "pack_training_sequences",
+    oracle=r"""
+    WITH tok AS (SELECT doc_id,
+                        CAST(len(regexp_extract_all(text,
+                             '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS BIGINT)
+                            AS n_tokens
+                 FROM documents),
+    p AS (SELECT doc_id, n_tokens,
+                 CAST(sum(n_tokens) OVER (ORDER BY doc_id) AS BIGINT) AS ca
+          FROM tok WHERE n_tokens > 0),
+    e AS (SELECT doc_id, n_tokens, ca - n_tokens AS cb, ca FROM p),
+    f AS (SELECT doc_id, n_tokens, cb, ca, s AS seq_id
+          FROM e, LATERAL (SELECT unnest(range(cb // 512,
+                                               (ca - 1) // 512 + 1)) AS s))
+    SELECT doc_id, n_tokens, seq_id,
+           greatest(cb, seq_id * 512) - cb AS doc_off_start,
+           least(ca, (seq_id + 1) * 512) - cb AS doc_off_end,
+           greatest(cb, seq_id * 512) - seq_id * 512 AS seq_off_start,
+           least(ca, (seq_id + 1) * 512) - seq_id * 512 AS seq_off_end
+    FROM f
+    """,
+)
+def pack_training_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-and-chunk packing of the corpus into 512-token training
+    sequences (r14) — the layout step between a curated corpus and a
+    pretraining dataloader: documents concatenate in doc_id order, the
+    token stream cuts at fixed boundaries, and the output's
+    (doc, sequence) fragment rows carry both document-side and
+    sequence-side half-open offsets, so a writer can slice token
+    arrays per sequence and a mask builder knows every intra-sequence
+    document boundary. Every sequence except the last is exactly full
+    — zero padding waste, the property the oracle's full-tiling check
+    hashes. ``operators.relational.pack_sequences`` computes the
+    global prefix sum SHARDED (range repartition + within-shard cumsum
+    + per-shard offsets over a ≤-shards-row table — never a
+    single-partition window over the corpus) in pure 64-bit integer
+    arithmetic, so the DuckDB window mirror is bit-exact.
+    """
+    from pyspark_ingestion_spark.operators.relational import pack_sequences
+
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", token_count("text").alias("n_tok")
+    )
+    return pack_sequences(d, "doc_id", "n_tok", capacity=512)
+
+
 @query(
     "corpus_boilerplate_scrub",
     oracle=r"""

@@ -3474,6 +3474,65 @@ def rotate_pq_layout(
     )
 
 
+def _feature_hist_batch(
+    batch_df: DataFrame,
+    batch_id: int,
+    col: str,
+    edges: list[float],
+    stats_path: str,
+) -> None:
+    """One micro-batch of :func:`stream_feature_histogram`: bucket the
+    batch's rows over the FIXED edges and overwrite the batch's
+    ``__batch_id`` partition (replay idempotent). Module-level for
+    direct replay testability."""
+    from pyspark_ingestion_spark.operators.profiling import feature_histogram
+    from pyspark_ingestion_spark.sources.writers import overwrite_partitions
+
+    if batch_df.isEmpty():
+        return
+    h = feature_histogram(batch_df, col, edges)
+    overwrite_partitions(
+        h.withColumn("__batch_id", F.lit(batch_id)), stats_path, ["__batch_id"]
+    )
+
+
+def stream_feature_histogram(
+    stream_df: DataFrame,
+    col: str,
+    edges: list[float],
+    stats_path: str,
+    checkpoint: str,
+) -> None:
+    """Streaming feed of the distribution-drift monitor (r14): each
+    micro-batch appends its MERGEABLE fixed-edge histogram counts
+    under ``{stats_path}/__batch_id=N`` — the same per-batch
+    rollup-not-rescan contract as the CMS maintenance sink and the
+    IVF residual-stats feed. Roll the table up
+    (``groupBy(bucket).sum(cnt)`` — exact, counts are mergeable) and
+    pass it with the tuning-time baseline histogram to
+    ``operators.profiling.distribution_drift`` for per-bucket PSI
+    terms; batch face / driver row: ``quality_drift_psi``.
+
+    O(batch) per batch: one scan of the batch projecting
+    ``len(edges)`` comparisons, partials combined map-side onto
+    ``len(edges)+1`` buckets — no corpus-sized state, no rescans.
+    Exactly-once via the shared ``__batch_id`` dynamic-overwrite
+    replay contract. The edges are the CALLER's fixed binning: drift
+    is only meaningful against the baseline's exact edges, so they are
+    plan constants, never derived per batch."""
+    q = (
+        stream_df.writeStream.foreachBatch(
+            lambda batch_df, batch_id: _feature_hist_batch(
+                batch_df, batch_id, col, edges, stats_path
+            )
+        )
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
 def _decontaminate_batch(
     batch_df: DataFrame,
     batch_id: int,

@@ -640,6 +640,7 @@ _BNLJ_OK = {
     "bpe_encode_corpus",     # same argmax crossJoins, applied per document
     "bpe_encode_table",      # one-row merge-TABLE crossJoin broadcast
     "semantic_ivf_recall_eval",  # ≤1000-vector diagnostic sample, ia<ib pair joins
+    "quality_drift_psi",  # two one-row histogram-total crossJoins (broadcast)
 }
 
 

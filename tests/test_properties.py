@@ -8,6 +8,7 @@ empty strings, skewed keys) that fixture data never covers.
 from __future__ import annotations
 
 import hashlib
+import os
 
 from hypothesis import given, settings, strategies as st
 from pyspark.sql import functions as F
@@ -2494,6 +2495,197 @@ def test_hilbert_index_rejects_out_of_range_inputs(spark):
         df = spark.createDataFrame([bad], "x int, y int")
         with _pytest.raises(Exception, match="alias quadrants"):
             hilbert_index(df, "x", "y", bits=4).collect()
+
+
+def test_pack_sequences_tiles_exactly(spark):
+    """r14: concat-and-chunk packing contracts. (1) Per doc, fragments
+    tile [0, n_tokens) without gaps or overlap. (2) Per sequence, every
+    sequence except the last is EXACTLY full and fragments tile it in
+    order (zero padding waste — the property the layout is chosen
+    for). (3) The sharded prefix sum equals a driver-side sequential
+    packer. (4) Zero-token docs are dropped; the capacity guard
+    raises."""
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from pyspark_ingestion_spark.operators.relational import pack_sequences
+
+    cap = 100
+    # lengths exercise: tiny docs, an exact-fit doc, a >capacity doc
+    lens = [37, 100, 13, 250, 1, 99, 42, 0, 7, 180, 64, 5]
+    rows = [(i, lens[i]) for i in range(len(lens))]
+    df = spark.createDataFrame(rows, "doc_id long, n_tok long")
+    out = pack_sequences(df, "doc_id", "n_tok", capacity=cap, shards=3).collect()
+
+    # (3) driver-side reference packer
+    want = []
+    cum = 0
+    for i, tk in rows:
+        if tk == 0:
+            continue
+        cb, ca = cum, cum + tk
+        for s in range(cb // cap, (ca - 1) // cap + 1):
+            lo, hi = max(cb, s * cap), min(ca, (s + 1) * cap)
+            want.append((i, tk, s, lo - cb, hi - cb, lo - s * cap, hi - s * cap))
+        cum = ca
+    got = sorted(tuple(r) for r in out)
+    assert got == sorted(want)
+
+    # (1) per-doc tiling
+    bydoc = {}
+    for r in out:
+        bydoc.setdefault(r["doc_id"], []).append(r)
+    assert set(bydoc) == {i for i, tk in rows if tk > 0}
+    for i, frs in bydoc.items():
+        frs.sort(key=lambda r: r["doc_off_start"])
+        assert frs[0]["doc_off_start"] == 0
+        assert frs[-1]["doc_off_end"] == lens[i]
+        for a, b in zip(frs, frs[1:]):
+            assert a["doc_off_end"] == b["doc_off_start"]
+
+    # (2) per-sequence tiling: all but the last sequence exactly full
+    byseq = {}
+    for r in out:
+        byseq.setdefault(r["seq_id"], []).append(r)
+    total = sum(tk for _, tk in rows)
+    n_seq = (total - 1) // cap + 1
+    assert set(byseq) == set(range(n_seq))
+    for s, frs in byseq.items():
+        frs.sort(key=lambda r: r["seq_off_start"])
+        assert frs[0]["seq_off_start"] == 0
+        expect_end = cap if s < n_seq - 1 else total - (n_seq - 1) * cap
+        assert frs[-1]["seq_off_end"] == expect_end
+        for a, b in zip(frs, frs[1:]):
+            assert a["seq_off_end"] == b["seq_off_start"]
+
+    with _pytest.raises(ValueError, match="capacity"):
+        pack_sequences(df, "doc_id", "n_tok", capacity=0)
+
+
+def test_feature_histogram_is_mergeable_and_psi_detects_drift(spark):
+    """r14: the distribution-drift tier's two contracts. (1) Histogram
+    counts are MERGEABLE: per-split histograms rolled up equal the
+    whole-frame histogram (the streaming feed's rollup-not-rescan
+    guarantee). (2) PSI behaves like the drift observable it is: a
+    same-distribution split reads ~0, a shifted distribution reads
+    large, a bucket empty on one side is epsilon-floored (finite), and
+    buckets empty on BOTH sides contribute nothing. Also pins the
+    ascending-edges guard."""
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from pyspark_ingestion_spark.operators.profiling import (
+        distribution_drift,
+        feature_histogram,
+    )
+
+    edges = [10.0, 20.0, 30.0, 40.0]
+    df = spark.range(1000).select((F.col("id") % 50).cast("double").alias("v"))
+    whole = {
+        r["bucket"]: r["cnt"]
+        for r in feature_histogram(df, "v", edges).collect()
+    }
+    assert sum(whole.values()) == 1000 and set(whole) == {0, 1, 2, 3, 4}
+    # (1) mergeability: split rollup == whole
+    a = feature_histogram(df.filter(F.col("v") % 2 == 0), "v", edges)
+    b = feature_histogram(df.filter(F.col("v") % 2 == 1), "v", edges)
+    merged = {
+        r["bucket"]: r["s"]
+        for r in a.unionByName(b)
+        .groupBy("bucket").agg(F.sum("cnt").alias("s")).collect()
+    }
+    assert merged == whole
+    # (2) same distribution => PSI ~ 0
+    same = distribution_drift(
+        feature_histogram(df.filter(F.col("id") % 5 == 0), "v", edges),
+        feature_histogram(df.filter(F.col("id") % 5 != 0), "v", edges),
+    ).agg(F.sum("psi_term")).first()[0]
+    assert abs(same) < 0.01
+    # shifted distribution => large PSI; one-side-empty bucket stays finite
+    lo = spark.range(500).select((F.col("id") % 8).cast("double").alias("v"))
+    hi = spark.range(500).select((42 + F.col("id") % 8).cast("double").alias("v"))
+    drift = distribution_drift(
+        feature_histogram(hi, "v", edges), feature_histogram(lo, "v", edges)
+    )
+    rows = {r["bucket"]: r for r in drift.collect()}
+    assert set(rows) == {0, 4}  # union domain only: middle buckets absent
+    assert all(abs(r["psi_term"]) < float("inf") for r in rows.values())
+    total = sum(r["psi_term"] for r in rows.values())
+    assert total > 1.0  # complete mass displacement reads as major drift
+    with _pytest.raises(ValueError, match="ascending"):
+        feature_histogram(df, "v", [2.0, 1.0])
+
+
+def test_stream_feature_histogram_feeds_the_drift_monitor(spark, tmp_path):
+    """r14: the streaming feed. Pins: (1) the streamed per-batch
+    histograms ROLL UP to the batch-face histogram over the same rows
+    (mergeability is the sink's whole contract); (2) replay overwrites
+    its batch partition, never duplicates; (3) the rolled-up feed
+    plugs into distribution_drift against a baseline."""
+    import glob
+    import shutil
+    import time
+
+    from pyspark.sql import functions as F
+
+    from pyspark_ingestion_spark.operators.profiling import (
+        distribution_drift,
+        feature_histogram,
+    )
+    from pyspark_ingestion_spark.streaming.pipeline import (
+        _feature_hist_batch,
+        stream_feature_histogram,
+    )
+
+    edges = [10.0, 20.0, 30.0]
+    schema = "id long, v double"
+    rows = [(i, float(i % 40)) for i in range(200)]
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+
+    def write_file(name, lo, hi):
+        stage = str(tmp_path / ("stage_" + name))
+        spark.createDataFrame(rows[lo:hi], schema).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(stage)
+        part = glob.glob(stage + "/part-*.parquet")[0]
+        shutil.copy(part, os.path.join(src, name + ".parquet"))
+        time.sleep(1.1)
+
+    write_file("a", 0, 120)
+    write_file("b", 120, 200)
+    stats = str(tmp_path / "stats")
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    stream_feature_histogram(stream, "v", edges, stats, str(tmp_path / "ck"))
+
+    rollup = lambda: {  # noqa: E731
+        r["bucket"]: r["s"]
+        for r in spark.read.parquet(stats)
+        .groupBy("bucket").agg(F.sum("cnt").alias("s")).collect()
+    }
+    want = {
+        r["bucket"]: r["cnt"]
+        for r in feature_histogram(
+            spark.createDataFrame(rows, schema), "v", edges
+        ).collect()
+    }
+    got = rollup()
+    assert got == want  # streamed rollup == batch face
+    # replay idempotence
+    _feature_hist_batch(
+        spark.createDataFrame(rows[120:200], schema), 1, "v", edges, stats
+    )
+    assert rollup() == want
+    # the feed drives the monitor end to end
+    baseline = feature_histogram(spark.createDataFrame(rows, schema), "v", edges)
+    psi = distribution_drift(
+        spark.read.parquet(stats).select("bucket", "cnt"), baseline
+    ).agg(F.sum("psi_term")).first()[0]
+    assert abs(psi) < 0.01  # same rows => no drift
 
 
 def test_hilbert_index_nd_is_a_hilbert_curve(spark):
