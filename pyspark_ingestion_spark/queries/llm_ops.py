@@ -208,7 +208,8 @@ def _psi_feature_sql(name: str, expr: str, edges: list[float]) -> str:
                  greatest(n_cur / tc, 0.0001) AS pc,
                  greatest(n_base / tb, 0.0001) AS pb
           FROM g, t)
-    SELECT '{name}' AS feature, bucket, n_cur, n_base,
+    SELECT '{name}' AS feature, bucket,
+           CAST(n_cur AS BIGINT) AS n_cur, CAST(n_base AS BIGINT) AS n_base,
            ROUND(pc, 6) AS p_cur, ROUND(pb, 6) AS p_base,
            ROUND((pc - pb) * ln(pc / pb), 6) AS psi_term
     FROM p)
