@@ -2291,6 +2291,17 @@ def _jpeg_encode_gray(
             if run:
                 w.write(*ac_codes[0x00])  # EOB
     data = w.flush()
+    return _jpeg_gray_header(width, height, quant, restart_interval) \
+        + data + b"\xff\xd9"
+
+
+def _jpeg_gray_header(width: int, height: int, quant: list[int],
+                      restart_interval: int = 0) -> bytes:
+    """SOI..SOS prefix of the grayscale baseline encoder — a pure
+    function of (width, height, quant, restart_interval), shared by the
+    generic per-block encoder above and the constant-block fast path
+    below (which caches it per geometry)."""
+    import struct
 
     def seg(marker: int, body: bytes) -> bytes:
         return struct.pack(">BBH", 0xFF, marker, len(body) + 2) + body
@@ -2304,7 +2315,7 @@ def _jpeg_encode_gray(
     sof = seg(0xC0, struct.pack(">BHHB", 8, height, width, 1) + b"\x01\x11\x00")
     dri = seg(0xDD, struct.pack(">H", restart_interval)) if restart_interval else b""
     sos = seg(0xDA, b"\x01\x01\x00" + b"\x00\x3f\x00")
-    return b"\xff\xd8" + dqt + dht + sof + dri + sos + data + b"\xff\xd9"
+    return b"\xff\xd8" + dqt + dht + sof + dri + sos
 
 
 #: fixture quant table: DC step 8 divides every constant block's DC
@@ -2316,9 +2327,79 @@ _JPEG_FIXTURE_QUANT = [8] + [16] * 63
 #: blocks per row in the synthesized fixture grid (image width 256 px)
 _JPEG_BLOCKS_PER_ROW = 32
 
+#: entropy piece per DC diff for CONSTANT-block fixture frames under
+#: _JPEG_FIXTURE_QUANT: diff+255 -> (codebits, nbits) covering the
+#: block's whole entropy contribution (DC Huffman code + magnitude bits
+#: + EOB — a constant block has no AC coefficients). 511 entries, built
+#: lazily once per process.
+_JPEG_CONST_PIECES: list[tuple[int, int]] | None = None
+
+#: cached SOI..SOS prefix per (width, height) — the fixture header is a
+#: pure function of geometry (quant fixed, no restart markers)
+_JPEG_CONST_HEADERS: dict[tuple[int, int], bytes] = {}
+
+
+def _jpeg_const_pieces() -> list[tuple[int, int]]:
+    global _JPEG_CONST_PIECES
+    if _JPEG_CONST_PIECES is None:
+        dc_codes = _jpeg_canonical_codes(_JPEG_DC_BITS, _JPEG_DC_VALS)
+        ac_codes = _jpeg_canonical_codes(_JPEG_AC_BITS, _JPEG_AC_VALS)
+        eob, eob_len = ac_codes[0x00]
+        pieces = []
+        for diff in range(-255, 256):
+            s = abs(diff).bit_length()
+            code, ln = dc_codes[s]
+            if s:
+                mag = diff if diff >= 0 else diff + (1 << s) - 1
+                code = (code << s) | mag
+                ln += s
+            pieces.append(((code << eob_len) | eob, ln + eob_len))
+        _JPEG_CONST_PIECES = pieces
+    return _JPEG_CONST_PIECES
+
+
+def _jpeg_encode_gray_const_blocks(vals: bytes, width: int,
+                                   height: int) -> bytes:
+    """Bit-identical fast path of :func:`_jpeg_encode_gray` for the one
+    shape every byte-grid fixture emits: a grid of CONSTANT 8x8 blocks
+    (one byte value per block, raster order, ``_JPEG_FIXTURE_QUANT``,
+    no restart markers). A constant block's FDCT has a single nonzero
+    coefficient, DC = 8·(v−128), which the fixture DC step 8 divides
+    exactly, so the quantized block is [v−128, 0…0] and the entropy
+    stream is a function of successive block-value diffs alone: one
+    511-entry (code, length) table replaces FDCT + quantize + Huffman
+    per block, bit assembly is a running big-int shift, stuffing is a
+    single ``bytes.replace``, and the header is cached per geometry.
+    Equivalence with the real encoder is pinned by
+    ``test_jpeg_const_block_fast_path_bit_exact`` (every byte value,
+    random rows, multi-row grids, 0xFF-stuffing cases)."""
+    if len(vals) != (width // 8) * (height // 8):
+        raise ValueError("const-block fast path: vals/geometry mismatch")
+    pieces = _jpeg_const_pieces()
+    header = _JPEG_CONST_HEADERS.get((width, height))
+    if header is None:
+        header = _JPEG_CONST_HEADERS[(width, height)] = _jpeg_gray_header(
+            width, height, _JPEG_FIXTURE_QUANT
+        )
+    acc = 0
+    total = 0
+    prev = 128  # DC pred 0 ⇒ first diff = (v−128) − 0 = v − 128
+    for v in vals:
+        code, ln = pieces[v - prev + 255]
+        acc = (acc << ln) | code
+        total += ln
+        prev = v
+    pad = -total & 7
+    if pad:  # 1-pad to a byte boundary, the writer's flush contract
+        acc = (acc << pad) | ((1 << pad) - 1)
+        total += pad
+    data = acc.to_bytes(total >> 3, "big").replace(b"\xff", b"\xff\x00")
+    return header + data + b"\xff\xd9"
+
 
 def _synthesize_jpeg_grid(
-    df: DataFrame, id_col: str, text_col: str, encode_fn, even_rows: bool = False
+    df: DataFrame, id_col: str, text_col: str, encode_fn,
+    even_rows: bool = False, const_fn=None,
 ) -> DataFrame:
     """Shared fixture plumbing for every JPEG synthesizer: text bytes →
     the constant-8x8-block grayscale grid (32 blocks per row, constant-0
@@ -2326,7 +2407,11 @@ def _synthesize_jpeg_grid(
     16x16-MCU 4:2:0 geometry) → ``encode_fn(pixels, width, height)`` →
     (doc_id, payload) via one Arrow-batched mapInPandas. The grid
     contract lives HERE, once — the three public synthesizers differ
-    only in the encoder (r7 review)."""
+    only in the encoder (r7 review). ``const_fn(vals, width, height)``,
+    when given, is a bit-identical encoder over the per-block byte
+    values directly — the pixel grid is never materialized (the
+    baseline encoder has such a fast path; 4:2:0 and progressive
+    don't)."""
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         bpr = _JPEG_BLOCKS_PER_ROW
@@ -2340,6 +2425,9 @@ def _synthesize_jpeg_grid(
                     rows += rows & 1
                 padded = data.ljust(rows * bpr, b"\x00")
                 width, height = bpr * 8, rows * 8
+                if const_fn is not None:
+                    payloads.append(const_fn(padded, width, height))
+                    continue
                 pix = bytearray(width * height)
                 for bi, val in enumerate(padded):
                     by, bx = divmod(bi, bpr)
@@ -2376,6 +2464,7 @@ def synthesize_jpeg_payload(df: DataFrame, id_col: str, text_col: str) -> DataFr
     return _synthesize_jpeg_grid(
         df, id_col, text_col,
         lambda pix, w, h: _jpeg_encode_gray(pix, w, h, _JPEG_FIXTURE_QUANT),
+        const_fn=_jpeg_encode_gray_const_blocks,
     )
 
 
@@ -3022,13 +3111,13 @@ def _avi_build(frames: list[bytes], width: int, height: int,
     ) + palette
     hdrl = lst(b"hdrl", chunk(b"avih", avih)
                + lst(b"strl", chunk(b"strh", strh) + chunk(b"strf", strf)))
-    movi_body = b"movi"
+    movi_body = bytearray(b"movi")  # bytearray: O(total), not O(n²) +=
     idx_entries = []
     for f in frames:
         # idx1 offsets point at the chunk fourcc, relative to 'movi'
         idx_entries.append((len(movi_body), len(f)))
         movi_body += chunk(b"00dc", f)
-    movi = chunk(b"LIST", movi_body)
+    movi = chunk(b"LIST", bytes(movi_body))
     idx1 = chunk(
         b"idx1",
         b"".join(
@@ -3528,18 +3617,17 @@ def synthesize_avi_payload(df: DataFrame, id_col: str, text_col: str) -> DataFra
                 data = t.encode("utf-8")
                 n_frames = max(1, -(-len(data) // fb))
                 padded = data.ljust(n_frames * fb, b"\x00")
-                frames = []
-                for f in range(n_frames):
-                    pix = bytearray(fb * 8 * 8)
-                    for bi in range(fb):
-                        val = padded[f * fb + bi]
-                        for yy in range(8):
-                            base = yy * fb * 8 + bi * 8
-                            pix[base:base + 8] = bytes([val]) * 8
-                    frames.append(
-                        _jpeg_encode_gray(bytes(pix), fb * 8, 8,
-                                          _JPEG_FIXTURE_QUANT)
+                # each frame is one row of 32 constant blocks — the
+                # const-block encoder emits the identical bytes the
+                # pixel-grid + _jpeg_encode_gray pair produced (pinned
+                # bit-exact) without materializing pixels or running
+                # the per-block FDCT/Huffman loops
+                frames = [
+                    _jpeg_encode_gray_const_blocks(
+                        padded[f * fb:(f + 1) * fb], fb * 8, 8
                     )
+                    for f in range(n_frames)
+                ]
                 payloads.append(_avi_build(frames, fb * 8, 8))
             yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
 

@@ -1633,6 +1633,46 @@ def test_jpeg_fast_path_bit_exact(spark):
         M._JPEG_FAST = True
 
 
+def test_jpeg_const_block_fast_path_bit_exact():
+    """The r14 constant-block ENCODER fast path (_jpeg_encode_gray_
+    const_blocks: 511-entry DC-diff piece table + big-int bit assembly
+    + bytes.replace stuffing + cached header) emits BYTE-IDENTICAL
+    JPEGs to the generic _jpeg_encode_gray over the pixel grid, for
+    every shape the byte-grid fixtures produce: every single byte
+    value, random rows (incl. 0xFF-stuffing-prone ones), extremes, and
+    multi-row grids. Also pins the geometry-mismatch guard."""
+    import random
+
+    import pyspark_ingestion_spark.operators.multimodal as M
+
+    rnd = random.Random(99)
+
+    def grid(vals, bpr=32):
+        rows = len(vals) // bpr
+        w = bpr * 8
+        arr = bytearray(w * rows * 8)
+        for bi, val in enumerate(vals):
+            by, bx = divmod(bi, bpr)
+            for yy in range(8):
+                base = (by * 8 + yy) * w + bx * 8
+                arr[base : base + 8] = bytes([val]) * 8
+        return bytes(arr)
+
+    cases = [bytes([v]) + bytes(rnd.randrange(256) for _ in range(31))
+             for v in range(256)]
+    cases += [bytes(rnd.randrange(256) for _ in range(32)) for _ in range(64)]
+    cases += [bytes([255] * 32), bytes([0] * 32), bytes([0, 255] * 16),
+              bytes([128] * 32)]
+    cases += [bytes(rnd.randrange(256) for _ in range(32 * rows))
+              for rows in (2, 3, 5)]
+    for vals in cases:
+        h = (len(vals) // 32) * 8
+        ref = M._jpeg_encode_gray(grid(vals), 256, h, M._JPEG_FIXTURE_QUANT)
+        assert M._jpeg_encode_gray_const_blocks(vals, 256, h) == ref
+    with pytest.raises(ValueError):
+        M._jpeg_encode_gray_const_blocks(bytes(31), 256, 8)
+
+
 def test_jpeg_codec_real_decode(spark):
     """Baseline JPEG is REAL pure-Python computation end to end:
     (1) constant-block fixtures round-trip bit-exactly through forward
