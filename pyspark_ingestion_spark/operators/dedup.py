@@ -1198,7 +1198,13 @@ def connected_components(
                 parent[hi] = lo
         nodes = {r["u"] for r in half} | {r["v"] for r in half}
         dtype = sym.schema["u"].dataType
-        out = edges.sparkSession.createDataFrame(
+        # Arrow-path local table (r14, guide §4): downstream cluster
+        # joins re-evaluate this frame; JVM-resident beats re-entering
+        # Python workers per evaluation
+        from pyspark_ingestion_spark.sources.localtable import local_rows_df
+
+        out = local_rows_df(
+            edges.sparkSession,
             [(n, find(n)) for n in sorted(nodes)],
             T.StructType(
                 [
@@ -1316,6 +1322,7 @@ def substring_window_table(
     text_col: str,
     k: int,
     sample_mod: int | None = None,
+    wh_hash: str = "md5",
 ) -> DataFrame:
     """(doc, pos, wh): 60-bit fingerprint of the k-char window at every
     1-based char position — the dense Rabin-Karp-style window table of
@@ -1335,19 +1342,37 @@ def substring_window_table(
     """
     if k < 1:
         raise ValueError(f"k must be >= 1, got {k}")
+    if wh_hash not in ("md5", "xxhash64"):
+        raise ValueError(f"wh_hash must be 'md5' or 'xxhash64', got {wh_hash!r}")
+    if wh_hash == "xxhash64" and sample_mod is not None:
+        # content-defined sampling makes the hash VALUE semantic (the
+        # oracle and the documented detection threshold are stated on
+        # the md5 arithmetic) — the cheap hash is candidate-only
+        raise ValueError(
+            "wh_hash='xxhash64' is candidate-machinery only; sample_mod "
+            "selects windows BY hash value and is pinned to the md5 "
+            "arithmetic"
+        )
     t = F.col(text_col)
     w = df.select(F.col(id_col).alias("doc"), t.alias("__t"))
     positions = F.when(
         F.length("__t") >= k, F.sequence(F.lit(1), F.length("__t") - k + 1)
     ).otherwise(F.array().cast("array<int>"))
     win = F.substring(F.col("__t"), F.col("pos"), F.lit(k))
+    # md5 is the portable default (DuckDB-mirrorable, and the persisted
+    # dfcnt-ledger arithmetic); xxhash64 (r14, guide §2.3/§4: native,
+    # ~4x cheaper than md5+hex-conv per window) is for EPHEMERAL
+    # candidate keys whose output is exact-verified downstream — equal
+    # windows collide under either hash, so verified output is
+    # hash-independent (modulo 60-bit collisions, same caveat as md5)
+    wh = (
+        F.xxhash64(win)
+        if wh_hash == "xxhash64"
+        else F.conv(F.substring(F.md5(win), 1, 15), 16, 10).cast("long")
+    )
     wt = (
         w.withColumn("pos", F.explode(positions))
-        .select(
-            "doc",
-            F.col("pos").cast("long").alias("pos"),
-            F.conv(F.substring(F.md5(win), 1, 15), 16, 10).cast("long").alias("wh"),
-        )
+        .select("doc", F.col("pos").cast("long").alias("pos"), wh.alias("wh"))
     )
     if sample_mod is not None:
         if sample_mod < 1:
@@ -1403,7 +1428,13 @@ def repeated_substring_spans(
             "substrings. Use min_len=k (single sampled window ⇒ ≥k shared "
             "chars) or dense windows."
         )
-    wt = substring_window_table(df, id_col, text_col, k, sample_mod)
+    # candidate keys only (output is exact-verified): the native hash
+    # when the hash value is not semantic; sampling keeps md5 (see
+    # substring_window_table)
+    wt = substring_window_table(
+        df, id_col, text_col, k, sample_mod,
+        wh_hash="md5" if sample_mod is not None else "xxhash64",
+    )
     if max_window_df is not None:
         hot = (
             wt.groupBy("wh")

@@ -26,6 +26,7 @@ from pyspark_ingestion_spark.functions.vectors import (
     sign_bucket,
 )
 from pyspark_ingestion_spark.operators.relational import topk_per_group
+from pyspark_ingestion_spark.sources.localtable import local_rows_df
 
 
 def brute_force_topk(
@@ -101,8 +102,11 @@ def kmeans_centroids(
     rows = [
         (i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())
     ]
-    return corpus.sparkSession.createDataFrame(
-        rows, "centroid_id int, cvec array<double>"
+    # Arrow-path local table (r14, guide §4): the fitted centroids are
+    # evaluated once per downstream collect/broadcast — JVM-resident
+    # beats a pickled-RDD scan that re-enters Python every evaluation
+    return local_rows_df(
+        corpus.sparkSession, rows, "centroid_id int, cvec array<double>"
     )
 
 
@@ -731,8 +735,10 @@ def pq_codebooks(
             rows = [r for chunk in ex.map(_fit_one, range(n_sub)) for r in chunk]
     finally:
         train.unpersist(blocking=False)
-    return corpus.sparkSession.createDataFrame(
-        rows, "m int, code_id int, subvec array<double>"
+    # Arrow-path local table (r14, guide §4) — same reasoning as
+    # kmeans_centroids
+    return local_rows_df(
+        corpus.sparkSession, rows, "m int, code_id int, subvec array<double>"
     )
 
 

@@ -41,6 +41,7 @@ from pyspark_ingestion_spark.operators.sampling import (
 )
 from pyspark_ingestion_spark.operators.similarity import brute_force_topk, sign_bucket_topk
 from pyspark_ingestion_spark.queries import query
+from pyspark_ingestion_spark.sources.localtable import local_rows_df
 from pyspark_ingestion_spark.sources.readers import load_table
 
 # ------------------------------------------------------------ text ops
@@ -2761,7 +2762,8 @@ def bpe_train_merges_iter(docs_df: DataFrame, n_rounds: int) -> DataFrame:
         merges.append((r, head[0]["x"], head[0]["y"], head[0]["cnt"]))
         if r < n_rounds:
             docs = _bpe_apply_merge(docs, best).localCheckpoint(eager=False)
-    return docs_df.sparkSession.createDataFrame(
+    return local_rows_df(
+        docs_df.sparkSession,
         merges,
         "merge_round int, left_sym string, right_sym string, "
         "pair_count bigint",
@@ -2845,7 +2847,8 @@ def bpe_train_merges_batched(
                 .drop("merges")
                 .localCheckpoint(eager=False)
             )
-    return spark.createDataFrame(
+    return local_rows_df(
+        spark,
         merges,
         "merge_round int, left_sym string, right_sym string, "
         "pair_count bigint",
@@ -5179,7 +5182,7 @@ def _pq_fixture_codebooks(spark: SparkSession):
         for m in range(8)
         for c in range(4)
     ]
-    return spark.createDataFrame(rows, "m int, code_id int, subvec array<double>")
+    return local_rows_df(spark, rows, "m int, code_id int, subvec array<double>")
 
 
 def _ivf_fixture_centroids(spark: SparkSession):
@@ -5189,7 +5192,7 @@ def _ivf_fixture_centroids(spark: SparkSession):
         (cl, [float((cl * 29 + j * 13) % 17 - 8) for j in range(64)])
         for cl in range(4)
     ]
-    return spark.createDataFrame(rows, "centroid_id int, cvec array<double>")
+    return local_rows_df(spark, rows, "centroid_id int, cvec array<double>")
 
 
 def _quantized_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -16,6 +16,7 @@ from pyspark_ingestion_spark.operators.relational import (
     topk_per_group,
 )
 from pyspark_ingestion_spark.queries import query
+from pyspark_ingestion_spark.sources.localtable import local_rows_df
 from pyspark_ingestion_spark.sources.readers import load_table
 
 
@@ -2470,7 +2471,8 @@ def range_join_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     bin_w = 20.0
     e = load_table(spark, sf_dir, "events")
-    tiers = spark.createDataFrame(
+    tiers = local_rows_df(
+        spark,
         [("low", 0.0, 20.0), ("mid", 20.0, 60.0),
          ("high", 60.0, 150.0), ("top", 150.0, 400.0)],
         "tier string, lo double, hi double",
@@ -2697,14 +2699,25 @@ def pagerank_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     sym = pw.union(pw.select(F.col("dst").alias("src"), F.col("src").alias("dst"), "w"))
     outw = sym.groupBy("src").agg(F.sum("w").alias("outw"))
+    # built once, joined by all 5 steps; the per-iteration src exchanges
+    # over this RDD are canonically identical, so AQE's exchange reuse
+    # executes ONE and wires the other four as ReusedExchange (verified
+    # in the final adaptive plan, r14) — an explicit pre-repartition
+    # would only add an exchange, not remove one
     edges = sym.join(outw, "src").select(
         "src", "dst", (F.col("w") / F.col("outw")).alias("p")
-    ).localCheckpoint(eager=False)  # built once, joined by all 5 steps
-    n = edges.select("src").distinct().count()  # bounded scalar: seeds r0 = 1/N
-    inv = 1.0 / n
-    ranks = (
-        edges.select(F.col("src").alias("node")).distinct().withColumn("r", F.lit(inv))
+    ).localCheckpoint(eager=False)
+    # node table built ONCE (r14): the N count and the r0 seed both need
+    # the distinct src set — materializing it via the checkpoint makes
+    # the seed read the same RDD the count already computed, instead of
+    # re-running the distinct over the full edge table inside the big
+    # unrolled query (exchange reuse cannot span separate actions)
+    nodes = edges.select(F.col("src").alias("node")).distinct().localCheckpoint(
+        eager=False
     )
+    n = nodes.count()  # bounded scalar: seeds r0 = 1/N
+    inv = 1.0 / n
+    ranks = nodes.withColumn("r", F.lit(inv))
     for _ in range(_PR_ITERATIONS):
         ranks = (
             edges.join(ranks, edges["src"] == ranks["node"])

@@ -228,6 +228,9 @@ def stream_foreach_batch_overwrite(
     # micro-batch passes (same batch id owns its partitions).
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
+        # one source evaluation per batch (r14, guide §4): the partition
+        # probe and the overwrite both consume the batch
+        batch_df = batch_df.localCheckpoint(eager=True)
         parts = {
             tuple(str(r[c]) for c in partition_columns)
             for r in batch_df.select(*partition_columns).distinct().collect()
@@ -280,6 +283,9 @@ def stream_cdc_upsert(
     from pyspark_ingestion_spark.ingestion.cdc import cdc_upsert
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
+        # one source evaluation per batch (r14, guide §4): cdc_upsert
+        # consumes the batch twice (partition-footprint probe + merge)
+        batch_df = batch_df.localCheckpoint(eager=True)
         cdc_upsert(
             batch_df.sparkSession,
             batch_df,
@@ -526,7 +532,10 @@ def _admit_dedup_batch(
     # dedup job's caches must survive the micro-batch commit
     prior_caches = snapshot_shingle_caches()
     spark = batch_df.sparkSession
-    batch = batch_df.select(id_col, text_col)
+    # one source evaluation per batch (r14, guide §4 — same reasoning
+    # as the indexed form): the batch feeds the LSH rejects subquery
+    # and the admitted anti-join + write
+    batch = batch_df.select(id_col, text_col).localCheckpoint(eager=True)
     corpus = base_corpus.select(id_col, text_col)
     try:
         # EXCLUDE this batch's own partition: on replay it already holds
@@ -1130,7 +1139,16 @@ def _admit_dedup_batch_indexed(
             index_mode=index_mode,
         )
 
-    batch = batch_df.select(id_col, text_col)
+    # materialize the incoming micro-batch ONCE (r14, guide §4): the
+    # batch lineage fans out into every broadcast build (the rejects
+    # subquery, the band/postings writes) and the admitted checkpoint —
+    # each of which would otherwise re-evaluate the SOURCE. For a
+    # Python-backed source (parallelized rows, a mapInPandas synth)
+    # every re-evaluation pays the full JVM→Python round trip again
+    # (measured ~3.3 s per evaluation at bench batch size, ×6 consumers
+    # ≈ the whole steady-state batch); for a real stream source it is a
+    # redundant re-read. One eager checkpoint = one source evaluation.
+    batch = batch_df.select(id_col, text_col).localCheckpoint(eager=True)
     if index_mode == "hotlog":
         rejects, sb = _indexed_rejects_hotlog(
             spark, batch, index_path, batch_id, id_col, n, num_hashes, band_size,
@@ -2064,7 +2082,10 @@ def _admit_substring_batch_indexed(
                 sample_mod=sample_mod,
             )
 
-    batch = batch_df.select(id_col, text_col)
+    # one source evaluation per batch (r14, guide §4 — same reasoning
+    # as _admit_dedup_batch_indexed): the batch feeds the window table,
+    # the rejects broadcast and the admitted anti-join
+    batch = batch_df.select(id_col, text_col).localCheckpoint(eager=True)
     rejects, wb = _substring_rejects_indexed(
         spark, batch, index_path, batch_id, id_col, text_col, k, min_len,
         max_window_df, sample_mod, use_dfcnt_ledger=use_dfcnt_ledger,
@@ -2200,7 +2221,8 @@ def stream_substring_admission(
             )
             return
         spark = batch_df.sparkSession
-        batch = batch_df.select(id_col, text_col)
+        # one source evaluation per batch (r14, guide §4)
+        batch = batch_df.select(id_col, text_col).localCheckpoint(eager=True)
         corpus = base_corpus.select(id_col, text_col)
         try:
             prev = (
@@ -2373,8 +2395,10 @@ def init_semantic_admission_index(
     if centroids is not None:
         rows_c = centroid_rows_of(centroids)
         spark = base_corpus.sparkSession
-        spark.createDataFrame(
-            rows_c, "centroid_id int, cvec array<double>"
+        from pyspark_ingestion_spark.sources.localtable import local_rows_df
+
+        local_rows_df(
+            spark, rows_c, "centroid_id int, cvec array<double>"
         ).write.mode("overwrite").parquet(f"{index_path}/{_IDX_CENTROIDS}")
     rows = _bucket_rows(base_corpus, id_col, vec_col, n_dims, rows_c)
     overwrite_partitions(
@@ -2553,7 +2577,9 @@ def _admit_semantic_batch_indexed(
             n_dims=n_dims, centroids=centroids,
         )
 
-    batch = batch_df.select(id_col, vec_col)
+    # one source evaluation per batch (r14, guide §4): the batch feeds
+    # the rejects build, the admitted anti-join and the buckets join
+    batch = batch_df.select(id_col, vec_col).localCheckpoint(eager=True)
     rejects, bb = _semantic_rejects_indexed(
         spark, batch, index_path, batch_id, id_col, vec_col, threshold,
         n_dims, nprobe=nprobe, max_bucket_size=max_bucket_size,
@@ -2698,7 +2724,8 @@ def stream_semantic_admission(
             )
             return
         spark = batch_df.sparkSession
-        batch = batch_df.select(id_col, vec_col)
+        # one source evaluation per batch (r14, guide §4)
+        batch = batch_df.select(id_col, vec_col).localCheckpoint(eager=True)
         corpus = base_corpus.select(id_col, vec_col)
         try:
             prev = (
@@ -2893,6 +2920,11 @@ def _admit_fingerprint_batch_indexed(
             _hash_rows(hash_fn, base_media, hash_cols, id_col), index_path
         )
 
+    # one source evaluation per batch (r14, guide §4): the raw payload
+    # batch feeds BOTH the decode+hash below and the admitted anti-join
+    # + media write — without this the (typically Python-decoded)
+    # source re-evaluates per consumer
+    batch_df = batch_df.localCheckpoint(eager=True)
     batch_fp = _hash_rows(hash_fn, batch_df, hash_cols, id_col).localCheckpoint(
         eager=False
     )
@@ -2953,6 +2985,9 @@ def _admit_fingerprint_batch_recompute(
     from pyspark_ingestion_spark.sources.writers import overwrite_partitions
 
     spark = batch_df.sparkSession
+    # one source evaluation per batch (r14, guide §4): the payload
+    # batch feeds both the decode+hash and the admitted anti-join
+    batch_df = batch_df.localCheckpoint(eager=True)
     corpus = base_media.select(id_col, "payload")
     try:
         prev = (
@@ -3311,12 +3346,18 @@ def _assign_pq_batch(
             layout_path,
             _pq_generation_id(centroid_rows_of(cents), cb_rows),
         )
-    batch = batch_df.select(id_col, vec_col)
+    # one source evaluation per batch (r14, guide §4): the batch feeds
+    # the isEmpty probe, the assigned write and the residual-stats feed
+    batch = batch_df.select(id_col, vec_col).localCheckpoint(eager=True)
     if batch.isEmpty():
         return
     assigned = ivf_pq_assign(
         batch, cents, cbs, id_col=id_col, vec_col=vec_col, n_sub=n_sub_eff
     )
+    if stats_path is not None:
+        # the layout write AND the residual-stats feed both derive from
+        # it — cut lineage once so the PQ encode runs once, not twice
+        assigned = assigned.localCheckpoint(eager=False)
     overwrite_partitions(
         assigned.withColumn("__batch_id", F.lit(batch_id)),
         f"{layout_path}/{_PQ_LAYOUT_ASSIGNED}",
@@ -3488,6 +3529,9 @@ def _feature_hist_batch(
     from pyspark_ingestion_spark.operators.profiling import feature_histogram
     from pyspark_ingestion_spark.sources.writers import overwrite_partitions
 
+    # one source evaluation per batch (r14, guide §4): the isEmpty
+    # probe and the histogram rollup share the single materialization
+    batch_df = batch_df.select(col).localCheckpoint(eager=True)
     if batch_df.isEmpty():
         return
     h = feature_histogram(batch_df, col, edges)
@@ -3567,7 +3611,9 @@ def _decontaminate_batch(
     from pyspark_ingestion_spark.operators.dedup import containment_pairs
     from pyspark_ingestion_spark.sources.writers import overwrite_partitions
 
-    batch = batch_df.select(id_col, text_col)
+    # one source evaluation per batch (r14, guide §4): the batch feeds
+    # the isEmpty probe, the dirty-id build and the admitted anti-join
+    batch = batch_df.select(id_col, text_col).localCheckpoint(eager=True)
     if batch.isEmpty():
         return
     dirty = (
