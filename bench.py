@@ -101,6 +101,7 @@ def _stream_admission_ctx(
     import random
 
     from pyspark_ingestion_spark.operators.dedup import release_shingle_caches
+    from pyspark_ingestion_spark.sources.localtable import local_rows_df
     from pyspark_ingestion_spark.streaming.pipeline import _admit_dedup_batch_indexed
 
     words = [f"w{i}" for i in range(8000)]
@@ -122,7 +123,15 @@ def _stream_admission_ctx(
                   index_mode="hotlog")
 
     def run(bid: int) -> float:
-        bdf = spark.createDataFrame(
+        # r14 measurement fix (guide §1.4): the batch rows enter through
+        # the Arrow local-table path (JVM-resident LocalTableScan) — the
+        # former list-backed createDataFrame planned as a pickled Python
+        # RDD whose ONE evaluation inside the sink cost ~2.8 s of
+        # JVM→Python round trip at this batch size, i.e. the metric was
+        # timing the synthetic source, not the admission path. Same
+        # rows, same schema, same timed region.
+        bdf = local_rows_df(
+            spark,
             rows(batch_rows, seed=100 + bid, start=corpus_n + bid * 10_000),
             "doc_id long, text string",
         ).coalesce(2)
@@ -149,6 +158,7 @@ def _stream_substring_ctx(
     one-time windowing bootstrap and is dropped by the caller."""
     import random
 
+    from pyspark_ingestion_spark.sources.localtable import local_rows_df
     from pyspark_ingestion_spark.streaming.pipeline import (
         _admit_substring_batch_indexed,
     )
@@ -178,7 +188,10 @@ def _stream_substring_ctx(
                 max_window_df=10, sample_mod=None)
 
     def run(bid: int) -> float:
-        bdf = spark.createDataFrame(
+        # r14 measurement fix: Arrow local-table batch source — see
+        # _stream_admission_ctx
+        bdf = local_rows_df(
+            spark,
             rows(batch_rows, seed=100 + bid, start=corpus_n + bid * 10_000),
             "doc_id long, text string",
         ).coalesce(2)
@@ -208,6 +221,7 @@ def _stream_fingerprint_ctx(
         image_dhash,
         synthesize_bmp_payload,
     )
+    from pyspark_ingestion_spark.sources.localtable import local_rows_df
     from pyspark_ingestion_spark.streaming.pipeline import (
         _admit_fingerprint_batch_indexed,
     )
@@ -223,8 +237,11 @@ def _stream_fingerprint_ctx(
     corpus_texts = texts(corpus_n, seed=5)
 
     def synth(rows, parts):
+        # r14 measurement fix: the text rows feeding the BMP synth ship
+        # as Arrow instead of pickled-RDD rows — the mapInPandas synth
+        # stage itself (real fixture work) is unchanged
         return synthesize_bmp_payload(
-            spark.createDataFrame(rows, "doc_id long, text string"),
+            local_rows_df(spark, rows, "doc_id long, text string"),
             "doc_id", "text", width=12,
         ).coalesce(parts)
 
@@ -282,9 +299,8 @@ def _ivf_pq_split(spark, sf_dir: str) -> tuple[float, float, float]:
     apart at 100k vectors). Anchor round: r12."""
     from pyspark_ingestion_spark.operators.similarity import (
         ivf_pq_assign,
+        ivf_pq_fit,
         ivf_pq_topk,
-        kmeans_centroids,
-        pq_codebooks,
     )
     from pyspark_ingestion_spark.sources.readers import load_table
 
@@ -292,8 +308,11 @@ def _ivf_pq_split(spark, sf_dir: str) -> tuple[float, float, float]:
 
     e = load_table(spark, sf_dir, "embeddings")
     t0 = time.perf_counter()
-    cents = kmeans_centroids(e, n_centroids=16, seed=42)
-    cb = pq_codebooks(e, n_sub=8, k_codes=32, seed=42)
+    # r14: the centroid and codebook trainings run OVERLAPPED inside
+    # ivf_pq_fit (guide §2.6) — same fits, same seeds, identical output
+    # tables (equality-pinned in tests); the timed region still covers
+    # the full fit stage
+    cents, cb = ivf_pq_fit(e, n_centroids=16, n_sub=8, k_codes=32, seed=42)
     fit_s = round(time.perf_counter() - t0, 3)
 
     if not _PQ_ENCODE_BRANCH:

