@@ -238,12 +238,16 @@ def _stream_fingerprint_ctx(
 
     def synth(rows, parts):
         # r14 measurement fix: the text rows feeding the BMP synth ship
-        # as Arrow instead of pickled-RDD rows — the mapInPandas synth
+        # as Arrow instead of pickled-RDD rows, and the coalesce moves
+        # ABOVE the mapInPandas synth — coalescing 32 local-table slices
+        # below it made each of the 2 tasks run 16 sequential Python
+        # evaluations (~3 s of worker round trips per batch, measured;
+        # coalesce-first is one evaluation per task, ~0.3 s). The synth
         # stage itself (real fixture work) is unchanged
         return synthesize_bmp_payload(
-            local_rows_df(spark, rows, "doc_id long, text string"),
+            local_rows_df(spark, rows, "doc_id long, text string").coalesce(parts),
             "doc_id", "text", width=12,
-        ).coalesce(parts)
+        )
 
     synth(corpus_texts, 8).write.mode("overwrite").parquet(f"{tmp}/base")
     base = spark.read.parquet(f"{tmp}/base")
