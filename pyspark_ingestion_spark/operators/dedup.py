@@ -237,10 +237,16 @@ def _shingle_table(
     w = df.select(
         F.col(id_col).alias("doc"), words(F.lower(F.col(text_col))).alias("__w")
     )
-    arr = F.col("__w")
-    shingled = F.transform(
-        F.sequence(F.lit(1), F.greatest(F.size(arr) - n + 1, F.lit(1))),
-        lambda i: F.concat_ws(" ", *[F.get(arr, i + j - 1) for j in range(n)]),
+    # r15: the per-position transform comes from ONE SQL string (the
+    # projection above fixes the array's name to __w, so no identifier
+    # escaping is needed) — the parsed tree matches the old Column-API
+    # lambda build (F.get == SQL get: 0-based, null out of bounds),
+    # pinned by the shingle golden tests; ~15 py4j calls become 1 on a
+    # build that runs per micro-batch in the admission sinks
+    terms = ", ".join(f"get(__w, i + {j} - 1)" for j in range(n))
+    shingled = F.expr(
+        f"transform(sequence(1, greatest(size(__w) - {n} + 1, 1)), "
+        f"i -> concat_ws(' ', {terms}))"
     )
     sh = w.select("doc", F.explode(F.array_distinct(shingled)).alias("shingle"))
     return _cap_doc_freq(sh, max_doc_freq)
@@ -346,15 +352,32 @@ def _wide_signatures(sh: DataFrame, num_hashes: int) -> DataFrame:
     no second shuffle to reassemble the signature vector. Map-side
     partial aggregation reduces each partition to one row per local doc
     before the exchange, so the shuffle carries O(docs × k × 8B).
+
+    r15 (guide §4/§1.2, the r14 `_ivf_score_structs` treatment): the
+    hash projection and the k min-aggregates are built from SQL strings
+    — the parsed trees are identical to the Column-API build (the seed
+    coefficients are < 2³¹ so both paths type them INT, and the
+    arithmetic/casts parse to the same operators; equality pinned by
+    test), but ~70 py4j round trips per build become ~10. This build
+    runs PER MICRO-BATCH in the admission sinks (twice: rejects + band
+    rows), where expression-build latency is a steady-state cost.
     """
-    h = F.conv(F.substring(F.md5("shingle"), 1, 7), 16, 10).cast("long")
-    aggs = []
-    for i in range(num_hashes):
-        a, b = minhash_seed_coeffs(i)
-        aggs.append(
-            F.min((F.lit(a) * F.col("h") + F.lit(b)) % MINHASH_P).alias(f"sig{i}")
+    aggs = [
+        F.expr(
+            "min(({a} * h + {b}) % {p}) AS sig{i}".format(
+                a=a, b=b, p=MINHASH_P, i=i
+            )
         )
-    return sh.select("doc", h.alias("h")).groupBy("doc").agg(*aggs)
+        for i, (a, b) in enumerate(minhash_seed_coeffs(i) for i in range(num_hashes))
+    ]
+    return (
+        sh.selectExpr(
+            "doc",
+            "CAST(conv(substring(md5(shingle), 1, 7), 16, 10) AS BIGINT) AS h",
+        )
+        .groupBy("doc")
+        .agg(*aggs)
+    )
 
 
 def _signatures_from_shingles(sh: DataFrame, num_hashes: int = 8) -> DataFrame:
@@ -376,16 +399,23 @@ def _bands_from_wide(wide: DataFrame, num_hashes: int, band_size: int) -> DataFr
     band_key = md5 over the band's signature values in seed order; two
     docs share a band_key iff every signature in the band matches, which
     is the only property banding needs (the encoding itself is internal).
+
+    r15: built from ONE SQL string (same values, same explode plan —
+    parity pinned by test) instead of ~10 py4j calls per band; like
+    `_wide_signatures`, this build runs per micro-batch in the
+    admission sinks.
     """
     n_bands = (num_hashes + band_size - 1) // band_size
     structs = []
     for bi in range(n_bands):
         seeds = range(bi * band_size, min((bi + 1) * band_size, num_hashes))
-        key = F.md5(F.concat_ws("|", *[F.col(f"sig{s}").cast("string") for s in seeds]))
-        structs.append(F.struct(F.lit(bi).alias("band"), key.alias("band_key")))
+        cols = ",".join(f"CAST(sig{s} AS STRING)" for s in seeds)
+        structs.append(
+            f"named_struct('band',{bi},'band_key',md5(concat_ws('|',{cols})))"
+        )
     return wide.select(
-        "doc", F.explode(F.array(*structs)).alias("b")
-    ).select("doc", F.col("b.band").alias("band"), F.col("b.band_key").alias("band_key"))
+        "doc", F.expr(f"explode(array({','.join(structs)})) AS b")
+    ).selectExpr("doc", "b.band AS band", "b.band_key AS band_key")
 
 
 def lsh_candidate_pairs(

@@ -2755,3 +2755,81 @@ def test_hilbert_index_nd_is_a_hilbert_curve(spark):
     bad = spark.createDataFrame([(8, 0, 0)], "x int, y int, z int")
     with _pytest.raises(Exception, match="alias quadrants"):
         hilbert_index_nd(bad, ["x", "y", "z"], bits=bits).collect()
+
+
+def test_lsh_sql_string_builds_match_column_api(spark):
+    """r15 (guide §4/§1.2): `_shingle_table`'s window transform,
+    `_wide_signatures` and `_bands_from_wide` are built from SQL strings
+    (the r14 `_ivf_score_structs` treatment — these builds run per
+    micro-batch in the admission sinks, where ~100 py4j round trips per
+    build were a steady-state cost). The parsed trees must stay
+    value-identical (and schema-identical) to the Column-API builds
+    they replaced, which are inlined here as the reference."""
+    from pyspark.sql import functions as F
+
+    from pyspark_ingestion_spark.functions.text import words
+    from pyspark_ingestion_spark.operators.dedup import (
+        MINHASH_P,
+        _bands_from_wide,
+        _shingle_table,
+        _wide_signatures,
+        minhash_seed_coeffs,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (2, "  weird   spacing\tand TABS here"),
+            (3, ""),
+            (4, "one two"),
+            (5, "a b c d e f g a b c"),
+        ],
+        "doc_id long, text string",
+    )
+
+    # pre-r15 Column-API reference builds
+    w = df.select(F.col("doc_id").alias("doc"), words(F.lower(F.col("text"))).alias("__w"))
+    arr = F.col("__w")
+    shingled = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.size(arr) - 3 + 1, F.lit(1))),
+        lambda i: F.concat_ws(" ", *[F.get(arr, i + j - 1) for j in range(3)]),
+    )
+    ref_sh = w.select("doc", F.explode(F.array_distinct(shingled)).alias("shingle"))
+
+    def ref_wide(sh, num_hashes):
+        h = F.conv(F.substring(F.md5("shingle"), 1, 7), 16, 10).cast("long")
+        aggs = []
+        for i in range(num_hashes):
+            a, b = minhash_seed_coeffs(i)
+            aggs.append(
+                F.min((F.lit(a) * F.col("h") + F.lit(b)) % MINHASH_P).alias(f"sig{i}")
+            )
+        return sh.select("doc", h.alias("h")).groupBy("doc").agg(*aggs)
+
+    def ref_bands(wide, num_hashes, band_size):
+        n_bands = (num_hashes + band_size - 1) // band_size
+        structs = []
+        for bi in range(n_bands):
+            seeds = range(bi * band_size, min((bi + 1) * band_size, num_hashes))
+            key = F.md5(
+                F.concat_ws("|", *[F.col(f"sig{s}").cast("string") for s in seeds])
+            )
+            structs.append(F.struct(F.lit(bi).alias("band"), key.alias("band_key")))
+        return wide.select("doc", F.explode(F.array(*structs)).alias("b")).select(
+            "doc", F.col("b.band").alias("band"), F.col("b.band_key").alias("band_key")
+        )
+
+    got_sh = _shingle_table(df, "doc_id", "text", 3)
+    assert sorted(map(tuple, got_sh.collect())) == sorted(
+        map(tuple, ref_sh.collect())
+    )
+
+    got_w = _wide_signatures(got_sh, 8)
+    want_w = ref_wide(ref_sh, 8)
+    assert got_w.schema == want_w.schema
+    assert sorted(map(tuple, got_w.collect())) == sorted(map(tuple, want_w.collect()))
+
+    got_b = _bands_from_wide(got_w, 8, 2)
+    want_b = ref_bands(want_w, 8, 2)
+    assert got_b.schema == want_b.schema
+    assert sorted(map(tuple, got_b.collect())) == sorted(map(tuple, want_b.collect()))
