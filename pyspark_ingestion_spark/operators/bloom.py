@@ -257,7 +257,18 @@ def bloom_might_contain(
             "broadcast-join it instead of embedding it"
         )
     key = F.col(col) if isinstance(col, str) else col
-    arr = F.array(*[F.lit(int(w)).cast("bigint") for w in words])
+    # ONE parsed SQL literal for the word array (r15, guide §1.2 step 2
+    # / the r14 `_ivf_score_structs` plan-size discipline): per-element
+    # ``F.lit(w).cast("bigint")`` cost TWO py4j round trips per word —
+    # ~2 s of pure build time at the 2^16-bit default (1024 words) every
+    # time a probe expression is built, which is per QUERY BUILD (and
+    # per micro-batch in the decontamination sink). ``int(w)`` coerces
+    # every element to a plain integer before rendering, so the text is
+    # digits+``L`` only — the injection-safety property of the r14
+    # rewrite (never interpolate the caller's COLUMN into SQL text)
+    # lives in ``key`` above and is unchanged. The parsed array is the
+    # same LongType literal vector, bit-identical probes (test-pinned).
+    arr = F.expr("array(" + ",".join(f"{int(w)}L" for w in words) + ")")
     positions = F.transform(
         F.sequence(F.lit(0), F.lit(num_hashes - 1)),
         lambda i: _position(key, i, num_bits, hash_mode),
