@@ -177,20 +177,27 @@ def _ivf_score_structs(vec_col, centroid_rows) -> F.Column:
     (measured: the 16-centroid cell assign over sf0.1 fell ~2× inside
     the unchanged ivf_pq_assign plan). Equivalence with the old form is
     pinned by the assign_ivf_cells property test."""
+    import math
+
     if not isinstance(vec_col, str) or "." in vec_col:
         # Column inputs (or dotted nested-field names) cannot be
         # rendered into a SQL string — keep the original builder,
         # identical arithmetic, only slower to construct
         return _ivf_score_structs_col(vec_col, centroid_rows)
-    import math
+    cns = [_py_dot(cvec, cvec, math_sqrt=True) for _cid, cvec in centroid_rows]
+    if not all(math.isfinite(cn) for cn in cns):
+        # r15 (ADVICE): a non-finite norm would render as 'infD'/'nanD'
+        # and fail SQL parsing at build time — the Column builder
+        # computes c·c at runtime and tolerates it like the pre-r14 form
+        return _ivf_score_structs_col(vec_col, centroid_rows)
 
     v = f"CAST({_sql_ident(vec_col)} AS ARRAY<DOUBLE>)"
     entries = ",".join(
         "named_struct("
         f"'n',{-int(cid)},"
-        f"'cn',{_py_dot(cvec, cvec, math_sqrt=True)!r}D,"
+        f"'cn',{cn!r}D,"
         f"'cvec',array({','.join(f'{float(x)!r}D' for x in cvec)}))"
-        for cid, cvec in centroid_rows
+        for (cid, cvec), cn in zip(centroid_rows, cns)
     )
     dot_vc = _SQL_DOT.format(a=v, b="c.cvec")
     return F.expr(
@@ -802,8 +809,21 @@ def pq_codebooks(
 
         from concurrent.futures import ThreadPoolExecutor
 
+        from pyspark import inheritable_thread_target
+
+        # inheritable_thread_target (r15, ADVICE): under pinned-thread
+        # mode, plain pool threads would not inherit the caller's job
+        # group / scheduler-pool local properties, so a caller's
+        # cancelJobGroup could not reach the overlapped fits
         with ThreadPoolExecutor(max_workers=min(n_sub, 8)) as ex:
-            rows = [r for chunk in ex.map(_fit_one, range(n_sub)) for r in chunk]
+            rows = [
+                r
+                for chunk in ex.map(
+                    inheritable_thread_target(corpus.sparkSession)(_fit_one),
+                    range(n_sub),
+                )
+                for r in chunk
+            ]
     finally:
         train.unpersist(blocking=False)
     # Arrow-path local table (r14, guide §4) — same reasoning as
@@ -837,14 +857,20 @@ def ivf_pq_fit(
     equality test."""
     from concurrent.futures import ThreadPoolExecutor
 
+    from pyspark import inheritable_thread_target
+
+    # inheritable_thread_target (r15, ADVICE): propagate the caller's
+    # job group / scheduler-pool local properties into the overlapped
+    # fits so cancelJobGroup and pool assignment reach them
+    wrap = inheritable_thread_target(corpus.sparkSession)
     with ThreadPoolExecutor(max_workers=2) as ex:
         cents_f = ex.submit(
-            kmeans_centroids, corpus, id_col, vec_col, n_centroids, seed,
-            sample_fraction,
+            wrap(kmeans_centroids),
+            corpus, id_col, vec_col, n_centroids, seed, sample_fraction,
         )
         cb_f = ex.submit(
-            pq_codebooks, corpus, id_col, vec_col, n_sub, k_codes, seed,
-            sample_fraction,
+            wrap(pq_codebooks),
+            corpus, id_col, vec_col, n_sub, k_codes, seed, sample_fraction,
         )
         return cents_f.result(), cb_f.result()
 
@@ -1076,16 +1102,33 @@ def pq_codes_expr(
     else:
         d_sub = (F.size(vec) / n_sub).cast("int")
 
-    if expected_dim is not None and isinstance(vec_col, str) and "." not in vec_col:
+    import math
+
+    csq_by_m = {
+        m: [(cid, cvec, _py_dot(cvec, cvec)) for cid, cvec in sorted(by_m[m])]
+        for m in by_m
+    }
+    all_finite = all(
+        math.isfinite(csq) for rows in csq_by_m.values() for _c, _v, csq in rows
+    )
+    if (
+        expected_dim is not None
+        and isinstance(vec_col, str)
+        and "." not in vec_col
+        # r15 (ADVICE): a non-finite c·c would render as 'infD'/'nanD'
+        # and fail SQL parsing at build time — the Column branch below
+        # computes it at runtime and tolerates it like the pre-r14 form
+        and all_finite
+    ):
         v_sql = f"CAST({_sql_ident(vec_col)} AS ARRAY<DOUBLE>)"
         parts = []
         for m in range(n_sub):
             entries = ",".join(
                 "named_struct("
                 f"'n',{-cid},"
-                f"'csq',{_py_dot(cvec, cvec)!r}D,"
+                f"'csq',{csq!r}D,"
                 f"'cvec',array({','.join(f'{float(x)!r}D' for x in cvec)}))"
-                for cid, cvec in sorted(by_m[m])
+                for cid, cvec, csq in csq_by_m[m]
             )
             sv = f"slice({v_sql},{m * d_sub + 1},{d_sub})"
             dot = _SQL_DOT.format(a=sv, b="e.cvec")
