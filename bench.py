@@ -501,6 +501,14 @@ def _calibration_smalljobs_job(spark) -> float:
         shutil.rmtree(tmp, ignore_errors=True)
 
 
+def _local_rows_path_counts() -> dict:
+    """Per-process local_rows_df construction-path counters (r15,
+    ADVICE) — which path the Arrow local tables actually took."""
+    from pyspark_ingestion_spark.sources import localtable
+
+    return dict(localtable.PATH_COUNTS)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
@@ -699,6 +707,12 @@ def main() -> None:
                     ),
                 },
                 "ivf_pq_encode_branch": _PQ_ENCODE_BRANCH or None,
+                # r15 (ADVICE): local_rows_df construction-path counters
+                # — a silent Arrow→pickled fallback in the stream batch
+                # sources would re-time ~2.8 s of source cost per batch
+                # and masquerade as a framework regression; diagnostics
+                # only, no timed-region or row-construction change
+                "local_rows_path_counts": _local_rows_path_counts(),
                 "queries_normalized": normalized,
                 "queries_normalized_min": normalized_min,
                 "r1_comparable_total_normalized": round(

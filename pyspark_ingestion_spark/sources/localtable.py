@@ -18,6 +18,14 @@ from typing import Any, Iterable, Sequence
 
 from pyspark.sql import DataFrame, SparkSession
 
+#: which construction path non-empty local_rows_df calls took, counted
+#: per process (r15, ADVICE): a silent Arrow→pickled-list fallback (e.g.
+#: a pandas/Arrow env issue) would quietly reintroduce ~2.8 s of source
+#: cost inside the bench's timed stream batches and read as a framework
+#: regression across rounds — the bench surfaces these counters in its
+#: JSON so that drift is attributable.
+PATH_COUNTS = {"arrow": 0, "fallback": 0}
+
 
 def local_rows_df(
     spark: SparkSession,
@@ -48,6 +56,9 @@ def local_rows_df(
             {n: [r[i] for r in rows] for i, n in enumerate(names)},
             columns=list(names),
         )
-        return spark.createDataFrame(pdf, st)
+        df = spark.createDataFrame(pdf, st)
+        PATH_COUNTS["arrow"] += 1
+        return df
     except Exception:
+        PATH_COUNTS["fallback"] += 1
         return spark.createDataFrame(rows, schema)
