@@ -49,7 +49,13 @@ def uses_broadcast_join(df: DataFrame) -> bool:
 def python_eval_nodes(df: DataFrame) -> list[str]:
     """Names of Python-evaluation operators in the plan (should be [] for
     native pipelines; non-empty only for deliberate pandas-UDF stages)."""
-    plan = formatted_plan(df)
+    return python_eval_nodes_text(formatted_plan(df))
+
+
+def python_eval_nodes_text(plan: str) -> list[str]:
+    """:func:`python_eval_nodes` over an already-formatted plan string —
+    lets the registry-wide test sweeps share ONE plan capture per query
+    (r15)."""
     return [
         node
         for node in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas", "FlatMapGroupsInPandas")
@@ -111,8 +117,14 @@ def executed_shuffle_stages(
 
 def shuffle_count(df: DataFrame) -> int:
     """Number of exchanges in the plan — the scale-governing quantity."""
+    return shuffle_count_text(formatted_plan(df))
+
+
+def shuffle_count_text(plan: str) -> int:
+    """:func:`shuffle_count` over an already-formatted plan string (r15:
+    shared one-capture sweeps, like :func:`python_eval_nodes_text`)."""
     import re
 
     # count node-detail headers like "(5) Exchange" so each operator
     # counts once (the formatted output also repeats names in the tree)
-    return len(re.findall(r"^\(\d+\) Exchange", formatted_plan(df), re.MULTILINE))
+    return len(re.findall(r"^\(\d+\) Exchange", plan, re.MULTILINE))

@@ -10,10 +10,17 @@ pushdown via ``predicates``/``dbtable`` subquery.
 
 from __future__ import annotations
 
+import threading
 from functools import lru_cache
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+#: guards the nanosAsLong set/read/restore window in load_table so
+#: concurrent driver threads (the r15 parallel plan sweeps, §2.6
+#: overlapped jobs) can't catch the conf mid-toggle from another
+#: thread's nanos-table read
+_NANOS_CONF_LOCK = threading.Lock()
 
 #: tables the driver testdata ships (TESTDATA.md)
 TABLES = (
@@ -56,12 +63,13 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     # true across its micro-batches, while this batch read bakes the conf
     # at DataFrame creation and doesn't need it afterwards
     key = "spark.sql.legacy.parquet.nanosAsLong"
-    prev = spark.conf.get(key, "false")
-    spark.conf.set(key, "true")
-    try:
-        df = spark.read.parquet(path)
-    finally:
-        spark.conf.set(key, prev)
+    with _NANOS_CONF_LOCK:
+        prev = spark.conf.get(key, "false")
+        spark.conf.set(key, "true")
+        try:
+            df = spark.read.parquet(path)
+        finally:
+            spark.conf.set(key, prev)
     for c in nanos_cols:
         # integer div, not float div: ns values overflow double's 53-bit mantissa
         df = df.withColumn(c, F.expr(f"timestamp_micros(`{c}` div 1000)"))

@@ -45,6 +45,32 @@ _SKIP = {"ddl_ctas_roundtrip", "ddl_partitioned_lake_msck",
          "streaming_session", "streaming_dedup_watermark",
          "streaming_stateful_user_totals", "streaming_static_join"}
 
+#: one formatted plan per query, shared by the registry-wide audits
+#: (r15, VERDICT r14 item 4: the three sweeps each rebuilt every
+#: registry frame — several of which run eager fit/mining jobs at build
+#: time — so the suite paid the ~4-minute registry build THREE times and
+#: the driver's pytest run kept truncating on budget)
+_PLAN_CACHE: dict[str, str] = {}
+
+
+def _plans_for(spark, sf_dir, names) -> dict[str, str]:
+    """Formatted plans for ``names``, built once per process and built
+    in PARALLEL (plan capture is driver/py4j-bound; queries share no
+    state — load_table's nanos-conf toggle is lock-guarded in
+    sources/readers.py, and eager driver jobs from several threads are
+    ordinary concurrent Spark jobs, guide §2.6)."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    todo = [n for n in names if n not in _PLAN_CACHE]
+    if todo:
+        def build(n):
+            return n, formatted_plan(_REGISTRY[n].fn(spark, sf_dir))
+
+        with ThreadPoolExecutor(max_workers=8) as ex:
+            for n, plan in ex.map(build, todo):
+                _PLAN_CACHE[n] = plan
+    return {n: _PLAN_CACHE[n] for n in names}
+
 
 def test_q1_filter_pushed_and_columns_pruned(spark, sf_dir):
     df = _REGISTRY["q1_pricing_summary"].fn(spark, sf_dir)
@@ -68,13 +94,17 @@ def test_q5_broadcasts_dimensions(spark, sf_dir):
 
 
 def test_no_python_eval_in_native_queries(spark, sf_dir):
-    offenders = {}
-    for name, spec in _REGISTRY.items():
-        if name in _PANDAS_OK or name in _SKIP:
-            continue
-        nodes = python_eval_nodes(spec.fn(spark, sf_dir))
-        if nodes:
-            offenders[name] = nodes
+    from pyspark_ingestion_spark.plans.explain import python_eval_nodes_text
+
+    plans = _plans_for(
+        spark, sf_dir,
+        [n for n in _REGISTRY if n not in _PANDAS_OK and n not in _SKIP],
+    )
+    offenders = {
+        name: nodes
+        for name, plan in plans.items()
+        if (nodes := python_eval_nodes_text(plan))
+    }
     assert not offenders, f"Python eval nodes in native pipelines: {offenders}"
 
 
@@ -341,13 +371,28 @@ def test_headline_shuffle_budgets(spark, sf_dir):
         "sample_weighted_priority": 0,    # scan-side keys + TakeOrdered top-k
         "quality_model_calibration": 3,   # label join + ntile shard + 10-key rollup
     }
-    qs = all_queries()
+    from pyspark_ingestion_spark.plans.explain import shuffle_count_text
+
+    plans = _plans_for(spark, sf_dir, list(budgets))
     over = {
-        n: (shuffle_count(qs[n].fn(spark, sf_dir)), cap)
+        n: (shuffle_count_text(plans[n]), cap)
         for n, cap in budgets.items()
-        if shuffle_count(qs[n].fn(spark, sf_dir)) > cap
+        if shuffle_count_text(plans[n]) > cap
     }
-    assert not over, f"shuffle budget exceeded: {over}"
+    # re-verify any exceedance against a FRESH sequential build: plan
+    # shapes of shingle-cache-using queries depend on the bounded
+    # shingle-cache state (dedup._LIVE_SHINGLE_CACHES), which the shared
+    # parallel sweep churns — a transient InMemoryRelation swap can add
+    # exchanges that a clean build doesn't have. A real regression
+    # reproduces on the rebuild; a cache-churn artifact vanishes.
+    confirmed = {}
+    for n, (_cnt, cap) in over.items():
+        fresh_plan = formatted_plan(_REGISTRY[n].fn(spark, sf_dir))
+        _PLAN_CACHE[n] = fresh_plan
+        fresh = shuffle_count_text(fresh_plan)
+        if fresh > cap:
+            confirmed[n] = (fresh, cap)
+    assert not confirmed, f"shuffle budget exceeded: {confirmed}"
 
 
 def test_spread_queries_executed_shuffles(spark, sf_dir):
@@ -376,11 +421,20 @@ def test_spread_queries_executed_shuffles(spark, sf_dir):
         "word_cooccurrence_pmi": (8, 2),
         "ann_ivf_pq_topk": (5, 0),
     }
+    from concurrent.futures import ThreadPoolExecutor
+
     qs = all_queries()
-    got = {
-        name: executed_shuffle_stages(qs[name].fn(spark, sf_dir))
-        for name in pins
-    }
+    # executes each pinned query once (noop-materialized); the six runs
+    # are independent Spark jobs — overlap them (guide §2.6, r15)
+    with ThreadPoolExecutor(max_workers=len(pins)) as ex:
+        got = dict(
+            ex.map(
+                lambda name: (
+                    name, executed_shuffle_stages(qs[name].fn(spark, sf_dir))
+                ),
+                pins,
+            )
+        )
     over = {
         name: (got[name], pins[name])
         for name in pins
@@ -650,10 +704,10 @@ def test_no_cartesian_and_bounded_bnlj(spark, sf_dir):
     and BroadcastNestedLoopJoin may appear only in the audited
     broadcast-small whitelist above."""
     cart, rogue = [], []
-    for name, spec in _REGISTRY.items():
-        if name in _SKIP:
-            continue
-        plan = formatted_plan(spec.fn(spark, sf_dir))
+    plans = _plans_for(
+        spark, sf_dir, [n for n in _REGISTRY if n not in _SKIP]
+    )
+    for name, plan in plans.items():
         if "CartesianProduct" in plan:
             cart.append(name)
         if "BroadcastNestedLoopJoin" in plan and name not in _BNLJ_OK:
